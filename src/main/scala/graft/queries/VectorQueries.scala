@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** kNN / similarity-search queries over the `embeddings` table (64-d float
+  * vectors), mirroring the reference's flat-index search semantics
+  * (`/root/reference/src/vector_db_api/indexing/flat.py:21-25`,
+  * `services/search.py:18-75`) as declarative Spark plans.
+  *
+  * Scale design: every query is scan -> score (whole-stage codegen'd
+  * expression) -> TakeOrderedAndProject(k) or per-group window top-k. The
+  * corpus side is never collected; the query-vector side is a 1..few-row
+  * DataFrame that is broadcast, so the only data movement at cluster scale
+  * is k rows per partition to the driver (or per group after one shuffle).
+  *
+  * Determinism contract with the DuckDB oracle: scores are computed in
+  * DOUBLE (bitwise-identical to DuckDB's sequential fold — verified), then
+  * ROUNDED to 6 decimals BEFORE ranking, and every ordering carries a
+  * `vec_id` tie-breaker (SURVEY §2.5 Q7: Python's stable sort is not
+  * reproducible; an explicit total order is).
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+
+  /** Single-query exact kNN: corpus scan vs the vec_id=0 vector. */
+  private def knn(metric: String, k: Int)(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(similarity(metric)(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  private val cosSql =
+    "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+  private val dotSql =
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+  private val eucSql =
+    "1.0 / (1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), q.qv))"
+
+  private def knnSql(scoreExpr: String, k: Int): String =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, round($scoreExpr, 6) AS score
+       |FROM embeddings e, q WHERE e.vec_id <> 0
+       |ORDER BY score DESC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** Batch kNN: 5 query vectors x corpus, per-query top-5 via window.
+    * At scale this is the broadcast-queries pattern: Q rows broadcast to
+    * every partition, one shuffle on query_id for the window top-k.
+    */
+  private def knnBatch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
+  /** Post-filter semantics (reference quirk Q5, `services/search.py:37-46`):
+    * top-k FIRST, metadata filter AFTER — may return < k rows.
+    */
+  private def knnPostFilter(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(20)
+      .filter(col("label") % 2 === 0)
+      .orderBy(col("score").desc, col("vec_id").asc)
+  }
+
+  /** Pre-filter variant (the engine's documented deviation option): filter
+    * the candidate pool first, then top-k — always k rows if k matches exist.
+    */
+  private def knnPreFilter(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    e.filter(col("vec_id") =!= 0 && col("label") % 2 === 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Per-vector norms + unit-length check (F2/F7 surface). */
+  private def norms(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
+        round(l2Norm(col("embedding")), 6).as("norm"))
+      .withColumn("is_unit", (col("norm") - 1.0).between(-0.01, 0.01))
+      .orderBy(col("vec_id").asc)
+
+  /** Per-label centroid (mean vector) + its norm — the aggregation kernel
+    * of IVF k-means (reference `ivf.py:167-178`) expressed as a
+    * posexplode + per-position avg. Map-side partial aggregation keeps the
+    * shuffle at |labels| x dim rows regardless of corpus size.
+    */
+  private def centroids(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val perPos = e.select(col("label"), posexplode(vecAsDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+    perPos.groupBy(col("label"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+           max(col("n")).as("n_vectors"))
+      .orderBy(col("label").asc)
+  }
+
+  /** Embedding near-duplicate pairs: same-label blocking, cosine >= 0.99.
+    * The blocked self-join is the scale pattern: equi-join on the blocking
+    * key co-locates candidates, so comparisons are per-partition and the
+    * cross-product never materializes globally.
+    */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val a = emb(s, d).select(col("label"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb(s, d).select(col("label"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(cosineSim(col("ea"), col("eb")), 6).as("score"))
+      .filter(col("score") >= 0.35)
+      .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_knn_cosine"     -> knn("cosine", 10) _,
+    "v_knn_dot"        -> knn("dot_product", 10) _,
+    "v_knn_euclidean"  -> knn("euclidean", 10) _,
+    "v_knn_batch"      -> (knnBatch _),
+    "v_knn_postfilter" -> (knnPostFilter _),
+    "v_knn_prefilter"  -> (knnPreFilter _),
+    "v_norms"          -> (norms _),
+    "v_centroids"      -> (centroids _),
+    "v_neardup_pairs"  -> (nearDupPairs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v_knn_cosine"    -> knnSql(cosSql, 10),
+    "v_knn_dot"       -> knnSql(dotSql, 10),
+    "v_knn_euclidean" -> knnSql(eucSql, 10),
+    "v_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
+        |SELECT q.query_id, e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY score DESC, e.vec_id ASC) <= 5
+        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
+    "v_knn_postfilter" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (
+        |  SELECT e.vec_id, e.label, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 20)
+        |SELECT vec_id, label, score FROM topk WHERE label % 2 = 0
+        |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    "v_knn_prefilter" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label % 2 = 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v_norms" ->
+      """SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        |       abs(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) - 1.0) <= 0.01 AS is_unit
+        |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
+    "v_centroids" ->
+      """WITH expl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |perpos AS (
+        |  SELECT label, pos, avg(x) AS m, count(*) AS n
+        |  FROM expl GROUP BY label, pos)
+        |SELECT label, round(sqrt(sum(m*m)), 6) AS centroid_norm, max(n) AS n_vectors
+        |FROM perpos GROUP BY label ORDER BY label ASC""".stripMargin,
+    "v_neardup_pairs" ->
+      """SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY score DESC, vec_a ASC, vec_b ASC""".stripMargin,
+  )
+}
