@@ -17,6 +17,8 @@ object SparkEntry {
   private val suites: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (VectorQueries.queries, VectorQueries.oracles),
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (EventQueries.queries, EventQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

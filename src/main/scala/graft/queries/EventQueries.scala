@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log queries: the mutable-state and time-ordered semantics of the
+  * reference re-expressed as batch plans over the `events` table.
+  *
+  *   - `e_latest_state` is the C1 optimistic-versioning pattern
+  *     (SURVEY §2.10, reference `repos/chunks.py:38-60`): latest row per key
+  *     wins, resolved with one row_number window — the same plan resolves a
+  *     CAS-versioned snapshot at any scale.
+  *   - `e_tumbling_daily` is the batch shape of a Structured Streaming
+  *     tumbling-window aggregation (same groupBy(window) plan compiles to a
+  *     streaming query on `readStream`).
+  *   - `e_sessionize` is gaps-and-islands sessionization (30-min idle gap),
+  *     one shuffle on user_id, windows within partitions.
+  *   - `e_created_after` preserves the reference's strict `>` filter
+  *     semantics (quirk Q8, `services/search.py:61`).
+  */
+object EventQueries {
+
+  private def dsum6(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Latest event per user — CAS/version resolution (C1). */
+  private def latestState(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value").cast("decimal(18,6)").cast("double"), 6).as("value"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Tumbling daily window per event_type: count + exact sum. */
+  private def tumblingDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum6(col("value")), 6).as("total"))
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
+  /** Sessionization: a session ends after a 30-minute idle gap.
+    * Output: per-user session count + total events.
+    */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Strict `>` created_after filter (quirk Q8) + per-type counts. */
+  private def createdAfter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum6(col("value")), 6).as("total"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** JSON extraction from the props column (scalar function surface):
+    * get_json_object / ->> parity.
+    */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") >= 95)
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_latest_state"  -> (latestState _),
+    "e_tumbling_daily"-> (tumblingDaily _),
+    "e_sessionize"    -> (sessionize _),
+    "e_created_after" -> (createdAfter _),
+    "e_json_extract"  -> (jsonExtract _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_latest_state" ->
+      """SELECT user_id, event_id, event_type,
+        |       round(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id ASC""".stripMargin,
+    "e_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |       count(*) AS n,
+        |       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
+    "e_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
+    "e_created_after" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "e_json_extract" ->
+      """SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k
+        |FROM events WHERE CAST(props ->> '$.k' AS INTEGER) >= 95
+        |ORDER BY event_id ASC""".stripMargin,
+  )
+}

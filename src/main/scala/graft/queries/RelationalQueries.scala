@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish star schema — the general
+  * query surface (scan/filter/join/agg/window/sort/limit/pagination) that
+  * SURVEY.md §2 maps the reference's operators onto.
+  *
+  * Scale design notes:
+  *   - Aggregations rely on Catalyst's partial (map-side) aggregation; the
+  *     shuffle carries |groups| rows per partition, not the fact table.
+  *   - Dimension tables (customer/orders at TPC-H ratios, nation/region
+  *     always) are broadcast — `broadcast()` hints where the small side is
+  *     known, AQE handles the rest at runtime.
+  *   - Numeric determinism vs the oracle: every floating sum is computed
+  *     as an EXACT decimal sum (inputs cast to decimal, summed, cast back
+  *     to double) so the result is independent of partitioning / addition
+  *     order — a requirement for hash-compared results on a 1000-executor
+  *     cluster, not just for the oracle.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a double column: decimal-sum, then
+    * back to double. scale=4 is enough for 2-decimal money columns.
+    */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(28,8)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary (full-scan aggregate). */
+  private def q1Pricing(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,4)") *
+             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        ).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+      )
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** TPC-H Q3-style: top-10 unshipped orders by revenue.
+    * Join shape at scale: lineitem (fact) equi-joins orders on the shuffle
+    * key; customer is broadcast; top-k is TakeOrderedAndProject.
+    */
+  private def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+      ).cast("double").as("revenue"))
+      .select(col("l_orderkey"), round(col("revenue"), 4).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation where customer and supplier share
+    * the nation, restricted to one region. nation/region/supplier are
+    * broadcast; the only shuffle is lineitem->orders and the final agg.
+    */
+  private def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+      ).cast("double").as("revenue"))
+      .select(col("n_name"), round(col("revenue"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Per-group top-k (reference T1 batch shape): top-3 orders per customer
+    * by total price — row_number window, one shuffle on the partition key.
+    */
+  private def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,4)").cast("double"), 4)
+          .as("o_totalprice"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** Pagination (reference T6, `repos/documents.py:46-47`): stable total
+    * order, rows [offset, offset+limit) via row_number.
+    */
+  private def paginateOrders(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 100 && col("rn") <= 120)
+      .select(col("rn"), col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice").cast("decimal(18,4)").cast("double"), 4)
+          .as("o_totalprice"))
+      .orderBy(col("rn").asc)
+  }
+
+  /** Anti-join (reference U3/C5 cascade-delete shape): customers with no
+    * orders in the window — the "rows surviving a delete" pattern.
+    */
+  private def custWithoutRecentOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** Semi-join (reference J5/P3 doc_ids-filter shape). */
+  private def partsWithBigLineitems(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val big = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49).select(col("l_partkey"))
+    part.join(big, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"        -> (q1Pricing _),
+    "q3_top_orders"     -> (q3TopOrders _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q_topk_per_cust"   -> (topOrdersPerCustomer _),
+    "q_pagination"      -> (paginateOrders _),
+    "q_anti_join"       -> (custWithoutRecentOrders _),
+    "q_semi_join"       -> (partsWithBigLineitems _),
+  )
+
+  private val rev =
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
+         |    CAST($rev AS DOUBLE) AS sum_disc_price,
+         |    COUNT(*) AS count_order
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |  GROUP BY l_returnflag, l_linestatus)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, count_order,
+         |       round(sum_qty / count_order, 6) AS avg_qty,
+         |       round(sum_base_price / count_order, 6) AS avg_price
+         |FROM base ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, round(CAST($rev AS DOUBLE), 4) AS revenue, o_orderdate, o_orderpriority
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, round(CAST($rev AS DOUBLE), 4) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_topk_per_cust" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 4) AS o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 AND o_custkey <= 50
+        |ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "q_pagination" ->
+      """SELECT rn, o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 4) AS o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn > 100 AND rn <= 120 ORDER BY rn ASC""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey ASC""".stripMargin,
+  )
+}
