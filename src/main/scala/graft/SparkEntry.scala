@@ -19,6 +19,8 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

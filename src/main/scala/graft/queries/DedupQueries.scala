@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Det.{rnd, rndSql}
+
+/** Deduplication suite over `documents` — the four standard near-dup
+  * detectors of large-scale corpus curation, each in its 100 TB shape:
+  *
+  *   - exact:   hash-groupBy (one shuffle on a 32-byte key)
+  *   - minhash: shingle -> K minhash sigs -> banded LSH -> bucket
+  *              equi-join (candidates only meet inside a bucket; the
+  *              cross-product never forms)
+  *   - simhash: 60-bit signature per doc (single fold, no shuffle), then
+  *              hamming-distance pairs within a blocking key
+  *   - jaccard: token-set similarity verified pairwise inside blocks
+  *
+  * All signatures are md5-based so the DuckDB oracle recomputes them
+  * bit-identically (Spark's murmur/xxhash would be engine-private).
+  */
+object DedupQueries {
+
+  private val K = 8      // minhash signatures
+  private val BANDS = 4  // 2 sigs per band
+
+  private def toks = tokens(col("text"))
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Exact dedup: canonical = min doc_id per md5(text). */
+  private def exact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    docs(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Per-doc banded minhash: K=8 sigs over word-3-gram shingles, md5-combined
+    * into 4 band keys. Output is the doc->band-bucket assignment table (the
+    * left side of the LSH bucket join).
+    */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(toks, 3)
+    val sigs = (0 until K).map(k => minhashSig(sh, k))
+    val bands = (0 until BANDS).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat(sigs(2 * b), sigs(2 * b + 1))).as("band_hash"))
+    }
+    docs(s, d)
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+      .orderBy(col("doc_id").asc, col("band_id").asc)
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bandsDf = minhashBands(s, d)
+    val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Per-doc 60-bit simhash. */
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), simhash60(toks).as("simhash"))
+      .orderBy(col("doc_id").asc)
+
+  /** SimHash near-dup pairs: same-lang blocking, hamming distance <= 6. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).select(col("doc_id"), col("lang"),
+      simhash60(toks).as("simhash"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, "lang")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Verified token-set Jaccard pairs within same-lang blocks, >= 0.95. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), col("lang"),
+      array_distinct(toks).as("tset"))
+    val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tset").as("ta"))
+    val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tset").as("tb"))
+    a.join(b, "lang")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", rnd(jaccard(col("ta"), col("tb")), 6))
+      .filter(col("jaccard") >= 0.95)
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact"         -> (exact _),
+    "d_minhash_bands" -> (minhashBands _),
+    "d_minhash_pairs" -> (minhashPairs _),
+    "d_simhash"       -> (simhash _),
+    "d_simhash_pairs" -> (simhashPairs _),
+    "d_jaccard_pairs" -> (jaccardPairs _),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  // word-3-gram shingles, 1-based list indexing
+  private val shinglesSql =
+    s"""list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)),
+       | i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2])""".stripMargin.replace("\n", "")
+
+  private def sigSql(k: Int): String =
+    s"list_min(list_transform($shinglesSql, s -> md5('$k:' || s)))"
+
+  private def bandRowsSql: String =
+    (0 until BANDS).map { b =>
+      s"SELECT doc_id, $b AS band_id, md5(${sigSql(2 * b)} || ${sigSql(2 * b + 1)}) AS band_hash FROM documents"
+    }.mkString(" UNION ALL ")
+
+  private val simhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      |  FROM documents),
+      |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th, generate_series(0, 59) AS g(j) GROUP BY doc_id, j),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d_exact" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
+        |SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+        |FROM f ORDER BY doc_id ASC""".stripMargin,
+    "d_minhash_bands" ->
+      s"SELECT doc_id, band_id, band_hash FROM ($bandRowsSql) ORDER BY doc_id ASC, band_id ASC",
+    "d_minhash_pairs" ->
+      s"""WITH bands AS ($bandRowsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "d_simhash" ->
+      s"$simhashSql SELECT doc_id, simhash FROM sh ORDER BY doc_id ASC",
+    "d_simhash_pairs" ->
+      s"""$simhashSql, shl AS (
+         |  SELECT sh.doc_id, simhash, lang FROM sh JOIN documents USING (doc_id))
+         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "d_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct($toksSql) AS tset FROM documents)
+         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       ${rndSql("CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))", 6)} AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE ${rndSql("CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))", 6)} >= 0.95
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+  )
+}

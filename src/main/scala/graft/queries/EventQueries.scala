@@ -32,7 +32,7 @@ object EventQueries {
     ev.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        round(col("value").cast("decimal(18,6)").cast("double"), 6).as("value"))
+        col("value").cast("decimal(18,6)").cast("double").as("value"))
       .orderBy(col("user_id").asc)
   }
 
@@ -40,7 +40,7 @@ object EventQueries {
   private def tumblingDaily(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(dsum6(col("value")), 6).as("total"))
+      .agg(count(lit(1)).as("n"), dsum6(col("value")).as("total"))
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
@@ -67,7 +67,7 @@ object EventQueries {
     val ev = Tables.events(s, d)
     ev.filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(dsum6(col("value")), 6).as("total"))
+      .agg(count(lit(1)).as("n"), dsum6(col("value")).as("total"))
       .orderBy(col("event_type").asc)
   }
 
@@ -93,14 +93,14 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "e_latest_state" ->
       """SELECT user_id, event_id, event_type,
-        |       round(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id ASC""".stripMargin,
     "e_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |       count(*) AS n,
-        |       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
     "e_sessionize" ->
       """WITH g AS (
@@ -113,7 +113,7 @@ object EventQueries {
         |FROM g GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
     "e_created_after" ->
       """SELECT event_type, count(*) AS n,
-        |       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "e_json_extract" ->

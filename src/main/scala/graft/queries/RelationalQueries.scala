@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.queries.Det.{rnd, rndSql}
+
 /** Relational analytics over the TPC-H-ish star schema — the general
   * query surface (scan/filter/join/agg/window/sort/limit/pagination) that
   * SURVEY.md §2 maps the reference's operators onto.
@@ -41,8 +43,8 @@ object RelationalQueries {
         ).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"),
       )
-      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
-      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .withColumn("avg_qty", rnd(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", rnd(col("sum_base_price") / col("count_order"), 6))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }
 
@@ -61,7 +63,7 @@ object RelationalQueries {
       .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
       ).cast("double").as("revenue"))
-      .select(col("l_orderkey"), round(col("revenue"), 4).as("revenue"),
+      .select(col("l_orderkey"), rnd(col("revenue"), 4).as("revenue"),
         col("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
@@ -91,7 +93,7 @@ object RelationalQueries {
       .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
       ).cast("double").as("revenue"))
-      .select(col("n_name"), round(col("revenue"), 4).as("revenue"))
+      .select(col("n_name"), rnd(col("revenue"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -106,7 +108,7 @@ object RelationalQueries {
       .filter(col("rn") <= 3)
       .filter(col("o_custkey") <= 50)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-        round(col("o_totalprice").cast("decimal(18,4)").cast("double"), 4)
+        col("o_totalprice").cast("decimal(18,4)").cast("double")
           .as("o_totalprice"))
       .orderBy(col("o_custkey").asc, col("rn").asc)
   }
@@ -120,7 +122,7 @@ object RelationalQueries {
     ord.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 100 && col("rn") <= 120)
       .select(col("rn"), col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice").cast("decimal(18,4)").cast("double"), 4)
+        col("o_totalprice").cast("decimal(18,4)").cast("double")
           .as("o_totalprice"))
       .orderBy(col("rn").asc)
   }
@@ -172,11 +174,11 @@ object RelationalQueries {
          |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |  GROUP BY l_returnflag, l_linestatus)
          |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, count_order,
-         |       round(sum_qty / count_order, 6) AS avg_qty,
-         |       round(sum_base_price / count_order, 6) AS avg_price
+         |       ${rndSql("sum_qty / count_order", 6)} AS avg_qty,
+         |       ${rndSql("sum_base_price / count_order", 6)} AS avg_price
          |FROM base ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
-      s"""SELECT l_orderkey, round(CAST($rev AS DOUBLE), 4) AS revenue, o_orderdate, o_orderpriority
+      s"""SELECT l_orderkey, ${rndSql(s"CAST($rev AS DOUBLE)", 4)} AS revenue, o_orderdate, o_orderpriority
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -184,7 +186,7 @@ object RelationalQueries {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
-      s"""SELECT n_name, round(CAST($rev AS DOUBLE), 4) AS revenue
+      s"""SELECT n_name, ${rndSql(s"CAST($rev AS DOUBLE)", 4)} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -197,7 +199,7 @@ object RelationalQueries {
     "q_topk_per_cust" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey,
-        |         round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 4) AS o_totalprice,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 AND o_custkey <= 50
@@ -205,7 +207,7 @@ object RelationalQueries {
     "q_pagination" ->
       """SELECT rn, o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_custkey,
-        |         round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 4) AS o_totalprice,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
         |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) t
         |WHERE rn > 100 AND rn <= 120 ORDER BY rn ASC""".stripMargin,

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Det.{rnd, rndSql}
+
+/** Text-analysis suite over the `documents` table: token stats, quality
+  * scoring, n-gram-heuristic language ID, content fingerprinting — the
+  * per-document half of an LLM-data pipeline. Every query is a single
+  * narrow scan (doc_id, text[, lang]) with per-row expressions; no shuffle
+  * except final ordering, so throughput is scan-bound at any scale.
+  */
+object TextQueries {
+
+  /** Tiny per-language stopword lists for the n-gram language heuristic.
+    * Deliberately deterministic data, shared verbatim with the oracle SQL.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"),
+  )
+
+  private def toks = tokens(col("text"))
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Token statistics: counts + type-token ratio. */
+  private def tokenStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .withColumn("ttr",
+        rnd(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id").asc)
+
+  /** Quality scoring: length, mean token length, stopword ratio, and a
+    * combined score — the length/punct/stopword-ratio heuristics of data
+    * curation pipelines. All ratios are int/int double divisions, so the
+    * result is bit-deterministic.
+    */
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val en = stopwords.toMap.apply("en")
+    docs(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("n_chars_tok"),
+        size(filter(toks, t => t.isInCollection(en))).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        rnd(col("n_chars_tok").cast("double") / col("n_tokens"), 6)
+          .as("mean_tok_len"),
+        rnd(col("n_stop").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"))
+      .withColumn("quality_score",
+        rnd(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          col("stopword_ratio") * 0.5, 6))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Language ID: count stopword hits per language, pick (max hits, then
+    * lexicographically first language). Struct-array sort gives the
+    * deterministic argmax on both engines.
+    */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val hitStructs = stopwords.map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => t.isInCollection(words)))).as("neg_hits"),
+        lit(lang).as("l"))
+    }
+    val best = element_at(array_sort(array(hitStructs: _*)), 1)
+    docs(s, d).select(
+        col("doc_id"), col("lang"),
+        best.getField("l").as("pred_lang"),
+        (-best.getField("neg_hits")).as("hits"))
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Content fingerprint + duplicate grouping on it (order/frequency-
+    * insensitive near-dup: identical token SETS collide even when the
+    * word order differs).
+    */
+  private def fingerprintDups(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs(s, d).select(col("doc_id"), fingerprint(toks).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Multimodal plumbing surface: treat text bytes as an opaque binary
+    * payload column and extract typed metadata (byte length + sha256) —
+    * the schema/plumbing pattern for image/audio blobs (decode itself is
+    * stubbed elsewhere; see graft.multimodal).
+    */
+  private def binaryMeta(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+      .orderBy(col("doc_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tokenStats _),
+    "t_quality"     -> (quality _),
+    "t_langid"      -> (langId _),
+    "t_fingerprint" -> (fingerprintDups _),
+    "m_binary_meta" -> (binaryMeta _),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  private def stopSql(lang: String): String = {
+    val words = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksSql, t -> list_contains([$words], t)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct,
+         |       ${rndSql(s"CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql)", 6)} AS ttr
+         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "t_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |         CAST(list_sum(list_transform($toksSql, t -> length(t))) AS INTEGER) AS n_chars_tok,
+         |         ${stopSql("en")} AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       ${rndSql("CAST(n_chars_tok AS DOUBLE) / n_tokens", 6)} AS mean_tok_len,
+         |       ${rndSql("CAST(n_stop AS DOUBLE) / n_tokens", 6)} AS stopword_ratio,
+         |       ${rndSql(s"""least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + ${rndSql("CAST(n_stop AS DOUBLE) / n_tokens", 6)} * 0.5""", 6)} AS quality_score
+         |FROM b ORDER BY doc_id ASC""".stripMargin,
+    "t_langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    list_sort([
+         |      {'neg_hits': -${stopSql("de")}, 'l': 'de'},
+         |      {'neg_hits': -${stopSql("en")}, 'l': 'en'},
+         |      {'neg_hits': -${stopSql("es")}, 'l': 'es'},
+         |      {'neg_hits': -${stopSql("fr")}, 'l': 'fr'},
+         |      {'neg_hits': -${stopSql("zh")}, 'l': 'zh'}])[1] AS best
+         |  FROM documents)
+         |SELECT doc_id, lang, best.l AS pred_lang,
+         |       CAST(-best.neg_hits AS INTEGER) AS hits,
+         |       best.l = lang AS is_correct
+         |FROM h ORDER BY doc_id ASC""".stripMargin,
+    "t_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |  FROM documents)
+         |SELECT doc_id, fp,
+         |       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+         |       count(*) OVER (PARTITION BY fp) AS group_size,
+         |       doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+         |FROM f ORDER BY doc_id ASC""".stripMargin,
+    "m_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+  )
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.queries.Det.{rnd, rndSql}
 
 /** kNN / similarity-search queries over the `embeddings` table (64-d float
   * vectors), mirroring the reference's flat-index search semantics
@@ -19,9 +20,9 @@ import graft.functions.VectorFunctions._
   *
   * Determinism contract with the DuckDB oracle: scores are computed in
   * DOUBLE (bitwise-identical to DuckDB's sequential fold — verified), then
-  * ROUNDED to 6 decimals BEFORE ranking, and every ordering carries a
-  * `vec_id` tie-breaker (SURVEY §2.5 Q7: Python's stable sort is not
-  * reproducible; an explicit total order is).
+  * deterministically rounded (Det.rnd) to 6 decimals BEFORE ranking, and
+  * every ordering carries a `vec_id` tie-breaker (SURVEY §2.5 Q7: Python's
+  * stable sort is not reproducible; an explicit total order is).
   */
 object VectorQueries {
 
@@ -35,7 +36,7 @@ object VectorQueries {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(similarity(metric)(col("embedding"), col("qvec")), 6).as("score"))
+        rnd(similarity(metric)(col("embedding"), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -49,7 +50,7 @@ object VectorQueries {
 
   private def knnSql(scoreExpr: String, k: Int): String =
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT e.vec_id, round($scoreExpr, 6) AS score
+       |SELECT e.vec_id, ${rndSql(scoreExpr, 6)} AS score
        |FROM embeddings e, q WHERE e.vec_id <> 0
        |ORDER BY score DESC, vec_id ASC LIMIT $k""".stripMargin
 
@@ -64,7 +65,7 @@ object VectorQueries {
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+        rnd(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -81,7 +82,7 @@ object VectorQueries {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+        rnd(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(20)
       .filter(col("label") % 2 === 0)
@@ -97,7 +98,7 @@ object VectorQueries {
     e.filter(col("vec_id") =!= 0 && col("label") % 2 === 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+        rnd(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -105,7 +106,7 @@ object VectorQueries {
   /** Per-vector norms + unit-length check (F2/F7 surface). */
   private def norms(s: SparkSession, d: String): DataFrame =
     emb(s, d).select(col("vec_id"),
-        round(l2Norm(col("embedding")), 6).as("norm"))
+        rnd(l2Norm(col("embedding")), 6).as("norm"))
       .withColumn("is_unit", (col("norm") - 1.0).between(-0.01, 0.01))
       .orderBy(col("vec_id").asc)
 
@@ -120,12 +121,12 @@ object VectorQueries {
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
     perPos.groupBy(col("label"))
-      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+      .agg(rnd(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
            max(col("n")).as("n_vectors"))
       .orderBy(col("label").asc)
   }
 
-  /** Embedding near-duplicate pairs: same-label blocking, cosine >= 0.99.
+  /** Embedding near-duplicate pairs: same-label blocking, cosine >= 0.35.
     * The blocked self-join is the scale pattern: equi-join on the blocking
     * key co-locates candidates, so comparisons are per-partition and the
     * cross-product never materializes globally.
@@ -138,7 +139,7 @@ object VectorQueries {
     a.join(b, "label")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(cosineSim(col("ea"), col("eb")), 6).as("score"))
+        rnd(cosineSim(col("ea"), col("eb")), 6).as("score"))
       .filter(col("score") >= 0.35)
       .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
   }
@@ -155,48 +156,53 @@ object VectorQueries {
     "v_neardup_pairs"  -> (nearDupPairs _),
   )
 
+  private val normSql =
+    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+  private val pairSql =
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
   val oracles: Map[String, String] = Map(
     "v_knn_cosine"    -> knnSql(cosSql, 10),
     "v_knn_dot"       -> knnSql(dotSql, 10),
     "v_knn_euclidean" -> knnSql(eucSql, 10),
     "v_knn_batch" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
-        |SELECT q.query_id, e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
+        |SELECT q.query_id, e.vec_id, ${rndSql(cosSql, 6)} AS score
         |FROM embeddings e, q WHERE e.vec_id <> q.query_id
         |QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY score DESC, e.vec_id ASC) <= 5
         |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
     "v_knn_postfilter" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |topk AS (
-        |  SELECT e.vec_id, e.label, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |  SELECT e.vec_id, e.label, ${rndSql(cosSql, 6)} AS score
         |  FROM embeddings e, q WHERE e.vec_id <> 0
         |  ORDER BY score DESC, vec_id ASC LIMIT 20)
         |SELECT vec_id, label, score FROM topk WHERE label % 2 = 0
         |ORDER BY score DESC, vec_id ASC""".stripMargin,
     "v_knn_prefilter" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label, ${rndSql(cosSql, 6)} AS score
         |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label % 2 = 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v_norms" ->
-      """SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
-        |       abs(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) - 1.0) <= 0.01 AS is_unit
+      s"""SELECT vec_id, ${rndSql(normSql, 6)} AS norm,
+        |       abs(${rndSql(normSql, 6)} - 1.0) <= 0.01 AS is_unit
         |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
     "v_centroids" ->
-      """WITH expl AS (
+      s"""WITH expl AS (
         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
         |         unnest(CAST(embedding AS DOUBLE[])) AS x
         |  FROM embeddings),
         |perpos AS (
         |  SELECT label, pos, avg(x) AS m, count(*) AS n
         |  FROM expl GROUP BY label, pos)
-        |SELECT label, round(sqrt(sum(m*m)), 6) AS centroid_norm, max(n) AS n_vectors
+        |SELECT label, ${rndSql("sqrt(sum(m*m))", 6)} AS centroid_norm, max(n) AS n_vectors
         |FROM perpos GROUP BY label ORDER BY label ASC""".stripMargin,
     "v_neardup_pairs" ->
-      """SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       ${rndSql(pairSql, 6)} AS score
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        |WHERE ${rndSql(pairSql, 6)} >= 0.35
         |ORDER BY score DESC, vec_a ASC, vec_b ASC""".stripMargin,
   )
 }
