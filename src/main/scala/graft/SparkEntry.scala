@@ -21,6 +21,7 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
+      (EngineQueries.queries, EngineQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,150 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the engine's state tables — the reference's entity
+  * model (`/root/reference/src/vector_db_api/models/entities.py:12-60`,
+  * `models/metadata.py:7-26`) mapped to Spark types per SURVEY.md §1.
+  *
+  * Schemas are fixed and validated at the edge (the reference forbids
+  * unknown keys via Pydantic extra="forbid") — the engine never infers.
+  * `documents.chunk_ids` is intentionally NOT stored: it is derivable from
+  * `chunks.document_id` (the reference maintains both in parallel,
+  * `services/chunk.py:50-53`; a denormalized id-array is a liability at
+  * scale).
+  */
+object Schemas {
+
+  val chunkMetadataType: StructType = StructType(Seq(
+    StructField("source_uri", StringType),
+    StructField("author", StringType),
+    StructField("lang", StringType),
+    StructField("mime_type", StringType),
+    StructField("tags", ArrayType(StringType, containsNull = false)),
+    StructField("page_number", IntegerType),
+    StructField("token_count", IntegerType),
+    StructField("sha256", StringType),
+  ))
+
+  val documentMetadataType: StructType = StructType(Seq(
+    StructField("source_uri", StringType),
+    StructField("author", StringType),
+    StructField("lang", StringType),
+    StructField("mime_type", StringType),
+    StructField("tags", ArrayType(StringType, containsNull = false)),
+    StructField("title", StringType),
+    StructField("summary", StringType),
+    StructField("sha256", StringType),
+  ))
+
+  val libraryMetadataType: StructType = StructType(Seq(
+    StructField("source_uri", StringType),
+    StructField("author", StringType),
+    StructField("lang", StringType),
+    StructField("mime_type", StringType),
+    StructField("tags", ArrayType(StringType, containsNull = false)),
+    StructField("description", StringType),
+  ))
+
+  /** Index configuration (reference `models/indexing.py:6-13` with the
+    * registry defaults applied, `indexing/registry.py:52-53`).
+    */
+  val indexConfigType: StructType = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("lsh_num_tables", IntegerType, nullable = false),
+    StructField("lsh_hyperplanes_per_table", IntegerType, nullable = false),
+    StructField("ivf_num_centroids", IntegerType, nullable = false),
+    StructField("ivf_nprobe", IntegerType, nullable = false),
+  ))
+
+  val chunks: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("library_id", StringType, nullable = false),
+    StructField("document_id", StringType, nullable = false),
+    StructField("position", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("metadata", chunkMetadataType),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false),
+    StructField("version", LongType, nullable = false),
+  ))
+
+  val documents: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("library_id", StringType, nullable = false),
+    StructField("metadata", documentMetadataType),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false),
+    StructField("version", LongType, nullable = false),
+  ))
+
+  val libraries: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("embedding_dim", IntegerType, nullable = false),
+    StructField("index_config", indexConfigType, nullable = false),
+    StructField("metadata", libraryMetadataType),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false),
+    StructField("version", LongType, nullable = false),
+  ))
+
+  // Derived (index) tables — SURVEY §1.1 "Index (derived)" row.
+
+  /** LSH: one row per (table, hyperplane) — the seeded random hyperplanes,
+    * persisted so signatures are reproducible across engine instances.
+    */
+  val lshPlanes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("table_id", IntegerType, nullable = false),
+    StructField("plane_id", IntegerType, nullable = false),
+    StructField("plane", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
+
+  /** LSH: chunk -> per-table signature (bucket key). */
+  val lshBuckets: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("table_id", IntegerType, nullable = false),
+    StructField("signature", LongType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
+
+  val ivfCentroids: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
+
+  val ivfPostings: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
+}
+
+/** Search-time metadata filters (reference `services/search.py:40-62`).
+  * Applied AFTER top-k (post-filter, quirk Q5) unless the engine is asked
+  * to pre-filter.
+  */
+case class SearchFilters(
+    docIds: Seq[String] = Nil,
+    tags: Seq[String] = Nil,
+    author: Option[String] = None,
+    createdAfter: Option[java.sql.Timestamp] = None)
+
+/** Index configuration with reference defaults. */
+case class IndexConfig(
+    indexType: String = "flat",
+    lshNumTables: Int = 8,
+    lshHyperplanesPerTable: Int = 16,
+    ivfNumCentroids: Int = 64,
+    ivfNprobe: Int = 4)
+
+object EngineErrors {
+  class NotFoundError(msg: String) extends RuntimeException(msg)
+  class ConflictError(msg: String) extends RuntimeException(msg)
+  class ValidationError(msg: String) extends RuntimeException(msg)
+}

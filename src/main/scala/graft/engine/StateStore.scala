@@ -1,0 +1,66 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned parquet snapshot store.
+  *
+  * Layout: `<root>/<table>/v<N>/part-*.parquet` plus a tiny `_CURRENT`
+  * pointer file holding N. A mutation writes the FULL next snapshot to
+  * `v<N+1>` and then atomically repoints `_CURRENT` (write-temp + rename) —
+  * the Spark-native analog of the reference's atomic index swap
+  * (`indexing/registry.py:33-35`): readers of version N are never disturbed,
+  * and a crashed writer leaves only an orphaned directory, never a torn
+  * table.
+  *
+  * Scale note: full-snapshot rewrite is O(table) per mutation BATCH — the
+  * engine's contract is batch mutation (C3 bulk upsert is "the natural
+  * Spark shape", SURVEY §2.10), so cost amortizes over the batch. Tables
+  * are written partitioned by `library_id` where applicable, so reads prune
+  * to one library and a later optimization can rewrite only the touched
+  * partitions.
+  */
+final class StateStore(spark: SparkSession, root: String) {
+
+  private def tableDir(table: String) = s"$root/$table"
+  private def currentFile(table: String) = Paths.get(tableDir(table), "_CURRENT")
+
+  def currentVersion(table: String): Option[Long] = {
+    val f = currentFile(table)
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toLong)
+    else None
+  }
+
+  def exists(table: String): Boolean = currentVersion(table).isDefined
+
+  /** Read the current snapshot; empty DataFrame with the given schema when
+    * the table has never been written.
+    */
+  def read(table: String, schema: StructType): DataFrame =
+    currentVersion(table) match {
+      case Some(v) =>
+        // enforce column order/types independent of parquet layout
+        val df = spark.read.schema(schema).parquet(s"${tableDir(table)}/v$v")
+        df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Write the next snapshot and atomically repoint _CURRENT. */
+  def write(table: String, df: DataFrame, partitionBy: Seq[String] = Seq("library_id")): Long = {
+    val next = currentVersion(table).getOrElse(0L) + 1
+    val dir = s"${tableDir(table)}/v$next"
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir)
+    Files.createDirectories(Paths.get(tableDir(table)))
+    val tmp = Paths.get(tableDir(table), s"_CURRENT.tmp$next")
+    Files.write(tmp, next.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, currentFile(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+}

@@ -1,0 +1,489 @@
+package graft.engine
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.EngineErrors._
+import graft.functions.VectorFunctions._
+import graft.index.{IvfIndex, LshIndex}
+
+/** The engine facade: the reference's service-layer verbs
+  * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
+  * batch state transitions over versioned parquet snapshots + derived
+  * index tables, per SURVEY.md §7's guiding shape
+  * (Engine -> StateStore -> IndexBuilder/Search).
+  *
+  * Mutation model: every verb reads the current snapshot, computes the next
+  * state as a DataFrame (CAS checks via joins on (id, version)), writes the
+  * next snapshot, and atomically repoints — single-writer batch semantics,
+  * so the reference's per-library read/write locks have no analog here
+  * (SURVEY §4: snapshot isolation comes free from immutable storage).
+  *
+  * Search model (reference `services/search.py:18-75`): index-specific
+  * candidate generation -> exact rerank -> top-k -> hydration join ->
+  * POST-filters (quirk Q5 preserved: a filtered query may return < k rows)
+  * -> hit projection (P9).
+  *
+  * `quirkCompat = true` additionally replicates reference bug Q2 (LSH
+  * update is a silent no-op, `indexing/base.py:6`); the default FIXES it
+  * (stale LSH entries are rewritten on chunk update).
+  */
+final class VectorEngine(
+    val spark: SparkSession,
+    root: String,
+    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    quirkCompat: Boolean = false,
+    lshSeed: Long = 42L) {
+
+  private val store = new StateStore(spark, root)
+  private def now(): Timestamp = clock()
+  private def newId(): String = UUID.randomUUID().toString
+
+  // ---- state accessors -----------------------------------------------
+
+  def libraries: DataFrame = store.read("libraries", Schemas.libraries)
+  def documents: DataFrame = store.read("documents", Schemas.documents)
+  def chunks: DataFrame    = store.read("chunks", Schemas.chunks)
+
+  private def lshPlanes(libId: String): DataFrame =
+    store.read("lsh_planes", Schemas.lshPlanes).filter(col("library_id") === libId)
+  private def lshBuckets(libId: String): DataFrame =
+    store.read("lsh_buckets", Schemas.lshBuckets).filter(col("library_id") === libId)
+  private def ivfCentroids(libId: String): DataFrame =
+    store.read("ivf_centroids", Schemas.ivfCentroids).filter(col("library_id") === libId)
+  private def ivfPostings(libId: String): DataFrame =
+    store.read("ivf_postings", Schemas.ivfPostings).filter(col("library_id") === libId)
+
+  // ---- library CRUD ---------------------------------------------------
+
+  def createLibrary(name: String, embeddingDim: Int,
+      config: IndexConfig = IndexConfig(), id: Option[String] = None): String = {
+    if (name.isEmpty) throw new ValidationError("library name must be non-empty")
+    if (embeddingDim <= 0 || embeddingDim > 8192)
+      throw new ValidationError(s"embedding_dim out of range: $embeddingDim")
+    if (!Set("flat", "lsh", "ivf").contains(config.indexType))
+      throw new ValidationError(s"unknown index type: ${config.indexType}")
+    val libId = id.getOrElse(newId())
+    val t = now()
+    val row = Row(libId, name, embeddingDim,
+      Row(config.indexType, config.lshNumTables, config.lshHyperplanesPerTable,
+        config.ivfNumCentroids, config.ivfNprobe),
+      null, t, t, 1L)
+    val newDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), Schemas.libraries)
+    store.write("libraries", libraries.filter(col("id") =!= libId).unionAll(newDf),
+      partitionBy = Nil)
+    libId
+  }
+
+  /** (embedding_dim, IndexConfig, version) or NotFound. Catalog rows are
+    * driver-side objects — the catalog is metadata, O(#libraries), never
+    * data-scale.
+    */
+  def getLibrary(libId: String): (Int, IndexConfig, Long) = {
+    val rows = libraries.filter(col("id") === libId).collect()
+    if (rows.isEmpty) throw new NotFoundError(s"library $libId")
+    val r = rows.head
+    val c = r.getStruct(r.fieldIndex("index_config"))
+    (r.getInt(r.fieldIndex("embedding_dim")),
+      IndexConfig(c.getString(0), c.getInt(1), c.getInt(2), c.getInt(3), c.getInt(4)),
+      r.getLong(r.fieldIndex("version")))
+  }
+
+  def deleteLibrary(libId: String): Unit = {
+    getLibrary(libId) // NotFound check
+    store.write("libraries", libraries.filter(col("id") =!= libId), Nil)
+    store.write("documents", documents.filter(col("library_id") =!= libId))
+    store.write("chunks", chunks.filter(col("library_id") =!= libId))
+    dropIndexTables(libId)
+  }
+
+  // ---- document CRUD --------------------------------------------------
+
+  def createDocument(libId: String, id: Option[String] = None): String = {
+    getLibrary(libId)
+    val docId = id.getOrElse(newId())
+    val t = now()
+    val row = Row(docId, libId, null, t, t, 1L)
+    val newDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), Schemas.documents)
+    store.write("documents",
+      documents.filter(col("id") =!= docId).unionAll(newDf))
+    docId
+  }
+
+  /** Cascade delete (reference `services/document.py:140-158`): the
+    * document's chunks go with it — anti-join rewrite of both tables.
+    */
+  def deleteDocument(libId: String, docId: String): Unit = {
+    requireDocInLibrary(libId, docId)
+    store.write("documents", documents.filter(col("id") =!= docId))
+    val removed = chunks.filter(col("document_id") === docId)
+      .select(col("id").as("chunk_id"))
+    store.write("chunks", chunks.filter(col("document_id") =!= docId))
+    removeFromIndexes(libId, removed)
+  }
+
+  /** Move a document across libraries (reference `document.py:160-212`):
+    * re-home its chunks; chunks whose embedding dim mismatches the
+    * DESTINATION library are rejected (ValidationError) before any write.
+    */
+  def moveDocument(docId: String, fromLib: String, toLib: String): Unit = {
+    requireDocInLibrary(fromLib, docId)
+    val (destDim, _, _) = getLibrary(toLib)
+    val moving = chunks.filter(col("document_id") === docId)
+    val bad = moving.filter(col("embedding").isNotNull &&
+      size(col("embedding")) =!= destDim).count()
+    if (bad > 0)
+      throw new ValidationError(
+        s"$bad chunk(s) have embedding dim != destination dim $destDim")
+    val t = now()
+    store.write("documents", documents.withColumn("library_id",
+        when(col("id") === docId, lit(toLib)).otherwise(col("library_id")))
+      .withColumn("updated_at",
+        when(col("id") === docId, lit(t)).otherwise(col("updated_at")))
+      .withColumn("version",
+        when(col("id") === docId, col("version") + 1).otherwise(col("version"))))
+    store.write("chunks", chunks.withColumn("library_id",
+        when(col("document_id") === docId, lit(toLib)).otherwise(col("library_id")))
+      .withColumn("updated_at",
+        when(col("document_id") === docId, lit(t)).otherwise(col("updated_at"))))
+    // index maintenance on both sides
+    val movedIds = moving.select(col("id").as("chunk_id"))
+    removeFromIndexes(fromLib, movedIds)
+    addToIndexes(toLib, chunks.filter(col("document_id") === docId))
+  }
+
+  // ---- chunk upsert (C2/C3) ------------------------------------------
+
+  /** Bulk upsert — the natural Spark ingest shape (reference
+    * `services/chunk.py:76-116`). `incoming` columns: id (nullable for
+    * new), position, text, embedding, metadata (all optional except text).
+    *
+    * Validation (reference parity): document must exist in this library
+    * (J2/P10); non-null embeddings must match the library dim (P2).
+    * CAS: when `expectedVersions` is given, an existing chunk whose stored
+    * version differs raises ConflictError (C1) and nothing is written.
+    */
+  def upsertChunks(libId: String, docId: String,
+      incoming: Seq[ChunkIn],
+      expectedVersions: Map[String, Long] = Map.empty): Seq[String] = {
+    val (dim, _, _) = getLibrary(libId)
+    requireDocInLibrary(libId, docId)
+    incoming.foreach { c =>
+      if (c.text.isEmpty) throw new ValidationError("chunk text must be non-empty")
+      c.embedding.foreach { e =>
+        if (e.length != dim)
+          throw new ValidationError(
+            s"embedding dim ${e.length} != library dim $dim")
+      }
+    }
+    val t = now()
+    val ids = incoming.map(c => c.id.getOrElse(newId()))
+    val current = chunks
+    val existing = current
+      .filter(col("id").isin(ids: _*))
+      .select(col("id"), col("created_at").as("created0"), col("version").as("version0"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+    // CAS check (C1)
+    expectedVersions.foreach { case (cid, expected) =>
+      existing.get(cid).foreach { case (_, stored) =>
+        if (stored != expected)
+          throw new ConflictError(
+            s"chunk $cid: expected version $expected, stored $stored")
+      }
+    }
+    val rows = incoming.zip(ids).map { case (c, cid) =>
+      val (createdAt, prevVersion) =
+        existing.get(cid).map { case (cr, v) => (cr, v) }.getOrElse((t, 0L))
+      Row(cid, libId, docId, c.position, c.text,
+        c.embedding.map(_.toSeq).orNull,
+        Row(c.sourceUri.orNull, c.author.orNull, c.lang.orNull, null,
+          c.tags, null, null, null),
+        createdAt, t, prevVersion + 1)
+    }
+    val newDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Schemas.chunks)
+    store.write("chunks",
+      current.filter(!col("id").isin(ids: _*)).unionAll(newDf))
+    // doc version bump (one per bulk op, chunk.py:110-112)
+    store.write("documents", documents
+      .withColumn("version",
+        when(col("id") === docId, col("version") + 1).otherwise(col("version")))
+      .withColumn("updated_at",
+        when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
+    // index maintenance
+    val replacedIds = spark.createDataFrame(
+      spark.sparkContext.parallelize(existing.keys.toSeq.map(Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chunk_id",
+          org.apache.spark.sql.types.StringType))))
+    if (!quirkCompat) removeFromIndexes(libId, replacedIds)
+    addToIndexes(libId,
+      chunks.filter(col("id").isin(ids: _*))
+        .filter(if (quirkCompat) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
+    ids
+  }
+
+  def deleteChunk(libId: String, chunkId: String): Unit = {
+    val found = chunks.filter(col("id") === chunkId &&
+      col("library_id") === libId).count()
+    if (found == 0) throw new NotFoundError(s"chunk $chunkId in library $libId")
+    store.write("chunks", chunks.filter(col("id") =!= chunkId))
+    removeFromIndexes(libId, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(chunkId)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chunk_id",
+          org.apache.spark.sql.types.StringType)))))
+  }
+
+  // ---- index lifecycle (C7) ------------------------------------------
+
+  /** Swap index config (CAS on the library version) and rebuild — the
+    * reference's `LibraryService.update_config` (`library.py:58-93`).
+    */
+  def updateIndexConfig(libId: String, config: IndexConfig,
+      expectedVersion: Option[Long] = None): Unit = {
+    val (_, _, storedVersion) = getLibrary(libId)
+    expectedVersion.foreach { ev =>
+      if (ev != storedVersion)
+        throw new ConflictError(
+          s"library $libId: expected version $ev, stored $storedVersion")
+    }
+    val t = now()
+    store.write("libraries", libraries
+      .withColumn("index_config", when(col("id") === libId,
+        struct(lit(config.indexType).as("type"),
+          lit(config.lshNumTables).as("lsh_num_tables"),
+          lit(config.lshHyperplanesPerTable).as("lsh_hyperplanes_per_table"),
+          lit(config.ivfNumCentroids).as("ivf_num_centroids"),
+          lit(config.ivfNprobe).as("ivf_nprobe"))).otherwise(col("index_config")))
+      .withColumn("version",
+        when(col("id") === libId, col("version") + 1).otherwise(col("version")))
+      .withColumn("updated_at",
+        when(col("id") === libId, lit(t)).otherwise(col("updated_at"))), Nil)
+    rebuildIndex(libId)
+  }
+
+  /** Full rebuild of this library's derived index tables from the chunk
+    * snapshot (reference startup replay / rebuild endpoint, `main.py:61-76`).
+    * Versioned snapshot write + pointer swap = atomic repoint (C7).
+    */
+  def rebuildIndex(libId: String): Unit = {
+    val (dim, config, _) = getLibrary(libId)
+    val libChunks = chunks.filter(col("library_id") === libId)
+    config.indexType match {
+      case "flat" => dropIndexTables(libId) // flat scores at query time
+      case "lsh" =>
+        val cappedH = math.min(config.lshHyperplanesPerTable, 63)
+        val planes = LshIndex.makePlanes(spark, libId, config.lshNumTables,
+          cappedH, dim, lshSeed)
+        val others = store.read("lsh_planes", Schemas.lshPlanes)
+          .filter(col("library_id") =!= libId)
+        store.write("lsh_planes", others.unionAll(planes))
+        val buckets = LshIndex.buildBuckets(libChunks, planes, libId)
+        store.write("lsh_buckets",
+          store.read("lsh_buckets", Schemas.lshBuckets)
+            .filter(col("library_id") =!= libId).unionAll(buckets))
+      case "ivf" =>
+        val (centroids, postings) =
+          IvfIndex.build(libChunks, libId, config.ivfNumCentroids)
+        store.write("ivf_centroids",
+          store.read("ivf_centroids", Schemas.ivfCentroids)
+            .filter(col("library_id") =!= libId).unionAll(centroids))
+        store.write("ivf_postings",
+          store.read("ivf_postings", Schemas.ivfPostings)
+            .filter(col("library_id") =!= libId).unionAll(postings))
+    }
+  }
+
+  // ---- search (the flagship path, §3.1) ------------------------------
+
+  /** kNN search. Returns the reference's hit shape (P9): chunk_id,
+    * document_id, score, text, position, created_at, updated_at.
+    * Post-filter semantics by default (quirk Q5); `preFilter = true` is the
+    * documented deviation that filters the candidate pool first.
+    */
+  def search(libId: String, query: Array[Float], k: Int,
+      metric: String = "cosine", filters: Option[SearchFilters] = None,
+      preFilter: Boolean = false): DataFrame = {
+    val (dim, config, _) = getLibrary(libId)
+    if (query.length != dim)
+      throw new ValidationError(s"query dim ${query.length} != library dim $dim")
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val isZero = query.forall(_ == 0f)
+
+    // candidate (chunk_id, score) per index type
+    val scored: DataFrame = config.indexType match {
+      case "flat" =>
+        flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+      case "lsh" =>
+        if (isZero) return emptyHits()
+        val planes = LshIndex.collectPlanes(lshPlanes(libId))
+        if (planes.isEmpty)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          val cands = LshIndex.candidates(lshBuckets(libId), query, planes, k)
+          rerank(cands, query, metric)
+        }
+      case "ivf" =>
+        if (isZero) return emptyHits()
+        val cents = ivfCentroids(libId)
+        if (cents.isEmpty)
+          // no centroids yet -> full flat scan (reference ivf.py:96-99)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          val qn = LshIndex.normalizeDriver(query).get
+          val top = cents
+            .select(col("centroid_id"),
+              dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
+            .orderBy(col("cscore").desc, col("centroid_id").asc)
+            .limit(math.max(1, config.ivfNprobe))
+          val cands = ivfPostings(libId)
+            .join(broadcast(top.select("centroid_id")), Seq("centroid_id"), "left_semi")
+            .select(col("chunk_id"), col("embedding_norm"))
+            .dropDuplicates("chunk_id")
+          // deviation from quirk Q3: rerank the FULL nprobe candidate set
+          rerank(cands, query, metric)
+        }
+    }
+
+    val topk = scored
+      .orderBy(col("score").desc, col("chunk_id").asc) // Q7 tie-breaker
+      .limit(k)
+
+    // hydrate (J1: inner join drops hits whose chunk vanished)
+    val hydrated = topk.join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+    val filtered = applyPost(hydrated, filters)
+    filtered.select(col("chunk_id"), col("document_id"), col("score"),
+        col("text"), col("position"), col("metadata"),
+        col("created_at"), col("updated_at"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+  }
+
+  /** Flat scoring: raw stored vectors (quirk Q1). */
+  private def flatScore(libChunks: DataFrame, query: Array[Float],
+      metric: String): DataFrame =
+    libChunks.filter(col("embedding").isNotNull)
+      .select(col("id").as("chunk_id"),
+        similarity(metric)(col("embedding"), typedLit(query.toSeq)).as("score"))
+
+  /** LSH/IVF rerank: normalized stored vectors x UNNORMALIZED query
+    * (quirk Q1, `lsh.py:115-117`, `ivf.py:122-128`).
+    */
+  private def rerank(cands: DataFrame, query: Array[Float], metric: String): DataFrame =
+    cands.select(col("chunk_id"),
+      similarity(metric)(col("embedding_norm"), typedLit(query.toSeq)).as("score"))
+
+  private def applyPre(df: DataFrame, filters: Option[SearchFilters],
+      preFilter: Boolean): DataFrame =
+    if (preFilter) applyPost(df, filters) else df
+
+  /** Reference filter semantics (P3-P6, quirk Q8: strict > on created_at,
+    * ANY-overlap on tags).
+    */
+  private def applyPost(df: DataFrame, filters: Option[SearchFilters]): DataFrame =
+    filters.fold(df) { f =>
+      var out = df
+      if (f.docIds.nonEmpty) out = out.filter(col("document_id").isin(f.docIds: _*))
+      if (f.tags.nonEmpty)
+        out = out.filter(arrays_overlap(col("metadata.tags"),
+          typedLit(f.tags)))
+      f.author.foreach(a => out = out.filter(col("metadata.author") === a))
+      f.createdAfter.foreach(ts => out = out.filter(col("created_at") > lit(ts)))
+      out
+    }
+
+  private def emptyHits(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("chunk_id", StringType), StructField("document_id", StringType),
+      StructField("score", DoubleType), StructField("text", StringType),
+      StructField("position", IntegerType),
+      StructField("metadata", Schemas.chunkMetadataType),
+      StructField("created_at", TimestampType),
+      StructField("updated_at", TimestampType))))
+  }
+
+  // ---- shared helpers -------------------------------------------------
+
+  private def requireDocInLibrary(libId: String, docId: String): Unit = {
+    val n = documents.filter(col("id") === docId &&
+      col("library_id") === libId).count()
+    if (n == 0) throw new NotFoundError(s"document $docId in library $libId")
+  }
+
+  /** Incremental index ADD for new/updated chunks (reference
+    * `chunk.py:69-73`): LSH re-hashes, IVF assigns to existing centroids
+    * (no re-cluster between rebuilds), flat needs nothing.
+    */
+  private def addToIndexes(libId: String, newChunks: DataFrame): Unit = {
+    val (_, config, _) = getLibrary(libId)
+    config.indexType match {
+      case "flat" => ()
+      case "lsh" =>
+        val planesDf = lshPlanes(libId)
+        if (!planesDf.isEmpty) {
+          val add = LshIndex.buildBuckets(newChunks, planesDf, libId)
+          store.write("lsh_buckets",
+            store.read("lsh_buckets", Schemas.lshBuckets).unionAll(add))
+        }
+      case "ivf" =>
+        val cents = ivfCentroids(libId)
+        if (!cents.isEmpty) {
+          val add = IvfIndex.assignToCentroids(newChunks, cents, libId)
+          store.write("ivf_postings",
+            store.read("ivf_postings", Schemas.ivfPostings).unionAll(add))
+        }
+    }
+  }
+
+  /** Index REMOVE: anti-join rewrite of bucket/posting rows (U3). */
+  private def removeFromIndexes(libId: String, chunkIds: DataFrame): Unit = {
+    if (store.exists("lsh_buckets")) {
+      store.write("lsh_buckets",
+        store.read("lsh_buckets", Schemas.lshBuckets)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.lshBuckets.fieldNames.map(col): _*))
+    }
+    if (store.exists("ivf_postings")) {
+      store.write("ivf_postings",
+        store.read("ivf_postings", Schemas.ivfPostings)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.ivfPostings.fieldNames.map(col): _*))
+    }
+  }
+
+  private def dropIndexTables(libId: String): Unit = {
+    if (store.exists("lsh_planes"))
+      store.write("lsh_planes", store.read("lsh_planes", Schemas.lshPlanes)
+        .filter(col("library_id") =!= libId))
+    if (store.exists("lsh_buckets"))
+      store.write("lsh_buckets", store.read("lsh_buckets", Schemas.lshBuckets)
+        .filter(col("library_id") =!= libId))
+    if (store.exists("ivf_centroids"))
+      store.write("ivf_centroids", store.read("ivf_centroids", Schemas.ivfCentroids)
+        .filter(col("library_id") =!= libId))
+    if (store.exists("ivf_postings"))
+      store.write("ivf_postings", store.read("ivf_postings", Schemas.ivfPostings)
+        .filter(col("library_id") =!= libId))
+  }
+}
+
+/** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
+case class ChunkIn(
+    text: String,
+    embedding: Option[Array[Float]] = None,
+    position: Int = 0,
+    id: Option[String] = None,
+    author: Option[String] = None,
+    lang: Option[String] = None,
+    sourceUri: Option[String] = None,
+    tags: Seq[String] = Nil)

@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ChunkIn, IndexConfig, SearchFilters, VectorEngine}
+import graft.queries.Det.{rnd, rndSql}
+
+/** End-to-end engine-path queries: the full reference lifecycle (create
+  * library -> create document -> bulk upsert -> [rebuild index] -> search)
+  * driven against the driver's `embeddings` table.
+  *
+  * `x_engine_flat*` is exact search, so the DuckDB oracle recomputes it
+  * from the raw table — this proves the whole state-store + search stack,
+  * not just the scoring expression. LSH/IVF results depend on seeded
+  * hyperplanes / k-means, which no independent SQL engine can re-derive:
+  * those entries are declared WITHOUT oracle SQL (driver rows-only check),
+  * and their algorithm-level correctness is covered by EngineSpec.
+  */
+object EngineQueries {
+
+  private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** Ingest the embeddings table as one library (chunk id = c<vec_id>,
+    * zero-padded so lexicographic id order == numeric order for the Q7
+    * tie-break; tag = label<label>).
+    */
+  private def buildEngine(s: SparkSession, d: String,
+      config: IndexConfig): (VectorEngine, String, Array[Float]) = {
+    val eng = new VectorEngine(s,
+      Files.createTempDirectory("graft-engine-q").toString, fixedClock)
+    val lib = eng.createLibrary("engine-bench", 64, config)
+    val doc = eng.createDocument(lib)
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+    val chunksIn = rows.map { r =>
+      val vid = r.getLong(0)
+      ChunkIn(text = s"vec $vid",
+        embedding = Some(r.getSeq[Float](1).toArray),
+        id = Some(f"c$vid%06d"),
+        tags = Seq(s"label${r.getInt(2)}"))
+    }
+    eng.upsertChunks(lib, doc, chunksIn.toSeq)
+    val q = rows.find(_.getLong(0) == 0L).get.getSeq[Float](1).toArray
+    (eng, lib, q)
+  }
+
+  private def hitsOut(hits: DataFrame): DataFrame =
+    hits.select(
+        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+
+  private def engineFlat(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = buildEngine(s, d, IndexConfig("flat"))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** Post-filter through the engine: top-20, then tag ANY-overlap. */
+  private def engineFlatFiltered(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = buildEngine(s, d, IndexConfig("flat"))
+    hitsOut(eng.search(lib, q, k = 20,
+      filters = Some(SearchFilters(tags = Seq("label0", "label2")))))
+  }
+
+  private def engineLsh(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = buildEngine(s, d,
+      IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 12))
+    eng.rebuildIndex(lib)
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  private def engineIvf(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = buildEngine(s, d,
+      IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
+    eng.rebuildIndex(lib)
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_engine_flat"          -> (engineFlat _),
+    "x_engine_flat_filtered" -> (engineFlatFiltered _),
+    "x_engine_lsh"           -> (engineLsh _),
+    "x_engine_ivf"           -> (engineIvf _),
+  )
+
+  private val cosSql =
+    "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+  val oracles: Map[String, String] = Map(
+    "x_engine_flat" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${rndSql(cosSql, 6)} AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "x_engine_flat_filtered" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |topk AS (
+         |  SELECT e.vec_id, e.label, ${rndSql(cosSql, 6)} AS score
+         |  FROM embeddings e, q
+         |  ORDER BY score DESC, vec_id ASC LIMIT 20)
+         |SELECT vec_id, score FROM topk WHERE label IN (0, 2)
+         |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    // x_engine_lsh / x_engine_ivf: seeded-RNG index paths — rows-only check.
+  )
+}

@@ -1,0 +1,251 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.engine.EngineErrors._
+
+/** Engine behavior specs mirroring the reference's test suite
+  * (`/root/reference/tests/` — see FIXTURES.md §2): the README worked
+  * example (README.md:209-238), zero-vector rules (test_flat.py:324-336),
+  * CAS conflicts, cascade deletes, per-index metric quirks (SURVEY Q1),
+  * and post-filter semantics (Q5).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def freshEngine(): VectorEngine = {
+    val dir = Files.createTempDirectory("graft-engine-test").toString
+    new VectorEngine(spark, dir, fixedClock)
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+    if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  // README.md:209-238 worked example — the minimum-slice golden query.
+  test("flat cosine search matches hand-computed scores (README example)") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("readme", 3)
+    val doc = eng.createDocument(lib)
+    val vecs = Seq(
+      Array(1.0f, 0.0f, 0.0f), Array(0.9f, 0.1f, 0.0f),
+      Array(0.85f, 0.15f, 0.0f), Array(0.0f, 1.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f))
+    val ids = eng.upsertChunks(lib, doc, vecs.zipWithIndex.map { case (v, i) =>
+      ChunkIn(text = s"chunk $i", embedding = Some(v), position = i,
+        id = Some(f"c$i%02d"))
+    })
+    assert(ids.size == 5)
+    val q = Array(0.95f, 0.05f, 0.0f)
+    val hits = eng.search(lib, q, k = 3).collect()
+    assert(hits.length == 3)
+    val expected = vecs.zipWithIndex
+      .map { case (v, i) => (f"c$i%02d", cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    hits.zip(expected).foreach { case (row, (eid, escore)) =>
+      assert(row.getString(0) == eid)
+      assert(math.abs(row.getDouble(2) - escore) < 1e-10)
+    }
+  }
+
+  test("zero-vector rules: flat scores 0; lsh/ivf return empty on zero query") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("zeros", 4)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("zero", Some(Array(0f, 0f, 0f, 0f)), id = Some("z")),
+      ChunkIn("unit", Some(Array(1f, 0f, 0f, 0f)), id = Some("u"))))
+    // zero STORED vector -> cosine 0 in flat (test_flat.py:324-336)
+    val hits = eng.search(lib, Array(1f, 0f, 0f, 0f), k = 2).collect()
+    assert(hits.map(r => (r.getString(0), r.getDouble(2))).toMap
+      .get("z").contains(0.0))
+    // zero QUERY -> all-0 scores in flat, but still scored (Q4)
+    assert(eng.search(lib, Array(0f, 0f, 0f, 0f), k = 2).collect()
+      .forall(_.getDouble(2) == 0.0))
+    // lsh: zero query -> empty
+    eng.updateIndexConfig(lib, IndexConfig("lsh", lshNumTables = 2,
+      lshHyperplanesPerTable = 4))
+    assert(eng.search(lib, Array(0f, 0f, 0f, 0f), k = 2).collect().isEmpty)
+    // zero stored vector is excluded from the LSH index entirely
+    val lshHits = eng.search(lib, Array(1f, 0f, 0f, 0f), k = 2).collect()
+    assert(!lshHits.map(_.getString(0)).contains("z"))
+  }
+
+  test("post-filter semantics (Q5): filters applied AFTER top-k") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("filters", 2)
+    val doc = eng.createDocument(lib)
+    // c0 is the best match but has the wrong author; post-filtering top-1
+    // must return EMPTY, not fall through to c1.
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("best", Some(Array(1f, 0f)), id = Some("c0"), author = Some("alice")),
+      ChunkIn("worse", Some(Array(0.5f, 0.5f)), id = Some("c1"), author = Some("bob"))))
+    val post = eng.search(lib, Array(1f, 0f), k = 1,
+      filters = Some(SearchFilters(author = Some("bob"))))
+    assert(post.collect().isEmpty)
+    // pre-filter deviation: same query returns c1
+    val pre = eng.search(lib, Array(1f, 0f), k = 1,
+      filters = Some(SearchFilters(author = Some("bob"))), preFilter = true)
+    assert(pre.collect().map(_.getString(0)).toSeq == Seq("c1"))
+  }
+
+  test("tags ANY-overlap and strict created_after filters (Q8)") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("tagged", 2)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("a", Some(Array(1f, 0f)), id = Some("a"), tags = Seq("x", "y")),
+      ChunkIn("b", Some(Array(0.9f, 0.1f)), id = Some("b"), tags = Seq("z"))))
+    val hits = eng.search(lib, Array(1f, 0f), k = 10,
+      filters = Some(SearchFilters(tags = Seq("y", "w"))))
+    assert(hits.collect().map(_.getString(0)).toSeq == Seq("a"))
+    // created_after is strict >: fixed clock means nothing passes at ==
+    val none = eng.search(lib, Array(1f, 0f), k = 10,
+      filters = Some(SearchFilters(createdAfter = Some(fixedClock()))))
+    assert(none.collect().isEmpty)
+  }
+
+  test("CAS: wrong expected version raises ConflictError, right one bumps") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("cas", 2)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v1", Some(Array(1f, 0f)), id = Some("c"))))
+    intercept[ConflictError] {
+      eng.upsertChunks(lib, doc, Seq(ChunkIn("v2", Some(Array(0f, 1f)), id = Some("c"))),
+        expectedVersions = Map("c" -> 99L))
+    }
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v2", Some(Array(0f, 1f)), id = Some("c"))),
+      expectedVersions = Map("c" -> 1L))
+    val row = eng.chunks.filter(org.apache.spark.sql.functions.col("id") === "c")
+      .collect().head
+    assert(row.getLong(row.fieldIndex("version")) == 2L)
+    assert(row.getString(row.fieldIndex("text")) == "v2")
+  }
+
+  test("validation: dim mismatch, unknown doc, empty text") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("val", 3)
+    val doc = eng.createDocument(lib)
+    intercept[ValidationError] {
+      eng.upsertChunks(lib, doc, Seq(ChunkIn("bad", Some(Array(1f, 0f)))))
+    }
+    intercept[NotFoundError] {
+      eng.upsertChunks(lib, "nope", Seq(ChunkIn("x", None)))
+    }
+    intercept[ValidationError] {
+      eng.upsertChunks(lib, doc, Seq(ChunkIn("", None)))
+    }
+    intercept[ValidationError] { eng.createLibrary("", 3) }
+    intercept[ValidationError] { eng.createLibrary("x", 0) }
+    intercept[ValidationError] { eng.createLibrary("x", 3, IndexConfig("hnsw")) }
+  }
+
+  test("cascade deletes: document -> chunks; library -> everything") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("casc", 2)
+    val d1 = eng.createDocument(lib)
+    val d2 = eng.createDocument(lib)
+    eng.upsertChunks(lib, d1, Seq(ChunkIn("a", Some(Array(1f, 0f)), id = Some("a"))))
+    eng.upsertChunks(lib, d2, Seq(ChunkIn("b", Some(Array(0f, 1f)), id = Some("b"))))
+    eng.deleteDocument(lib, d1)
+    assert(eng.chunks.collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(eng.documents.count() == 1)
+    eng.deleteLibrary(lib)
+    assert(eng.chunks.count() == 0)
+    assert(eng.documents.count() == 0)
+    assert(eng.libraries.count() == 0)
+  }
+
+  test("LSH: exact-match query found with score ~1.0; buckets maintained on upsert") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("lsh", 8,
+      IndexConfig("lsh", lshNumTables = 4, lshHyperplanesPerTable = 8))
+    val doc = eng.createDocument(lib)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(_ => Array.fill(8)(rnd.nextGaussian().toFloat))
+    eng.upsertChunks(lib, doc, vecs.zipWithIndex.map { case (v, i) =>
+      ChunkIn(s"t$i", Some(v), id = Some(f"c$i%03d"))
+    })
+    eng.rebuildIndex(lib)
+    val q = vecs(7)
+    val hits = eng.search(lib, q, k = 5).collect()
+    assert(hits.nonEmpty)
+    // the identical vector must land in the same buckets -> found at ~1.0
+    assert(hits.head.getString(0) == "c007")
+    assert(math.abs(hits.head.getDouble(2) - 1.0) < 1e-10)
+    // incremental add after rebuild is searchable without another rebuild
+    val nv = Array.fill(8)(0.5f)
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("new", Some(nv), id = Some("newc"))))
+    val hits2 = eng.search(lib, nv, k = 3).collect()
+    assert(hits2.head.getString(0) == "newc")
+  }
+
+  test("IVF: no centroids -> flat fallback; after rebuild -> nprobe search") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("ivf", 4,
+      IndexConfig("ivf", ivfNumCentroids = 4, ivfNprobe = 2))
+    val doc = eng.createDocument(lib)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(_ => Array.fill(4)(rnd.nextGaussian().toFloat))
+    eng.upsertChunks(lib, doc, vecs.zipWithIndex.map { case (v, i) =>
+      ChunkIn(s"t$i", Some(v), id = Some(f"c$i%03d"))
+    })
+    // before any rebuild there are no centroids: flat-scan fallback (ivf.py:96-99)
+    val pre = eng.search(lib, vecs(3), k = 3).collect()
+    assert(pre.head.getString(0) == "c003")
+    eng.rebuildIndex(lib)
+    val post = eng.search(lib, vecs(3), k = 3).collect()
+    assert(post.nonEmpty)
+    // self-query must find itself: its posting shares the nearest centroid
+    assert(post.head.getString(0) == "c003")
+    assert(math.abs(post.head.getDouble(2) - 1.0) < 1e-10)
+  }
+
+  test("metric quirk Q1: dot_product differs between flat (raw) and lsh (normalized)") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("q1", 2)
+    val doc = eng.createDocument(lib)
+    // vector with norm 2 -> flat dot = 2.0, lsh (normalized stored) dot = 1.0
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v", Some(Array(2f, 0f)), id = Some("v"))))
+    val q = Array(1f, 0f)
+    val flatScore = eng.search(lib, q, k = 1, metric = "dot_product")
+      .collect().head.getDouble(2)
+    assert(math.abs(flatScore - 2.0) < 1e-10)
+    eng.updateIndexConfig(lib, IndexConfig("lsh", lshNumTables = 2,
+      lshHyperplanesPerTable = 4))
+    val lshScore = eng.search(lib, q, k = 1, metric = "dot_product")
+      .collect().head.getDouble(2)
+    assert(math.abs(lshScore - 1.0) < 1e-10)
+  }
+
+  test("moveDocument re-homes chunks and maintains both indexes") {
+    val eng = freshEngine()
+    val src = eng.createLibrary("src", 2)
+    val dst = eng.createLibrary("dst", 2)
+    val doc = eng.createDocument(src)
+    eng.upsertChunks(src, doc, Seq(ChunkIn("m", Some(Array(1f, 0f)), id = Some("m"))))
+    eng.moveDocument(doc, src, dst)
+    assert(eng.search(dst, Array(1f, 0f), k = 1).collect().map(_.getString(0))
+      .toSeq == Seq("m"))
+    assert(eng.search(src, Array(1f, 0f), k = 1).collect().isEmpty)
+    // dim-mismatch move is rejected
+    val dst3 = eng.createLibrary("dst3", 3)
+    intercept[ValidationError] { eng.moveDocument(doc, dst, dst3) }
+  }
+}
