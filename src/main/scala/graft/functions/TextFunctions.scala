@@ -48,6 +48,23 @@ object TextFunctions {
   def minhashSig(shingleCol: Column, salt: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
 
+  /** All K minhash signatures in ONE fold over the shingle array (vs K
+    * separate array_min passes each re-materializing the shingles — ~K x
+    * cheaper per row, the difference between one corpus scan and K of
+    * them at 100 TB). Values are identical to `minhashSig(_, i)`; empty
+    * shingle sets yield nulls (array_min-of-empty parity).
+    */
+  def minhashSigs(shingleCol: Column, k: Int): Column = {
+    val sentinel = "￿" // sorts after every hex digest
+    val folded = aggregate(
+      shingleCol,
+      array_repeat(lit(sentinel), k),
+      (acc, s) => zip_with(acc,
+        array((0 until k).map(i => md5(concat(lit(s"$i:"), s))): _*),
+        (a, b) => least(a, b)))
+    transform(folded, x => when(x === sentinel, lit(null)).otherwise(x))
+  }
+
   /** 60-bit SimHash over the (duplicated, i.e. frequency-weighted) token
     * stream: per bit position, sum +1/-1 by the token hash's bit, emit 1
     * where the sum is positive. Single fold per row — no explode, no

@@ -34,8 +34,15 @@ object VectorFunctions {
   private def arraySum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product (reference `utils.py:4-5`). Computed in double. */
+  /** Dot product (reference `utils.py:4-5`). Computed in double by the
+    * fused codegen kernel (VectorExpressions.VecDot); `dotProductHof` is
+    * the reference higher-order-function formulation kept for equivalence
+    * tests.
+    */
   def dotProduct(a: Column, b: Column): Column =
+    VectorExpressions.vecDot(a, b)
+
+  def dotProductHof(a: Column, b: Column): Column =
     arraySum(zip_with(vecAsDouble(a), vecAsDouble(b), (x, y) => x * y))
 
   /** L2 norm (reference `utils.py:7-8`). */
@@ -43,18 +50,21 @@ object VectorFunctions {
 
   /** Cosine similarity; returns 0.0 when either vector has zero norm
     * (reference `utils.py:10-15` — asserted by its `test_flat.py:324-336`).
+    * Single-pass fused kernel; `cosineSimHof` is the built-ins formulation.
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
+  def cosineSim(a: Column, b: Column): Column =
+    VectorExpressions.vecCosine(a, b)
+
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val na = sqrt(dotProductHof(a, a))
+    val nb = sqrt(dotProductHof(b, b))
     when(na === 0.0 || nb === 0.0, 0.0)
-      .otherwise(dotProduct(a, b) / (na * nb))
+      .otherwise(dotProductHof(a, b) / (na * nb))
   }
 
   /** Euclidean (L2) distance (reference `utils.py:17-21`). */
   def euclideanDist(a: Column, b: Column): Column =
-    sqrt(arraySum(zip_with(vecAsDouble(a), vecAsDouble(b),
-      (x, y) => (x - y) * (x - y))))
+    VectorExpressions.vecL2Dist(a, b)
 
   /** Euclidean similarity = 1/(1+dist) (reference `utils.py:23-26`). */
   def euclideanSim(a: Column, b: Column): Column =

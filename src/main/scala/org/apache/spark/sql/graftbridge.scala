@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column <-> Expression conversion
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Spark 4 decoupled the
+  * public Column from Catalyst; library extensions that define custom
+  * Expressions need this two-liner inside the sql package to wrap them as
+  * Columns (the same access pattern Spark's own classic module uses).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
