@@ -22,6 +22,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (EngineQueries.queries, EngineQueries.oracles),
+      (MiscQueries.queries, MiscQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.multimodal.Multimodal
+import graft.queries.Det.{rnd, rndSql}
+
+/** Coverage queries for the remaining SURVEY §2 operator rows and
+  * extension surfaces: point lookup (S1), single-tag membership (P7),
+  * set operations (U-family), rollup (extension), regex/BPE-ish token
+  * counting, a DETERMINISTIC bucketed-ANN path (the oracle-checkable
+  * scale pattern behind LSH), and the multimodal decode-stub metadata.
+  */
+object MiscQueries {
+
+  /** S1: point lookup — pushed-down unique-key scan. */
+  private def pointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") === 42)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** P7: single-tag membership (array_contains) over token arrays. */
+  private def hasTag(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(array_contains(split(col("text"), " "), "vector"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc)
+
+  /** U-family: union + distinct of two predicate-defined sets. */
+  private def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(c.filter(col("c_acctbal") > 9000).select(col("c_custkey")))
+      .distinct()
+      .orderBy(col("c_custkey").asc)
+  }
+
+  private def intersectSets(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  private def exceptSets(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .except(c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** Rollup (hierarchical subtotals) with explicit null ordering — Spark
+    * defaults NULLS FIRST on ASC, DuckDB NULLS LAST; the contract pins it.
+    */
+  private def rollupPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(28,8)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Token counting, whitespace + BPE-ish regex (bounded alpha pieces). */
+  private def tokenBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+          .as("n_bpe_pieces"))
+      .orderBy(col("doc_id").asc)
+
+  /** Deterministic bucketed ANN (the oracle-checkable LSH shape): bucket =
+    * 8 sign bits of the first 8 dimensions; candidates = bucket equi-join;
+    * exact cosine rerank top-10. At scale the bucket table is partitioned
+    * by signature and candidates never leave their partition.
+    */
+  private def annSignBits(s: SparkSession, d: String): DataFrame = {
+    val sig = (0 until 8).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), sig.as("sig"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("sig"), col("embedding").as("qvec"))
+    e.join(broadcast(q), "sig")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        rnd(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Multimodal decode-stub metadata over text-bytes payloads (the decode
+    * is a deterministic fake — see graft.multimodal.Multimodal — but the
+    * binary plumbing and hash arithmetic are real and oracle-checked).
+    */
+  private def decodeMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractImageMeta(
+        Tables.documents(s, d).select(col("doc_id").as("media_id"),
+          lit("image/fake").as("mime_type"),
+          col("text").cast("binary").as("payload")))
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.channels").as("channels"),
+        col("meta.n_bytes").as("n_bytes"))
+      .orderBy(col("media_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_point_lookup"   -> (pointLookup _),
+    "s_has_tag"        -> (hasTag _),
+    "q_union_distinct" -> (unionDistinct _),
+    "q_intersect"      -> (intersectSets _),
+    "q_except"         -> (exceptSets _),
+    "q_rollup"         -> (rollupPricing _),
+    "t_token_bpe"      -> (tokenBpe _),
+    "v_ann_signbits"   -> (annSignBits _),
+    "m_decode_meta"    -> (decodeMeta _),
+  )
+
+  private val sigSql = (0 until 8)
+    .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "s_point_lookup" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "s_has_tag" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'vector')
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "t_token_bpe" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS n_bpe_pieces
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "v_ann_signbits" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, $sigSql AS sig
+         |  FROM embeddings),
+         |q AS (SELECT sig, emb AS qv FROM sigs WHERE vec_id = 0)
+         |SELECT s.vec_id,
+         |       ${rndSql("list_cosine_similarity(s.emb, q.qv)", 6)} AS score
+         |FROM sigs s JOIN q USING (sig)
+         |WHERE s.vec_id <> 0
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "m_decode_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 1920 + 1 AS INTEGER) AS width,
+        |       CAST(CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 1080 + 1 AS INTEGER) AS height,
+        |       CAST(CAST('0x' || substr(md5(text), 13, 2) AS BIGINT) % 3 + 1 AS INTEGER) AS channels,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+/** Multimodal plumbing + streaming parity specs. */
+class MultimodalStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mediaFromDocs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        lit("image/fake").as("mime_type"),
+        col("text").cast("binary").as("payload"))
+
+  test("image meta extraction: deterministic, bounded, schema-typed") {
+    val meta = Multimodal.extractImageMeta(mediaFromDocs)
+    val rows = meta.select(col("media_id"), col("meta.width"),
+      col("meta.height"), col("meta.channels"), col("meta.n_bytes")).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 1920)
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 1080)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+      assert(r.getLong(4) > 0)
+    }
+    // deterministic: second run bit-identical
+    val again = Multimodal.extractImageMeta(mediaFromDocs)
+      .select("media_id", "meta.sha").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    meta.select("media_id", "meta.sha").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("frame sampling: n frames per media, payload fully covered in order") {
+    val frames = Multimodal.sampleFrames(mediaFromDocs, 4)
+    val counts = frames.groupBy("media_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 4))
+    // reassembling the first doc's frames must be a prefix of the payload
+    val payload = mediaFromDocs.filter(col("media_id") === 0)
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val fs = frames.filter(col("media_id") === 0).orderBy("frame_no")
+      .select("frame_bytes").collect().map(_.getAs[Array[Byte]](0))
+    val joined = fs.flatten
+    assert(joined.sameElements(payload.take(joined.length)))
+  }
+
+  test("streaming tumbling agg equals the batch plan on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // rewrite through Tables.events: the raw file carries TIMESTAMP(NANOS),
+    // which neither the batch nor the streaming parquet reader accepts
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    EventStream.runToMemory(spark, dir, "stream_hourly",
+      EventStream.hourlyByType,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val streamed = spark.table("stream_hourly")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventStream.hourlyByType(
+        spark.read.schema(EventStream.eventSchema).parquet(dir))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("stateful streaming sessionization equals the batch window query") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    // rewrite through Tables.events: the raw file carries TIMESTAMP(NANOS),
+    // which neither the batch nor the streaming parquet reader accepts
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    EventStream.runToMemory(spark, dir, "stream_sessions",
+      df => EventStream.sessionize(
+        df.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+          .as[EventStream.Ev]).toDF())
+    val streamed = spark.table("stream_sessions")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.SparkEntry.queries("e_sessionize")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
