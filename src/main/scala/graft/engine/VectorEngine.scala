@@ -229,6 +229,70 @@ final class VectorEngine(
     ids
   }
 
+  /** Distributed bulk ingest — the 100 TB path. `incoming` never touches
+    * the driver: columns (id?, position?, text, embedding?, author?,
+    * lang?, source_uri?, tags?) are normalized to the chunk schema with
+    * expressions (missing ids minted with uuid()), validated with
+    * DataFrame predicates (dim check P2 as an aggregate, not a loop), and
+    * written as the next snapshot partition-parallel. Existing ids are
+    * replaced (version continuity preserved via a join against the
+    * current snapshot). Index maintenance is the same incremental path
+    * as upsertChunks.
+    */
+  def bulkIngest(libId: String, docId: String, incoming: DataFrame): Unit = {
+    val (dim, _, _) = getLibrary(libId)
+    requireDocInLibrary(libId, docId)
+    val t = now()
+    val cols = incoming.columns.toSet
+    def opt(name: String, default: Column): Column =
+      if (cols.contains(name)) col(name) else default
+    val normalized = incoming.select(
+        (if (cols.contains("id")) col("id") else expr("uuid()")).as("id"),
+        lit(libId).as("library_id"),
+        lit(docId).as("document_id"),
+        opt("position", lit(0)).cast("int").as("position"),
+        col("text").cast("string").as("text"),
+        opt("embedding", lit(null).cast("array<float>"))
+          .cast("array<float>").as("embedding"),
+        struct(
+          opt("source_uri", lit(null).cast("string")).as("source_uri"),
+          opt("author", lit(null).cast("string")).as("author"),
+          opt("lang", lit(null).cast("string")).as("lang"),
+          lit(null).cast("string").as("mime_type"),
+          opt("tags", lit(null).cast("array<string>")).as("tags"),
+          lit(null).cast("int").as("page_number"),
+          lit(null).cast("int").as("token_count"),
+          lit(null).cast("string").as("sha256")).as("metadata"),
+        lit(t).as("created_at"), lit(t).as("updated_at"), lit(1L).as("version"))
+    val badDim = normalized.filter(col("embedding").isNotNull &&
+      size(col("embedding")) =!= dim).count()
+    if (badDim > 0)
+      throw new ValidationError(s"$badDim row(s) with embedding dim != $dim")
+    if (normalized.filter(col("text").isNull || col("text") === "").count() > 0)
+      throw new ValidationError("empty text in bulk batch")
+    val current = chunks
+    // preserve created_at/version continuity for replaced ids
+    val prior = current.select(col("id"),
+      col("created_at").as("created0"), col("version").as("version0"))
+    val merged = normalized.join(prior, Seq("id"), "left")
+      .withColumn("created_at", coalesce(col("created0"), col("created_at")))
+      .withColumn("version", coalesce(col("version0") + 1, col("version")))
+      .drop("created0", "version0")
+      .select(Schemas.chunks.fieldNames.map(col): _*)
+    val incomingIds = normalized.select(col("id"))
+    store.write("chunks",
+      current.join(incomingIds, Seq("id"), "left_anti").unionAll(merged))
+    store.write("documents", documents
+      .withColumn("version",
+        when(col("id") === docId, col("version") + 1).otherwise(col("version")))
+      .withColumn("updated_at",
+        when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
+    if (!quirkCompat)
+      removeFromIndexes(libId, incomingIds.withColumnRenamed("id", "chunk_id"))
+    addToIndexes(libId, chunks.filter(col("library_id") === libId)
+      .join(incomingIds, Seq("id"), "left_semi"))
+  }
+
   def deleteChunk(libId: String, chunkId: String): Unit = {
     val found = chunks.filter(col("id") === chunkId &&
       col("library_id") === libId).count()

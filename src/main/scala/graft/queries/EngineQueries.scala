@@ -24,9 +24,11 @@ object EngineQueries {
 
   private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
 
-  /** Ingest the embeddings table as one library (chunk id = c<vec_id>,
-    * zero-padded so lexicographic id order == numeric order for the Q7
-    * tie-break; tag = label<label>).
+  /** Ingest the embeddings table as one library via the DISTRIBUTED bulk
+    * path (`bulkIngest` — the corpus never touches the driver; only the
+    * single query vector is collected). Chunk id = c<vec_id> zero-padded
+    * so lexicographic id order == numeric order for the Q7 tie-break;
+    * tag = label<label>.
     */
   private def buildEngine(s: SparkSession, d: String,
       config: IndexConfig): (VectorEngine, String, Array[Float]) = {
@@ -34,18 +36,13 @@ object EngineQueries {
       Files.createTempDirectory("graft-engine-q").toString, fixedClock)
     val lib = eng.createLibrary("engine-bench", 64, config)
     val doc = eng.createDocument(lib)
-    val rows = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), col("label"))
-      .collect()
-    val chunksIn = rows.map { r =>
-      val vid = r.getLong(0)
-      ChunkIn(text = s"vec $vid",
-        embedding = Some(r.getSeq[Float](1).toArray),
-        id = Some(f"c$vid%06d"),
-        tags = Seq(s"label${r.getInt(2)}"))
-    }
-    eng.upsertChunks(lib, doc, chunksIn.toSeq)
-    val q = rows.find(_.getLong(0) == 0L).get.getSeq[Float](1).toArray
+    eng.bulkIngest(lib, doc, Tables.embeddings(s, d).select(
+      format_string("c%06d", col("vec_id")).as("id"),
+      format_string("vec %d", col("vec_id")).as("text"),
+      col("embedding"),
+      array(concat(lit("label"), col("label"))).as("tags")))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     (eng, lib, q)
   }
 

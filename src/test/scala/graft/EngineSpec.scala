@@ -234,6 +234,32 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(lshScore - 1.0) < 1e-10)
   }
 
+  test("bulkIngest (distributed path): new rows, replacement continuity, validation") {
+    import spark.implicits._
+    val eng = freshEngine()
+    val lib = eng.createLibrary("bulk", 2)
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, Seq(
+      ("b0", "row zero", Array(1f, 0f)),
+      ("b1", "row one", Array(0f, 1f))).toDF("id", "text", "embedding"))
+    assert(eng.chunks.count() == 2)
+    val hit = eng.search(lib, Array(1f, 0f), k = 1).collect().head
+    assert(hit.getString(0) == "b0")
+    // replacing an existing id preserves created_at and bumps version
+    eng.bulkIngest(lib, doc,
+      Seq(("b0", "row zero v2", Array(0.5f, 0.5f))).toDF("id", "text", "embedding"))
+    val row = eng.chunks.filter(org.apache.spark.sql.functions.col("id") === "b0")
+      .collect().head
+    assert(row.getLong(row.fieldIndex("version")) == 2L)
+    assert(row.getString(row.fieldIndex("text")) == "row zero v2")
+    assert(eng.chunks.count() == 2)
+    // dim validation is an aggregate over the batch, not a driver loop
+    intercept[EngineErrors.ValidationError] {
+      eng.bulkIngest(lib, doc, Seq(("b2", "bad", Array(1f, 2f, 3f)))
+        .toDF("id", "text", "embedding"))
+    }
+  }
+
   test("moveDocument re-homes chunks and maintains both indexes") {
     val eng = freshEngine()
     val src = eng.createLibrary("src", 2)

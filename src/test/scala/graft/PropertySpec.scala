@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions._
+
+/** Property-style invariants (seeded, batched through one DataFrame pass
+  * per property — the SURVEY §5 plan: top-k ⊆ scored set, cosine
+  * range/symmetry, normalization idempotence, jaccard bounds).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def randomPairs(n: Int, dim: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i,
+        Array.fill(dim)((rnd.nextGaussian() * 2).toFloat),
+        Array.fill(dim)((rnd.nextGaussian() * 2).toFloat))
+    }.toDF("i", "a", "b")
+  }
+
+  test("cosine: range [-1,1], bitwise symmetry, self-similarity 1") {
+    val df = randomPairs(500, 16, seed = 1)
+      .select(
+        cosineSim(col("a"), col("b")).as("ab"),
+        cosineSim(col("b"), col("a")).as("ba"),
+        cosineSim(col("a"), col("a")).as("aa"))
+    val bad = df.filter(
+      abs(col("ab")) > 1.0 + 1e-12 ||
+      col("ab") =!= col("ba") ||
+      abs(col("aa") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("normalization: unit norm and idempotence") {
+    val df = randomPairs(500, 16, seed = 2)
+      .select(l2Normalize(col("a")).as("n1"))
+      .select(col("n1"), l2Normalize(col("n1")).as("n2"))
+      .select(
+        sqrt(aggregate(zip_with(col("n1"), col("n1"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)).as("norm1"),
+        aggregate(zip_with(col("n1"), col("n2"),
+          (x, y) => abs(x - y)), lit(0.0), (a, x) => greatest(a, x)).as("maxdiff"))
+    val bad = df.filter(abs(col("norm1") - 1.0) > 1e-12 ||
+      col("maxdiff") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("euclidean similarity in (0,1]; distance triangle vs self") {
+    val df = randomPairs(300, 8, seed = 3).select(
+      euclideanSim(col("a"), col("b")).as("s"),
+      euclideanDist(col("a"), col("a")).as("dself"))
+    val bad = df.filter(col("s") <= 0.0 || col("s") > 1.0 ||
+      col("dself") =!= 0.0).count()
+    assert(bad == 0)
+  }
+
+  test("top-k is a subset of the scored set and sorted descending") {
+    val hits = SparkEntry.queries("v_knn_cosine")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val scores = hits.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    val ids = hits.map(_.getLong(0)).toSet
+    assert(ids.size == hits.length && !ids.contains(0L))
+  }
+
+  test("jaccard in [0,1], 1 for identical sets, 0 for disjoint or empty") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(jaccard(col("x"), col("y")).as("j")).collect().map(_.getDouble(0))
+    assert(df(0) == 1.0 && df(1) == 0.0 && df(2) == 0.0 && math.abs(df(3) - 0.5) < 1e-12)
+  }
+
+  test("simhash: identical token streams collide; hamming is symmetric") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "the quick brown fox"),
+      ("y", "the quick brown fox"),
+      ("z", "completely different words here")).toDF("id", "text")
+      .select(col("id"), simhash60(tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("x") == m("y"))
+    assert(java.lang.Long.bitCount(m("x") ^ m("z")) ==
+      java.lang.Long.bitCount(m("z") ^ m("x")))
+  }
+}
