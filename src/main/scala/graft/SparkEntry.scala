@@ -23,6 +23,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (EngineQueries.queries, EngineQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
+      (SqlQueries.queries, SqlQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

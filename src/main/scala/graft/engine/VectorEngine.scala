@@ -423,8 +423,11 @@ final class VectorEngine(
       .orderBy(col("score").desc, col("chunk_id").asc) // Q7 tie-breaker
       .limit(k)
 
-    // hydrate (J1: inner join drops hits whose chunk vanished)
-    val hydrated = topk.join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+    // hydrate (J1: inner join drops hits whose chunk vanished); the top-k
+    // side is <= k rows — broadcast it so hydration is a map-side join
+    // against the partition-pruned chunk scan, never a shuffle
+    val hydrated = broadcast(topk)
+      .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
     val filtered = applyPost(hydrated, filters)
     filtered.select(col("chunk_id"), col("document_id"), col("score"),
         col("text"), col("position"), col("metadata"),

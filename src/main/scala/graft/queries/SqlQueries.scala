@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `spark.sql` entry point: these queries register the driver tables
+  * as temp views and run ANSI SQL that is VERBATIM-identical to the oracle
+  * SQL (one string, two engines) — subquery decorrelation (EXISTS / IN /
+  * scalar subqueries) is Catalyst's job, not hand-written join code.
+  *
+  * Float determinism: every comparison/output derives from decimal-exact
+  * sums or integer counts cast to double — no parallel-summation-order
+  * dependence, so the same SQL hashes identically on both engines.
+  */
+object SqlQueries {
+
+  private val sqls: Map[String, String] = Map(
+    "sql_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "sql_in_subquery" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+        |  AND p_size >= 30
+        |ORDER BY p_partkey ASC""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "sql_above_avg_window" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |           OVER (PARTITION BY o_custkey) AS tot,
+        |         COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, CAST(p AS DOUBLE) AS o_totalprice
+        |FROM w
+        |WHERE CAST(p AS DOUBLE) * cnt > 1.5 * CAST(tot AS DOUBLE)
+        |ORDER BY o_orderkey ASC""".stripMargin,
+  )
+
+  private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqls.map { case (name, q) =>
+      name -> ((s: SparkSession, d: String) => withViews(s, d)(q))
+    }
+
+  /** Same text, verbatim. */
+  val oracles: Map[String, String] = sqls
+}
