@@ -94,6 +94,42 @@ object TextFunctions {
   private def shiftleft_col(v: Column, bits: Column): Column =
     call_function("shiftleft", v, bits)
 
+  /** Universal-hash constants for numeric minhash: k fixed (a, b) pairs,
+    * sig_k = min over shingles of (h28(shingle) * a_k + b_k) mod P.
+    * One md5 per shingle total (the 28-bit prefix), vs one md5 per
+    * (shingle x signature) for the salted variant — 8x fewer digests at
+    * K=8. P = 2^31 - 1; products stay under 2^59, exact in a long on any
+    * engine, and positive%positive is truncation-identical everywhere.
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashAB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1299709L, 7919L), (104729L, 65537L),
+    (882377563L, 274177L), (15485863L, 32452843L), (49979687L, 86028121L),
+    (198491317L, 982451653L), (32416190071L % MinhashP, 67867967L))
+
+  /** 28-bit md5-prefix hash (7 hex chars) — the numeric-minhash base. */
+  def hash28(t: Column): Column =
+    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+
+  /** K numeric minhash signatures in one fold: shingles -> h28 array
+    * (one md5 each) -> per-signature universal-hash min. Empty shingle
+    * sets yield nulls.
+    */
+  def minhashSigsNum(shingleCol: Column, k: Int): Column = {
+    require(k <= MinhashAB.length, s"at most ${MinhashAB.length} signatures")
+    val consts = typedLit(MinhashAB.take(k).map { case (a, b) => (a, b) })
+    val hs = transform(shingleCol, s => hash28(s))
+    val folded = aggregate(
+      hs,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc,
+        transform(consts, c =>
+          (h * c.getField("_1") + c.getField("_2")) % MinhashP),
+        (a, b) => least(a, b)))
+    transform(folded, x =>
+      when(x === Long.MaxValue, lit(null).cast("long")).otherwise(x))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — an
     * order/frequency-insensitive document identity for near-dup grouping.
     */

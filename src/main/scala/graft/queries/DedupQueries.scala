@@ -45,14 +45,19 @@ object DedupQueries {
     * left side of the LSH bucket join).
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    // one fold computes all K signatures; CollapseProject won't duplicate
-    // the non-cheap aggregate, so sigs materialize once per row
+    // numeric minhash: ONE md5 per shingle + K universal-hash variants in
+    // one fold. The tokenizer is bound to an attribute ("tk") in its own
+    // projection first: shingles() references its input 4x per element,
+    // and inlining the O(tokens) tokenizer there would make shingle
+    // construction O(tokens^2) per row (measured: it dominated the query).
+    // CollapseProject keeps the binding (non-cheap alias, multiple refs).
     val withSigs = docs(s, d)
-      .select(col("doc_id"), minhashSigs(shingles(toks, 3), K).as("sigs"))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), minhashSigsNum(shingles(col("tk"), 3), K).as("sigs"))
+    def sigStr(i: Int) = element_at(col("sigs"), i + 1).cast("string")
     val bands = (0 until BANDS).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat(element_at(col("sigs"), 2 * b + 1),
-          element_at(col("sigs"), 2 * b + 2))).as("band_hash"))
+        md5(concat(sigStr(2 * b), lit(":"), sigStr(2 * b + 1))).as("band_hash"))
     }
     withSigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
@@ -102,14 +107,19 @@ object DedupQueries {
     * The hashed sets are materialized once before the self-join.
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // sorted distinct hash sets: sorting amortizes once per row so the
+    // per-PAIR work is an allocation-free codegen merge walk
     val t = docs(s, d).select(col("doc_id"), col("lang"),
-      array_distinct(transform(toks, tk => hash60(tk))).as("tset"))
+      array_sort(array_distinct(transform(toks, tk => hash60(tk)))).as("tset"))
       .localCheckpoint()
     val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tset").as("ta"))
     val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tset").as("tb"))
+    val inter = graft.functions.SetExpressions
+      .sortedIntersectCount(col("ta"), col("tb")).cast("double")
     a.join(b, "lang")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", rnd(jaccard(col("ta"), col("tb")), 6))
+      .withColumn("jaccard",
+        rnd(inter / (size(col("ta")) + size(col("tb")) - inter), 6))
       .filter(col("jaccard") >= 0.95)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -130,12 +140,22 @@ object DedupQueries {
     s"""list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)),
        | i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2])""".stripMargin.replace("\n", "")
 
-  private def sigSql(k: Int): String =
-    s"list_min(list_transform($shinglesSql, s -> md5('$k:' || s)))"
+  // numeric minhash mirror: hs = 28-bit md5 prefixes (computed once in a
+  // CTE), sig_k = min universal hash with the SAME constants as
+  // TextFunctions.MinhashAB
+  private val hsSql =
+    s"list_transform($shinglesSql, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))"
+
+  private def sigSql(k: Int): String = {
+    val (a, b) = graft.functions.TextFunctions.MinhashAB(k)
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % ${graft.functions.TextFunctions.MinhashP}))"
+  }
 
   private def bandRowsSql: String =
     (0 until BANDS).map { b =>
-      s"SELECT doc_id, $b AS band_id, md5(${sigSql(2 * b)} || ${sigSql(2 * b + 1)}) AS band_hash FROM documents"
+      s"""SELECT doc_id, $b AS band_id,
+         | md5(CAST(${sigSql(2 * b)} AS VARCHAR) || ':' || CAST(${sigSql(2 * b + 1)} AS VARCHAR)) AS band_hash
+         | FROM (SELECT doc_id, $hsSql AS hs FROM documents)""".stripMargin.replace("\n", "")
     }.mkString(" UNION ALL ")
 
   private val simhashSql =
