@@ -305,6 +305,62 @@ final class VectorEngine(
           org.apache.spark.sql.types.StringType)))))
   }
 
+  // ---- list / get (S1-S3, T5-T6, P7-P8) ------------------------------
+
+  /** Paginated document listing (reference `repos/documents.py:28-47` +
+    * router `has_more` pattern): optional single-tag membership (P7,
+    * `has_tag in doc.metadata.tags`) and strict created_after (P8),
+    * sorted by created_at|updated_at, stable `id` tie-break, rows
+    * [offset, offset+limit) via row_number.
+    */
+  def listDocuments(libId: String, sortBy: String = "created_at",
+      ascending: Boolean = true, limit: Int = 100, offset: Int = 0,
+      hasTag: Option[String] = None,
+      createdAfter: Option[Timestamp] = None): DataFrame = {
+    if (!Set("created_at", "updated_at").contains(sortBy))
+      throw new ValidationError(s"unknown sort field: $sortBy")
+    if (limit <= 0 || limit > 1000)
+      throw new ValidationError(s"limit out of range: $limit")
+    var df = documents.filter(col("library_id") === libId)
+    hasTag.foreach(t => df = df.filter(array_contains(col("metadata.tags"), t)))
+    createdAfter.foreach(ts => df = df.filter(col("created_at") > lit(ts)))
+    val ord = if (ascending) Seq(col(sortBy).asc, col("id").asc)
+              else Seq(col(sortBy).desc, col("id").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > offset && col("rn") <= offset + limit)
+      .drop("rn")
+  }
+
+  /** Paginated chunk listing scoped to a library or document (S2):
+    * partition-pruned scan, ordered by (document_id, position, id).
+    */
+  def listChunks(libId: String, docId: Option[String] = None,
+      limit: Int = 100, offset: Int = 0): DataFrame = {
+    if (limit <= 0 || limit > 1000)
+      throw new ValidationError(s"limit out of range: $limit")
+    var df = chunks.filter(col("library_id") === libId)
+    docId.foreach(id => df = df.filter(col("document_id") === id))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("document_id").asc, col("position").asc, col("id").asc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > offset && col("rn") <= offset + limit)
+      .drop("rn")
+  }
+
+  /** Point lookups (S1) with ownership validation (P10). */
+  def getChunk(libId: String, chunkId: String): DataFrame = {
+    val df = chunks.filter(col("id") === chunkId && col("library_id") === libId)
+    if (df.isEmpty) throw new NotFoundError(s"chunk $chunkId in library $libId")
+    df
+  }
+
+  def getDocument(libId: String, docId: String): DataFrame = {
+    val df = documents.filter(col("id") === docId && col("library_id") === libId)
+    if (df.isEmpty) throw new NotFoundError(s"document $docId in library $libId")
+    df
+  }
+
   // ---- index lifecycle (C7) ------------------------------------------
 
   /** Swap index config (CAS on the library version) and rebuild — the

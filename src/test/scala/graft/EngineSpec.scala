@@ -260,6 +260,69 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("list/get: pagination, document filters (P7/P8), ownership (P10)") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("list", 2)
+    val docA = eng.createDocument(lib, id = Some("docA"))
+    val docB = eng.createDocument(lib, id = Some("docB"))
+    eng.upsertChunks(lib, docA, (0 until 5).map(i =>
+      ChunkIn(s"a$i", Some(Array(1f, 0f)), position = i, id = Some(s"a$i"))))
+    eng.upsertChunks(lib, docB, Seq(
+      ChunkIn("b0", Some(Array(0f, 1f)), id = Some("b0"))))
+    // chunk pagination within one document
+    val page = eng.listChunks(lib, Some(docA), limit = 2, offset = 2)
+      .collect().map(_.getString(0))
+    assert(page.toSeq == Seq("a2", "a3"))
+    // document listing sorted + stable
+    assert(eng.listDocuments(lib).collect().map(_.getString(0)).toSeq ==
+      Seq("docA", "docB"))
+    // strict created_after excludes everything at the fixed clock (P8)
+    assert(eng.listDocuments(lib, createdAfter = Some(fixedClock()))
+      .collect().isEmpty)
+    // point lookups validate ownership
+    assert(eng.getChunk(lib, "b0").count() == 1)
+    intercept[NotFoundError] { eng.getChunk(lib, "nope") }
+    intercept[NotFoundError] { eng.getDocument(lib, "nope") }
+    intercept[ValidationError] { eng.listDocuments(lib, sortBy = "name") }
+  }
+
+  test("quirkCompat replicates Q2: LSH update is a silent no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quirk").toString
+    val eng = new VectorEngine(spark, dir, fixedClock, quirkCompat = true)
+    val lib = eng.createLibrary("quirk", 2,
+      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 4))
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v", Some(Array(1f, 0f)), id = Some("v"))))
+    eng.rebuildIndex(lib)
+    // update the vector: with quirkCompat the bucket entry stays STALE
+    // (reference base.py:6 — LSHIndex never overrides update), so the
+    // rerank still scores the OLD normalized vector
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v2", Some(Array(0f, 1f)), id = Some("v"))))
+    val hit = eng.search(lib, Array(1f, 0f), k = 1).collect().head
+    assert(math.abs(hit.getDouble(2) - 1.0) < 1e-10) // stale vector answers
+    // the fixed engine (default) re-hashes on update
+    val eng2 = freshEngine()
+    val lib2 = eng2.createLibrary("fixed", 2,
+      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 4))
+    val doc2 = eng2.createDocument(lib2)
+    eng2.upsertChunks(lib2, doc2, Seq(ChunkIn("v", Some(Array(1f, 0f)), id = Some("v"))))
+    eng2.rebuildIndex(lib2)
+    eng2.upsertChunks(lib2, doc2, Seq(ChunkIn("v2", Some(Array(0f, 1f)), id = Some("v"))))
+    val hit2 = eng2.search(lib2, Array(0f, 1f), k = 1).collect().head
+    assert(math.abs(hit2.getDouble(2) - 1.0) < 1e-10) // fresh vector answers
+  }
+
+  test("SQL-registered kernels work from spark.sql text") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       vec_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+        |       set_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS n
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 6.0 && r.getInt(2) == 2)
+  }
+
   test("moveDocument re-homes chunks and maintains both indexes") {
     val eng = freshEngine()
     val src = eng.createLibrary("src", 2)
