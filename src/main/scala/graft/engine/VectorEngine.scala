@@ -202,8 +202,10 @@ final class VectorEngine(
         existing.get(cid).map { case (cr, v) => (cr, v) }.getOrElse((t, 0L))
       Row(cid, libId, docId, c.position, c.text,
         c.embedding.map(_.toSeq).orNull,
-        Row(c.sourceUri.orNull, c.author.orNull, c.lang.orNull, null,
-          c.tags, null, null, null),
+        Row(c.sourceUri.orNull, c.author.orNull, c.lang.orNull,
+          c.mimeType.orNull, c.tags,
+          c.pageNumber.map(Int.box).orNull, c.tokenCount.map(Int.box).orNull,
+          c.sha256.orNull),
         createdAt, t, prevVersion + 1)
     }
     val newDf = spark.createDataFrame(
@@ -609,4 +611,8 @@ case class ChunkIn(
     author: Option[String] = None,
     lang: Option[String] = None,
     sourceUri: Option[String] = None,
-    tags: Seq[String] = Nil)
+    tags: Seq[String] = Nil,
+    mimeType: Option[String] = None,
+    pageNumber: Option[Int] = None,
+    tokenCount: Option[Int] = None,
+    sha256: Option[String] = None)

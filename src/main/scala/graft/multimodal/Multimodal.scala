@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,4 +75,43 @@ object Multimodal {
   def extractImageMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("mime_type"),
       decodeImageMeta(col("payload")).as("meta"))
+
+  // ---- mapPartitions batch-decode path --------------------------------
+
+  case class MediaRow(media_id: Long, mime_type: String, payload: Array[Byte])
+  case class DecodedRow(media_id: Long, width: Int, height: Int,
+      channels: Int, n_bytes: Long)
+
+  /** STUB codec handle: stands in for a native decoder (libjpeg/ffmpeg)
+    * that is expensive to initialize and NOT serializable — the reason
+    * real pipelines decode via mapPartitions (one handle per partition,
+    * amortized over the batch) rather than a per-row UDF.
+    */
+  private class StubCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(payload)
+      def u(i: Int) = h(i) & 0xff
+      (((u(0) << 16 | u(1) << 8 | u(2)) % 1920) + 1,
+       ((u(3) << 16 | u(4) << 8 | u(5)) % 1080) + 1,
+       (u(6) % 3) + 1)
+    }
+  }
+
+  /** Batch decode via mapPartitions: the Scala analog of a Pandas-UDF /
+    * mapInPandas decode stage — one codec instance per PARTITION, rows
+    * streamed through it (no per-row init, no driver involvement). This
+    * is the shape a real image/audio decode takes at 100 TB; only the
+    * `StubCodec.decode` body changes when a real codec is available.
+    */
+  def decodeBatch(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new StubCodec // once per partition
+      rows.map { r =>
+        val (w, h, c) = codec.decode(r.payload)
+        DecodedRow(r.media_id, w, h, c, r.payload.length.toLong)
+      }
+    }
+  }
 }

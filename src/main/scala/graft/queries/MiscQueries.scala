@@ -105,7 +105,28 @@ object MiscQueries {
         col("meta.n_bytes").as("n_bytes"))
       .orderBy(col("media_id").asc)
 
+  /** Skew-safe token frequency: the hot-key (stopword) histogram computed
+    * as a SALTED two-phase aggregation — partial counts on (token, salt),
+    * then merge on token. With a skewed key like "the" (in most rows), the
+    * single-phase plan funnels one reducer; the salted plan spreads the
+    * hot key over 16 reducers and the merge handles 16 rows. Results are
+    * identical to the plain GROUP BY the oracle runs.
+    */
+  private def tokenFreqSalted(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val tok = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"),
+        (col("doc_id") % 16).as("salt"))
+    tok.groupBy(col("token"), col("salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_freq"     -> (tokenFreqSalted _),
     "s_point_lookup"   -> (pointLookup _),
     "s_has_tag"        -> (hasTag _),
     "q_union_distinct" -> (unionDistinct _),
@@ -122,6 +143,11 @@ object MiscQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t_token_freq" ->
+      """SELECT t AS token, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |      FROM documents)
+        |GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
     "s_point_lookup" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
     "s_has_tag" ->

@@ -54,6 +54,20 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(joined.sameElements(payload.take(joined.length)))
   }
 
+  test("mapPartitions batch decode equals the expression decode path") {
+    import spark.implicits._
+    val media = mediaFromDocs
+    val viaExpr = Multimodal.extractImageMeta(media)
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("meta.channels")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val viaBatch = Multimodal.decodeBatch(
+        media.as[Multimodal.MediaRow]).collect()
+      .map(r => r.media_id -> (r.width, r.height, r.channels)).toMap
+    assert(viaBatch.size == viaExpr.size)
+    viaExpr.foreach { case (id, m) => assert(viaBatch(id) == m) }
+  }
+
   test("streaming tumbling agg equals the batch plan on the same data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // rewrite through Tables.events: the raw file carries TIMESTAMP(NANOS),
