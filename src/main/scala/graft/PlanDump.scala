@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain(formatted)` for representative queries to a markdown
+  * file — the plan-review evidence trail (pushdown reaching the scan,
+  * TakeOrderedAndProject instead of global sorts, broadcast joins on
+  * dimension/top-k sides, whole-stage codegen spans over the kernels).
+  *
+  * Usage: `sbt 'runMain graft.PlanDump docs/PLANS_r1.md'`
+  */
+object PlanDump {
+  val Representative = Seq(
+    "v_knn_cosine",      // scan -> codegen score -> TakeOrderedAndProject
+    "v_knn_batch",       // broadcast queries x corpus -> window top-k
+    "v_neardup_pairs",   // blocked self-join
+    "q3_top_orders",     // fact-fact shuffle join + broadcast dim + top-k
+    "q5_nation_revenue", // multi-broadcast star join
+    "e_latest_state",    // latest-per-key window (CAS resolution)
+    "d_jaccard_pairs",   // checkpointed self-join + codegen merge intersect
+    "d_minhash_bands",   // one-fold signatures
+    "t_token_freq",      // salted two-phase aggregation
+    "sql_exists_subquery", // decorrelated EXISTS
+  )
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("docs/PLANS_r1.md")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# Physical plans (round 1)\n\n")
+    sb.append(s"`explain(formatted)` at `$sfDir`. What to check per plan:\n")
+    sb.append("`PushedFilters`/`ReadSchema` at every parquet scan (pushdown +\n")
+    sb.append("pruning), `TakeOrderedAndProject` for top-k (never a global\n")
+    sb.append("sort), `BroadcastHashJoin` on dimension/top-k sides,\n")
+    sb.append("`WholeStageCodegen` spans covering the scoring kernels.\n")
+    Representative.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

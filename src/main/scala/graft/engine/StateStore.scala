@@ -48,11 +48,16 @@ final class StateStore(spark: SparkSession, root: String) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
-  /** Write the next snapshot and atomically repoint _CURRENT. */
+  /** Write the next snapshot and atomically repoint _CURRENT.
+    * Unpartitioned tables (libraries, documents when partitionBy=Nil) are
+    * metadata-scale: coalesce(1) keeps each snapshot one file/one task
+    * instead of shuffle.partitions tiny files.
+    */
   def write(table: String, df: DataFrame, partitionBy: Seq[String] = Seq("library_id")): Long = {
     val next = currentVersion(table).getOrElse(0L) + 1
     val dir = s"${tableDir(table)}/v$next"
-    val writer = df.write.mode("overwrite")
+    val out = if (partitionBy.isEmpty) df.coalesce(1) else df
+    val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir)
     Files.createDirectories(Paths.get(tableDir(table)))

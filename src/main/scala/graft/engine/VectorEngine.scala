@@ -266,11 +266,15 @@ final class VectorEngine(
           lit(null).cast("int").as("token_count"),
           lit(null).cast("string").as("sha256")).as("metadata"),
         lit(t).as("created_at"), lit(t).as("updated_at"), lit(1L).as("version"))
-    val badDim = normalized.filter(col("embedding").isNotNull &&
-      size(col("embedding")) =!= dim).count()
-    if (badDim > 0)
-      throw new ValidationError(s"$badDim row(s) with embedding dim != $dim")
-    if (normalized.filter(col("text").isNull || col("text") === "").count() > 0)
+    // single validation pass over the batch (one job, two aggregates)
+    val bad = normalized.agg(
+      sum(when(col("embedding").isNotNull &&
+        size(col("embedding")) =!= dim, 1).otherwise(0)).as("bad_dim"),
+      sum(when(col("text").isNull || col("text") === "", 1).otherwise(0))
+        .as("bad_text")).collect().head
+    if (bad.getLong(0) > 0)
+      throw new ValidationError(s"${bad.getLong(0)} row(s) with embedding dim != $dim")
+    if (bad.getLong(1) > 0)
       throw new ValidationError("empty text in bulk batch")
     val current = chunks
     // preserve created_at/version continuity for replaced ids

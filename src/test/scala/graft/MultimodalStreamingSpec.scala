@@ -86,6 +86,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("watermark drops data later than the 30-minute bound across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def ev(id: Long, ts: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), 1L, "click", v, "{}")
+    // batch 1 advances the watermark to 12:00 - 30min = 11:30
+    Seq(ev(1, "2024-01-01 10:10:00", 1.0), ev(2, "2024-01-01 12:00:00", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStream.hourlyByType(EventStream.readEventStream(spark, dir))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("late_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one on-time event and one LATE event (10:20 < 11:30 bound)
+      Seq(ev(3, "2024-01-01 12:05:00", 1.0), ev(4, "2024-01-01 10:20:00", 99.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_test")
+      .groupBy("window_start").agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:00 window must still count only event 1 — event 4 was dropped
+    assert(out("2024-01-01 10:00:00.0") == 1L)
+    // the 12:00 window saw both on-time events
+    assert(out("2024-01-01 12:00:00.0") == 2L)
+  }
+
   test("stateful streaming sessionization equals the batch window query") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
