@@ -64,8 +64,7 @@ final class VectorEngine(
     if (name.isEmpty) throw new ValidationError("library name must be non-empty")
     if (embeddingDim <= 0 || embeddingDim > 8192)
       throw new ValidationError(s"embedding_dim out of range: $embeddingDim")
-    if (!Set("flat", "lsh", "ivf").contains(config.indexType))
-      throw new ValidationError(s"unknown index type: ${config.indexType}")
+    validateConfig(config)
     val libId = id.getOrElse(newId())
     val t = now()
     val row = Row(libId, name, embeddingDim,
@@ -374,6 +373,7 @@ final class VectorEngine(
     */
   def updateIndexConfig(libId: String, config: IndexConfig,
       expectedVersion: Option[Long] = None): Unit = {
+    validateConfig(config)
     val (_, _, storedVersion) = getLibrary(libId)
     expectedVersion.foreach { ev =>
       if (ev != storedVersion)
@@ -542,6 +542,23 @@ final class VectorEngine(
   }
 
   // ---- shared helpers -------------------------------------------------
+
+  /** Index-config bounds (reference `models/indexing.py:6-13` + DTO
+    * bounds `api/dto.py:34-41`): LSH tables/hyperplanes 1..64 (signatures
+    * are packed into a 63-bit long), IVF centroids 1..65536, nprobe
+    * 1..1024.
+    */
+  private def validateConfig(config: IndexConfig): Unit = {
+    if (!Set("flat", "lsh", "ivf").contains(config.indexType))
+      throw new ValidationError(s"unknown index type: ${config.indexType}")
+    def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
+      if (v < lo || v > hi)
+        throw new ValidationError(s"$name out of range [$lo,$hi]: $v")
+    bound(config.lshNumTables, 1, 64, "lsh_num_tables")
+    bound(config.lshHyperplanesPerTable, 1, 64, "lsh_hyperplanes_per_table")
+    bound(config.ivfNumCentroids, 1, 65536, "ivf_num_centroids")
+    bound(config.ivfNprobe, 1, 1024, "ivf_nprobe")
+  }
 
   private def requireDocInLibrary(libId: String, docId: String): Unit = {
     val n = documents.filter(col("id") === docId &&

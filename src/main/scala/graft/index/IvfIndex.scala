@@ -67,21 +67,21 @@ object IvfIndex {
       var iter = 0
       while (iter < KmeansIters) {
         val assigned = assign(data, centroids)
-        // recompute: per-cluster elementwise mean over positions, then
-        // renormalize driver-side (k x d values cross the driver, not data)
+        // recompute: per-cluster elementwise sum via the mutable-buffer
+        // Aggregator (one d-length partial per cluster x partition — no
+        // posexplode, no per-element shuffle), mean+renormalize
+        // driver-side (k x d values cross the driver, never the corpus)
         val sums = assigned
-          .select(col("cid"), posexplode(col("vnorm")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+          .groupBy(col("cid"))
+          .agg(graft.functions.VecSumAggregator.vecSum(col("vnorm")).as("s"),
+            count(lit(1)).as("cnt"))
           .collect()
-        val dim = centroids(0).length
         val next = Array.fill(k)(null: Array[Double])
         val counts = Array.fill(k)(0L)
         sums.foreach { r =>
-          val cid = r.getInt(0); val pos = r.getInt(1)
-          if (next(cid) == null) next(cid) = Array.fill(dim)(0.0)
-          next(cid)(pos) = r.getDouble(2)
-          counts(cid) = r.getLong(3)
+          val cid = r.getInt(0)
+          next(cid) = r.getSeq[Double](1).toArray
+          counts(cid) = r.getLong(2)
         }
         var reseedIdx = 0
         for (c <- 0 until k) {
