@@ -24,6 +24,7 @@ object SparkEntry {
       (EngineQueries.queries, EngineQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
       (SqlQueries.queries, SqlQueries.oracles),
+      (AnnQueries.queries, AnnQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

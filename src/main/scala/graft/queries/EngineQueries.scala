@@ -65,8 +65,11 @@ object EngineQueries {
   }
 
   private def engineLsh(s: SparkSession, d: String): DataFrame = {
+    // L=8, H=6: on this near-orthogonal corpus (nearest neighbors at
+    // cosine ~0.4) high H makes sign-bucket collisions vanishingly rare;
+    // 6 bits + multi-probe measures recall@10 = 0.8 (see BASELINE.md)
     val (eng, lib, q) = buildEngine(s, d,
-      IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 12))
+      IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
     eng.rebuildIndex(lib)
     hitsOut(eng.search(lib, q, k = 10))
   }
@@ -78,11 +81,36 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** Recall@10 of the seeded LSH index vs the exact scan — the quality
+    * metric BASELINE.md commits to measuring alongside latency. Rows-only
+    * (hyperplanes are seeded RNG), but deterministic run-to-run.
+    */
+  private def lshRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = buildEngine(s, d,
+      IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
+    eng.rebuildIndex(lib)
+    val approx = eng.search(lib, q, k = 10).collect()
+      .map(r => r.getString(0)).toSet
+    val exact = Tables.embeddings(s, d)
+      .crossJoin(broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))))
+      .select(col("vec_id"),
+        rnd(graft.functions.VectorFunctions.cosineSim(col("embedding"), col("qvec")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10).collect()
+      .map(r => f"c${r.getLong(0)}%06d").toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    Seq((0L, recall, approx.size)).toDF("query_id", "recall_at_10", "n_hits")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
     "x_engine_lsh"           -> (engineLsh _),
     "x_engine_ivf"           -> (engineIvf _),
+    "x_lsh_recall"           -> (lshRecall _),
   )
 
   private val cosSql =
