@@ -29,7 +29,10 @@ import graft.index.{IvfIndex, LshIndex}
   *
   * `quirkCompat = true` additionally replicates reference bug Q2 (LSH
   * update is a silent no-op, `indexing/base.py:6`); the default FIXES it
-  * (stale LSH entries are rewritten on chunk update).
+  * (stale LSH entries are rewritten on chunk update). The quirk is
+  * LSH-only — the reference's IVFIndex.update (`ivf.py:51-75`) DOES
+  * re-assign updated vectors, so quirk-compat IVF libraries still
+  * maintain postings.
   */
 final class VectorEngine(
     val spark: SparkSession,
@@ -166,11 +169,17 @@ final class VectorEngine(
     * (J2/P10); non-null embeddings must match the library dim (P2).
     * CAS: when `expectedVersions` is given, an existing chunk whose stored
     * version differs raises ConflictError (C1) and nothing is written.
+    *
+    * Duplicate ids within one batch collapse LAST-WINS in first-occurrence
+    * order — the reference's bulk_upsert keys a dict by id
+    * (`services/chunk.py:93-109`, Python dict update semantics), so only
+    * one row per id ever reaches the store and the snapshot keeps its
+    * id-uniqueness invariant.
     */
   def upsertChunks(libId: String, docId: String,
       incoming: Seq[ChunkIn],
       expectedVersions: Map[String, Long] = Map.empty): Seq[String] = {
-    val (dim, _, _) = getLibrary(libId)
+    val (dim, config, _) = getLibrary(libId)
     requireDocInLibrary(libId, docId)
     incoming.foreach { c =>
       if (c.text.isEmpty) throw new ValidationError("chunk text must be non-empty")
@@ -181,7 +190,12 @@ final class VectorEngine(
       }
     }
     val t = now()
-    val ids = incoming.map(c => c.id.getOrElse(newId()))
+    val dedup = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, ChunkIn]
+      incoming.foreach(c => m.put(c.id.getOrElse(newId()), c))
+      m.toSeq
+    }
+    val ids = dedup.map(_._1)
     val current = chunks
     val existing = current
       .filter(col("id").isin(ids: _*))
@@ -196,7 +210,7 @@ final class VectorEngine(
             s"chunk $cid: expected version $expected, stored $stored")
       }
     }
-    val rows = incoming.zip(ids).map { case (c, cid) =>
+    val rows = dedup.map { case (cid, c) =>
       val (createdAt, prevVersion) =
         existing.get(cid).map { case (cr, v) => (cr, v) }.getOrElse((t, 0L))
       Row(cid, libId, docId, c.position, c.text,
@@ -223,32 +237,58 @@ final class VectorEngine(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("chunk_id",
           org.apache.spark.sql.types.StringType))))
-    if (!quirkCompat) removeFromIndexes(libId, replacedIds)
+    // Q2 is LSH-only: reference IVFIndex.update (ivf.py:51-75) re-assigns
+    // updated vectors; only LSHIndex inherits the no-op update (base.py:6)
+    val q2 = quirkCompat && config.indexType == "lsh"
+    if (!q2) removeFromIndexes(libId, replacedIds)
     addToIndexes(libId,
       chunks.filter(col("id").isin(ids: _*))
-        .filter(if (quirkCompat) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
+        .filter(if (q2) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
     ids
   }
 
   /** Distributed bulk ingest — the 100 TB path. `incoming` never touches
     * the driver: columns (id?, position?, text, embedding?, author?,
     * lang?, source_uri?, tags?) are normalized to the chunk schema with
-    * expressions (missing ids minted with uuid()), validated with
-    * DataFrame predicates (dim check P2 as an aggregate, not a loop), and
-    * written as the next snapshot partition-parallel. Existing ids are
-    * replaced (version continuity preserved via a join against the
-    * current snapshot). Index maintenance is the same incremental path
-    * as upsertChunks.
+    * expressions, validated with DataFrame predicates (dim check P2 as an
+    * aggregate, not a loop), and written as the next snapshot
+    * partition-parallel. Existing ids are replaced (version continuity
+    * preserved via a join against the current snapshot). Index maintenance
+    * is the same incremental path as upsertChunks.
+    *
+    * Id semantics: a missing id column is minted as a CONTENT HASH
+    * (md5 of docId + position + text + embedding + metadata) — fully
+    * deterministic, so the several actions that re-evaluate this plan
+    * (validation aggregate, snapshot write, index add/remove joins) all
+    * see identical ids regardless of partitioning, AQE re-plans, or
+    * row order; rows that are bytewise-identical collapse to one chunk
+    * (dropDuplicates). Caller-supplied ids must be unique within the
+    * batch: an unordered distributed batch has no "last write", so
+    * duplicates raise ValidationError instead of the driver-side
+    * upsertChunks' ordered last-wins.
     */
   def bulkIngest(libId: String, docId: String, incoming: DataFrame): Unit = {
-    val (dim, _, _) = getLibrary(libId)
+    val (dim, config, _) = getLibrary(libId)
     requireDocInLibrary(libId, docId)
     val t = now()
     val cols = incoming.columns.toSet
     def opt(name: String, default: Column): Column =
       if (cols.contains(name)) col(name) else default
-    val normalized = incoming.select(
-        (if (cols.contains("id")) col("id") else expr("uuid()")).as("id"),
+    val idCol: Column =
+      if (cols.contains("id")) col("id")
+      else md5(concat_ws("",
+        lit(docId),
+        opt("position", lit(0)).cast("int").cast("string"),
+        col("text").cast("string"),
+        coalesce(opt("embedding", lit(null).cast("array<float>"))
+          .cast("array<float>").cast("string"), lit("")),
+        coalesce(opt("source_uri", lit(null).cast("string")), lit("")),
+        coalesce(opt("author", lit(null).cast("string")), lit("")),
+        coalesce(opt("lang", lit(null).cast("string")), lit("")),
+        coalesce(opt("tags", lit(null).cast("array<string>"))
+          .cast("array<string>").cast("string"), lit(""))))
+    val normalized0 = incoming.select(
+        idCol.as("id"),
         lit(libId).as("library_id"),
         lit(docId).as("document_id"),
         opt("position", lit(0)).cast("int").as("position"),
@@ -265,16 +305,25 @@ final class VectorEngine(
           lit(null).cast("int").as("token_count"),
           lit(null).cast("string").as("sha256")).as("metadata"),
         lit(t).as("created_at"), lit(t).as("updated_at"), lit(1L).as("version"))
-    // single validation pass over the batch (one job, two aggregates)
+    // minted ids are content hashes: bytewise-identical rows share an id
+    // and legitimately collapse; caller-supplied dup ids are rejected below
+    val normalized =
+      if (cols.contains("id")) normalized0 else normalized0.dropDuplicates("id")
+    // single validation pass over the batch (one job, one aggregate)
     val bad = normalized.agg(
       sum(when(col("embedding").isNotNull &&
         size(col("embedding")) =!= dim, 1).otherwise(0)).as("bad_dim"),
       sum(when(col("text").isNull || col("text") === "", 1).otherwise(0))
-        .as("bad_text")).collect().head
+        .as("bad_text"),
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("id")).as("n_ids")).collect().head
     if (bad.getLong(0) > 0)
       throw new ValidationError(s"${bad.getLong(0)} row(s) with embedding dim != $dim")
     if (bad.getLong(1) > 0)
       throw new ValidationError("empty text in bulk batch")
+    if (bad.getLong(3) != bad.getLong(2))
+      throw new ValidationError(
+        s"duplicate ids in bulk batch: ${bad.getLong(2)} rows, ${bad.getLong(3)} distinct ids")
     val current = chunks
     // preserve created_at/version continuity for replaced ids
     val prior = current.select(col("id"),
@@ -292,16 +341,26 @@ final class VectorEngine(
         when(col("id") === docId, col("version") + 1).otherwise(col("version")))
       .withColumn("updated_at",
         when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
-    if (!quirkCompat)
+    // Q2 gate: LSH-only (see upsertChunks); for bulk ingest the reference
+    // path is create-or-replace, and replaced LSH rows stay stale under Q2
+    // (so the add below must also skip them, or buckets double up)
+    val q2 = quirkCompat && config.indexType == "lsh"
+    if (!q2)
       removeFromIndexes(libId, incomingIds.withColumnRenamed("id", "chunk_id"))
-    addToIndexes(libId, chunks.filter(col("library_id") === libId)
-      .join(incomingIds, Seq("id"), "left_semi"))
+    val toAdd = chunks.filter(col("library_id") === libId)
+      .join(incomingIds, Seq("id"), "left_semi")
+    addToIndexes(libId,
+      if (q2) toAdd.join(prior.select("id"), Seq("id"), "left_anti") else toAdd)
   }
 
+  /** Delete one chunk. A missing or foreign-library id is a SILENT no-op —
+    * reference parity: ChunkService.delete returns without error when the
+    * chunk is absent or belongs to another library (`services/chunk.py:118-121`).
+    */
   def deleteChunk(libId: String, chunkId: String): Unit = {
     val found = chunks.filter(col("id") === chunkId &&
       col("library_id") === libId).count()
-    if (found == 0) throw new NotFoundError(s"chunk $chunkId in library $libId")
+    if (found == 0) return
     store.write("chunks", chunks.filter(col("id") =!= chunkId))
     removeFromIndexes(libId, spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(chunkId)), 1),
@@ -446,6 +505,20 @@ final class VectorEngine(
     val libChunks = chunks.filter(col("library_id") === libId)
     val isZero = query.forall(_ == 0f)
 
+    // preFilter restricts CANDIDATE GENERATION: for flat that is the scan
+    // itself (applyPre below, filter pushed into the parquet read); for
+    // LSH/IVF it is a semi-join of the bucket/posting candidates against
+    // the ids passing the filters, BEFORE oversample caps and top-k — so a
+    // pre-filtered query returns k rows whenever k matching candidates
+    // exist (the documented deviation from quirk Q5).
+    val allowedIds: Option[DataFrame] =
+      if (preFilter && filters.isDefined)
+        Some(applyPost(libChunks.withColumnRenamed("id", "chunk_id"), filters)
+          .select("chunk_id"))
+      else None
+    def restrict(cands: DataFrame): DataFrame =
+      allowedIds.fold(cands)(a => cands.join(a, Seq("chunk_id"), "left_semi"))
+
     // candidate (chunk_id, score) per index type
     val scored: DataFrame = config.indexType match {
       case "flat" =>
@@ -456,7 +529,7 @@ final class VectorEngine(
         if (planes.isEmpty)
           flatScore(applyPre(libChunks, filters, preFilter), query, metric)
         else {
-          val cands = LshIndex.candidates(lshBuckets(libId), query, planes, k)
+          val cands = LshIndex.candidates(restrict(lshBuckets(libId)), query, planes, k)
           rerank(cands, query, metric)
         }
       case "ivf" =>
@@ -472,7 +545,7 @@ final class VectorEngine(
               dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
             .orderBy(col("cscore").desc, col("centroid_id").asc)
             .limit(math.max(1, config.ivfNprobe))
-          val cands = ivfPostings(libId)
+          val cands = restrict(ivfPostings(libId))
             .join(broadcast(top.select("centroid_id")), Seq("centroid_id"), "left_semi")
             .select(col("chunk_id"), col("embedding_norm"))
             .dropDuplicates("chunk_id")

@@ -312,6 +312,106 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(hit2.getDouble(2) - 1.0) < 1e-10) // fresh vector answers
   }
 
+  test("preFilter restricts LSH/IVF candidate generation (ADVICE r1)") {
+    // best match has the wrong author; with preFilter=true the index paths
+    // must return the best MATCHING row, not post-filter top-k to empty
+    def seed(eng: VectorEngine, cfg: IndexConfig): String = {
+      val lib = eng.createLibrary("pre", 2, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, Seq(
+        ChunkIn("best", Some(Array(1f, 0f)), id = Some("c0"), author = Some("alice")),
+        ChunkIn("match", Some(Array(0.9f, 0.1f)), id = Some("c1"), author = Some("bob"))))
+      eng.rebuildIndex(lib)
+      lib
+    }
+    for (cfg <- Seq(
+        IndexConfig("lsh", lshNumTables = 4, lshHyperplanesPerTable = 4),
+        IndexConfig("ivf", ivfNumCentroids = 2, ivfNprobe = 2))) {
+      val eng = freshEngine()
+      val lib = seed(eng, cfg)
+      val pre = eng.search(lib, Array(1f, 0f), k = 1,
+        filters = Some(SearchFilters(author = Some("bob"))), preFilter = true)
+      assert(pre.collect().map(_.getString(0)).toSeq == Seq("c1"),
+        s"preFilter must surface c1 under ${cfg.indexType}")
+    }
+  }
+
+  test("duplicate ids in one upsert batch collapse last-wins (ADVICE r1)") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("dup", 2)
+    val doc = eng.createDocument(lib)
+    val ids = eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("first", Some(Array(1f, 0f)), id = Some("d")),
+      ChunkIn("other", Some(Array(0f, 1f)), id = Some("e")),
+      ChunkIn("last", Some(Array(0f, 1f)), id = Some("d"))))
+    assert(ids == Seq("d", "e")) // first-occurrence order, deduped
+    val rows = eng.chunks.collect().map(r =>
+      r.getString(r.fieldIndex("id")) -> r.getString(r.fieldIndex("text"))).toMap
+    assert(rows("d") == "last" && rows.size == 2)
+  }
+
+  test("bulkIngest mints deterministic content-hash ids (ADVICE r1)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-det-ids").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("det", 2,
+      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 4))
+    val doc = eng.createDocument(lib)
+    eng.rebuildIndex(lib) // planes exist -> ingest maintains buckets
+    val batch = Seq(("alpha", Array(1f, 0f)), ("beta", Array(0f, 1f)))
+    eng.bulkIngest(lib, doc, batch.toDF("text", "embedding"))
+    assert(eng.chunks.count() == 2)
+    // every LSH bucket row must reference an id present in the snapshot —
+    // this is exactly what non-deterministic uuid() minting broke
+    val chunkIds = eng.chunks.select(org.apache.spark.sql.functions.col("id")
+      .as("chunk_id"))
+    val engBuckets = new StateStore(spark, dir)
+      .read("lsh_buckets", Schemas.lshBuckets)
+    assert(engBuckets.join(chunkIds, Seq("chunk_id"), "left_anti").count() == 0)
+    val hit = eng.search(lib, Array(1f, 0f), k = 1).collect().head
+    assert(hit.getString(hit.fieldIndex("text")) == "alpha")
+    // re-ingesting the identical batch derives the SAME ids: replace, not grow
+    eng.bulkIngest(lib, doc, batch.toDF("text", "embedding"))
+    assert(eng.chunks.count() == 2)
+    assert(eng.chunks.select("version").collect().forall(_.getLong(0) == 2L))
+    // duplicate caller-supplied ids are rejected (no defined last-wins)
+    intercept[ValidationError] {
+      eng.bulkIngest(lib, doc, Seq(("x", "t1", Array(1f, 0f)),
+        ("x", "t2", Array(0f, 1f))).toDF("id", "text", "embedding"))
+    }
+  }
+
+  test("quirkCompat Q2 is LSH-only: IVF updates still maintain postings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quirk-ivf").toString
+    val eng = new VectorEngine(spark, dir, fixedClock, quirkCompat = true)
+    val lib = eng.createLibrary("qivf", 2,
+      IndexConfig("ivf", ivfNumCentroids = 2, ivfNprobe = 2))
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("a", Some(Array(1f, 0f)), id = Some("a")),
+      ChunkIn("b", Some(Array(0f, 1f)), id = Some("b"))))
+    eng.rebuildIndex(lib)
+    // reference ivf.py:51-75 re-assigns on update even though LSH doesn't:
+    // after updating "a" the fresh vector must answer (no stale score)
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("a2", Some(Array(0f, 1f)), id = Some("a"))))
+    val hits = eng.search(lib, Array(0f, 1f), k = 2).collect()
+    val scoreA = hits.find(_.getString(0) == "a").get.getDouble(2)
+    assert(math.abs(scoreA - 1.0) < 1e-10)
+  }
+
+  test("deleteChunk on a missing or foreign chunk is a silent no-op") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("del", 2)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v", Some(Array(1f, 0f)), id = Some("v"))))
+    eng.deleteChunk(lib, "never-existed") // reference chunk.py:118-121
+    val other = eng.createLibrary("other", 2)
+    eng.deleteChunk(other, "v") // foreign-library id: also silent
+    assert(eng.chunks.count() == 1)
+    eng.deleteChunk(lib, "v")
+    assert(eng.chunks.count() == 0)
+  }
+
   test("SQL-registered kernels work from spark.sql text") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
