@@ -45,6 +45,18 @@ final class VectorEngine(
   private def now(): Timestamp = clock()
   private def newId(): String = UUID.randomUUID().toString
 
+  // Driver-side catalog cache. The library catalog is metadata-scale
+  // (O(#libraries), never data-scale — SURVEY §1.1), and this engine is
+  // single-writer by contract, so caching collect()ed catalog rows on the
+  // driver is a plain catalog cache, not a distributed-consistency hazard.
+  // Invalidated on every libraries-snapshot write. The doc->library map is
+  // a point-lookup cache (NOT a full-table mirror — documents can be
+  // data-scale): entries are added on create/lookup hits and evicted on
+  // delete/move, so requireDocInLibrary usually costs zero Spark jobs.
+  private var libCache: Option[Map[String, (Int, IndexConfig, Long)]] = None
+  private val docLibCache = scala.collection.mutable.Map.empty[String, String]
+  private def invalidateLibs(): Unit = libCache = None
+
   // ---- state accessors -----------------------------------------------
 
   def libraries: DataFrame = store.read("libraries", Schemas.libraries)
@@ -78,28 +90,32 @@ final class VectorEngine(
       spark.sparkContext.parallelize(Seq(row), 1), Schemas.libraries)
     store.write("libraries", libraries.filter(col("id") =!= libId).unionAll(newDf),
       partitionBy = Nil)
+    invalidateLibs()
     libId
   }
 
-  /** (embedding_dim, IndexConfig, version) or NotFound. Catalog rows are
-    * driver-side objects — the catalog is metadata, O(#libraries), never
-    * data-scale.
+  /** (embedding_dim, IndexConfig, version) or NotFound, served from the
+    * driver-side catalog cache (one collect per invalidation, not per call).
     */
   def getLibrary(libId: String): (Int, IndexConfig, Long) = {
-    val rows = libraries.filter(col("id") === libId).collect()
-    if (rows.isEmpty) throw new NotFoundError(s"library $libId")
-    val r = rows.head
-    val c = r.getStruct(r.fieldIndex("index_config"))
-    (r.getInt(r.fieldIndex("embedding_dim")),
-      IndexConfig(c.getString(0), c.getInt(1), c.getInt(2), c.getInt(3), c.getInt(4)),
-      r.getLong(r.fieldIndex("version")))
+    if (libCache.isEmpty)
+      libCache = Some(libraries.collect().map { r =>
+        val c = r.getStruct(r.fieldIndex("index_config"))
+        r.getString(r.fieldIndex("id")) ->
+          ((r.getInt(r.fieldIndex("embedding_dim")),
+            IndexConfig(c.getString(0), c.getInt(1), c.getInt(2), c.getInt(3), c.getInt(4)),
+            r.getLong(r.fieldIndex("version"))))
+      }.toMap)
+    libCache.get.getOrElse(libId, throw new NotFoundError(s"library $libId"))
   }
 
   def deleteLibrary(libId: String): Unit = {
     getLibrary(libId) // NotFound check
     store.write("libraries", libraries.filter(col("id") =!= libId), Nil)
+    invalidateLibs()
     store.write("documents", documents.filter(col("library_id") =!= libId))
     store.write("chunks", chunks.filter(col("library_id") =!= libId))
+    docLibCache.filterInPlace((_, l) => l != libId)
     dropIndexTables(libId)
   }
 
@@ -114,6 +130,7 @@ final class VectorEngine(
       spark.sparkContext.parallelize(Seq(row), 1), Schemas.documents)
     store.write("documents",
       documents.filter(col("id") =!= docId).unionAll(newDf))
+    docLibCache(docId) = libId
     docId
   }
 
@@ -122,6 +139,7 @@ final class VectorEngine(
     */
   def deleteDocument(libId: String, docId: String): Unit = {
     requireDocInLibrary(libId, docId)
+    docLibCache.remove(docId)
     store.write("documents", documents.filter(col("id") =!= docId))
     val removed = chunks.filter(col("document_id") === docId)
       .select(col("id").as("chunk_id"))
@@ -153,6 +171,7 @@ final class VectorEngine(
         when(col("document_id") === docId, lit(toLib)).otherwise(col("library_id")))
       .withColumn("updated_at",
         when(col("document_id") === docId, lit(t)).otherwise(col("updated_at"))))
+    docLibCache(docId) = toLib
     // index maintenance on both sides
     val movedIds = moving.select(col("id").as("chunk_id"))
     removeFromIndexes(fromLib, movedIds)
@@ -451,6 +470,7 @@ final class VectorEngine(
         when(col("id") === libId, col("version") + 1).otherwise(col("version")))
       .withColumn("updated_at",
         when(col("id") === libId, lit(t)).otherwise(col("updated_at"))), Nil)
+    invalidateLibs()
     rebuildIndex(libId)
   }
 
@@ -525,7 +545,9 @@ final class VectorEngine(
         flatScore(applyPre(libChunks, filters, preFilter), query, metric)
       case "lsh" =>
         if (isZero) return emptyHits()
-        val planes = LshIndex.collectPlanes(lshPlanes(libId))
+        val planes =
+          if (!store.exists("lsh_planes")) Nil
+          else LshIndex.collectPlanes(lshPlanes(libId))
         if (planes.isEmpty)
           flatScore(applyPre(libChunks, filters, preFilter), query, metric)
         else {
@@ -534,19 +556,26 @@ final class VectorEngine(
         }
       case "ivf" =>
         if (isZero) return emptyHits()
-        val cents = ivfCentroids(libId)
-        if (cents.isEmpty)
-          // no centroids yet -> full flat scan (reference ivf.py:96-99)
-          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
-        else {
-          val qn = LshIndex.normalizeDriver(query).get
-          val top = cents
+        val qn = LshIndex.normalizeDriver(query).get
+        // top-nprobe centroid ids resolved DRIVER-side (one TakeOrdered
+        // over k centroid rows — metadata-scale): the posting probe below
+        // becomes an `isin` literal filter that pushes into the parquet
+        // scan and prunes partitions, instead of an isEmpty job plus a
+        // broadcast-join stage
+        val topIds =
+          if (!store.exists("ivf_centroids")) Array.empty[Int]
+          else ivfCentroids(libId)
             .select(col("centroid_id"),
               dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
             .orderBy(col("cscore").desc, col("centroid_id").asc)
             .limit(math.max(1, config.ivfNprobe))
+            .collect().map(_.getInt(0))
+        if (topIds.isEmpty)
+          // no centroids yet -> full flat scan (reference ivf.py:96-99)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
           val cands = restrict(ivfPostings(libId))
-            .join(broadcast(top.select("centroid_id")), Seq("centroid_id"), "left_semi")
+            .filter(col("centroid_id").isin(topIds.map(Int.box): _*))
             .select(col("chunk_id"), col("embedding_norm"))
             .dropDuplicates("chunk_id")
           // deviation from quirk Q3: rerank the FULL nprobe candidate set
@@ -633,11 +662,16 @@ final class VectorEngine(
     bound(config.ivfNprobe, 1, 1024, "ivf_nprobe")
   }
 
-  private def requireDocInLibrary(libId: String, docId: String): Unit = {
-    val n = documents.filter(col("id") === docId &&
-      col("library_id") === libId).count()
-    if (n == 0) throw new NotFoundError(s"document $docId in library $libId")
-  }
+  private def requireDocInLibrary(libId: String, docId: String): Unit =
+    docLibCache.get(docId) match {
+      case Some(l) if l == libId => ()
+      case Some(_) => throw new NotFoundError(s"document $docId in library $libId")
+      case None =>
+        val n = documents.filter(col("id") === docId &&
+          col("library_id") === libId).count()
+        if (n == 0) throw new NotFoundError(s"document $docId in library $libId")
+        docLibCache(docId) = libId
+    }
 
   /** Incremental index ADD for new/updated chunks (reference
     * `chunk.py:69-73`): LSH re-hashes, IVF assigns to existing centroids
@@ -647,20 +681,21 @@ final class VectorEngine(
     val (_, config, _) = getLibrary(libId)
     config.indexType match {
       case "flat" => ()
-      case "lsh" =>
+      case "lsh" if store.exists("lsh_planes") =>
         val planesDf = lshPlanes(libId)
         if (!planesDf.isEmpty) {
           val add = LshIndex.buildBuckets(newChunks, planesDf, libId)
           store.write("lsh_buckets",
             store.read("lsh_buckets", Schemas.lshBuckets).unionAll(add))
         }
-      case "ivf" =>
+      case "ivf" if store.exists("ivf_centroids") =>
         val cents = ivfCentroids(libId)
         if (!cents.isEmpty) {
           val add = IvfIndex.assignToCentroids(newChunks, cents, libId)
           store.write("ivf_postings",
             store.read("ivf_postings", Schemas.ivfPostings).unionAll(add))
         }
+      case _ => () // index tables not built yet -> nothing to maintain
     }
   }
 

@@ -23,14 +23,30 @@ import graft.functions.VectorFunctions._
   * lowest `md5(chunk_id)` vectors. Same algorithm, reproducible on any
   * cluster.
   *
-  * Scale shape: each iteration is one map-only assignment pass over the
-  * corpus (centroids broadcast as literals, k x d floats) plus one
-  * |k x d|-row aggregation — no shuffle of the corpus itself. The input is
-  * cached across the 20 iterations.
+  * Scale shape (FAISS-style sampled training): the coarse quantizer is
+  * trained on a BOUNDED deterministic sample — max(256·k, 16384) vectors,
+  * capped at 1M — never the full corpus, so rebuild cost is independent of
+  * corpus size; only the single postings-assignment pass scans everything
+  * (map-only, centroids broadcast as literals, no corpus shuffle). Small
+  * samples (≤ 64k rows) iterate entirely driver-side — zero Spark jobs for
+  * the 20 Lloyd rounds; larger samples fall back to one map+agg job per
+  * round over the cached sample.
   */
 object IvfIndex {
 
   val KmeansIters = 20
+
+  /** Train on at most max(256·k, 16384) ∧ 2^20 vectors (per-centroid
+    * sample floor following the FAISS convention for coarse quantizers).
+    */
+  def trainCap(k: Int): Int =
+    math.min(math.max(256L * k, 16384L), 1L << 20).toInt
+
+  /** Samples up to this size run Lloyd's on the driver (20 iterations of
+    * pure in-memory argmax over ≤ 64k·d doubles beats 20 scheduled Spark
+    * jobs by orders of magnitude); beyond it, per-round jobs amortize.
+    */
+  val DriverTrainMax = 65536
 
   /** Normalized non-zero vectors: (chunk_id, vnorm: array<double>). */
   private def normalized(chunksDf: DataFrame): DataFrame =
@@ -42,76 +58,161 @@ object IvfIndex {
   def build(chunksDf: DataFrame, libraryId: String, numCentroids: Int)
       : (DataFrame, DataFrame) = {
     val spark = chunksDf.sparkSession
-    val data = normalized(chunksDf).cache()
+    val data = normalized(chunksDf)
+    val cap = trainCap(numCentroids)
+    // deterministic bounded training set: the cap-lowest md5(chunk_id)
+    // rows — content-derived, so identical on any cluster / partitioning.
+    // One TakeOrdered job; at most cap·d doubles reach the driver.
+    val sample: Array[(String, Array[Double])] = data
+      .withColumn("h", md5(col("chunk_id")))
+      .orderBy(col("h").asc)
+      .limit(cap)
+      .select(col("chunk_id"), col("vnorm"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    if (sample.isEmpty) return (emptyCentroids(spark), emptyPostings(spark))
+    val k = math.min(numCentroids, sample.length)
+
+    // init: k lowest md5(chunk_id) = the sample's own prefix (same order)
+    // reseed pool for empty clusters: an independent deterministic order
+    val init = sample.take(k).map(_._2)
+    val reseedPool = sample.map { case (id, v) => (md5Hex("reseed:" + id), v) }
+      .sortBy(_._1).take(k).map(_._2)
+
+    val centroids =
+      if (sample.length <= DriverTrainMax)
+        lloydDriver(sample.map(_._2), init, reseedPool, k)
+      else
+        lloydDistributed(spark, sample.map(_._2), init, reseedPool, k)
+
+    val centroidRows = centroids.zipWithIndex.map { case (v, i) =>
+      Row(libraryId, i, v.map(_.toFloat).toSeq)
+    }
+    val centroidsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centroidRows.toSeq, 1), Schemas.ivfCentroids)
+
+    // the only full-corpus pass: map-only assignment for the postings
+    val postings = assign(data, centroids)
+      .select(lit(libraryId).as("library_id"),
+        col("cid").as("centroid_id"), col("chunk_id"),
+        transform(col("vnorm"), _.cast("float")).as("embedding_norm"))
+    (centroidsDf, postings)
+  }
+
+  /** 20 Lloyd rounds fully in driver memory (sample ≤ DriverTrainMax).
+    * Assignment parallelizes across cores; the per-cluster sums accumulate
+    * in SAMPLE ORDER (sequential pass), so results are deterministic
+    * regardless of thread scheduling.
+    */
+  private def lloydDriver(vecs: Array[Array[Double]], init: Array[Array[Double]],
+      reseedPool: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    import scala.collection.parallel.CollectionConverters._
+    val d = vecs.head.length
+    var centroids = init
+    var iter = 0
+    val assignments = new Array[Int](vecs.length)
+    while (iter < KmeansIters) {
+      val cents = centroids
+      // argmax dot, strict > keeps the earliest index (utils.py:39-44)
+      (0 until vecs.length).par.foreach { i =>
+        val v = vecs(i)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var dot = 0.0; var j = 0
+          while (j < d) { dot += v(j) * ct(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        assignments(i) = best
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < vecs.length) {
+        val s = sums(assignments(i)); val v = vecs(i)
+        var j = 0
+        while (j < d) { s(j) += v(j); j += 1 }
+        counts(assignments(i)) += 1
+        i += 1
+      }
+      centroids = meanRenormReseed(sums, counts, reseedPool, k)
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Per-round Spark jobs over the (re-parallelized) sample — the path for
+    * samples too large to iterate comfortably on the driver. Each round is
+    * one map+agg job: mutable-buffer VecSum partials, k·d doubles collected.
+    */
+  private def lloydDistributed(spark: SparkSession, vecs: Array[Array[Double]],
+      init: Array[Array[Double]], reseedPool: Array[Array[Double]],
+      k: Int): Array[Array[Double]] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vnorm",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.toSeq.map(v => Row(v.toSeq)),
+        spark.sparkContext.defaultParallelism), schema).cache()
     try {
-      val n = data.count()
-      if (n == 0) return (emptyCentroids(spark), emptyPostings(spark))
-      val k = math.min(numCentroids.toLong, n).toInt
-
-      // deterministic init: k lowest md5(chunk_id)
-      var centroids: Array[Array[Double]] = data
-        .withColumn("h", md5(col("chunk_id")))
-        .orderBy(col("h").asc)
-        .limit(k)
-        .collect()
-        .map(r => r.getSeq[Double](1).toArray)
-
-      // reseed pool for empty clusters, deterministic order
-      lazy val reseedPool: Array[Array[Double]] = data
-        .withColumn("h", md5(concat(lit("reseed:"), col("chunk_id"))))
-        .orderBy(col("h").asc)
-        .limit(k)
-        .collect()
-        .map(r => r.getSeq[Double](1).toArray)
-
+      var centroids = init
       var iter = 0
       while (iter < KmeansIters) {
-        val assigned = assign(data, centroids)
-        // recompute: per-cluster elementwise sum via the mutable-buffer
-        // Aggregator (one d-length partial per cluster x partition — no
-        // posexplode, no per-element shuffle), mean+renormalize
-        // driver-side (k x d values cross the driver, never the corpus)
-        val sums = assigned
-          .groupBy(col("cid"))
+        val scored = centroids.zipWithIndex.map { case (c, i) =>
+          struct(dotProduct(col("vnorm"), typedLit(c.toSeq)).as("dot"),
+            lit(i).as("cid"))
+        }
+        val sums = df.withColumn("best",
+            element_at(array_sort(array(scored: _*),
+              (a, b) => when(a.getField("dot") > b.getField("dot"), -1)
+                .when(a.getField("dot") < b.getField("dot"), 1)
+                .otherwise(a.getField("cid") - b.getField("cid"))), 1))
+          .groupBy(col("best.cid").as("cid"))
           .agg(graft.functions.VecSumAggregator.vecSum(col("vnorm")).as("s"),
             count(lit(1)).as("cnt"))
           .collect()
         val next = Array.fill(k)(null: Array[Double])
-        val counts = Array.fill(k)(0L)
+        val counts = new Array[Long](k)
         sums.foreach { r =>
-          val cid = r.getInt(0)
-          next(cid) = r.getSeq[Double](1).toArray
-          counts(cid) = r.getLong(2)
+          next(r.getInt(0)) = r.getSeq[Double](1).toArray
+          counts(r.getInt(0)) = r.getLong(2)
         }
-        var reseedIdx = 0
-        for (c <- 0 until k) {
-          if (next(c) == null || counts(c) == 0L) {
-            next(c) = reseedPool(reseedIdx % reseedPool.length)
-            reseedIdx += 1
-          } else {
-            val mean = next(c).map(_ / counts(c))
-            val norm = math.sqrt(mean.foldLeft(0.0)((a, x) => a + x * x))
-            next(c) = if (norm == 0.0) reseedPool(reseedIdx % reseedPool.length)
-                      else mean.map(_ / norm)
-          }
-        }
-        centroids = next
+        val d = vecs.head.length
+        val sumArr = next.map(v => if (v == null) new Array[Double](d) else v)
+        centroids = meanRenormReseed(sumArr, counts, reseedPool, k)
         iter += 1
       }
-
-      val centroidRows = centroids.zipWithIndex.map { case (v, i) =>
-        Row(libraryId, i, v.map(_.toFloat).toSeq)
-      }
-      val centroidsDf = chunksDf.sparkSession.createDataFrame(
-        spark.sparkContext.parallelize(centroidRows.toSeq, 1), Schemas.ivfCentroids)
-
-      val postings = assign(data, centroids)
-        .select(lit(libraryId).as("library_id"),
-          col("cid").as("centroid_id"), col("chunk_id"),
-          transform(col("vnorm"), _.cast("float")).as("embedding_norm"))
-      (centroidsDf, postings)
-    } finally data.unpersist()
+      centroids
+    } finally df.unpersist()
   }
+
+  /** mean -> renormalize -> reseed-empty, shared by both training paths
+    * (reference `ivf.py:167-178`, empty-cluster reseed `ivf.py:169-171`).
+    */
+  private def meanRenormReseed(sums: Array[Array[Double]], counts: Array[Long],
+      reseedPool: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val next = new Array[Array[Double]](k)
+    var reseedIdx = 0
+    for (c <- 0 until k) {
+      if (counts(c) == 0L) {
+        next(c) = reseedPool(reseedIdx % reseedPool.length)
+        reseedIdx += 1
+      } else {
+        val mean = sums(c).map(_ / counts(c))
+        val norm = math.sqrt(mean.foldLeft(0.0)((a, x) => a + x * x))
+        next(c) = if (norm == 0.0) reseedPool(reseedIdx % reseedPool.length)
+                  else mean.map(_ / norm)
+      }
+    }
+    next
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** Map-only nearest-centroid assignment: argmax dot, first-max wins on
     * ties (reference `utils.py:39-44` strict `>` keeps the earliest).
