@@ -409,10 +409,7 @@ final class VectorEngine(
     createdAfter.foreach(ts => df = df.filter(col("created_at") > lit(ts)))
     val ord = if (ascending) Seq(col(sortBy).asc, col("id").asc)
               else Seq(col(sortBy).desc, col("id").asc)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") > offset && col("rn") <= offset + limit)
-      .drop("rn")
+    page(df, ord, limit, offset)
   }
 
   /** Paginated chunk listing scoped to a library or document (S2):
@@ -424,10 +421,22 @@ final class VectorEngine(
       throw new ValidationError(s"limit out of range: $limit")
     var df = chunks.filter(col("library_id") === libId)
     docId.foreach(id => df = df.filter(col("document_id") === id))
+    page(df, Seq(col("document_id").asc, col("position").asc, col("id").asc),
+      limit, offset)
+  }
+
+  /** Stable pagination without a full-table global window: the top
+    * offset+limit rows come from a DISTRIBUTED TakeOrdered (limit is
+    * API-bounded at 1000, so the capped set is tiny), and only that capped
+    * set is row-numbered — the single-partition window never sees more
+    * than offset+limit rows no matter the table size.
+    */
+  private def page(df: DataFrame, ord: Seq[Column], limit: Int, offset: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("document_id").asc, col("position").asc, col("id").asc)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") > offset && col("rn") <= offset + limit)
+      .partitionBy(lit(0)).orderBy(ord: _*)
+    df.orderBy(ord: _*).limit(offset + limit)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > offset)
       .drop("rn")
   }
 

@@ -66,8 +66,74 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 60-bit SimHash from an array of 60-bit token hashes: per bit j, count
+  * +1/-1 by bit j of each hash; signature bit j set iff the sum is
+  * positive. Semantically identical to the HOF formulation
+  * (`TextFunctions.simhash60`'s aggregate/zip_with pipeline) but one tight
+  * allocation-free loop per row instead of a fresh 60-long array per TOKEN
+  * — the HOF version's per-element re-evaluation dominated the dedup
+  * suite's signature build.
+  */
+case class Simhash60FromHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sums = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sums = ctx.freshName("sums"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int[] $sums = new int[60];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    if ((($h >> $j) & 1L) == 1L) { $sums[$j]++; } else { $sums[$j]--; }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if ($sums[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object SetExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def simhash60FromHashes(hashes: Column): Column =
+    GraftColumnBridge.column(Simhash60FromHashes(
+      GraftColumnBridge.expression(hashes)))
 }

@@ -67,32 +67,12 @@ object TextFunctions {
 
   /** 60-bit SimHash over the (duplicated, i.e. frequency-weighted) token
     * stream: per bit position, sum +1/-1 by the token hash's bit, emit 1
-    * where the sum is positive. Single fold per row — no explode, no
-    * shuffle; the 100 TB shape is scan -> simhash -> band-join.
+    * where the sum is positive. One codegen'd loop per row (the
+    * `Simhash60FromHashes` kernel) — no explode, no shuffle, no per-token
+    * array churn; the 100 TB shape is scan -> simhash -> band-join.
     */
-  def simhash60(toks: Column): Column = {
-    val sums = aggregate(
-      transform(toks, t => hash60(t)),
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(59)),
-          j => when(expr_bit(h, j) === 1, 1L).otherwise(-1L)),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(sums, sequence(lit(0), lit(59)),
-        (s, j) => when(s > 0, shiftleft_col(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a + b)
-  }
-
-  /** (h >> j) & 1 with a non-literal shift (functions.shiftright only takes
-    * a literal Int count; call_function reaches the SQL ShiftRight that
-    * accepts an expression count).
-    */
-  private def expr_bit(h: Column, j: Column): Column =
-    call_function("shiftright", h, j).bitwiseAND(lit(1L))
-
-  private def shiftleft_col(v: Column, bits: Column): Column =
-    call_function("shiftleft", v, bits)
+  def simhash60(toks: Column): Column =
+    SetExpressions.simhash60FromHashes(transform(toks, t => hash60(t)))
 
   /** Universal-hash constants for numeric minhash: k fixed (a, b) pairs,
     * sig_k = min over shingles of (h28(shingle) * a_k + b_k) mod P.

@@ -69,18 +69,25 @@ object LshIndex {
       .filter(col("vnorm").isNotNull)
       .select(col("chunk_id"),
         transform(col("vnorm"), _.cast("float")).as("embedding_norm"))
-    val perTable = planes.map { case (tableId, tablePlanes) =>
+    // ONE pass over the corpus: all L signatures are computed in a single
+    // projection (L·H codegen'd dot products per row) and exploded to L
+    // bucket rows — not L separate scans unioned (which re-reads and
+    // re-normalizes the corpus L times)
+    val sigStructs = planes.map { case (tableId, tablePlanes) =>
       val sigBits = tablePlanes.zipWithIndex.map { case (p, i) =>
         when(dotProduct(col("embedding_norm"),
           typedLit(p.toSeq)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
       }
-      normed.select(
-        lit(libraryId).as("library_id"),
-        lit(tableId).as("table_id"),
-        sigBits.reduce(_ + _).as("signature"),
-        col("chunk_id"), col("embedding_norm"))
+      struct(lit(tableId).as("table_id"), sigBits.reduce(_ + _).as("signature"))
     }
-    perTable.reduce(_ unionAll _)
+    normed
+      .select(col("chunk_id"), col("embedding_norm"),
+        explode(array(sigStructs: _*)).as("ts"))
+      .select(
+        lit(libraryId).as("library_id"),
+        col("ts.table_id").as("table_id"),
+        col("ts.signature").as("signature"),
+        col("chunk_id"), col("embedding_norm"))
   }
 
   /** (table_id -> planes ordered by plane_id); driver-side, tiny. */

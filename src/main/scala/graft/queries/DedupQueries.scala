@@ -84,14 +84,22 @@ object DedupQueries {
     docs(s, d).select(col("doc_id"), simhash60(toks).as("simhash"))
       .orderBy(col("doc_id").asc)
 
-  /** SimHash near-dup pairs: same-lang blocking, hamming distance <= 6. */
+  /** SimHash near-dup pairs: same-lang blocking, hamming distance <= 6.
+    * `lang` has a handful of distinct values, so a shuffle join would put
+    * each block on ONE task; instead the signature table is broadcast and
+    * the probe side spread round-robin across all cores — pair generation
+    * parallelizes by probe row, not by block key. (At corpus scale the
+    * same shape holds as long as the per-block signature table fits a
+    * broadcast; beyond that, salt the block key.)
+    */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d).select(col("doc_id"), col("lang"),
       simhash60(toks).as("simhash"))
       .localCheckpoint() // signature computed once, not per join side
     val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, "lang")
+    a.join(broadcast(b), "lang")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 6)
@@ -112,11 +120,14 @@ object DedupQueries {
     val t = docs(s, d).select(col("doc_id"), col("lang"),
       array_sort(array_distinct(transform(toks, tk => hash60(tk)))).as("tset"))
       .localCheckpoint()
+    // broadcast + round-robin probe side: see simhashPairs — lang has too
+    // few distinct values to parallelize a shuffle join
     val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tset").as("ta"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tset").as("tb"))
     val inter = graft.functions.SetExpressions
       .sortedIntersectCount(col("ta"), col("tb")).cast("double")
-    a.join(b, "lang")
+    a.join(broadcast(b), "lang")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard",
         rnd(inter / (size(col("ta")) + size(col("tb")) - inter), 6))

@@ -118,8 +118,15 @@ object RelationalQueries {
     */
   private def paginateOrders(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    ord.withColumn("rn", row_number().over(w))
+    // page [100,120): take the top offset+limit rows DISTRIBUTED
+    // (TakeOrderedAndProject — every partition contributes its local
+    // top-120, no global single-partition window over the full table),
+    // then number the tiny capped set; partitionBy(lit) keeps WindowExec
+    // off the all-rows-to-one-partition path for the 600k-row input
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(120)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 100 && col("rn") <= 120)
       .select(col("rn"), col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("decimal(18,4)").cast("double")
