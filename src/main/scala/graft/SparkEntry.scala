@@ -25,6 +25,8 @@ object SparkEntry {
       (MiscQueries.queries, MiscQueries.oracles),
       (SqlQueries.queries, SqlQueries.oracles),
       (AnnQueries.queries, AnnQueries.oracles),
+      (SketchQueries.queries, SketchQueries.oracles),
+      (SourceQueries.queries, SourceQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

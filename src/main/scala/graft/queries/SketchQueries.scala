@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+import graft.queries.Det.{rnd, rndSql}
+
+/** Sketch / OLAP-surface coverage: approximate distinct counting (a
+  * DETERMINISTIC HyperLogLog whose md5 register assignment both engines
+  * recompute bit-identically — the oracle-able formulation of
+  * `approx_count_distinct`), exact interpolated percentiles, GROUPING
+  * SETS, pivot, and the window-function family.
+  *
+  * The reference has no aggregation surface at all (SURVEY §2.4: "grouping
+  * sets / cube / rollup / distinct-agg / HLL absent") — these are the
+  * canonical analytics-engine extensions the 100 TB pipeline needs.
+  */
+object SketchQueries {
+
+  /** Deterministic HyperLogLog, m = 64 registers (p = 6):
+    * register = low 6 bits of the 60-bit md5 hash, rho = position of the
+    * lowest set bit of the remaining 54 bits (a geometric variable, same
+    * distribution as leading-zero HLL), estimate = alpha_64 * m^2 / Z.
+    * Z is accumulated as an exact INTEGER (2^(55-rho) per register, max
+    * 64 * 2^55 < 2^62) so the only floating-point step is the final
+    * fixed-order division — reproducible on any engine, unlike
+    * `approx_count_distinct`'s engine-private HLL++ registers.
+    * At scale this is one shuffle of 64 register rows.
+    */
+  private def hllCustkey(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.orders(s, d)
+      .select(hash60(col("o_custkey").cast("string")).as("h"))
+    val regs = h.select((col("h") % 64).cast("int").as("reg"),
+      expr("h div 64").as("w"))
+    val rho = when(col("w") === 0, lit(55)).otherwise(
+      log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
+    val m = regs.select(col("reg"), rho.as("rho"))
+      .groupBy(col("reg")).agg(max(col("rho")).as("mrho"))
+    val z = m.agg(
+      sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
+        .cast("long").as("zp"),
+      count(lit(1)).as("npresent"))
+    val exact = Tables.orders(s, d)
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.crossJoin(z).select(
+      col("n_exact"),
+      rnd(lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55.0)) /
+        (col("zp") + (lit(64L) - col("npresent")) * lit(1L << 55)).cast("double"),
+        4).as("hll_estimate"))
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`: pos = q*(n-1), linear interpolation).
+    */
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        rnd(element_at(col("ps"), 1), 4).as("p25"),
+        rnd(element_at(col("ps"), 2), 4).as("p50"),
+        rnd(element_at(col("ps"), 3), 4).as("p75"),
+        rnd(element_at(col("ps"), 4), 4).as("p95"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** GROUPING SETS with grouping() markers (finer than cube/rollup: an
+    * explicit lattice subset).
+    */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag ASC, g_status ASC,
+        |         l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Pivot: wide per-category sums (decimal-exact, so column values are
+    * order-independent).
+    */
+  private def pivotQty(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("decimal(28,8)")).cast("double"))
+      .orderBy(col("l_linestatus").asc)
+
+  /** The window-function family over a partitioned+ordered frame:
+    * lag/lead, rank/dense_rank/row_number, ntile, percent_rank/cume_dist.
+    */
+  private def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,4)").cast("double").as("price"))
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("next_price", lead(col("price"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+          .orderBy(col("price").desc)))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", rnd(percent_rank().over(w), 6))
+      .withColumn("cume", rnd(cume_dist().over(w), 6))
+      .drop("o_orderdate")
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_custkey"    -> (hllCustkey _),
+    "q_percentiles"    -> (percentiles _),
+    "q_grouping_sets"  -> (groupingSets _),
+    "q_pivot"          -> (pivotQty _),
+    "sql_window_suite" -> (windowSuite _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_hll_custkey" ->
+      s"""WITH h AS (
+         |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM orders),
+         |r AS (SELECT h % 64 AS reg, h // 64 AS w FROM h),
+         |rr AS (SELECT reg,
+         |         CASE WHEN w = 0 THEN 55
+         |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
+         |m AS (SELECT reg, MAX(rho) AS mrho FROM rr GROUP BY reg),
+         |z AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
+         |             COUNT(*) AS npresent FROM m),
+         |e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+         |SELECT n_exact,
+         |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS hll_estimate
+         |FROM e, z""".stripMargin,
+    "q_percentiles" ->
+      s"""SELECT l_returnflag,
+         |       ${rndSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
+         |       ${rndSql("quantile_cont(l_extendedprice, 0.50)", 4)} AS p50,
+         |       ${rndSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75,
+         |       ${rndSql("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag ASC, g_status ASC,
+        |         l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS "A",
+        |       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS "N",
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus ASC""".stripMargin,
+    "sql_window_suite" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+         |       lag(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 1) OVER w AS prev_price,
+         |       lead(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 1) OVER w AS next_price,
+         |       CAST(row_number() OVER w AS INT) AS rn,
+         |       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) DESC) AS INT) AS rnk,
+         |       CAST(ntile(4) OVER w AS INT) AS quartile,
+         |       ${rndSql("percent_rank() OVER w", 6)} AS pct_rank,
+         |       ${rndSql("cume_dist() OVER w", 6)} AS cume
+         |FROM orders
+         |WHERE o_custkey < 200
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+  )
+}

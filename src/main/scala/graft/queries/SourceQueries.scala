@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Source/sink coverage beyond parquet (SURVEY §2.1 S5/S6): CSV and JSON
+  * round-trips with explicit schemas (the engine never schema-infers,
+  * §1.4), and a REAL Structured Streaming query — file source ->
+  * watermarked tumbling-window aggregation -> memory sink — whose final
+  * answer is oracle-checked against the equivalent batch SQL (stream ==
+  * batch parity as a first-class correctness gate, not just a unit test).
+  */
+object SourceQueries {
+
+  /** Parquet -> CSV (header, quoted strings) -> read back with the
+    * explicit schema. Proves the CSV writer/parser pair preserves values
+    * (incl. quoting); the oracle reads the original table.
+    */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.nation(s, d)
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    nation.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(nation.schema).option("header", "true").csv(tmp)
+      .orderBy(col("n_nationkey").asc)
+  }
+
+  /** Parquet -> JSON lines -> read back with the explicit schema (the
+    * reference's ingest format is JSON-over-HTTP, dto.py; here the
+    * full-fidelity JSONL analog, incl. exact double round-trip).
+    */
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val tmp = Files.createTempDirectory("graft-json").toString
+    sup.write.mode("overwrite").json(tmp)
+    s.read.schema(sup.schema).json(tmp)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(18,4)").cast("double").as("s_acctbal"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** Structured Streaming end-to-end: the events parquet replayed through
+    * a file SOURCE (explicit schema — nanos ts read as long, truncated to
+    * micros), watermarked daily tumbling count/sum, Complete mode into a
+    * memory SINK, result returned as a DataFrame. The oracle recomputes
+    * the same aggregation in batch SQL: if the streaming runtime dropped,
+    * duplicated, or mis-windowed anything, the hash compare fails.
+    */
+  private def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_tumbling")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_tumbling")
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_csv_roundtrip"  -> (csvRoundtrip _),
+    "s_json_roundtrip" -> (jsonRoundtrip _),
+    "e_stream_tumbling" -> (streamTumbling _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
+    "s_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
+    "e_stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
+  )
+}
