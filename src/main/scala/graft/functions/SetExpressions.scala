@@ -129,6 +129,78 @@ case class Simhash60FromHashes(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** All K universal-hash MinHash signatures from an array of 28-bit shingle
+  * hashes in one tight loop: sig_j = min over shingles of (h*a_j + b_j) %
+  * p. Value-identical to the HOF fold (`TextFunctions.minhashSigsNum`'s
+  * aggregate/zip_with pipeline, which allocated two k-arrays per SHINGLE);
+  * empty shingle sets yield an array of k nulls (array_min-of-empty
+  * parity).
+  */
+case class MinhashSigsFromHashes(child: Expression, a: Seq[Long], b: Seq[Long],
+    p: Long) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val k = a.length
+  require(b.length == k, "a/b constant arrays must match")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a.toArray, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      s"""
+         |int $n = $in.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new $gad(new Object[$k]);
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $in.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object SetExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
@@ -136,4 +208,7 @@ object SetExpressions {
   def simhash60FromHashes(hashes: Column): Column =
     GraftColumnBridge.column(Simhash60FromHashes(
       GraftColumnBridge.expression(hashes)))
+  def minhashSigs(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    GraftColumnBridge.column(MinhashSigsFromHashes(
+      GraftColumnBridge.expression(hashes), a, b, p))
 }

@@ -97,17 +97,9 @@ object TextFunctions {
     */
   def minhashSigsNum(shingleCol: Column, k: Int): Column = {
     require(k <= MinhashAB.length, s"at most ${MinhashAB.length} signatures")
-    val consts = typedLit(MinhashAB.take(k).map { case (a, b) => (a, b) })
-    val hs = transform(shingleCol, s => hash28(s))
-    val folded = aggregate(
-      hs,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc,
-        transform(consts, c =>
-          (h * c.getField("_1") + c.getField("_2")) % MinhashP),
-        (a, b) => least(a, b)))
-    transform(folded, x =>
-      when(x === Long.MaxValue, lit(null).cast("long")).otherwise(x))
+    val (as, bs) = MinhashAB.take(k).unzip
+    SetExpressions.minhashSigs(
+      transform(shingleCol, s => hash28(s)), as, bs, MinhashP)
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set — an
