@@ -23,6 +23,12 @@ object PlanDump {
     "d_minhash_bands",   // one-fold signatures
     "t_token_freq",      // salted two-phase aggregation
     "sql_exists_subquery", // decorrelated EXISTS
+    // round 2 additions
+    "q_hll_custkey",     // deterministic HLL: 64-register agg, no corpus shuffle
+    "q_pagination",      // TakeOrdered cap, no full-table global window
+    "d_simhash_pairs",   // broadcast blocked self-join, codegen simhash kernel
+    "sql_window_suite",  // window-function family over partitioned frames
+    "q_grouping_sets",   // expand-based lattice aggregation
   )
 
   def main(args: Array[String]): Unit = {
