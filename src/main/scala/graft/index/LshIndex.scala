@@ -126,6 +126,9 @@ object LshIndex {
     // candidates instead of arbitrary ones. Deterministic total order:
     // (matches desc, chunk_id asc). Measured recall@10 on the sf0.01
     // embeddings: 0.2 -> 0.9 at L=8,H=12.
+    // localCheckpoint: the bucket join + rank runs ONCE — the <k fallback
+    // decision below needs an eager count, and without materialization the
+    // whole join would re-run when the rerank consumes the candidates
     val fromBuckets = bucketsDf
       .join(broadcast(sigDf), Seq("table_id", "signature"))
       .groupBy(col("chunk_id"))
@@ -133,6 +136,7 @@ object LshIndex {
       .orderBy(col("n_matches").desc, col("chunk_id").asc)
       .limit(Oversample * k)
       .select(col("chunk_id"), col("embedding_norm"))
+      .localCheckpoint()
     val have = fromBuckets.count()
     if (have >= k) fromBuckets
     else {

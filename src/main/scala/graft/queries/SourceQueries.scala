@@ -77,10 +77,46 @@ object SourceQueries {
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
+  /** Stateful streaming end-to-end: per-user sessionization (30-min idle
+    * gap) via mapGroupsWithState over the replayed events file — custom
+    * state machines through the REAL streaming runtime, with the batch
+    * gaps-and-islands SQL as the oracle. The single-file source replays in
+    * one micro-batch, so the Update-mode memory table holds exactly the
+    * final per-user row.
+    */
+  private def streamSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .as[graft.streaming.EventStream.Ev]
+    val q = graft.streaming.EventStream.sessionize(src)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_stream_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_sessions")
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
     "e_stream_tumbling" -> (streamTumbling _),
+    "e_stream_sessions" -> (streamSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +131,14 @@ object SourceQueries {
         |       count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
+    "e_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
   )
 }
