@@ -40,13 +40,25 @@ final class StateStore(spark: SparkSession, root: String) {
     */
   def read(table: String, schema: StructType): DataFrame =
     currentVersion(table) match {
-      case Some(v) =>
-        // enforce column order/types independent of parquet layout
-        val df = spark.read.schema(schema).parquet(s"${tableDir(table)}/v$v")
-        df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case Some(v) => readVersion(table, v, schema)
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  /** TIME TRAVEL: read a specific snapshot version. Every mutation leaves
+    * the previous `v<N>` directory intact (only `_CURRENT` moves), so any
+    * historical version remains readable until explicitly vacuumed —
+    * the same contract as Delta/Iceberg `VERSION AS OF`.
+    */
+  def readVersion(table: String, version: Long, schema: StructType): DataFrame = {
+    val dir = s"${tableDir(table)}/v$version"
+    if (!Files.exists(Paths.get(dir)))
+      throw new IllegalArgumentException(
+        s"$table has no snapshot v$version (current: ${currentVersion(table)})")
+    // enforce column order/types independent of parquet layout
+    spark.read.schema(schema).parquet(dir)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
 
   /** Write the next snapshot and atomically repoint _CURRENT.
     * Unpartitioned tables (libraries, documents when partitionBy=Nil) are

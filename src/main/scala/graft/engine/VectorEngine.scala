@@ -63,6 +63,14 @@ final class VectorEngine(
   def documents: DataFrame = store.read("documents", Schemas.documents)
   def chunks: DataFrame    = store.read("chunks", Schemas.chunks)
 
+  /** Time travel (Delta-style `VERSION AS OF`): the chunk snapshot as of
+    * an earlier store version — old `v<N>` directories stay readable
+    * because mutations only repoint `_CURRENT`.
+    */
+  def chunksAt(version: Long): DataFrame =
+    store.readVersion("chunks", version, Schemas.chunks)
+  def chunksVersion: Option[Long] = store.currentVersion("chunks")
+
   private def lshPlanes(libId: String): DataFrame =
     store.read("lsh_planes", Schemas.lshPlanes).filter(col("library_id") === libId)
   private def lshBuckets(libId: String): DataFrame =

@@ -117,12 +117,60 @@ object SketchQueries {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** Deterministic Bloom filter (m = 65536 bits, 3 md5-derived 16-bit
+    * probe positions): build over BUILDING-segment customer keys, probe
+    * every order's custkey, report probe/pass/true-member counts. The
+    * 100 TB use is semi-join pruning: broadcast the 8 KB bit set to the
+    * fact scan instead of shuffling the fact table against the dim —
+    * passes (incl. the counted false positives) are then exact-checked.
+    * Every position is integer md5 arithmetic, so DuckDB rebuilds the
+    * identical filter.
+    */
+  private def bloomProbe(s: SparkSession, d: String): DataFrame = {
+    def positions(h: org.apache.spark.sql.Column) = array(
+      h.bitwiseAND(lit(65535L)).cast("int"),
+      shiftright(h, 16).bitwiseAND(lit(65535L)).cast("int"),
+      shiftright(h, 32).bitwiseAND(lit(65535L)).cast("int"))
+    val build = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), hash60(col("c_custkey").cast("string")).as("h"))
+    val bloomPos = build.select(explode(positions(col("h"))).as("pos")).distinct()
+    val probe = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      .select(col("o_custkey"), hash60(col("o_custkey").cast("string")).as("h"))
+    val probePos = probe.select(col("o_custkey"),
+      explode(positions(col("h"))).as("pos"))
+    val passed = probePos.join(broadcast(bloomPos), Seq("pos"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === 3)
+    val trueMembers = probe.join(build.select(col("c_custkey").as("k")),
+      col("o_custkey") === col("k"), "left_semi")
+    probe.agg(count(lit(1)).as("n_probed")).crossJoin(
+        passed.agg(count(lit(1)).as("n_bloom_pass"))).crossJoin(
+        trueMembers.agg(count(lit(1)).as("n_true")))
+  }
+
+  /** Deterministic 10% Bernoulli sample -> decimal-exact aggregate: the
+    * portable sampling pattern (md5 of the row key, not engine-private
+    * TABLESAMPLE randomness), so the oracle draws the identical sample.
+    */
+  private def sampleAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(hash60(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))) % 100 < 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,8)")).cast("double").as("sample_revenue"))
+      .orderBy(col("l_returnflag").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_custkey"    -> (hllCustkey _),
     "q_percentiles"    -> (percentiles _),
     "q_grouping_sets"  -> (groupingSets _),
     "q_pivot"          -> (pivotQty _),
     "sql_window_suite" -> (windowSuite _),
+    "q_bloom_probe"    -> (bloomProbe _),
+    "q_sample_agg"     -> (sampleAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +212,37 @@ object SketchQueries {
         |       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS "N",
         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus ASC""".stripMargin,
+    "q_bloom_probe" ->
+      """WITH build AS (
+        |  SELECT c_custkey,
+        |         CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |bloom AS (
+        |  SELECT DISTINCT CAST(unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS INT) AS pos
+        |  FROM build),
+        |probe AS (
+        |  SELECT DISTINCT o_custkey FROM orders),
+        |probeh AS (
+        |  SELECT o_custkey,
+        |         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM probe),
+        |probepos AS (
+        |  SELECT o_custkey, CAST(unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS INT) AS pos
+        |  FROM probeh),
+        |passed AS (
+        |  SELECT o_custkey FROM probepos JOIN bloom USING (pos)
+        |  GROUP BY o_custkey HAVING COUNT(*) = 3),
+        |trues AS (
+        |  SELECT o_custkey FROM probe WHERE o_custkey IN (SELECT c_custkey FROM build))
+        |SELECT (SELECT COUNT(*) FROM probe) AS n_probed,
+        |       (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+        |       (SELECT COUNT(*) FROM trues) AS n_true""".stripMargin,
+    "q_sample_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_sampled,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sample_revenue
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "sql_window_suite" ->
       s"""SELECT o_custkey, o_orderkey,
          |       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,

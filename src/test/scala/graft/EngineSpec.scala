@@ -412,6 +412,21 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 0)
   }
 
+  test("time travel: chunksAt reads historical snapshots after mutations") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("tt", 2)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v1", Some(Array(1f, 0f)), id = Some("c"))))
+    val v1 = eng.chunksVersion.get
+    eng.upsertChunks(lib, doc, Seq(ChunkIn("v2", Some(Array(0f, 1f)), id = Some("c"))))
+    eng.deleteChunk(lib, "c")
+    assert(eng.chunks.count() == 0) // current: deleted
+    val hist = eng.chunksAt(v1).collect()
+    assert(hist.length == 1 &&
+      hist.head.getString(hist.head.fieldIndex("text")) == "v1")
+    intercept[IllegalArgumentException] { eng.chunksAt(9999L) }
+  }
+
   test("SQL-registered kernels work from spark.sql text") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
