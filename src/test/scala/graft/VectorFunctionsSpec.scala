@@ -73,4 +73,50 @@ class VectorFunctionsSpec extends AnyFunSuite {
       similarity("manhattan")(col("a"), col("b"))
     }
   }
+
+  // ---- round-2 text kernels (codegen vs hand-computed, empty, null) ----
+
+  test("Simhash60FromHashes matches a hand-computed signature; empty -> all-zero-sum bits") {
+    import graft.functions.SetExpressions.simhash60FromHashes
+    // hashes 0b01 and 0b11: bit0 sums +2 (set), bit1 sums 0 (clear: >0 strict)
+    val r = spark.sql("SELECT array(1L, 3L) AS hs, array() AS empty")
+      .select(simhash60FromHashes(col("hs")).as("sig"),
+        simhash60FromHashes(expr("CAST(empty AS ARRAY<BIGINT>)")).as("esig"),
+        simhash60FromHashes(expr("CAST(NULL AS ARRAY<BIGINT>)")).as("nsig"))
+      .collect().head
+    assert(r.getLong(0) == 1L) // only bit 0 positive
+    assert(r.getLong(1) == 0L) // empty: all sums -0 -> no bit set... sums are 0, strict > keeps 0
+    assert(r.isNullAt(2))
+    // single hash: signature == the hash itself restricted to 60 bits
+    val one = spark.sql("SELECT array(123456789L) AS hs")
+      .select(simhash60FromHashes(col("hs"))).collect().head.getLong(0)
+    assert(one == 123456789L)
+  }
+
+  test("MinhashSigsFromHashes equals the per-signature universal-hash min") {
+    import graft.functions.TextFunctions.{MinhashAB, MinhashP, minhashSigsNum}
+    import graft.functions.SetExpressions.minhashSigs
+    val hs = Seq(17L, 9999991L, 123L, 7L)
+    val (as, bs) = MinhashAB.take(8).unzip
+    val expected = (0 until 8).map(j => hs.map(h => (h * as(j) + bs(j)) % MinhashP).min)
+    val got = spark.sql(s"SELECT array(${hs.mkString("L,")}L) AS hs")
+      .select(minhashSigs(col("hs"), as, bs, MinhashP).as("sigs"))
+      .collect().head.getSeq[Long](0)
+    assert(got == expected)
+    // empty shingle set -> k nulls (array_min-of-empty parity)
+    val empty = spark.sql("SELECT CAST(array() AS ARRAY<BIGINT>) AS hs")
+      .select(minhashSigs(col("hs"), as, bs, MinhashP).as("sigs"))
+      .collect().head.getSeq[Any](0)
+    assert(empty.length == 8 && empty.forall(_ == null))
+    // and the full minhashSigsNum pipeline produces the same as a
+    // driver-side recomputation over md5 28-bit prefixes
+    val sigs = spark.sql("SELECT array('a b c', 'b c d') AS sh")
+      .select(minhashSigsNum(col("sh"), 4).as("sigs"))
+      .collect().head.getSeq[Long](0)
+    def h28(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(7), 16)
+    val exp2 = (0 until 4).map(j =>
+      Seq("a b c", "b c d").map(s => (h28(s) * as(j) + bs(j)) % MinhashP).min)
+    assert(sigs == exp2)
+  }
 }
