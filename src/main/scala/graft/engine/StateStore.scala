@@ -2,6 +2,8 @@ package graft.engine
 
 import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -58,6 +60,28 @@ final class StateStore(spark: SparkSession, root: String) {
     // enforce column order/types independent of parquet layout
     spark.read.schema(schema).parquet(dir)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Retention: delete snapshot directories older than the newest
+    * `keepLast` versions (the current pointer is always kept). Bounds the
+    * storage cost of time travel; after `vacuum(table, 1)` only the
+    * current snapshot remains readable.
+    */
+  def vacuum(table: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val current = currentVersion(table).getOrElse(return 0)
+    val cutoff = current - keepLast + 1
+    val dir = Paths.get(tableDir(table))
+    if (!Files.exists(dir)) return 0
+    val victims = Files.list(dir).iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toLong < cutoff
+    }.toSeq
+    victims.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    victims.size
   }
 
   /** Write the next snapshot and atomically repoint _CURRENT.

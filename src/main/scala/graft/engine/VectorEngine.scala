@@ -71,6 +71,14 @@ final class VectorEngine(
     store.readVersion("chunks", version, Schemas.chunks)
   def chunksVersion: Option[Long] = store.currentVersion("chunks")
 
+  /** Retention for all state tables: keep the newest `keepLast` snapshot
+    * versions, delete the rest (ends time travel past the horizon).
+    * Returns the number of snapshot directories removed.
+    */
+  def vacuum(keepLast: Int = 1): Int =
+    Seq("libraries", "documents", "chunks", "lsh_planes", "lsh_buckets",
+      "ivf_centroids", "ivf_postings").map(store.vacuum(_, keepLast)).sum
+
   private def lshPlanes(libId: String): DataFrame =
     store.read("lsh_planes", Schemas.lshPlanes).filter(col("library_id") === libId)
   private def lshBuckets(libId: String): DataFrame =

@@ -113,6 +113,31 @@ object RelationalQueries {
       .orderBy(col("o_custkey").asc, col("rn").asc)
   }
 
+  /** Same top-3-per-customer, via the k-bounded typed Aggregator
+    * (`TopKByScore`) instead of a window: partial aggregation caps each
+    * map-side partition at k rows per key BEFORE the shuffle — the shape
+    * that survives hot keys at 100 TB, where the window plan must shuffle
+    * and sort every row of every group. Oracle identical to
+    * `q_topk_per_cust`.
+    */
+  private def topOrdersHeap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(3).toColumn)
+      .flatMap { case (ck, tops) =>
+        tops.zipWithIndex.map { case ((price, ok), i) => (ck, i + 1, ok, price) }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,4)").cast("double")
+          .as("o_totalprice"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
   /** Pagination (reference T6, `repos/documents.py:46-47`): stable total
     * order, rows [offset, offset+limit) via row_number.
     */
@@ -162,6 +187,7 @@ object RelationalQueries {
     "q3_top_orders"     -> (q3TopOrders _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q_topk_per_cust"   -> (topOrdersPerCustomer _),
+    "q_topk_heap"       -> (topOrdersHeap _),
     "q_pagination"      -> (paginateOrders _),
     "q_anti_join"       -> (custWithoutRecentOrders _),
     "q_semi_join"       -> (partsWithBigLineitems _),
@@ -204,6 +230,14 @@ object RelationalQueries {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q_topk_per_cust" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 AND o_custkey <= 50
+        |ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "q_topk_heap" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey,
         |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,

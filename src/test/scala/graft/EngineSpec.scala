@@ -425,6 +425,10 @@ class EngineSpec extends AnyFunSuite {
     assert(hist.length == 1 &&
       hist.head.getString(hist.head.fieldIndex("text")) == "v1")
     intercept[IllegalArgumentException] { eng.chunksAt(9999L) }
+    // vacuum: retention drops the historical snapshot, current stays
+    assert(eng.vacuum(keepLast = 1) > 0)
+    intercept[IllegalArgumentException] { eng.chunksAt(v1) }
+    assert(eng.chunks.count() == 0) // current still readable
   }
 
   test("SQL-registered kernels work from spark.sql text") {
