@@ -85,6 +85,32 @@ class PropertySpec extends AnyFunSuite {
     assert(df(0) == 1.0 && df(1) == 0.0 && df(2) == 0.0 && math.abs(df(3) - 0.5) < 1e-12)
   }
 
+  test("TopKByScore equals the window formulation on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    // skewed keys: key 0 holds half the rows (the hot-key case the
+    // partial aggregation exists for), scores with deliberate ties
+    val rows = (0 until 2000).map { i =>
+      val key = if (i % 2 == 0) 0L else (i % 37).toLong
+      (key, i.toLong, (rnd.nextInt(50) / 7.0))
+    }
+    val df = rows.toDF("k", "id", "score")
+    val viaAgg = df.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(5).toColumn)
+      .flatMap { case (k, tops) =>
+        tops.zipWithIndex.map { case ((sc, id), i) => (k, i + 1, id, sc) } }
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("k"), col("rn"), col("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("simhash: identical token streams collide; hamming is symmetric") {
     import spark.implicits._
     val df = Seq(
