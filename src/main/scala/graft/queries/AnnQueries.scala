@@ -89,6 +89,26 @@ object AnnQueries {
       .orderBy(col("event_id").asc)
   }
 
+  /** The same as-of semantics through the CUSTOM operator
+    * (`graft.plans.AsOfJoin`: LogicalPlan + Strategy + SparkPlan, merge
+    * walk over co-clustered sorted partitions) — same oracle as
+    * `e_asof_join` proves the custom node against DuckDB's native ASOF.
+    */
+  private def asofCustom(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+        purchases("user_id"), clicks("c_user"), purchases("ts"), clicks("c_ts"))
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("c_ts").as("last_click_ts"),
+        when(col("c_ts").isNotNull,
+          expr("(unix_micros(ts) - unix_micros(c_ts)) div 1000000")).as("gap_s"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Cube over two dimensions (grouping-sets family). */
   private def cubePricing(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -101,6 +121,7 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_ann_ivf"   -> (annIvf _),
     "e_asof_join" -> (asofJoin _),
+    "e_asof_custom" -> (asofCustom _),
     "q_cube"      -> (cubePricing _),
   )
 
@@ -130,6 +151,15 @@ object AnnQueries {
          |WHERE p.centroid_id IN (SELECT centroid_id FROM topcent) AND p.vec_id <> 0
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "e_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |       c.ts AS last_click_ts,
+        |       CASE WHEN c.ts IS NOT NULL
+        |            THEN (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id ASC""".stripMargin,
+    "e_asof_custom" ->
       """SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
         |       c.ts AS last_click_ts,
         |       CASE WHEN c.ts IS NOT NULL

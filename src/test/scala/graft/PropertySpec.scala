@@ -111,6 +111,31 @@ class PropertySpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("custom AsOfJoinExec plans as the custom node and equals the window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val right = (0 until 500).map(i =>
+      ((i % 20).toLong, new java.sql.Timestamp(1000000L + rnd.nextInt(100000))))
+      .toDF("c_user", "c_ts")
+    val left = (0 until 200).map(i =>
+      (i.toLong, (i % 23).toLong, new java.sql.Timestamp(1000000L + rnd.nextInt(100000))))
+      .toDF("event_id", "user_id", "ts")
+    val joined = graft.plans.AsOfJoinPlan.asofJoin(left, right,
+      left("user_id"), right("c_user"), left("ts"), right("c_ts"))
+    assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = joined.select(col("event_id"), col("c_ts"))
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toMap
+    // reference: per left row, max right ts <= left ts within the key
+    val rightByKey = right.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).groupBy(_._1)
+    left.collect().foreach { r =>
+      val (id, k, t) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+      val expect = rightByKey.getOrElse(k, Array.empty)
+        .map(_._2).filter(!_.after(t)).sortBy(_.getTime).lastOption
+      assert(got(id) == expect, s"event $id key $k")
+    }
+  }
+
   test("simhash: identical token streams collide; hamming is symmetric") {
     import spark.implicits._
     val df = Seq(
