@@ -135,6 +135,28 @@ case class SearchFilters(
     author: Option[String] = None,
     createdAfter: Option[java.sql.Timestamp] = None)
 
+/** Document metadata DTO (reference `models/metadata.py:20-23` on top of
+  * BaseMetadata 7-13).
+  */
+case class DocMetadata(
+    title: Option[String] = None,
+    summary: Option[String] = None,
+    sourceUri: Option[String] = None,
+    author: Option[String] = None,
+    lang: Option[String] = None,
+    mimeType: Option[String] = None,
+    tags: Seq[String] = Nil,
+    sha256: Option[String] = None)
+
+/** Library metadata DTO (reference `models/metadata.py:25-26`). */
+case class LibMetadata(
+    description: Option[String] = None,
+    sourceUri: Option[String] = None,
+    author: Option[String] = None,
+    lang: Option[String] = None,
+    mimeType: Option[String] = None,
+    tags: Seq[String] = Nil)
+
 /** Index configuration with reference defaults. */
 case class IndexConfig(
     indexType: String = "flat",

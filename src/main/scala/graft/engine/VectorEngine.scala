@@ -91,7 +91,8 @@ final class VectorEngine(
   // ---- library CRUD ---------------------------------------------------
 
   def createLibrary(name: String, embeddingDim: Int,
-      config: IndexConfig = IndexConfig(), id: Option[String] = None): String = {
+      config: IndexConfig = IndexConfig(), id: Option[String] = None,
+      metadata: Option[LibMetadata] = None): String = {
     if (name.isEmpty) throw new ValidationError("library name must be non-empty")
     if (embeddingDim <= 0 || embeddingDim > 8192)
       throw new ValidationError(s"embedding_dim out of range: $embeddingDim")
@@ -101,7 +102,7 @@ final class VectorEngine(
     val row = Row(libId, name, embeddingDim,
       Row(config.indexType, config.lshNumTables, config.lshHyperplanesPerTable,
         config.ivfNumCentroids, config.ivfNprobe),
-      null, t, t, 1L)
+      libMetaRow(metadata), t, t, 1L)
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), Schemas.libraries)
     store.write("libraries", libraries.filter(col("id") =!= libId).unionAll(newDf),
@@ -137,11 +138,12 @@ final class VectorEngine(
 
   // ---- document CRUD --------------------------------------------------
 
-  def createDocument(libId: String, id: Option[String] = None): String = {
+  def createDocument(libId: String, id: Option[String] = None,
+      metadata: Option[DocMetadata] = None): String = {
     getLibrary(libId)
     val docId = id.getOrElse(newId())
     val t = now()
-    val row = Row(docId, libId, null, t, t, 1L)
+    val row = Row(docId, libId, docMetaRow(metadata), t, t, 1L)
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), Schemas.documents)
     store.write("documents",
@@ -149,6 +151,75 @@ final class VectorEngine(
     docLibCache(docId) = libId
     docId
   }
+
+  /** Create a document together with its chunks in one verb (reference
+    * `document.py:51-103`). Documented deviation: chunks are validated
+    * BEFORE anything is written, so a bad batch leaves no state behind —
+    * the reference adds the document first and a mid-batch
+    * ValidationError strands it.
+    */
+  def createDocumentWithChunks(libId: String, chunksIn: Seq[ChunkIn],
+      metadata: Option[DocMetadata] = None,
+      id: Option[String] = None): (String, Seq[String]) = {
+    val (dim, _, _) = getLibrary(libId)
+    chunksIn.foreach { c =>
+      if (c.text.isEmpty) throw new ValidationError("chunk text must be non-empty")
+      c.embedding.foreach { e =>
+        if (e.length != dim)
+          throw new ValidationError(s"embedding dim ${e.length} != library dim $dim")
+      }
+    }
+    val docId = createDocument(libId, id, metadata)
+    val ids = upsertChunks(libId, docId, chunksIn)
+    (docId, ids)
+  }
+
+  /** Replace a document's metadata wholesale (reference
+    * `document.py:117-139`: every field of the new metadata is assigned),
+    * bumping version/updated_at; optional CAS on the stored version.
+    */
+  def updateDocumentMetadata(libId: String, docId: String,
+      metadata: Option[DocMetadata],
+      expectedVersion: Option[Long] = None): Unit = {
+    requireDocInLibrary(libId, docId)
+    expectedVersion.foreach { ev =>
+      val stored = documents.filter(col("id") === docId)
+        .select(col("version")).collect().head.getLong(0)
+      if (stored != ev)
+        throw new ConflictError(
+          s"document $docId: expected version $ev, stored $stored")
+    }
+    val t = now()
+    val metaLit = docMetaRow(metadata)
+    val metaCol = struct(
+      lit(if (metaLit == null) null else metaLit.getString(0)).as("source_uri"),
+      lit(if (metaLit == null) null else metaLit.getString(1)).as("author"),
+      lit(if (metaLit == null) null else metaLit.getString(2)).as("lang"),
+      lit(if (metaLit == null) null else metaLit.getString(3)).as("mime_type"),
+      (if (metaLit == null || metaLit.isNullAt(4)) lit(null).cast("array<string>")
+       else typedLit(metadata.get.tags)).as("tags"),
+      lit(if (metaLit == null) null else metaLit.getString(5)).as("title"),
+      lit(if (metaLit == null) null else metaLit.getString(6)).as("summary"),
+      lit(if (metaLit == null) null else metaLit.getString(7)).as("sha256"))
+    store.write("documents", documents
+      .withColumn("metadata",
+        when(col("id") === docId, metaCol).otherwise(col("metadata")))
+      .withColumn("version",
+        when(col("id") === docId, col("version") + 1).otherwise(col("version")))
+      .withColumn("updated_at",
+        when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
+  }
+
+  private def docMetaRow(m: Option[DocMetadata]): Row = m.map { x =>
+    Row(x.sourceUri.orNull, x.author.orNull, x.lang.orNull, x.mimeType.orNull,
+      if (x.tags.isEmpty) null else x.tags, x.title.orNull, x.summary.orNull,
+      x.sha256.orNull)
+  }.orNull
+
+  private def libMetaRow(m: Option[LibMetadata]): Row = m.map { x =>
+    Row(x.sourceUri.orNull, x.author.orNull, x.lang.orNull, x.mimeType.orNull,
+      if (x.tags.isEmpty) null else x.tags, x.description.orNull)
+  }.orNull
 
   /** Cascade delete (reference `services/document.py:140-158`): the
     * document's chunks go with it — anti-join rewrite of both tables.

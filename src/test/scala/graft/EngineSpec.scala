@@ -431,6 +431,46 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 0) // current still readable
   }
 
+  test("document/library metadata verbs: create, has_tag, update, CAS, with-chunks") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("meta", 2,
+      metadata = Some(LibMetadata(description = Some("test lib"))))
+    val doc = eng.createDocument(lib,
+      metadata = Some(DocMetadata(title = Some("t1"), tags = Seq("red", "blue"))))
+    // P7 has_tag filter sees the created metadata
+    assert(eng.listDocuments(lib, hasTag = Some("red"))
+      .collect().map(_.getString(0)).toSeq == Seq(doc))
+    assert(eng.listDocuments(lib, hasTag = Some("green")).collect().isEmpty)
+    // update replaces metadata wholesale and bumps the version
+    eng.updateDocumentMetadata(lib, doc,
+      Some(DocMetadata(title = Some("t2"), tags = Seq("green"))))
+    val row = eng.getDocument(lib, doc).collect().head
+    assert(row.getLong(row.fieldIndex("version")) == 2L)
+    assert(row.getStruct(row.fieldIndex("metadata"))
+      .getAs[String]("title") == "t2")
+    assert(eng.listDocuments(lib, hasTag = Some("red")).collect().isEmpty)
+    // CAS: stale expected version conflicts
+    intercept[ConflictError] {
+      eng.updateDocumentMetadata(lib, doc, None, expectedVersion = Some(1L))
+    }
+    // create_with_chunks: validates BEFORE write (no stranded document)
+    val nDocs = eng.documents.count()
+    intercept[ValidationError] {
+      eng.createDocumentWithChunks(lib,
+        Seq(ChunkIn("bad", Some(Array(1f, 0f, 0f))))) // wrong dim
+    }
+    assert(eng.documents.count() == nDocs)
+    val (doc2, ids) = eng.createDocumentWithChunks(lib,
+      Seq(ChunkIn("a", Some(Array(1f, 0f)), id = Some("wc-a")),
+        ChunkIn("b", None, id = Some("wc-b"))),
+      metadata = Some(DocMetadata(title = Some("wc"))))
+    assert(ids == Seq("wc-a", "wc-b"))
+    val d2 = eng.getDocument(lib, doc2).collect().head
+    assert(d2.getLong(d2.fieldIndex("version")) == 2L) // create + chunk bump
+    assert(eng.search(lib, Array(1f, 0f), k = 1).collect()
+      .head.getString(0) == "wc-a")
+  }
+
   test("SQL-registered kernels work from spark.sql text") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
