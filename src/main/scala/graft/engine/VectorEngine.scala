@@ -477,14 +477,15 @@ final class VectorEngine(
 
   // ---- list / get (S1-S3, T5-T6, P7-P8) ------------------------------
 
-  /** Paginated document listing (reference `repos/documents.py:28-47` +
+  /** Paginated document listing (reference `repos/documents.py:22-47` +
     * router `has_more` pattern): optional single-tag membership (P7,
     * `has_tag in doc.metadata.tags`) and strict created_after (P8),
     * sorted by created_at|updated_at, stable `id` tie-break, rows
-    * [offset, offset+limit) via row_number.
+    * [offset, offset+limit) via row_number. Defaults mirror the
+    * reference: updated_at descending.
     */
-  def listDocuments(libId: String, sortBy: String = "created_at",
-      ascending: Boolean = true, limit: Int = 100, offset: Int = 0,
+  def listDocuments(libId: String, sortBy: String = "updated_at",
+      ascending: Boolean = false, limit: Int = 100, offset: Int = 0,
       hasTag: Option[String] = None,
       createdAfter: Option[Timestamp] = None): DataFrame = {
     if (!Set("created_at", "updated_at").contains(sortBy))
