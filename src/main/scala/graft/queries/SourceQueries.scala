@@ -112,11 +112,51 @@ object SourceQueries {
       .orderBy(col("user_id").asc)
   }
 
+  /** Bucketed co-located join: both fact tables written bucketed by the
+    * join key (8 buckets), then joined WITHOUT any Exchange — the
+    * pre-shuffle technique that amortizes one shuffle at write time
+    * across every subsequent join at 100 TB. The spec asserts the plan is
+    * exchange-free; the oracle checks the values against a plain join.
+    */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-bucketed").toString
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("graft_orders_b")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("graft_lineitem_b")
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(28,8)")).cast("double").as("sum_qty"))
+      .filter(col("o_custkey") <= 100)
+      .orderBy(col("o_custkey").asc)
+  }
+
+  /** True when a bucketed `graft_lineitem_b` x `graft_orders_b` join plan
+    * contains no shuffle on either join side (used by the spec; bench/
+    * verify only check values).
+    */
+  def bucketedJoinIsExchangeFree(s: SparkSession): Boolean = {
+    val plan = s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    !plan.contains("Exchange hashpartitioning")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
     "e_stream_tumbling" -> (streamTumbling _),
     "e_stream_sessions" -> (streamSessions _),
+    "q_bucketed_join"  -> (bucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,6 +171,12 @@ object SourceQueries {
         |       count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey HAVING o_custkey <= 100
+        |ORDER BY o_custkey ASC""".stripMargin,
     "e_stream_sessions" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -111,6 +111,13 @@ class PropertySpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("bucketed co-located join plans with no Exchange on either side") {
+    graft.queries.SourceQueries.queries("q_bucketed_join")(
+      spark, "/root/testdata/sf0.001").count() // writes the bucketed tables
+    assert(graft.queries.SourceQueries.bucketedJoinIsExchangeFree(spark),
+      "bucketBy(8, orderkey) on both sides must eliminate the join shuffle")
+  }
+
   test("custom AsOfJoinExec plans as the custom node and equals the window formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
