@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.engine.EngineErrors._
+
+/** Differential fuzz: a seeded random sequence of engine verbs replayed
+  * against a tiny in-memory model that implements the REFERENCE semantics
+  * directly (dict-of-chunks, last-write-wins upserts, cascade deletes,
+  * silent chunk delete, exact cosine top-k with post-filters). After every
+  * mutation the snapshot state must equal the model; searches must agree
+  * on ids AND scores. This is the CRUD/search analog of the DuckDB oracle:
+  * two independent implementations forced to agree on a long random walk.
+  */
+class EngineFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
+
+  case class MChunk(id: String, docId: String, text: String,
+      emb: Option[Array[Float]], author: Option[String], version: Long)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("200 random verbs: engine state and search match the reference model (seed 42)") {
+    val rnd = new Random(42)
+    val dim = 4
+    val eng = new VectorEngine(spark,
+      Files.createTempDirectory("graft-fuzz").toString, fixedClock)
+    val lib = eng.createLibrary("fuzz", dim)
+    val docs = (0 until 3).map(i => eng.createDocument(lib, id = Some(s"doc$i")))
+
+    // the model: reference semantics in a few lines of driver Scala
+    val model = mutable.LinkedHashMap.empty[String, MChunk]
+
+    def randVec(): Option[Array[Float]] =
+      if (rnd.nextInt(5) == 0) None
+      else Some(Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f))
+
+    var step = 0
+    while (step < 200) {
+      rnd.nextInt(10) match {
+        case n if n <= 5 => // upsert batch of 1-3 (possibly duplicate ids)
+          val doc = docs(rnd.nextInt(docs.length))
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = s"c${rnd.nextInt(40)}"
+            ChunkIn(s"text-$step-$id", randVec(), id = Some(id),
+              author = Some(s"a${rnd.nextInt(3)}"))
+          }
+          eng.upsertChunks(lib, doc, batch)
+          // dict semantics: duplicates within a batch collapse last-wins
+          // BEFORE the store sees them (one version bump per batch)
+          val collapsed = mutable.LinkedHashMap.empty[String, ChunkIn]
+          batch.foreach(c => collapsed.put(c.id.get, c))
+          collapsed.foreach { case (id, c) =>
+            val prev = model.get(id)
+            model(id) = MChunk(id, doc, c.text, c.embedding, c.author,
+              prev.map(_.version + 1).getOrElse(1L))
+          }
+        case 6 => // delete one chunk (maybe missing -> silent)
+          val id = s"c${rnd.nextInt(40)}"
+          eng.deleteChunk(lib, id)
+          model.remove(id)
+        case 7 => // cascade-delete and recreate a document
+          val doc = docs(rnd.nextInt(docs.length))
+          eng.deleteDocument(lib, doc)
+          model.filterInPlace((_, c) => c.docId != doc)
+          eng.createDocument(lib, id = Some(doc))
+        case _ => // search and compare against the model's exact top-k
+          val q = Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f)
+          val k = 1 + rnd.nextInt(6)
+          val author = if (rnd.nextBoolean()) Some(s"a${rnd.nextInt(3)}") else None
+          val got = eng.search(lib, q, k,
+              filters = author.map(a => SearchFilters(author = Some(a))))
+            .collect().map(r => (r.getString(0), r.getDouble(2)))
+          val topk = model.values.toSeq.filter(_.emb.isDefined)
+            .map(c => (c.id, cos(c.emb.get, q)))
+            .sortBy { case (id, s) => (-s, id) }.take(k)
+          val expected = author.fold(topk) { a => // post-filter AFTER top-k
+            val ok = model.values.filter(_.author.contains(a)).map(_.id).toSet
+            topk.filter(t => ok.contains(t._1))
+          }
+          assert(got.map(_._1).toSeq == expected.map(_._1),
+            s"step $step: ids diverged (k=$k author=$author)")
+          got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+            assert(math.abs(gs - es) < 1e-9, s"step $step: score diverged")
+          }
+      }
+      step += 1
+    }
+
+    // final state equivalence: ids, text, version
+    val stateRows = eng.chunks.collect().map { r =>
+      (r.getString(r.fieldIndex("id")), r.getString(r.fieldIndex("text")),
+        r.getLong(r.fieldIndex("version")))
+    }.sortBy(_._1)
+    val modelRows = model.values.toSeq.map(c => (c.id, c.text, c.version)).sortBy(_._1)
+    assert(stateRows.toSeq == modelRows, "final snapshot state diverged")
+  }
+}
