@@ -112,6 +112,39 @@ object SourceQueries {
       .orderBy(col("user_id").asc)
   }
 
+  /** Streaming DEDUPLICATION: dropDuplicates over the replayed event
+    * stream (the third stateful-operator family after windowed agg and
+    * mapGroupsWithState — one state row per seen key, watermark-bounded
+    * in production). Emits each (user_id, event_type) pair once; the
+    * batch oracle is a plain DISTINCT + count.
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = src
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+    val q = deduped.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_dedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_dedup").orderBy(col("event_type").asc)
+  }
+
   /** Bucketed co-located join: both fact tables written bucketed by the
     * join key (8 buckets), then joined WITHOUT any Exchange — the
     * pre-shuffle technique that amortizes one shuffle at write time
@@ -156,6 +189,7 @@ object SourceQueries {
     "s_json_roundtrip" -> (jsonRoundtrip _),
     "e_stream_tumbling" -> (streamTumbling _),
     "e_stream_sessions" -> (streamSessions _),
+    "e_stream_dedup"   -> (streamDedup _),
     "q_bucketed_join"  -> (bucketedJoin _),
   )
 
@@ -171,6 +205,10 @@ object SourceQueries {
         |       count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
+    "e_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_distinct_users FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_custkey, count(*) AS n_items,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
