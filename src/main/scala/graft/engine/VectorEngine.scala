@@ -696,6 +696,54 @@ final class VectorEngine(
       .orderBy(col("score").desc, col("chunk_id").asc)
   }
 
+  /** Batch kNN: N query vectors answered in ONE distributed pass — the
+    * Spark-native throughput shape the reference's per-request API cannot
+    * express (its README benchmarks one query at a time). Queries are
+    * broadcast against the partition-pruned chunk scan; per-query top-k
+    * via a window over (query_id), post-filters per quirk Q5. Returns the
+    * search hit shape plus a leading `query_id` column.
+    *
+    * Flat/exact only (each query of an LSH/IVF batch would probe different
+    * buckets; loop `search` for those), which is also the reference's only
+    * metric-exact path.
+    */
+  def searchBatch(libId: String, queries: Seq[(Long, Array[Float])], k: Int,
+      metric: String = "cosine", filters: Option[SearchFilters] = None): DataFrame = {
+    val (dim, _, _) = getLibrary(libId)
+    queries.foreach { case (qid, q) =>
+      if (q.length != dim)
+        throw new ValidationError(s"query $qid dim ${q.length} != library dim $dim")
+    }
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    val qRows = queries.map { case (qid, q) => Row(qid, q.toSeq) }
+    val qDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val scored = libChunks.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("id").as("chunk_id"),
+        similarity(metric)(col("embedding"), col("qvec")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+    val topk = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    val hydrated = broadcast(topk)
+      .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+    applyPost(hydrated, filters)
+      .select(col("query_id"), col("chunk_id"), col("document_id"),
+        col("score"), col("text"), col("position"), col("metadata"),
+        col("created_at"), col("updated_at"))
+      .orderBy(col("query_id").asc, col("score").desc, col("chunk_id").asc)
+  }
+
   /** Flat scoring: raw stored vectors (quirk Q1). */
   private def flatScore(libChunks: DataFrame, query: Array[Float],
       metric: String): DataFrame =

@@ -44,7 +44,10 @@ object DedupQueries {
     * into 4 band keys. Output is the doc->band-bucket assignment table (the
     * left side of the LSH bucket join).
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted doc->band rows (shared by the bands output and the pairs
+    * self-join; only the former needs the presentation sort).
+    */
+  private def bandRows(s: SparkSession, d: String): DataFrame = {
     // numeric minhash: ONE md5 per shingle + K universal-hash variants in
     // one fold. The tokenizer is bound to an attribute ("tk") in its own
     // projection first: shingles() references its input 4x per element,
@@ -62,15 +65,18 @@ object DedupQueries {
     withSigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-      .orderBy(col("doc_id").asc, col("band_id").asc)
   }
 
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    bandRows(s, d).orderBy(col("doc_id").asc, col("band_id").asc)
+
   /** MinHash-LSH candidate pairs: docs sharing any band bucket. The band
-    * table is materialized (localCheckpoint) before the self-join so the
-    * signature computation runs once, not once per join side.
+    * table is materialized (localCheckpoint, UNSORTED — the pair join
+    * doesn't need the bands query's presentation sort) before the
+    * self-join so the signature computation runs once, not per join side.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val bandsDf = minhashBands(s, d).localCheckpoint()
+    val bandsDf = bandRows(s, d).localCheckpoint()
     val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))

@@ -412,6 +412,28 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 0)
   }
 
+  test("searchBatch: N queries in one pass agree with N single searches") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("batch", 3)
+    val doc = eng.createDocument(lib)
+    val rnd = new scala.util.Random(5)
+    eng.upsertChunks(lib, doc, (0 until 30).map(i =>
+      ChunkIn(s"t$i", Some(Array.fill(3)(rnd.nextGaussian().toFloat)),
+        id = Some(f"c$i%03d"), author = Some(s"a${i % 2}"))))
+    val qs = (0L until 4L).map(i =>
+      i -> Array.fill(3)(rnd.nextGaussian().toFloat))
+    val filters = Some(SearchFilters(author = Some("a0")))
+    val batch = eng.searchBatch(lib, qs, k = 5, filters = filters).collect()
+      .groupBy(_.getLong(0))
+    qs.foreach { case (qid, q) =>
+      val single = eng.search(lib, q, k = 5, filters = filters).collect()
+        .map(r => (r.getString(0), r.getDouble(2)))
+      val fromBatch = batch.getOrElse(qid, Array.empty)
+        .map(r => (r.getString(1), r.getDouble(3)))
+      assert(fromBatch.toSeq == single.toSeq, s"query $qid diverged")
+    }
+  }
+
   test("time travel: chunksAt reads historical snapshots after mutations") {
     val eng = freshEngine()
     val lib = eng.createLibrary("tt", 2)
