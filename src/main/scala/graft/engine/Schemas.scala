@@ -135,6 +135,20 @@ case class SearchFilters(
     author: Option[String] = None,
     createdAfter: Option[java.sql.Timestamp] = None)
 
+/** Typed facade rows (SURVEY §1.5: `Dataset[T]` where type safety helps;
+  * `DataFrame` for the dynamic-schema operator layer). Field names/order
+  * match `Schemas.chunks` so `df.as[ChunkRow]` is a pure cast.
+  */
+case class ChunkMetaRow(
+    source_uri: Option[String], author: Option[String], lang: Option[String],
+    mime_type: Option[String], tags: Option[Seq[String]],
+    page_number: Option[Int], token_count: Option[Int], sha256: Option[String])
+
+case class ChunkRow(
+    id: String, library_id: String, document_id: String, position: Int,
+    text: String, embedding: Option[Seq[Float]], metadata: Option[ChunkMetaRow],
+    created_at: java.sql.Timestamp, updated_at: java.sql.Timestamp, version: Long)
+
 /** Document metadata DTO (reference `models/metadata.py:20-23` on top of
   * BaseMetadata 7-13).
   */

@@ -63,6 +63,14 @@ final class VectorEngine(
   def documents: DataFrame = store.read("documents", Schemas.documents)
   def chunks: DataFrame    = store.read("chunks", Schemas.chunks)
 
+  /** Typed chunk view (`Dataset[ChunkRow]`) for callers that want
+    * compile-time field safety; same snapshot as `chunks`.
+    */
+  def chunksTyped: org.apache.spark.sql.Dataset[ChunkRow] = {
+    import spark.implicits._
+    chunks.as[ChunkRow]
+  }
+
   /** Time travel (Delta-style `VERSION AS OF`): the chunk snapshot as of
     * an earlier store version — old `v<N>` directories stay readable
     * because mutations only repoint `_CURRENT`.

@@ -125,7 +125,23 @@ object MiscQueries {
       .limit(20)
   }
 
+  /** Multimodal frame sampling (video-splitter plumbing): n evenly-spaced
+    * byte slices per payload via posexplode — the bounded
+    * (media_id, frame_no) fact-table shape; the md5 of each frame proves
+    * the slices are byte-exact.
+    */
+  private def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Tables.documents(s, d).select(col("doc_id").as("media_id"),
+          lit("video/fake").as("mime_type"),
+          col("text").cast("binary").as("payload")), 4)
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame_bytes")).cast("long").as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy(col("media_id").asc, col("frame_no").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_frame_sample"   -> (frameSample _),
     "t_token_freq"     -> (tokenFreqSalted _),
     "s_point_lookup"   -> (pointLookup _),
     "s_has_tag"        -> (hasTag _),
@@ -143,6 +159,14 @@ object MiscQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "m_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(g.i AS INT) AS frame_no,
+        |       CAST(length(substr(text, CAST(g.i * (length(text) // 4) + 1 AS INT),
+        |                          greatest(length(text) // 4, 1))) AS BIGINT) AS frame_len,
+        |       md5(substr(text, CAST(g.i * (length(text) // 4) + 1 AS INT),
+        |                  greatest(length(text) // 4, 1))) AS frame_md5
+        |FROM documents, generate_series(0, 3) AS g(i)
+        |ORDER BY media_id ASC, frame_no ASC""".stripMargin,
     "t_token_freq" ->
       """SELECT t AS token, count(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t

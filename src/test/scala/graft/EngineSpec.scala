@@ -412,6 +412,22 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 0)
   }
 
+  test("chunksTyped: Dataset facade round-trips rows with typed fields") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("typed", 2)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("hello", Some(Array(1f, 0f)), id = Some("t0"),
+        author = Some("alice"), tags = Seq("x"))))
+    val rows = eng.chunksTyped.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.id == "t0" && r.text == "hello" && r.version == 1L)
+    assert(r.embedding.get.toSeq == Seq(1f, 0f))
+    assert(r.metadata.get.author.contains("alice"))
+    assert(r.metadata.get.tags.get == Seq("x"))
+  }
+
   test("searchBatch: N queries in one pass agree with N single searches") {
     val eng = freshEngine()
     val lib = eng.createLibrary("batch", 3)
