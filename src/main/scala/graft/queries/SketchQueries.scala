@@ -163,7 +163,26 @@ object SketchQueries {
           .cast("decimal(28,8)")).cast("double").as("sample_revenue"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Unpivot/melt: wide per-flag measures back to long (measure, value)
+    * rows — `Dataset.unpivot` (Spark's melt), the inverse of q_pivot.
+    */
+  private def unpivotQty(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(28,8)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(28,8)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        "measure", "value")
+      .orderBy(col("l_returnflag").asc, col("measure").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"        -> (unpivotQty _),
     "q_hll_custkey"    -> (hllCustkey _),
     "q_percentiles"    -> (percentiles _),
     "q_grouping_sets"  -> (groupingSets _),
@@ -174,6 +193,19 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_price,
+        |         CAST(COUNT(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_items', n_items FROM wide
+        |ORDER BY l_returnflag ASC, measure ASC""".stripMargin,
     "q_hll_custkey" ->
       s"""WITH h AS (
          |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
