@@ -96,6 +96,49 @@ final class StateStore(spark: SparkSession, root: String) {
     val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir)
+    repoint(table, next)
+  }
+
+  /** PARTITION-SELECTIVE rewrite: the next snapshot replaces ONLY the
+    * given library's partition; every other `library_id=*` directory is
+    * HARDLINKED from the current version (immutable files, same
+    * filesystem — zero copy, zero read). A mutation scoped to one library
+    * therefore costs O(that library), not O(table) — the difference
+    * between a per-library ingest and a full-corpus rewrite at 100 TB.
+    * Vacuum stays correct: deleting an old version removes its links,
+    * never the inodes still referenced by newer versions.
+    *
+    * `newRows` must contain ONLY rows of `libraryId` (caller filters);
+    * the library_id column is dropped and re-derived from the partition
+    * directory on read, exactly as a partitionBy write lays it out.
+    */
+  def writeLibraryPartition(table: String, libraryId: String,
+      newRows: DataFrame): Long = {
+    val cur = currentVersion(table)
+    val next = cur.getOrElse(0L) + 1
+    val nextDir = Paths.get(tableDir(table), s"v$next")
+    Files.createDirectories(nextDir)
+    cur.foreach { v =>
+      val curDir = Paths.get(tableDir(table), s"v$v")
+      Files.list(curDir).iterator().asScala.toSeq.foreach { sub =>
+        val name = sub.getFileName.toString
+        if (Files.isDirectory(sub) && name.startsWith("library_id=") &&
+            name != s"library_id=$libraryId") {
+          val dst = nextDir.resolve(name)
+          Files.createDirectories(dst)
+          Files.list(sub).iterator().asScala.toSeq.foreach { f =>
+            if (!Files.isDirectory(f))
+              Files.createLink(dst.resolve(f.getFileName.toString), f)
+          }
+        }
+      }
+    }
+    newRows.drop("library_id").write.mode("overwrite")
+      .parquet(nextDir.resolve(s"library_id=$libraryId").toString)
+    repoint(table, next)
+  }
+
+  private def repoint(table: String, next: Long): Long = {
     Files.createDirectories(Paths.get(tableDir(table)))
     val tmp = Paths.get(tableDir(table), s"_CURRENT.tmp$next")
     Files.write(tmp, next.toString.getBytes,

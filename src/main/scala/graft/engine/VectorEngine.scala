@@ -154,8 +154,9 @@ final class VectorEngine(
     val row = Row(docId, libId, docMetaRow(metadata), t, t, 1L)
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), Schemas.documents)
-    store.write("documents",
-      documents.filter(col("id") =!= docId).unionAll(newDf))
+    store.writeLibraryPartition("documents", libId,
+      documents.filter(col("library_id") === libId && col("id") =!= docId)
+        .unionAll(newDf))
     docLibCache(docId) = libId
     docId
   }
@@ -209,13 +210,14 @@ final class VectorEngine(
       lit(if (metaLit == null) null else metaLit.getString(5)).as("title"),
       lit(if (metaLit == null) null else metaLit.getString(6)).as("summary"),
       lit(if (metaLit == null) null else metaLit.getString(7)).as("sha256"))
-    store.write("documents", documents
-      .withColumn("metadata",
-        when(col("id") === docId, metaCol).otherwise(col("metadata")))
-      .withColumn("version",
-        when(col("id") === docId, col("version") + 1).otherwise(col("version")))
-      .withColumn("updated_at",
-        when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
+    store.writeLibraryPartition("documents", libId,
+      documents.filter(col("library_id") === libId)
+        .withColumn("metadata",
+          when(col("id") === docId, metaCol).otherwise(col("metadata")))
+        .withColumn("version",
+          when(col("id") === docId, col("version") + 1).otherwise(col("version")))
+        .withColumn("updated_at",
+          when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
   }
 
   private def docMetaRow(m: Option[DocMetadata]): Row = m.map { x =>
@@ -235,10 +237,13 @@ final class VectorEngine(
   def deleteDocument(libId: String, docId: String): Unit = {
     requireDocInLibrary(libId, docId)
     docLibCache.remove(docId)
-    store.write("documents", documents.filter(col("id") =!= docId))
+    store.writeLibraryPartition("documents", libId,
+      documents.filter(col("library_id") === libId && col("id") =!= docId))
     val removed = chunks.filter(col("document_id") === docId)
       .select(col("id").as("chunk_id"))
-    store.write("chunks", chunks.filter(col("document_id") =!= docId))
+    store.writeLibraryPartition("chunks", libId,
+      chunks.filter(col("library_id") === libId &&
+        col("document_id") =!= docId))
     removeFromIndexes(libId, removed)
   }
 
@@ -337,14 +342,21 @@ final class VectorEngine(
     }
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), Schemas.chunks)
-    store.write("chunks",
-      current.filter(!col("id").isin(ids: _*)).unionAll(newDf))
+    // partition-selective rewrite: only THIS library's partition is
+    // rewritten, every other library's files are hardlinked forward —
+    // O(this library) per mutation, not O(table). (Chunk ids are UUIDs or
+    // content hashes, so a same-id row in a DIFFERENT library is not a
+    // case the engine arbitrates — ids are replaced within the library.)
+    store.writeLibraryPartition("chunks", libId,
+      current.filter(col("library_id") === libId && !col("id").isin(ids: _*))
+        .unionAll(newDf))
     // doc version bump (one per bulk op, chunk.py:110-112)
-    store.write("documents", documents
-      .withColumn("version",
-        when(col("id") === docId, col("version") + 1).otherwise(col("version")))
-      .withColumn("updated_at",
-        when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
+    store.writeLibraryPartition("documents", libId,
+      documents.filter(col("library_id") === libId)
+        .withColumn("version",
+          when(col("id") === docId, col("version") + 1).otherwise(col("version")))
+        .withColumn("updated_at",
+          when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
     // index maintenance
     val replacedIds = spark.createDataFrame(
       spark.sparkContext.parallelize(existing.keys.toSeq.map(Row(_)), 1),
@@ -438,7 +450,7 @@ final class VectorEngine(
     if (bad.getLong(3) != bad.getLong(2))
       throw new ValidationError(
         s"duplicate ids in bulk batch: ${bad.getLong(2)} rows, ${bad.getLong(3)} distinct ids")
-    val current = chunks
+    val current = chunks.filter(col("library_id") === libId)
     // preserve created_at/version continuity for replaced ids
     val prior = current.select(col("id"),
       col("created_at").as("created0"), col("version").as("version0"))
@@ -448,13 +460,15 @@ final class VectorEngine(
       .drop("created0", "version0")
       .select(Schemas.chunks.fieldNames.map(col): _*)
     val incomingIds = normalized.select(col("id"))
-    store.write("chunks",
+    // partition-selective: rewrite this library's partition, link the rest
+    store.writeLibraryPartition("chunks", libId,
       current.join(incomingIds, Seq("id"), "left_anti").unionAll(merged))
-    store.write("documents", documents
-      .withColumn("version",
-        when(col("id") === docId, col("version") + 1).otherwise(col("version")))
-      .withColumn("updated_at",
-        when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
+    store.writeLibraryPartition("documents", libId,
+      documents.filter(col("library_id") === libId)
+        .withColumn("version",
+          when(col("id") === docId, col("version") + 1).otherwise(col("version")))
+        .withColumn("updated_at",
+          when(col("id") === docId, lit(t)).otherwise(col("updated_at"))))
     // Q2 gate: LSH-only (see upsertChunks); for bulk ingest the reference
     // path is create-or-replace, and replaced LSH rows stay stale under Q2
     // (so the add below must also skip them, or buckets double up)
@@ -475,7 +489,8 @@ final class VectorEngine(
     val found = chunks.filter(col("id") === chunkId &&
       col("library_id") === libId).count()
     if (found == 0) return
-    store.write("chunks", chunks.filter(col("id") =!= chunkId))
+    store.writeLibraryPartition("chunks", libId,
+      chunks.filter(col("library_id") === libId && col("id") =!= chunkId))
     removeFromIndexes(libId, spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(chunkId)), 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -592,22 +607,14 @@ final class VectorEngine(
         val cappedH = math.min(config.lshHyperplanesPerTable, 63)
         val planes = LshIndex.makePlanes(spark, libId, config.lshNumTables,
           cappedH, dim, lshSeed)
-        val others = store.read("lsh_planes", Schemas.lshPlanes)
-          .filter(col("library_id") =!= libId)
-        store.write("lsh_planes", others.unionAll(planes))
+        store.writeLibraryPartition("lsh_planes", libId, planes)
         val buckets = LshIndex.buildBuckets(libChunks, planes, libId)
-        store.write("lsh_buckets",
-          store.read("lsh_buckets", Schemas.lshBuckets)
-            .filter(col("library_id") =!= libId).unionAll(buckets))
+        store.writeLibraryPartition("lsh_buckets", libId, buckets)
       case "ivf" =>
         val (centroids, postings) =
           IvfIndex.build(libChunks, libId, config.ivfNumCentroids)
-        store.write("ivf_centroids",
-          store.read("ivf_centroids", Schemas.ivfCentroids)
-            .filter(col("library_id") =!= libId).unionAll(centroids))
-        store.write("ivf_postings",
-          store.read("ivf_postings", Schemas.ivfPostings)
-            .filter(col("library_id") =!= libId).unionAll(postings))
+        store.writeLibraryPartition("ivf_centroids", libId, centroids)
+        store.writeLibraryPartition("ivf_postings", libId, postings)
     }
   }
 
@@ -838,31 +845,33 @@ final class VectorEngine(
         val planesDf = lshPlanes(libId)
         if (!planesDf.isEmpty) {
           val add = LshIndex.buildBuckets(newChunks, planesDf, libId)
-          store.write("lsh_buckets",
-            store.read("lsh_buckets", Schemas.lshBuckets).unionAll(add))
+          store.writeLibraryPartition("lsh_buckets", libId,
+            lshBuckets(libId).unionAll(add))
         }
       case "ivf" if store.exists("ivf_centroids") =>
         val cents = ivfCentroids(libId)
         if (!cents.isEmpty) {
           val add = IvfIndex.assignToCentroids(newChunks, cents, libId)
-          store.write("ivf_postings",
-            store.read("ivf_postings", Schemas.ivfPostings).unionAll(add))
+          store.writeLibraryPartition("ivf_postings", libId,
+            ivfPostings(libId).unionAll(add))
         }
       case _ => () // index tables not built yet -> nothing to maintain
     }
   }
 
-  /** Index REMOVE: anti-join rewrite of bucket/posting rows (U3). */
+  /** Index REMOVE: anti-join rewrite of this library's bucket/posting
+    * partition only (U3) — other libraries' index rows are linked forward.
+    */
   private def removeFromIndexes(libId: String, chunkIds: DataFrame): Unit = {
     if (store.exists("lsh_buckets")) {
-      store.write("lsh_buckets",
-        store.read("lsh_buckets", Schemas.lshBuckets)
+      store.writeLibraryPartition("lsh_buckets", libId,
+        lshBuckets(libId)
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.lshBuckets.fieldNames.map(col): _*))
     }
     if (store.exists("ivf_postings")) {
-      store.write("ivf_postings",
-        store.read("ivf_postings", Schemas.ivfPostings)
+      store.writeLibraryPartition("ivf_postings", libId,
+        ivfPostings(libId)
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.ivfPostings.fieldNames.map(col): _*))
     }

@@ -450,6 +450,39 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-selective writes: other libraries untouched and hardlink-shared") {
+    val dir = Files.createTempDirectory("graft-partsel").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val libA = eng.createLibrary("A", 2)
+    val libB = eng.createLibrary("B", 2)
+    val docA = eng.createDocument(libA)
+    val docB = eng.createDocument(libB)
+    eng.upsertChunks(libB, docB, Seq(ChunkIn("b0", Some(Array(0f, 1f)), id = Some("b0"))))
+    // several mutations scoped to library A
+    for (i <- 0 until 3)
+      eng.upsertChunks(libA, docA, Seq(
+        ChunkIn(s"a$i", Some(Array(1f, 0f)), id = Some(s"a$i"))))
+    eng.deleteChunk(libA, "a0")
+    // B's data is intact through all of A's snapshot versions
+    val bRows = eng.chunks.filter(org.apache.spark.sql.functions.col("library_id") === libB)
+      .collect()
+    assert(bRows.map(_.getString(0)).toSeq == Seq("b0"))
+    assert(eng.search(libB, Array(0f, 1f), k = 1).collect().head.getString(0) == "b0")
+    // and B's partition files in the CURRENT version are hardlinks of the
+    // earlier snapshot's files (nlink > 1), not copies
+    val v = eng.chunksVersion.get
+    val bDir = java.nio.file.Paths.get(dir, "chunks", s"v$v", s"library_id=$libB")
+    val dataFiles = Files.list(bDir).iterator()
+    var sawSharedFile = false
+    while (dataFiles.hasNext) {
+      val f = dataFiles.next()
+      if (f.getFileName.toString.endsWith(".parquet") &&
+          Files.getAttribute(f, "unix:nlink").asInstanceOf[Number].intValue > 1)
+        sawSharedFile = true
+    }
+    assert(sawSharedFile, "expected B's partition to be hardlinked forward")
+  }
+
   test("time travel: chunksAt reads historical snapshots after mutations") {
     val eng = freshEngine()
     val lib = eng.createLibrary("tt", 2)
