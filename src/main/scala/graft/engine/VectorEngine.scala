@@ -39,11 +39,13 @@ final class VectorEngine(
     root: String,
     clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     quirkCompat: Boolean = false,
-    lshSeed: Long = 42L) {
+    lshSeed: Long = 42L,
+    autoIvfThreshold: Long = 100000L) {
 
   private val store = new StateStore(spark, root)
   private def now(): Timestamp = clock()
   private def newId(): String = UUID.randomUUID().toString
+
 
   // Driver-side catalog cache. The library catalog is metadata-scale
   // (O(#libraries), never data-scale — SURVEY §1.1), and this engine is
@@ -599,8 +601,16 @@ final class VectorEngine(
     * Versioned snapshot write + pointer swap = atomic repoint (C7).
     */
   def rebuildIndex(libId: String): Unit = {
-    val (dim, config, _) = getLibrary(libId)
+    val (dim, config0, _) = getLibrary(libId)
     val libChunks = chunks.filter(col("library_id") === libId)
+    // "auto" (reference README.md:263 guidance, there unimplemented):
+    // Flat below the threshold (default 100k indexed vectors), IVF at or
+    // above — resolved at rebuild time from the actual corpus size
+    val config =
+      if (config0.indexType == "auto") {
+        val n = libChunks.filter(col("embedding").isNotNull).count()
+        config0.copy(indexType = if (n < autoIvfThreshold) "flat" else "ivf")
+      } else config0
     config.indexType match {
       case "flat" => dropIndexTables(libId) // flat scores at query time
       case "lsh" =>
@@ -651,8 +661,15 @@ final class VectorEngine(
     def restrict(cands: DataFrame): DataFrame =
       allowedIds.fold(cands)(a => cands.join(a, Seq("chunk_id"), "left_semi"))
 
+    // "auto" searches whatever rebuildIndex resolved and built: IVF when
+    // this library has centroids, flat otherwise (pre-rebuild state)
+    val effectiveType =
+      if (config.indexType != "auto") config.indexType
+      else if (store.exists("ivf_centroids") && !ivfCentroids(libId).isEmpty) "ivf"
+      else "flat"
+
     // candidate (chunk_id, score) per index type
-    val scored: DataFrame = config.indexType match {
+    val scored: DataFrame = effectiveType match {
       case "flat" =>
         flatScore(applyPre(libChunks, filters, preFilter), query, metric)
       case "lsh" =>
@@ -811,7 +828,7 @@ final class VectorEngine(
     * 1..1024.
     */
   private def validateConfig(config: IndexConfig): Unit = {
-    if (!Set("flat", "lsh", "ivf").contains(config.indexType))
+    if (!Set("flat", "lsh", "ivf", "auto").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -848,14 +865,14 @@ final class VectorEngine(
           store.writeLibraryPartition("lsh_buckets", libId,
             lshBuckets(libId).unionAll(add))
         }
-      case "ivf" if store.exists("ivf_centroids") =>
+      case "ivf" | "auto" if store.exists("ivf_centroids") =>
         val cents = ivfCentroids(libId)
-        if (!cents.isEmpty) {
+        if (!cents.isEmpty) { // auto-resolved-flat libraries have no centroids
           val add = IvfIndex.assignToCentroids(newChunks, cents, libId)
           store.writeLibraryPartition("ivf_postings", libId,
             ivfPostings(libId).unionAll(add))
         }
-      case _ => () // index tables not built yet -> nothing to maintain
+      case _ => () // flat, or index tables not built yet
     }
   }
 

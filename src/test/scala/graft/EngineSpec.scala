@@ -450,6 +450,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("auto index selection: flat below the threshold, IVF at/above (README.md:263)") {
+    def build(threshold: Long): (VectorEngine, String, StateStore) = {
+      val dir = Files.createTempDirectory("graft-auto").toString
+      val eng = new VectorEngine(spark, dir, fixedClock,
+        autoIvfThreshold = threshold)
+      val lib = eng.createLibrary("auto", 2, IndexConfig("auto"))
+      val doc = eng.createDocument(lib)
+      val rnd = new scala.util.Random(3)
+      eng.upsertChunks(lib, doc, (0 until 20).map(i =>
+        ChunkIn(s"t$i", Some(Array.fill(2)(rnd.nextGaussian().toFloat)),
+          id = Some(f"c$i%03d"))))
+      eng.rebuildIndex(lib)
+      (eng, lib, new StateStore(spark, dir))
+    }
+    // 20 chunks below a high threshold -> resolved flat: no centroid
+    // table is built, search is the exact scan
+    val (engF, libF, storeF) = build(threshold = 100000L)
+    assert(!storeF.exists("ivf_centroids"))
+    assert(engF.search(libF, Array(1f, 0f), k = 3).collect().length == 3)
+    // low threshold -> resolved IVF: centroids + postings materialize and
+    // auto search uses them
+    val (engI, libI, storeI) = build(threshold = 10L)
+    assert(storeI.exists("ivf_centroids") &&
+      storeI.read("ivf_centroids", Schemas.ivfCentroids).count() > 0)
+    assert(engI.search(libI, Array(1f, 0f), k = 3).collect().nonEmpty)
+  }
+
   test("partition-selective writes: other libraries untouched and hardlink-shared") {
     val dir = Files.createTempDirectory("graft-partsel").toString
     val eng = new VectorEngine(spark, dir, fixedClock)
