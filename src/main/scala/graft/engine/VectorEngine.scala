@@ -40,7 +40,8 @@ final class VectorEngine(
     clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     quirkCompat: Boolean = false,
     lshSeed: Long = 42L,
-    autoIvfThreshold: Long = 100000L) {
+    autoIvfThreshold: Long = 100000L,
+    autoVacuumKeep: Option[Int] = None) {
 
   private val store = new StateStore(spark, root)
   private def now(): Timestamp = clock()
@@ -88,6 +89,12 @@ final class VectorEngine(
   def vacuum(keepLast: Int = 1): Int =
     Seq("libraries", "documents", "chunks", "lsh_planes", "lsh_buckets",
       "ivf_centroids", "ivf_postings").map(store.vacuum(_, keepLast)).sum
+
+  /** Auto-retention hook: when `autoVacuumKeep = Some(n)` every mutating
+    * verb trims snapshot history to the newest n versions on its way out
+    * (bounded storage instead of unbounded time travel).
+    */
+  private def maybeVacuum(): Unit = autoVacuumKeep.foreach(n => vacuum(n))
 
   private def lshPlanes(libId: String): DataFrame =
     store.read("lsh_planes", Schemas.lshPlanes).filter(col("library_id") === libId)
@@ -372,6 +379,7 @@ final class VectorEngine(
     addToIndexes(libId,
       chunks.filter(col("id").isin(ids: _*))
         .filter(if (q2) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
+    maybeVacuum()
     ids
   }
 
@@ -481,6 +489,7 @@ final class VectorEngine(
       .join(incomingIds, Seq("id"), "left_semi")
     addToIndexes(libId,
       if (q2) toAdd.join(prior.select("id"), Seq("id"), "left_anti") else toAdd)
+    maybeVacuum()
   }
 
   /** Delete one chunk. A missing or foreign-library id is a SILENT no-op —

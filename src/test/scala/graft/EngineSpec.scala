@@ -450,6 +450,20 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("autoVacuumKeep trims snapshot history after mutating verbs") {
+    val dir = Files.createTempDirectory("graft-autovac").toString
+    val eng = new VectorEngine(spark, dir, fixedClock, autoVacuumKeep = Some(1))
+    val lib = eng.createLibrary("av", 2)
+    val doc = eng.createDocument(lib)
+    for (i <- 0 until 3)
+      eng.upsertChunks(lib, doc, Seq(
+        ChunkIn(s"t$i", Some(Array(1f, 0f)), id = Some(s"c$i"))))
+    val v = eng.chunksVersion.get
+    assert(v >= 3)
+    intercept[IllegalArgumentException] { eng.chunksAt(v - 1) } // trimmed
+    assert(eng.chunks.count() == 3) // current intact
+  }
+
   test("auto index selection: flat below the threshold, IVF at/above (README.md:263)") {
     def build(threshold: Long): (VectorEngine, String, StateStore) = {
       val dir = Files.createTempDirectory("graft-auto").toString
