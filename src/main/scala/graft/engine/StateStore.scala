@@ -1,8 +1,9 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -28,6 +29,16 @@ final class StateStore(spark: SparkSession, root: String) {
 
   private def tableDir(table: String) = s"$root/$table"
   private def currentFile(table: String) = Paths.get(tableDir(table), "_CURRENT")
+
+  /** Materialize a directory listing, CLOSING the underlying stream —
+    * Files.list/walk hold an open fd until closed, and every mutating verb
+    * walks these dirs (autoVacuumKeep runs vacuum per verb), so unclosed
+    * streams leak driver fds in long ingest loops (ADVICE r2).
+    */
+  private def listDir(dir: Path): Seq[Path] =
+    Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+  private def walkDir(dir: Path): Seq[Path] =
+    Using.resource(Files.walk(dir))(_.iterator().asScala.toSeq)
 
   def currentVersion(table: String): Option[Long] = {
     val f = currentFile(table)
@@ -73,13 +84,13 @@ final class StateStore(spark: SparkSession, root: String) {
     val cutoff = current - keepLast + 1
     val dir = Paths.get(tableDir(table))
     if (!Files.exists(dir)) return 0
-    val victims = Files.list(dir).iterator().asScala.filter { p =>
+    val victims = listDir(dir).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
         n.drop(1).toLong < cutoff
-    }.toSeq
+    }
     victims.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walkDir(p).reverse.foreach(Files.delete)
     }
     victims.size
   }
@@ -120,13 +131,13 @@ final class StateStore(spark: SparkSession, root: String) {
     Files.createDirectories(nextDir)
     cur.foreach { v =>
       val curDir = Paths.get(tableDir(table), s"v$v")
-      Files.list(curDir).iterator().asScala.toSeq.foreach { sub =>
+      listDir(curDir).foreach { sub =>
         val name = sub.getFileName.toString
         if (Files.isDirectory(sub) && name.startsWith("library_id=") &&
             name != s"library_id=$libraryId") {
           val dst = nextDir.resolve(name)
           Files.createDirectories(dst)
-          Files.list(sub).iterator().asScala.toSeq.foreach { f =>
+          listDir(sub).foreach { f =>
             if (!Files.isDirectory(f))
               Files.createLink(dst.resolve(f.getFileName.toString), f)
           }

@@ -115,6 +115,14 @@ final class VectorEngine(
       throw new ValidationError(s"embedding_dim out of range: $embeddingDim")
     validateConfig(config)
     val libId = id.getOrElse(newId())
+    // Library ids become `library_id=<id>` partition directory names in
+    // writeLibraryPartition, which (unlike Spark's own partitionBy writer)
+    // does not URL-escape — so '/', '%', spaces etc. would break the path
+    // or round-trip to a different id on read (ADVICE r2). Restrict ids to
+    // a filesystem-safe charset instead of escaping; generated UUIDs pass.
+    if (!libId.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"))
+      throw new ValidationError(
+        s"library id must match [A-Za-z0-9][A-Za-z0-9._-]{0,127}: '$libId'")
     val t = now()
     val row = Row(libId, name, embeddingDim,
       Row(config.indexType, config.lshNumTables, config.lshHyperplanesPerTable,
@@ -159,6 +167,19 @@ final class VectorEngine(
       metadata: Option[DocMetadata] = None): String = {
     getLibrary(libId)
     val docId = id.getOrElse(newId())
+    // Document ids are globally unique (ADVICE r2): the partition-scoped
+    // rewrite below only replaces a same-id row in THIS library, and
+    // docLibCache maps docId -> one library — so an explicit id already
+    // homed in another library must be rejected, not silently duplicated.
+    // Generated UUIDs skip the scan (collision probability negligible).
+    if (id.isDefined) {
+      val other = documents
+        .filter(col("id") === docId && col("library_id") =!= libId)
+        .select(col("library_id")).limit(1).collect()
+      if (other.nonEmpty)
+        throw new ValidationError(
+          s"document $docId already exists in library ${other.head.getString(0)}")
+    }
     val t = now()
     val row = Row(docId, libId, docMetaRow(metadata), t, t, 1L)
     val newDf = spark.createDataFrame(
@@ -410,19 +431,25 @@ final class VectorEngine(
     val cols = incoming.columns.toSet
     def opt(name: String, default: Column): Column =
       if (cols.contains(name)) col(name) else default
+    // Null fields are encoded DISTINCTLY from empty (a "\\u0002null"
+    // sentinel, unreachable by real values since control chars never
+    // appear in them): with plain coalesce(x, ""), author NULL and
+    // author "" hashed identically and dropDuplicates("id") silently
+    // dropped one of two genuinely-distinct rows (ADVICE r2).
+    def nz(c: Column): Column = coalesce(c, lit("\u0002null"))
     val idCol: Column =
       if (cols.contains("id")) col("id")
-      else md5(concat_ws("",
+      else md5(concat_ws("\u0001",
         lit(docId),
         opt("position", lit(0)).cast("int").cast("string"),
         col("text").cast("string"),
-        coalesce(opt("embedding", lit(null).cast("array<float>"))
-          .cast("array<float>").cast("string"), lit("")),
-        coalesce(opt("source_uri", lit(null).cast("string")), lit("")),
-        coalesce(opt("author", lit(null).cast("string")), lit("")),
-        coalesce(opt("lang", lit(null).cast("string")), lit("")),
-        coalesce(opt("tags", lit(null).cast("array<string>"))
-          .cast("array<string>").cast("string"), lit(""))))
+        nz(opt("embedding", lit(null).cast("array<float>"))
+          .cast("array<float>").cast("string")),
+        nz(opt("source_uri", lit(null).cast("string"))),
+        nz(opt("author", lit(null).cast("string"))),
+        nz(opt("lang", lit(null).cast("string"))),
+        nz(opt("tags", lit(null).cast("array<string>"))
+          .cast("array<string>").cast("string"))))
     val normalized0 = incoming.select(
         idCol.as("id"),
         lit(libId).as("library_id"),

@@ -122,10 +122,38 @@ object AsOfJoinPlan {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lkE = resolve(leftKey, left, "leftKey")
+    val rkE = resolve(rightKey, right, "rightKey")
+    val ltE = resolve(leftTime, left, "leftTime")
+    val rtE = resolve(rightTime, right, "rightTime")
     val node = AsOfJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      GraftColumnBridge.expression(leftKey), GraftColumnBridge.expression(rightKey),
-      GraftColumnBridge.expression(leftTime), GraftColumnBridge.expression(rightTime))
+      lkE, rkE, ltE, rtE)
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+  }
+
+  /** The merge walk in AsOfJoinExec compares key/time via getLong, which
+    * is only sound for long-backed physical types — reject anything else
+    * at construction instead of silently producing garbage (ADVICE r2).
+    * LongType and TimestampType (micros-as-long) qualify; IntegerType does
+    * NOT (an int occupies different InternalRow storage — getLong on it is
+    * undefined), nor do string/decimal.
+    */
+  private def resolve(c: Column, df: DataFrame, role: String): Expression = {
+    val e = GraftColumnBridge.expression(c) transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        df.queryExecution.analyzed.output.find(_.name == u.name).getOrElse(u)
+    }
+    val ok = e.resolved && (e.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    })
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"asofJoin $role must be LONG or TIMESTAMP-typed (long-backed), got " +
+          (if (e.resolved) e.dataType.simpleString else s"unresolved: $e"))
+    e
   }
 }

@@ -381,6 +381,51 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("bulkIngest content hash separates null from empty fields (ADVICE r2)") {
+    import spark.implicits._
+    val eng = freshEngine()
+    val lib = eng.createLibrary("hashnull", 2)
+    val doc = eng.createDocument(lib)
+    // same text; author NULL vs author "" — the old coalesce(x, "") hash
+    // collided these and dropDuplicates silently dropped one
+    eng.bulkIngest(lib, doc, Seq(
+      ("t", Array(1f, 0f), null.asInstanceOf[String]),
+      ("t", Array(1f, 0f), "")).toDF("text", "embedding", "author"))
+    assert(eng.chunks.count() == 2)
+    // field separation: (position=1, text="2abc") vs (position=12, text="abc")
+    val eng2 = freshEngine()
+    val lib2 = eng2.createLibrary("hashsep", 2)
+    val doc2 = eng2.createDocument(lib2)
+    eng2.bulkIngest(lib2, doc2, Seq(
+      (1, "2abc", Array(1f, 0f)), (12, "abc", Array(1f, 0f)))
+      .toDF("position", "text", "embedding"))
+    assert(eng2.chunks.count() == 2)
+  }
+
+  test("createDocument rejects an explicit id homed in another library (ADVICE r2)") {
+    val eng = freshEngine()
+    val libA = eng.createLibrary("homeA", 2)
+    val libB = eng.createLibrary("homeB", 2)
+    eng.createDocument(libA, id = Some("doc-1"))
+    val err = intercept[ValidationError] {
+      eng.createDocument(libB, id = Some("doc-1"))
+    }
+    assert(err.getMessage.contains(libA))
+    // re-creating in the SAME library is still a replace, not an error
+    eng.createDocument(libA, id = Some("doc-1"))
+    assert(eng.documents.filter(
+      org.apache.spark.sql.functions.col("id") === "doc-1").count() == 1)
+  }
+
+  test("createLibrary rejects filesystem-unsafe explicit ids (ADVICE r2)") {
+    val eng = freshEngine()
+    for (bad <- Seq("a/b", "a b", "100%", "", ".hidden", "x" * 200))
+      intercept[ValidationError] { eng.createLibrary("n", 2, id = Some(bad)) }
+    // safe ids and generated UUIDs pass
+    eng.createLibrary("n", 2, id = Some("Lib-1.core_x"))
+    eng.createLibrary("n2", 2)
+  }
+
   test("quirkCompat Q2 is LSH-only: IVF updates still maintain postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quirk-ivf").toString
     val eng = new VectorEngine(spark, dir, fixedClock, quirkCompat = true)

@@ -118,6 +118,29 @@ class PropertySpec extends AnyFunSuite {
       "bucketBy(8, orderkey) on both sides must eliminate the join shuffle")
   }
 
+  test("asofJoin rejects non-long-backed key/time types (ADVICE r2)") {
+    import spark.implicits._
+    val l = Seq(("a", 1L), ("b", 2L)).toDF("k", "t")
+    val r = Seq(("a", 1L)).toDF("rk", "rt")
+    // string key: getLong on a string would be garbage — must fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan.asofJoin(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    }
+    assert(e1.getMessage.contains("leftKey"))
+    // int time: ints are not long-backed in InternalRow either
+    val li = Seq((1L, 5)).toDF("k", "ti")
+    val ri = Seq((1L, 5)).toDF("rk", "rti")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan.asofJoin(li, ri, li("k"), ri("rk"), li("ti"), ri("rti"))
+    }
+    assert(e2.getMessage.contains("leftTime"))
+    // long key + timestamp time still works (e_asof_custom's shape)
+    val lt = Seq((1L, new java.sql.Timestamp(1000L))).toDF("k", "ts")
+    val rt2 = Seq((1L, new java.sql.Timestamp(500L))).toDF("rk", "rts")
+    assert(graft.plans.AsOfJoinPlan.asofJoin(lt, rt2,
+      lt("k"), rt2("rk"), lt("ts"), rt2("rts")).count() == 1)
+  }
+
   test("custom AsOfJoinExec plans as the custom node and equals the window formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
