@@ -46,6 +46,27 @@ object EngineQueries {
     (eng, lib, q)
   }
 
+  /** ONE lazily built engine per (session, dataset, config family), index
+    * already rebuilt — r2's bench conflated ingest+index-build fixed costs
+    * with query latency by rebuilding a fresh engine inside EVERY
+    * `x_engine_*` entry (x_lsh_recall rebuilt the exact engine
+    * x_engine_lsh had just built). All entries are read-only against the
+    * fixture, so sharing is sound; keying by session keeps Verify/Bench
+    * runs in one JVM isolated.
+    */
+  private val fixtureCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String, String), (VectorEngine, String, Array[Float])]
+
+  private def engineFixture(s: SparkSession, d: String,
+      config: IndexConfig): (VectorEngine, String, Array[Float]) =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate((s, d, config.indexType), {
+        val built = buildEngine(s, d, config)
+        if (config.indexType != "flat") built._1.rebuildIndex(built._2)
+        built
+      })
+    }
+
   private def hitsOut(hits: DataFrame): DataFrame =
     hits.select(
         expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
@@ -53,13 +74,13 @@ object EngineQueries {
       .orderBy(col("score").desc, col("vec_id").asc)
 
   private def engineFlat(s: SparkSession, d: String): DataFrame = {
-    val (eng, lib, q) = buildEngine(s, d, IndexConfig("flat"))
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("flat"))
     hitsOut(eng.search(lib, q, k = 10))
   }
 
   /** Post-filter through the engine: top-20, then tag ANY-overlap. */
   private def engineFlatFiltered(s: SparkSession, d: String): DataFrame = {
-    val (eng, lib, q) = buildEngine(s, d, IndexConfig("flat"))
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("flat"))
     hitsOut(eng.search(lib, q, k = 20,
       filters = Some(SearchFilters(tags = Seq("label0", "label2")))))
   }
@@ -68,16 +89,14 @@ object EngineQueries {
     // L=8, H=6: on this near-orthogonal corpus (nearest neighbors at
     // cosine ~0.4) high H makes sign-bucket collisions vanishingly rare;
     // 6 bits + multi-probe measures recall@10 = 0.8 (see BASELINE.md)
-    val (eng, lib, q) = buildEngine(s, d,
+    val (eng, lib, q) = engineFixture(s, d,
       IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
-    eng.rebuildIndex(lib)
     hitsOut(eng.search(lib, q, k = 10))
   }
 
   private def engineIvf(s: SparkSession, d: String): DataFrame = {
-    val (eng, lib, q) = buildEngine(s, d,
+    val (eng, lib, q) = engineFixture(s, d,
       IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
-    eng.rebuildIndex(lib)
     hitsOut(eng.search(lib, q, k = 10))
   }
 
@@ -87,9 +106,8 @@ object EngineQueries {
     */
   private def lshRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (eng, lib, q) = buildEngine(s, d,
+    val (eng, lib, q) = engineFixture(s, d,
       IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
-    eng.rebuildIndex(lib)
     val approx = eng.search(lib, q, k = 10).collect()
       .map(r => r.getString(0)).toSet
     val exact = Tables.embeddings(s, d)
