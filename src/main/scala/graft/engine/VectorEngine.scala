@@ -649,16 +649,24 @@ final class VectorEngine(
       } else config0
     config.indexType match {
       case "flat" => dropIndexTables(libId) // flat scores at query time
-      case "lsh" =>
+      case "lsh" | "lsh_det" =>
         val cappedH = math.min(config.lshHyperplanesPerTable, 63)
-        val planes = LshIndex.makePlanes(spark, libId, config.lshNumTables,
-          cappedH, dim, lshSeed)
+        val planes =
+          if (config.indexType == "lsh_det")
+            LshIndex.makePlanesDet(spark, libId, config.lshNumTables,
+              cappedH, dim)
+          else LshIndex.makePlanes(spark, libId, config.lshNumTables,
+            cappedH, dim, lshSeed)
         store.writeLibraryPartition("lsh_planes", libId, planes)
         val buckets = LshIndex.buildBuckets(libChunks, planes, libId)
         store.writeLibraryPartition("lsh_buckets", libId, buckets)
-      case "ivf" =>
+      case "ivf" | "ivf_det" =>
         val (centroids, postings) =
-          IvfIndex.build(libChunks, libId, config.ivfNumCentroids)
+          if (config.indexType == "ivf_det") {
+            val cents = IvfIndex.seedCentroids(libChunks, libId,
+              config.ivfNumCentroids)
+            (cents, IvfIndex.assignToCentroids(libChunks, cents, libId))
+          } else IvfIndex.build(libChunks, libId, config.ivfNumCentroids)
         store.writeLibraryPartition("ivf_centroids", libId, centroids)
         store.writeLibraryPartition("ivf_postings", libId, postings)
     }
@@ -708,7 +716,7 @@ final class VectorEngine(
     val scored: DataFrame = effectiveType match {
       case "flat" =>
         flatScore(applyPre(libChunks, filters, preFilter), query, metric)
-      case "lsh" =>
+      case "lsh" | "lsh_det" =>
         if (isZero) return emptyHits()
         val planes =
           if (!store.exists("lsh_planes")) Nil
@@ -719,7 +727,7 @@ final class VectorEngine(
           val cands = LshIndex.candidates(restrict(lshBuckets(libId)), query, planes, k)
           rerank(cands, query, metric)
         }
-      case "ivf" =>
+      case "ivf" | "ivf_det" =>
         if (isZero) return emptyHits()
         val qn = LshIndex.normalizeDriver(query).get
         // top-nprobe centroid ids resolved DRIVER-side (one TakeOrdered
@@ -864,7 +872,8 @@ final class VectorEngine(
     * 1..1024.
     */
   private def validateConfig(config: IndexConfig): Unit = {
-    if (!Set("flat", "lsh", "ivf", "auto").contains(config.indexType))
+    if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det")
+        .contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -894,14 +903,14 @@ final class VectorEngine(
     val (_, config, _) = getLibrary(libId)
     config.indexType match {
       case "flat" => ()
-      case "lsh" if store.exists("lsh_planes") =>
+      case "lsh" | "lsh_det" if store.exists("lsh_planes") =>
         val planesDf = lshPlanes(libId)
         if (!planesDf.isEmpty) {
           val add = LshIndex.buildBuckets(newChunks, planesDf, libId)
           store.writeLibraryPartition("lsh_buckets", libId,
             lshBuckets(libId).unionAll(add))
         }
-      case "ivf" | "auto" if store.exists("ivf_centroids") =>
+      case "ivf" | "ivf_det" | "auto" if store.exists("ivf_centroids") =>
         val cents = ivfCentroids(libId)
         if (!cents.isEmpty) { // auto-resolved-flat libraries have no centroids
           val add = IvfIndex.assignToCentroids(newChunks, cents, libId)

@@ -231,6 +231,32 @@ object IvfIndex {
       .select(col("chunk_id"), col("vnorm"), col("best.cid").as("cid"))
   }
 
+  /** INIT-ONLY deterministic centroids ("ivf_det" mode): the k lowest
+    * md5(chunk_id) vectors, normalized, NO Lloyd iterations — the same
+    * content-derived init `build` uses, minus the un-SQL-replayable
+    * iteration loop. Clustering quality is poorer than trained IVF (it's
+    * a pseudo-random sample), but every step is pure arithmetic the
+    * DuckDB oracle replays end-to-end, which turns the engine's whole
+    * store->postings->nprobe->rerank path into a hash-checked query.
+    * centroid_id is assigned in chunk_id order (deterministic).
+    */
+  def seedCentroids(chunksDf: DataFrame, libraryId: String,
+      numCentroids: Int): DataFrame = {
+    val spark = chunksDf.sparkSession
+    val seeds = normalized(chunksDf)
+      .withColumn("h", md5(col("chunk_id")))
+      .orderBy(col("h").asc)
+      .limit(numCentroids)
+      .select(col("chunk_id"), col("vnorm"))
+      .collect()
+      .sortBy(_.getString(0))
+    val rows = seeds.zipWithIndex.map { case (r, i) =>
+      Row(libraryId, i, r.getSeq[Double](1).map(_.toFloat))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), Schemas.ivfCentroids)
+  }
+
   /** Assign new vectors to EXISTING centroids (incremental add between
     * rebuilds, reference `ivf.py:40-49` — no re-clustering).
     */

@@ -44,6 +44,36 @@ object LshIndex {
       spark.sparkContext.parallelize(rows, 1), Schemas.lshPlanes)
   }
 
+  /** CONTENT-DERIVED deterministic hyperplanes ("lsh_det" mode): component
+    * (t, p, j) = md5("lshdet|t|p|j") -> first 15 hex chars -> long ->
+    * scaled to [-1, 1) -> float. Not Gaussian (uniform per component), but
+    * random-hyperplane LSH only needs direction diversity — and unlike the
+    * seeded-Random planes this derivation is pure arithmetic over md5, so
+    * an independent SQL engine (the DuckDB oracle) replays the ENTIRE
+    * build+search pipeline bit-for-bit. Every op below (long->double,
+    * /2^60, *2-1, ->float) is a correctly-rounded IEEE step that DuckDB
+    * performs identically.
+    */
+  def makePlanesDet(spark: SparkSession, libraryId: String, numTables: Int,
+      planesPerTable: Int, dim: Int): DataFrame = {
+    val rows = for {
+      t <- 0 until numTables
+      p <- 0 until planesPerTable
+    } yield org.apache.spark.sql.Row(
+      libraryId, t, p,
+      (0 until dim).map { j =>
+        val hex = md5Hex(s"lshdet|$t|$p|$j").substring(0, 15)
+        (java.lang.Long.parseLong(hex, 16).toDouble /
+          (1L << 60).toDouble * 2.0 - 1.0).toFloat
+      })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Schemas.lshPlanes)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** Signature of `vec` against one table's planes (plane-id ascending):
     * bit i set iff dot(vec, plane_i) >= 0 (`lsh.py:20-25`).
     */

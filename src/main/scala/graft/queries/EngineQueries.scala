@@ -123,11 +123,34 @@ object EngineQueries {
     Seq((0L, recall, approx.size)).toDF("query_id", "recall_at_10", "n_hits")
   }
 
+  /** DETERMINISTIC-index engine paths (VERDICT r2 #2): "lsh_det" derives
+    * hyperplanes from md5 arithmetic and "ivf_det" uses init-only
+    * md5-seeded centroids — so the DuckDB oracle replays the ENTIRE
+    * build+search pipeline (normalize -> signatures/assignment -> probe ->
+    * multiplicity rank / nprobe prune -> exact rerank) and hash-checks it.
+    * The seeded-RNG engine paths (`x_engine_lsh`/`x_engine_ivf`) keep
+    * their reference-parity behavior specs in EngineSpec; these entries
+    * close the `no_oracle` gap on the same store/probe/rerank machinery.
+    */
+  private def engineLshDet(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  private def engineIvfDet(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d,
+      IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
     "x_engine_lsh"           -> (engineLsh _),
     "x_engine_ivf"           -> (engineIvf _),
+    "x_engine_lsh_det"       -> (engineLshDet _),
+    "x_engine_ivf_det"       -> (engineIvfDet _),
     "x_lsh_recall"           -> (lshRecall _),
   )
 
@@ -149,5 +172,91 @@ object EngineQueries {
          |SELECT vec_id, score FROM topk WHERE label IN (0, 2)
          |ORDER BY score DESC, vec_id ASC""".stripMargin,
     // x_engine_lsh / x_engine_ivf: seeded-RNG index paths — rows-only check.
+    // x_engine_lsh_det: FULL build+search replay. Planes: comp(t,p,j) =
+    // float(long(md5("lshdet|t|p|j")[0:15 hex]) / 2^60 * 2 - 1); stored
+    // vectors L2-normalized then float-cast; signature = packed sign bits
+    // of double dots; probes = base signature + all Hamming-1 flips;
+    // candidates ranked by table-match multiplicity (cap 6k=60, chunk_id
+    // == vec_id order), exact cosine rerank of the float-normalized
+    // vector vs the RAW query (quirk Q1). Mirrors LshIndex.makePlanesDet /
+    // buildBuckets / candidates and VectorEngine.search step for step.
+    "x_engine_lsh_det" ->
+      s"""WITH planes AS (
+         |  SELECT t.t, p.p,
+         |         list(CAST(CAST(CAST(CAST(('0x' || substr(md5('lshdet|' || CAST(t.t AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS REAL) AS DOUBLE) ORDER BY j.j) AS plane
+         |  FROM range(4) t(t), range(4) p(p), range(64) j(j)
+         |  GROUP BY t.t, p.p),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+         |vn AS (
+         |  SELECT vec_id, emb,
+         |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnorm
+         |  FROM nr WHERE n > 0),
+         |sigbits AS (
+         |  SELECT v.vec_id, pl.t, pl.p,
+         |         CASE WHEN list_dot_product(v.vnorm, pl.plane) >= 0
+         |              THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+         |  FROM vn v, planes pl),
+         |sigs AS (
+         |  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig
+         |  FROM sigbits GROUP BY vec_id, t),
+         |qsig AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT t, sig FROM qsig
+         |  UNION ALL
+         |  SELECT q.t, xor(q.sig, CAST(1 AS BIGINT) << h.p) AS sig
+         |  FROM qsig q, range(4) h(p)),
+         |cand AS (
+         |  SELECT s.vec_id, count(*) AS n_matches
+         |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
+         |  GROUP BY s.vec_id
+         |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)
+         |SELECT c.vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+         |FROM cand c JOIN vn v USING (vec_id)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // x_engine_ivf_det: init-only IVF replay. Seeds = 8 lowest
+    // md5(chunk_id) ('c' || zero-padded vec_id), centroid_id in chunk_id
+    // order; centroid vectors are float-cast normalized; postings assign
+    // by argmax double-dot (DOUBLE vnorm x float-cast centroid), earliest
+    // centroid on ties; search probes the nprobe=2 best centroids by
+    // query-dot and reranks the float-normalized vectors vs the RAW
+    // query. Mirrors IvfIndex.seedCentroids / assignToCentroids and the
+    // isin-pushdown probe in VectorEngine.search.
+    "x_engine_ivf_det" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+         |vn AS (
+         |  SELECT vec_id, emb,
+         |         list_transform(emb, x -> x / n) AS vnormd,
+         |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+         |  FROM nr WHERE n > 0),
+         |seeds AS (
+         |  SELECT vec_id FROM vn
+         |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+         |  LIMIT 8),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
+         |         v.vnormf AS cvec
+         |  FROM seeds s JOIN vn v USING (vec_id)),
+         |assign AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
+         |                    c.centroid_id ASC) AS rn
+         |  FROM vn v, cents c),
+         |postings AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+         |qn AS (
+         |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+         |  FROM e WHERE vec_id = 0),
+         |top_c AS (
+         |  SELECT c.centroid_id FROM cents c, qn
+         |  ORDER BY list_dot_product(c.cvec, qn.v) DESC, c.centroid_id ASC
+         |  LIMIT 2)
+         |SELECT v.vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+         |FROM postings p JOIN vn v USING (vec_id)
+         |WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -426,6 +426,32 @@ class EngineSpec extends AnyFunSuite {
     eng.createLibrary("n2", 2)
   }
 
+  test("deterministic index modes: rebuild reproducible, incremental add maintained") {
+    for (cfg <- Seq(
+        IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 4),
+        IndexConfig("ivf_det", ivfNumCentroids = 2, ivfNprobe = 2))) {
+      val eng = freshEngine()
+      val lib = eng.createLibrary("det-" + cfg.indexType, 2, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, Seq(
+        ChunkIn("a", Some(Array(1f, 0f)), id = Some("a")),
+        ChunkIn("b", Some(Array(0f, 1f)), id = Some("b"))))
+      eng.rebuildIndex(lib)
+      val r1 = eng.search(lib, Array(1f, 0.1f), k = 2).collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSeq
+      eng.rebuildIndex(lib) // identical derivation -> identical results
+      val r2 = eng.search(lib, Array(1f, 0.1f), k = 2).collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSeq
+      assert(r1 == r2, s"${cfg.indexType} rebuild must be reproducible")
+      // incremental add goes through the det branch of addToIndexes
+      eng.upsertChunks(lib, doc, Seq(
+        ChunkIn("c", Some(Array(0.9f, 0.1f)), id = Some("c"))))
+      val hits = eng.search(lib, Array(0.9f, 0.1f), k = 3).collect()
+        .map(_.getString(0)).toSet
+      assert(hits.contains("c"), s"${cfg.indexType} must index new chunks")
+    }
+  }
+
   test("quirkCompat Q2 is LSH-only: IVF updates still maintain postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quirk-ivf").toString
     val eng = new VectorEngine(spark, dir, fixedClock, quirkCompat = true)
