@@ -130,24 +130,48 @@ final class StateStore(spark: SparkSession, root: String) {
     val nextDir = Paths.get(tableDir(table), s"v$next")
     Files.createDirectories(nextDir)
     cur.foreach { v =>
-      val curDir = Paths.get(tableDir(table), s"v$v")
-      listDir(curDir).foreach { sub =>
-        val name = sub.getFileName.toString
-        if (Files.isDirectory(sub) && name.startsWith("library_id=") &&
-            name != s"library_id=$libraryId") {
-          val dst = nextDir.resolve(name)
-          Files.createDirectories(dst)
-          listDir(sub).foreach { f =>
-            if (!Files.isDirectory(f))
-              Files.createLink(dst.resolve(f.getFileName.toString), f)
-          }
-        }
-      }
+      linkPartitionsExcept(Paths.get(tableDir(table), s"v$v"), nextDir,
+        s"library_id=$libraryId")
     }
     newRows.drop("library_id").write.mode("overwrite")
       .parquet(nextDir.resolve(s"library_id=$libraryId").toString)
     repoint(table, next)
   }
+
+  /** PARTITION DROP: the next snapshot is the current one minus the given
+    * library's partition — every surviving partition is hardlinked, so
+    * deleting a library from an N-library table costs ZERO Spark jobs and
+    * O(#files-of-other-libraries) link syscalls, not an O(table) rewrite.
+    * No-op (no version bump) when the partition doesn't exist.
+    */
+  def dropLibraryPartition(table: String, libraryId: String): Long = {
+    val cur = currentVersion(table).getOrElse(return 0L)
+    val curDir = Paths.get(tableDir(table), s"v$cur")
+    if (!Files.exists(curDir.resolve(s"library_id=$libraryId"))) return cur
+    val next = cur + 1
+    val nextDir = Paths.get(tableDir(table), s"v$next")
+    Files.createDirectories(nextDir)
+    linkPartitionsExcept(curDir, nextDir, s"library_id=$libraryId")
+    repoint(table, next)
+  }
+
+  /** Hardlink every `library_id=*` partition dir of `curDir` into
+    * `nextDir`, except `skip` (immutable files, same filesystem).
+    */
+  private def linkPartitionsExcept(curDir: Path, nextDir: Path,
+      skip: String): Unit =
+    listDir(curDir).foreach { sub =>
+      val name = sub.getFileName.toString
+      if (Files.isDirectory(sub) && name.startsWith("library_id=") &&
+          name != skip) {
+        val dst = nextDir.resolve(name)
+        Files.createDirectories(dst)
+        listDir(sub).foreach { f =>
+          if (!Files.isDirectory(f))
+            Files.createLink(dst.resolve(f.getFileName.toString), f)
+        }
+      }
+    }
 
   private def repoint(table: String, next: Long): Long = {
     Files.createDirectories(Paths.get(tableDir(table)))

@@ -426,6 +426,21 @@ class EngineSpec extends AnyFunSuite {
     eng.createLibrary("n2", 2)
   }
 
+  test("listLibraries paginates with has_more (reference router shape)") {
+    val eng = freshEngine()
+    val ids = (1 to 5).map(i => eng.createLibrary(s"lib$i", 2, id = Some(f"L$i%02d")))
+    val (p1, more1) = eng.listLibraries(limit = 2, offset = 0)
+    assert(p1.collect().map(_.getString(0)).toSeq == Seq("L01", "L02") && more1)
+    val (p2, more2) = eng.listLibraries(limit = 2, offset = 4)
+    assert(p2.collect().map(_.getString(0)).toSeq == Seq("L05") && !more2)
+    val (all, more3) = eng.listLibraries()
+    assert(all.count() == 5 && !more3)
+    assert(ids.size == 5)
+    intercept[ValidationError] { eng.listLibraries(limit = 0) }
+    intercept[ValidationError] { eng.listLibraries(limit = 1001) }
+    intercept[ValidationError] { eng.listLibraries(offset = -1) }
+  }
+
   test("deterministic index modes: rebuild reproducible, incremental add maintained") {
     for (cfg <- Seq(
         IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 4),
@@ -593,6 +608,48 @@ class EngineSpec extends AnyFunSuite {
         sawSharedFile = true
     }
     assert(sawSharedFile, "expected B's partition to be hardlinked forward")
+  }
+
+  test("moveDocument/deleteLibrary are partition-selective: bystander hardlinked") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = Files.createTempDirectory("graft-partmove").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val libA = eng.createLibrary("A", 2)
+    val libB = eng.createLibrary("B", 2)
+    val libC = eng.createLibrary("C", 2) // the untouched bystander
+    val docA = eng.createDocument(libA)
+    val docC = eng.createDocument(libC)
+    eng.upsertChunks(libA, docA, Seq(
+      ChunkIn("a0", Some(Array(1f, 0f)), id = Some("a0")),
+      ChunkIn("a1", Some(Array(0f, 1f)), id = Some("a1"))))
+    eng.upsertChunks(libC, docC, Seq(ChunkIn("c0", Some(Array(1f, 1f)), id = Some("c0"))))
+    def bystanderHardlinked(): Boolean = {
+      val v = eng.chunksVersion.get
+      val cDir = java.nio.file.Paths.get(dir, "chunks", s"v$v", s"library_id=$libC")
+      val it = Files.list(cDir).iterator()
+      var shared = false
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet") &&
+            Files.getAttribute(f, "unix:nlink").asInstanceOf[Number].intValue > 1)
+          shared = true
+      }
+      shared
+    }
+    // move A's document to B: C's chunk partition must be linked, not rewritten
+    eng.moveDocument(docA, libA, libB)
+    assert(bystanderHardlinked(), "move must hardlink untouched libraries")
+    assert(eng.documents.filter(c("id") === docA).collect()
+      .head.getString(1) == libB)
+    assert(eng.chunks.filter(c("library_id") === libB).count() == 2)
+    assert(eng.chunks.filter(c("library_id") === libA).count() == 0)
+    assert(eng.search(libB, Array(1f, 0f), k = 1).collect().head.getString(0) == "a0")
+    // delete B: zero-job partition drop; C still linked and searchable
+    eng.deleteLibrary(libB)
+    assert(bystanderHardlinked(), "delete must hardlink surviving libraries")
+    assert(eng.chunks.filter(c("library_id") === libB).count() == 0)
+    assert(eng.search(libC, Array(1f, 1f), k = 1).collect().head.getString(0) == "c0")
+    intercept[EngineErrors.NotFoundError] { eng.getLibrary(libB) }
   }
 
   test("time travel: chunksAt reads historical snapshots after mutations") {
