@@ -98,20 +98,61 @@ object DedupQueries {
     * same shape holds as long as the per-block signature table fits a
     * broadcast; beyond that, salt the block key.)
     */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Rows above which the signature table stops being broadcast and the
+    * pair join switches to the SALTED shuffle path (a 1M-row signature
+    * table is ~10s of MB — near the practical broadcast ceiling).
+    */
+  private[graft] val BroadcastPairRows = 1000000L
+
+  /** Blocked all-pairs join with two scale regimes (VERDICT r2 #5).
+    *
+    * Broadcast regime (signature table under [[BroadcastPairRows]]): the
+    * whole table is broadcast and the probe side spread round-robin — pair
+    * generation parallelizes by probe row even though the block key has
+    * only a handful of distinct values.
+    *
+    * Salted regime (beyond the broadcast ceiling): the probe side keeps
+    * ONE copy per row keyed by (block, salt = hash(id) % S); the build
+    * side replicates each row to ALL S salts. A pair (a, b) meets exactly
+    * once — at a's salt — so results are identical to the broadcast plan,
+    * but each block now spreads across S reducers instead of one: the
+    * shuffle join parallelizes WITHIN a block, which a low-cardinality
+    * block key otherwise prevents. Build-side shuffle volume is
+    * S x |table| rows — bounded and spillable, unlike a broadcast that
+    * must fit in every executor's memory.
+    */
+  private[graft] def blockedPairJoin(a: DataFrame, b: DataFrame,
+      blockKey: String, probeId: String, salted: Boolean,
+      parallelism: Int): DataFrame =
+    if (!salted)
+      a.repartition(parallelism).join(broadcast(b), blockKey)
+    else {
+      val aSalted = a.withColumn("salt",
+        pmod(hash(col(probeId)), lit(parallelism)))
+      val bSalted = b.withColumn("salt",
+        explode(array((0 until parallelism).map(lit): _*)))
+      aSalted.join(bSalted, Seq(blockKey, "salt")).drop("salt")
+    }
+
+  private[graft] def simhashPairsImpl(s: SparkSession, d: String,
+      forceSalted: Option[Boolean]): DataFrame = {
     val sh = docs(s, d).select(col("doc_id"), col("lang"),
       simhash60(toks).as("simhash"))
       .localCheckpoint() // signature computed once, not per join side
+    val salted = forceSalted.getOrElse(sh.count() > BroadcastPairRows)
     val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      .repartition(s.sparkContext.defaultParallelism)
     val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(broadcast(b), "lang")
+    blockedPairJoin(a, b, "lang", "doc_a", salted,
+        s.sparkContext.defaultParallelism)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 6)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsImpl(s, d, None)
 
   /** Verified token-set Jaccard pairs within same-lang blocks, >= 0.95.
     * Token sets are 60-bit hashes, not strings: long-array intersection is
@@ -120,20 +161,20 @@ object DedupQueries {
     * injective on this vocabulary; the oracle applies the same hash).
     * The hashed sets are materialized once before the self-join.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairsImpl(s: SparkSession, d: String,
+      forceSalted: Option[Boolean]): DataFrame = {
     // sorted distinct hash sets: sorting amortizes once per row so the
     // per-PAIR work is an allocation-free codegen merge walk
     val t = docs(s, d).select(col("doc_id"), col("lang"),
       array_sort(array_distinct(transform(toks, tk => hash60(tk)))).as("tset"))
       .localCheckpoint()
-    // broadcast + round-robin probe side: see simhashPairs — lang has too
-    // few distinct values to parallelize a shuffle join
+    val salted = forceSalted.getOrElse(t.count() > BroadcastPairRows)
     val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tset").as("ta"))
-      .repartition(s.sparkContext.defaultParallelism)
     val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tset").as("tb"))
     val inter = graft.functions.SetExpressions
       .sortedIntersectCount(col("ta"), col("tb")).cast("double")
-    a.join(broadcast(b), "lang")
+    blockedPairJoin(a, b, "lang", "doc_a", salted,
+        s.sparkContext.defaultParallelism)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard",
         rnd(inter / (size(col("ta")) + size(col("tb")) - inter), 6))
@@ -141,6 +182,9 @@ object DedupQueries {
       .select(col("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsImpl(s, d, None)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact"         -> (exact _),
