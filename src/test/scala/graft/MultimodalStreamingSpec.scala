@@ -23,6 +23,52 @@ class MultimodalStreamingSpec extends AnyFunSuite {
         lit("image/fake").as("mime_type"),
         col("text").cast("binary").as("payload"))
 
+  test("StoreSink: stream-ingested library searchable with batch parity") {
+    import java.nio.file.Files
+    val fixedClock = () => java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // chunk rows as a file stream: 40 rows across 2 parquet files
+    val srcDir = Files.createTempDirectory("graft-sink-src").toString
+    val rows = (0 until 40).map { i =>
+      (f"c$i%04d", s"text $i",
+        Array((i % 7).toFloat, ((i * 3) % 5).toFloat), i)
+    }
+    import spark.implicits._
+    rows.take(20).toDF("id", "text", "embedding", "position")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    rows.drop(20).toDF("id", "text", "embedding", "position")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // streaming ingest
+    val engS = new graft.engine.VectorEngine(spark,
+      Files.createTempDirectory("graft-sink-eng").toString, fixedClock)
+    val libS = engS.createLibrary("streamed", 2)
+    val docS = engS.createDocument(libS)
+    val stream = spark.readStream
+      .schema("id STRING, text STRING, embedding ARRAY<FLOAT>, position INT")
+      .option("maxFilesPerTrigger", "1") // force 2 micro-batches
+      .parquet(srcDir)
+    val q = graft.streaming.StoreSink.ingestStream(engS, libS, docS, stream)
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(engS.chunks.count() == 40)
+
+    // batch ingest of the same rows
+    val engB = new graft.engine.VectorEngine(spark,
+      Files.createTempDirectory("graft-sink-batch").toString, fixedClock)
+    val libB = engB.createLibrary("batched", 2)
+    val docB = engB.createDocument(libB)
+    engB.bulkIngest(libB, docB, spark.read.parquet(srcDir))
+
+    def hits(e: graft.engine.VectorEngine, l: String) =
+      e.search(l, Array(1f, 2f), k = 5).collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(hits(engS, libS) == hits(engB, libB),
+      "stream-ingested results must equal batch-ingested results")
+
+    // replayed batch (same content) is idempotent: replace, not grow
+    engS.bulkIngest(libS, docS, spark.read.parquet(srcDir))
+    assert(engS.chunks.count() == 40)
+  }
+
   test("image meta extraction: deterministic, bounded, schema-typed") {
     val meta = Multimodal.extractImageMeta(mediaFromDocs)
     val rows = meta.select(col("media_id"), col("meta.width"),
