@@ -41,6 +41,7 @@ final class VectorEngine(
     quirkCompat: Boolean = false,
     lshSeed: Long = 42L,
     autoIvfThreshold: Long = 100000L,
+    autoLshThreshold: Long = 10000000L,
     autoVacuumKeep: Option[Int] = None) {
 
   private val store = new StateStore(spark, root)
@@ -678,12 +679,19 @@ final class VectorEngine(
     val (dim, config0, _) = getLibrary(libId)
     val libChunks = chunks.filter(col("library_id") === libId)
     // "auto" (reference README.md:263 guidance, there unimplemented):
-    // Flat below the threshold (default 100k indexed vectors), IVF at or
-    // above — resolved at rebuild time from the actual corpus size
+    // "Flat <100k vectors; IVF for 100k-10M; LSH for high-throughput
+    // cosine" — three tiers resolved at rebuild time from the actual
+    // corpus size: flat below autoIvfThreshold, IVF up to
+    // autoLshThreshold, LSH beyond (where IVF retrain cost and centroid
+    // fan-out stop paying for themselves and hash buckets keep build
+    // map-only).
     val config =
       if (config0.indexType == "auto") {
         val n = libChunks.filter(col("embedding").isNotNull).count()
-        config0.copy(indexType = if (n < autoIvfThreshold) "flat" else "ivf")
+        config0.copy(indexType =
+          if (n < autoIvfThreshold) "flat"
+          else if (n < autoLshThreshold) "ivf"
+          else "lsh")
       } else config0
     config.indexType match {
       case "flat" => dropIndexTables(libId) // flat scores at query time
@@ -698,6 +706,10 @@ final class VectorEngine(
         store.writeLibraryPartition("lsh_planes", libId, planes)
         val buckets = LshIndex.buildBuckets(libChunks, planes, libId)
         store.writeLibraryPartition("lsh_buckets", libId, buckets)
+        // an auto library that outgrew (or re-entered) the IVF tier must
+        // not leave stale centroids behind: auto search dispatches on
+        // which tables EXIST for this library
+        dropIvfTables(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -707,6 +719,7 @@ final class VectorEngine(
           } else IvfIndex.build(libChunks, libId, config.ivfNumCentroids)
         store.writeLibraryPartition("ivf_centroids", libId, centroids)
         store.writeLibraryPartition("ivf_postings", libId, postings)
+        dropLshTables(libId)
     }
   }
 
@@ -743,10 +756,13 @@ final class VectorEngine(
     def restrict(cands: DataFrame): DataFrame =
       allowedIds.fold(cands)(a => cands.join(a, Seq("chunk_id"), "left_semi"))
 
-    // "auto" searches whatever rebuildIndex resolved and built: IVF when
-    // this library has centroids, flat otherwise (pre-rebuild state)
+    // "auto" searches whatever rebuildIndex resolved and built for THIS
+    // library: LSH when it has planes, IVF when it has centroids, flat
+    // otherwise (pre-rebuild state). Rebuild drops the other family's
+    // tables, so at most one branch matches.
     val effectiveType =
       if (config.indexType != "auto") config.indexType
+      else if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
       else if (store.exists("ivf_centroids") && !ivfCentroids(libId).isEmpty) "ivf"
       else "flat"
 
@@ -939,23 +955,32 @@ final class VectorEngine(
     */
   private def addToIndexes(libId: String, newChunks: DataFrame): Unit = {
     val (_, config, _) = getLibrary(libId)
-    config.indexType match {
-      case "flat" => ()
-      case "lsh" | "lsh_det" if store.exists("lsh_planes") =>
+    val t = config.indexType
+    // "auto" maintains whichever family rebuildIndex built for THIS
+    // library (a guarded match would mis-route when another library's
+    // tables make store.exists true but this library's partition is
+    // empty), falling through LSH -> IVF -> nothing (auto-resolved flat).
+    if (t == "lsh" || t == "lsh_det" || t == "auto") {
+      if (store.exists("lsh_planes")) {
         val planesDf = lshPlanes(libId)
         if (!planesDf.isEmpty) {
           val add = LshIndex.buildBuckets(newChunks, planesDf, libId)
           store.writeLibraryPartition("lsh_buckets", libId,
             lshBuckets(libId).unionAll(add))
+          return
         }
-      case "ivf" | "ivf_det" | "auto" if store.exists("ivf_centroids") =>
+      }
+      if (t != "auto") return // declared LSH, planes not built yet
+    }
+    if (t == "ivf" || t == "ivf_det" || t == "auto") {
+      if (store.exists("ivf_centroids")) {
         val cents = ivfCentroids(libId)
         if (!cents.isEmpty) { // auto-resolved-flat libraries have no centroids
           val add = IvfIndex.assignToCentroids(newChunks, cents, libId)
           store.writeLibraryPartition("ivf_postings", libId,
             ivfPostings(libId).unionAll(add))
         }
-      case _ => () // flat, or index tables not built yet
+      }
     }
   }
 
@@ -980,11 +1005,20 @@ final class VectorEngine(
   /** Remove one library's derived index state: a partition drop per index
     * table (hardlink-forward, no Spark job, no other library touched).
     */
-  private def dropIndexTables(libId: String): Unit =
-    Seq("lsh_planes", "lsh_buckets", "ivf_centroids", "ivf_postings")
-      .foreach { t =>
-        if (store.exists(t)) store.dropLibraryPartition(t, libId)
-      }
+  private def dropIndexTables(libId: String): Unit = {
+    dropLshTables(libId)
+    dropIvfTables(libId)
+  }
+
+  private def dropLshTables(libId: String): Unit =
+    Seq("lsh_planes", "lsh_buckets").foreach { t =>
+      if (store.exists(t)) store.dropLibraryPartition(t, libId)
+    }
+
+  private def dropIvfTables(libId: String): Unit =
+    Seq("ivf_centroids", "ivf_postings").foreach { t =>
+      if (store.exists(t)) store.dropLibraryPartition(t, libId)
+    }
 }
 
 /** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */

@@ -550,11 +550,11 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 3) // current intact
   }
 
-  test("auto index selection: flat below the threshold, IVF at/above (README.md:263)") {
-    def build(threshold: Long): (VectorEngine, String, StateStore) = {
+  test("auto index selection: flat/IVF/LSH three-way thresholds (README.md:263)") {
+    def build(ivfAt: Long, lshAt: Long): (VectorEngine, String, StateStore) = {
       val dir = Files.createTempDirectory("graft-auto").toString
       val eng = new VectorEngine(spark, dir, fixedClock,
-        autoIvfThreshold = threshold)
+        autoIvfThreshold = ivfAt, autoLshThreshold = lshAt)
       val lib = eng.createLibrary("auto", 2, IndexConfig("auto"))
       val doc = eng.createDocument(lib)
       val rnd = new scala.util.Random(3)
@@ -564,18 +564,44 @@ class EngineSpec extends AnyFunSuite {
       eng.rebuildIndex(lib)
       (eng, lib, new StateStore(spark, dir))
     }
-    // 20 chunks below a high threshold -> resolved flat: no centroid
-    // table is built, search is the exact scan
-    val (engF, libF, storeF) = build(threshold = 100000L)
-    assert(!storeF.exists("ivf_centroids"))
+    def libCount(st: StateStore, table: String, schema:
+        org.apache.spark.sql.types.StructType, lib: String): Long =
+      if (!st.exists(table)) 0L
+      else st.read(table, schema).filter(
+        org.apache.spark.sql.functions.col("library_id") === lib).count()
+    // 20 chunks below a high IVF threshold -> flat: no index tables
+    val (engF, libF, storeF) = build(ivfAt = 100000L, lshAt = 1000000L)
+    assert(!storeF.exists("ivf_centroids") && !storeF.exists("lsh_planes"))
     assert(engF.search(libF, Array(1f, 0f), k = 3).collect().length == 3)
-    // low threshold -> resolved IVF: centroids + postings materialize and
-    // auto search uses them
-    val (engI, libI, storeI) = build(threshold = 10L)
-    assert(storeI.exists("ivf_centroids") &&
-      storeI.read("ivf_centroids", Schemas.ivfCentroids).count() > 0)
+    // middle tier -> IVF: centroids materialize, no planes
+    val (engI, libI, storeI) = build(ivfAt = 10L, lshAt = 1000000L)
+    assert(libCount(storeI, "ivf_centroids", Schemas.ivfCentroids, libI) > 0)
+    assert(libCount(storeI, "lsh_planes", Schemas.lshPlanes, libI) == 0)
     assert(engI.search(libI, Array(1f, 0f), k = 3).collect().nonEmpty)
+    // past the LSH threshold -> LSH: planes+buckets, auto search uses them
+    val (engL, libL, storeL) = build(ivfAt = 5L, lshAt = 10L)
+    assert(libCount(storeL, "lsh_planes", Schemas.lshPlanes, libL) > 0)
+    assert(libCount(storeL, "ivf_centroids", Schemas.ivfCentroids, libL) == 0)
+    assert(engL.search(libL, Array(1f, 0f), k = 3).collect().nonEmpty)
+    // incremental add maintains the auto-resolved LSH buckets
+    val docL = eng2doc(engL, libL)
+    engL.upsertChunks(libL, docL, Seq(
+      ChunkIn("fresh", Some(Array(1f, 0f)), id = Some("fresh"))))
+    assert(engL.search(libL, Array(1f, 0f), k = 1).collect()
+      .head.getString(0) == "fresh")
+    // tier DOWNGRADE: delete chunks below the IVF threshold and rebuild —
+    // stale planes must be dropped, centroids take over
+    (5 until 20).foreach(i => engL.deleteChunk(libL, f"c$i%03d"))
+    engL.rebuildIndex(libL)
+    assert(libCount(storeL, "lsh_planes", Schemas.lshPlanes, libL) == 0)
+    assert(libCount(storeL, "ivf_centroids", Schemas.ivfCentroids, libL) > 0)
+    assert(engL.search(libL, Array(1f, 0f), k = 1).collect().nonEmpty)
   }
+
+  private def eng2doc(eng: VectorEngine, lib: String): String =
+    eng.documents.filter(
+      org.apache.spark.sql.functions.col("library_id") === lib)
+      .collect().head.getString(0)
 
   test("partition-selective writes: other libraries untouched and hardlink-shared") {
     val dir = Files.createTempDirectory("graft-partsel").toString
