@@ -48,6 +48,21 @@ object SourceQueries {
     * the same aggregation in batch SQL: if the streaming runtime dropped,
     * duplicated, or mis-windowed anything, the hash compare fails.
     */
+  /** Run `f` with the session's shuffle partitions temporarily lowered:
+    * a streaming query instantiates one state store PER stateful operator
+    * PER shuffle partition PER micro-batch, so a small-state stream (a
+    * handful of event_type / user keys here) pays 32x-64x state-store
+    * setup+commit overhead for nothing at the scan-sized default. State
+    * partition count is fixed per checkpoint at first run — size it to
+    * STATE volume, not scan parallelism (at 100 TB these are separate
+    * knobs; the scan stays at full parallelism either way).
+    */
+  private def withStreamStateParallelism[T](s: SparkSession)(f: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private def streamTumbling(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -69,10 +84,12 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("total"))
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName("graft_stream_tumbling")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamStateParallelism(s) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("graft_stream_tumbling")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("graft_stream_tumbling")
       .orderBy(col("day").asc, col("event_type").asc)
   }
@@ -103,11 +120,13 @@ object SourceQueries {
       .parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .as[graft.streaming.EventStream.Ev]
-    val q = graft.streaming.EventStream.sessionize(src)
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName("graft_stream_sessions")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamStateParallelism(s) {
+      val q = graft.streaming.EventStream.sessionize(src)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("graft_stream_sessions")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("graft_stream_sessions")
       .orderBy(col("user_id").asc)
   }
@@ -138,10 +157,12 @@ object SourceQueries {
       .dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
-    val q = deduped.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName("graft_stream_dedup")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamStateParallelism(s) {
+      val q = deduped.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("graft_stream_dedup")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("graft_stream_dedup").orderBy(col("event_type").asc)
   }
 
