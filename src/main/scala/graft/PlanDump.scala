@@ -29,6 +29,11 @@ object PlanDump {
     "d_simhash_pairs",   // broadcast blocked self-join, codegen simhash kernel
     "sql_window_suite",  // window-function family over partitioned frames
     "q_grouping_sets",   // expand-based lattice aggregation
+    // round 3 additions
+    "x_engine_lsh_det",  // engine LSH search over the shared fixture
+    "x_engine_ivf_det",  // engine IVF probe: isin partition-pruned postings
+    "q_bucketed_join",   // exchange-free SMJ over pre-bucketed tables
+    "e_asof_custom",     // custom AsOfJoinExec: clustered+sorted merge walk
   )
 
   def main(args: Array[String]): Unit = {
@@ -42,7 +47,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# Physical plans (round 1)\n\n")
+    sb.append("# Physical plans\n\n")
     sb.append(s"`explain(formatted)` at `$sfDir`. What to check per plan:\n")
     sb.append("`PushedFilters`/`ReadSchema` at every parquet scan (pushdown +\n")
     sb.append("pruning), `TakeOrderedAndProject` for top-k (never a global\n")
