@@ -34,6 +34,8 @@ object PlanDump {
     "x_engine_ivf_det",  // engine IVF probe: isin partition-pruned postings
     "q_bucketed_join",   // exchange-free SMJ over pre-bucketed tables
     "e_asof_custom",     // custom AsOfJoinExec: clustered+sorted merge walk
+    "e_band_join",       // interval join as bucket-blocked equi-join (no NLJ)
+    "v_ann_pq",          // PQ encode+ADC score in one map-only projection
   )
 
   def main(args: Array[String]): Unit = {

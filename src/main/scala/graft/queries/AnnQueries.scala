@@ -109,6 +109,116 @@ object AnnQueries {
       .orderBy(col("event_id").asc)
   }
 
+  // ---- product quantization (v_ann_pq) --------------------------------
+
+  private val PqM = 8  // subspaces
+  private val PqD = 8  // dims per subspace (8 x 8 = 64)
+  private val PqK = 16 // codewords per subspace
+
+  /** PRODUCT-QUANTIZATION ANN: each vector is compressed to M=8 one-byte
+    * codes (nearest codeword per 8-dim subspace) and queries score
+    * candidates with an ADC lookup table — M table lookups + integer adds
+    * per vector instead of a 64-dim float kernel. This is the standard
+    * memory-bound ANN compression (the codes table is 8 bytes/vector vs
+    * 256 bytes raw — at 100 TB of embeddings the codes fit in a fraction
+    * of the cluster's RAM and the scan is map-only).
+    *
+    * Codebooks are INIT-ONLY and content-derived (the PqK lowest
+    * md5(vec_id) vectors, k by vec_id rank — same derivation family as
+    * `ivf_det`), so the DuckDB oracle replays encode+score end-to-end.
+    * Distances accumulate as exact integer MICRO-UNITS
+    * (floor(d*1e6+0.5) per subspace, then a BIGINT sum): integer addition
+    * is order-independent, so the cross-engine compare cannot be broken
+    * by floating-point summation order.
+    */
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val seeds = e.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h").asc).limit(PqK)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    // codebook cb(m)(k): the k-th seed's m-th 8-dim slice
+    val cb = Array.tabulate(PqM, PqK)((m, k) =>
+      seeds(k).slice(m * PqD, (m + 1) * PqD))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cc = Array.tabulate(PqM, PqK)((m, k) => dotD(cb(m)(k), cb(m)(k)))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val qslices = Array.tabulate(PqM)(m => q.slice(m * PqD, (m + 1) * PqD))
+    // ADC table in integer micro-units; the qq + cc - 2*qc operation ORDER
+    // matches the SQL replay exactly (bitwise-equal doubles before floor)
+    val dtabU = Array.tabulate(PqM, PqK) { (m, k) =>
+      val dist = dotD(qslices(m), qslices(m)) + cc(m)(k) -
+        2.0 * dotD(qslices(m), cb(m)(k))
+      math.floor(dist * 1000000.0 + 0.5).toLong
+    }
+    // bind the 8 slices once (CollapseProject keeps non-cheap aliases
+    // referenced by the 17 distance expressions below)
+    val sliced = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id") +: (0 until PqM).map(m =>
+        slice(col("embedding"), m * PqD + 1, PqD).as(s"s$m")): _*)
+    // per-subspace argmin code (dist asc, k asc tie-break), then the ADC
+    // score as one integer sum — all in a single map-only projection
+    val contribs = (0 until PqM).map { m =>
+      val sm = col(s"s$m")
+      val scored = (0 until PqK).map { k =>
+        struct(
+          (dotProduct(sm, sm) + lit(cc(m)(k)) -
+            lit(2.0) * dotProduct(sm, typedLit(cb(m)(k).toSeq))).as("dist"),
+          lit(k).as("k"))
+      }
+      val best = element_at(array_sort(array(scored: _*),
+        (a, b) => when(a.getField("dist") < b.getField("dist"), -1)
+          .when(a.getField("dist") > b.getField("dist"), 1)
+          .otherwise(a.getField("k") - b.getField("k"))), 1)
+      element_at(typedLit(dtabU(m).toSeq), best.getField("k") + 1)
+    }
+    sliced
+      .select(col("vec_id"), contribs.reduce(_ + _).cast("long").as("dist_u"))
+      .orderBy(col("dist_u").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** BAND (interval) JOIN via time-bucket blocking: clicks within +-1 hour
+    * of each purchase by the same user. A naive inequality join plans as a
+    * nested loop (per-row range scan of the whole other side); the scale
+    * shape is to BLOCK time into band-width buckets — each click lands in
+    * exactly one (user, bucket), each purchase probes its own bucket plus
+    * the two adjacent ones (any row within +-W is in one of those three) —
+    * turning the range predicate into an EQUI-join on (user_id, bucket)
+    * plus an exact residual filter. One hash shuffle each side, no
+    * cross-product, and each candidate pair meets exactly once (a click
+    * has ONE bucket). The oracle is DuckDB's native inequality join — two
+    * different algorithms agreeing row-for-row.
+    */
+  private val BandUs = 3600000000L // 1 hour in micros
+
+  private def bandJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"p_us div $BandUs - 1"),
+          expr(s"p_us div $BandUs"), expr(s"p_us div $BandUs + 1"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", expr(s"c_us div $BandUs"))
+    purchases.join(clicks,
+        purchases("p_user") === clicks("c_user") &&
+          purchases("bucket") === clicks("bucket") &&
+          abs(clicks("c_us") - purchases("p_us")) <= BandUs,
+        "left_outer")
+      .groupBy(col("event_id"))
+      .agg(count(col("c_us")).as("n_nearby_clicks"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Cube over two dimensions (grouping-sets family). */
   private def cubePricing(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -120,8 +230,10 @@ object AnnQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_ann_ivf"   -> (annIvf _),
+    "v_ann_pq"    -> (annPq _),
     "e_asof_join" -> (asofJoin _),
     "e_asof_custom" -> (asofCustom _),
+    "e_band_join" -> (bandJoin _),
     "q_cube"      -> (cubePricing _),
   )
 
@@ -168,6 +280,49 @@ object AnnQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id ASC""".stripMargin,
+    // v_ann_pq: full PQ replay — same seed derivation, slicing, argmin
+    // tie-break, and integer micro-unit ADC accumulation as annPq. The
+    // qq + cc - 2*qc expression order matches the Spark/driver arithmetic
+    // bit for bit, so floor() sees identical doubles.
+    "v_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cw AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, emb
+         |  FROM (SELECT vec_id, emb FROM e
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT $PqK)),
+         |cb AS (
+         |  SELECT g.m, cw.k, list_slice(cw.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS c
+         |  FROM cw, range($PqM) g(m)),
+         |qs AS (
+         |  SELECT g.m, list_slice(q.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS qv
+         |  FROM (SELECT emb FROM e WHERE vec_id = 0) q, range($PqM) g(m)),
+         |dtab AS (
+         |  SELECT cb.m, cb.k,
+         |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
+         |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
+         |  FROM cb JOIN qs ON cb.m = qs.m),
+         |vs AS (
+         |  SELECT e.vec_id, g.m, list_slice(e.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS sv
+         |  FROM e, range($PqM) g(m) WHERE e.vec_id <> 0),
+         |enc AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vs.vec_id, vs.m, cb.k,
+         |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
+         |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
+         |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
+         |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1)
+         |SELECT enc.vec_id, CAST(SUM(dtab.du) AS BIGINT) AS dist_u
+         |FROM enc JOIN dtab ON enc.m = dtab.m AND enc.k = dtab.k
+         |GROUP BY enc.vec_id
+         |ORDER BY dist_u ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "e_band_join" ->
+      s"""SELECT p.event_id, count(c.ts) AS n_nearby_clicks
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         |  ON p.user_id = c.user_id
+         | AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= $BandUs
+         |GROUP BY p.event_id
+         |ORDER BY p.event_id ASC""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
