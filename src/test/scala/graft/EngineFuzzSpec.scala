@@ -119,4 +119,101 @@ class EngineFuzzSpec extends AnyFunSuite {
     val modelRows = model.values.toSeq.map(c => (c.id, c.text, c.version)).sortBy(_._1)
     assert(stateRows.toSeq == modelRows, "final snapshot state diverged")
   }
+
+  /** Second walk: TWO libraries with document moves and library deletes —
+    * the partition-selective verbs (writeLibraryPartition + hardlink
+    * forwarding + dropLibraryPartition) under 200 steps of churn, checked
+    * against the same kind of driver-side model. Chunk id spaces are
+    * disjoint per document so id -> document is unambiguous in the model.
+    */
+  test("200 random verbs across two libraries: moves and library deletes (seed 7)") {
+    val rnd = new Random(7)
+    val dim = 4
+    val eng = new VectorEngine(spark,
+      Files.createTempDirectory("graft-fuzz2").toString, fixedClock)
+    val libA = eng.createLibrary("fuzzA", dim, id = Some("fuzz-A"))
+    var libB = eng.createLibrary("fuzzB", dim, id = Some("fuzz-B"))
+    val docIds = (0 until 4).map(i => s"doc$i")
+    docIds.foreach(d => eng.createDocument(libA, id = Some(d)))
+
+    val model = mutable.LinkedHashMap.empty[String, MChunk]
+    val home = mutable.Map(docIds.map(_ -> libA): _*)
+
+    def randVec(): Option[Array[Float]] =
+      if (rnd.nextInt(5) == 0) None
+      else Some(Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f))
+
+    var step = 0
+    while (step < 200) {
+      rnd.nextInt(12) match {
+        case n if n <= 4 => // upsert into a doc currently homed in A
+          val homed = docIds.filter(home(_) == libA)
+          if (homed.nonEmpty) {
+            val doc = homed(rnd.nextInt(homed.length))
+            val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = s"$doc-c${rnd.nextInt(10)}"
+              ChunkIn(s"text-$step-$id", randVec(), id = Some(id),
+                author = Some(s"a${rnd.nextInt(3)}"))
+            }
+            eng.upsertChunks(libA, doc, batch)
+            val collapsed = mutable.LinkedHashMap.empty[String, ChunkIn]
+            batch.foreach(c => collapsed.put(c.id.get, c))
+            collapsed.foreach { case (id, c) =>
+              val prev = model.get(id)
+              model(id) = MChunk(id, doc, c.text, c.embedding, c.author,
+                prev.map(_.version + 1).getOrElse(1L))
+            }
+          }
+        case 5 => // silent single-chunk delete (only affects A-homed rows)
+          val doc = docIds(rnd.nextInt(docIds.length))
+          val id = s"$doc-c${rnd.nextInt(10)}"
+          eng.deleteChunk(libA, id)
+          if (home(doc) == libA) model.remove(id)
+        case 6 => // move a document A->B or back B->A
+          val doc = docIds(rnd.nextInt(docIds.length))
+          if (home(doc) == libA) {
+            eng.moveDocument(doc, libA, libB)
+            home(doc) = libB
+          } else {
+            eng.moveDocument(doc, libB, libA)
+            home(doc) = libA
+          }
+        case 7 => // drop library B wholesale; its docs are recreated in A
+          val victims = docIds.filter(home(_) == libB)
+          eng.deleteLibrary(libB)
+          model.filterInPlace((_, c) => home(c.docId) != libB)
+          victims.foreach { d =>
+            eng.createDocument(libA, id = Some(d))
+            home(d) = libA
+          }
+          libB = eng.createLibrary("fuzzB", dim, id = Some(s"fuzz-B$step"))
+        case _ => // search library A; model = chunks of A-homed docs
+          val q = Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f)
+          val k = 1 + rnd.nextInt(6)
+          val got = eng.search(libA, q, k)
+            .collect().map(r => (r.getString(0), r.getDouble(2)))
+          val expected = model.values.toSeq
+            .filter(c => home(c.docId) == libA && c.emb.isDefined)
+            .map(c => (c.id, cos(c.emb.get, q)))
+            .sortBy { case (id, s) => (-s, id) }.take(k)
+          assert(got.map(_._1).toSeq == expected.map(_._1),
+            s"step $step: ids diverged (k=$k)")
+          got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+            assert(math.abs(gs - es) < 1e-9, s"step $step: score diverged")
+          }
+      }
+      step += 1
+    }
+
+    // final state: every chunk in the right library with the right content
+    val stateRows = eng.chunks.collect().map { r =>
+      (r.getString(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("library_id")),
+        r.getString(r.fieldIndex("text")),
+        r.getLong(r.fieldIndex("version")))
+    }.sortBy(_._1)
+    val modelRows = model.values.toSeq
+      .map(c => (c.id, home(c.docId), c.text, c.version)).sortBy(_._1)
+    assert(stateRows.toSeq == modelRows, "final two-library state diverged")
+  }
 }
