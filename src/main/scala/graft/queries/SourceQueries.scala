@@ -166,6 +166,51 @@ object SourceQueries {
     s.table("graft_stream_dedup").orderBy(col("event_type").asc)
   }
 
+  /** STREAM-STREAM interval join — the fourth stateful streaming family
+    * (after windowed agg, mapGroupsWithState, and dropDuplicates): each
+    * purchase joined to the same user's clicks in the preceding hour,
+    * through the REAL micro-batch runtime. Both sides carry a 1-hour
+    * watermark and the join condition bounds event time on both sides, so
+    * the state store provably evicts rows older than the watermark —
+    * the ingredient that makes an unbounded two-stream join runnable
+    * forever at 100 TB/day. The oracle is the equivalent batch range
+    * join in DuckDB.
+    */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    def src() = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+    withStreamStateParallelism(s) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_stream_join")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_join")
+      .select(col("event_id"), col("c_ts").as("click_ts"))
+      .orderBy(col("event_id").asc, col("click_ts").asc)
+  }
+
   /** Bucketed co-located join: both fact tables written bucketed by the
     * join key (8 buckets), then joined WITHOUT any Exchange — the
     * pre-shuffle technique that amortizes one shuffle at write time
@@ -230,10 +275,18 @@ object SourceQueries {
     "e_stream_tumbling" -> (streamTumbling _),
     "e_stream_sessions" -> (streamSessions _),
     "e_stream_dedup"   -> (streamDedup _),
+    "e_stream_join"    -> (streamStreamJoin _),
     "q_bucketed_join"  -> (bucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    "e_stream_join" ->
+      """SELECT p.event_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p.event_id ASC, click_ts ASC""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
     "s_json_roundtrip" ->
