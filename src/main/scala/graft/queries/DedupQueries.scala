@@ -186,6 +186,30 @@ object DedupQueries {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsImpl(s, d, None)
 
+  /** STRATIFIED deterministic sampling — the data-MIXING primitive of
+    * training-corpus assembly: each language stratum gets its own keep
+    * rate (dominant downsampled, rare kept), rates joined in as a tiny
+    * broadcast dim, membership decided by md5-hash-mod on the row key.
+    * Portable (the oracle draws the identical sample), reproducible on
+    * any cluster/partitioning, and resample-stable: adding rows never
+    * flips an existing row's membership — the property that lets a 100 TB
+    * corpus be re-mixed incrementally. One map-side-combined aggregation;
+    * no shuffle beyond |lang| rows.
+    */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 20), ("zh", 60), ("es", 60), ("de", 60))
+      .toDF("lang", "keep_pct")
+    docs(s, d)
+      .join(broadcast(rates), Seq("lang"), "left_outer")
+      .withColumn("keep_pct", coalesce(col("keep_pct"), lit(10)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        sum(when(hash60(col("doc_id").cast("string")) % 100 < col("keep_pct"),
+          1).otherwise(0)).cast("long").as("n_kept"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact"         -> (exact _),
     "d_minhash_bands" -> (minhashBands _),
@@ -193,6 +217,7 @@ object DedupQueries {
     "d_simhash"       -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
     "d_jaccard_pairs" -> (jaccardPairs _),
+    "d_stratified_sample" -> (stratifiedSample _),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -256,6 +281,14 @@ object DedupQueries {
          |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "d_stratified_sample" ->
+      """WITH rates(lang, keep_pct) AS (
+        |  VALUES ('en', 20), ('zh', 60), ('es', 60), ('de', 60))
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        |                       < coalesce(r.keep_pct, 10) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+        |GROUP BY d.lang ORDER BY d.lang ASC""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |  list_distinct(list_transform($toksSql,
