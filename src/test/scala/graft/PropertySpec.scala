@@ -118,6 +118,21 @@ class PropertySpec extends AnyFunSuite {
       "bucketBy(8, orderkey) on both sides must eliminate the join shuffle")
   }
 
+  test("band join and PQ plan shapes: equi-join (no nested loop), map-only scan") {
+    val d = "/root/testdata/sf0.001"
+    val band = graft.SparkEntry.queries("e_band_join")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!band.contains("BroadcastNestedLoopJoin") &&
+      !band.contains("CartesianProduct"),
+      "bucket-blocked band join must never plan a nested loop")
+    val pq = graft.SparkEntry.queries("v_ann_pq")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("Exchange hashpartitioning"),
+      "PQ encode+score must be map-only up to the top-k")
+    assert(pq.contains("TakeOrderedAndProject"),
+      "PQ top-k must be a TakeOrdered, not a global sort")
+  }
+
   test("salted blocked pair join is row-equal to the broadcast plan (VERDICT r2 #5)") {
     val d = "/root/testdata/sf0.01"
     for ((name, f) <- Seq[
