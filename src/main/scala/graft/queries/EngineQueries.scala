@@ -31,9 +31,9 @@ object EngineQueries {
     * tag = label<label>.
     */
   private def buildEngine(s: SparkSession, d: String,
-      config: IndexConfig): (VectorEngine, String, Array[Float]) = {
-    val eng = new VectorEngine(s,
-      Files.createTempDirectory("graft-engine-q").toString, fixedClock)
+      config: IndexConfig): (VectorEngine, String, String, Array[Float]) = {
+    val root = Files.createTempDirectory("graft-engine-q").toString
+    val eng = new VectorEngine(s, root, fixedClock)
     val lib = eng.createLibrary("engine-bench", 64, config)
     val doc = eng.createDocument(lib)
     eng.bulkIngest(lib, doc, Tables.embeddings(s, d).select(
@@ -43,7 +43,31 @@ object EngineQueries {
       array(concat(lit("label"), col("label"))).as("tags")))
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-    (eng, lib, q)
+    (eng, root, lib, q)
+  }
+
+  /** Hardlink-clone a snapshot store directory: snapshot files are
+    * immutable (mutations only ADD version dirs and repoint _CURRENT), so
+    * a link-tree copy is a complete, independent store at near-zero cost —
+    * the same property the partition-selective writes exploit. Lets every
+    * index config start from ONE ingested base corpus instead of
+    * re-running bulkIngest per config.
+    */
+  private def linkCloneStore(src: String): String = {
+    val dst = Files.createTempDirectory("graft-engine-clone")
+    val s = java.nio.file.Paths.get(src)
+    val stream = java.nio.file.Files.walk(s)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val target = dst.resolve(s.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(target)
+        else java.nio.file.Files.createLink(target, p)
+      }
+    } finally stream.close()
+    dst.toString
   }
 
   /** ONE lazily built engine per (session, dataset, config family), index
@@ -56,14 +80,25 @@ object EngineQueries {
     */
   private val fixtureCache = scala.collection.mutable.Map
     .empty[(SparkSession, String, String), (VectorEngine, String, Array[Float])]
+  private val baseCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (VectorEngine, String, String, Array[Float])]
 
   private def engineFixture(s: SparkSession, d: String,
       config: IndexConfig): (VectorEngine, String, Array[Float]) =
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate((s, d, config.indexType), {
-        val built = buildEngine(s, d, config)
-        if (config.indexType != "flat") built._1.rebuildIndex(built._2)
-        built
+        // ONE ingested base corpus per (session, dataset); each non-flat
+        // config hardlink-clones it and swaps the index config in the
+        // clone (updateIndexConfig = CAS + rebuild) — the ingest runs
+        // once, not once per index type
+        val (baseEng, baseRoot, lib, q) =
+          baseCache.getOrElseUpdate((s, d), buildEngine(s, d, IndexConfig("flat")))
+        if (config.indexType == "flat") (baseEng, lib, q)
+        else {
+          val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+          eng.updateIndexConfig(lib, config)
+          (eng, lib, q)
+        }
       })
     }
 
