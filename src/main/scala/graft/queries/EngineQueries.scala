@@ -135,14 +135,14 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
-  /** Recall@10 of the seeded LSH index vs the exact scan — the quality
-    * metric BASELINE.md commits to measuring alongside latency. Rows-only
-    * (hyperplanes are seeded RNG), but deterministic run-to-run.
+  /** Recall@10 of an approximate index config vs the exact scan — the
+    * quality metric BASELINE.md commits to measuring alongside latency.
+    * Rows-only (seeded-RNG indexes), but deterministic run-to-run.
     */
-  private def lshRecall(s: SparkSession, d: String): DataFrame = {
+  private def recallOf(s: SparkSession, d: String,
+      config: IndexConfig): DataFrame = {
     import s.implicits._
-    val (eng, lib, q) = engineFixture(s, d,
-      IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
+    val (eng, lib, q) = engineFixture(s, d, config)
     val approx = eng.search(lib, q, k = 10).collect()
       .map(r => r.getString(0)).toSet
     val exact = Tables.embeddings(s, d)
@@ -157,6 +157,12 @@ object EngineQueries {
     val recall = (approx intersect exact).size.toDouble / exact.size
     Seq((0L, recall, approx.size)).toDF("query_id", "recall_at_10", "n_hits")
   }
+
+  private def lshRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
+
+  private def ivfRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
 
   /** DETERMINISTIC-index engine paths (VERDICT r2 #2): "lsh_det" derives
     * hyperplanes from md5 arithmetic and "ivf_det" uses init-only
@@ -187,6 +193,7 @@ object EngineQueries {
     "x_engine_lsh_det"       -> (engineLshDet _),
     "x_engine_ivf_det"       -> (engineIvfDet _),
     "x_lsh_recall"           -> (lshRecall _),
+    "x_ivf_recall"           -> (ivfRecall _),
   )
 
   private val cosSql =
