@@ -180,12 +180,22 @@ final class VectorEngine(
     // homed in another library must be rejected, not silently duplicated.
     // Generated UUIDs skip the scan (collision probability negligible).
     if (id.isDefined) {
-      val other = documents
-        .filter(col("id") === docId && col("library_id") =!= libId)
-        .select(col("library_id")).limit(1).collect()
-      if (other.nonEmpty)
-        throw new ValidationError(
-          s"document $docId already exists in library ${other.head.getString(0)}")
+      // cache first: a known home answers with zero Spark jobs (the scan
+      // below is O(other libraries' partitions) — fine for the occasional
+      // explicit-id create, wrong as a per-row cost in an ingest loop)
+      docLibCache.get(docId) match {
+        case Some(l) if l != libId =>
+          throw new ValidationError(
+            s"document $docId already exists in library $l")
+        case Some(_) => () // cached in THIS library: plain replace
+        case None =>
+          val other = documents
+            .filter(col("id") === docId && col("library_id") =!= libId)
+            .select(col("library_id")).limit(1).collect()
+          if (other.nonEmpty)
+            throw new ValidationError(
+              s"document $docId already exists in library ${other.head.getString(0)}")
+      }
     }
     val t = now()
     val row = Row(docId, libId, docMetaRow(metadata), t, t, 1L)

@@ -142,7 +142,13 @@ object AsOfJoinPlan {
   private def resolve(c: Column, df: DataFrame, role: String): Expression = {
     val e = GraftColumnBridge.expression(c) transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        df.queryExecution.analyzed.output.find(_.name == u.name).getOrElse(u)
+        df.queryExecution.analyzed.output.filter(_.name == u.name) match {
+          case Seq(one) => one
+          case Seq()    => u // reported as unresolved below
+          case many     => throw new IllegalArgumentException(
+            s"asofJoin $role reference '${u.name}' is ambiguous: " +
+              s"${many.size} columns share that name — select/alias first")
+        }
     }
     val ok = e.resolved && (e.dataType match {
       case org.apache.spark.sql.types.LongType |

@@ -138,23 +138,28 @@ object AnnQueries {
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray)
-    // codebook cb(m)(k): the k-th seed's m-th 8-dim slice
-    val cb = Array.tabulate(PqM, PqK)((m, k) =>
-      seeds(k).slice(m * PqD, (m + 1) * PqD))
+    require(seeds.nonEmpty, "v_ann_pq needs a non-empty embeddings table")
+    // a corpus smaller than PqK trains fewer codewords (IvfIndex does the
+    // same k = min(...) clamp); the oracle adapts naturally since its
+    // codeword CTE is LIMIT-bounded by the same count
+    val k = seeds.length
+    // codebook cb(m)(j): the j-th seed's m-th 8-dim slice
+    val cb = Array.tabulate(PqM, k)((m, j) =>
+      seeds(j).slice(m * PqD, (m + 1) * PqD))
     def dotD(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
       acc
     }
-    val cc = Array.tabulate(PqM, PqK)((m, k) => dotD(cb(m)(k), cb(m)(k)))
+    val cc = Array.tabulate(PqM, k)((m, j) => dotD(cb(m)(j), cb(m)(j)))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     val qslices = Array.tabulate(PqM)(m => q.slice(m * PqD, (m + 1) * PqD))
     // ADC table in integer micro-units; the qq + cc - 2*qc operation ORDER
     // matches the SQL replay exactly (bitwise-equal doubles before floor)
-    val dtabU = Array.tabulate(PqM, PqK) { (m, k) =>
-      val dist = dotD(qslices(m), qslices(m)) + cc(m)(k) -
-        2.0 * dotD(qslices(m), cb(m)(k))
+    val dtabU = Array.tabulate(PqM, k) { (m, j) =>
+      val dist = dotD(qslices(m), qslices(m)) + cc(m)(j) -
+        2.0 * dotD(qslices(m), cb(m)(j))
       math.floor(dist * 1000000.0 + 0.5).toLong
     }
     // bind the 8 slices once (CollapseProject keeps non-cheap aliases
@@ -166,11 +171,11 @@ object AnnQueries {
     // score as one integer sum — all in a single map-only projection
     val contribs = (0 until PqM).map { m =>
       val sm = col(s"s$m")
-      val scored = (0 until PqK).map { k =>
+      val scored = (0 until k).map { j =>
         struct(
-          (dotProduct(sm, sm) + lit(cc(m)(k)) -
-            lit(2.0) * dotProduct(sm, typedLit(cb(m)(k).toSeq))).as("dist"),
-          lit(k).as("k"))
+          (dotProduct(sm, sm) + lit(cc(m)(j)) -
+            lit(2.0) * dotProduct(sm, typedLit(cb(m)(j).toSeq))).as("dist"),
+          lit(j).as("k"))
       }
       val best = element_at(array_sort(array(scored: _*),
         (a, b) => when(a.getField("dist") < b.getField("dist"), -1)

@@ -78,15 +78,18 @@ object EngineQueries {
     * fixture, so sharing is sound; keying by session keeps Verify/Bench
     * runs in one JVM isolated.
     */
+  // keyed by the FULL IndexConfig (a case class), not just the index type:
+  // two entries using the same type with different parameters must not
+  // silently share one fixture
   private val fixtureCache = scala.collection.mutable.Map
-    .empty[(SparkSession, String, String), (VectorEngine, String, Array[Float])]
+    .empty[(SparkSession, String, IndexConfig), (VectorEngine, String, Array[Float])]
   private val baseCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), (VectorEngine, String, String, Array[Float])]
 
   private def engineFixture(s: SparkSession, d: String,
       config: IndexConfig): (VectorEngine, String, Array[Float]) =
     fixtureCache.synchronized {
-      fixtureCache.getOrElseUpdate((s, d, config.indexType), {
+      fixtureCache.getOrElseUpdate((s, d, config), {
         // ONE ingested base corpus per (session, dataset); each non-flat
         // config hardlink-clones it and swaps the index config in the
         // clone (updateIndexConfig = CAS + rebuild) — the ingest runs

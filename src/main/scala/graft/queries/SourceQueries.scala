@@ -57,11 +57,15 @@ object SourceQueries {
     * STATE volume, not scan parallelism (at 100 TB these are separate
     * knobs; the scan stays at full parallelism either way).
     */
-  private def withStreamStateParallelism[T](s: SparkSession)(f: => T): T = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
-  }
+  // serialized via the object lock: the save/restore of a session-global
+  // conf is not reentrant, and an overlapping caller would capture the
+  // temporary "8" as its value to restore
+  private def withStreamStateParallelism[T](s: SparkSession)(f: => T): T =
+    synchronized {
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+    }
 
   private def streamTumbling(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -224,11 +228,16 @@ object SourceQueries {
     * changes; the join below then measures the exchange-free join, which
     * is what the query demonstrates.
     */
-  private var bucketedFor: Option[(SparkSession, String)] = None
+  // the dataset whose bucketed tables are currently installed, PER
+  // session (the table names are session-global, so one dataset at a
+  // time per session; a per-session map instead of a single slot keeps
+  // multiple sessions in one JVM from thrashing each other's fixture)
+  private val bucketedFor =
+    scala.collection.mutable.Map.empty[SparkSession, String]
 
   private def ensureBucketedTables(s: SparkSession, d: String): Unit =
     synchronized {
-      if (!bucketedFor.contains((s, d)) ||
+      if (!bucketedFor.get(s).contains(d) ||
           !s.catalog.tableExists("graft_orders_b") ||
           !s.catalog.tableExists("graft_lineitem_b")) {
         val wh = Files.createTempDirectory("graft-bucketed").toString
@@ -242,7 +251,7 @@ object SourceQueries {
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$wh/lineitem_b").saveAsTable("graft_lineitem_b")
-        bucketedFor = Some((s, d))
+        bucketedFor(s) = d
       }
     }
 

@@ -11,12 +11,15 @@ import graft.engine.VectorEngine
   * store the batch verbs mutate — a stream-ingested library is immediately
   * searchable with batch-parity results.
   *
-  * Delivery semantics: foreachBatch is at-least-once under failure replay,
-  * and the engine makes that EFFECTIVELY EXACTLY-ONCE — minted ids are
-  * content hashes (bulkIngest's id contract), so a replayed micro-batch
-  * re-derives the same ids and replaces rather than duplicates; the same
-  * holds for caller-supplied ids. The engine's single-writer batch
-  * contract matches streaming's serialized micro-batch execution.
+  * Delivery semantics: foreachBatch is at-least-once under failure
+  * replay, and content-hash ids (bulkIngest's id contract) make a
+  * replayed micro-batch CONTENT-idempotent — the same ids re-derive and
+  * replace, so no row is ever duplicated. Replay is NOT byte-idempotent:
+  * a replaced chunk's version/updated_at bump again on the replayed
+  * write, so version numbers after a failure+replay differ from a
+  * failure-free run (CAS callers should expect that, as with any
+  * at-least-once sink). The engine's single-writer batch contract
+  * matches streaming's serialized micro-batch execution.
   */
 object StoreSink {
 
