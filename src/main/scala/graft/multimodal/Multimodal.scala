@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * expressions (columnar, codegen'd) or `mapPartitions` batches.
   *
   * The Spark-side plumbing here — schemas, batch shapes, partitioning,
-  * null handling — is real and tested. The actual codec work is STUBBED
-  * (this container ships no image/audio libraries): `decodeImageMeta`
-  * derives a deterministic fake (width/height/channels) from the payload
-  * hash, exactly where a JNI/codec call would bind. Swapping in a real
-  * decoder changes ONE expression, not the pipeline.
+  * null handling — is real and tested. Header METADATA decode is real
+  * too: the mapPartitions batch path parses PNG/JPEG/GIF/BMP headers in
+  * pure JVM bytes ([[ImageHeaders]] — no native lib needed). Only PIXEL
+  * decode is stubbed (this container ships no image/audio codecs):
+  * unrecognized payloads get a deterministic hash-derived fake, exactly
+  * where a JNI codec call would bind, and the column-expression path
+  * (`decodeImageMeta`) keeps the fake form its oracle checks.
   *
   * Scale shape: payloads stay columnar in parquet; metadata extraction is
   * a map-only scan (no shuffle); frame sampling explodes to a bounded
@@ -82,20 +84,24 @@ object Multimodal {
   case class DecodedRow(media_id: Long, width: Int, height: Int,
       channels: Int, n_bytes: Long)
 
-  /** STUB codec handle: stands in for a native decoder (libjpeg/ffmpeg)
-    * that is expensive to initialize and NOT serializable — the reason
-    * real pipelines decode via mapPartitions (one handle per partition,
-    * amortized over the batch) rather than a per-row UDF.
+  /** Codec handle, one per partition (the mapPartitions amortization
+    * pattern a native decoder needs). Header metadata is REAL: payloads
+    * with a recognized PNG/JPEG/GIF/BMP header are parsed by
+    * [[ImageHeaders]] (pure JVM — no native lib required). Only payloads
+    * with no recognizable header fall back to the deterministic
+    * hash-derived fake, which is where a PIXEL decoder (libjpeg/ffmpeg)
+    * would bind.
     */
-  private class StubCodec {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest(payload)
-      def u(i: Int) = h(i) & 0xff
-      (((u(0) << 16 | u(1) << 8 | u(2)) % 1920) + 1,
-       ((u(3) << 16 | u(4) << 8 | u(5)) % 1080) + 1,
-       (u(6) % 3) + 1)
-    }
+  private class HeaderCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      ImageHeaders.parse(payload).getOrElse {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(payload)
+        def u(i: Int) = h(i) & 0xff
+        (((u(0) << 16 | u(1) << 8 | u(2)) % 1920) + 1,
+         ((u(3) << 16 | u(4) << 8 | u(5)) % 1080) + 1,
+         (u(6) % 3) + 1)
+      }
   }
 
   /** Batch decode via mapPartitions: the Scala analog of a Pandas-UDF /
@@ -107,7 +113,7 @@ object Multimodal {
   def decodeBatch(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val codec = new StubCodec // once per partition
+      val codec = new HeaderCodec // once per partition
       rows.map { r =>
         val (w, h, c) = codec.decode(r.payload)
         DecodedRow(r.media_id, w, h, c, r.payload.length.toLong)

@@ -69,6 +69,47 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(engS.chunks.count() == 40)
   }
 
+  test("decodeBatch parses REAL png/jpeg/gif/bmp headers; fake only as fallback") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR, 640x480, color type 6 (RGBA -> 4 channels)
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      b(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    // JPEG: SOI + APP0(len 16) + SOF0 (len 17): 240 high, 320 wide, 3 comps
+    val jpeg = b(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10) ++
+      Array.fill[Byte](14)(0) ++
+      b(0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0xf0, 0x01, 0x40, 3) ++
+      Array.fill[Byte](12)(0)
+    // GIF89a: 100 x 50 logical screen
+    val gif = "GIF89a".getBytes ++ b(100, 0, 50, 0) ++ Array.fill[Byte](4)(0)
+    // BMP: BITMAPINFOHEADER, 800 x -600 (top-down), 24 bpp -> 3 channels
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+      b(0x20, 0x03, 0, 0) ++ b(0xa8, 0xfd, 0xff, 0xff) ++
+      b(0, 0, 24, 0) ++ Array.fill[Byte](4)(0)
+    val junk = "not an image at all".getBytes
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "image/jpeg", jpeg),
+      Multimodal.MediaRow(3L, "image/gif", gif),
+      Multimodal.MediaRow(4L, "image/bmp", bmp),
+      Multimodal.MediaRow(5L, "application/octet-stream", junk))
+    val out = Multimodal.decodeBatch(rows.toDS())
+      .collect().map(r => r.media_id -> ((r.width, r.height, r.channels))).toMap
+    assert(out(1L) == ((640, 480, 4)))
+    assert(out(2L) == ((320, 240, 3)))
+    assert(out(3L) == ((100, 50, 3)))
+    assert(out(4L) == ((800, 600, 3)))
+    // unrecognized payload: deterministic fake within documented bounds
+    val (fw, fh, fc) = out(5L)
+    assert(fw >= 1 && fw <= 1920 && fh >= 1 && fh <= 1080 && fc >= 1 && fc <= 3)
+    // truncated header must not crash — falls back, never throws
+    val trunc = Multimodal.decodeBatch(
+      Seq(Multimodal.MediaRow(6L, "image/png", png.take(10))).toDS()).collect()
+    assert(trunc.length == 1)
+  }
+
   test("image meta extraction: deterministic, bounded, schema-typed") {
     val meta = Multimodal.extractImageMeta(mediaFromDocs)
     val rows = meta.select(col("media_id"), col("meta.width"),
