@@ -189,6 +189,33 @@ object AnnQueries {
       .limit(10)
   }
 
+  /** Recall@10 of the PQ approximation vs the EXACT L2 ranking — and,
+    * unlike the rows-only engine recall metrics, fully ORACLE-CHECKED:
+    * both sides (the PQ pipeline and the exact distance top-10) are pure
+    * arithmetic, so DuckDB replays the whole comparison and the recall
+    * number itself is hash-verified. Distances on both sides use the same
+    * integer micro-unit quantization as `v_ann_pq`.
+    */
+  private def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    var qq = 0.0
+    var qi = 0
+    while (qi < q.length) { qq += q(qi).toDouble * q(qi).toDouble; qi += 1 }
+    val exact = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        floor((dotProduct(col("embedding"), col("embedding")) + lit(qq) -
+          lit(2.0) * dotProduct(col("embedding"), typedLit(q.toSeq))) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("du"))
+      .orderBy(col("du").asc, col("vec_id").asc)
+      .limit(10)
+    val nCommon = annPq(s, d).select("vec_id")
+      .join(exact.select("vec_id"), "vec_id").count()
+    Seq((nCommon, nCommon / 10.0)).toDF("n_common", "recall_at_10")
+  }
+
   /** BAND (interval) JOIN via time-bucket blocking: clicks within +-1 hour
     * of each purchase by the same user. A naive inequality join plans as a
     * nested loop (per-row range scan of the whole other side); the scale
@@ -236,11 +263,48 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_ann_ivf"   -> (annIvf _),
     "v_ann_pq"    -> (annPq _),
+    "v_pq_recall" -> (pqRecall _),
     "e_asof_join" -> (asofJoin _),
     "e_asof_custom" -> (asofCustom _),
     "e_band_join" -> (bandJoin _),
     "q_cube"      -> (cubePricing _),
   )
+
+  // v_ann_pq replay: same seed derivation, slicing, argmin tie-break,
+  // and integer micro-unit ADC accumulation as annPq. The qq + cc - 2*qc
+  // expression order matches the Spark/driver arithmetic bit for bit, so
+  // floor() sees identical doubles. Shared by v_ann_pq and v_pq_recall.
+  private val pqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cw AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, emb
+         |  FROM (SELECT vec_id, emb FROM e
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT $PqK)),
+         |cb AS (
+         |  SELECT g.m, cw.k, list_slice(cw.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS c
+         |  FROM cw, range($PqM) g(m)),
+         |qs AS (
+         |  SELECT g.m, list_slice(q.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS qv
+         |  FROM (SELECT emb FROM e WHERE vec_id = 0) q, range($PqM) g(m)),
+         |dtab AS (
+         |  SELECT cb.m, cb.k,
+         |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
+         |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
+         |  FROM cb JOIN qs ON cb.m = qs.m),
+         |vs AS (
+         |  SELECT e.vec_id, g.m, list_slice(e.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS sv
+         |  FROM e, range($PqM) g(m) WHERE e.vec_id <> 0),
+         |enc AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vs.vec_id, vs.m, cb.k,
+         |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
+         |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
+         |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
+         |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1)
+         |SELECT enc.vec_id, CAST(SUM(dtab.du) AS BIGINT) AS dist_u
+         |FROM enc JOIN dtab ON enc.m = dtab.m AND enc.k = dtab.k
+         |GROUP BY enc.vec_id
+         |ORDER BY dist_u ASC, vec_id ASC LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "v_ann_ivf" ->
@@ -285,41 +349,22 @@ object AnnQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id ASC""".stripMargin,
-    // v_ann_pq: full PQ replay — same seed derivation, slicing, argmin
-    // tie-break, and integer micro-unit ADC accumulation as annPq. The
-    // qq + cc - 2*qc expression order matches the Spark/driver arithmetic
-    // bit for bit, so floor() sees identical doubles.
-    "v_ann_pq" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cw AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, emb
-         |  FROM (SELECT vec_id, emb FROM e
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC LIMIT $PqK)),
-         |cb AS (
-         |  SELECT g.m, cw.k, list_slice(cw.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS c
-         |  FROM cw, range($PqM) g(m)),
-         |qs AS (
-         |  SELECT g.m, list_slice(q.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS qv
-         |  FROM (SELECT emb FROM e WHERE vec_id = 0) q, range($PqM) g(m)),
-         |dtab AS (
-         |  SELECT cb.m, cb.k,
-         |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
-         |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
-         |  FROM cb JOIN qs ON cb.m = qs.m),
-         |vs AS (
-         |  SELECT e.vec_id, g.m, list_slice(e.emb, g.m*$PqD + 1, g.m*$PqD + $PqD) AS sv
-         |  FROM e, range($PqM) g(m) WHERE e.vec_id <> 0),
-         |enc AS (
-         |  SELECT vec_id, m, k FROM (
-         |    SELECT vs.vec_id, vs.m, cb.k,
-         |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
-         |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
-         |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
-         |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1)
-         |SELECT enc.vec_id, CAST(SUM(dtab.du) AS BIGINT) AS dist_u
-         |FROM enc JOIN dtab ON enc.m = dtab.m AND enc.k = dtab.k
-         |GROUP BY enc.vec_id
-         |ORDER BY dist_u ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v_ann_pq" -> pqSql,
+    // v_pq_recall: the recall COMPARISON itself replayed — PQ top-10 and
+    // exact-L2 top-10 (same micro-unit quantization) intersected in SQL
+    "v_pq_recall" ->
+      s"""WITH pq AS ($pqSql),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |exact AS (
+         |  SELECT e2.vec_id,
+         |         CAST(floor((list_dot_product(e2.emb, e2.emb) + list_dot_product(q.emb, q.emb)
+         |           - 2 * list_dot_product(e2.emb, q.emb)) * 1000000.0 + 0.5) AS BIGINT) AS du
+         |  FROM e2, (SELECT emb FROM e2 WHERE vec_id = 0) q
+         |  WHERE e2.vec_id <> 0
+         |  ORDER BY du ASC, vec_id ASC LIMIT 10)
+         |SELECT CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM pq JOIN exact USING (vec_id)""".stripMargin,
     "e_band_join" ->
       s"""SELECT p.event_id, count(c.ts) AS n_nearby_clicks
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
