@@ -593,6 +593,41 @@ final class VectorEngine(
     page(df, ord, limit, offset)
   }
 
+  /** Point lookup of one library row (reference router GET
+    * /libraries/{id}, `api/routers/libraries.py`): the full stored row
+    * including index_config and metadata; NotFound if absent.
+    */
+  def getLibraryRow(libId: String): DataFrame = {
+    getLibrary(libId) // NotFound check via the catalog cache
+    libraries.filter(col("id") === libId)
+  }
+
+  /** Per-library stats (the reference README's "index metrics" next-step,
+    * `README.md:264`, realized): document/chunk/indexed-vector counts and
+    * which derived index tables exist for this library — one aggregate
+    * job per table, partition-pruned to the library.
+    */
+  def libraryStats(libId: String): LibraryStats = {
+    val (_, config, _) = getLibrary(libId)
+    val nDocs = documents.filter(col("library_id") === libId).count()
+    val chunkAgg = chunks.filter(col("library_id") === libId)
+      .agg(count(lit(1)), sum(when(col("embedding").isNotNull, 1L).otherwise(0L)))
+      .collect().head
+    val nChunks = chunkAgg.getLong(0)
+    val nEmbedded = if (chunkAgg.isNullAt(1)) 0L else chunkAgg.getLong(1)
+    def has(table: String): Boolean =
+      store.exists(table) &&
+        !store.read(table, table match {
+          case "lsh_planes"    => Schemas.lshPlanes
+          case "lsh_buckets"   => Schemas.lshBuckets
+          case "ivf_centroids" => Schemas.ivfCentroids
+          case _               => Schemas.ivfPostings
+        }).filter(col("library_id") === libId).isEmpty
+    LibraryStats(libId, config.indexType, nDocs, nChunks, nEmbedded,
+      hasLshIndex = has("lsh_planes") && has("lsh_buckets"),
+      hasIvfIndex = has("ivf_centroids") && has("ivf_postings"))
+  }
+
   /** Paginated library listing (reference `LibraryService.list`,
     * `services/library.py:55`, + the router's limit/offset/has_more page
     * shape, `api/routers/libraries.py:69-75`; defaults mirror the router:
@@ -1032,6 +1067,16 @@ final class VectorEngine(
 }
 
 /** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
+/** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */
+case class LibraryStats(
+    libraryId: String,
+    indexType: String,
+    nDocuments: Long,
+    nChunks: Long,
+    nEmbedded: Long,
+    hasLshIndex: Boolean,
+    hasIvfIndex: Boolean)
+
 case class ChunkIn(
     text: String,
     embedding: Option[Array[Float]] = None,

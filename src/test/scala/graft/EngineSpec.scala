@@ -426,6 +426,26 @@ class EngineSpec extends AnyFunSuite {
     eng.createLibrary("n2", 2)
   }
 
+  test("getLibraryRow and libraryStats reflect state and index tables") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("stats", 2,
+      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 4))
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("a", Some(Array(1f, 0f)), id = Some("a")),
+      ChunkIn("b", None, id = Some("b")))) // text-only chunk: not embedded
+    val row = eng.getLibraryRow(lib).collect().head
+    assert(row.getString(0) == lib && row.getString(1) == "stats")
+    intercept[EngineErrors.NotFoundError] { eng.getLibraryRow("nope") }
+    val before = eng.libraryStats(lib)
+    assert(before.nDocuments == 1 && before.nChunks == 2 &&
+      before.nEmbedded == 1 && !before.hasLshIndex && !before.hasIvfIndex)
+    eng.rebuildIndex(lib)
+    val after = eng.libraryStats(lib)
+    assert(after.hasLshIndex && !after.hasIvfIndex &&
+      after.indexType == "lsh")
+  }
+
   test("listLibraries paginates with has_more (reference router shape)") {
     val eng = freshEngine()
     val ids = (1 to 5).map(i => eng.createLibrary(s"lib$i", 2, id = Some(f"L$i%02d")))
