@@ -55,6 +55,8 @@ object Schemas {
     StructField("lsh_hyperplanes_per_table", IntegerType, nullable = false),
     StructField("ivf_num_centroids", IntegerType, nullable = false),
     StructField("ivf_nprobe", IntegerType, nullable = false),
+    StructField("pq_subspaces", IntegerType, nullable = false),
+    StructField("pq_codewords", IntegerType, nullable = false),
   ))
 
   val chunks: StructType = StructType(Seq(
@@ -123,6 +125,26 @@ object Schemas {
     StructField("chunk_id", StringType, nullable = false),
     StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
   ))
+
+  /** PQ: one row per (subspace, codeword) — the content-derived codebook
+    * slices (float, of the NORMALIZED seed vectors).
+    */
+  val pqCodebooks: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("m", IntegerType, nullable = false),
+    StructField("k", IntegerType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
+
+  /** PQ: one row per encoded chunk — M one-byte codes (stored as ints)
+    * plus the float-normalized vector for the exact rerank step.
+    */
+  val pqCodes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).
@@ -177,7 +199,9 @@ case class IndexConfig(
     lshNumTables: Int = 8,
     lshHyperplanesPerTable: Int = 16,
     ivfNumCentroids: Int = 64,
-    ivfNprobe: Int = 4)
+    ivfNprobe: Int = 4,
+    pqSubspaces: Int = 8,
+    pqCodewords: Int = 16)
 
 object EngineErrors {
   class NotFoundError(msg: String) extends RuntimeException(msg)

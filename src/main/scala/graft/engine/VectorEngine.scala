@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.EngineErrors._
 import graft.functions.VectorFunctions._
-import graft.index.{IvfIndex, LshIndex}
+import graft.index.{IvfIndex, LshIndex, PqIndex}
 
 /** The engine facade: the reference's service-layer verbs
   * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
@@ -89,7 +89,8 @@ final class VectorEngine(
     */
   def vacuum(keepLast: Int = 1): Int =
     Seq("libraries", "documents", "chunks", "lsh_planes", "lsh_buckets",
-      "ivf_centroids", "ivf_postings").map(store.vacuum(_, keepLast)).sum
+      "ivf_centroids", "ivf_postings", "pq_codebooks", "pq_codes")
+      .map(store.vacuum(_, keepLast)).sum
 
   /** Auto-retention hook: when `autoVacuumKeep = Some(n)` every mutating
     * verb trims snapshot history to the newest n versions on its way out
@@ -105,6 +106,10 @@ final class VectorEngine(
     store.read("ivf_centroids", Schemas.ivfCentroids).filter(col("library_id") === libId)
   private def ivfPostings(libId: String): DataFrame =
     store.read("ivf_postings", Schemas.ivfPostings).filter(col("library_id") === libId)
+  private def pqCodebooks(libId: String): DataFrame =
+    store.read("pq_codebooks", Schemas.pqCodebooks).filter(col("library_id") === libId)
+  private def pqCodes(libId: String): DataFrame =
+    store.read("pq_codes", Schemas.pqCodes).filter(col("library_id") === libId)
 
   // ---- library CRUD ---------------------------------------------------
 
@@ -127,7 +132,8 @@ final class VectorEngine(
     val t = now()
     val row = Row(libId, name, embeddingDim,
       Row(config.indexType, config.lshNumTables, config.lshHyperplanesPerTable,
-        config.ivfNumCentroids, config.ivfNprobe),
+        config.ivfNumCentroids, config.ivfNprobe,
+        config.pqSubspaces, config.pqCodewords),
       libMetaRow(metadata), t, t, 1L)
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1), Schemas.libraries)
@@ -146,7 +152,8 @@ final class VectorEngine(
         val c = r.getStruct(r.fieldIndex("index_config"))
         r.getString(r.fieldIndex("id")) ->
           ((r.getInt(r.fieldIndex("embedding_dim")),
-            IndexConfig(c.getString(0), c.getInt(1), c.getInt(2), c.getInt(3), c.getInt(4)),
+            IndexConfig(c.getString(0), c.getInt(1), c.getInt(2), c.getInt(3),
+              c.getInt(4), c.getInt(5), c.getInt(6)),
             r.getLong(r.fieldIndex("version"))))
       }.toMap)
     libCache.get.getOrElse(libId, throw new NotFoundError(s"library $libId"))
@@ -621,11 +628,14 @@ final class VectorEngine(
           case "lsh_planes"    => Schemas.lshPlanes
           case "lsh_buckets"   => Schemas.lshBuckets
           case "ivf_centroids" => Schemas.ivfCentroids
+          case "pq_codebooks"  => Schemas.pqCodebooks
+          case "pq_codes"      => Schemas.pqCodes
           case _               => Schemas.ivfPostings
         }).filter(col("library_id") === libId).isEmpty
     LibraryStats(libId, config.indexType, nDocs, nChunks, nEmbedded,
       hasLshIndex = has("lsh_planes") && has("lsh_buckets"),
-      hasIvfIndex = has("ivf_centroids") && has("ivf_postings"))
+      hasIvfIndex = has("ivf_centroids") && has("ivf_postings"),
+      hasPqIndex = has("pq_codebooks") && has("pq_codes"))
   }
 
   /** Paginated library listing (reference `LibraryService.list`,
@@ -707,7 +717,9 @@ final class VectorEngine(
           lit(config.lshNumTables).as("lsh_num_tables"),
           lit(config.lshHyperplanesPerTable).as("lsh_hyperplanes_per_table"),
           lit(config.ivfNumCentroids).as("ivf_num_centroids"),
-          lit(config.ivfNprobe).as("ivf_nprobe"))).otherwise(col("index_config")))
+          lit(config.ivfNprobe).as("ivf_nprobe"),
+          lit(config.pqSubspaces).as("pq_subspaces"),
+          lit(config.pqCodewords).as("pq_codewords"))).otherwise(col("index_config")))
       .withColumn("version",
         when(col("id") === libId, col("version") + 1).otherwise(col("version")))
       .withColumn("updated_at",
@@ -751,10 +763,11 @@ final class VectorEngine(
         store.writeLibraryPartition("lsh_planes", libId, planes)
         val buckets = LshIndex.buildBuckets(libChunks, planes, libId)
         store.writeLibraryPartition("lsh_buckets", libId, buckets)
-        // an auto library that outgrew (or re-entered) the IVF tier must
-        // not leave stale centroids behind: auto search dispatches on
-        // which tables EXIST for this library
+        // an auto library that outgrew (or re-entered) another tier must
+        // not leave stale tables behind: auto search dispatches on which
+        // tables EXIST for this library
         dropIvfTables(libId)
+        dropPqTables(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -765,6 +778,17 @@ final class VectorEngine(
         store.writeLibraryPartition("ivf_centroids", libId, centroids)
         store.writeLibraryPartition("ivf_postings", libId, postings)
         dropLshTables(libId)
+        dropPqTables(libId)
+      case "pq" =>
+        if (dim % config.pqSubspaces != 0)
+          throw new ValidationError(
+            s"embedding_dim $dim not divisible by pq_subspaces ${config.pqSubspaces}")
+        val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
+          config.pqSubspaces, config.pqCodewords)
+        store.writeLibraryPartition("pq_codebooks", libId, codebooks)
+        store.writeLibraryPartition("pq_codes", libId, codes)
+        dropLshTables(libId)
+        dropIvfTables(libId)
     }
   }
 
@@ -851,6 +875,23 @@ final class VectorEngine(
             .select(col("chunk_id"), col("embedding_norm"))
             .dropDuplicates("chunk_id")
           // deviation from quirk Q3: rerank the FULL nprobe candidate set
+          rerank(cands, query, metric)
+        }
+      case "pq" =>
+        if (isZero) return emptyHits()
+        val cb =
+          if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
+          else PqIndex.collectCodebooks(pqCodebooks(libId))
+        if (cb.isEmpty)
+          // codebooks not built yet -> full flat scan (as the IVF path)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          // ADC candidate generation over the codes scan (integer
+          // micro-unit distances, cap 6k), then the exact rerank the
+          // engine's scoring contract requires (quirk Q1: normalized
+          // stored vector x RAW query)
+          val qn = LshIndex.normalizeDriver(query).get
+          val cands = PqIndex.candidates(restrict(pqCodes(libId)), cb, qn, k)
           rerank(cands, query, metric)
         }
     }
@@ -971,7 +1012,7 @@ final class VectorEngine(
     * 1..1024.
     */
   private def validateConfig(config: IndexConfig): Unit = {
-    if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det")
+    if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det", "pq")
         .contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
@@ -981,6 +1022,8 @@ final class VectorEngine(
     bound(config.lshHyperplanesPerTable, 1, 64, "lsh_hyperplanes_per_table")
     bound(config.ivfNumCentroids, 1, 65536, "ivf_num_centroids")
     bound(config.ivfNprobe, 1, 1024, "ivf_nprobe")
+    bound(config.pqSubspaces, 1, 64, "pq_subspaces")
+    bound(config.pqCodewords, 1, 256, "pq_codewords") // codes fit one byte
   }
 
   private def requireDocInLibrary(libId: String, docId: String): Unit =
@@ -1026,6 +1069,17 @@ final class VectorEngine(
             ivfPostings(libId).unionAll(add))
         }
       }
+      if (t != "auto") return
+    }
+    if (t == "pq") {
+      if (store.exists("pq_codebooks")) {
+        val cbDf = pqCodebooks(libId)
+        if (!cbDf.isEmpty) { // encode against EXISTING codebooks (no retrain)
+          val add = PqIndex.encode(newChunks, cbDf, libId)
+          store.writeLibraryPartition("pq_codes", libId,
+            pqCodes(libId).unionAll(add))
+        }
+      }
     }
   }
 
@@ -1045,6 +1099,12 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.ivfPostings.fieldNames.map(col): _*))
     }
+    if (store.exists("pq_codes")) {
+      store.writeLibraryPartition("pq_codes", libId,
+        pqCodes(libId)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.pqCodes.fieldNames.map(col): _*))
+    }
   }
 
   /** Remove one library's derived index state: a partition drop per index
@@ -1053,6 +1113,7 @@ final class VectorEngine(
   private def dropIndexTables(libId: String): Unit = {
     dropLshTables(libId)
     dropIvfTables(libId)
+    dropPqTables(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -1062,6 +1123,11 @@ final class VectorEngine(
 
   private def dropIvfTables(libId: String): Unit =
     Seq("ivf_centroids", "ivf_postings").foreach { t =>
+      if (store.exists(t)) store.dropLibraryPartition(t, libId)
+    }
+
+  private def dropPqTables(libId: String): Unit =
+    Seq("pq_codebooks", "pq_codes").foreach { t =>
       if (store.exists(t)) store.dropLibraryPartition(t, libId)
     }
 }
@@ -1075,7 +1141,8 @@ case class LibraryStats(
     nChunks: Long,
     nEmbedded: Long,
     hasLshIndex: Boolean,
-    hasIvfIndex: Boolean)
+    hasIvfIndex: Boolean,
+    hasPqIndex: Boolean = false)
 
 case class ChunkIn(
     text: String,

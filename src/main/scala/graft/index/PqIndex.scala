@@ -1,0 +1,157 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Schemas
+import graft.functions.VectorFunctions._
+
+/** PRODUCT-QUANTIZATION index: vectors are compressed to M small codes
+  * (nearest codeword per dim/M-dim subspace of the normalized vector) and
+  * queries score candidates with an ADC (asymmetric distance computation)
+  * lookup table — M integer adds per candidate instead of a full float
+  * kernel. The memory-bound ANN family FAISS popularized: the codes table
+  * is M bytes/vector, so at 100 TB of embeddings the candidate scan reads
+  * a small fraction of the raw data, map-only.
+  *
+  * Codebooks are CONTENT-DERIVED (the K lowest md5(chunk_id) normalized
+  * vectors, codeword id in chunk_id order — the same init family as the
+  * engine's deterministic IVF): reproducible on any cluster and fully
+  * replayable by the DuckDB oracle. Distances accumulate as exact integer
+  * MICRO-UNITS (floor(d*1e6+0.5) per subspace, summed as longs), so
+  * candidate ranking is immune to float summation order.
+  *
+  * Vectors are L2-NORMALIZED before slicing (quirk-Q1-consistent with the
+  * LSH/IVF families): on the unit sphere ||a-b||^2 = 2 - 2*cos, so
+  * ascending quantized L2 distance approximates descending cosine, and
+  * the exact rerank stage restores the engine's scoring contract.
+  */
+object PqIndex {
+
+  val Oversample = 6 // candidate cap multiplier, as the other families
+
+  /** (chunk_id, vnf): FLOAT-normalized non-zero vectors — float-cast
+    * before slicing so stored codebooks, codes, and the oracle replay all
+    * quantize the identical values.
+    */
+  private def normalizedF(chunksDf: DataFrame): DataFrame =
+    chunksDf.filter(col("embedding").isNotNull)
+      .select(col("id").as("chunk_id"), l2Normalize(col("embedding")).as("vn"))
+      .filter(col("vn").isNotNull)
+      .select(col("chunk_id"), transform(col("vn"), _.cast("float")).as("vnf"))
+
+  /** Build (codebooks, codes) for a library. `dim` must be divisible by
+    * `subspaces` (the engine validates). Codeword count clamps to the
+    * corpus size, like IVF's k = min(...) clamp.
+    */
+  def build(chunksDf: DataFrame, libraryId: String, dim: Int,
+      subspaces: Int, codewords: Int): (DataFrame, DataFrame) = {
+    val spark = chunksDf.sparkSession
+    val subDim = dim / subspaces
+    val data = normalizedF(chunksDf)
+    val seeds = data.withColumn("h", md5(col("chunk_id")))
+      .orderBy(col("h").asc).limit(codewords)
+      .select(col("chunk_id"), col("vnf")).collect()
+      .sortBy(_.getString(0))
+      .map(_.getSeq[Float](1).toArray)
+    if (seeds.isEmpty)
+      return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          Schemas.pqCodebooks),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          Schemas.pqCodes))
+    val cb = Array.tabulate(subspaces, seeds.length)((m, j) =>
+      seeds(j).slice(m * subDim, (m + 1) * subDim))
+    val cbRows = for {
+      m <- 0 until subspaces; j <- 0 until seeds.length
+    } yield Row(libraryId, m, j, cb(m)(j).toSeq)
+    val codebooksDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cbRows, 1), Schemas.pqCodebooks)
+    (codebooksDf, encodeWith(data, cb, libraryId))
+  }
+
+  /** (m -> k -> slice), ordered; driver-side, M*K*subDim floats. */
+  def collectCodebooks(codebooksDf: DataFrame): Array[Array[Array[Float]]] =
+    codebooksDf.orderBy(col("m").asc, col("k").asc).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+      .toArray
+
+  /** Encode NEW chunks against existing codebooks (incremental add). */
+  def encode(chunksDf: DataFrame, codebooksDf: DataFrame,
+      libraryId: String): DataFrame = {
+    val cb = collectCodebooks(codebooksDf)
+    if (cb.isEmpty)
+      return chunksDf.sparkSession.createDataFrame(
+        chunksDf.sparkSession.sparkContext.emptyRDD[Row], Schemas.pqCodes)
+    encodeWith(normalizedF(chunksDf), cb, libraryId)
+  }
+
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** One map-only projection: slice once, per-subspace argmin codeword
+    * (dist asc, codeword asc tie-break — same comparator family as IVF
+    * assignment), emit the codes array + the normalized vector.
+    */
+  private def encodeWith(data: DataFrame, cb: Array[Array[Array[Float]]],
+      libraryId: String): DataFrame = {
+    val subspaces = cb.length
+    val subDim = cb(0)(0).length
+    val cc = cb.map(_.map(c => dotD(c, c)))
+    val sliced = data.select(col("chunk_id") +: col("vnf") +:
+      (0 until subspaces).map(m =>
+        slice(col("vnf"), m * subDim + 1, subDim).as(s"s$m")): _*)
+    val codeCols = (0 until subspaces).map { m =>
+      val sm = col(s"s$m")
+      val scored = cb(m).indices.map { j =>
+        struct(
+          (dotProduct(sm, sm) + lit(cc(m)(j)) -
+            lit(2.0) * dotProduct(sm, typedLit(cb(m)(j).toSeq))).as("dist"),
+          lit(j).as("k"))
+      }
+      element_at(array_sort(array(scored: _*),
+        (a, b) => when(a.getField("dist") < b.getField("dist"), -1)
+          .when(a.getField("dist") > b.getField("dist"), 1)
+          .otherwise(a.getField("k") - b.getField("k"))), 1)
+        .getField("k")
+    }
+    sliced.select(
+      lit(libraryId).as("library_id"),
+      col("chunk_id"),
+      array(codeCols: _*).as("codes"),
+      col("vnf").as("embedding_norm"))
+  }
+
+  /** ADC candidate generation: the distance table from the (normalized)
+    * query to every codeword is computed DRIVER-side in integer
+    * micro-units and broadcast as literals; per candidate the score is M
+    * array lookups + long adds — a codegen map stage over the codes scan,
+    * capped at Oversample*k by (distance asc, chunk_id asc).
+    */
+  def candidates(codesDf: DataFrame, cb: Array[Array[Array[Float]]],
+      qnorm: Array[Float], k: Int): DataFrame = {
+    val subspaces = cb.length
+    val subDim = cb(0)(0).length
+    val dtabU: Array[Array[Long]] = Array.tabulate(subspaces) { m =>
+      val qs = qnorm.slice(m * subDim, (m + 1) * subDim)
+      val qq = dotD(qs, qs)
+      cb(m).map { c =>
+        val dist = qq + dotD(c, c) - 2.0 * dotD(qs, c)
+        math.floor(dist * 1000000.0 + 0.5).toLong
+      }
+    }
+    val contribs = (0 until subspaces).map(m =>
+      element_at(typedLit(dtabU(m).toSeq),
+        element_at(col("codes"), m + 1) + 1))
+    codesDf
+      .select(col("chunk_id"), col("embedding_norm"),
+        contribs.reduce(_ + _).as("dist_u"))
+      .orderBy(col("dist_u").asc, col("chunk_id").asc)
+      .limit(Oversample * k)
+      .select(col("chunk_id"), col("embedding_norm"))
+  }
+}

@@ -188,6 +188,17 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** The PQ index family through the engine: codebook build + encode at
+    * rebuild, ADC candidate scan + exact rerank at search — content-
+    * derived codebooks make the WHOLE path DuckDB-replayable, so this is
+    * a hash-checked engine e2e like the det LSH/IVF entries.
+    */
+  private def enginePq(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d,
+      IndexConfig("pq", pqSubspaces = 8, pqCodewords = 16))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
@@ -195,6 +206,7 @@ object EngineQueries {
     "x_engine_ivf"           -> (engineIvf _),
     "x_engine_lsh_det"       -> (engineLshDet _),
     "x_engine_ivf_det"       -> (engineIvfDet _),
+    "x_engine_pq"            -> (enginePq _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
   )
@@ -302,6 +314,54 @@ object EngineQueries {
          |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
          |FROM postings p JOIN vn v USING (vec_id)
          |WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // x_engine_pq: replay of the engine PQ family — float-normalized
+    // vectors, md5-seed codebooks (codeword id in chunk_id order), 8x8
+    // slices, argmin encode (dist asc, k asc), integer micro-unit ADC
+    // ranking capped at 6k=60 (dist asc, chunk_id asc), exact cosine
+    // rerank vs the RAW query. Mirrors PqIndex.build/encode/candidates
+    // and VectorEngine.search step for step.
+    "x_engine_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+         |vn AS (
+         |  SELECT vec_id, emb,
+         |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnorm
+         |  FROM nr WHERE n > 0),
+         |cw AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, vnorm
+         |  FROM (SELECT vec_id, vnorm FROM vn
+         |        ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+         |        LIMIT 16)),
+         |cb AS (
+         |  SELECT g.m, cw.k, list_slice(cw.vnorm, g.m*8 + 1, g.m*8 + 8) AS c
+         |  FROM cw, range(8) g(m)),
+         |vs AS (
+         |  SELECT v.vec_id, g.m, list_slice(v.vnorm, g.m*8 + 1, g.m*8 + 8) AS sv
+         |  FROM vn v, range(8) g(m)),
+         |enc AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vs.vec_id, vs.m, cb.k,
+         |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
+         |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
+         |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
+         |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1),
+         |qs AS (
+         |  SELECT g.m, list_slice(q.vnorm, g.m*8 + 1, g.m*8 + 8) AS qv
+         |  FROM (SELECT vnorm FROM vn WHERE vec_id = 0) q, range(8) g(m)),
+         |dtab AS (
+         |  SELECT cb.m, cb.k,
+         |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
+         |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
+         |  FROM cb JOIN qs ON cb.m = qs.m),
+         |cand AS (
+         |  SELECT enc.vec_id, CAST(SUM(dtab.du) AS BIGINT) AS dist_u
+         |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.k = dtab.k
+         |  GROUP BY enc.vec_id
+         |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)
+         |SELECT c.vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+         |FROM cand c JOIN vn v USING (vec_id)
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
   )
 }

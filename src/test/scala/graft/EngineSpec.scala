@@ -461,6 +461,55 @@ class EngineSpec extends AnyFunSuite {
     intercept[ValidationError] { eng.listLibraries(offset = -1) }
   }
 
+  test("PQ index: exact when codewords cover the corpus, incremental add, stats") {
+    val eng = freshEngine()
+    val vecs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0.9f, 0.1f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0.2f),
+      Array(0f, 0f, 0f, 1f), Array(0.5f, 0.5f, 0.5f, 0.5f))
+    def mkLib(cfg: IndexConfig): (String, String) = {
+      val lib = eng.createLibrary("pq-" + cfg.pqCodewords, 4, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, vecs.zipWithIndex.map { case (v, i) =>
+        ChunkIn(s"t$i", Some(v), id = Some(f"c$i%02d")) })
+      eng.rebuildIndex(lib)
+      (lib, doc)
+    }
+    // codewords >= corpus: every vector is its own codeword, quantization
+    // error is zero, so PQ candidates + rerank == the exact flat ranking
+    val (pqLib, pqDoc) = mkLib(
+      IndexConfig("pq", pqSubspaces = 2, pqCodewords = 16))
+    val flatLib = eng.createLibrary("flat-ref", 4)
+    val flatDoc = eng.createDocument(flatLib)
+    eng.upsertChunks(flatLib, flatDoc, vecs.zipWithIndex.map { case (v, i) =>
+      ChunkIn(s"t$i", Some(v), id = Some(f"c$i%02d")) })
+    val q = Array(0.95f, 0.05f, 0f, 0f)
+    def hits(lib: String) = eng.search(lib, q, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val (pqHits, flatHits) = (hits(pqLib), hits(flatLib))
+    assert(pqHits.map(_._1) == flatHits.map(_._1),
+      "full-coverage PQ must reproduce the exact ranking")
+    // scores agree to float-normalization precision (quirk Q1: index
+    // paths rerank the NORMALIZED stored vector; flat scores the raw one)
+    pqHits.zip(flatHits).foreach { case ((_, ps), (_, fs)) =>
+      assert(math.abs(ps - fs) < 1e-6) }
+    // incremental add encodes against existing codebooks
+    eng.upsertChunks(pqLib, pqDoc, Seq(
+      ChunkIn("fresh", Some(Array(0.95f, 0.05f, 0f, 0f)), id = Some("zz"))))
+    assert(eng.search(pqLib, q, k = 1).collect().head.getString(0) == "zz")
+    // stats see the PQ tables; flat library does not
+    assert(eng.libraryStats(pqLib).hasPqIndex)
+    assert(!eng.libraryStats(flatLib).hasPqIndex)
+    // dim not divisible by subspaces fails loudly
+    val badLib = eng.createLibrary("bad", 4,
+      IndexConfig("pq", pqSubspaces = 3))
+    eng.createDocument(badLib)
+    intercept[ValidationError] { eng.rebuildIndex(badLib) }
+    // undersized corpus: codewords clamp (like IVF) and search still works
+    val (tinyLib, _) = mkLib(IndexConfig("pq", pqSubspaces = 4, pqCodewords = 3))
+    assert(eng.search(tinyLib, q, k = 2).collect().length == 2)
+  }
+
   test("deterministic index modes: rebuild reproducible, incremental add maintained") {
     for (cfg <- Seq(
         IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 4),
