@@ -140,9 +140,31 @@ object MiscQueries {
         md5(col("frame_bytes")).as("frame_md5"))
       .orderBy(col("media_id").asc, col("frame_no").asc)
 
+  /** VOCABULARY build — the tokenizer-training primitive: top-N tokens
+    * assigned dense contiguous ids by (frequency desc, token asc). The
+    * heavy part is the same salted-safe token histogram as t_token_freq;
+    * the id assignment row-numbers only the N-row capped result (never a
+    * full-vocab global window).
+    */
+  private def vocab(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("cnt").desc, col("token").asc)
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(1000)
+      .withColumn("token_id", row_number().over(w) - 1)
+      .select(col("token_id"), col("token"), col("cnt"))
+      .orderBy(col("token_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_frame_sample"   -> (frameSample _),
     "t_token_freq"     -> (tokenFreqSalted _),
+    "t_vocab"          -> (vocab _),
     "s_point_lookup"   -> (pointLookup _),
     "s_has_tag"        -> (hasTag _),
     "q_union_distinct" -> (unionDistinct _),
@@ -167,6 +189,15 @@ object MiscQueries {
         |                  greatest(length(text) // 4, 1))) AS frame_md5
         |FROM documents, generate_series(0, 3) AS g(i)
         |ORDER BY media_id ASC, frame_no ASC""".stripMargin,
+    "t_vocab" ->
+      """WITH tf AS (
+        |  SELECT t AS token, count(*) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 1000)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS token_id,
+        |       token, cnt
+        |FROM tf ORDER BY token_id ASC""".stripMargin,
     "t_token_freq" ->
       """SELECT t AS token, count(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t

@@ -153,6 +153,35 @@ object SketchQueries {
     * portable sampling pattern (md5 of the row key, not engine-private
     * TABLESAMPLE randomness), so the oracle draws the identical sample.
     */
+  /** APPROXIMATE percentiles from a fixed-width histogram — the
+    * sketch-family answer to quantiles at 100 TB: one map-side-combined
+    * aggregation over ~1k bins (vs the exact path's full sort), then the
+    * quantile is read off the cumulative bin counts. Deterministic by
+    * construction (integer thresholds ceil(p*n/100) computed in integer
+    * arithmetic, bin lower bound as the estimate), so DuckDB replays it
+    * exactly — unlike t-digest/KLL whose merge order is engine-private.
+    * Estimate error is bounded by the bin width (100 here).
+    */
+  private def approxQuantile(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.lineitem(s, d)
+      .select(floor(col("l_extendedprice") / 100.0).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("bin").asc) // ~1k bins, bounded
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("c")).over(w))
+    val total = bins.agg(sum(col("c")).cast("long").as("n"))
+    Seq(50, 95, 99).map { p =>
+      cum.crossJoin(broadcast(total))
+        // integer `div`, matching the oracle's `//`: Spark's `/` would
+        // promote to double and shift the threshold by the fraction
+        .filter(col("cum") >= expr(s"(n * $p + 99) div 100"))
+        .orderBy(col("bin").asc).limit(1)
+        .select(lit(p).as("p"),
+          (col("bin") * 100).cast("double").as("approx_value"))
+    }.reduce(_ unionAll _).orderBy(col("p").asc)
+  }
+
   private def sampleAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(hash60(concat(col("l_orderkey").cast("string"), lit(":"),
@@ -190,6 +219,7 @@ object SketchQueries {
     "sql_window_suite" -> (windowSuite _),
     "q_bloom_probe"    -> (bloomProbe _),
     "q_sample_agg"     -> (sampleAgg _),
+    "q_approx_quantile" -> (approxQuantile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,6 +299,18 @@ object SketchQueries {
         |SELECT (SELECT COUNT(*) FROM probe) AS n_probed,
         |       (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
         |       (SELECT COUNT(*) FROM trues) AS n_true""".stripMargin,
+    "q_approx_quantile" ->
+      """WITH bins AS (
+        |  SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin, count(*) AS c
+        |  FROM lineitem GROUP BY bin),
+        |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin ASC) AS cum FROM bins),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bins)
+        |SELECT q.p,
+        |       CAST((SELECT min(bin) FROM cum, tot
+        |             WHERE cum.cum >= (tot.n * q.p + 99) // 100) * 100 AS DOUBLE)
+        |         AS approx_value
+        |FROM (VALUES (50), (95), (99)) AS q(p)
+        |ORDER BY q.p ASC""".stripMargin,
     "q_sample_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n_sampled,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sample_revenue
