@@ -946,11 +946,17 @@ final class VectorEngine(
       .crossJoin(broadcast(qDf))
       .select(col("query_id"), col("id").as("chunk_id"),
         similarity(metric)(col("embedding"), col("qvec")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("chunk_id").asc)
-    val topk = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
+    // per-query top-k via the k-bounded PARTIAL aggregator, not a window:
+    // the map side reduces each partition to <= k rows per query BEFORE
+    // the shuffle (k*N rows total), where the window formulation shuffles
+    // and sorts the full corpus x N cross product — the difference between
+    // a bounded merge and a corpus-sized sort at 100 TB
+    import spark.implicits._
+    val topk = scored.as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScoreStr(k).toColumn)
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._2, h._1)) }
+      .toDF("query_id", "chunk_id", "score")
     val hydrated = broadcast(topk)
       .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
     applyPost(hydrated, filters)

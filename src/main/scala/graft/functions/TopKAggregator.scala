@@ -41,6 +41,34 @@ class TopKByScore(k: Int)(implicit seqEnc: Encoder[Seq[(Double, Long)]])
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = seqEnc
 }
 
+/** String-id variant (engine chunk ids): same contract and ordering
+  * ((score DESC, id ASC), the Q7 tie-break) over (key, chunk_id, score).
+  */
+class TopKByScoreStr(k: Int)(implicit seqEnc: Encoder[Seq[(Double, String)]])
+    extends Aggregator[(Long, String, Double), Seq[(Double, String)], Seq[(Double, String)]] {
+
+  private def better(a: (Double, String), b: (Double, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Double, String)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, String)],
+      in: (Long, String, Double)): Seq[(Double, String)] = {
+    val x = (in._3, in._2)
+    if (buf.length >= k && better(buf.last, x)) buf
+    else ((buf :+ x).sortWith(better)).take(k)
+  }
+
+  override def merge(a: Seq[(Double, String)],
+      b: Seq[(Double, String)]): Seq[(Double, String)] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(r: Seq[(Double, String)]): Seq[(Double, String)] = r
+
+  override def bufferEncoder: Encoder[Seq[(Double, String)]] = seqEnc
+  override def outputEncoder: Encoder[Seq[(Double, String)]] = seqEnc
+}
+
 object TopKAggregator {
   /** Convenience: Encoders.product-free construction using the built-in
     * implicit encoders at the call site (`import spark.implicits._`).
