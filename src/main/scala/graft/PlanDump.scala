@@ -36,6 +36,8 @@ object PlanDump {
     "e_asof_custom",     // custom AsOfJoinExec: clustered+sorted merge walk
     "e_band_join",       // interval join as bucket-blocked equi-join (no NLJ)
     "v_ann_pq",          // PQ encode+ADC score in one map-only projection
+    "x_engine_pq",       // engine PQ family: ADC codes scan + rerank
+    "q_approx_quantile", // histogram-sketch quantiles: ~1k-bin agg
   )
 
   def main(args: Array[String]): Unit = {
