@@ -59,6 +59,7 @@ object VectorQueries {
     * every partition, one shuffle on query_id for the window top-k.
     */
   private def knnBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = emb(s, d)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -66,10 +67,14 @@ object VectorQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         rnd(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5).drop("rn")
+    // k-bounded partial aggregation (TopKByScore), not a per-query
+    // window: the map side emits <= k rows per query before the shuffle
+    // instead of sorting the full corpus x queries product
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(5).toColumn)
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._2, h._1)) }
+      .toDF("query_id", "vec_id", "score")
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
   }
 
