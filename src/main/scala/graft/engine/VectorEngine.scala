@@ -676,7 +676,8 @@ final class VectorEngine(
     */
   private def page(df: DataFrame, ord: Seq[Column], limit: Int, offset: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(ord: _*)
+      .partitionBy(graft.queries.WindowUtil.onePartition(col("id")))
+      .orderBy(ord: _*)
     df.orderBy(ord: _*).limit(offset + limit)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > offset)

@@ -35,8 +35,10 @@ object AnnQueries {
       .orderBy(col("h").asc).limit(C)
       .select(col("vec_id").as("centroid_of"), l2Normalize(col("embedding")).as("cvec"))
       .withColumn("centroid_id",
-        // <= C rows; constant partition key avoids the global-window path
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("centroid_of").asc)))
+        // <= C rows; bounded single-partition numbering
+        row_number().over(Window
+          .partitionBy(WindowUtil.onePartition(col("centroid_of")))
+          .orderBy(col("centroid_of").asc)))
     // assignment: argmax dot(embedding, centroid), earliest centroid on ties
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dot").desc, col("centroid_id").asc)

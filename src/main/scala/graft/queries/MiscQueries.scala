@@ -149,7 +149,8 @@ object MiscQueries {
   private def vocab(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("cnt").desc, col("token").asc)
+      .partitionBy(WindowUtil.onePartition(col("token")))
+      .orderBy(col("cnt").desc, col("token").asc)
     Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))

@@ -148,7 +148,7 @@ object RelationalQueries {
     // top-120, no global single-partition window over the full table),
     // then number the tiny capped set; partitionBy(lit) keeps WindowExec
     // off the all-rows-to-one-partition path for the 600k-row input
-    val w = Window.partitionBy(lit(0))
+    val w = Window.partitionBy(WindowUtil.onePartition(col("o_orderkey")))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     ord.orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(120)
       .withColumn("rn", row_number().over(w))

@@ -167,7 +167,8 @@ object SketchQueries {
       .select(floor(col("l_extendedprice") / 100.0).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("bin").asc) // ~1k bins, bounded
+      .partitionBy(WindowUtil.onePartition(col("bin"))) // ~1k bins, bounded
+      .orderBy(col("bin").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = bins.withColumn("cum", sum(col("c")).over(w))
     val total = bins.agg(sum(col("c")).cast("long").as("n"))
