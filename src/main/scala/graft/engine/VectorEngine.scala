@@ -129,6 +129,7 @@ final class VectorEngine(
     if (!libId.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"))
       throw new ValidationError(
         s"library id must match [A-Za-z0-9][A-Za-z0-9._-]{0,127}: '$libId'")
+    requirePqDivisible(config, embeddingDim)
     val t = now()
     val row = Row(libId, name, embeddingDim,
       Row(config.indexType, config.lshNumTables, config.lshHyperplanesPerTable,
@@ -705,7 +706,10 @@ final class VectorEngine(
   def updateIndexConfig(libId: String, config: IndexConfig,
       expectedVersion: Option[Long] = None): Unit = {
     validateConfig(config)
-    val (_, _, storedVersion) = getLibrary(libId)
+    val (dim, _, storedVersion) = getLibrary(libId)
+    // must fail BEFORE the config write: throwing from the rebuild below
+    // would leave the new config persisted with no buildable index
+    requirePqDivisible(config, dim)
     expectedVersion.foreach { ev =>
       if (ev != storedVersion)
         throw new ConflictError(
@@ -781,9 +785,7 @@ final class VectorEngine(
         dropLshTables(libId)
         dropPqTables(libId)
       case "pq" =>
-        if (dim % config.pqSubspaces != 0)
-          throw new ValidationError(
-            s"embedding_dim $dim not divisible by pq_subspaces ${config.pqSubspaces}")
+        requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
           config.pqSubspaces, config.pqCodewords)
         store.writeLibraryPartition("pq_codebooks", libId, codebooks)
@@ -955,7 +957,7 @@ final class VectorEngine(
     import spark.implicits._
     val topk = scored.as[(Long, String, Double)]
       .groupByKey(_._1)
-      .agg(new graft.functions.TopKByScoreStr(k).toColumn)
+      .agg(graft.functions.TopKAggregator.topKStr(k).toColumn)
       .flatMap { case (qid, hits) => hits.map(h => (qid, h._2, h._1)) }
       .toDF("query_id", "chunk_id", "score")
     val hydrated = broadcast(topk)
@@ -1032,6 +1034,14 @@ final class VectorEngine(
     bound(config.pqSubspaces, 1, 64, "pq_subspaces")
     bound(config.pqCodewords, 1, 256, "pq_codewords") // codes fit one byte
   }
+
+  /** PQ needs the dim to split evenly into subspaces; checked wherever a
+    * config meets a concrete dim (validateConfig alone never sees one).
+    */
+  private def requirePqDivisible(config: IndexConfig, dim: Int): Unit =
+    if (config.indexType == "pq" && dim % config.pqSubspaces != 0)
+      throw new ValidationError(
+        s"embedding_dim $dim not divisible by pq_subspaces ${config.pqSubspaces}")
 
   private def requireDocInLibrary(libId: String, docId: String): Unit =
     docLibCache.get(docId) match {
@@ -1139,7 +1149,6 @@ final class VectorEngine(
     }
 }
 
-/** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
 /** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */
 case class LibraryStats(
     libraryId: String,
@@ -1151,6 +1160,7 @@ case class LibraryStats(
     hasIvfIndex: Boolean,
     hasPqIndex: Boolean = false)
 
+/** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
 case class ChunkIn(
     text: String,
     embedding: Option[Array[Float]] = None,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded top-k per group as a typed Aggregator — the PARTIAL-AGGREGATION
@@ -16,63 +16,42 @@ import org.apache.spark.sql.expressions.Aggregator
   * k·|keys| rows.
   *
   * Ordering: (score DESC, id ASC) — the engine's Q7 tie-break contract.
-  * Input rows are (key, id, score); the key is carried by groupByKey.
+  * Generic in the id type `I` (Long vec ids, String chunk ids) so the
+  * cut-off logic exists exactly once; input rows are (key, id, score)
+  * with the key carried by groupByKey.
   */
-class TopKByScore(k: Int)(implicit seqEnc: Encoder[Seq[(Double, Long)]])
-    extends Aggregator[(Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+class TopKByScore[I](k: Int)(implicit idOrd: Ordering[I],
+    seqEnc: Encoder[Seq[(Double, I)]])
+    extends Aggregator[(Long, I, Double), Seq[(Double, I)], Seq[(Double, I)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def better(a: (Double, I), b: (Double, I)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && idOrd.lt(a._2, b._2))
 
-  override def zero: Seq[(Double, Long)] = Vector.empty
+  override def zero: Seq[(Double, I)] = Vector.empty
 
-  override def reduce(buf: Seq[(Double, Long)], in: (Long, Long, Double)): Seq[(Double, Long)] = {
+  override def reduce(buf: Seq[(Double, I)], in: (Long, I, Double)): Seq[(Double, I)] = {
     val x = (in._3, in._2)
     if (buf.length >= k && better(buf.last, x)) buf // below the cut: drop
     else ((buf :+ x).sortWith(better)).take(k)
   }
 
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+  override def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] =
     (a ++ b).sortWith(better).take(k)
 
-  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+  override def finish(r: Seq[(Double, I)]): Seq[(Double, I)] = r
 
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = seqEnc
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] = seqEnc
-}
-
-/** String-id variant (engine chunk ids): same contract and ordering
-  * ((score DESC, id ASC), the Q7 tie-break) over (key, chunk_id, score).
-  */
-class TopKByScoreStr(k: Int)(implicit seqEnc: Encoder[Seq[(Double, String)]])
-    extends Aggregator[(Long, String, Double), Seq[(Double, String)], Seq[(Double, String)]] {
-
-  private def better(a: (Double, String), b: (Double, String)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  override def zero: Seq[(Double, String)] = Vector.empty
-
-  override def reduce(buf: Seq[(Double, String)],
-      in: (Long, String, Double)): Seq[(Double, String)] = {
-    val x = (in._3, in._2)
-    if (buf.length >= k && better(buf.last, x)) buf
-    else ((buf :+ x).sortWith(better)).take(k)
-  }
-
-  override def merge(a: Seq[(Double, String)],
-      b: Seq[(Double, String)]): Seq[(Double, String)] =
-    (a ++ b).sortWith(better).take(k)
-
-  override def finish(r: Seq[(Double, String)]): Seq[(Double, String)] = r
-
-  override def bufferEncoder: Encoder[Seq[(Double, String)]] = seqEnc
-  override def outputEncoder: Encoder[Seq[(Double, String)]] = seqEnc
+  override def bufferEncoder: Encoder[Seq[(Double, I)]] = seqEnc
+  override def outputEncoder: Encoder[Seq[(Double, I)]] = seqEnc
 }
 
 object TopKAggregator {
-  /** Convenience: Encoders.product-free construction using the built-in
-    * implicit encoders at the call site (`import spark.implicits._`).
+  /** Convenience for Long-id callers, encoders resolved at the call site
+    * (`import spark.implicits._`).
     */
-  def topK(k: Int)(implicit seqEnc: Encoder[Seq[(Double, Long)]]): TopKByScore =
-    new TopKByScore(k)
+  def topK(k: Int)(implicit seqEnc: Encoder[Seq[(Double, Long)]]): TopKByScore[Long] =
+    new TopKByScore[Long](k)
+
+  /** String-id variant (engine chunk ids). */
+  def topKStr(k: Int)(implicit seqEnc: Encoder[Seq[(Double, String)]]): TopKByScore[String] =
+    new TopKByScore[String](k)
 }

@@ -102,14 +102,21 @@ object PqIndex {
     val subspaces = cb.length
     val subDim = cb(0)(0).length
     val cc = cb.map(_.map(c => dotD(c, c)))
+    // bind each slice AND its self-dot once: the K codeword structs below
+    // all reference them, and CollapseProject keeps non-cheap aliases
+    // referenced more than once (the repo's measured HOF/alias pattern) —
+    // without the binding every struct would re-run the self-dot kernel
     val sliced = data.select(col("chunk_id") +: col("vnf") +:
-      (0 until subspaces).map(m =>
-        slice(col("vnf"), m * subDim + 1, subDim).as(s"s$m")): _*)
+      ((0 until subspaces).map(m =>
+        slice(col("vnf"), m * subDim + 1, subDim).as(s"s$m")) ++
+       (0 until subspaces).map(m =>
+        dotProduct(slice(col("vnf"), m * subDim + 1, subDim),
+          slice(col("vnf"), m * subDim + 1, subDim)).as(s"d$m"))): _*)
     val codeCols = (0 until subspaces).map { m =>
       val sm = col(s"s$m")
       val scored = cb(m).indices.map { j =>
         struct(
-          (dotProduct(sm, sm) + lit(cc(m)(j)) -
+          (col(s"d$m") + lit(cc(m)(j)) -
             lit(2.0) * dotProduct(sm, typedLit(cb(m)(j).toSeq))).as("dist"),
           lit(j).as("k"))
       }

@@ -66,9 +66,13 @@ object ImageHeaders {
     var i = 2
     while (i + 3 < b.length) {
       if (u(b(i)) != 0xff) return None
+      // T.81 B.1.1.2: any number of 0xff FILL bytes may precede a marker
+      while (i + 3 < b.length && u(b(i + 1)) == 0xff) i += 1
+      if (i + 3 >= b.length) return None
       val marker = u(b(i + 1))
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        i += 2 // standalone marker, no length field
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker (SOI/TEM/RSTn), no length field
       } else if (marker == 0xda || marker == 0xd9) {
         return None // scan data / EOI before any SOF
       } else {
@@ -101,6 +105,10 @@ object ImageHeaders {
     b.length >= 30 && b(0) == 'B' && b(1) == 'M'
 
   private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    // only BITMAPINFOHEADER and its extensions (DIB size >= 40) store
+    // width/height as i32 at 18/22 — a BITMAPCOREHEADER (size 12) packs
+    // u16 dims at 18/20 and would parse here as garbage
+    if (le32(b, 14) < 40) return None
     val w = le32(b, 18); val h = math.abs(le32(b, 22))
     val bpp = le16(b, 28)
     val channels = bpp match {

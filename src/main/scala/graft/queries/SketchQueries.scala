@@ -172,15 +172,17 @@ object SketchQueries {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = bins.withColumn("cum", sum(col("c")).over(w))
     val total = bins.agg(sum(col("c")).cast("long").as("n"))
-    Seq(50, 95, 99).map { p =>
-      cum.crossJoin(broadcast(total))
-        // integer `div`, matching the oracle's `//`: Spark's `/` would
-        // promote to double and shift the threshold by the fraction
-        .filter(col("cum") >= expr(s"(n * $p + 99) div 100"))
-        .orderBy(col("bin").asc).limit(1)
-        .select(lit(p).as("p"),
-          (col("bin") * 100).cast("double").as("approx_value"))
-    }.reduce(_ unionAll _).orderBy(col("p").asc)
+    val ps = { import s.implicits._; Seq(50, 95, 99).toDF("p") }
+    // ONE plan for all percentiles: every (bin, p) pair past its
+    // threshold, then min(bin) per p — the histogram aggregates once, not
+    // once per percentile. Threshold uses integer `div`, matching the
+    // oracle's `//` (Spark's `/` would promote to double and shift it).
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(ps))
+      .filter(col("cum") >= expr("(n * p + 99) div 100"))
+      .groupBy(col("p"))
+      .agg(min(col("bin")).as("min_bin"))
+      .select(col("p"), (col("min_bin") * 100).cast("double").as("approx_value"))
+      .orderBy(col("p").asc)
   }
 
   private def sampleAgg(s: SparkSession, d: String): DataFrame =

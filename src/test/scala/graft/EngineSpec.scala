@@ -500,11 +500,16 @@ class EngineSpec extends AnyFunSuite {
     // stats see the PQ tables; flat library does not
     assert(eng.libraryStats(pqLib).hasPqIndex)
     assert(!eng.libraryStats(flatLib).hasPqIndex)
-    // dim not divisible by subspaces fails loudly
-    val badLib = eng.createLibrary("bad", 4,
-      IndexConfig("pq", pqSubspaces = 3))
-    eng.createDocument(badLib)
-    intercept[ValidationError] { eng.rebuildIndex(badLib) }
+    // dim not divisible by subspaces fails loudly — BEFORE any state is
+    // written (createLibrary and updateIndexConfig both pre-check)
+    intercept[ValidationError] {
+      eng.createLibrary("bad", 4, IndexConfig("pq", pqSubspaces = 3))
+    }
+    intercept[ValidationError] {
+      eng.updateIndexConfig(pqLib, IndexConfig("pq", pqSubspaces = 3))
+    }
+    // the failed update left the library's config untouched
+    assert(eng.libraryStats(pqLib).indexType == "pq")
     // undersized corpus: codewords clamp (like IVF) and search still works
     val (tinyLib, _) = mkLib(IndexConfig("pq", pqSubspaces = 4, pqCodewords = 3))
     assert(eng.search(tinyLib, q, k = 2).collect().length == 2)

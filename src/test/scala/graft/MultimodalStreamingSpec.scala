@@ -85,7 +85,8 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     // GIF89a: 100 x 50 logical screen
     val gif = "GIF89a".getBytes ++ b(100, 0, 50, 0) ++ Array.fill[Byte](4)(0)
     // BMP: BITMAPINFOHEADER, 800 x -600 (top-down), 24 bpp -> 3 channels
-    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+    val bmp = "BM".getBytes ++ Array.fill[Byte](12)(0) ++
+      b(40, 0, 0, 0) ++ // BITMAPINFOHEADER size
       b(0x20, 0x03, 0, 0) ++ b(0xa8, 0xfd, 0xff, 0xff) ++
       b(0, 0, 24, 0) ++ Array.fill[Byte](4)(0)
     val junk = "not an image at all".getBytes
@@ -141,9 +142,16 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(joined.sameElements(payload.take(joined.length)))
   }
 
-  test("mapPartitions batch decode equals the expression decode path") {
+  test("mapPartitions batch decode equals the expression decode path for headerless payloads") {
     import spark.implicits._
+    // the equivalence only holds where NO image signature matches: the
+    // batch path then falls back to the same hash-derived fake the
+    // expression path always uses (header-bearing payloads deliberately
+    // diverge — the batch path parses them for real, see the header spec)
     val media = mediaFromDocs
+    assert(media.collect().forall { r =>
+      graft.multimodal.ImageHeaders.parse(r.getAs[Array[Byte]]("payload")).isEmpty
+    }, "fixture payloads must not carry real image headers")
     val viaExpr = Multimodal.extractImageMeta(media)
       .select(col("media_id"), col("meta.width"), col("meta.height"),
         col("meta.channels")).collect()
