@@ -784,10 +784,11 @@ final class VectorEngine(
         store.writeLibraryPartition("ivf_postings", libId, postings)
         dropLshTables(libId)
         dropPqTables(libId)
-      case "pq" =>
+      case "pq" | "pq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
-          config.pqSubspaces, config.pqCodewords)
+          config.pqSubspaces, config.pqCodewords,
+          trained = config.indexType == "pq_trained")
         store.writeLibraryPartition("pq_codebooks", libId, codebooks)
         store.writeLibraryPartition("pq_codes", libId, codes)
         dropLshTables(libId)
@@ -880,7 +881,7 @@ final class VectorEngine(
           // deviation from quirk Q3: rerank the FULL nprobe candidate set
           rerank(cands, query, metric)
         }
-      case "pq" =>
+      case "pq" | "pq_trained" =>
         if (isZero) return emptyHits()
         val cb =
           if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
@@ -1021,8 +1022,8 @@ final class VectorEngine(
     * 1..1024.
     */
   private def validateConfig(config: IndexConfig): Unit = {
-    if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det", "pq")
-        .contains(config.indexType))
+    if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
+        "pq", "pq_trained").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -1039,7 +1040,8 @@ final class VectorEngine(
     * config meets a concrete dim (validateConfig alone never sees one).
     */
   private def requirePqDivisible(config: IndexConfig, dim: Int): Unit =
-    if (config.indexType == "pq" && dim % config.pqSubspaces != 0)
+    if ((config.indexType == "pq" || config.indexType == "pq_trained") &&
+        dim % config.pqSubspaces != 0)
       throw new ValidationError(
         s"embedding_dim $dim not divisible by pq_subspaces ${config.pqSubspaces}")
 
@@ -1088,7 +1090,7 @@ final class VectorEngine(
       }
       if (t != "auto") return
     }
-    if (t == "pq") {
+    if (t == "pq" || t == "pq_trained") {
       if (store.exists("pq_codebooks")) {
         val cbDf = pqCodebooks(libId)
         if (!cbDf.isEmpty) { // encode against EXISTING codebooks (no retrain)

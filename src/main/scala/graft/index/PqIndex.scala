@@ -43,30 +43,91 @@ object PqIndex {
   /** Build (codebooks, codes) for a library. `dim` must be divisible by
     * `subspaces` (the engine validates). Codeword count clamps to the
     * corpus size, like IVF's k = min(...) clamp.
+    *
+    * `trained = false`: codebooks are the seed slices directly — fully
+    * SQL-replayable (the oracled "pq" mode). `trained = true`: each
+    * subspace runs its own Lloyd's k-means (KmeansIters rounds, plain L2
+    * on slices — the standard PQ trainer) over a BOUNDED deterministic
+    * sample (the IvfIndex trainCap convention), initialized from the same
+    * md5 seeds — deterministic run-to-run, sharper codebooks, not
+    * SQL-replayable (rows-only checked, like the seeded LSH/IVF paths).
     */
   def build(chunksDf: DataFrame, libraryId: String, dim: Int,
-      subspaces: Int, codewords: Int): (DataFrame, DataFrame) = {
+      subspaces: Int, codewords: Int,
+      trained: Boolean = false): (DataFrame, DataFrame) = {
     val spark = chunksDf.sparkSession
     val subDim = dim / subspaces
     val data = normalizedF(chunksDf)
-    val seeds = data.withColumn("h", md5(col("chunk_id")))
-      .orderBy(col("h").asc).limit(codewords)
+    val sampleCap =
+      if (trained) IvfIndex.trainCap(codewords) else codewords
+    val sample = data.withColumn("h", md5(col("chunk_id")))
+      .orderBy(col("h").asc).limit(sampleCap)
       .select(col("chunk_id"), col("vnf")).collect()
       .sortBy(_.getString(0))
       .map(_.getSeq[Float](1).toArray)
-    if (seeds.isEmpty)
+    if (sample.isEmpty)
       return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           Schemas.pqCodebooks),
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           Schemas.pqCodes))
-    val cb = Array.tabulate(subspaces, seeds.length)((m, j) =>
-      seeds(j).slice(m * subDim, (m + 1) * subDim))
+    val k = math.min(codewords, sample.length)
+    val init = Array.tabulate(subspaces, k)((m, j) =>
+      sample(j).slice(m * subDim, (m + 1) * subDim))
+    val cb =
+      if (!trained) init
+      else Array.tabulate(subspaces) { m =>
+        trainSubspace(sample.map(_.slice(m * subDim, (m + 1) * subDim)),
+          init(m), k)
+      }
     val cbRows = for {
-      m <- 0 until subspaces; j <- 0 until seeds.length
+      m <- 0 until subspaces; j <- 0 until k
     } yield Row(libraryId, m, j, cb(m)(j).toSeq)
     val codebooksDf = spark.createDataFrame(
       spark.sparkContext.parallelize(cbRows, 1), Schemas.pqCodebooks)
     (codebooksDf, encodeWith(data, cb, libraryId))
+  }
+
+  /** Per-subspace Lloyd's: argmin-L2 assignment (earliest codeword on
+    * ties), mean recompute, empty codeword keeps its previous value —
+    * sequential sample-order accumulation, deterministic regardless of
+    * thread scheduling. Sample is bounded (trainCap), so this runs
+    * driver-side like IvfIndex's small-sample path.
+    */
+  private def trainSubspace(slices: Array[Array[Float]],
+      init: Array[Array[Float]], k: Int): Array[Array[Float]] = {
+    val d = slices.head.length
+    var cents = init.map(_.map(_.toDouble))
+    var iter = 0
+    while (iter < IvfIndex.KmeansIters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < slices.length) {
+        val v = slices(i)
+        var best = 0; var bestDist = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var dist = 0.0; var j = 0
+          while (j < d) {
+            val diff = v(j).toDouble - ct(j); dist += diff * diff; j += 1
+          }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        val sb = sums(best)
+        var j = 0
+        while (j < d) { sb(j) += v(j).toDouble; j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    cents.map(_.map(_.toFloat))
   }
 
   /** (m -> k -> slice), ordered; driver-side, M*K*subDim floats. */

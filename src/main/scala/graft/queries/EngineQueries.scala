@@ -199,6 +199,17 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** Trained PQ (per-subspace Lloyd over the bounded md5 sample):
+    * deterministic run-to-run but not SQL-replayable — rows-only, like
+    * the seeded LSH/IVF engine paths; the oracled `x_engine_pq` covers
+    * the identical search machinery with init-only codebooks.
+    */
+  private def enginePqTrained(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d,
+      IndexConfig("pq_trained", pqSubspaces = 8, pqCodewords = 16))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
@@ -207,6 +218,7 @@ object EngineQueries {
     "x_engine_lsh_det"       -> (engineLshDet _),
     "x_engine_ivf_det"       -> (engineIvfDet _),
     "x_engine_pq"            -> (enginePq _),
+    "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
   )

@@ -513,6 +513,16 @@ class EngineSpec extends AnyFunSuite {
     // undersized corpus: codewords clamp (like IVF) and search still works
     val (tinyLib, _) = mkLib(IndexConfig("pq", pqSubspaces = 4, pqCodewords = 3))
     assert(eng.search(tinyLib, q, k = 2).collect().length == 2)
+    // TRAINED PQ: per-subspace Lloyd — same exactness property when the
+    // codewords cover the corpus (each point converges to its own
+    // codeword), and rebuilds are deterministic
+    val (trLib, _) = mkLib(
+      IndexConfig("pq_trained", pqSubspaces = 2, pqCodewords = 16))
+    val trained1 = hits(trLib)
+    assert(trained1.map(_._1) == flatHits.map(_._1),
+      "full-coverage trained PQ must reproduce the exact ranking")
+    eng.rebuildIndex(trLib)
+    assert(hits(trLib) == trained1, "trained rebuild must be deterministic")
   }
 
   test("deterministic index modes: rebuild reproducible, incremental add maintained") {
