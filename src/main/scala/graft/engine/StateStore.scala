@@ -70,7 +70,7 @@ final class StateStore(spark: SparkSession, root: String) {
         s"$table has no snapshot v$version (current: ${currentVersion(table)})")
     // enforce column order/types independent of parquet layout
     spark.read.schema(schema).parquet(dir)
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** Retention: delete snapshot directories older than the newest

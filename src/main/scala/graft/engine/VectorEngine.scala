@@ -535,7 +535,7 @@ final class VectorEngine(
       .withColumn("created_at", coalesce(col("created0"), col("created_at")))
       .withColumn("version", coalesce(col("version0") + 1, col("version")))
       .drop("created0", "version0")
-      .select(Schemas.chunks.fieldNames.map(col): _*)
+      .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
     val incomingIds = normalized.select(col("id"))
     // partition-selective: rewrite this library's partition, link the rest
     store.writeLibraryPartition("chunks", libId,
@@ -875,7 +875,7 @@ final class VectorEngine(
           flatScore(applyPre(libChunks, filters, preFilter), query, metric)
         else {
           val cands = restrict(ivfPostings(libId))
-            .filter(col("centroid_id").isin(topIds.map(Int.box): _*))
+            .filter(col("centroid_id").isin(topIds.toIndexedSeq.map(Int.box): _*))
             .select(col("chunk_id"), col("embedding_norm"))
             .dropDuplicates("chunk_id")
           // deviation from quirk Q3: rerank the FULL nprobe candidate set
@@ -1110,19 +1110,19 @@ final class VectorEngine(
       store.writeLibraryPartition("lsh_buckets", libId,
         lshBuckets(libId)
           .join(chunkIds, Seq("chunk_id"), "left_anti")
-          .select(Schemas.lshBuckets.fieldNames.map(col): _*))
+          .select(Schemas.lshBuckets.fieldNames.toIndexedSeq.map(col): _*))
     }
     if (store.exists("ivf_postings")) {
       store.writeLibraryPartition("ivf_postings", libId,
         ivfPostings(libId)
           .join(chunkIds, Seq("chunk_id"), "left_anti")
-          .select(Schemas.ivfPostings.fieldNames.map(col): _*))
+          .select(Schemas.ivfPostings.fieldNames.toIndexedSeq.map(col): _*))
     }
     if (store.exists("pq_codes")) {
       store.writeLibraryPartition("pq_codes", libId,
         pqCodes(libId)
           .join(chunkIds, Seq("chunk_id"), "left_anti")
-          .select(Schemas.pqCodes.fieldNames.map(col): _*))
+          .select(Schemas.pqCodes.fieldNames.toIndexedSeq.map(col): _*))
     }
   }
 

@@ -161,7 +161,7 @@ object IvfIndex {
       var centroids = init
       var iter = 0
       while (iter < KmeansIters) {
-        val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
           struct(dotProduct(col("vnorm"), typedLit(c.toSeq)).as("dot"),
             lit(i).as("cid"))
         }
@@ -218,7 +218,7 @@ object IvfIndex {
     * ties (reference `utils.py:39-44` strict `>` keeps the earliest).
     */
   private def assign(data: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
+    val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(dotProduct(col("vnorm"), typedLit(c.toSeq)).as("dot"),
         lit(i).as("cid"))
     }
