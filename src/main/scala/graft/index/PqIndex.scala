@@ -60,24 +60,34 @@ object PqIndex {
     val data = normalizedF(chunksDf)
     val sampleCap =
       if (trained) IvfIndex.trainCap(codewords) else codewords
-    val sample = data.withColumn("h", md5(col("chunk_id")))
+    // md5-ordered: the first k rows ARE the k-lowest-md5 seeds (the same
+    // content-derived init convention as IvfIndex)
+    val sampleMd5 = data.withColumn("h", md5(col("chunk_id")))
       .orderBy(col("h").asc).limit(sampleCap)
       .select(col("chunk_id"), col("vnf")).collect()
-      .sortBy(_.getString(0))
-      .map(_.getSeq[Float](1).toArray)
-    if (sample.isEmpty)
+    if (sampleMd5.isEmpty)
       return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           Schemas.pqCodebooks),
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           Schemas.pqCodes))
-    val k = math.min(codewords, sample.length)
-    val init = Array.tabulate(subspaces, k)((m, j) =>
-      sample(j).slice(m * subDim, (m + 1) * subDim))
+    val k = math.min(codewords, sampleMd5.length)
     val cb =
-      if (!trained) init
-      else Array.tabulate(subspaces) { m =>
-        trainSubspace(sample.map(_.slice(m * subDim, (m + 1) * subDim)),
-          init(m), k)
+      if (!trained) {
+        // oracled mode: codeword id in CHUNK_ID order over the md5 seeds
+        // (the DuckDB replay's row_number-by-chunk_id contract)
+        val seeds = sampleMd5.sortBy(_.getString(0))
+          .map(_.getSeq[Float](1).toArray)
+        Array.tabulate(subspaces, k)((m, j) =>
+          seeds(j).slice(m * subDim, (m + 1) * subDim))
+      } else {
+        // trained mode: init from the k LOWEST-md5 vectors in md5 order
+        // (IvfIndex's init convention), Lloyd over the whole sample
+        val vecs = sampleMd5.map(_.getSeq[Float](1).toArray)
+        val init = vecs.take(k)
+        Array.tabulate(subspaces) { m =>
+          trainSubspace(vecs.map(_.slice(m * subDim, (m + 1) * subDim)),
+            init.map(_.slice(m * subDim, (m + 1) * subDim)), k)
+        }
       }
     val cbRows = for {
       m <- 0 until subspaces; j <- 0 until k
@@ -88,26 +98,26 @@ object PqIndex {
   }
 
   /** Per-subspace Lloyd's: argmin-L2 assignment (earliest codeword on
-    * ties), mean recompute, empty codeword keeps its previous value —
-    * sequential sample-order accumulation, deterministic regardless of
-    * thread scheduling. Sample is bounded (trainCap), so this runs
-    * driver-side like IvfIndex's small-sample path.
+    * ties) PARALLELIZED across cores like IvfIndex.lloydDriver, then
+    * per-cluster sums accumulated sequentially in SAMPLE ORDER — results
+    * deterministic regardless of thread scheduling. The sample is bounded
+    * (trainCap), so the whole loop is driver-side.
     */
   private def trainSubspace(slices: Array[Array[Float]],
       init: Array[Array[Float]], k: Int): Array[Array[Float]] = {
+    import scala.collection.parallel.CollectionConverters._
     val d = slices.head.length
     var cents = init.map(_.map(_.toDouble))
+    val assignments = new Array[Int](slices.length)
     var iter = 0
     while (iter < IvfIndex.KmeansIters) {
-      val sums = Array.fill(k)(new Array[Double](d))
-      val counts = new Array[Long](k)
-      var i = 0
-      while (i < slices.length) {
+      val cs = cents
+      (0 until slices.length).par.foreach { i =>
         val v = slices(i)
         var best = 0; var bestDist = Double.MaxValue
         var c = 0
         while (c < k) {
-          val ct = cents(c)
+          val ct = cs(c)
           var dist = 0.0; var j = 0
           while (j < d) {
             val diff = v(j).toDouble - ct(j); dist += diff * diff; j += 1
@@ -115,10 +125,16 @@ object PqIndex {
           if (dist < bestDist) { bestDist = dist; best = c }
           c += 1
         }
-        val sb = sums(best)
+        assignments(i) = best
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < slices.length) {
+        val sb = sums(assignments(i)); val v = slices(i)
         var j = 0
         while (j < d) { sb(j) += v(j).toDouble; j += 1 }
-        counts(best) += 1
+        counts(assignments(i)) += 1
         i += 1
       }
       cents = Array.tabulate(k) { c =>
