@@ -145,6 +145,18 @@ object Schemas {
     StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
   ))
+
+  /** IVF+PQ: one row per encoded chunk — its inverted list (centroid_id,
+    * the probe pushdown key) plus M one-byte RESIDUAL codes. Deliberately
+    * NO stored vector: this is the byte-compressed scan table; the exact
+    * rerank hydrates the ≤6k candidates from the chunk store by id.
+    */
+  val ivfpqCodes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+  ))
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).

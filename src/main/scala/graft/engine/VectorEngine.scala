@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.EngineErrors._
 import graft.functions.VectorFunctions._
-import graft.index.{IvfIndex, LshIndex, PqIndex}
+import graft.index.{IvfIndex, IvfPqIndex, LshIndex, PqIndex}
 
 /** The engine facade: the reference's service-layer verbs
   * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
@@ -89,7 +89,8 @@ final class VectorEngine(
     */
   def vacuum(keepLast: Int = 1): Int =
     Seq("libraries", "documents", "chunks", "lsh_planes", "lsh_buckets",
-      "ivf_centroids", "ivf_postings", "pq_codebooks", "pq_codes")
+      "ivf_centroids", "ivf_postings", "pq_codebooks", "pq_codes",
+      "ivfpq_codes")
       .map(store.vacuum(_, keepLast)).sum
 
   /** Auto-retention hook: when `autoVacuumKeep = Some(n)` every mutating
@@ -110,6 +111,8 @@ final class VectorEngine(
     store.read("pq_codebooks", Schemas.pqCodebooks).filter(col("library_id") === libId)
   private def pqCodes(libId: String): DataFrame =
     store.read("pq_codes", Schemas.pqCodes).filter(col("library_id") === libId)
+  private def ivfpqCodes(libId: String): DataFrame =
+    store.read("ivfpq_codes", Schemas.ivfpqCodes).filter(col("library_id") === libId)
 
   // ---- library CRUD ---------------------------------------------------
 
@@ -631,12 +634,15 @@ final class VectorEngine(
           case "ivf_centroids" => Schemas.ivfCentroids
           case "pq_codebooks"  => Schemas.pqCodebooks
           case "pq_codes"      => Schemas.pqCodes
+          case "ivfpq_codes"   => Schemas.ivfpqCodes
           case _               => Schemas.ivfPostings
         }).filter(col("library_id") === libId).isEmpty
     LibraryStats(libId, config.indexType, nDocs, nChunks, nEmbedded,
       hasLshIndex = has("lsh_planes") && has("lsh_buckets"),
       hasIvfIndex = has("ivf_centroids") && has("ivf_postings"),
-      hasPqIndex = has("pq_codebooks") && has("pq_codes"))
+      hasPqIndex = has("pq_codebooks") && has("pq_codes"),
+      hasIvfPqIndex = has("ivf_centroids") && has("pq_codebooks") &&
+        has("ivfpq_codes"))
   }
 
   /** Paginated library listing (reference `LibraryService.list`,
@@ -773,6 +779,7 @@ final class VectorEngine(
         // tables EXIST for this library
         dropIvfTables(libId)
         dropPqTables(libId)
+        dropIvfPqTables(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -784,6 +791,7 @@ final class VectorEngine(
         store.writeLibraryPartition("ivf_postings", libId, postings)
         dropLshTables(libId)
         dropPqTables(libId)
+        dropIvfPqTables(libId)
       case "pq" | "pq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
@@ -793,6 +801,24 @@ final class VectorEngine(
         store.writeLibraryPartition("pq_codes", libId, codes)
         dropLshTables(libId)
         dropIvfTables(libId)
+        dropIvfPqTables(libId)
+      case "ivfpq" | "ivfpq_trained" =>
+        requirePqDivisible(config, dim) // defense in depth; verbs pre-check
+        val (centroids, codebooks, codes) = IvfPqIndex.build(libChunks,
+          libId, dim, config.ivfNumCentroids, config.pqSubspaces,
+          config.pqCodewords,
+          trained = config.indexType == "ivfpq_trained")
+        // shares ivf_centroids (coarse quantizer) + pq_codebooks
+        // (residual codebooks) with its parent families; ivfpq_codes is
+        // the byte-compressed inverted-list table
+        store.writeLibraryPartition("ivf_centroids", libId, centroids)
+        store.writeLibraryPartition("pq_codebooks", libId, codebooks)
+        store.writeLibraryPartition("ivfpq_codes", libId, codes)
+        dropLshTables(libId)
+        if (store.exists("ivf_postings"))
+          store.dropLibraryPartition("ivf_postings", libId)
+        if (store.exists("pq_codes"))
+          store.dropLibraryPartition("pq_codes", libId)
     }
   }
 
@@ -897,6 +923,44 @@ final class VectorEngine(
           val qn = LshIndex.normalizeDriver(query).get
           val cands = PqIndex.candidates(restrict(pqCodes(libId)), cb, qn, k)
           rerank(cands, query, metric)
+        }
+      case "ivfpq" | "ivfpq_trained" =>
+        if (isZero) return emptyHits()
+        val qn = LshIndex.normalizeDriver(query).get
+        // top-nprobe cells WITH their centroid vectors (the ADC tables
+        // need the cell's residual origin) — still one driver-side
+        // TakeOrdered over metadata-scale centroid rows
+        val topCents: Array[(Int, Array[Float])] =
+          if (!store.exists("ivf_centroids")) Array.empty
+          else ivfCentroids(libId)
+            .select(col("centroid_id"), col("vector"),
+              dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
+            .orderBy(col("cscore").desc, col("centroid_id").asc)
+            .limit(math.max(1, config.ivfNprobe))
+            .collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        val cb =
+          if (topCents.isEmpty || !store.exists("pq_codebooks"))
+            Array.empty[Array[Array[Float]]]
+          else PqIndex.collectCodebooks(pqCodebooks(libId))
+        if (cb.isEmpty)
+          // not built yet -> full flat scan (as the IVF/PQ paths)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          // byte-compressed inverted lists: centroid-pruned codes scan,
+          // integer micro-unit ADC over residual codes, cap 6k — then
+          // hydrate the exact vectors for ONLY the capped candidates
+          // from the primary chunk store (the codes table stores no
+          // vectors) and rerank per the engine's scoring contract
+          val cands = IvfPqIndex.candidates(restrict(ivfpqCodes(libId)),
+            topCents, cb, qn, k)
+          val hydrated = broadcast(cands)
+            .join(libChunks.select(col("id").as("chunk_id"), col("embedding")),
+              "chunk_id")
+            .select(col("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated, query, metric)
         }
     }
 
@@ -1023,7 +1087,7 @@ final class VectorEngine(
     */
   private def validateConfig(config: IndexConfig): Unit = {
     if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
-        "pq", "pq_trained").contains(config.indexType))
+        "pq", "pq_trained", "ivfpq", "ivfpq_trained").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -1040,7 +1104,8 @@ final class VectorEngine(
     * config meets a concrete dim (validateConfig alone never sees one).
     */
   private def requirePqDivisible(config: IndexConfig, dim: Int): Unit =
-    if ((config.indexType == "pq" || config.indexType == "pq_trained") &&
+    if (Set("pq", "pq_trained", "ivfpq", "ivfpq_trained")
+          .contains(config.indexType) &&
         dim % config.pqSubspaces != 0)
       throw new ValidationError(
         s"embedding_dim $dim not divisible by pq_subspaces ${config.pqSubspaces}")
@@ -1100,6 +1165,18 @@ final class VectorEngine(
         }
       }
     }
+    if (t == "ivfpq" || t == "ivfpq_trained") {
+      if (store.exists("ivf_centroids") && store.exists("pq_codebooks")) {
+        val cents = ivfCentroids(libId)
+        val cbDf = pqCodebooks(libId)
+        if (!cents.isEmpty && !cbDf.isEmpty) {
+          // assign + residual-encode against EXISTING cells/codebooks
+          val add = IvfPqIndex.encode(newChunks, cents, cbDf, libId)
+          store.writeLibraryPartition("ivfpq_codes", libId,
+            ivfpqCodes(libId).unionAll(add))
+        }
+      }
+    }
   }
 
   /** Index REMOVE: anti-join rewrite of this library's bucket/posting
@@ -1124,6 +1201,12 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.pqCodes.fieldNames.toIndexedSeq.map(col): _*))
     }
+    if (store.exists("ivfpq_codes")) {
+      store.writeLibraryPartition("ivfpq_codes", libId,
+        ivfpqCodes(libId)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.ivfpqCodes.fieldNames.toIndexedSeq.map(col): _*))
+    }
   }
 
   /** Remove one library's derived index state: a partition drop per index
@@ -1133,6 +1216,7 @@ final class VectorEngine(
     dropLshTables(libId)
     dropIvfTables(libId)
     dropPqTables(libId)
+    dropIvfPqTables(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -1149,6 +1233,10 @@ final class VectorEngine(
     Seq("pq_codebooks", "pq_codes").foreach { t =>
       if (store.exists(t)) store.dropLibraryPartition(t, libId)
     }
+
+  private def dropIvfPqTables(libId: String): Unit =
+    if (store.exists("ivfpq_codes"))
+      store.dropLibraryPartition("ivfpq_codes", libId)
 }
 
 /** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */
@@ -1160,7 +1248,8 @@ case class LibraryStats(
     nEmbedded: Long,
     hasLshIndex: Boolean,
     hasIvfIndex: Boolean,
-    hasPqIndex: Boolean = false)
+    hasPqIndex: Boolean = false,
+    hasIvfPqIndex: Boolean = false)
 
 /** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
 case class ChunkIn(

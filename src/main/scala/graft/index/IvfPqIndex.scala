@@ -1,0 +1,207 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Schemas
+
+/** IVF+PQ combined index — the standard billion-scale ANN architecture
+  * (FAISS `IndexIVFPQ`): a coarse quantizer prunes the corpus to the
+  * `nprobe` nearest inverted lists, and within those lists candidates are
+  * scored from PRODUCT-QUANTIZED RESIDUALS (vector minus its assigned
+  * centroid) with an ADC lookup table — M one-byte codes per vector, no
+  * float kernel on the scan.
+  *
+  * Why this is the 100 TB shape: the codes table is M bytes + ids per
+  * vector (it deliberately does NOT carry the stored vector, unlike the
+  * engine's flat-PQ family) and is partitioned by centroid via the
+  * `centroid_id IN (...)` pushdown, so a query reads `nprobe/k`-th of a
+  * byte-compressed corpus, map-only. The exact rerank hydrates only the
+  * capped candidate set (≤ 6k rows) from the primary chunk store by id —
+  * at 100 TB that is the difference between scanning terabytes of floats
+  * and scanning gigabytes of codes.
+  *
+  * Determinism: "ivfpq" uses the md5-seed init family end-to-end
+  * (init-only centroids = IvfIndex.seedCentroids; residual codebooks =
+  * residuals of the K lowest-md5 chunks), so the ENTIRE
+  * build+encode+probe+ADC+rerank pipeline is pure arithmetic a DuckDB
+  * oracle replays and hash-checks. "ivfpq_trained" runs Lloyd's on both
+  * stages (IvfIndex.build coarse quantizer + per-subspace Lloyd on
+  * residual slices) — deterministic run-to-run, sharper cells/codebooks,
+  * rows-only checked like the other trained paths.
+  *
+  * Residual distances accumulate as exact integer MICRO-UNITS
+  * (floor(d*1e6+0.5) summed as longs, the PqIndex convention) so candidate
+  * ranking cannot diverge across engines or summation orders.
+  *
+  * Reference anchor: the reference's IVF (`indexing/ivf.py`) stores raw
+  * vectors in its postings; PQ-compressing the postings is the documented
+  * scale extension, not a port.
+  */
+object IvfPqIndex {
+
+  val Oversample = 6 // candidate cap multiplier, as the other families
+
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Residuals of the assigned corpus: join the (map-only) centroid
+    * assignment to the broadcast centroid table and subtract element-wise
+    * in FLOAT (both sides are float-cast, so the oracle's REAL arithmetic
+    * reproduces every bit).
+    */
+  private def residuals(assignments: DataFrame, centroidsDf: DataFrame): DataFrame =
+    assignments
+      .join(broadcast(centroidsDf.select(col("centroid_id"), col("vector"))),
+        Seq("centroid_id"))
+      .select(col("centroid_id"), col("chunk_id"),
+        zip_with(col("embedding_norm"), col("vector"), (a, b) => a - b).as("res"))
+
+  /** Build (centroids, codebooks, codes). `trained = false` is the
+    * fully-oracleable md5-seed mode; `trained = true` runs Lloyd's on both
+    * the coarse quantizer and the residual codebooks.
+    */
+  def build(chunksDf: DataFrame, libraryId: String, dim: Int,
+      numCentroids: Int, subspaces: Int, codewords: Int,
+      trained: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val spark = chunksDf.sparkSession
+    val subDim = dim / subspaces
+    val (centroidsDf, assignments) =
+      if (trained) IvfIndex.build(chunksDf, libraryId, numCentroids)
+      else {
+        val cents = IvfIndex.seedCentroids(chunksDf, libraryId, numCentroids)
+        (cents, IvfIndex.assignToCentroids(chunksDf, cents, libraryId))
+      }
+    val res = residuals(assignments, centroidsDf)
+    val sampleCap = if (trained) IvfIndex.trainCap(codewords) else codewords
+    // md5-ordered bounded sample: the first k rows ARE the k-lowest-md5
+    // seeds (the content-derived init convention shared by IVF and PQ)
+    val sampleMd5 = res.withColumn("h", md5(col("chunk_id")))
+      .orderBy(col("h").asc).limit(sampleCap)
+      .select(col("chunk_id"), col("res")).collect()
+    if (sampleMd5.isEmpty)
+      return (centroidsDf,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.pqCodebooks),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.ivfpqCodes))
+    val k = math.min(codewords, sampleMd5.length)
+    val cb =
+      if (!trained) {
+        // codeword id in CHUNK_ID order over the md5 seeds (the DuckDB
+        // replay's row_number-by-chunk_id contract, as PqIndex)
+        val seeds = sampleMd5.sortBy(_.getString(0))
+          .map(_.getSeq[Float](1).toArray)
+        Array.tabulate(subspaces, k)((m, j) =>
+          seeds(j).slice(m * subDim, (m + 1) * subDim))
+      } else {
+        val vecs = sampleMd5.map(_.getSeq[Float](1).toArray)
+        val init = vecs.take(k)
+        Array.tabulate(subspaces) { m =>
+          PqIndex.trainSubspace(vecs.map(_.slice(m * subDim, (m + 1) * subDim)),
+            init.map(_.slice(m * subDim, (m + 1) * subDim)), k)
+        }
+      }
+    val cbRows = for {
+      m <- 0 until subspaces; j <- 0 until k
+    } yield Row(libraryId, m, j, cb(m)(j).toSeq)
+    val codebooksDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cbRows, 1), Schemas.pqCodebooks)
+    (centroidsDf, codebooksDf, encodeResiduals(res, cb, libraryId))
+  }
+
+  /** Encode NEW chunks against EXISTING centroids + codebooks (incremental
+    * add between rebuilds: assign, residual, argmin codeword — no retrain).
+    */
+  def encode(chunksDf: DataFrame, centroidsDf: DataFrame,
+      codebooksDf: DataFrame, libraryId: String): DataFrame = {
+    val cb = PqIndex.collectCodebooks(codebooksDf)
+    if (cb.isEmpty)
+      return chunksDf.sparkSession.createDataFrame(
+        chunksDf.sparkSession.sparkContext.emptyRDD[Row], Schemas.ivfpqCodes)
+    val assignments = IvfIndex.assignToCentroids(chunksDf, centroidsDf, libraryId)
+    encodeResiduals(residuals(assignments, centroidsDf), cb, libraryId)
+  }
+
+  /** One map-only projection over the residuals: slice once, bind each
+    * slice's self-dot once (the repo's measured CollapseProject-safe
+    * alias pattern, see PqIndex.encodeWith), per-subspace argmin codeword
+    * (dist asc, codeword asc tie-break), emit centroid_id + codes. The
+    * stored row is (ids, M small ints) — no vector.
+    */
+  private def encodeResiduals(res: DataFrame, cb: Array[Array[Array[Float]]],
+      libraryId: String): DataFrame = {
+    val subspaces = cb.length
+    val subDim = cb(0)(0).length
+    val cc = cb.map(_.map(c => dotD(c, c)))
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val sliced = res.select(col("centroid_id") +: col("chunk_id") +:
+      ((0 until subspaces).map(m =>
+        slice(col("res"), m * subDim + 1, subDim).as(s"s$m")) ++
+       (0 until subspaces).map(m =>
+        dot(slice(col("res"), m * subDim + 1, subDim),
+          slice(col("res"), m * subDim + 1, subDim)).as(s"d$m"))): _*)
+    val codeCols = (0 until subspaces).map { m =>
+      val sm = col(s"s$m")
+      val scored = cb(m).indices.map { j =>
+        struct(
+          (col(s"d$m") + lit(cc(m)(j)) -
+            lit(2.0) * dot(sm, typedLit(cb(m)(j).toSeq))).as("dist"),
+          lit(j).as("k"))
+      }
+      element_at(array_sort(array(scored: _*),
+        (a, b) => when(a.getField("dist") < b.getField("dist"), -1)
+          .when(a.getField("dist") > b.getField("dist"), 1)
+          .otherwise(a.getField("k") - b.getField("k"))), 1)
+        .getField("k")
+    }
+    sliced.select(
+      lit(libraryId).as("library_id"),
+      col("centroid_id"),
+      col("chunk_id"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC candidate generation over the pruned lists: for each PROBED
+    * centroid the query residual's distance table to every codeword is
+    * computed driver-side in integer micro-units (nprobe × M × K longs)
+    * and shipped as one map literal keyed by centroid_id; the codes scan
+    * is pruned by `centroid_id IN (...)` (parquet pushdown + partition
+    * pruning) and each candidate costs M array lookups + long adds.
+    * Returns the capped (distance asc, chunk_id asc) candidate ids ONLY —
+    * the caller hydrates exact vectors from the primary store.
+    */
+  def candidates(codesDf: DataFrame, topCents: Array[(Int, Array[Float])],
+      cb: Array[Array[Array[Float]]], qnorm: Array[Float], k: Int): DataFrame = {
+    val subspaces = cb.length
+    val subDim = cb(0)(0).length
+    val kw = cb(0).length
+    val dtabMap: Map[Int, Seq[Long]] = topCents.map { case (cid, cv) =>
+      // query residual vs THIS cell's centroid, float subtraction (the
+      // same arithmetic the encoded residuals used)
+      val qr = qnorm.zip(cv).map { case (a, b) => a - b }
+      val flat = (0 until subspaces).flatMap { m =>
+        val qs = qr.slice(m * subDim, (m + 1) * subDim)
+        val qq = dotD(qs, qs)
+        cb(m).map { c =>
+          val dist = qq + dotD(c, c) - 2.0 * dotD(qs, c)
+          math.floor(dist * 1000000.0 + 0.5).toLong
+        }
+      }
+      cid -> (flat: Seq[Long])
+    }.toMap
+    val contribs: Column = (0 until subspaces).map(m =>
+      element_at(col("dtab"),
+        lit(m * kw) + element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    codesDf
+      .filter(col("centroid_id").isin(topCents.map(c => Int.box(c._1)).toIndexedSeq: _*))
+      .select(col("chunk_id"), col("codes"),
+        element_at(typedLit(dtabMap), col("centroid_id")).as("dtab"))
+      .select(col("chunk_id"), contribs.as("dist_u"))
+      .orderBy(col("dist_u").asc, col("chunk_id").asc)
+      .limit(Oversample * k)
+      .select("chunk_id")
+  }
+}

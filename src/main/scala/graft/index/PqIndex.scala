@@ -103,7 +103,7 @@ object PqIndex {
     * deterministic regardless of thread scheduling. The sample is bounded
     * (trainCap), so the whole loop is driver-side.
     */
-  private def trainSubspace(slices: Array[Array[Float]],
+  private[index] def trainSubspace(slices: Array[Array[Float]],
       init: Array[Array[Float]], k: Int): Array[Array[Float]] = {
     import scala.collection.parallel.CollectionConverters._
     val d = slices.head.length

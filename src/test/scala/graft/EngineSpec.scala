@@ -525,6 +525,68 @@ class EngineSpec extends AnyFunSuite {
     assert(hits(trLib) == trained1, "trained rebuild must be deterministic")
   }
 
+  test("IVFPQ index: exact under full coverage, incremental add, family swap") {
+    val eng = freshEngine()
+    val vecs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0.9f, 0.1f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0.2f),
+      Array(0f, 0f, 0f, 1f), Array(0.5f, 0.5f, 0.5f, 0.5f))
+    def mkLib(cfg: IndexConfig): (String, String) = {
+      val lib = eng.createLibrary("ivfpq-" + cfg.indexType, 4, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, vecs.zipWithIndex.map { case (v, i) =>
+        ChunkIn(s"t$i", Some(v), id = Some(f"c$i%02d")) })
+      eng.rebuildIndex(lib)
+      (lib, doc)
+    }
+    val flatLib = eng.createLibrary("flat-ref", 4)
+    val flatDoc = eng.createDocument(flatLib)
+    eng.upsertChunks(flatLib, flatDoc, vecs.zipWithIndex.map { case (v, i) =>
+      ChunkIn(s"t$i", Some(v), id = Some(f"c$i%02d")) })
+    val q = Array(0.95f, 0.05f, 0f, 0f)
+    def hits(lib: String) = eng.search(lib, q, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val flatHits = hits(flatLib)
+    // nprobe = numCentroids (no cell missed) + codewords >= corpus (every
+    // RESIDUAL is its own codeword, zero quantization error): the ADC
+    // candidates + exact rerank must reproduce the flat ranking
+    val (pqLib, pqDoc) = mkLib(IndexConfig("ivfpq",
+      ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 16))
+    val ipqHits = hits(pqLib)
+    assert(ipqHits.map(_._1) == flatHits.map(_._1),
+      "full-coverage IVFPQ must reproduce the exact ranking")
+    ipqHits.zip(flatHits).foreach { case ((_, ps), (_, fs)) =>
+      assert(math.abs(ps - fs) < 1e-6) }
+    // incremental add: assign + residual-encode against existing state
+    eng.upsertChunks(pqLib, pqDoc, Seq(
+      ChunkIn("fresh", Some(Array(0.95f, 0.05f, 0f, 0f)), id = Some("zz"))))
+    assert(eng.search(pqLib, q, k = 1).collect().head.getString(0) == "zz")
+    // delete removes from the codes table (anti-join rewrite)
+    eng.deleteChunk(pqLib, "zz")
+    assert(!eng.search(pqLib, q, k = 6).collect()
+      .map(_.getString(0)).contains("zz"))
+    // stats see the shared centroid/codebook tables + the codes table
+    val st = eng.libraryStats(pqLib)
+    assert(st.hasIvfPqIndex && !st.hasLshIndex && !st.hasIvfIndex)
+    // dim % subspaces validated for the combined family too
+    intercept[ValidationError] {
+      eng.createLibrary("bad", 4, IndexConfig("ivfpq", pqSubspaces = 3))
+    }
+    // trained mode: same exactness property, deterministic rebuilds
+    val (trLib, _) = mkLib(IndexConfig("ivfpq_trained",
+      ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 16))
+    val trained1 = hits(trLib)
+    assert(trained1.map(_._1) == flatHits.map(_._1),
+      "full-coverage trained IVFPQ must reproduce the exact ranking")
+    eng.rebuildIndex(trLib)
+    assert(hits(trLib) == trained1, "trained rebuild must be deterministic")
+    // family swap drops the codes table (and search keeps working)
+    eng.updateIndexConfig(pqLib, IndexConfig("ivf", ivfNumCentroids = 2))
+    val swapped = eng.libraryStats(pqLib)
+    assert(!swapped.hasIvfPqIndex && swapped.hasIvfIndex)
+    assert(hits(pqLib).map(_._1) == flatHits.map(_._1))
+  }
+
   test("deterministic index modes: rebuild reproducible, incremental add maintained") {
     for (cfg <- Seq(
         IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 4),
