@@ -210,6 +210,38 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** The IVFPQ combined family through the engine: coarse-quantizer cell
+    * pruning + residual-PQ ADC over a codes table that stores NO vectors,
+    * exact rerank hydrated from the chunk store by id. The md5-seed
+    * "ivfpq" mode is pure arithmetic end-to-end, so the DuckDB oracle
+    * replays assignment -> residuals -> codebooks -> encode -> nprobe
+    * prune -> ADC -> rerank and hash-checks the hits.
+    */
+  private def engineIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** Trained IVFPQ (Lloyd coarse quantizer + per-subspace Lloyd residual
+    * codebooks): deterministic run-to-run, rows-only checked like the
+    * other trained paths; `x_engine_ivfpq` oracles the same machinery.
+    */
+  private def engineIvfPqTrained(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("ivfpq_trained",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
+    * first recall metric with a full DuckDB oracle: both the approximate
+    * side (the whole ivfpq replay) and the exact side are SQL, so the
+    * driver hash-checks the measured recall itself, not just rows>0.
+    */
+  private def ivfpqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
@@ -219,12 +251,108 @@ object EngineQueries {
     "x_engine_ivf_det"       -> (engineIvfDet _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
+    "x_engine_ivfpq"         -> (engineIvfPq _),
+    "x_engine_ivfpq_trained" -> (engineIvfPqTrained _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
+    "x_ivfpq_recall"         -> (ivfpqRecall _),
   )
 
   private val cosSql =
     "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+  // x_engine_ivfpq replay (shared by the hits entry and the recall
+  // metric): seed centroids (8 lowest md5, centroid_id in chunk_id order)
+  // -> argmax-dot assignment -> FLOAT residuals (REAL subtraction of the
+  // float-cast normalized vector and centroid) -> residual codebooks (16
+  // lowest-md5 residuals, codeword id in chunk_id order) -> argmin encode
+  // (dist asc, k asc) -> nprobe=2 cell prune -> per-cell query-residual
+  // ADC tables in integer micro-units -> cap 60 (dist asc, id asc) ->
+  // exact cosine rerank of the float-normalized vector vs the RAW query.
+  // Mirrors IvfPqIndex.build/encode/candidates + VectorEngine.search.
+  private val ivfpqCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         list_transform(emb, x -> x / n) AS vnormd,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+      |  FROM nr WHERE n > 0),
+      |seeds AS (
+      |  SELECT vec_id FROM vn
+      |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+      |  LIMIT 8),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
+      |         v.vnormf AS cvec
+      |  FROM seeds s JOIN vn v USING (vec_id)),
+      |assign AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT v.vec_id, c.centroid_id,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
+      |                      c.centroid_id ASC) AS rn
+      |    FROM vn v, cents c) WHERE rn = 1),
+      |res AS (
+      |  SELECT a.vec_id, a.centroid_id,
+      |         list(CAST(CAST(v.vnormf[i.i] AS REAL) - CAST(c.cvec[i.i] AS REAL) AS DOUBLE)
+      |              ORDER BY i.i) AS res
+      |  FROM assign a JOIN vn v USING (vec_id) JOIN cents c USING (centroid_id),
+      |       range(1, 65) i(i)
+      |  GROUP BY a.vec_id, a.centroid_id),
+      |cw AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, res
+      |  FROM (SELECT vec_id, res FROM res
+      |        ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+      |        LIMIT 16)),
+      |cb AS (
+      |  SELECT g.m, cw.k, list_slice(cw.res, g.m*8 + 1, g.m*8 + 8) AS c
+      |  FROM cw, range(8) g(m)),
+      |vs AS (
+      |  SELECT r.vec_id, r.centroid_id, g.m,
+      |         list_slice(r.res, g.m*8 + 1, g.m*8 + 8) AS sv
+      |  FROM res r, range(8) g(m)),
+      |enc AS (
+      |  SELECT vec_id, centroid_id, m, k FROM (
+      |    SELECT vs.vec_id, vs.centroid_id, vs.m, cb.k,
+      |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
+      |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
+      |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
+      |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1),
+      |qn AS (
+      |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+      |  FROM e WHERE vec_id = 0),
+      |top_c AS (
+      |  SELECT c.centroid_id, c.cvec FROM cents c, qn
+      |  ORDER BY list_dot_product(c.cvec, qn.v) DESC, c.centroid_id ASC
+      |  LIMIT 2),
+      |qr AS (
+      |  SELECT t.centroid_id,
+      |         list(CAST(CAST(qn.v[i.i] AS REAL) - CAST(t.cvec[i.i] AS REAL) AS DOUBLE)
+      |              ORDER BY i.i) AS qres
+      |  FROM top_c t, qn, range(1, 65) i(i)
+      |  GROUP BY t.centroid_id),
+      |dtab AS (
+      |  SELECT q2.centroid_id, cb.m, cb.k,
+      |         CAST(floor((list_dot_product(list_slice(q2.qres, cb.m*8 + 1, cb.m*8 + 8),
+      |                                      list_slice(q2.qres, cb.m*8 + 1, cb.m*8 + 8))
+      |           + list_dot_product(cb.c, cb.c)
+      |           - 2 * list_dot_product(list_slice(q2.qres, cb.m*8 + 1, cb.m*8 + 8), cb.c))
+      |           * 1000000.0 + 0.5) AS BIGINT) AS du
+      |  FROM qr q2, cb),
+      |cand AS (
+      |  SELECT enc.vec_id, CAST(SUM(d.du) AS BIGINT) AS dist_u
+      |  FROM enc JOIN dtab d
+      |    ON enc.centroid_id = d.centroid_id AND enc.m = d.m AND enc.k = d.k
+      |  GROUP BY enc.vec_id
+      |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)""".stripMargin
+
+  private val ivfpqHitsSql =
+    s"""WITH $ivfpqCtes
+       |SELECT c.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM cand c JOIN vn v USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_engine_flat" ->
@@ -375,5 +503,25 @@ object EngineQueries {
          |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
          |FROM cand c JOIN vn v USING (vec_id)
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "x_engine_ivfpq" -> ivfpqHitsSql,
+    // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
+    // BOTH sides are SQL, so the measured recall itself is hash-checked.
+    "x_ivfpq_recall" ->
+      s"""WITH $ivfpqCtes,
+         |approx AS (
+         |  SELECT c.vec_id,
+         |         ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+         |  FROM cand c JOIN vn v USING (vec_id)
+         |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e2.vec_id,
+         |           ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+         |    FROM e e2)
+         |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+         |SELECT CAST(0 AS BIGINT) AS query_id,
+         |       CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) AS DOUBLE)
+         |         / (SELECT count(*) FROM exact) AS recall_at_10,
+         |       CAST((SELECT count(*) FROM approx) AS INTEGER) AS n_hits""".stripMargin,
   )
 }
