@@ -371,6 +371,14 @@ final class VectorEngine(
   def upsertChunks(libId: String, docId: String,
       incoming: Seq[ChunkIn],
       expectedVersions: Map[String, Long] = Map.empty): Seq[String] = {
+    // driver-side API verb: the batch is validated in a loop and its ids
+    // become an `isin` literal filter below — fine at API scale, a plan
+    // bomb at data scale. Route big batches to the distributed path.
+    if (incoming.size > VectorEngine.UpsertMaxBatch)
+      throw new ValidationError(
+        s"upsertChunks batch of ${incoming.size} rows exceeds " +
+        s"${VectorEngine.UpsertMaxBatch}; use bulkIngest(libId, docId, df) " +
+        "— the fully distributed ingest path")
     val (dim, config, _) = getLibrary(libId)
     requireDocInLibrary(libId, docId)
     incoming.foreach { c =>
@@ -747,18 +755,21 @@ final class VectorEngine(
     val (dim, config0, _) = getLibrary(libId)
     val libChunks = chunks.filter(col("library_id") === libId)
     // "auto" (reference README.md:263 guidance, there unimplemented):
-    // "Flat <100k vectors; IVF for 100k-10M; LSH for high-throughput
-    // cosine" — three tiers resolved at rebuild time from the actual
-    // corpus size: flat below autoIvfThreshold, IVF up to
-    // autoLshThreshold, LSH beyond (where IVF retrain cost and centroid
-    // fan-out stop paying for themselves and hash buckets keep build
-    // map-only).
+    // "Flat <100k vectors; IVF for 100k-10M" — plus the engine's own
+    // scale thesis (IvfPqIndex header): past ~10M vectors the
+    // byte-compressed IVFPQ family is the architecture. Four tiers
+    // resolved at rebuild time from the actual corpus size: flat below
+    // autoIvfThreshold, IVF up to autoLshThreshold, IVFPQ beyond —
+    // falling back to LSH when the library dim is not divisible by the
+    // configured pq subspaces (IVFPQ's one structural precondition).
     val config =
       if (config0.indexType == "auto") {
         val n = libChunks.filter(col("embedding").isNotNull).count()
         config0.copy(indexType =
           if (n < autoIvfThreshold) "flat"
           else if (n < autoLshThreshold) "ivf"
+          else if (config0.pqSubspaces > 0 && dim % config0.pqSubspaces == 0)
+            "ivfpq"
           else "lsh")
       } else config0
     config.indexType match {
@@ -815,10 +826,8 @@ final class VectorEngine(
         store.writeLibraryPartition("pq_codebooks", libId, codebooks)
         store.writeLibraryPartition("ivfpq_codes", libId, codes)
         dropLshTables(libId)
-        if (store.exists("ivf_postings"))
-          store.dropLibraryPartition("ivf_postings", libId)
-        if (store.exists("pq_codes"))
-          store.dropLibraryPartition("pq_codes", libId)
+        dropIvfPostingsOnly(libId)
+        dropPqCodesOnly(libId)
     }
   }
 
@@ -862,6 +871,10 @@ final class VectorEngine(
     val effectiveType =
       if (config.indexType != "auto") config.indexType
       else if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
+      // ivfpq before ivf: the combined family also writes ivf_centroids
+      // (the shared coarse quantizer), so its codes table is the
+      // discriminating artifact
+      else if (store.exists("ivfpq_codes") && !ivfpqCodes(libId).isEmpty) "ivfpq"
       else if (store.exists("ivf_centroids") && !ivfCentroids(libId).isEmpty) "ivf"
       else "flat"
 
@@ -954,8 +967,12 @@ final class VectorEngine(
           // vectors) and rerank per the engine's scoring contract
           val cands = IvfPqIndex.candidates(restrict(ivfpqCodes(libId)),
             topCents, cb, qn, k)
+          // embedding.isNotNull mirrors flatScore: codes-table provenance
+          // already guarantees embedded chunks, but the invariant should
+          // be local, not implied by another table
           val hydrated = broadcast(cands)
-            .join(libChunks.select(col("id").as("chunk_id"), col("embedding")),
+            .join(libChunks.filter(col("embedding").isNotNull)
+                .select(col("id").as("chunk_id"), col("embedding")),
               "chunk_id")
             .select(col("chunk_id"),
               transform(l2Normalize(col("embedding")), _.cast("float"))
@@ -1237,6 +1254,28 @@ final class VectorEngine(
   private def dropIvfPqTables(libId: String): Unit =
     if (store.exists("ivfpq_codes"))
       store.dropLibraryPartition("ivfpq_codes", libId)
+
+  /** ivfpq SHARES ivf_centroids (coarse quantizer) and pq_codebooks
+    * (residual codebooks) with the ivf / pq families — its rebuild must
+    * drop ONLY the parents' scan tables. Do not "simplify" these into
+    * dropIvfTables/dropPqTables: that would also drop the shared
+    * centroid/codebook tables the ivfpq search path reads.
+    */
+  private def dropIvfPostingsOnly(libId: String): Unit =
+    if (store.exists("ivf_postings"))
+      store.dropLibraryPartition("ivf_postings", libId)
+
+  private def dropPqCodesOnly(libId: String): Unit =
+    if (store.exists("pq_codes"))
+      store.dropLibraryPartition("pq_codes", libId)
+}
+
+object VectorEngine {
+  /** upsertChunks batch ceiling: past this, the driver-side loop + `isin`
+    * literal plan stops being an API verb — callers get pointed at the
+    * distributed `bulkIngest` instead.
+    */
+  val UpsertMaxBatch = 10000
 }
 
 /** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */

@@ -161,16 +161,9 @@ object IvfIndex {
       var centroids = init
       var iter = 0
       while (iter < KmeansIters) {
-        val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-          struct(dotProduct(col("vnorm"), typedLit(c.toSeq)).as("dot"),
-            lit(i).as("cid"))
-        }
-        val sums = df.withColumn("best",
-            element_at(array_sort(array(scored: _*),
-              (a, b) => when(a.getField("dot") > b.getField("dot"), -1)
-                .when(a.getField("dot") < b.getField("dot"), 1)
-                .otherwise(a.getField("cid") - b.getField("cid"))), 1))
-          .groupBy(col("best.cid").as("cid"))
+        val sums = df.withColumn("cid",
+            graft.functions.PqExpressions.argmaxDot(col("vnorm"), centroids))
+          .groupBy(col("cid"))
           .agg(graft.functions.VecSumAggregator.vecSum(col("vnorm")).as("s"),
             count(lit(1)).as("cnt"))
           .collect()
@@ -216,20 +209,15 @@ object IvfIndex {
 
   /** Map-only nearest-centroid assignment: argmax dot, first-max wins on
     * ties (reference `utils.py:39-44` strict `>` keeps the earliest).
+    * One `ArgmaxDot` codegen loop over the broadcast centroid reference
+    * object — constant compile cost in k, where the former per-centroid
+    * `struct(dot, cid)` array_sort tree was a codegen bomb at the DTO's
+    * allowed 65,536 centroids. Values bit-identical (same sequential
+    * double dot, same strict-> tie rule).
     */
-  private def assign(data: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(dotProduct(col("vnorm"), typedLit(c.toSeq)).as("dot"),
-        lit(i).as("cid"))
-    }
-    // argmax with earliest-index tie-break: sort by (dot desc, cid asc)
-    data.withColumn("best",
-        element_at(array_sort(array(scored: _*),
-          (a, b) => when(a.getField("dot") > b.getField("dot"), -1)
-            .when(a.getField("dot") < b.getField("dot"), 1)
-            .otherwise(a.getField("cid") - b.getField("cid"))), 1))
-      .select(col("chunk_id"), col("vnorm"), col("best.cid").as("cid"))
-  }
+  private def assign(data: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    data.select(col("chunk_id"), col("vnorm"),
+      graft.functions.PqExpressions.argmaxDot(col("vnorm"), centroids).as("cid"))
 
   /** INIT-ONLY deterministic centroids ("ivf_det" mode): the k lowest
     * md5(chunk_id) vectors, normalized, NO Lloyd iterations — the same

@@ -78,25 +78,65 @@ object IvfPqIndex {
     val res = residuals(assignments, centroidsDf)
     val sampleCap = if (trained) IvfIndex.trainCap(codewords) else codewords
     // md5-ordered bounded sample: the first k rows ARE the k-lowest-md5
-    // seeds (the content-derived init convention shared by IVF and PQ)
-    val sampleMd5 = res.withColumn("h", md5(col("chunk_id")))
-      .orderBy(col("h").asc).limit(sampleCap)
-      .select(col("chunk_id"), col("res")).collect()
-    if (sampleMd5.isEmpty)
+    // seeds (the content-derived init convention shared by IVF and PQ).
+    // Untrained mode replays the assignment + float subtraction DRIVER-side
+    // over just the sampled rows (bit-identical: the stored float centroids
+    // are exactly what assignToCentroids collects, and dot/subtract repeat
+    // the executor arithmetic) — the sample costs one normalized-scan
+    // TakeOrdered instead of a second full pass through the assignment
+    // join. Trained mode keeps the res-based sample: its assignments come
+    // from Lloyd's DOUBLE centroids, which the float centroid table cannot
+    // replay exactly.
+    val sample: Array[(String, Array[Float])] =
+      if (trained)
+        res.withColumn("h", md5(col("chunk_id")))
+          .orderBy(col("h").asc).limit(sampleCap)
+          .select(col("chunk_id"), col("res")).collect()
+          .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+      else {
+        val centsF: Array[Array[Float]] = centroidsDf
+          .orderBy(col("centroid_id")).collect()
+          .map(_.getSeq[Float](2).toArray)
+        val centsD = centsF.map(_.map(_.toDouble))
+        if (centsF.isEmpty) Array.empty
+        else chunksDf.filter(col("embedding").isNotNull)
+          .select(col("id").as("chunk_id"),
+            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("vnorm"))
+          .filter(col("vnorm").isNotNull)
+          .withColumn("h", md5(col("chunk_id")))
+          .orderBy(col("h").asc).limit(sampleCap)
+          .select(col("chunk_id"), col("vnorm")).collect()
+          .map { r =>
+            val vn = r.getSeq[Double](1).toArray
+            var best = 0; var bestDot = Double.NegativeInfinity
+            var c = 0
+            while (c < centsD.length) {
+              val ct = centsD(c)
+              var dot = 0.0; var i = 0
+              while (i < math.min(vn.length, ct.length)) { dot += vn(i) * ct(i); i += 1 }
+              if (dot > bestDot) { bestDot = dot; best = c }
+              c += 1
+            }
+            val cf = centsF(best)
+            val vnf = vn.map(_.toFloat)
+            (r.getString(0),
+              Array.tabulate(vnf.length)(i => vnf(i) - cf(i)))
+          }
+      }
+    if (sample.isEmpty)
       return (centroidsDf,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.pqCodebooks),
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.ivfpqCodes))
-    val k = math.min(codewords, sampleMd5.length)
+    val k = math.min(codewords, sample.length)
     val cb =
       if (!trained) {
         // codeword id in CHUNK_ID order over the md5 seeds (the DuckDB
         // replay's row_number-by-chunk_id contract, as PqIndex)
-        val seeds = sampleMd5.sortBy(_.getString(0))
-          .map(_.getSeq[Float](1).toArray)
+        val seeds = sample.sortBy(_._1).map(_._2)
         Array.tabulate(subspaces, k)((m, j) =>
           seeds(j).slice(m * subDim, (m + 1) * subDim))
       } else {
-        val vecs = sampleMd5.map(_.getSeq[Float](1).toArray)
+        val vecs = sample.map(_._2)
         val init = vecs.take(k)
         Array.tabulate(subspaces) { m =>
           PqIndex.trainSubspace(vecs.map(_.slice(m * subDim, (m + 1) * subDim)),
@@ -124,44 +164,21 @@ object IvfPqIndex {
     encodeResiduals(residuals(assignments, centroidsDf), cb, libraryId)
   }
 
-  /** One map-only projection over the residuals: slice once, bind each
-    * slice's self-dot once (the repo's measured CollapseProject-safe
-    * alias pattern, see PqIndex.encodeWith), per-subspace argmin codeword
-    * (dist asc, codeword asc tie-break), emit centroid_id + codes. The
-    * stored row is (ids, M small ints) — no vector.
+  /** One map-only projection over the residuals: the `PqEncode` codegen
+    * kernel loops over the codebook reference object (argmin dist,
+    * earliest codeword on ties) — compile cost constant in K, and the
+    * residual zip_with is consumed exactly ONCE (the former K-unrolled
+    * tree referenced it ~3x per subspace). The stored row is (ids, M
+    * small ints) — no vector. Values are bit-identical to the unrolled
+    * formulation (see PqExpressions' numeric contract).
     */
   private def encodeResiduals(res: DataFrame, cb: Array[Array[Array[Float]]],
-      libraryId: String): DataFrame = {
-    val subspaces = cb.length
-    val subDim = cb(0)(0).length
-    val cc = cb.map(_.map(c => dotD(c, c)))
-    val dot = graft.functions.VectorFunctions.dotProduct _
-    val sliced = res.select(col("centroid_id") +: col("chunk_id") +:
-      ((0 until subspaces).map(m =>
-        slice(col("res"), m * subDim + 1, subDim).as(s"s$m")) ++
-       (0 until subspaces).map(m =>
-        dot(slice(col("res"), m * subDim + 1, subDim),
-          slice(col("res"), m * subDim + 1, subDim)).as(s"d$m"))): _*)
-    val codeCols = (0 until subspaces).map { m =>
-      val sm = col(s"s$m")
-      val scored = cb(m).indices.map { j =>
-        struct(
-          (col(s"d$m") + lit(cc(m)(j)) -
-            lit(2.0) * dot(sm, typedLit(cb(m)(j).toSeq))).as("dist"),
-          lit(j).as("k"))
-      }
-      element_at(array_sort(array(scored: _*),
-        (a, b) => when(a.getField("dist") < b.getField("dist"), -1)
-          .when(a.getField("dist") > b.getField("dist"), 1)
-          .otherwise(a.getField("k") - b.getField("k"))), 1)
-        .getField("k")
-    }
-    sliced.select(
+      libraryId: String): DataFrame =
+    res.select(
       lit(libraryId).as("library_id"),
       col("centroid_id"),
       col("chunk_id"),
-      array(codeCols: _*).as("codes"))
-  }
+      graft.functions.PqExpressions.pqEncode(col("res"), cb).as("codes"))
 
   /** ADC candidate generation over the pruned lists: for each PROBED
     * centroid the query residual's distance table to every codeword is

@@ -170,45 +170,19 @@ object PqIndex {
     acc
   }
 
-  /** One map-only projection: slice once, per-subspace argmin codeword
-    * (dist asc, codeword asc tie-break — same comparator family as IVF
-    * assignment), emit the codes array + the normalized vector.
+  /** One map-only projection: the `PqEncode` codegen kernel loops over the
+    * codebook reference object (argmin dist, earliest codeword on ties) —
+    * compile cost constant in K, unlike the former K-unrolled
+    * `array_sort(array(struct...))` tree that could not survive K=256.
+    * Values are bit-identical (see PqExpressions' numeric contract).
     */
   private def encodeWith(data: DataFrame, cb: Array[Array[Array[Float]]],
-      libraryId: String): DataFrame = {
-    val subspaces = cb.length
-    val subDim = cb(0)(0).length
-    val cc = cb.map(_.map(c => dotD(c, c)))
-    // bind each slice AND its self-dot once: the K codeword structs below
-    // all reference them, and CollapseProject keeps non-cheap aliases
-    // referenced more than once (the repo's measured HOF/alias pattern) —
-    // without the binding every struct would re-run the self-dot kernel
-    val sliced = data.select(col("chunk_id") +: col("vnf") +:
-      ((0 until subspaces).map(m =>
-        slice(col("vnf"), m * subDim + 1, subDim).as(s"s$m")) ++
-       (0 until subspaces).map(m =>
-        dotProduct(slice(col("vnf"), m * subDim + 1, subDim),
-          slice(col("vnf"), m * subDim + 1, subDim)).as(s"d$m"))): _*)
-    val codeCols = (0 until subspaces).map { m =>
-      val sm = col(s"s$m")
-      val scored = cb(m).indices.map { j =>
-        struct(
-          (col(s"d$m") + lit(cc(m)(j)) -
-            lit(2.0) * dotProduct(sm, typedLit(cb(m)(j).toSeq))).as("dist"),
-          lit(j).as("k"))
-      }
-      element_at(array_sort(array(scored: _*),
-        (a, b) => when(a.getField("dist") < b.getField("dist"), -1)
-          .when(a.getField("dist") > b.getField("dist"), 1)
-          .otherwise(a.getField("k") - b.getField("k"))), 1)
-        .getField("k")
-    }
-    sliced.select(
+      libraryId: String): DataFrame =
+    data.select(
       lit(libraryId).as("library_id"),
       col("chunk_id"),
-      array(codeCols: _*).as("codes"),
+      graft.functions.PqExpressions.pqEncode(col("vnf"), cb).as("codes"),
       col("vnf").as("embedding_norm"))
-  }
 
   /** ADC candidate generation: the distance table from the (normalized)
     * query to every codeword is computed DRIVER-side in integer

@@ -587,6 +587,32 @@ class EngineSpec extends AnyFunSuite {
     assert(hits(pqLib).map(_._1) == flatHits.map(_._1))
   }
 
+  test("PQ/IVFPQ encode survives K=256 (codegen loop kernel, not an unrolled tree)") {
+    // The production codeword count: the former per-codeword expression
+    // tree (~2,048 nodes per projection at K=256) blew past janino method
+    // limits; the PqEncode loop kernel must build + search at this config.
+    val eng = freshEngine()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 97) + 1) / 98f)
+    val chunksIn = (0 until 300).map(i =>
+      ChunkIn(s"t$i", Some(vec(i)), id = Some(f"c$i%03d")))
+    for (cfg <- Seq(
+        IndexConfig("pq", pqSubspaces = 2, pqCodewords = 256),
+        IndexConfig("ivfpq", ivfNumCentroids = 4, ivfNprobe = 4,
+          pqSubspaces = 2, pqCodewords = 256))) {
+      val lib = eng.createLibrary("k256-" + cfg.indexType, 8, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, chunksIn)
+      eng.rebuildIndex(lib)
+      // the query IS vector 7 (vec cycles with period 97 in i, so c007,
+      // c104, c201 are identical — cosine 1.0 ties break by chunk_id asc)
+      val hits = eng.search(lib, vec(7), k = 5).collect()
+      assert(hits.length == 5, s"${cfg.indexType}: expected 5 hits")
+      assert(hits.head.getString(0) == "c007",
+        s"${cfg.indexType}: exact-match vector must rank first")
+    }
+  }
+
   test("deterministic index modes: rebuild reproducible, incremental add maintained") {
     for (cfg <- Seq(
         IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 4),
@@ -682,6 +708,16 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertChunks size guard points oversized batches at bulkIngest") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("big", 2)
+    val doc = eng.createDocument(lib)
+    val big = (0 to VectorEngine.UpsertMaxBatch).map(i =>
+      ChunkIn(s"t$i", id = Some(s"c$i")))
+    val e = intercept[ValidationError] { eng.upsertChunks(lib, doc, big) }
+    assert(e.getMessage.contains("bulkIngest"))
+  }
+
   test("autoVacuumKeep trims snapshot history after mutating verbs") {
     val dir = Files.createTempDirectory("graft-autovac").toString
     val eng = new VectorEngine(spark, dir, fixedClock, autoVacuumKeep = Some(1))
@@ -696,7 +732,7 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 3) // current intact
   }
 
-  test("auto index selection: flat/IVF/LSH three-way thresholds (README.md:263)") {
+  test("auto index selection: flat/IVF/IVFPQ/LSH four-way thresholds (README.md:263)") {
     def build(ivfAt: Long, lshAt: Long): (VectorEngine, String, StateStore) = {
       val dir = Files.createTempDirectory("graft-auto").toString
       val eng = new VectorEngine(spark, dir, fixedClock,
@@ -724,11 +760,32 @@ class EngineSpec extends AnyFunSuite {
     assert(libCount(storeI, "ivf_centroids", Schemas.ivfCentroids, libI) > 0)
     assert(libCount(storeI, "lsh_planes", Schemas.lshPlanes, libI) == 0)
     assert(engI.search(libI, Array(1f, 0f), k = 3).collect().nonEmpty)
-    // past the LSH threshold -> LSH: planes+buckets, auto search uses them
+    // past the top threshold with dim NOT divisible by pqSubspaces
+    // (2 % 8 != 0) -> the LSH fallback: planes+buckets, auto search uses
+    // them
     val (engL, libL, storeL) = build(ivfAt = 5L, lshAt = 10L)
     assert(libCount(storeL, "lsh_planes", Schemas.lshPlanes, libL) > 0)
     assert(libCount(storeL, "ivf_centroids", Schemas.ivfCentroids, libL) == 0)
     assert(engL.search(libL, Array(1f, 0f), k = 3).collect().nonEmpty)
+    // past the top threshold with a pq-divisible dim -> IVFPQ (the
+    // engine's >=10M-vector tier): codes table materializes, no planes,
+    // no plain-ivf postings — and auto search dispatches on the codes
+    val dirP = Files.createTempDirectory("graft-auto").toString
+    val engP = new VectorEngine(spark, dirP, fixedClock,
+      autoIvfThreshold = 5L, autoLshThreshold = 10L)
+    val libP = engP.createLibrary("auto", 4,
+      IndexConfig("auto", pqSubspaces = 2))
+    val docP = engP.createDocument(libP)
+    val rndP = new scala.util.Random(3)
+    engP.upsertChunks(libP, docP, (0 until 20).map(i =>
+      ChunkIn(s"t$i", Some(Array.fill(4)(rndP.nextGaussian().toFloat)),
+        id = Some(f"c$i%03d"))))
+    engP.rebuildIndex(libP)
+    val storeP = new StateStore(spark, dirP)
+    assert(libCount(storeP, "ivfpq_codes", Schemas.ivfpqCodes, libP) > 0)
+    assert(libCount(storeP, "lsh_planes", Schemas.lshPlanes, libP) == 0)
+    assert(libCount(storeP, "ivf_postings", Schemas.ivfPostings, libP) == 0)
+    assert(engP.search(libP, Array(1f, 0f, 0f, 0f), k = 3).collect().length == 3)
     // incremental add maintains the auto-resolved LSH buckets
     val docL = eng2doc(engL, libL)
     engL.upsertChunks(libL, docL, Seq(
