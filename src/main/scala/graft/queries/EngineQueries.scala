@@ -242,6 +242,20 @@ object EngineQueries {
     recallOf(s, d, IndexConfig("ivfpq",
       ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
 
+  /** Recall@10 of the deterministic LSH / IVF configs vs the exact scan,
+    * on the x_ivfpq_recall both-sides-SQL pattern: the replayed
+    * approximate side and the exact side are both SQL, so the measured
+    * recall itself is hash-checked — index QUALITY oracled across every
+    * det family, not just latency (VERDICT r4 gap #3). Same fixtures as
+    * the `x_engine_*_det` hits entries (shared engine cache).
+    */
+  private def lshDetRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+
+  private def ivfDetRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
@@ -256,10 +270,122 @@ object EngineQueries {
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
+    "x_lshdet_recall"        -> (lshDetRecall _),
+    "x_ivfdet_recall"        -> (ivfDetRecall _),
   )
+
+  /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
+    * rows for the approximate top-10; the exact side recomputes the flat
+    * cosine ranking. Requires a CTE `e(vec_id, emb DOUBLE[])` in scope.
+    */
+  private def recallSqlTail(approxSelect: String): String =
+    s"""approx AS ($approxSelect),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e2.vec_id,
+       |           ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |    FROM e e2)
+       |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+       |SELECT CAST(0 AS BIGINT) AS query_id,
+       |       CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) AS DOUBLE)
+       |         / (SELECT count(*) FROM exact) AS recall_at_10,
+       |       CAST((SELECT count(*) FROM approx) AS INTEGER) AS n_hits""".stripMargin
 
   private val cosSql =
     "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+  // x_engine_lsh_det replay (shared by the hits entry and the recall
+  // metric): planes comp(t,p,j) = float(long(md5("lshdet|t|p|j")[0:15
+  // hex]) / 2^60 * 2 - 1); stored vectors L2-normalized then float-cast;
+  // signature = packed sign bits of double dots; probes = base signature +
+  // all Hamming-1 flips; candidates ranked by table-match multiplicity
+  // (cap 6k=60, chunk_id == vec_id order), exact cosine rerank of the
+  // float-normalized vector vs the RAW query (quirk Q1). Mirrors
+  // LshIndex.makePlanesDet / buildBuckets / candidates and
+  // VectorEngine.search step for step.
+  private val lshDetCtes =
+    """planes AS (
+      |  SELECT t.t, p.p,
+      |         list(CAST(CAST(CAST(CAST(('0x' || substr(md5('lshdet|' || CAST(t.t AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS REAL) AS DOUBLE) ORDER BY j.j) AS plane
+      |  FROM range(4) t(t), range(4) p(p), range(64) j(j)
+      |  GROUP BY t.t, p.p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnorm
+      |  FROM nr WHERE n > 0),
+      |sigbits AS (
+      |  SELECT v.vec_id, pl.t, pl.p,
+      |         CASE WHEN list_dot_product(v.vnorm, pl.plane) >= 0
+      |              THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+      |  FROM vn v, planes pl),
+      |sigs AS (
+      |  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig
+      |  FROM sigbits GROUP BY vec_id, t),
+      |qsig AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT t, sig FROM qsig
+      |  UNION ALL
+      |  SELECT q.t, xor(q.sig, CAST(1 AS BIGINT) << h.p) AS sig
+      |  FROM qsig q, range(4) h(p)),
+      |cand AS (
+      |  SELECT s.vec_id, count(*) AS n_matches
+      |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
+      |  GROUP BY s.vec_id
+      |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
+
+  private val lshDetHitsSelect =
+    s"""SELECT c.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM cand c JOIN vn v USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // x_engine_ivf_det replay (shared by the hits entry and the recall
+  // metric): seeds = 8 lowest md5(chunk_id) ('c' || zero-padded vec_id),
+  // centroid_id in chunk_id order; centroid vectors are float-cast
+  // normalized; postings assign by argmax double-dot (DOUBLE vnorm x
+  // float-cast centroid), earliest centroid on ties; search probes the
+  // nprobe=2 best centroids by query-dot and reranks the float-normalized
+  // vectors vs the RAW query. Mirrors IvfIndex.seedCentroids /
+  // assignToCentroids and the isin-pushdown probe in VectorEngine.search.
+  private val ivfDetCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         list_transform(emb, x -> x / n) AS vnormd,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+      |  FROM nr WHERE n > 0),
+      |seeds AS (
+      |  SELECT vec_id FROM vn
+      |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+      |  LIMIT 8),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
+      |         v.vnormf AS cvec
+      |  FROM seeds s JOIN vn v USING (vec_id)),
+      |assign AS (
+      |  SELECT v.vec_id, c.centroid_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
+      |                    c.centroid_id ASC) AS rn
+      |  FROM vn v, cents c),
+      |postings AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+      |qn AS (
+      |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+      |  FROM e WHERE vec_id = 0),
+      |top_c AS (
+      |  SELECT c.centroid_id FROM cents c, qn
+      |  ORDER BY list_dot_product(c.cvec, qn.v) DESC, c.centroid_id ASC
+      |  LIMIT 2)""".stripMargin
+
+  private val ivfDetHitsSelect =
+    s"""SELECT v.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM postings p JOIN vn v USING (vec_id)
+       |WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // x_engine_ivfpq replay (shared by the hits entry and the recall
   // metric): seed centroids (8 lowest md5, centroid_id in chunk_id order)
@@ -378,40 +504,11 @@ object EngineQueries {
     // vector vs the RAW query (quirk Q1). Mirrors LshIndex.makePlanesDet /
     // buildBuckets / candidates and VectorEngine.search step for step.
     "x_engine_lsh_det" ->
-      s"""WITH planes AS (
-         |  SELECT t.t, p.p,
-         |         list(CAST(CAST(CAST(CAST(('0x' || substr(md5('lshdet|' || CAST(t.t AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS REAL) AS DOUBLE) ORDER BY j.j) AS plane
-         |  FROM range(4) t(t), range(4) p(p), range(64) j(j)
-         |  GROUP BY t.t, p.p),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
-         |vn AS (
-         |  SELECT vec_id, emb,
-         |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnorm
-         |  FROM nr WHERE n > 0),
-         |sigbits AS (
-         |  SELECT v.vec_id, pl.t, pl.p,
-         |         CASE WHEN list_dot_product(v.vnorm, pl.plane) >= 0
-         |              THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
-         |  FROM vn v, planes pl),
-         |sigs AS (
-         |  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig
-         |  FROM sigbits GROUP BY vec_id, t),
-         |qsig AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
-         |probes AS (
-         |  SELECT t, sig FROM qsig
-         |  UNION ALL
-         |  SELECT q.t, xor(q.sig, CAST(1 AS BIGINT) << h.p) AS sig
-         |  FROM qsig q, range(4) h(p)),
-         |cand AS (
-         |  SELECT s.vec_id, count(*) AS n_matches
-         |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
-         |  GROUP BY s.vec_id
-         |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)
-         |SELECT c.vec_id,
-         |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
-         |FROM cand c JOIN vn v USING (vec_id)
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      s"""WITH $lshDetCtes
+         |$lshDetHitsSelect""".stripMargin,
+    "x_lshdet_recall" ->
+      s"""WITH $lshDetCtes,
+         |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
     // x_engine_ivf_det: init-only IVF replay. Seeds = 8 lowest
     // md5(chunk_id) ('c' || zero-padded vec_id), centroid_id in chunk_id
     // order; centroid vectors are float-cast normalized; postings assign
@@ -421,40 +518,11 @@ object EngineQueries {
     // query. Mirrors IvfIndex.seedCentroids / assignToCentroids and the
     // isin-pushdown probe in VectorEngine.search.
     "x_engine_ivf_det" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
-         |vn AS (
-         |  SELECT vec_id, emb,
-         |         list_transform(emb, x -> x / n) AS vnormd,
-         |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
-         |  FROM nr WHERE n > 0),
-         |seeds AS (
-         |  SELECT vec_id FROM vn
-         |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
-         |  LIMIT 8),
-         |cents AS (
-         |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
-         |         v.vnormf AS cvec
-         |  FROM seeds s JOIN vn v USING (vec_id)),
-         |assign AS (
-         |  SELECT v.vec_id, c.centroid_id,
-         |         row_number() OVER (PARTITION BY v.vec_id
-         |           ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
-         |                    c.centroid_id ASC) AS rn
-         |  FROM vn v, cents c),
-         |postings AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
-         |qn AS (
-         |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
-         |  FROM e WHERE vec_id = 0),
-         |top_c AS (
-         |  SELECT c.centroid_id FROM cents c, qn
-         |  ORDER BY list_dot_product(c.cvec, qn.v) DESC, c.centroid_id ASC
-         |  LIMIT 2)
-         |SELECT v.vec_id,
-         |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
-         |FROM postings p JOIN vn v USING (vec_id)
-         |WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      s"""WITH $ivfDetCtes
+         |$ivfDetHitsSelect""".stripMargin,
+    "x_ivfdet_recall" ->
+      s"""WITH $ivfDetCtes,
+         |${recallSqlTail(ivfDetHitsSelect)}""".stripMargin,
     // x_engine_pq: replay of the engine PQ family — float-normalized
     // vectors, md5-seed codebooks (codeword id in chunk_id order), 8x8
     // slices, argmin encode (dist asc, k asc), integer micro-unit ADC
