@@ -864,19 +864,7 @@ final class VectorEngine(
     def restrict(cands: DataFrame): DataFrame =
       allowedIds.fold(cands)(a => cands.join(a, Seq("chunk_id"), "left_semi"))
 
-    // "auto" searches whatever rebuildIndex resolved and built for THIS
-    // library: LSH when it has planes, IVF when it has centroids, flat
-    // otherwise (pre-rebuild state). Rebuild drops the other family's
-    // tables, so at most one branch matches.
-    val effectiveType =
-      if (config.indexType != "auto") config.indexType
-      else if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
-      // ivfpq before ivf: the combined family also writes ivf_centroids
-      // (the shared coarse quantizer), so its codes table is the
-      // discriminating artifact
-      else if (store.exists("ivfpq_codes") && !ivfpqCodes(libId).isEmpty) "ivfpq"
-      else if (store.exists("ivf_centroids") && !ivfCentroids(libId).isEmpty) "ivf"
-      else "flat"
+    val effectiveType = effectiveIndexType(libId, config)
 
     // candidate (chunk_id, score) per index type
     val scored: DataFrame = effectiveType match {
@@ -997,6 +985,22 @@ final class VectorEngine(
       .orderBy(col("score").desc, col("chunk_id").asc)
   }
 
+  /** The index family `search`/`searchBatchAnn` dispatch on for this
+    * library. "auto" searches whatever rebuildIndex resolved and built:
+    * LSH when it has planes, IVFPQ when it has a codes table, IVF when it
+    * has centroids, flat otherwise (pre-rebuild state). Rebuild drops the
+    * other family's tables, so at most one branch matches. IVFPQ is
+    * checked before IVF because the combined family also writes
+    * ivf_centroids (the shared coarse quantizer) — its codes table is the
+    * discriminating artifact.
+    */
+  private def effectiveIndexType(libId: String, config: IndexConfig): String =
+    if (config.indexType != "auto") config.indexType
+    else if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
+    else if (store.exists("ivfpq_codes") && !ivfpqCodes(libId).isEmpty) "ivfpq"
+    else if (store.exists("ivf_centroids") && !ivfCentroids(libId).isEmpty) "ivf"
+    else "flat"
+
   /** Batch kNN: N query vectors answered in ONE distributed pass — the
     * Spark-native throughput shape the reference's per-request API cannot
     * express (its README benchmarks one query at a time). Queries are
@@ -1031,11 +1035,18 @@ final class VectorEngine(
       .crossJoin(broadcast(qDf))
       .select(col("query_id"), col("id").as("chunk_id"),
         similarity(metric)(col("embedding"), col("qvec")).as("score"))
-    // per-query top-k via the k-bounded PARTIAL aggregator, not a window:
-    // the map side reduces each partition to <= k rows per query BEFORE
-    // the shuffle (k*N rows total), where the window formulation shuffles
-    // and sorts the full corpus x N cross product — the difference between
-    // a bounded merge and a corpus-sized sort at 100 TB
+    batchTopKHydrate(scored, libChunks, k, filters)
+  }
+
+  /** Shared batch tail: per-query top-k via the k-bounded PARTIAL
+    * aggregator, not a window — the map side reduces each partition to
+    * <= k rows per query BEFORE the shuffle (k*N rows total), where the
+    * window formulation shuffles and sorts the full candidate set — then
+    * the broadcast hydration join, post-filters (quirk Q5), and the hit
+    * projection with a leading query_id.
+    */
+  private def batchTopKHydrate(scored: DataFrame, libChunks: DataFrame,
+      k: Int, filters: Option[SearchFilters]): DataFrame = {
     import spark.implicits._
     val topk = scored.as[(Long, String, Double)]
       .groupByKey(_._1)
@@ -1049,6 +1060,245 @@ final class VectorEngine(
         col("score"), col("text"), col("position"), col("metadata"),
         col("created_at"), col("updated_at"))
       .orderBy(col("query_id").asc, col("score").desc, col("chunk_id").asc)
+  }
+
+  /** Batch kNN routed through the library's INDEX — the 100 TB pipeline
+    * shape a training-data run actually executes (millions of queries x an
+    * IVFPQ corpus), answered in one distributed pass with no per-query
+    * driver round-trips. Row-for-row equal to N single `search` calls on
+    * every index family (EngineSpec asserts it); returns the hit shape
+    * with a leading `query_id`, ordered (query_id, score desc, chunk_id).
+    *
+    * Batching per family:
+    *   - flat: broadcast cross-score (the exact `searchBatch` shape);
+    *   - lsh: per-query probe signatures computed driver-side (the planes
+    *     are already driver-resident metadata), ONE bucket equi-join on
+    *     (table_id, signature) for ALL queries, per-query multiplicity
+    *     rank + oversample cap via the k-bounded partial aggregator, and
+    *     the reference's <k pad replayed per deficient query;
+    *   - ivf: ONE broadcast centroid join + per-query top-nprobe partial
+    *     aggregation (instead of N driver TakeOrdereds), then a
+    *     (centroid_id) equi-join of the probe pairs against the
+    *     isin-pruned postings scan;
+    *   - pq / ivfpq: per-(query[, cell]) ADC tables computed driver-side —
+    *     N x nprobe x M x K longs, metadata-scale for API batches — and
+    *     JOINED to the (pruned) codes scan by centroid_id, per-query
+    *     candidate cap, exact rerank hydrated from the chunk store.
+    *
+    * Zero-vector queries contribute no rows on index paths (single-query
+    * `search` returns empty for them, quirk Q4) and all-zero scores on
+    * flat.
+    */
+  def searchBatchAnn(libId: String, queries: Seq[(Long, Array[Float])], k: Int,
+      metric: String = "cosine", filters: Option[SearchFilters] = None,
+      preFilter: Boolean = false): DataFrame = {
+    val (dim, config, _) = getLibrary(libId)
+    queries.foreach { case (qid, q) =>
+      if (q.length != dim)
+        throw new ValidationError(s"query $qid dim ${q.length} != library dim $dim")
+    }
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    import spark.implicits._
+
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val effType = effectiveIndexType(libId, config)
+    val live =
+      if (effType == "flat") queries
+      else queries.filterNot(_._2.forall(_ == 0f))
+    if (live.isEmpty) return emptyBatchHits()
+
+    // (query_id, qvec): the RAW query vectors — index-path rerank scores
+    // normalized stored vectors against the UNNORMALIZED query (quirk Q1)
+    lazy val qDf = live.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qvec")
+    // normalized queries for candidate generation (probe/signature/ADC)
+    lazy val qnorms: Seq[(Long, Array[Float])] =
+      live.map { case (qid, q) => (qid, LshIndex.normalizeDriver(q).get) }
+
+    // preFilter restricts candidate generation, as in single `search`
+    val allowedIds: Option[DataFrame] =
+      if (preFilter && filters.isDefined)
+        Some(applyPost(libChunks.withColumnRenamed("id", "chunk_id"), filters)
+          .select("chunk_id"))
+      else None
+    def restrict(cands: DataFrame): DataFrame =
+      allowedIds.fold(cands)(a => cands.join(a, Seq("chunk_id"), "left_semi"))
+
+    def flatBatch(): DataFrame =
+      applyPre(libChunks, filters, preFilter)
+        .filter(col("embedding").isNotNull)
+        .crossJoin(broadcast(qDf))
+        .select(col("query_id"), col("id").as("chunk_id"),
+          similarity(metric)(col("embedding"), col("qvec")).as("score"))
+
+    // exact rerank of (query_id, chunk_id, embedding_norm) candidates
+    def rerankBatch(cands: DataFrame): DataFrame =
+      cands.join(broadcast(qDf), Seq("query_id"))
+        .select(col("query_id"), col("chunk_id"),
+          similarity(metric)(col("embedding_norm"), col("qvec")).as("score"))
+
+    // ONE broadcast centroid join + per-query top-nprobe partial agg:
+    // (cscore desc, centroid_id asc) per query, the single-path order
+    def probePairs(cents: DataFrame, nprobe: Int): Array[(Long, Int)] = {
+      val qnDf = qnorms.map { case (qid, qn) => (qid, qn.toSeq) }
+        .toDF("query_id", "qnorm")
+      qnDf.crossJoin(broadcast(cents.select(col("centroid_id"), col("vector"))))
+        .select(col("query_id"), col("centroid_id").cast("long"),
+          dotProduct(col("vector"), col("qnorm")).as("cscore"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.TopKAggregator.topK(nprobe).toColumn)
+        .flatMap { case (qid, cs) => cs.map(c => (qid, c._2.toInt)) }
+        .collect()
+    }
+
+    // per-query candidate cap via the partial aggregator; `scoreCol` must
+    // encode the family's candidate order as (scoreCol desc, chunk_id asc)
+    def capPerQuery(cands: DataFrame, scoreCol: Column, cap: Int): DataFrame =
+      cands.select(col("query_id"), col("chunk_id"), scoreCol.cast("double"))
+        .as[(Long, String, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.TopKAggregator.topKStr(cap).toColumn)
+        .flatMap { case (qid, hs) => hs.map(h => (qid, h._2)) }
+        .toDF("query_id", "chunk_id")
+
+    val scored: DataFrame = effType match {
+      case "flat" => flatBatch()
+
+      case "lsh" | "lsh_det" =>
+        val planes =
+          if (!store.exists("lsh_planes")) Nil
+          else LshIndex.collectPlanes(lshPlanes(libId))
+        if (planes.isEmpty) flatBatch()
+        else {
+          // per-query multi-probe keys (base signature + Hamming-1 flips),
+          // driver-side over the already-resident planes
+          val probeDf = qnorms.flatMap { case (qid, qn) =>
+            planes.flatMap { case (t, ps) =>
+              val s = LshIndex.signatureOf(qn, ps)
+              (s +: ps.indices.map(i => s ^ (1L << i))).map(sig => (qid, t, sig))
+            }
+          }.toDF("query_id", "table_id", "signature")
+          val buckets = restrict(lshBuckets(libId))
+          val ranked = buckets
+            .join(broadcast(probeDf), Seq("table_id", "signature"))
+            .groupBy(col("query_id"), col("chunk_id"))
+            .agg(count(lit(1)).as("n_matches"))
+          // multiplicity rank + oversample cap, per query; materialized so
+          // the pad count + anti-join + rerank reuse one bucket-join run
+          val capped = capPerQuery(ranked, col("n_matches"),
+            LshIndex.Oversample * k).localCheckpoint()
+          val norms = buckets.select(col("chunk_id"), col("embedding_norm"))
+            .dropDuplicates("chunk_id")
+          // the reference's <k fallback pad (lsh.py:101-110): deficient
+          // queries take the lowest-id indexed chunks up to 2k total
+          val haveMap = capped.groupBy("query_id").count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val deficient = live.map(_._1).filter(haveMap.getOrElse(_, 0L) < k)
+          val withPad =
+            if (deficient.isEmpty) capped
+            else {
+              val needMap = deficient.map(q =>
+                q -> (2 * k - haveMap.getOrElse(q, 0L).toInt).max(0)).toMap
+              val defDf = deficient.map(Tuple1(_)).toDF("query_id")
+              val pad = norms.select("chunk_id").crossJoin(broadcast(defDf))
+                .join(broadcast(capped), Seq("query_id", "chunk_id"), "left_anti")
+                .select(col("query_id"), col("chunk_id"), lit(0.0).as("s"))
+                .as[(Long, String, Double)]
+                .groupByKey(_._1)
+                .agg(graft.functions.TopKAggregator.topKStr(2 * k).toColumn)
+                .flatMap { case (qid, hs) =>
+                  hs.take(needMap.getOrElse(qid, 0)).map(h => (qid, h._2)) }
+                .toDF("query_id", "chunk_id")
+              capped.unionAll(pad)
+            }
+          rerankBatch(norms.join(broadcast(withPad), Seq("chunk_id")))
+        }
+
+      case "ivf" | "ivf_det" =>
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        cents match {
+          case None => flatBatch()
+          case Some(c) =>
+            val pairs = probePairs(c, math.max(1, config.ivfNprobe))
+            val cids = pairs.map(_._2).distinct.toIndexedSeq
+            val pairsDf = pairs.toSeq.toDF("query_id", "centroid_id")
+            val cands = restrict(ivfPostings(libId))
+              .filter(col("centroid_id").isin(cids.map(Int.box): _*))
+              .join(broadcast(pairsDf), Seq("centroid_id"))
+              .select(col("query_id"), col("chunk_id"), col("embedding_norm"))
+              .dropDuplicates("query_id", "chunk_id") // as single-path IVF
+            rerankBatch(cands)
+        }
+
+      case "pq" | "pq_trained" =>
+        val cb =
+          if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
+          else PqIndex.collectCodebooks(pqCodebooks(libId))
+        if (cb.isEmpty) flatBatch()
+        else {
+          val dtabDf = qnorms.map { case (qid, qn) =>
+            (qid, PqIndex.dtabFlat(qn, cb).toSeq)
+          }.toDF("query_id", "dtab")
+          val dists = restrict(pqCodes(libId))
+            .crossJoin(broadcast(dtabDf))
+            .select(col("query_id"), col("chunk_id"),
+              IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"))
+          // (dist asc, chunk_id asc) == (-dist desc, chunk_id asc)
+          val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
+          val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
+          rerankBatch(norms.join(broadcast(capped), Seq("chunk_id")))
+        }
+
+      case "ivfpq" | "ivfpq_trained" =>
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val cb =
+          if (cents.isEmpty || !store.exists("pq_codebooks"))
+            Array.empty[Array[Array[Float]]]
+          else PqIndex.collectCodebooks(pqCodebooks(libId))
+        if (cb.isEmpty) flatBatch()
+        else {
+          val c = cents.get
+          val pairs = probePairs(c, math.max(1, config.ivfNprobe))
+          val cids = pairs.map(_._2).distinct.toIndexedSeq
+          // cell centroid vectors (metadata-scale) for the per-(query,
+          // cell) residual ADC tables
+          val cvec: Map[Int, Array[Float]] = c
+            .filter(col("centroid_id").isin(cids.map(Int.box): _*))
+            .select(col("centroid_id"), col("vector")).collect()
+            .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+          val qnMap = qnorms.toMap
+          val probeDf = pairs.map { case (qid, cid) =>
+            (qid, cid, IvfPqIndex.dtabForCell(qnMap(qid), cvec(cid), cb).toSeq)
+          }.toSeq.toDF("query_id", "centroid_id", "dtab")
+          val dists = restrict(ivfpqCodes(libId))
+            .filter(col("centroid_id").isin(cids.map(Int.box): _*))
+            .join(broadcast(probeDf), Seq("centroid_id"))
+            .select(col("query_id"), col("chunk_id"),
+              IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), IvfPqIndex.Oversample * k)
+          // hydrate exact vectors for ONLY the capped candidates from the
+          // primary chunk store (the codes table stores no vectors)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(broadcast(capped), Seq("chunk_id"))
+          rerankBatch(hydrated)
+        }
+    }
+    batchTopKHydrate(scored, libChunks, k, filters)
+  }
+
+  private def emptyBatchHits(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(
+      StructField("query_id", LongType) +: emptyHits().schema.fields.toIndexedSeq))
   }
 
   /** Flat scoring: raw stored vectors (quirk Q1). */

@@ -189,29 +189,33 @@ object IvfPqIndex {
     * Returns the capped (distance asc, chunk_id asc) candidate ids ONLY —
     * the caller hydrates exact vectors from the primary store.
     */
-  def candidates(codesDf: DataFrame, topCents: Array[(Int, Array[Float])],
-      cb: Array[Array[Array[Float]]], qnorm: Array[Float], k: Int): DataFrame = {
-    val subspaces = cb.length
-    val subDim = cb(0)(0).length
-    val kw = cb(0).length
-    val dtabMap: Map[Int, Seq[Long]] = topCents.map { case (cid, cv) =>
-      // query residual vs THIS cell's centroid, float subtraction (the
-      // same arithmetic the encoded residuals used)
-      val qr = qnorm.zip(cv).map { case (a, b) => a - b }
-      val flat = (0 until subspaces).flatMap { m =>
-        val qs = qr.slice(m * subDim, (m + 1) * subDim)
-        val qq = dotD(qs, qs)
-        cb(m).map { c =>
-          val dist = qq + dotD(c, c) - 2.0 * dotD(qs, c)
-          math.floor(dist * 1000000.0 + 0.5).toLong
-        }
-      }
-      cid -> (flat: Seq[Long])
-    }.toMap
-    val contribs: Column = (0 until subspaces).map(m =>
+  /** The query's ADC table for ONE probed cell: residual vs the cell's
+    * centroid (float subtraction — the same arithmetic the encoded
+    * residuals used), then the flat m-major codeword distance table.
+    * Shared by the single-query `candidates` and the batched engine path.
+    */
+  def dtabForCell(qnorm: Array[Float], cvec: Array[Float],
+      cb: Array[Array[Array[Float]]]): Array[Long] =
+    PqIndex.dtabFlat(qnorm.zip(cvec).map { case (a, b) => a - b }, cb)
+
+  /** Per-candidate ADC distance: M lookups into the flat `dtab` column +
+    * long adds (codegen'd). Shared contribution expression for the single
+    * and batched probes.
+    */
+  def adcDistExpr(subspaces: Int, kw: Int): Column =
+    (0 until subspaces).map(m =>
       element_at(col("dtab"),
         lit(m * kw) + element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
+
+  def candidates(codesDf: DataFrame, topCents: Array[(Int, Array[Float])],
+      cb: Array[Array[Array[Float]]], qnorm: Array[Float], k: Int): DataFrame = {
+    val subspaces = cb.length
+    val kw = cb(0).length
+    val dtabMap: Map[Int, Seq[Long]] = topCents.map { case (cid, cv) =>
+      cid -> dtabForCell(qnorm, cv, cb).toIndexedSeq
+    }.toMap
+    val contribs: Column = adcDistExpr(subspaces, kw)
     codesDf
       .filter(col("centroid_id").isin(topCents.map(c => Int.box(c._1)).toIndexedSeq: _*))
       .select(col("chunk_id"), col("codes"),

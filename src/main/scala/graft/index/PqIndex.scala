@@ -164,7 +164,25 @@ object PqIndex {
     encodeWith(normalizedF(chunksDf), cb, libraryId)
   }
 
-  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+  /** The query's ADC distance table to EVERY codeword, flattened m-major
+    * (index = m*K + k), in integer micro-units — the one implementation
+    * both the single-query `candidates` and the batched engine path
+    * (`VectorEngine.searchBatchAnn`) ship to executors, so the two can
+    * never diverge arithmetically.
+    */
+  def dtabFlat(qnorm: Array[Float], cb: Array[Array[Array[Float]]]): Array[Long] = {
+    val subDim = cb(0)(0).length
+    cb.indices.iterator.flatMap { m =>
+      val qs = qnorm.slice(m * subDim, (m + 1) * subDim)
+      val qq = dotD(qs, qs)
+      cb(m).iterator.map { c =>
+        val dist = qq + dotD(c, c) - 2.0 * dotD(qs, c)
+        math.floor(dist * 1000000.0 + 0.5).toLong
+      }
+    }.toArray
+  }
+
+  private[index] def dotD(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
@@ -193,15 +211,8 @@ object PqIndex {
   def candidates(codesDf: DataFrame, cb: Array[Array[Array[Float]]],
       qnorm: Array[Float], k: Int): DataFrame = {
     val subspaces = cb.length
-    val subDim = cb(0)(0).length
-    val dtabU: Array[Array[Long]] = Array.tabulate(subspaces) { m =>
-      val qs = qnorm.slice(m * subDim, (m + 1) * subDim)
-      val qq = dotD(qs, qs)
-      cb(m).map { c =>
-        val dist = qq + dotD(c, c) - 2.0 * dotD(qs, c)
-        math.floor(dist * 1000000.0 + 0.5).toLong
-      }
-    }
+    val dtabU: Array[Array[Long]] =
+      dtabFlat(qnorm, cb).grouped(cb(0).length).toArray
     val contribs = (0 until subspaces).map(m =>
       element_at(typedLit(dtabU(m).toSeq),
         element_at(col("codes"), m + 1) + 1))

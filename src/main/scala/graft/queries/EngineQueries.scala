@@ -233,6 +233,27 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** BATCHED index-path search through the engine (VERDICT r4 #3):
+    * queries vec 0, 1, 2 against the shared ivfpq fixture in ONE
+    * distributed pass (`searchBatchAnn` — batched nprobe probe,
+    * per-(query, cell) ADC dtab join, k-bounded rerank). The md5-seed
+    * family is pure arithmetic for ANY query set, so the DuckDB oracle
+    * replays the batched pipeline per query and hash-checks all 30 hits.
+    */
+  private def engineIvfPqBatch(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    eng.searchBatchAnn(lib, qs, k = 10)
+      .select(col("query_id"),
+        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
     * first recall metric with a full DuckDB oracle: both the approximate
     * side (the whole ivfpq replay) and the exact side are SQL, so the
@@ -267,6 +288,7 @@ object EngineQueries {
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
     "x_engine_ivfpq_trained" -> (engineIvfPqTrained _),
+    "x_engine_ivfpq_batch"   -> (engineIvfPqBatch _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
@@ -387,16 +409,18 @@ object EngineQueries {
        |WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  // x_engine_ivfpq replay (shared by the hits entry and the recall
-  // metric): seed centroids (8 lowest md5, centroid_id in chunk_id order)
-  // -> argmax-dot assignment -> FLOAT residuals (REAL subtraction of the
-  // float-cast normalized vector and centroid) -> residual codebooks (16
-  // lowest-md5 residuals, codeword id in chunk_id order) -> argmin encode
-  // (dist asc, k asc) -> nprobe=2 cell prune -> per-cell query-residual
-  // ADC tables in integer micro-units -> cap 60 (dist asc, id asc) ->
-  // exact cosine rerank of the float-normalized vector vs the RAW query.
-  // Mirrors IvfPqIndex.build/encode/candidates + VectorEngine.search.
-  private val ivfpqCtes =
+  // x_engine_ivfpq replay (shared by the hits entry, the recall metric,
+  // and the BATCH entry): seed centroids (8 lowest md5, centroid_id in
+  // chunk_id order) -> argmax-dot assignment -> FLOAT residuals (REAL
+  // subtraction of the float-cast normalized vector and centroid) ->
+  // residual codebooks (16 lowest-md5 residuals, codeword id in chunk_id
+  // order) -> argmin encode (dist asc, k asc). The corpus part (e .. enc)
+  // is query-independent; the single-query tail adds nprobe=2 cell prune
+  // -> per-cell query-residual ADC tables in integer micro-units -> cap
+  // 60 (dist asc, id asc) -> exact cosine rerank of the float-normalized
+  // vector vs the RAW query. Mirrors IvfPqIndex.build/encode/candidates +
+  // VectorEngine.search.
+  private val ivfpqCorpusCtes =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
@@ -444,8 +468,10 @@ object EngineQueries {
       |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
       |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
       |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
-      |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1),
-      |qn AS (
+      |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1)""".stripMargin
+
+  private val ivfpqSingleQueryCtes =
+    """qn AS (
       |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
       |  FROM e WHERE vec_id = 0),
       |top_c AS (
@@ -472,6 +498,60 @@ object EngineQueries {
       |    ON enc.centroid_id = d.centroid_id AND enc.m = d.m AND enc.k = d.k
       |  GROUP BY enc.vec_id
       |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)""".stripMargin
+
+  private val ivfpqCtes = ivfpqCorpusCtes + ",\n" + ivfpqSingleQueryCtes
+
+  // Batched replay (x_engine_ivfpq_batch): the same corpus CTEs, with the
+  // probe/ADC/cap/rerank tail PARTITIONED BY query_id — the SQL mirror of
+  // VectorEngine.searchBatchAnn's one-pass batched pipeline for queries
+  // vec 0, 1, 2.
+  private val ivfpqBatchSql =
+    s"""WITH $ivfpqCorpusCtes,
+       |qn_b AS (
+       |  SELECT vec_id AS query_id,
+       |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+       |  FROM e WHERE vec_id IN (0, 1, 2)),
+       |top_c_b AS (
+       |  SELECT query_id, centroid_id, cvec FROM (
+       |    SELECT q.query_id, c.centroid_id, c.cvec,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_dot_product(c.cvec, q.v) DESC, c.centroid_id ASC) AS rn
+       |    FROM cents c, qn_b q) WHERE rn <= 2),
+       |qr_b AS (
+       |  SELECT t.query_id, t.centroid_id,
+       |         list(CAST(CAST(q.v[i.i] AS REAL) - CAST(t.cvec[i.i] AS REAL) AS DOUBLE)
+       |              ORDER BY i.i) AS qres
+       |  FROM top_c_b t JOIN qn_b q USING (query_id), range(1, 65) i(i)
+       |  GROUP BY t.query_id, t.centroid_id),
+       |dtab_b AS (
+       |  SELECT q2.query_id, q2.centroid_id, cb.m, cb.k,
+       |         CAST(floor((list_dot_product(list_slice(q2.qres, cb.m*8 + 1, cb.m*8 + 8),
+       |                                      list_slice(q2.qres, cb.m*8 + 1, cb.m*8 + 8))
+       |           + list_dot_product(cb.c, cb.c)
+       |           - 2 * list_dot_product(list_slice(q2.qres, cb.m*8 + 1, cb.m*8 + 8), cb.c))
+       |           * 1000000.0 + 0.5) AS BIGINT) AS du
+       |  FROM qr_b q2, cb),
+       |cand_b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY dist_u ASC, vec_id ASC) AS rn
+       |    FROM (
+       |      SELECT d.query_id, enc.vec_id, CAST(SUM(d.du) AS BIGINT) AS dist_u
+       |      FROM enc JOIN dtab_b d
+       |        ON enc.centroid_id = d.centroid_id AND enc.m = d.m AND enc.k = d.k
+       |      GROUP BY d.query_id, enc.vec_id))
+       |  WHERE rn <= 60)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} DESC,
+       |                    c.vec_id ASC) AS rn
+       |  FROM cand_b c JOIN vn v USING (vec_id)
+       |       JOIN e rq ON rq.vec_id = c.query_id)
+       |WHERE rn <= 10
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   private val ivfpqHitsSql =
     s"""WITH $ivfpqCtes
@@ -572,6 +652,7 @@ object EngineQueries {
          |FROM cand c JOIN vn v USING (vec_id)
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "x_engine_ivfpq" -> ivfpqHitsSql,
+    "x_engine_ivfpq_batch" -> ivfpqBatchSql,
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
     "x_ivfpq_recall" ->

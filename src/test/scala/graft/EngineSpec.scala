@@ -708,6 +708,59 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("searchBatchAnn: batched index-path search equals N single searches per family") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val chunksIn = (0 until 60).map(i =>
+      ChunkIn(s"t$i", Some(Array.fill(dim)(rnd.nextGaussian().toFloat)),
+        id = Some(f"c$i%03d"), author = Some(s"a${i % 3}")))
+    // 5 live queries + 1 zero vector (must yield no rows on index paths)
+    val qs: Seq[(Long, Array[Float])] =
+      (0L until 5L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat)) :+
+        (9L -> Array.fill(dim)(0f))
+    val configs = Seq(
+      IndexConfig("flat"),
+      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 3),
+      // high-H det config drives some queries under k candidates -> pad path
+      IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 12),
+      IndexConfig("ivf", ivfNumCentroids = 4, ivfNprobe = 2),
+      IndexConfig("ivf_det", ivfNumCentroids = 4, ivfNprobe = 2),
+      IndexConfig("pq", pqSubspaces = 2, pqCodewords = 8),
+      IndexConfig("ivfpq", ivfNumCentroids = 4, ivfNprobe = 2,
+        pqSubspaces = 2, pqCodewords = 8))
+    val eng = freshEngine()
+    for (cfg <- configs) {
+      val lib = eng.createLibrary("batch-" + cfg.indexType, dim, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, chunksIn)
+      if (cfg.indexType != "flat") eng.rebuildIndex(lib)
+      for (filters <- Seq(None, Some(SearchFilters(author = Some("a1"))))) {
+        val batch = eng.searchBatchAnn(lib, qs, k = 5, filters = filters)
+          .collect().groupBy(_.getLong(0))
+        qs.foreach { case (qid, q) =>
+          val single = eng.search(lib, q, k = 5, filters = filters).collect()
+            .map(r => (r.getString(0), r.getDouble(2))).toSeq
+          val fromBatch = batch.getOrElse(qid, Array.empty)
+            .map(r => (r.getString(1), r.getDouble(3))).toSeq
+          assert(fromBatch == single,
+            s"${cfg.indexType} query $qid (filters=${filters.isDefined}) diverged")
+        }
+      }
+      // preFilter deviation batched too
+      val pf = Some(SearchFilters(author = Some("a2")))
+      val preBatch = eng.searchBatchAnn(lib, qs, k = 3, filters = pf,
+        preFilter = true).collect().groupBy(_.getLong(0))
+      qs.foreach { case (qid, q) =>
+        val single = eng.search(lib, q, k = 3, filters = pf, preFilter = true)
+          .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+        val fromBatch = preBatch.getOrElse(qid, Array.empty)
+          .map(r => (r.getString(1), r.getDouble(3))).toSeq
+        assert(fromBatch == single,
+          s"${cfg.indexType} preFilter query $qid diverged")
+      }
+    }
+  }
+
   test("upsertChunks size guard points oversized batches at bulkIngest") {
     val eng = freshEngine()
     val lib = eng.createLibrary("big", 2)

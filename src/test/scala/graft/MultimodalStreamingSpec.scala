@@ -111,6 +111,37 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(trunc.length == 1)
   }
 
+  test("decodePixels: REAL javax.imageio decode of synthetic PNGs, exact channel sums") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = (0 until 8).map(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i)))
+    val out = Multimodal.decodePixels(media.toDS().repartition(3))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.size == 8)
+    for (i <- 0 until 8) {
+      val w = 8 + i % 5; val h = 6 + i % 3
+      // integrate the generator formula directly — PNG is lossless, so
+      // the decoded sums must be EXACTLY these
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (7 * x + 11 * y + i) % 256
+        sg += (3 * x + 5 * y + 2 * i) % 256
+        sb += (13 * x + 17 * y + 3 * i) % 256
+      }
+      val r = out(i.toLong)
+      assert(r.decoded, s"png $i must be ImageIO-decodable")
+      assert((r.width, r.height, r.channels) == ((w, h, 3)), s"png $i dims")
+      assert((r.sum_r, r.sum_g, r.sum_b) == ((sr, sg, sb)), s"png $i sums")
+    }
+    // unreadable payload: header/fake fallback, decoded = false, no throw
+    val fb = Multimodal.decodePixels(
+      Seq(Multimodal.MediaRow(99L, "application/octet-stream",
+        "not an image".getBytes)).toDS()).collect().head
+    assert(!fb.decoded && fb.sum_r == 0L)
+    assert(fb.width >= 1 && fb.width <= 1920)
+  }
+
   test("image meta extraction: deterministic, bounded, schema-typed") {
     val meta = Multimodal.extractImageMeta(mediaFromDocs)
     val rows = meta.select(col("media_id"), col("meta.width"),
