@@ -38,6 +38,11 @@ object PlanDump {
     "v_ann_pq",          // PQ encode+ADC score in one map-only projection
     "x_engine_pq",       // engine PQ family: ADC codes scan + rerank
     "q_approx_quantile", // histogram-sketch quantiles: ~1k-bin agg
+    // round 5 additions
+    "x_engine_ivfpq",       // IVFPQ: isin-pruned codes scan, ADC, bounded rerank
+    "x_engine_ivfpq_batch", // batched probe join + per-query top-k partial agg
+    "d_dup_clusters",       // CC final join (per-round plans run at build time)
+    "m_decode_px",          // mapPartitions ImageIO decode stage
   )
 
   def main(args: Array[String]): Unit = {

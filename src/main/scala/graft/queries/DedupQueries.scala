@@ -74,15 +74,71 @@ object DedupQueries {
     * table is materialized (localCheckpoint, UNSORTED — the pair join
     * doesn't need the bands query's presentation sort) before the
     * self-join so the signature computation runs once, not per join side.
+    * Shared by the pairs entry and the cluster-resolution entry.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bandsDf = bandRows(s, d).localCheckpoint()
     val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    candidatePairs(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Near-dup CLUSTER RESOLUTION — the step a real dedup pipeline runs
+    * AFTER pair generation: connected components over the candidate-pair
+    * graph, cluster id = min doc_id in the component, one canonical doc
+    * kept per cluster. Iterative min-label propagation: each round is one
+    * equi-join (neighbor labels) + one min-aggregation, lineage truncated
+    * per round; rounds = component diameter, which for near-dup graphs is
+    * tiny (dup clusters are near-cliques — the sf0.01 graph converges in
+    * 2 rounds). The 100 TB shape: no all-pairs, no driver-side graph, per
+    * round a bounded shuffle on doc_id — the standard iterative
+    * connected-components scheme (cf. large-star/small-star), with the
+    * DuckDB oracle replaying it as a recursive reachability CTE.
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    // propagate over PAIRED docs only — the overwhelming majority of a
+    // deduped corpus is singletons, which need no iteration and rejoin as
+    // cluster-of-self at the end; each round's shuffle is bounded by the
+    // (much smaller) dup-graph node count, not the corpus
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      // one fused round: min neighbor label, new label, and the
+      // did-anything-change flag all land in ONE materialized result —
+      // the convergence count is then a local scan of the checkpoint,
+      // not a second join job
+      val minN = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("label").as("nl"))
+        .groupBy(col("doc_id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(minN, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("doc_id"), col("label"))
+      rounds += 1
+    }
+    docs(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id").asc)
   }
 
   /** Per-doc 60-bit simhash. */
@@ -214,6 +270,7 @@ object DedupQueries {
     "d_exact"         -> (exact _),
     "d_minhash_bands" -> (minhashBands _),
     "d_minhash_pairs" -> (minhashPairs _),
+    "d_dup_clusters"  -> (dupClusters _),
     "d_simhash"       -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
     "d_jaccard_pairs" -> (jaccardPairs _),
@@ -271,6 +328,25 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // d_dup_clusters: connected components replayed as a recursive
+    // reachability CTE — every doc's cluster is the min doc_id whose
+    // label can reach it along the (undirected) candidate-pair edges.
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE bands AS ($bandRowsSql),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         |FROM lab ORDER BY doc_id ASC""".stripMargin,
     "d_simhash" ->
       s"$simhashSql SELECT doc_id, simhash FROM sh ORDER BY doc_id ASC",
     "d_simhash_pairs" ->

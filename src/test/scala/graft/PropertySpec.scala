@@ -147,6 +147,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("d_dup_clusters: a valid connected-components labeling of the pair graph") {
+    val d = "/root/testdata/sf0.01"
+    val labels = SparkEntry.queries("d_dup_clusters")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("d_minhash_pairs")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should produce dup pairs")
+    // fixpoint: no edge crosses clusters
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters") }
+    // labels are canonical: every cluster id is the min member, and the
+    // label is a member of its own cluster
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid label is not the min member")
+    }
+    // docs in no pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.foreach { case (doc, cid) =>
+      if (!paired.contains(doc)) assert(cid == doc, s"singleton $doc relabeled") }
+  }
+
   test("asofJoin rejects non-long-backed key/time types (ADVICE r2)") {
     import spark.implicits._
     val l = Seq(("a", 1L), ("b", 2L)).toDF("k", "t")
