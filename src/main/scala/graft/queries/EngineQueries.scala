@@ -240,18 +240,33 @@ object EngineQueries {
     * family is pure arithmetic for ANY query set, so the DuckDB oracle
     * replays the batched pipeline per query and hash-checks all 30 hits.
     */
-  private def engineIvfPqBatch(s: SparkSession, d: String): DataFrame = {
-    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
-      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
-    val qs = Tables.embeddings(s, d).filter(col("vec_id") < 3)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      .sortBy(_._1)
-    eng.searchBatchAnn(lib, qs, k = 10)
-      .select(col("query_id"),
+  private def batchHitsOut(hits: DataFrame): DataFrame =
+    hits.select(col("query_id"),
         expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
         rnd(col("score"), 6).as("score"))
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+
+  /** The batch entries' query set: vectors 0, 1, 2, query_id = vec_id. */
+  private def batchQueryVecs(s: SparkSession, d: String): Seq[(Long, Array[Float])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+
+  private def engineIvfPqBatch(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    batchHitsOut(eng.searchBatchAnn(lib, batchQueryVecs(s, d), k = 10))
+  }
+
+  /** Batched lsh_det search — second hash-checked family through
+    * `searchBatchAnn` (one probe-signature broadcast join for all
+    * queries, per-query multiplicity rank + cap).
+    */
+  private def engineLshDetBatch(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+    batchHitsOut(eng.searchBatchAnn(lib, batchQueryVecs(s, d), k = 10))
   }
 
   /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
@@ -289,6 +304,7 @@ object EngineQueries {
     "x_engine_ivfpq"         -> (engineIvfPq _),
     "x_engine_ivfpq_trained" -> (engineIvfPqTrained _),
     "x_engine_ivfpq_batch"   -> (engineIvfPqBatch _),
+    "x_engine_lshdet_batch"  -> (engineLshDetBatch _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
@@ -325,7 +341,7 @@ object EngineQueries {
   // float-normalized vector vs the RAW query (quirk Q1). Mirrors
   // LshIndex.makePlanesDet / buildBuckets / candidates and
   // VectorEngine.search step for step.
-  private val lshDetCtes =
+  private val lshDetCorpusCtes =
     """planes AS (
       |  SELECT t.t, p.p,
       |         list(CAST(CAST(CAST(CAST(('0x' || substr(md5('lshdet|' || CAST(t.t AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 * 2.0 - 1.0 AS REAL) AS DOUBLE) ORDER BY j.j) AS plane
@@ -344,8 +360,10 @@ object EngineQueries {
       |  FROM vn v, planes pl),
       |sigs AS (
       |  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig
-      |  FROM sigbits GROUP BY vec_id, t),
-      |qsig AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+      |  FROM sigbits GROUP BY vec_id, t)""".stripMargin
+
+  private val lshDetQueryCtes =
+    """qsig AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
       |probes AS (
       |  SELECT t, sig FROM qsig
       |  UNION ALL
@@ -356,6 +374,41 @@ object EngineQueries {
       |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
       |  GROUP BY s.vec_id
       |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
+
+  private val lshDetCtes = lshDetCorpusCtes + ",\n" + lshDetQueryCtes
+
+  // Batched lsh_det replay (x_engine_lshdet_batch): the same corpus CTEs
+  // with the signature probe / multiplicity rank / cap / rerank tail
+  // PARTITIONED BY query_id — the SQL mirror of searchBatchAnn's LSH
+  // branch for queries vec 0, 1, 2. (The <k pad never triggers at this
+  // L=4/H=4 config on the sf corpus: every query's multi-probe buckets
+  // hold far more than the 60-candidate cap.)
+  private val lshDetBatchSql =
+    s"""WITH $lshDetCorpusCtes,
+       |qsig_b AS (
+       |  SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id IN (0, 1, 2)),
+       |probes_b AS (
+       |  SELECT query_id, t, sig FROM qsig_b
+       |  UNION ALL
+       |  SELECT q.query_id, q.t, xor(q.sig, CAST(1 AS BIGINT) << h.p) AS sig
+       |  FROM qsig_b q, range(4) h(p)),
+       |cand_b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT pr.query_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY pr.query_id
+       |             ORDER BY count(*) DESC, s.vec_id ASC) AS rn
+       |    FROM sigs s JOIN probes_b pr ON s.t = pr.t AND s.sig = pr.sig
+       |    GROUP BY pr.query_id, s.vec_id) WHERE rn <= 60)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnorm, rq.emb)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnorm, rq.emb)", 6)} DESC,
+       |                    c.vec_id ASC) AS rn
+       |  FROM cand_b c JOIN vn v USING (vec_id)
+       |       JOIN e rq ON rq.vec_id = c.query_id)
+       |WHERE rn <= 10
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   private val lshDetHitsSelect =
     s"""SELECT c.vec_id,
@@ -653,6 +706,7 @@ object EngineQueries {
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "x_engine_ivfpq" -> ivfpqHitsSql,
     "x_engine_ivfpq_batch" -> ivfpqBatchSql,
+    "x_engine_lshdet_batch" -> lshDetBatchSql,
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
     "x_ivfpq_recall" ->
