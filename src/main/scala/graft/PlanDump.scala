@@ -43,6 +43,7 @@ object PlanDump {
     "x_engine_ivfpq_batch", // batched probe join + per-query top-k partial agg
     "d_dup_clusters",       // CC final join (per-round plans run at build time)
     "m_decode_px",          // mapPartitions ImageIO decode stage
+    "x_engine_ivfpq_annjoin", // DF-scale batch: codebook-literal ADC, no driver tables
   )
 
   def main(args: Array[String]): Unit = {

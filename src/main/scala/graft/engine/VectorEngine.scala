@@ -1301,6 +1301,164 @@ final class VectorEngine(
       StructField("query_id", LongType) +: emptyHits().schema.fields.toIndexedSeq))
   }
 
+  /** ANN TOP-K SIMILARITY JOIN — queries as a DATAFRAME. `searchBatchAnn`
+    * takes a driver-side Seq, which caps the batch at driver memory; the
+    * pipeline shape a 100 TB training-data run actually executes is
+    * millions of query vectors x an indexed corpus, and that query set
+    * must itself be distributed. Input: (query_id: long, qvec:
+    * array<float>); output: the batch hit shape. NOTHING query-dependent
+    * ever lands on the driver:
+    *
+    *   - flat: corpus x queries cross-score (exact — inherently the
+    *     cartesian), per-query k-bounded partial top-k;
+    *   - ivf: broadcast-centroid probe join -> per-query top-nprobe
+    *     partial agg -> postings equi-join on centroid_id;
+    *   - ivfpq: probe join as ivf, query residuals + self-dot arrays
+    *     computed as expressions, and the ADC distance evaluated
+    *     per-candidate against the CODEBOOK LITERAL
+    *     (IvfPqIndex.adcDistFromCodebookExpr) — the per-(query, cell)
+    *     distance tables searchBatchAnn builds driver-side are never
+    *     materialized; same micro-unit floor convention, so ranks (and
+    *     the spec-asserted results) are bit-identical.
+    *
+    * lsh/pq route through `searchBatchAnn` (driver-bounded batches — the
+    * per-query signature/dtab generation is driver-side there by design).
+    * Rows whose qvec dimension mismatches the library and zero-vector
+    * queries contribute no rows (normalize -> null), matching single
+    * `search` semantics. Post-filters per quirk Q5.
+    */
+  def annJoin(libId: String, queries: DataFrame, k: Int,
+      metric: String = "cosine", filters: Option[SearchFilters] = None): DataFrame = {
+    val (dim, config, _) = getLibrary(libId)
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    import spark.implicits._
+
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val effType = effectiveIndexType(libId, config)
+
+    val q = queries.select(col("query_id").cast("long").as("query_id"),
+        col("qvec"))
+      .filter(size(col("qvec")) === dim)
+    // float-normalized queries (zero vectors -> null -> dropped), the
+    // same arithmetic as LshIndex.normalizeDriver
+    val qn = q.select(col("query_id"),
+        transform(l2Normalize(col("qvec")), _.cast("float")).as("qnorm"))
+      .filter(col("qnorm").isNotNull)
+
+    def rerank(cands: DataFrame): DataFrame =
+      cands.join(q, Seq("query_id"))
+        .select(col("query_id"), col("chunk_id"),
+          similarity(metric)(col("embedding_norm"), col("qvec")).as("score"))
+
+    def capPerQuery(cands: DataFrame, scoreCol: Column, cap: Int): DataFrame =
+      cands.select(col("query_id"), col("chunk_id"), scoreCol.cast("double"))
+        .as[(Long, String, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.TopKAggregator.topKStr(cap).toColumn)
+        .flatMap { case (qid, hs) => hs.map(h => (qid, h._2)) }
+        .toDF("query_id", "chunk_id")
+
+    // broadcast-centroid probe: per-query top-nprobe via the k-bounded
+    // partial agg — (cscore desc, centroid_id asc), the single-path order
+    def probePairs(cents: DataFrame): DataFrame =
+      qn.crossJoin(broadcast(cents.select(col("centroid_id"), col("vector"))))
+        .select(col("query_id"), col("centroid_id").cast("long"),
+          dotProduct(col("vector"), col("qnorm")).as("cscore"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.TopKAggregator.topK(
+          math.max(1, config.ivfNprobe)).toColumn)
+        .flatMap { case (qid, cs) => cs.map(c => (qid, c._2.toInt)) }
+        .toDF("query_id", "centroid_id")
+
+    val scored: DataFrame = effType match {
+      case "flat" =>
+        libChunks.filter(col("embedding").isNotNull)
+          .crossJoin(q)
+          .select(col("query_id"), col("id").as("chunk_id"),
+            similarity(metric)(col("embedding"), col("qvec")).as("score"))
+
+      case "ivf" | "ivf_det" =>
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        cents match {
+          case None =>
+            libChunks.filter(col("embedding").isNotNull)
+              .crossJoin(q)
+              .select(col("query_id"), col("id").as("chunk_id"),
+                similarity(metric)(col("embedding"), col("qvec")).as("score"))
+          case Some(c) =>
+            val cands = ivfPostings(libId)
+              .join(probePairs(c), Seq("centroid_id"))
+              .select(col("query_id"), col("chunk_id"), col("embedding_norm"))
+              .dropDuplicates("query_id", "chunk_id")
+            rerank(cands)
+        }
+
+      case "ivfpq" | "ivfpq_trained" =>
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val cb =
+          if (cents.isEmpty || !store.exists("pq_codebooks"))
+            Array.empty[Array[Array[Float]]]
+          else PqIndex.collectCodebooks(pqCodebooks(libId))
+        if (cb.isEmpty)
+          libChunks.filter(col("embedding").isNotNull)
+            .crossJoin(q)
+            .select(col("query_id"), col("id").as("chunk_id"),
+              similarity(metric)(col("embedding"), col("qvec")).as("score"))
+        else {
+          val c = cents.get
+          val subDim = cb(0)(0).length
+          // residual + self-dot array per probe pair, as EXPRESSIONS —
+          // float subtraction and sequential double dots, the dtab
+          // arithmetic verbatim
+          val pairsFull = probePairs(c)
+            .join(broadcast(c.select(col("centroid_id"), col("vector"))),
+              Seq("centroid_id"))
+            .join(qn, Seq("query_id"))
+            .select(col("query_id"), col("centroid_id"),
+              zip_with(col("qnorm"), col("vector"), (a, b) => a - b).as("qres"))
+            .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
+          val dists = ivfpqCodes(libId)
+            .join(pairsFull, Seq("centroid_id"))
+            .select(col("query_id"), col("chunk_id"),
+              IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), IvfPqIndex.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(capped, Seq("chunk_id"))
+          rerank(hydrated)
+        }
+
+      case other =>
+        throw new ValidationError(
+          s"annJoin supports flat/ivf/ivfpq libraries; '$other' batches " +
+            "route through searchBatchAnn")
+    }
+
+    // per-query top-k partial agg, then a NON-broadcast hydration join —
+    // the top-k side is N x k rows, which at DataFrame-scale N must not
+    // be forced into every executor's memory (AQE picks the strategy)
+    val topk = scored.as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topKStr(k).toColumn)
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h._2, h._1)) }
+      .toDF("query_id", "chunk_id", "score")
+    val hydrated = topk
+      .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+    applyPost(hydrated, filters)
+      .select(col("query_id"), col("chunk_id"), col("document_id"),
+        col("score"), col("text"), col("position"), col("metadata"),
+        col("created_at"), col("updated_at"))
+      .orderBy(col("query_id").asc, col("score").desc, col("chunk_id").asc)
+  }
+
   /** Flat scoring: raw stored vectors (quirk Q1). */
   private def flatScore(libChunks: DataFrame, query: Array[Float],
       metric: String): DataFrame =

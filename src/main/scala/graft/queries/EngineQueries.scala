@@ -259,6 +259,22 @@ object EngineQueries {
     batchHitsOut(eng.searchBatchAnn(lib, batchQueryVecs(s, d), k = 10))
   }
 
+  /** DataFrame-scale batch through the IVFPQ index: the query set comes
+    * straight from the embeddings TABLE (never collected — `annJoin`
+    * probes, computes residual ADC against the codebook literal, and
+    * reranks entirely on executors). Same query set and semantics as
+    * `x_engine_ivfpq_batch`, so the same DuckDB replay hash-checks a
+    * completely different execution path (driver dtab join vs
+    * distributed codebook-literal ADC).
+    */
+  private def engineIvfPqAnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** Batched lsh_det search — second hash-checked family through
     * `searchBatchAnn` (one probe-signature broadcast join for all
     * queries, per-query multiplicity rank + cap).
@@ -305,6 +321,7 @@ object EngineQueries {
     "x_engine_ivfpq_trained" -> (engineIvfPqTrained _),
     "x_engine_ivfpq_batch"   -> (engineIvfPqBatch _),
     "x_engine_lshdet_batch"  -> (engineLshDetBatch _),
+    "x_engine_ivfpq_annjoin" -> (engineIvfPqAnnJoin _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
@@ -707,6 +724,9 @@ object EngineQueries {
     "x_engine_ivfpq" -> ivfpqHitsSql,
     "x_engine_ivfpq_batch" -> ivfpqBatchSql,
     "x_engine_lshdet_batch" -> lshDetBatchSql,
+    // same replay as the Seq-batch entry: annJoin must land on identical
+    // hits through its distributed-ADC path
+    "x_engine_ivfpq_annjoin" -> ivfpqBatchSql,
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
     "x_ivfpq_recall" ->

@@ -761,6 +761,49 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("annJoin: DataFrame-scale batch equals searchBatchAnn on flat/ivf/ivfpq") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val chunksIn = (0 until 60).map(i =>
+      ChunkIn(s"t$i", Some(Array.fill(dim)(rnd.nextGaussian().toFloat)),
+        id = Some(f"c$i%03d"), author = Some(s"a${i % 3}")))
+    val qs: Seq[(Long, Array[Float])] =
+      (0L until 4L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat)) :+
+        (9L -> Array.fill(dim)(0f))
+    val eng = freshEngine()
+    for (cfg <- Seq(
+        IndexConfig("flat"),
+        IndexConfig("ivf_det", ivfNumCentroids = 4, ivfNprobe = 2),
+        IndexConfig("ivfpq", ivfNumCentroids = 4, ivfNprobe = 2,
+          pqSubspaces = 2, pqCodewords = 8))) {
+      val lib = eng.createLibrary("aj-" + cfg.indexType, dim, cfg)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, chunksIn)
+      if (cfg.indexType != "flat") eng.rebuildIndex(lib)
+      val qDf = qs.map { case (qid, v) => (qid, v.toSeq) }.toDF("query_id", "qvec")
+      val filters = Some(SearchFilters(author = Some("a0")))
+      val viaDf = eng.annJoin(lib, qDf, k = 5, filters = filters)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+      val viaSeq = eng.searchBatchAnn(lib, qs, k = 5, filters = filters)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+      assert(viaDf == viaSeq, s"${cfg.indexType}: annJoin diverged from searchBatchAnn")
+      assert(viaDf.nonEmpty, s"${cfg.indexType}: fixture should produce hits")
+      // dim-mismatched rows are dropped, not scored
+      val bad = Seq((7L, Seq(1f, 2f))).toDF("query_id", "qvec")
+      assert(eng.annJoin(lib, bad, k = 3).collect().isEmpty)
+    }
+    // lsh/pq route through searchBatchAnn
+    val lshLib = eng.createLibrary("aj-lsh", dim,
+      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 3))
+    val lshDoc = eng.createDocument(lshLib)
+    eng.upsertChunks(lshLib, lshDoc, chunksIn.take(5))
+    eng.rebuildIndex(lshLib)
+    intercept[ValidationError] {
+      eng.annJoin(lshLib, Seq((0L, Seq.fill(dim)(1f))).toDF("query_id", "qvec"), 3)
+    }
+  }
+
   test("upsertChunks size guard points oversized batches at bulkIngest") {
     val eng = freshEngine()
     val lib = eng.createLibrary("big", 2)
