@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import graft.queries.Det.{rnd, rndSql}
+
 /** Source/sink coverage beyond parquet (SURVEY §2.1 S5/S6): CSV and JSON
   * round-trips with explicit schemas (the engine never schema-infers,
   * §1.4), and a REAL Structured Streaming query — file source ->
@@ -215,6 +217,58 @@ object SourceQueries {
       .orderBy(col("event_id").asc, col("click_ts").asc)
   }
 
+  /** STREAMING kNN — micro-batch "online" vector search: the QUERY
+    * vectors arrive as a STREAM (embeddings file replayed through the
+    * file source) and are answered against the static corpus by a
+    * stream-static broadcast join plus the k-bounded TopK AGGREGATOR as a
+    * STREAMING stateful aggregation — the fifth stateful family (custom
+    * typed Aggregator state), and the Spark-native counterpoint to the
+    * survey's serving thesis: not request/response, but bounded-latency
+    * micro-batches answered with the exact kernels the batch path uses.
+    * At scale the static side stays partitioned and the stream side is
+    * map-joined against it; the per-query state is k rows by
+    * construction. The oracle recomputes every answer in batch SQL, so a
+    * dropped, duplicated, or mis-ranked query fails the hash.
+    */
+  private def streamKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val qStream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        lit(1).as("k1"))
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lit(1).as("k1"))
+    val scored = qStream.join(broadcast(corpus), Seq("k1"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), col("qvec")).as("score"))
+    val topk = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(5).toColumn)
+      .toDF("query_id", "hits")
+    withStreamStateParallelism(s) {
+      val q = topk.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("graft_stream_knn")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_knn")
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("vec_id"), rnd(col("col._1"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Bucketed co-located join: both fact tables written bucketed by the
     * join key (8 buckets), then joined WITHOUT any Exchange — the
     * pre-shuffle technique that amortizes one shuffle at write time
@@ -285,10 +339,26 @@ object SourceQueries {
     "e_stream_sessions" -> (streamSessions _),
     "e_stream_dedup"   -> (streamDedup _),
     "e_stream_join"    -> (streamStreamJoin _),
+    "e_stream_knn"     -> (streamKnn _),
     "q_bucketed_join"  -> (bucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    // e_stream_knn: every streamed query's top-5 recomputed in batch SQL
+    // (rank by raw cosine, ties by vec_id — the aggregator's order)
+    "e_stream_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 25),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         list_cosine_similarity(e.emb, q.qv) AS raw,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY list_cosine_similarity(e.emb, q.qv) DESC, e.vec_id ASC) AS rank
+         |  FROM e, q)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+         |       ${rndSql("raw", 6)} AS score
+         |FROM scored WHERE rank <= 5
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "e_stream_join" ->
       """SELECT p.event_id, c.ts AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

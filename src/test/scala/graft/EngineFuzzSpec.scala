@@ -107,6 +107,15 @@ class EngineFuzzSpec extends AnyFunSuite {
           got.zip(expected).foreach { case ((_, gs), (_, es)) =>
             assert(math.abs(gs - es) < 1e-9, s"step $step: score diverged")
           }
+          // periodically: the BATCH path must give the model's answer
+          // under the same churn (same filters, same top-k contract)
+          if (step % 40 == 8) {
+            val viaBatch = eng.searchBatchAnn(lib, Seq(0L -> q), k,
+                filters = author.map(a => SearchFilters(author = Some(a))))
+              .collect().map(r => (r.getString(1), r.getDouble(3)))
+            assert(viaBatch.map(_._1).toSeq == expected.map(_._1),
+              s"step $step: batch ids diverged (k=$k author=$author)")
+          }
       }
       step += 1
     }
