@@ -67,8 +67,21 @@ object DedupQueries {
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
   }
 
+  /** ONE materialized band table per (session, dataset): three entries
+    * (bands, pairs, clusters) consume the identical signature
+    * computation — the shingle+minhash scan is the dominant cost, so it
+    * runs once and the checkpoint is shared (the engineFixture
+    * precedent; all consumers are read-only).
+    */
+  private val bandsCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def bandRowsCkpt(s: SparkSession, d: String): DataFrame =
+    bandsCache.synchronized {
+      bandsCache.getOrElseUpdate((s, d), bandRows(s, d).localCheckpoint())
+    }
+
   private def minhashBands(s: SparkSession, d: String): DataFrame =
-    bandRows(s, d).orderBy(col("doc_id").asc, col("band_id").asc)
+    bandRowsCkpt(s, d).orderBy(col("doc_id").asc, col("band_id").asc)
 
   /** MinHash-LSH candidate pairs: docs sharing any band bucket. The band
     * table is materialized (localCheckpoint, UNSORTED — the pair join
@@ -77,7 +90,7 @@ object DedupQueries {
     * Shared by the pairs entry and the cluster-resolution entry.
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bandsDf = bandRows(s, d).localCheckpoint()
+    val bandsDf = bandRowsCkpt(s, d)
     val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))
