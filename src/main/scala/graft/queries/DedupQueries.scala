@@ -255,6 +255,34 @@ object DedupQueries {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsImpl(s, d, None)
 
+  /** BENCHMARK DECONTAMINATION — the eval-hygiene step every serious
+    * training-data pipeline runs: a train doc is contaminated if it
+    * shares any word-5-gram with a benchmark document (doc_id < 20 plays
+    * the benchmark suite here; production uses 8-13-grams over real eval
+    * sets). Scale shape: the BENCHMARK gram set is tiny relative to a
+    * 100 TB corpus — distinct grams broadcast, the corpus side is one
+    * exploded-gram scan map-side-joined against them; the corpus is
+    * never shuffled and non-matching grams die in the probe.
+    */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("tk"), 5))).as("g"))
+    val bench = grams.filter(col("doc_id") < 20)
+      .select(col("g"), col("doc_id").as("bench_id")).distinct()
+    val hits = grams.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).cast("long").as("n_bench_docs"))
+    docs(s, d).filter(col("doc_id") >= 20).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"))
+      .withColumn("contaminated", col("n_bench_docs") > 0)
+      .orderBy(col("doc_id").asc)
+  }
+
   /** STRATIFIED deterministic sampling — the data-MIXING primitive of
     * training-corpus assembly: each language stratum gets its own keep
     * rate (dominant downsampled, rare kept), rates joined in as a tiny
@@ -288,6 +316,7 @@ object DedupQueries {
     "d_simhash_pairs" -> (simhashPairs _),
     "d_jaccard_pairs" -> (jaccardPairs _),
     "d_stratified_sample" -> (stratifiedSample _),
+    "d_contamination" -> (contamination _),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -378,6 +407,25 @@ object DedupQueries {
         |                       < coalesce(r.keep_pct, 10) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d LEFT JOIN rates r ON d.lang = r.lang
         |GROUP BY d.lang ORDER BY d.lang ASC""".stripMargin,
+    // d_contamination: the 5-gram overlap recomputed with the token list
+    // bound once in a CTE (the same O(tokens) binding discipline as the
+    // Spark side)
+    "d_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           generate_series(1, greatest(len(tk) - 4, 0)),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+         |  FROM tk),
+         |bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM g WHERE doc_id < 20),
+         |hits AS (
+         |  SELECT t.doc_id, CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |  FROM g t JOIN bench b USING (g) WHERE t.doc_id >= 20 GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+         |       coalesce(h.n_bench_docs, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id >= 20 ORDER BY d.doc_id ASC""".stripMargin,
     "d_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |  list_distinct(list_transform($toksSql,
