@@ -180,8 +180,42 @@ object MiscQueries {
       .orderBy(col("token_id").asc)
   }
 
+  /** VOCABULARY APPLY — the encode half of the tokenizer pair (t_vocab
+    * builds the id table, this maps the corpus through it): every doc's
+    * tokens become dense ids, OOV tokens drop, ORDER PRESERVED. The
+    * vocab is broadcast (top-1000 by construction); token order is
+    * restored by sorting (position, id) structs INSIDE the per-doc
+    * aggregation — a map-side-joined scan plus one groupBy on doc_id,
+    * never a corpus-wide window. Output is fingerprinted (md5 of the
+    * comma-joined id sequence) so the oracle hash-checks the exact
+    * per-doc id ORDER, not just counts.
+    */
+  private def tokenIds(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val v = vocab(s, d).select(col("token"), col("token_id"))
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+    val ids = pos.join(broadcast(v), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("token_id"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        transform(col("ps"), p => p.getField("token_id")).as("ids"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(ids, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<int>")).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_ids"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_frame_sample"   -> (frameSample _),
+    "t_token_ids"      -> (tokenIds _),
     "t_token_freq"     -> (tokenFreqSalted _),
     "t_vocab"          -> (vocab _),
     "s_point_lookup"   -> (pointLookup _),
@@ -271,6 +305,34 @@ object MiscQueries {
         |       CAST(CAST('0x' || substr(md5(text), 13, 2) AS BIGINT) % 3 + 1 AS INTEGER) AS channels,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id ASC""".stripMargin,
+    // t_token_ids: the vocab-apply replay — same top-1000 vocab CTE as
+    // t_vocab, per-token subscripts via unnest(generate_series), ids
+    // reassembled in position order and fingerprinted
+    "t_token_ids" ->
+      """WITH tf AS (
+        |  SELECT t AS token, count(*) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY t ORDER BY cnt DESC, token ASC LIMIT 1000),
+        |v AS (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS token_id, token
+        |  FROM tf),
+        |tok AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |enc AS (
+        |  SELECT tok.doc_id, tok.i, v.token_id
+        |  FROM tok JOIN v ON v.token = tok.tk[tok.i]),
+        |ids AS (
+        |  SELECT doc_id, list(token_id ORDER BY i ASC) AS ids
+        |  FROM enc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(len(i.ids), 0) AS INTEGER) AS n_ids,
+        |       md5(CASE WHEN i.ids IS NULL THEN ''
+        |                ELSE array_to_string(i.ids, ',') END) AS ids_md5
+        |FROM documents d LEFT JOIN ids i USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
     // m_decode_px: the synthetic-PNG pixel formula integrated in SQL —
     // matches only if the Spark side REALLY decoded the PNG pixels.
     "m_decode_px" ->
