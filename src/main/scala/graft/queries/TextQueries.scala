@@ -97,6 +97,41 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** REPETITION FILTER — the Gopher-rules-style repetition heuristics of
+    * corpus curation: fraction of the doc taken by its most frequent
+    * token and by its most frequent 2-gram; docs past the thresholds are
+    * dropped. Two bounded shuffles keyed by (doc_id, term) — per-doc
+    * mode-finding as aggregation, never a per-doc sort or window over
+    * the corpus.
+    */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    def modeStats(terms: DataFrame, nCol: String, maxCol: String): DataFrame =
+      terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as(nCol),
+          max(col("c")).cast("long").as(maxCol))
+    val tokStats = modeStats(
+      docs(s, d).select(col("doc_id"), explode(toks).as("term")),
+      "n_tokens", "max_tok")
+    val bgStats = modeStats(
+      docs(s, d).select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("term")),
+      "n_bigrams", "max_bg")
+    docs(s, d).select(col("doc_id"))
+      .join(tokStats, Seq("doc_id"), "left_outer")
+      .join(bgStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        rnd(coalesce(col("max_tok").cast("double") / col("n_tokens"), lit(0.0)), 6)
+          .as("top_token_frac"),
+        rnd(coalesce(col("max_bg").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        col("top_token_frac") <= 0.2 && col("top_bigram_frac") <= 0.18)
+      .orderBy(col("doc_id").asc)
+  }
+
   /** SEQUENCE PACKING — the pretraining batch-assembly primitive:
     * concatenate the corpus in doc_id order and cut it into fixed
     * context-window sequences; each doc reports the sequence its first
@@ -155,6 +190,7 @@ object TextQueries {
     "t_langid"      -> (langId _),
     "t_fingerprint" -> (fingerprintDups _),
     "t_pack_sequences" -> (packSequences _),
+    "t_repetition"     -> (repetition _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -210,6 +246,35 @@ object TextQueries {
     "m_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    // t_repetition: per-doc token/bigram mode fractions; keep compares
+    // the ROUNDED fractions (as the Spark side does)
+    "t_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tokc AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(MAX(c) AS BIGINT) AS max_tok FROM (
+         |    SELECT doc_id, t, count(*) AS c FROM (
+         |      SELECT doc_id, unnest(tk) AS t FROM tk) GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |bgc AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |         CAST(MAX(c) AS BIGINT) AS max_bg FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM (
+         |      SELECT doc_id,
+         |             unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |               i -> tk[i] || ' ' || tk[i+1])) AS g
+         |      FROM tk) GROUP BY doc_id, g)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
+         |       top_token_frac <= 0.2 AND top_bigram_frac <= 0.18 AS keep
+         |FROM (
+         |  SELECT d.doc_id,
+         |         coalesce(t.n_tokens, 0) AS n_tokens,
+         |         ${rndSql("coalesce(CAST(t.max_tok AS DOUBLE) / t.n_tokens, 0.0)", 6)} AS top_token_frac,
+         |         ${rndSql("coalesce(CAST(b.max_bg AS DOUBLE) / b.n_bigrams, 0.0)", 6)} AS top_bigram_frac
+         |  FROM documents d LEFT JOIN tokc t USING (doc_id)
+         |       LEFT JOIN bgc b USING (doc_id))
+         |ORDER BY doc_id ASC""".stripMargin,
     // t_pack_sequences: the same concat-and-cut packing as one running
     // window — the oracle can afford the global cumsum the Spark side
     // deliberately decomposes into the two-phase distributed prefix sum.
