@@ -135,6 +135,92 @@ class EngineFuzzSpec extends AnyFunSuite {
     * against the same kind of driver-side model. Chunk id spaces are
     * disjoint per document so id -> document is unambiguous in the model.
     */
+  /** Quirk-Q1 scoring for the indexed families: float-normalized stored
+    * vector x RAW query — the model-side mirror of the engine's rerank.
+    */
+  private def cosQ1(v: Array[Float], q: Array[Float]): Double = {
+    val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    cos(v.map(x => (x / n).toFloat), q)
+  }
+
+  /** Third walk: an IVFPQ library under churn with a FULL-COVERAGE
+    * config — every cell probed (nprobe = numCentroids), candidate cap
+    * (6k) >= the 30-id space, codewords >= the corpus — so the
+    * approximate machinery has no room to drop a true neighbor: the
+    * incremental encode on upsert, the anti-join removal on delete, and
+    * mid-churn rebuilds must keep `search` EXACTLY equal to the model's
+    * quirk-Q1 top-k at every step.
+    */
+  test("150 random verbs against an IVFPQ library: incremental maintenance stays exact (seed 13)") {
+    val rnd = new Random(13)
+    val dim = 4
+    val eng = new VectorEngine(spark,
+      Files.createTempDirectory("graft-fuzz3").toString, fixedClock)
+    val lib = eng.createLibrary("fuzzPq", dim, IndexConfig("ivfpq",
+      ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 64))
+    val docs3 = (0 until 2).map(i => eng.createDocument(lib, id = Some(s"doc$i")))
+    val model = mutable.LinkedHashMap.empty[String, MChunk]
+
+    def randVec(): Option[Array[Float]] =
+      if (rnd.nextInt(6) == 0) None
+      else Some(Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f))
+    def putModel(doc: String, batch: Seq[ChunkIn]): Unit = {
+      val collapsed = mutable.LinkedHashMap.empty[String, ChunkIn]
+      batch.foreach(c => collapsed.put(c.id.get, c))
+      collapsed.foreach { case (id, c) =>
+        val prev = model.get(id)
+        model(id) = MChunk(id, doc, c.text, c.embedding, c.author,
+          prev.map(_.version + 1).getOrElse(1L))
+      }
+    }
+
+    // seed + first build so every later search takes the ivfpq path
+    val seed = (0 until 12).map { _ =>
+      val id = s"c${rnd.nextInt(30)}"
+      ChunkIn(s"seed-$id", randVec(), id = Some(id))
+    }
+    eng.upsertChunks(lib, docs3(0), seed)
+    putModel(docs3(0), seed)
+    eng.rebuildIndex(lib)
+
+    var step = 0
+    while (step < 150) {
+      rnd.nextInt(10) match {
+        case n if n <= 4 => // upsert 1-3 (insert, update, or both)
+          val doc = docs3(rnd.nextInt(docs3.length))
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = s"c${rnd.nextInt(30)}"
+            ChunkIn(s"text-$step-$id", randVec(), id = Some(id))
+          }
+          eng.upsertChunks(lib, doc, batch)
+          putModel(doc, batch)
+        case 5 => // silent delete
+          val id = s"c${rnd.nextInt(30)}"
+          eng.deleteChunk(lib, id)
+          model.remove(id)
+        case 6 => // mid-churn rebuild (fresh cells + codebooks)
+          eng.rebuildIndex(lib)
+        case _ => // search must equal the model's Q1 top-k exactly
+          val q = Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f)
+          if (!q.forall(_ == 0f)) {
+            val k = 5 + rnd.nextInt(2) // cap 6k >= 30-id space
+            val got = eng.search(lib, q, k).collect()
+              .map(r => (r.getString(0), r.getDouble(2)))
+            val expected = model.values.toSeq
+              .filter(_.emb.exists(_.exists(_ != 0f)))
+              .map(c => (c.id, cosQ1(c.emb.get, q)))
+              .sortBy { case (id, s) => (-s, id) }.take(k)
+            assert(got.map(_._1).toSeq == expected.map(_._1),
+              s"step $step: ivfpq ids diverged (k=$k)")
+            got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+              assert(math.abs(gs - es) < 1e-9, s"step $step: score diverged")
+            }
+          }
+      }
+      step += 1
+    }
+  }
+
   test("200 random verbs across two libraries: moves and library deletes (seed 7)") {
     val rnd = new Random(7)
     val dim = 4
