@@ -275,6 +275,19 @@ object EngineQueries {
     batchHitsOut(eng.annJoin(lib, qDf, k = 10))
   }
 
+  /** The 100-query annJoin: same machinery as `x_engine_ivfpq_annjoin`
+    * at 33x the query count — the bench pair quantifies how the one-pass
+    * design amortizes per-query cost (BASELINE.md records the ratio),
+    * and every one of the ~1000 hits stays hash-checked.
+    */
+  private def engineIvfPqAnnJoin100(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** Batched lsh_det search — second hash-checked family through
     * `searchBatchAnn` (one probe-signature broadcast join for all
     * queries, per-query multiplicity rank + cap).
@@ -322,6 +335,7 @@ object EngineQueries {
     "x_engine_ivfpq_batch"   -> (engineIvfPqBatch _),
     "x_engine_lshdet_batch"  -> (engineLshDetBatch _),
     "x_engine_ivfpq_annjoin" -> (engineIvfPqAnnJoin _),
+    "x_engine_ivfpq_annjoin100" -> (engineIvfPqAnnJoin100 _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
@@ -575,12 +589,14 @@ object EngineQueries {
   // probe/ADC/cap/rerank tail PARTITIONED BY query_id — the SQL mirror of
   // VectorEngine.searchBatchAnn's one-pass batched pipeline for queries
   // vec 0, 1, 2.
-  private val ivfpqBatchSql =
+  private val ivfpqBatchSql = ivfpqBatchSqlFor(3)
+
+  private def ivfpqBatchSqlFor(nQueries: Int): String =
     s"""WITH $ivfpqCorpusCtes,
        |qn_b AS (
        |  SELECT vec_id AS query_id,
        |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
-       |  FROM e WHERE vec_id IN (0, 1, 2)),
+       |  FROM e WHERE vec_id < $nQueries),
        |top_c_b AS (
        |  SELECT query_id, centroid_id, cvec FROM (
        |    SELECT q.query_id, c.centroid_id, c.cvec,
@@ -727,6 +743,7 @@ object EngineQueries {
     // same replay as the Seq-batch entry: annJoin must land on identical
     // hits through its distributed-ADC path
     "x_engine_ivfpq_annjoin" -> ivfpqBatchSql,
+    "x_engine_ivfpq_annjoin100" -> ivfpqBatchSqlFor(100),
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
     "x_ivfpq_recall" ->
