@@ -44,6 +44,10 @@ object PlanDump {
     "d_dup_clusters",       // CC final join (per-round plans run at build time)
     "m_decode_px",          // mapPartitions ImageIO decode stage
     "x_engine_ivfpq_annjoin", // DF-scale batch: codebook-literal ADC, no driver tables
+    "d_contamination",      // broadcast benchmark grams, map-side corpus probe
+    "t_token_ids",          // broadcast vocab join + ordered reassembly
+    "t_pack_sequences",     // two-phase prefix sum (range windows + offset map)
+    "t_repetition",         // per-doc mode fractions via (doc, term) agg
   )
 
   def main(args: Array[String]): Unit = {
