@@ -89,13 +89,58 @@ object DedupQueries {
     * self-join so the signature computation runs once, not per join side.
     * Shared by the pairs entry and the cluster-resolution entry.
     */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bandsDf = bandRowsCkpt(s, d)
-    val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+  private val pairsCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def candidatePairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.getOrElseUpdate((s, d), {
+        val bandsDf = bandRowsCkpt(s, d)
+        val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+        val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+        a.join(b, Seq("band_id", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .localCheckpoint() // the bucket self-join runs once, not per entry
+      })
+    }
+
+  /** Min-label CONNECTED COMPONENTS over long-id pair edges — shared by
+    * the text (minhash) and embedding (cosine) near-dup families. The
+    * fused per-round job (join neighbor labels, take the min, carry a
+    * changed flag) iterates over the PAIRED nodes only; rounds = graph
+    * diameter; `nodes` rows absent from any pair rejoin as
+    * cluster-of-self at the end. Returns (idCol, cluster_id).
+    */
+  private[queries] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val Seq(aCol, bCol) = pairs.columns.toSeq
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val minN = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label").as("nl"))
+        .groupBy(col("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(minN, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
@@ -113,46 +158,11 @@ object DedupQueries {
     * connected-components scheme (cf. large-star/small-star), with the
     * DuckDB oracle replaying it as a recursive reachability CTE.
     */
-  private def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = candidatePairs(s, d)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    // propagate over PAIRED docs only — the overwhelming majority of a
-    // deduped corpus is singletons, which need no iteration and rejoin as
-    // cluster-of-self at the end; each round's shuffle is bounded by the
-    // (much smaller) dup-graph node count, not the corpus
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      // one fused round: min neighbor label, new label, and the
-      // did-anything-change flag all land in ONE materialized result —
-      // the convergence count is then a local scan of the checkpoint,
-      // not a second join job
-      val minN = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst").as("doc_id"), col("label").as("nl"))
-        .groupBy(col("doc_id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(minN, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("doc_id"), col("label"))
-      rounds += 1
-    }
-    docs(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  private def dupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(docs(s, d).select(col("doc_id")),
+        candidatePairs(s, d), "doc_id")
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id").asc)
-  }
 
   /** Per-doc 60-bit simhash. */
   private def simhash(s: SparkSession, d: String): DataFrame =

@@ -149,6 +149,25 @@ object VectorQueries {
       .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
   }
 
+  /** Embedding near-dup CLUSTER RESOLUTION: connected components over
+    * the cosine pair graph (the same min-label machinery as the text
+    * family, `DedupQueries.connectedComponents`) — pairs AND clusters
+    * exist for both the lexical and the semantic dedup paths.
+    */
+  private def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = emb(s, d).select(col("label"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(emb(s, d).select(col("label"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb")), "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(rnd(cosineSim(col("ea"), col("eb")), 6) >= 0.35)
+      .select(col("vec_a"), col("vec_b"))
+    DedupQueries.connectedComponents(
+        emb(s, d).select(col("vec_id")), pairs, "vec_id")
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
@@ -159,6 +178,7 @@ object VectorQueries {
     "v_norms"          -> (norms _),
     "v_centroids"      -> (centroids _),
     "v_neardup_pairs"  -> (nearDupPairs _),
+    "v_neardup_clusters" -> (nearDupClusters _),
   )
 
   private val normSql =
@@ -209,5 +229,24 @@ object VectorQueries {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${rndSql(pairSql, 6)} >= 0.35
         |ORDER BY score DESC, vec_a ASC, vec_b ASC""".stripMargin,
+    // v_neardup_clusters: connected components over the same pair graph,
+    // replayed as a recursive reachability CTE (the d_dup_clusters
+    // pattern on the embedding side)
+    "v_neardup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${rndSql(pairSql, 6)} >= 0.35),
+         |edges AS (
+         |  SELECT va AS src, vb AS dst FROM pairs
+         |  UNION ALL SELECT vb, va FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |lab AS (SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+         |FROM lab ORDER BY vec_id ASC""".stripMargin,
   )
 }
