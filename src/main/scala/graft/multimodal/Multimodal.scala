@@ -177,6 +177,81 @@ object Multimodal {
     }
   }
 
+  // ---- REAL audio decode (javax.sound.sampled) ------------------------
+
+  case class AudioStatsRow(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, decoded: Boolean, sum_samples: Long)
+
+  /** WAV codec via `javax.sound.sampled.AudioSystem` (ships in the JVM's
+    * java.desktop module — public API, no audio device needed to PARSE):
+    * format fields from the header, then every PCM frame read and the
+    * 16-bit samples summed exactly. Unreadable payloads fall back to a
+    * zeroed row with `decoded = false`.
+    */
+  private class WavCodec {
+    def decode(r: MediaRow): AudioStatsRow =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        val bytes = in.readAllBytes()
+        var sum = 0L
+        var n = 0L
+        if (f.getSampleSizeInBits == 16) {
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (f.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            sum += s
+            n += 1
+            i += 2
+          }
+        }
+        AudioStatsRow(r.media_id, f.getSampleRate.toInt, f.getChannels,
+          n / math.max(1, f.getChannels), decoded = true, sum)
+      } catch {
+        case _: Exception =>
+          AudioStatsRow(r.media_id, 0, 0, 0L, decoded = false, 0L)
+      }
+  }
+
+  /** REAL audio decode via mapPartitions — the audio sibling of
+    * [[decodePixels]]: one codec handle per partition, map-only scan.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new WavCodec // once per partition
+      rows.map(codec.decode)
+    }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV (fixture generator): 8 kHz,
+    * `50 + i%7 * 10` samples, sample n = `(2311n + 977i) mod 20001 -
+    * 10000` — a closed form a SQL oracle integrates exactly, while the
+    * RIFF container round-trips losslessly through any WAV reader.
+    */
+  def syntheticWav(i: Int): Array[Byte] = {
+    val nSamples = 50 + (i % 7) * 10
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)         // PCM, mono
+      .putInt(8000).putInt(16000)      // sample rate, byte rate
+      .putShort(2).putShort(16)        // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var n = 0
+    while (n < nSamples) {
+      bb.putShort((((n.toLong * 2311 + i.toLong * 977) % 20001) - 10000).toShort)
+      n += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic tiny PNG (driver/test fixture generator): width
     * `8 + i%5`, height `6 + i%3`, pixel (x, y) channels
     * `r=(7x+11y+i)%256, g=(3x+5y+2i)%256, b=(13x+17y+3i)%256` — a closed

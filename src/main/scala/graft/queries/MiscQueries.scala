@@ -123,6 +123,24 @@ object MiscQueries {
       .orderBy(col("media_id").asc)
   }
 
+  /** REAL audio decode — the WAV sibling of m_decode_px: 20 deterministic
+    * PCM files decoded on executors via javax.sound.sampled
+    * (`Multimodal.decodeAudio`), exact 16-bit sample sums. The PCM
+    * payload follows a closed form, and WAV is lossless, so the DuckDB
+    * oracle integrates the formula and hash-checks that every frame was
+    * really read.
+    */
+  private def decodeWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 20).map(i =>
+      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.syntheticWav(i)))
+    Multimodal.decodeAudio(s.createDataset(media).repartition(4))
+      .toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("sum_samples"))
+      .orderBy(col("media_id").asc)
+  }
+
   /** Skew-safe token frequency: the hot-key (stopword) histogram computed
     * as a SALTED two-phase aggregation — partial counts on (token, salt),
     * then merge on token. With a skewed key like "the" (in most rows), the
@@ -228,6 +246,7 @@ object MiscQueries {
     "v_ann_signbits"   -> (annSignBits _),
     "m_decode_meta"    -> (decodeMeta _),
     "m_decode_px"      -> (decodePx _),
+    "m_decode_wav"     -> (decodeWav _),
   )
 
   private val sigSql = (0 until 8)
@@ -348,5 +367,18 @@ object MiscQueries {
         |       CAST(SUM((3*x + 5*y + 2*media_id) % 256) AS BIGINT) AS sum_g,
         |       CAST(SUM((13*x + 17*y + 3*media_id) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
+    // m_decode_wav: the synthetic-PCM sample formula integrated in SQL —
+    // matches only if the Spark side really decoded every WAV frame.
+    "m_decode_wav" ->
+      """WITH s AS (
+        |  SELECT i.i AS media_id, n.n AS n
+        |  FROM range(20) i(i), range(110) n(n)
+        |  WHERE n.n < 50 + (i.i % 7) * 10)
+        |SELECT media_id,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(50 + (media_id % 7) * 10 AS BIGINT) AS n_samples,
+        |       CAST(SUM((n * 2311 + media_id * 977) % 20001 - 10000) AS BIGINT) AS sum_samples
+        |FROM s GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
   )
 }

@@ -142,6 +142,29 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(fb.width >= 1 && fb.width <= 1920)
   }
 
+  test("decodeAudio: REAL WAV decode of synthetic PCM, exact sample sums") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = (0 until 6).map(i =>
+      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.syntheticWav(i)))
+    val out = Multimodal.decodeAudio(media.toDS().repartition(2))
+      .collect().map(r => r.media_id -> r).toMap
+    for (i <- 0 until 6) {
+      val n = 50 + (i % 7) * 10
+      var sum = 0L
+      for (s <- 0 until n) sum += ((s.toLong * 2311 + i.toLong * 977) % 20001) - 10000
+      val r = out(i.toLong)
+      assert(r.decoded, s"wav $i must parse")
+      assert((r.sample_rate, r.channels, r.n_samples) == ((8000, 1, n.toLong)),
+        s"wav $i format")
+      assert(r.sum_samples == sum, s"wav $i sample sum")
+    }
+    val junk = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRow(9L, "audio/wav", "nope".getBytes)).toDS())
+      .collect().head
+    assert(!junk.decoded && junk.sum_samples == 0L)
+  }
+
   test("image meta extraction: deterministic, bounded, schema-typed") {
     val meta = Multimodal.extractImageMeta(mediaFromDocs)
     val rows = meta.select(col("media_id"), col("meta.width"),
