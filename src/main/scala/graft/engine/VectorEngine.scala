@@ -1325,10 +1325,12 @@ final class VectorEngine(
     * per-query signature/dtab generation is driver-side there by design).
     * Rows whose qvec dimension mismatches the library and zero-vector
     * queries contribute no rows (normalize -> null), matching single
-    * `search` semantics. Post-filters per quirk Q5.
+    * `search` semantics. Post-filters per quirk Q5; `preFilter = true`
+    * restricts candidate generation first, as in `search`.
     */
   def annJoin(libId: String, queries: DataFrame, k: Int,
-      metric: String = "cosine", filters: Option[SearchFilters] = None): DataFrame = {
+      metric: String = "cosine", filters: Option[SearchFilters] = None,
+      preFilter: Boolean = false): DataFrame = {
     val (dim, config, _) = getLibrary(libId)
     if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
     similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
@@ -1336,6 +1338,15 @@ final class VectorEngine(
 
     val libChunks = chunks.filter(col("library_id") === libId)
     val effType = effectiveIndexType(libId, config)
+
+    // preFilter restricts candidate generation, as in single `search`
+    val allowedIds: Option[DataFrame] =
+      if (preFilter && filters.isDefined)
+        Some(applyPost(libChunks.withColumnRenamed("id", "chunk_id"), filters)
+          .select("chunk_id"))
+      else None
+    def restrict(cands: DataFrame): DataFrame =
+      allowedIds.fold(cands)(a => cands.join(a, Seq("chunk_id"), "left_semi"))
 
     val q = queries.select(col("query_id").cast("long").as("query_id"),
         col("qvec"))
@@ -1372,25 +1383,24 @@ final class VectorEngine(
         .flatMap { case (qid, cs) => cs.map(c => (qid, c._2.toInt)) }
         .toDF("query_id", "centroid_id")
 
+    def flatScored(): DataFrame =
+      applyPre(libChunks, filters, preFilter)
+        .filter(col("embedding").isNotNull)
+        .crossJoin(q)
+        .select(col("query_id"), col("id").as("chunk_id"),
+          similarity(metric)(col("embedding"), col("qvec")).as("score"))
+
     val scored: DataFrame = effType match {
-      case "flat" =>
-        libChunks.filter(col("embedding").isNotNull)
-          .crossJoin(q)
-          .select(col("query_id"), col("id").as("chunk_id"),
-            similarity(metric)(col("embedding"), col("qvec")).as("score"))
+      case "flat" => flatScored()
 
       case "ivf" | "ivf_det" =>
         val cents =
           if (!store.exists("ivf_centroids")) None
           else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
         cents match {
-          case None =>
-            libChunks.filter(col("embedding").isNotNull)
-              .crossJoin(q)
-              .select(col("query_id"), col("id").as("chunk_id"),
-                similarity(metric)(col("embedding"), col("qvec")).as("score"))
+          case None => flatScored()
           case Some(c) =>
-            val cands = ivfPostings(libId)
+            val cands = restrict(ivfPostings(libId))
               .join(probePairs(c), Seq("centroid_id"))
               .select(col("query_id"), col("chunk_id"), col("embedding_norm"))
               .dropDuplicates("query_id", "chunk_id")
@@ -1405,11 +1415,7 @@ final class VectorEngine(
           if (cents.isEmpty || !store.exists("pq_codebooks"))
             Array.empty[Array[Array[Float]]]
           else PqIndex.collectCodebooks(pqCodebooks(libId))
-        if (cb.isEmpty)
-          libChunks.filter(col("embedding").isNotNull)
-            .crossJoin(q)
-            .select(col("query_id"), col("id").as("chunk_id"),
-              similarity(metric)(col("embedding"), col("qvec")).as("score"))
+        if (cb.isEmpty) flatScored()
         else {
           val c = cents.get
           val subDim = cb(0)(0).length
@@ -1423,7 +1429,7 @@ final class VectorEngine(
             .select(col("query_id"), col("centroid_id"),
               zip_with(col("qnorm"), col("vector"), (a, b) => a - b).as("qres"))
             .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
-          val dists = ivfpqCodes(libId)
+          val dists = restrict(ivfpqCodes(libId))
             .join(pairsFull, Seq("centroid_id"))
             .select(col("query_id"), col("chunk_id"),
               IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"))

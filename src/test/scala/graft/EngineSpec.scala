@@ -789,6 +789,13 @@ class EngineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
       assert(viaDf == viaSeq, s"${cfg.indexType}: annJoin diverged from searchBatchAnn")
       assert(viaDf.nonEmpty, s"${cfg.indexType}: fixture should produce hits")
+      // preFilter deviation batched identically on both surfaces
+      val pf = Some(SearchFilters(author = Some("a2")))
+      val preDf = eng.annJoin(lib, qDf, k = 3, filters = pf, preFilter = true)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+      val preSeq = eng.searchBatchAnn(lib, qs, k = 3, filters = pf, preFilter = true)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+      assert(preDf == preSeq, s"${cfg.indexType}: annJoin preFilter diverged")
       // dim-mismatched rows are dropped, not scored
       val bad = Seq((7L, Seq(1f, 2f))).toDF("query_id", "qvec")
       assert(eng.annJoin(lib, bad, k = 3).collect().isEmpty)
