@@ -317,6 +317,49 @@ object DedupQueries {
       .orderBy(col("lang").asc)
   }
 
+  /** The WHOLE curation pipeline as one DAG — the capstone composition:
+    * exact dedup (md5-canonical), near-dup cluster dedup (CC-canonical),
+    * benchmark decontamination, repetition quality filter, then sequence
+    * packing of the survivors. One row of per-stage counts, every number
+    * DuckDB-replayed — the end-to-end "raw corpus -> packed training
+    * sequences" accounting a 100 TB run reports. Each stage is the
+    * already-verified operator's predicate, composed as flag columns on
+    * one scan + bounded joins (no stage materializes the corpus twice).
+    */
+  private def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val wExact = Window.partitionBy(col("h"))
+    val exactKeep = base.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("canon", min(col("doc_id")).over(wExact))
+      .filter(col("doc_id") === col("canon")).select("doc_id")
+    val clusterKeep = connectedComponents(base.select(col("doc_id")),
+        candidatePairs(s, d), "doc_id")
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val cleanKeep = contamination(s, d) // doc_id >= 20 rows only
+      .filter(!col("contaminated")).select("doc_id")
+    val qualityKeep = TextQueries.queries("t_repetition")(s, d)
+      .filter(col("keep")).select("doc_id")
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.withColumn(name, lit(1))
+    val flagged = base.select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .join(flag(exactKeep, "f_exact"), Seq("doc_id"), "left_outer")
+      .join(flag(clusterKeep, "f_cluster"), Seq("doc_id"), "left_outer")
+      .join(flag(cleanKeep, "f_clean"), Seq("doc_id"), "left_outer")
+      .join(flag(qualityKeep, "f_quality"), Seq("doc_id"), "left_outer")
+    val surv = coalesce(col("f_exact"), lit(0)) * coalesce(col("f_cluster"), lit(0)) *
+      coalesce(col("f_clean"), lit(0)) * coalesce(col("f_quality"), lit(0))
+    flagged.agg(
+      count(lit(1)).cast("long").as("n_total"),
+      sum(coalesce(col("f_exact"), lit(0))).cast("long").as("n_exact"),
+      sum(coalesce(col("f_cluster"), lit(0))).cast("long").as("n_cluster"),
+      sum(coalesce(col("f_clean"), lit(0))).cast("long").as("n_clean"),
+      sum(coalesce(col("f_quality"), lit(0))).cast("long").as("n_quality"),
+      sum(surv).cast("long").as("n_survivors"),
+      sum(surv * col("n_tok")).cast("long").as("n_tokens_kept"),
+      floor((sum(surv * col("n_tok")) + lit(511)) / lit(512))
+        .cast("long").as("n_sequences"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact"         -> (exact _),
     "d_minhash_bands" -> (minhashBands _),
@@ -327,6 +370,7 @@ object DedupQueries {
     "d_jaccard_pairs" -> (jaccardPairs _),
     "d_stratified_sample" -> (stratifiedSample _),
     "d_contamination" -> (contamination _),
+    "d_pipeline_e2e"  -> (pipelineE2e _),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -399,6 +443,84 @@ object DedupQueries {
          |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          |FROM lab ORDER BY doc_id ASC""".stripMargin,
+    // d_pipeline_e2e: every stage's predicate recomputed and composed —
+    // the per-stage accounting must match the Spark DAG number for number
+    "d_pipeline_e2e" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ex AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS k
+         |    FROM documents) WHERE k),
+         |bands AS ($bandRowsSql),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |cl AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v = min(l)),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           generate_series(1, greatest(len(tk) - 4, 0)),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+         |  FROM tk),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+         |contam AS (
+         |  SELECT DISTINCT t.doc_id FROM g t JOIN bench b USING (g)
+         |  WHERE t.doc_id >= 20),
+         |clean AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tokc AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(MAX(c) AS BIGINT) AS max_tok FROM (
+         |    SELECT doc_id, t, count(*) AS c FROM (
+         |      SELECT doc_id, unnest(tk) AS t FROM tk) GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |bgc AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |         CAST(MAX(c) AS BIGINT) AS max_bg FROM (
+         |    SELECT doc_id, g2, count(*) AS c FROM (
+         |      SELECT doc_id,
+         |             unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |               i -> tk[i] || ' ' || tk[i+1])) AS g2
+         |      FROM tk) GROUP BY doc_id, g2)
+         |  GROUP BY doc_id),
+         |qual AS (
+         |  SELECT doc_id FROM (
+         |    SELECT d.doc_id,
+         |           ${rndSql("coalesce(CAST(t.max_tok AS DOUBLE) / t.n_tokens, 0.0)", 6)} AS f1,
+         |           ${rndSql("coalesce(CAST(b.max_bg AS DOUBLE) / b.n_bigrams, 0.0)", 6)} AS f2
+         |    FROM documents d LEFT JOIN tokc t USING (doc_id)
+         |         LEFT JOIN bgc b USING (doc_id))
+         |  WHERE f1 <= 0.2 AND f2 <= 0.18),
+         |flags AS (
+         |  SELECT d.doc_id, CAST(len(t2.tk) AS BIGINT) AS n_tok,
+         |         CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+         |         CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_cluster,
+         |         CASE WHEN cn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_clean,
+         |         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_quality
+         |  FROM documents d
+         |  JOIN tk t2 ON t2.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN clean cn ON cn.doc_id = d.doc_id
+         |  LEFT JOIN qual q ON q.doc_id = d.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(SUM(f_exact) AS BIGINT) AS n_exact,
+         |       CAST(SUM(f_cluster) AS BIGINT) AS n_cluster,
+         |       CAST(SUM(f_clean) AS BIGINT) AS n_clean,
+         |       CAST(SUM(f_quality) AS BIGINT) AS n_quality,
+         |       CAST(SUM(f_exact*f_cluster*f_clean*f_quality) AS BIGINT) AS n_survivors,
+         |       CAST(SUM(f_exact*f_cluster*f_clean*f_quality*n_tok) AS BIGINT) AS n_tokens_kept,
+         |       CAST((SUM(f_exact*f_cluster*f_clean*f_quality*n_tok) + 511) // 512 AS BIGINT) AS n_sequences
+         |FROM flags""".stripMargin,
     "d_simhash" ->
       s"$simhashSql SELECT doc_id, simhash FROM sh ORDER BY doc_id ASC",
     "d_simhash_pairs" ->
