@@ -157,6 +157,21 @@ object Schemas {
     StructField("chunk_id", StringType, nullable = false),
     StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
   ))
+
+  /** Curation verb output (`VectorEngine.curateLibrary`): the packed
+    * training sequences derived from a library's curated chunk survivors —
+    * one row per surviving chunk with its position in the
+    * concatenate-and-cut packing.
+    */
+  val curatedSequences: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("start_off", LongType, nullable = false),
+    StructField("seq_id", LongType, nullable = false),
+    StructField("end_seq", LongType, nullable = false),
+    StructField("straddles", BooleanType, nullable = false),
+  ))
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).

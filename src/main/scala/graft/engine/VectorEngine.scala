@@ -1097,6 +1097,11 @@ final class VectorEngine(
       if (q.length != dim)
         throw new ValidationError(s"query $qid dim ${q.length} != library dim $dim")
     }
+    // duplicate ids would silently mix candidates/scores across the rows
+    // sharing the id (qnorms.toMap keeps only the last vector for
+    // probe/ADC while the rerank joins every raw qvec per id) — reject
+    if (queries.map(_._1).distinct.length != queries.length)
+      throw new ValidationError("searchBatchAnn query set has duplicate query_ids")
     if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
     similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
     import spark.implicits._
@@ -1187,8 +1192,8 @@ final class VectorEngine(
             .agg(count(lit(1)).as("n_matches"))
           // multiplicity rank + oversample cap, per query; materialized so
           // the pad count + anti-join + rerank reuse one bucket-join run
-          val capped = capPerQuery(ranked, col("n_matches"),
-            LshIndex.Oversample * k).localCheckpoint()
+          val capped = graft.Caches.track(capPerQuery(ranked, col("n_matches"),
+            LshIndex.Oversample * k).localCheckpoint())
           val norms = buckets.select(col("chunk_id"), col("embedding_norm"))
             .dropDuplicates("chunk_id")
           // the reference's <k fallback pad (lsh.py:101-110): deficient
@@ -1319,14 +1324,29 @@ final class VectorEngine(
     *     (IvfPqIndex.adcDistFromCodebookExpr) — the per-(query, cell)
     *     distance tables searchBatchAnn builds driver-side are never
     *     materialized; same micro-unit floor convention, so ranks (and
-    *     the spec-asserted results) are bit-identical.
+    *     the spec-asserted results) are bit-identical;
+    *   - lsh: per-query multi-probe signatures as EXPRESSIONS (the same
+    *     sign-bit pack the bucket build codegens, planes as literals;
+    *     flips are xors over the bound base signature), ONE bucket
+    *     equi-join for all queries, per-query multiplicity rank +
+    *     oversample cap, and the reference's <k pad replayed
+    *     DISTRIBUTED: the pad pool is the globally-lowest bounded id
+    *     set (2k + capped ids always cover any query's deficit), so no
+    *     per-query driver counts exist;
+    *   - pq: flat-ADC against the codebook literal with the query itself
+    *     as the residual (no coarse quantizer) — the batch path's
+    *     driver-side dtabs never materialize; identical micro-unit
+    *     floors, identical ranks.
     *
-    * lsh/pq route through `searchBatchAnn` (driver-bounded batches — the
-    * per-query signature/dtab generation is driver-side there by design).
-    * Rows whose qvec dimension mismatches the library and zero-vector
-    * queries contribute no rows (normalize -> null), matching single
-    * `search` semantics. Post-filters per quirk Q5; `preFilter = true`
-    * restricts candidate generation first, as in `search`.
+    * Rows whose qvec dimension mismatches the library contribute no
+    * rows. Zero-vector queries contribute no rows on INDEX paths
+    * (normalize -> null, quirk Q4) but score all-zero on flat — the
+    * same contract as `searchBatchAnn`/`searchBatch` (the flat branch
+    * scores the raw, un-normalized query, quirk Q1). Duplicate
+    * query_ids are rejected (ValidationError) — one eager metadata-agg
+    * over the query set, the only action this method runs. Post-filters
+    * per quirk Q5; `preFilter = true` restricts candidate generation
+    * first, as in `search`.
     */
   def annJoin(libId: String, queries: DataFrame, k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
@@ -1351,6 +1371,13 @@ final class VectorEngine(
     val q = queries.select(col("query_id").cast("long").as("query_id"),
         col("qvec"))
       .filter(size(col("qvec")) === dim)
+    // duplicate ids would silently mix candidates/scores across rows
+    // sharing the id (the probe/ADC stages key on query_id) — reject
+    val Array(nq, nqd) = q.agg(count(lit(1)), count_distinct(col("query_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nq != nqd)
+      throw new ValidationError(
+        s"annJoin query set has duplicate query_ids ($nq rows, $nqd distinct)")
     // float-normalized queries (zero vectors -> null -> dropped), the
     // same arithmetic as LshIndex.normalizeDriver
     val qn = q.select(col("query_id"),
@@ -1442,10 +1469,97 @@ final class VectorEngine(
           rerank(hydrated)
         }
 
+      case "lsh" | "lsh_det" =>
+        val planes =
+          if (!store.exists("lsh_planes")) Nil
+          else LshIndex.collectPlanes(lshPlanes(libId))
+        if (planes.isEmpty) flatScored()
+        else {
+          // base signature per table as the SAME sign-bit-pack expression
+          // the bucket build codegens (planes ship as literals); the first
+          // explode binds it to an attribute, so the Hamming-1 multi-probe
+          // flips are H cheap xors, not H recomputations — L*(H+1) probe
+          // rows per query, map-only over the query set
+          val sigStructs = planes.map { case (t, ps) =>
+            val bits = ps.zipWithIndex.map { case (p, i) =>
+              when(dotProduct(col("qnorm"), typedLit(p.toSeq)) >= 0.0,
+                lit(1L << i)).otherwise(lit(0L))
+            }
+            struct(lit(t).as("table_id"), bits.reduce(_ + _).as("sig"))
+          }
+          val nBits = planes.head._2.length
+          val baseSigs = qn
+            .select(col("query_id"), explode(array(sigStructs: _*)).as("ts"))
+            .select(col("query_id"), col("ts.table_id").as("table_id"),
+              col("ts.sig").as("sig"))
+          val flips = col("sig") +: (0 until nBits).map(i =>
+            col("sig").bitwiseXOR(lit(1L << i)))
+          val probes = baseSigs.select(col("query_id"), col("table_id"),
+            explode(array(flips: _*)).as("signature"))
+          val buckets = restrict(lshBuckets(libId))
+          val ranked = buckets
+            .join(probes, Seq("table_id", "signature"))
+            .groupBy(col("query_id"), col("chunk_id"))
+            .agg(count(lit(1)).as("n_matches"))
+          // materialized: the pad's count-agg + anti-join + union all read
+          // it; released at suite end via the Caches registry
+          val capped = graft.Caches.track(
+            capPerQuery(ranked, col("n_matches"), LshIndex.Oversample * k)
+              .localCheckpoint())
+          val norms = buckets.select(col("chunk_id"), col("embedding_norm"))
+            .dropDuplicates("chunk_id")
+          // the reference's <k fallback pad (lsh.py:101-110), DISTRIBUTED:
+          // deficient queries and their deficits are a DataFrame, and the
+          // pad pool is the globally-lowest (2k + Oversample*k) indexed ids
+          // — a bounded broadcastable set that always covers a query's
+          // need (need + excluded <= pool size), so unlike searchBatchAnn
+          // no per-query counts ever land on the driver
+          val have = capped.groupBy(col("query_id")).count()
+          val deficient = qn.select(col("query_id"))
+            .join(have, Seq("query_id"), "left_outer")
+            .select(col("query_id"),
+              coalesce(col("count"), lit(0L)).as("have"))
+            .filter(col("have") < k)
+            .withColumn("need", lit(2L * k) - col("have"))
+          val pool = norms.select(col("chunk_id"))
+            .orderBy(col("chunk_id").asc)
+            .limit(2 * k + LshIndex.Oversample * k)
+          val padW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("chunk_id").asc)
+          val pad = deficient.crossJoin(broadcast(pool))
+            .join(capped, Seq("query_id", "chunk_id"), "left_anti")
+            .withColumn("rn", row_number().over(padW))
+            .filter(col("rn") <= col("need"))
+            .select(col("query_id"), col("chunk_id"))
+          rerank(norms.join(capped.unionAll(pad), Seq("chunk_id")))
+        }
+
+      case "pq" | "pq_trained" =>
+        val cb =
+          if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
+          else PqIndex.collectCodebooks(pqCodebooks(libId))
+        if (cb.isEmpty) flatScored()
+        else {
+          val subDim = cb(0)(0).length
+          // flat-ADC: the query residual IS the normalized query (no
+          // coarse quantizer); evaluated against the codebook literal with
+          // the same per-subspace micro-unit floors as the driver dtab
+          // (PqIndex.dtabFlat), so ranks are bit-identical to the batch
+          // path — and the codes x queries cross is the inherent flat-PQ
+          // scan shape (every code row is M byte lookups per query)
+          val qrs = qn.select(col("query_id"), col("qnorm").as("qres"))
+            .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
+          val dists = restrict(pqCodes(libId))
+            .crossJoin(qrs)
+            .select(col("query_id"), col("chunk_id"),
+              IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
+          val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
+          rerank(norms.join(capped, Seq("chunk_id")))
+        }
+
       case other =>
-        throw new ValidationError(
-          s"annJoin supports flat/ivf/ivfpq libraries; '$other' batches " +
-            "route through searchBatchAnn")
+        throw new ValidationError(s"annJoin: unknown index type '$other'")
     }
 
     // per-query top-k partial agg, then a NON-broadcast hydration join —
@@ -1464,6 +1578,230 @@ final class VectorEngine(
         col("created_at"), col("updated_at"))
       .orderBy(col("query_id").asc, col("score").desc, col("chunk_id").asc)
   }
+
+  /** STREAMING ANN through the index tables (the 100 TB online-serving
+    * shape): the query side is a STREAMING DataFrame probing the ivfpq
+    * index, not a broadcast of the corpus. Structured Streaming permits
+    * one stateful operator on this plan, so the batch pipeline's two
+    * stateful steps (ADC cap, then top-k after hydration) fuse into ONE
+    * bounded aggregation ([[graft.functions.CapRerank]]):
+    *
+    *   - per-query top-nprobe cells as an EXPRESSION over the centroid
+    *     literals (metadata-scale, (cscore desc, centroid_id asc) — the
+    *     probePairs order), so no stream-side pre-aggregation exists;
+    *   - stream-static equi-join of the probe rows against the CODES
+    *     table on centroid_id — the corpus-sized side stays partitioned;
+    *     each candidate costs the codebook-literal ADC expression;
+    *   - exact score computed per candidate BEFORE the aggregation
+    *     (stream-static join to the chunk store for the normalized
+    *     vector), then the fused cap+rerank aggregator keeps
+    *     Oversample*k rows by (dist_u asc, chunk_id asc) and finishes
+    *     (score desc, chunk_id asc) top-k — bit-identical order to
+    *     `annJoin`'s cap -> hydrate -> rerank on the same candidates,
+    *     with per-query state bounded at Oversample*k rows forever.
+    *
+    * The trade vs batch: candidates are hydrated/scored pre-cap (one
+    * extra cosine per candidate) to stay inside the single stateful
+    * operator; the probe join still prunes the scan to ~nprobe/K of the
+    * corpus. Zero-vector and dim-mismatched queries contribute no rows.
+    * query_id uniqueness is the caller's contract (a stream cannot be
+    * eagerly validated). Returns (query_id, hits: array<struct<score,
+    * chunk_id>>) — run with Update output mode; explode after the sink.
+    */
+  def annJoinStream(libId: String, queries: DataFrame, k: Int,
+      metric: String = "cosine"): DataFrame = {
+    val (dim, config, _) = getLibrary(libId)
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    import spark.implicits._
+    val effType = effectiveIndexType(libId, config)
+    if (effType != "ivfpq" && effType != "ivfpq_trained")
+      throw new ValidationError(
+        s"annJoinStream probes the ivfpq index tables; library is '$effType'")
+    val cb =
+      if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
+      else PqIndex.collectCodebooks(pqCodebooks(libId))
+    val centArr: Array[(Int, Array[Float])] =
+      if (!store.exists("ivf_centroids")) Array.empty
+      else ivfCentroids(libId).select(col("centroid_id"), col("vector"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    if (cb.isEmpty || centArr.isEmpty)
+      throw new ValidationError("annJoinStream: ivfpq index is not built")
+    val subDim = cb(0)(0).length
+    val nprobe = math.max(1, config.ivfNprobe)
+
+    val qn = queries
+      .select(col("query_id").cast("long").as("query_id"), col("qvec"))
+      .filter(size(col("qvec")) === dim)
+      .select(col("query_id"), col("qvec"),
+        transform(l2Normalize(col("qvec")), _.cast("float")).as("qnorm"))
+      .filter(col("qnorm").isNotNull)
+
+    val probeStructs = centArr.map { case (cid, cv) =>
+      struct((-dotProduct(typedLit(cv.toSeq), col("qnorm"))).as("nd"),
+        lit(cid).as("cid"))
+    }
+    val cvecMap = typedLit(centArr.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
+    val probed = qn
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qvec"),
+        col("pc.cid").as("centroid_id"),
+        zip_with(col("qnorm"), element_at(cvecMap, col("pc.cid")),
+          (a, b) => a - b).as("qres"))
+      .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
+
+    val codes = ivfpqCodes(libId)
+      .select(col("centroid_id"), col("chunk_id"), col("codes"))
+    val norms = chunks.filter(col("library_id") === libId)
+      .filter(col("embedding").isNotNull)
+      .select(col("id").as("chunk_id"),
+        transform(l2Normalize(col("embedding")), _.cast("float"))
+          .as("embedding_norm"))
+    val cands = probed.join(codes, Seq("centroid_id"))
+      .join(norms, Seq("chunk_id"))
+      .select(col("query_id"), col("chunk_id"),
+        IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"),
+        similarity(metric)(col("embedding_norm"), col("qvec")).as("score"))
+    cands.as[(Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.CapRerankAggregator
+        .capRerank(IvfPqIndex.Oversample * k, k).toColumn)
+      .toDF("query_id", "hits")
+  }
+
+  /** CURATION VERB over the library's versioned chunk store (the
+    * "ingest -> curate -> packed sequences as a derived table" pipeline,
+    * run where the data lives): the same five-stage DAG as the query-side
+    * capstone `d_pipeline_e2e` — exact dedup (md5-canonical), minhash-CC
+    * near-dup dedup, benchmark decontamination, Gopher repetition quality
+    * — composed as flag columns over ONE chunk scan, with the survivors
+    * packed into fixed-budget training sequences and written to the
+    * `curated_sequences` derived table via the store's
+    * PARTITION-SELECTIVE write (other libraries' partitions are
+    * hardlinked, not rewritten). Returns the one-row per-stage accounting
+    * in the capstone's shape.
+    *
+    * Every stage predicate comes from [[graft.curation.CurationCore]], so
+    * a library ingested from the documents table produces bit-identical
+    * counts to `d_pipeline_e2e` on the same corpus (CurateSpec asserts
+    * it). `benchChunkIds` is the benchmark member set (metadata-scale —
+    * benchmarks are small; it ships as an isin literal): members never
+    * survive, and corpus chunks sharing any distinct 5-gram with a member
+    * are dropped as contaminated. Empty = skip decontamination.
+    *
+    * The packing prefix sum is the two-phase distributed shape: cumsum
+    * within ranges keyed by a fixed-length chunk-id PREFIX (for any
+    * strings a < b, prefix(a) <= prefix(b), so range order is compatible
+    * with the global chunk-id packing order), plus an exclusive
+    * driver-side prefix over the R range totals — global state is R longs.
+    */
+  def curateLibrary(libId: String, benchChunkIds: Seq[String] = Nil,
+      packBudget: Int = 512): DataFrame = {
+    getLibrary(libId)
+    if (packBudget <= 0)
+      throw new ValidationError(s"packBudget out of range: $packBudget")
+    import graft.curation.CurationCore
+    import graft.functions.TextFunctions.{tokens, shingles}
+    val base = chunks.filter(col("library_id") === libId)
+      .select(col("id"), col("text"))
+
+    val wExact = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val exactKeep = base.select(col("id"), md5(col("text")).as("h"))
+      .withColumn("canon", min(col("id")).over(wExact))
+      .filter(col("id") === col("canon")).select("id")
+    val pairs = CurationCore.candidatePairsOf(
+      CurationCore.bandRowsOf(base, "id"), "id")
+    val clusterKeep = CurationCore
+      .connectedComponents(base.select(col("id")), pairs, "id")
+      .filter(col("id") === col("cluster_id")).select("id")
+    val cleanKeep =
+      if (benchChunkIds.isEmpty) base.select(col("id"))
+      else {
+        val isBench = col("id").isInCollection(benchChunkIds)
+        val grams = base.select(col("id"), tokens(col("text")).as("tk"))
+          .select(col("id"),
+            explode(array_distinct(shingles(col("tk"), 5))).as("g"))
+        val bench = grams.filter(isBench)
+          .select(col("g"), col("id").as("bench_id")).distinct()
+        val contaminated = grams.filter(!isBench)
+          .join(broadcast(bench), Seq("g"))
+          .select(col("id")).distinct()
+        base.filter(!isBench).select(col("id"))
+          .join(contaminated, Seq("id"), "left_anti")
+      }
+    val qualityKeep = CurationCore.repetitionStatsOf(base, "id")
+      .filter(col("keep")).select("id")
+
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.withColumn(name, lit(1))
+    // materialized once: the range totals, the packed rows, and the stats
+    // row all consume it (released at suite end via the Caches registry)
+    val flagged = graft.Caches.track(
+      base.select(col("id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .join(flag(exactKeep, "f_exact"), Seq("id"), "left_outer")
+        .join(flag(clusterKeep, "f_cluster"), Seq("id"), "left_outer")
+        .join(flag(cleanKeep, "f_clean"), Seq("id"), "left_outer")
+        .join(flag(qualityKeep, "f_quality"), Seq("id"), "left_outer")
+        .localCheckpoint())
+    val surv = coalesce(col("f_exact"), lit(0)) * coalesce(col("f_cluster"), lit(0)) *
+      coalesce(col("f_clean"), lit(0)) * coalesce(col("f_quality"), lit(0))
+
+    // pack the survivors: two-phase prefix sum in chunk-id order
+    val survivors = flagged.filter(surv === lit(1))
+      .select(col("id"), col("n_tok"))
+      .withColumn("rng", substring(col("id"), 1, 5))
+    val totals = survivors.groupBy(col("rng"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .orderBy(col("rng").asc).collect()
+    var acc = 0L
+    val offMap: Map[String, Long] = totals.map { r =>
+      val o = (r.getString(0), acc); acc += r.getLong(1); o
+    }.toMap
+    val packed =
+      if (offMap.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          Schemas.curatedSequences)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rng")).orderBy(col("id"))
+        survivors.withColumn("local_cum", sum(col("n_tok")).over(w))
+          .select(lit(libId).as("library_id"),
+            col("id").as("chunk_id"),
+            col("n_tok").as("n_tokens"),
+            (col("local_cum") - col("n_tok") +
+              element_at(typedLit(offMap), col("rng"))).as("start_off"))
+          .withColumn("seq_id",
+            floor(col("start_off") / packBudget).cast("long"))
+          .withColumn("end_seq",
+            floor((col("start_off") + greatest(col("n_tokens"), lit(1)) - 1)
+              / packBudget).cast("long"))
+          .withColumn("straddles", col("seq_id") =!= col("end_seq"))
+      }
+    store.writeLibraryPartition("curated_sequences", libId, packed)
+
+    flagged.agg(
+      count(lit(1)).cast("long").as("n_total"),
+      sum(coalesce(col("f_exact"), lit(0))).cast("long").as("n_exact"),
+      sum(coalesce(col("f_cluster"), lit(0))).cast("long").as("n_cluster"),
+      sum(coalesce(col("f_clean"), lit(0))).cast("long").as("n_clean"),
+      sum(coalesce(col("f_quality"), lit(0))).cast("long").as("n_quality"),
+      sum(surv).cast("long").as("n_survivors"),
+      sum(surv * col("n_tok")).cast("long").as("n_tokens_kept"),
+      floor((sum(surv * col("n_tok")) + lit(packBudget - 1)) / lit(packBudget))
+        .cast("long").as("n_sequences"))
+  }
+
+  /** The curated-sequences derived table for a library (empty schema'd
+    * frame when `curateLibrary` has not run).
+    */
+  def curatedSequences(libId: String): DataFrame =
+    if (!store.exists("curated_sequences"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        Schemas.curatedSequences)
+    else store.read("curated_sequences", Schemas.curatedSequences)
+      .filter(col("library_id") === libId)
 
   /** Flat scoring: raw stored vectors (quirk Q1). */
   private def flatScore(libChunks: DataFrame, query: Array[Float],

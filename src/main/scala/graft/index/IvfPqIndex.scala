@@ -180,15 +180,6 @@ object IvfPqIndex {
       col("chunk_id"),
       graft.functions.PqExpressions.pqEncode(col("res"), cb).as("codes"))
 
-  /** ADC candidate generation over the pruned lists: for each PROBED
-    * centroid the query residual's distance table to every codeword is
-    * computed driver-side in integer micro-units (nprobe × M × K longs)
-    * and shipped as one map literal keyed by centroid_id; the codes scan
-    * is pruned by `centroid_id IN (...)` (parquet pushdown + partition
-    * pruning) and each candidate costs M array lookups + long adds.
-    * Returns the capped (distance asc, chunk_id asc) candidate ids ONLY —
-    * the caller hydrates exact vectors from the primary store.
-    */
   /** The query's ADC table for ONE probed cell: residual vs the cell's
     * centroid (float subtraction — the same arithmetic the encoded
     * residuals used), then the flat m-major codeword distance table.

@@ -167,6 +167,7 @@ object LshIndex {
       .limit(Oversample * k)
       .select(col("chunk_id"), col("embedding_norm"))
       .localCheckpoint()
+    graft.Caches.track(fromBuckets) // released at suite end (lazy result reads it)
     val have = fromBuckets.count()
     if (have >= k) fromBuckets
     else {

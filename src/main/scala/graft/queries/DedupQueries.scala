@@ -47,25 +47,8 @@ object DedupQueries {
   /** Unsorted doc->band rows (shared by the bands output and the pairs
     * self-join; only the former needs the presentation sort).
     */
-  private def bandRows(s: SparkSession, d: String): DataFrame = {
-    // numeric minhash: ONE md5 per shingle + K universal-hash variants in
-    // one fold. The tokenizer is bound to an attribute ("tk") in its own
-    // projection first: shingles() references its input 4x per element,
-    // and inlining the O(tokens) tokenizer there would make shingle
-    // construction O(tokens^2) per row (measured: it dominated the query).
-    // CollapseProject keeps the binding (non-cheap alias, multiple refs).
-    val withSigs = docs(s, d)
-      .select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), minhashSigsNum(shingles(col("tk"), 3), K).as("sigs"))
-    def sigStr(i: Int) = element_at(col("sigs"), i + 1).cast("string")
-    val bands = (0 until BANDS).map { b =>
-      struct(lit(b).as("band_id"),
-        md5(concat(sigStr(2 * b), lit(":"), sigStr(2 * b + 1))).as("band_hash"))
-    }
-    withSigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-  }
+  private def bandRows(s: SparkSession, d: String): DataFrame =
+    graft.curation.CurationCore.bandRowsOf(docs(s, d), "doc_id")
 
   /** ONE materialized band table per (session, dataset): three entries
     * (bands, pairs, clusters) consume the identical signature
@@ -75,10 +58,44 @@ object DedupQueries {
     */
   private val bandsCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
-  private def bandRowsCkpt(s: SparkSession, d: String): DataFrame =
-    bandsCache.synchronized {
-      bandsCache.getOrElseUpdate((s, d), bandRows(s, d).localCheckpoint())
+
+  /** Double-checked cache fill: the checkpoint JOB runs OUTSIDE the lock
+    * (a slow scan must not serialize unrelated callers); on a lost race the
+    * loser's blocks are released and the winner is returned.
+    */
+  private def cachedCkpt[K](cache: scala.collection.mutable.Map[K, DataFrame],
+      key: K)(build: => DataFrame): DataFrame =
+    cache.synchronized(cache.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        cache.synchronized {
+          cache.get(key) match {
+            case Some(winner) =>
+              org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint(built)
+              winner
+            case None => cache.put(key, built); built
+          }
+        }
     }
+
+  /** Release every process-lifetime checkpoint this object holds (bands +
+    * candidate pairs). Long-lived sessions call this between suites so
+    * checkpoint blocks don't stay pinned forever; the next query against
+    * the same path simply rebuilds (and re-reads the CURRENT data, so a
+    * dataset swapped in-place at the same path is also picked up).
+    */
+  def releaseCaches(): Unit =
+    Seq(bandsCache, pairsCache).foreach { c =>
+      c.synchronized {
+        c.values.foreach(
+          org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
+        c.clear()
+      }
+    }
+
+  private def bandRowsCkpt(s: SparkSession, d: String): DataFrame =
+    cachedCkpt(bandsCache, (s, d))(bandRows(s, d).localCheckpoint())
 
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     bandRowsCkpt(s, d).orderBy(col("doc_id").asc, col("band_id").asc)
@@ -92,16 +109,10 @@ object DedupQueries {
   private val pairsCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((s, d), {
-        val bandsDf = bandRowsCkpt(s, d)
-        val a = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-        val b = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-        a.join(b, Seq("band_id", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-          .localCheckpoint() // the bucket self-join runs once, not per entry
-      })
+    cachedCkpt(pairsCache, (s, d)) {
+      graft.curation.CurationCore.candidatePairsOf(bandRowsCkpt(s, d), "doc_id")
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .localCheckpoint() // the bucket self-join runs once, not per entry
     }
 
   /** Min-label CONNECTED COMPONENTS over long-id pair edges — shared by
@@ -111,37 +122,13 @@ object DedupQueries {
     * diameter; `nodes` rows absent from any pair rejoin as
     * cluster-of-self at the end. Returns (idCol, cluster_id).
     */
-  private[queries] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      idCol: String): DataFrame = {
-    val Seq(aCol, bCol) = pairs.columns.toSeq
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val minN = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("label").as("nl"))
-        .groupBy(col("id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(minN, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("id"), col("label"))
-      rounds += 1
-    }
-    nodes.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("label"), col(idCol)).as("cluster_id"))
-  }
+  /** Forwarder kept for in-package callers; the implementation lives in
+    * [[graft.curation.CurationCore]] so the engine's curation verb shares
+    * it without an engine -> queries dependency.
+    */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, maxRounds: Int = 50): DataFrame =
+    graft.curation.CurationCore.connectedComponents(nodes, pairs, idCol, maxRounds)
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     candidatePairs(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)

@@ -86,6 +86,17 @@ object EngineQueries {
   private val baseCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), (VectorEngine, String, String, Array[Float])]
 
+  /** Drop the fixture maps so the next engine query rebuilds from scratch
+    * (the stores are parquet-backed temp dirs — nothing is pinned in
+    * executor memory, so "release" here just forgets the handles; the
+    * session-lifetime checkpoint blocks engine SEARCHES create are
+    * registered in [[graft.Caches]] by the index paths themselves).
+    */
+  def releaseCaches(): Unit = fixtureCache.synchronized {
+    fixtureCache.clear()
+    baseCache.clear()
+  }
+
   private def engineFixture(s: SparkSession, d: String,
       config: IndexConfig): (VectorEngine, String, Array[Float]) =
     fixtureCache.synchronized {
@@ -298,6 +309,78 @@ object EngineQueries {
     batchHitsOut(eng.searchBatchAnn(lib, batchQueryVecs(s, d), k = 10))
   }
 
+  /** DataFrame-scale batch through the LSH index (r5 VERDICT task #5:
+    * annJoin lifted to the lsh family): per-query probe signatures as
+    * expressions over the query TABLE (never collected), one bucket
+    * equi-join, distributed <k pad. Same query set and semantics as
+    * `x_engine_lshdet_batch`, so the same DuckDB replay hash-checks the
+    * expression-signature path against the driver-signature path.
+    */
+  private def engineLshDetAnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
+  /** DataFrame-scale batch through the flat-PQ index: ADC against the
+    * codebook literal with the query itself as the residual — the batch
+    * path's driver-side dtabs never materialize. The md5-seed "pq" family
+    * is pure arithmetic, so the batched DuckDB replay hash-checks it.
+    */
+  private def enginePqAnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("pq", pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
+  /** STREAMING ANN through the INDEX tables (r5 VERDICT task #6): query
+    * vectors arrive as a stream and probe the shared ivfpq fixture's
+    * centroid/codes tables — `VectorEngine.annJoinStream` (probe cells as
+    * expressions, stream-static codes join, fused cap+rerank aggregator
+    * as the single stateful op). Unlike `e_stream_knn`, the corpus is
+    * never broadcast: the streamed batch reads ~nprobe/K of a
+    * byte-compressed codes table. The md5-seed family is pure arithmetic,
+    * so the same batched DuckDB replay that checks `annJoin` hash-checks
+    * all 25 streamed answers.
+    */
+  private def engineStreamAnn(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val qStream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val hits = eng.annJoinStream(lib, qStream, k = 10)
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = hits.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory").queryName("graft_stream_ann")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.table("graft_stream_ann")
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"),
+        expr("CAST(substring(h._2, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("h._1"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
     * first recall metric with a full DuckDB oracle: both the approximate
     * side (the whole ivfpq replay) and the exact side are SQL, so the
@@ -321,6 +404,19 @@ object EngineQueries {
   private def ivfDetRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
 
+  /** Recall@10 of the TRAINED PQ / IVFPQ configs (r5 VERDICT task #7):
+    * Lloyd-trained codebooks cannot be replayed by an independent SQL
+    * engine, so these are rows-only entries — but run-to-run
+    * deterministic, and BASELINE.md records trained vs det recall to
+    * quantify what the training buys.
+    */
+  private def pqTrainedRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("pq_trained", pqSubspaces = 8, pqCodewords = 16))
+
+  private def ivfpqTrainedRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("ivfpq_trained",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
@@ -336,11 +432,16 @@ object EngineQueries {
     "x_engine_lshdet_batch"  -> (engineLshDetBatch _),
     "x_engine_ivfpq_annjoin" -> (engineIvfPqAnnJoin _),
     "x_engine_ivfpq_annjoin100" -> (engineIvfPqAnnJoin100 _),
+    "x_engine_lshdet_annjoin" -> (engineLshDetAnnJoin _),
+    "x_engine_pq_annjoin"    -> (enginePqAnnJoin _),
+    "e_stream_ann"           -> (engineStreamAnn _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
     "x_lshdet_recall"        -> (lshDetRecall _),
     "x_ivfdet_recall"        -> (ivfDetRecall _),
+    "x_pqtrained_recall"     -> (pqTrainedRecall _),
+    "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -646,6 +747,91 @@ object EngineQueries {
        |FROM cand c JOIN vn v USING (vec_id)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  // Flat-PQ replay, corpus part (query-independent): float-normalized
+  // vectors, md5-seed codebooks (codeword id in chunk_id order), 8x8
+  // slices, argmin encode (dist asc, k asc). Shared by the single-query
+  // hits entry and the batched annJoin replay.
+  private val pqCorpusCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnorm
+      |  FROM nr WHERE n > 0),
+      |cw AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, vnorm
+      |  FROM (SELECT vec_id, vnorm FROM vn
+      |        ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+      |        LIMIT 16)),
+      |cb AS (
+      |  SELECT g.m, cw.k, list_slice(cw.vnorm, g.m*8 + 1, g.m*8 + 8) AS c
+      |  FROM cw, range(8) g(m)),
+      |vs AS (
+      |  SELECT v.vec_id, g.m, list_slice(v.vnorm, g.m*8 + 1, g.m*8 + 8) AS sv
+      |  FROM vn v, range(8) g(m)),
+      |enc AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT vs.vec_id, vs.m, cb.k,
+      |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
+      |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
+      |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
+      |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1)""".stripMargin
+
+  private val pqHitsSql =
+    s"""WITH $pqCorpusCtes,
+       |qs AS (
+       |  SELECT g.m, list_slice(q.vnorm, g.m*8 + 1, g.m*8 + 8) AS qv
+       |  FROM (SELECT vnorm FROM vn WHERE vec_id = 0) q, range(8) g(m)),
+       |dtab AS (
+       |  SELECT cb.m, cb.k,
+       |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
+       |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
+       |  FROM cb JOIN qs ON cb.m = qs.m),
+       |cand AS (
+       |  SELECT enc.vec_id, CAST(SUM(dtab.du) AS BIGINT) AS dist_u
+       |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.k = dtab.k
+       |  GROUP BY enc.vec_id
+       |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)
+       |SELECT c.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM cand c JOIN vn v USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // Batched flat-PQ replay (x_engine_pq_annjoin): the same corpus CTEs
+  // with the dtab/cap/rerank tail PARTITIONED BY query_id — the SQL
+  // mirror of annJoin's codebook-literal ADC for queries vec 0, 1, 2.
+  private val pqBatchSql =
+    s"""WITH $pqCorpusCtes,
+       |qs_b AS (
+       |  SELECT q.vec_id AS query_id, g.m,
+       |         list_slice(q.vnorm, g.m*8 + 1, g.m*8 + 8) AS qv
+       |  FROM vn q, range(8) g(m) WHERE q.vec_id IN (0, 1, 2)),
+       |dtab_b AS (
+       |  SELECT qs.query_id, cb.m, cb.k,
+       |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
+       |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
+       |  FROM cb JOIN qs_b qs ON cb.m = qs.m),
+       |cand_b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY dist_u ASC, vec_id ASC) AS rn
+       |    FROM (
+       |      SELECT d.query_id, enc.vec_id, CAST(SUM(d.du) AS BIGINT) AS dist_u
+       |      FROM enc JOIN dtab_b d ON enc.m = d.m AND enc.k = d.k
+       |      GROUP BY d.query_id, enc.vec_id))
+       |  WHERE rn <= 60)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnorm, rq.emb)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnorm, rq.emb)", 6)} DESC,
+       |                    c.vec_id ASC) AS rn
+       |  FROM cand_b c JOIN vn v USING (vec_id)
+       |       JOIN e rq ON rq.vec_id = c.query_id)
+       |WHERE rn <= 10
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x_engine_flat" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
@@ -695,55 +881,23 @@ object EngineQueries {
     // ranking capped at 6k=60 (dist asc, chunk_id asc), exact cosine
     // rerank vs the RAW query. Mirrors PqIndex.build/encode/candidates
     // and VectorEngine.search step for step.
-    "x_engine_pq" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
-         |vn AS (
-         |  SELECT vec_id, emb,
-         |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnorm
-         |  FROM nr WHERE n > 0),
-         |cw AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, vnorm
-         |  FROM (SELECT vec_id, vnorm FROM vn
-         |        ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
-         |        LIMIT 16)),
-         |cb AS (
-         |  SELECT g.m, cw.k, list_slice(cw.vnorm, g.m*8 + 1, g.m*8 + 8) AS c
-         |  FROM cw, range(8) g(m)),
-         |vs AS (
-         |  SELECT v.vec_id, g.m, list_slice(v.vnorm, g.m*8 + 1, g.m*8 + 8) AS sv
-         |  FROM vn v, range(8) g(m)),
-         |enc AS (
-         |  SELECT vec_id, m, k FROM (
-         |    SELECT vs.vec_id, vs.m, cb.k,
-         |           row_number() OVER (PARTITION BY vs.vec_id, vs.m ORDER BY
-         |             (list_dot_product(vs.sv, vs.sv) + list_dot_product(cb.c, cb.c)
-         |               - 2 * list_dot_product(vs.sv, cb.c)) ASC, cb.k ASC) AS rn
-         |    FROM vs JOIN cb ON vs.m = cb.m) WHERE rn = 1),
-         |qs AS (
-         |  SELECT g.m, list_slice(q.vnorm, g.m*8 + 1, g.m*8 + 8) AS qv
-         |  FROM (SELECT vnorm FROM vn WHERE vec_id = 0) q, range(8) g(m)),
-         |dtab AS (
-         |  SELECT cb.m, cb.k,
-         |         CAST(floor((list_dot_product(qs.qv, qs.qv) + list_dot_product(cb.c, cb.c)
-         |           - 2 * list_dot_product(qs.qv, cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS du
-         |  FROM cb JOIN qs ON cb.m = qs.m),
-         |cand AS (
-         |  SELECT enc.vec_id, CAST(SUM(dtab.du) AS BIGINT) AS dist_u
-         |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.k = dtab.k
-         |  GROUP BY enc.vec_id
-         |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)
-         |SELECT c.vec_id,
-         |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
-         |FROM cand c JOIN vn v USING (vec_id)
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "x_engine_pq" -> pqHitsSql,
+    // same replay batched: annJoin's codebook-literal ADC must land on
+    // identical hits for queries vec 0, 1, 2
+    "x_engine_pq_annjoin" -> pqBatchSql,
     "x_engine_ivfpq" -> ivfpqHitsSql,
     "x_engine_ivfpq_batch" -> ivfpqBatchSql,
     "x_engine_lshdet_batch" -> lshDetBatchSql,
+    // same replay as the Seq-batch lsh_det entry: annJoin's
+    // expression-signature path must land on identical hits
+    "x_engine_lshdet_annjoin" -> lshDetBatchSql,
     // same replay as the Seq-batch entry: annJoin must land on identical
     // hits through its distributed-ADC path
     "x_engine_ivfpq_annjoin" -> ivfpqBatchSql,
     "x_engine_ivfpq_annjoin100" -> ivfpqBatchSqlFor(100),
+    // streamed answers replayed by the same batched pipeline SQL — a
+    // dropped, duplicated, or mis-ranked streamed query fails the hash
+    "e_stream_ann" -> ivfpqBatchSqlFor(25),
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
     "x_ivfpq_recall" ->

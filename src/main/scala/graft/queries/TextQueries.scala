@@ -104,33 +104,9 @@ object TextQueries {
     * mode-finding as aggregation, never a per-doc sort or window over
     * the corpus.
     */
-  private def repetition(s: SparkSession, d: String): DataFrame = {
-    def modeStats(terms: DataFrame, nCol: String, maxCol: String): DataFrame =
-      terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).cast("long").as(nCol),
-          max(col("c")).cast("long").as(maxCol))
-    val tokStats = modeStats(
-      docs(s, d).select(col("doc_id"), explode(toks).as("term")),
-      "n_tokens", "max_tok")
-    val bgStats = modeStats(
-      docs(s, d).select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("term")),
-      "n_bigrams", "max_bg")
-    docs(s, d).select(col("doc_id"))
-      .join(tokStats, Seq("doc_id"), "left_outer")
-      .join(bgStats, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        rnd(coalesce(col("max_tok").cast("double") / col("n_tokens"), lit(0.0)), 6)
-          .as("top_token_frac"),
-        rnd(coalesce(col("max_bg").cast("double") / col("n_bigrams"), lit(0.0)), 6)
-          .as("top_bigram_frac"))
-      .withColumn("keep",
-        col("top_token_frac") <= 0.2 && col("top_bigram_frac") <= 0.18)
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    graft.curation.CurationCore.repetitionStatsOf(docs(s, d), "doc_id")
       .orderBy(col("doc_id").asc)
-  }
 
   /** SEQUENCE PACKING — the pretraining batch-assembly primitive:
     * concatenate the corpus in doc_id order and cut it into fixed
@@ -278,14 +254,17 @@ object TextQueries {
     // t_pack_sequences: the same concat-and-cut packing as one running
     // window — the oracle can afford the global cumsum the Spark side
     // deliberately decomposes into the two-phase distributed prefix sum.
+    // start_off MUST be cast back to BIGINT: DuckDB's windowed SUM(BIGINT)
+    // returns HUGEINT, which pandas coerces to float64 and the strict
+    // string hash then sees "0.0" vs Spark's "0".
     "t_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, n_tokens,
-         |         SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
-         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+         |         CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
          |  FROM t)
          |SELECT doc_id, n_tokens, start_off,
          |       CAST(start_off // 512 AS BIGINT) AS seq_id,

@@ -21,3 +21,20 @@ object GraftPlanBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
+
+/** Release the storage blocks behind a `localCheckpoint()`ed Dataset.
+  * `Dataset.unpersist` only consults the CacheManager, which does not track
+  * checkpoint blocks, so process-lifetime checkpoint caches (session-cache
+  * lifecycle) need to reach the `LogicalRDD` leaf's RDD directly — that leaf
+  * is `private[sql]`, hence this bridge. No-op on non-checkpointed plans;
+  * after release the Dataset must not be re-executed (re-build instead).
+  */
+object GraftRddBridge {
+  def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+      .collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.VectorEngine
+
+/** The engine curation verb vs the query-side capstone: `curateLibrary`
+  * over a library ingested from the documents table must produce
+  * BIT-IDENTICAL per-stage counts to `d_pipeline_e2e` on the same corpus
+  * (both run the CurationCore stages), and the packed `curated_sequences`
+  * derived table must be a valid concatenate-and-cut packing of the
+  * survivors.
+  */
+class CurateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("curateLibrary matches d_pipeline_e2e counts and packs the survivors") {
+    val root = Files.createTempDirectory("graft-curate-test").toString
+    val eng = new VectorEngine(spark, root)
+    val lib = eng.createLibrary("curated-corpus", 4)
+    val doc = eng.createDocument(lib)
+    // chunk id = zero-padded doc_id: the id order (packing / canonical-min
+    // order) matches the capstone's numeric doc_id order
+    eng.bulkIngest(lib, doc, graft.queries.Tables.documents(spark, sfDir)
+      .select(format_string("d%05d", col("doc_id")).as("id"), col("text")))
+    val benchIds = (0 until 20).map(i => f"d$i%05d")
+
+    val stats = eng.curateLibrary(lib, benchIds).collect().head
+    val expected = graft.queries.DedupQueries.queries("d_pipeline_e2e")(
+      spark, sfDir).collect().head
+    assert(stats.schema.fieldNames.toSeq == expected.schema.fieldNames.toSeq)
+    assert(stats.toSeq == expected.toSeq,
+      s"engine curation diverged from the query-side capstone: " +
+        s"${stats.toSeq} vs ${expected.toSeq}")
+
+    // the derived table: one row per survivor; contiguous offsets in
+    // chunk-id order; sequence count consistent with the stats row
+    val seqs = eng.curatedSequences(lib)
+    val nSurv = stats.getAs[Long]("n_survivors")
+    assert(seqs.count() == nSurv)
+    val rows = seqs.orderBy(col("chunk_id").asc).collect()
+    var off = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_off") == off,
+        s"non-contiguous packing at ${r.getAs[String]("chunk_id")}")
+      off += r.getAs[Long]("n_tokens")
+    }
+    assert(off == stats.getAs[Long]("n_tokens_kept"))
+    val maxEndSeq = seqs.agg(max(col("end_seq"))).collect().head.getLong(0)
+    assert(maxEndSeq + 1 == stats.getAs[Long]("n_sequences"))
+
+    // re-running is a new VERSION of the derived table (snapshot store),
+    // with the same content
+    val stats2 = eng.curateLibrary(lib, benchIds).collect().head
+    assert(stats2.toSeq == stats.toSeq)
+    assert(eng.curatedSequences(lib).count() == nSurv)
+    graft.Caches.releaseAll()
+  }
+}

@@ -761,7 +761,7 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("annJoin: DataFrame-scale batch equals searchBatchAnn on flat/ivf/ivfpq") {
+  test("annJoin: DataFrame-scale batch equals searchBatchAnn on every family") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
     val dim = 8
@@ -776,7 +776,11 @@ class EngineSpec extends AnyFunSuite {
         IndexConfig("flat"),
         IndexConfig("ivf_det", ivfNumCentroids = 4, ivfNprobe = 2),
         IndexConfig("ivfpq", ivfNumCentroids = 4, ivfNprobe = 2,
-          pqSubspaces = 2, pqCodewords = 8))) {
+          pqSubspaces = 2, pqCodewords = 8),
+        IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 3),
+        // high-H det config drives some queries under k candidates -> pad path
+        IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 12),
+        IndexConfig("pq", pqSubspaces = 2, pqCodewords = 8))) {
       val lib = eng.createLibrary("aj-" + cfg.indexType, dim, cfg)
       val doc = eng.createDocument(lib)
       eng.upsertChunks(lib, doc, chunksIn)
@@ -800,14 +804,57 @@ class EngineSpec extends AnyFunSuite {
       val bad = Seq((7L, Seq(1f, 2f))).toDF("query_id", "qvec")
       assert(eng.annJoin(lib, bad, k = 3).collect().isEmpty)
     }
-    // lsh/pq route through searchBatchAnn
-    val lshLib = eng.createLibrary("aj-lsh", dim,
-      IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 3))
-    val lshDoc = eng.createDocument(lshLib)
-    eng.upsertChunks(lshLib, lshDoc, chunksIn.take(5))
-    eng.rebuildIndex(lshLib)
+    // duplicate query_ids are rejected on both batch surfaces: probe/ADC
+    // would keep one vector per id while rerank joins every raw qvec
+    val flatLib = eng.createLibrary("aj-dup", dim, IndexConfig("flat"))
+    val dupDoc = eng.createDocument(flatLib)
+    eng.upsertChunks(flatLib, dupDoc, chunksIn.take(5))
+    val dupQ = Seq((0L, Seq.fill(dim)(1f)), (0L, Seq.fill(dim)(2f)))
     intercept[ValidationError] {
-      eng.annJoin(lshLib, Seq((0L, Seq.fill(dim)(1f))).toDF("query_id", "qvec"), 3)
+      eng.annJoin(flatLib, dupQ.toDF("query_id", "qvec"), 3)
+    }
+    intercept[ValidationError] {
+      eng.searchBatchAnn(flatLib,
+        dupQ.map { case (i, v) => (i, v.toArray) }, 3)
+    }
+  }
+
+  test("annJoinStream: fused cap+rerank equals annJoin on the ivfpq index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val chunksIn = (0 until 60).map(i =>
+      ChunkIn(s"t$i", Some(Array.fill(dim)(rnd.nextGaussian().toFloat)),
+        id = Some(f"c$i%03d")))
+    val qs: Seq[(Long, Array[Float])] =
+      (0L until 4L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat)) :+
+        (9L -> Array.fill(dim)(0f))
+    val eng = freshEngine()
+    val lib = eng.createLibrary("ajs", dim, IndexConfig("ivfpq",
+      ivfNumCentroids = 4, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 8))
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, chunksIn)
+    eng.rebuildIndex(lib)
+    val qDf = qs.map { case (qid, v) => (qid, v.toSeq) }.toDF("query_id", "qvec")
+    // the streaming plan is batch-executable: same candidates, same cap
+    // order, same final (score desc, chunk_id asc) as cap->hydrate->rerank
+    import org.apache.spark.sql.functions.{col, explode}
+    val streamed = eng.annJoinStream(lib, qDf, k = 5)
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h._2").as("chunk_id"), col("h._1").as("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val viaJoin = eng.annJoin(lib, qDf, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(streamed == viaJoin, "annJoinStream diverged from annJoin")
+    assert(streamed.nonEmpty)
+    // zero-vector query contributes no rows
+    assert(!streamed.exists(_._1 == 9L))
+    // index-table probing requires an ivfpq library
+    val flatLib = eng.createLibrary("ajs-flat", dim)
+    intercept[ValidationError] {
+      eng.annJoinStream(flatLib, qDf, k = 5)
     }
   }
 
