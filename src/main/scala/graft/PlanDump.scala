@@ -48,6 +48,11 @@ object PlanDump {
     "t_token_ids",          // broadcast vocab join + ordered reassembly
     "t_pack_sequences",     // two-phase prefix sum (range windows + offset map)
     "t_repetition",         // per-doc mode fractions via (doc, term) agg
+    // round 6 additions
+    "x_engine_lshdet_annjoin", // expression probe signatures -> bucket equi-join -> distributed pad
+    "x_engine_pq_annjoin",     // flat-ADC vs codebook literal over the codes scan
+    "x_engine_ivfpq_selfjoin", // corpus-scale self-join: N queries = N corpus rows
+    "d_pipeline_e2e",          // five-stage curation DAG composed as flags on one scan
   )
 
   def main(args: Array[String]): Unit = {

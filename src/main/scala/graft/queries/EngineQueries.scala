@@ -299,6 +299,24 @@ object EngineQueries {
     batchHitsOut(eng.annJoin(lib, qDf, k = 10))
   }
 
+  /** CORPUS-SCALE ANN SELF-JOIN: EVERY corpus vector queries the ivfpq
+    * index for its top-10 — the real shape of embedding near-dup
+    * detection and retrieval-corpus construction (N queries = N corpus
+    * rows; at 100 TB both sides are the corpus). Pure `annJoin`: the
+    * query side is the embeddings TABLE, nothing query-dependent touches
+    * the driver, and the ADC evaluates against the codebook literal over
+    * the centroid-pruned codes scan. Every hit (5,000 rows at sf0.01) is
+    * hash-checked by the batched DuckDB replay with the query CTE
+    * widened to the whole corpus.
+    */
+  private def engineIvfPqSelfJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** Batched lsh_det search — second hash-checked family through
     * `searchBatchAnn` (one probe-signature broadcast join for all
     * queries, per-query multiplicity rank + cap).
@@ -432,6 +450,7 @@ object EngineQueries {
     "x_engine_lshdet_batch"  -> (engineLshDetBatch _),
     "x_engine_ivfpq_annjoin" -> (engineIvfPqAnnJoin _),
     "x_engine_ivfpq_annjoin100" -> (engineIvfPqAnnJoin100 _),
+    "x_engine_ivfpq_selfjoin" -> (engineIvfPqSelfJoin _),
     "x_engine_lshdet_annjoin" -> (engineLshDetAnnJoin _),
     "x_engine_pq_annjoin"    -> (enginePqAnnJoin _),
     "e_stream_ann"           -> (engineStreamAnn _),
@@ -693,11 +712,21 @@ object EngineQueries {
   private val ivfpqBatchSql = ivfpqBatchSqlFor(3)
 
   private def ivfpqBatchSqlFor(nQueries: Int): String =
+    ivfpqBatchSqlQnb(
+      s"""SELECT vec_id AS query_id,
+         |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+         |  FROM e WHERE vec_id < $nQueries""".stripMargin)
+
+  // the self-join replay: the query CTE is the WHOLE normalized corpus
+  // (vn's vnormf is the identical normalize-then-float expression, and
+  // excludes zero vectors exactly as annJoin does)
+  private val ivfpqSelfJoinSql =
+    ivfpqBatchSqlQnb("SELECT vec_id AS query_id, vnormf AS v FROM vn")
+
+  private def ivfpqBatchSqlQnb(qnbSelect: String): String =
     s"""WITH $ivfpqCorpusCtes,
        |qn_b AS (
-       |  SELECT vec_id AS query_id,
-       |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
-       |  FROM e WHERE vec_id < $nQueries),
+       |  $qnbSelect),
        |top_c_b AS (
        |  SELECT query_id, centroid_id, cvec FROM (
        |    SELECT q.query_id, c.centroid_id, c.cvec,
@@ -895,6 +924,9 @@ object EngineQueries {
     // hits through its distributed-ADC path
     "x_engine_ivfpq_annjoin" -> ivfpqBatchSql,
     "x_engine_ivfpq_annjoin100" -> ivfpqBatchSqlFor(100),
+    // the self-join: every corpus vector's top-10 through the index,
+    // replayed with the query CTE widened to the whole corpus
+    "x_engine_ivfpq_selfjoin" -> ivfpqSelfJoinSql,
     // streamed answers replayed by the same batched pipeline SQL — a
     // dropped, duplicated, or mis-ranked streamed query fails the hash
     "e_stream_ann" -> ivfpqBatchSqlFor(25),
