@@ -121,7 +121,11 @@ object TextQueries {
     * numbers, and every heavy stage is a bounded partitioned shuffle.
     */
   private val PackBudget = 512
-  private def packSequences(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc packing frame (doc_id, n_tokens, start_off, seq_id,
+    * end_seq, straddles), unsorted — shared by the packing entry and the
+    * assembly-map entry.
+    */
+  private def packAssignments(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), size(toks).as("n_tokens"),
       floor(col("doc_id") / 64).as("rng"))
     val w = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
@@ -145,7 +149,37 @@ object TextQueries {
         floor((col("start_off") + greatest(col("n_tokens"), lit(1)) - 1)
           / PackBudget).cast("long"))
       .withColumn("straddles", col("seq_id") =!= col("end_seq"))
-      .orderBy(col("doc_id").asc)
+  }
+
+  private def packSequences(s: SparkSession, d: String): DataFrame =
+    packAssignments(s, d).orderBy(col("doc_id").asc)
+
+  /** SEQUENCE ASSEMBLY MAP — the inverse view of packing: for each
+    * context window (sequence), which documents contribute and how many
+    * tokens each window actually holds. A doc spanning sequences
+    * seq_id..end_seq explodes to one row per spanned window (bounded:
+    * total rows = n_docs + total_tokens/budget), then one aggregation by
+    * window computes doc count, first/last doc, token fill, and the
+    * is_full flag — the per-batch accounting a training loader reports.
+    * The token contribution is the interval overlap of the doc's
+    * [start_off, start_off + n_tokens) with the window's
+    * [seq*B, (seq+1)*B).
+    */
+  private def packAssign(s: SparkSession, d: String): DataFrame = {
+    val b = lit(PackBudget.toLong)
+    packAssignments(s, d)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("start_off"),
+        explode(sequence(col("seq_id"), col("end_seq"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least((col("seq_id") + 1) * b, col("start_off") + col("n_tokens")) -
+          greatest(col("seq_id") * b, col("start_off"))).cast("long")
+          .as("n_tokens"))
+      .withColumn("is_full", col("n_tokens") === b)
+      .orderBy(col("seq_id").asc)
   }
 
   /** Multimodal plumbing surface: treat text bytes as an opaque binary
@@ -166,6 +200,7 @@ object TextQueries {
     "t_langid"      -> (langId _),
     "t_fingerprint" -> (fingerprintDups _),
     "t_pack_sequences" -> (packSequences _),
+    "t_pack_assign"    -> (packAssign _),
     "t_repetition"     -> (repetition _),
     "m_binary_meta" -> (binaryMeta _),
   )
@@ -271,5 +306,35 @@ object TextQueries {
          |       CAST((start_off + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS end_seq,
          |       (start_off // 512) <> ((start_off + greatest(n_tokens, 1) - 1) // 512) AS straddles
          |FROM c ORDER BY doc_id ASC""".stripMargin,
+    // t_pack_assign: the same packing frame exploded to one row per
+    // (doc, spanned window), re-aggregated per window; token contribution
+    // = interval overlap with the window
+    "t_pack_assign" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, n_tokens, start_off,
+         |         CAST(start_off // 512 AS BIGINT) AS seq_id,
+         |         CAST((start_off + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS end_seq
+         |  FROM c),
+         |x AS (
+         |  SELECT doc_id, n_tokens, start_off,
+         |         unnest(generate_series(seq_id, end_seq)) AS sq
+         |  FROM p)
+         |SELECT CAST(sq AS BIGINT) AS seq_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS first_doc,
+         |       max(doc_id) AS last_doc,
+         |       CAST(SUM(least((sq + 1) * 512, start_off + n_tokens)
+         |             - greatest(sq * 512, start_off)) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(least((sq + 1) * 512, start_off + n_tokens)
+         |             - greatest(sq * 512, start_off)) AS BIGINT) = 512 AS is_full
+         |FROM x GROUP BY sq ORDER BY seq_id ASC""".stripMargin,
   )
 }
