@@ -151,6 +151,29 @@ object DedupQueries {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id").asc)
 
+  /** SOURCE-PRIORITY DUP RESOLUTION — what production pipelines actually
+    * do with a dup cluster: keep the copy from the most trusted SOURCE,
+    * not the lowest id (curated > web > crawl). Tier = source number mod
+    * 3 (a deterministic stand-in for a source-quality map, which at
+    * scale is a broadcast dim); the kept doc per cluster is the
+    * (tier asc, doc_id asc) first — so the canonical can be a HIGHER id
+    * than cluster-min when a better source holds the duplicate. One
+    * window over the cluster-labeled rows; shuffle bounded by the doc
+    * count, cluster labels reuse the cached CC run.
+    */
+  private def dupResolve(s: SparkSession, d: String): DataFrame = {
+    val tiers = docs(s, d).select(col("doc_id"), col("source"),
+      (substring(col("source"), 4, 10).cast("int") % 3).as("tier"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("tier").asc, col("doc_id").asc)
+    connectedComponents(docs(s, d).select(col("doc_id")),
+        candidatePairs(s, d), "doc_id")
+      .join(tiers, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("is_kept", col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-doc 60-bit simhash. */
   private def simhash(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), simhash60(toks).as("simhash"))
@@ -352,6 +375,7 @@ object DedupQueries {
     "d_minhash_bands" -> (minhashBands _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dup_clusters"  -> (dupClusters _),
+    "d_dup_resolve"   -> (dupResolve _),
     "d_simhash"       -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
     "d_jaccard_pairs" -> (jaccardPairs _),
@@ -430,6 +454,32 @@ object DedupQueries {
          |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
          |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          |FROM lab ORDER BY doc_id ASC""".stripMargin,
+    // d_dup_resolve: the same reachability clusters, canonical chosen by
+    // (source tier asc, doc_id asc) within each cluster
+    "d_dup_resolve" ->
+      s"""WITH RECURSIVE bands AS ($bandRowsSql),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT doc_id, cluster_id, source, tier, canonical_id,
+         |       doc_id = canonical_id AS is_kept
+         |FROM (
+         |  SELECT l.doc_id, l.cluster_id, d.source,
+         |         CAST(substr(d.source, 4) AS INT) % 3 AS tier,
+         |         first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+         |           ORDER BY CAST(substr(d.source, 4) AS INT) % 3 ASC,
+         |                    l.doc_id ASC) AS canonical_id
+         |  FROM lab l JOIN documents d USING (doc_id))
+         |ORDER BY doc_id ASC""".stripMargin,
     // d_pipeline_e2e: every stage's predicate recomputed and composed —
     // the per-stage accounting must match the Spark DAG number for number
     "d_pipeline_e2e" ->
