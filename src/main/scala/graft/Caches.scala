@@ -21,14 +21,25 @@ import org.apache.spark.sql.{DataFrame, GraftRddBridge}
   * not rebuild — the cache owners do.
   */
 object Caches {
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // WEAK references: the registry must not itself pin a checkpoint a
+  // caller has abandoned — those stay eligible for the GC+ContextCleaner
+  // path exactly as before this registry existed; releaseAll() eagerly
+  // frees whatever is still reachable.
+  private val tracked =
+    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
 
   /** Register a transient localCheckpoint for end-of-suite release. */
-  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  def track(df: DataFrame): DataFrame = synchronized {
+    tracked += new java.lang.ref.WeakReference(df)
+    df
+  }
 
   def releaseAll(): Unit = {
     synchronized {
-      tracked.foreach(GraftRddBridge.unpersistLocalCheckpoint)
+      tracked.foreach { ref =>
+        val df = ref.get()
+        if (df != null) GraftRddBridge.unpersistLocalCheckpoint(df)
+      }
       tracked.clear()
     }
     graft.queries.DedupQueries.releaseCaches()

@@ -1781,15 +1781,18 @@ final class VectorEngine(
       }
     store.writeLibraryPartition("curated_sequences", libId, packed)
 
+    // coalesce every sum: an EMPTY library (curate before ingest) must
+    // report zeros, not nulls
+    def z(c: Column): Column = coalesce(c, lit(0L))
     flagged.agg(
       count(lit(1)).cast("long").as("n_total"),
-      sum(coalesce(col("f_exact"), lit(0))).cast("long").as("n_exact"),
-      sum(coalesce(col("f_cluster"), lit(0))).cast("long").as("n_cluster"),
-      sum(coalesce(col("f_clean"), lit(0))).cast("long").as("n_clean"),
-      sum(coalesce(col("f_quality"), lit(0))).cast("long").as("n_quality"),
-      sum(surv).cast("long").as("n_survivors"),
-      sum(surv * col("n_tok")).cast("long").as("n_tokens_kept"),
-      floor((sum(surv * col("n_tok")) + lit(packBudget - 1)) / lit(packBudget))
+      z(sum(coalesce(col("f_exact"), lit(0)))).cast("long").as("n_exact"),
+      z(sum(coalesce(col("f_cluster"), lit(0)))).cast("long").as("n_cluster"),
+      z(sum(coalesce(col("f_clean"), lit(0)))).cast("long").as("n_clean"),
+      z(sum(coalesce(col("f_quality"), lit(0)))).cast("long").as("n_quality"),
+      z(sum(surv)).cast("long").as("n_survivors"),
+      z(sum(surv * col("n_tok"))).cast("long").as("n_tokens_kept"),
+      floor((z(sum(surv * col("n_tok"))) + lit(packBudget - 1)) / lit(packBudget))
         .cast("long").as("n_sequences"))
   }
 

@@ -68,4 +68,14 @@ class CurateSpec extends AnyFunSuite {
     assert(eng.curatedSequences(lib).count() == nSurv)
     graft.Caches.releaseAll()
   }
+
+  test("curateLibrary on an empty library reports zeros, not nulls") {
+    val root = Files.createTempDirectory("graft-curate-empty").toString
+    val eng = new VectorEngine(spark, root)
+    val lib = eng.createLibrary("empty", 4)
+    val stats = eng.curateLibrary(lib).collect().head
+    assert(stats.toSeq == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(eng.curatedSequences(lib).count() == 0)
+    graft.Caches.releaseAll()
+  }
 }
