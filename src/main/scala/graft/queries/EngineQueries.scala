@@ -251,10 +251,16 @@ object EngineQueries {
     * family is pure arithmetic for ANY query set, so the DuckDB oracle
     * replays the batched pipeline per query and hash-checks all 30 hits.
     */
-  private def batchHitsOut(hits: DataFrame): DataFrame =
+  /** (query_id, vec_id, rounded score) projection of engine batch hits —
+    * unsorted, for consumers that aggregate rather than emit.
+    */
+  private def batchHits(hits: DataFrame): DataFrame =
     hits.select(col("query_id"),
-        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
-        rnd(col("score"), 6).as("score"))
+      expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+      rnd(col("score"), 6).as("score"))
+
+  private def batchHitsOut(hits: DataFrame): DataFrame =
+    batchHits(hits)
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
 
   /** The batch entries' query set: vectors 0, 1, 2, query_id = vec_id. */
@@ -315,6 +321,36 @@ object EngineQueries {
     val qDf = Tables.embeddings(s, d)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
+  /** SEMANTIC DEDUP THROUGH THE INDEX (the SemDeDup shape): the corpus-
+    * scale ANN self-join feeds the dedup pipeline — every vector's
+    * index-pruned top-10 becomes the candidate edge set (score >= 0.35,
+    * symmetrized with least/greatest since ANN hits are directional),
+    * connected components resolves the near-dup clusters, min-id is the
+    * canonical. This is how embedding dedup actually runs at 100 TB:
+    * the O(N^2) cosine pair generation of `v_neardup_pairs` is replaced
+    * by the centroid-pruned byte-compressed index probe, and the CC
+    * shuffle is bounded by the hit-graph nodes, never the corpus. The
+    * DuckDB oracle replays the ENTIRE chain — build -> encode -> probe ->
+    * ADC -> rerank -> edges -> recursive reachability — so the cluster
+    * labels themselves are hash-checked.
+    */
+  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val hits = batchHits(eng.annJoin(lib, qDf, k = 10))
+    val pairs = hits
+      .filter(col("vec_id") =!= col("query_id") && col("score") >= 0.35)
+      .select(least(col("query_id"), col("vec_id")).as("vec_a"),
+        greatest(col("query_id"), col("vec_id")).as("vec_b"))
+      .distinct()
+    graft.curation.CurationCore.connectedComponents(
+        Tables.embeddings(s, d).select(col("vec_id")), pairs, "vec_id")
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id").asc)
   }
 
   /** Batched lsh_det search — second hash-checked family through
@@ -451,6 +487,7 @@ object EngineQueries {
     "x_engine_ivfpq_annjoin" -> (engineIvfPqAnnJoin _),
     "x_engine_ivfpq_annjoin100" -> (engineIvfPqAnnJoin100 _),
     "x_engine_ivfpq_selfjoin" -> (engineIvfPqSelfJoin _),
+    "d_semantic_dedup"       -> (semanticDedup _),
     "x_engine_lshdet_annjoin" -> (engineLshDetAnnJoin _),
     "x_engine_pq_annjoin"    -> (enginePqAnnJoin _),
     "e_stream_ann"           -> (engineStreamAnn _),
@@ -927,6 +964,27 @@ object EngineQueries {
     // the self-join: every corpus vector's top-10 through the index,
     // replayed with the query CTE widened to the whole corpus
     "x_engine_ivfpq_selfjoin" -> ivfpqSelfJoinSql,
+    // semantic dedup: the SAME self-join replay feeds symmetrized
+    // score>=0.35 edges into a recursive reachability CTE — the whole
+    // index-backed dedup chain hash-checked end to end
+    "d_semantic_dedup" ->
+      s"""WITH RECURSIVE hits AS (
+         |$ivfpqSelfJoinSql
+         |),
+         |prs AS (
+         |  SELECT DISTINCT least(query_id, vec_id) AS va,
+         |                  greatest(query_id, vec_id) AS vb
+         |  FROM hits WHERE vec_id <> query_id AND score >= 0.35),
+         |edges AS (
+         |  SELECT va AS src, vb AS dst FROM prs
+         |  UNION ALL SELECT vb, va FROM prs),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |lab AS (SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v)
+         |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+         |FROM lab ORDER BY vec_id ASC""".stripMargin,
     // streamed answers replayed by the same batched pipeline SQL — a
     // dropped, duplicated, or mis-ranked streamed query fails the hash
     "e_stream_ann" -> ivfpqBatchSqlFor(25),

@@ -182,6 +182,43 @@ object TextQueries {
       .orderBy(col("seq_id").asc)
   }
 
+  /** UNIGRAM-LM PERPLEXITY SCORING — the CCNet-style quality filter:
+    * train a unigram language model on the corpus itself (add-one
+    * smoothing over the corpus vocabulary) and score every document by
+    * its per-token cross-entropy under that model; high-entropy docs are
+    * the gibberish/boilerplate a curation pipeline drops. Scale shape:
+    * ONE token-count aggregation (map-side combined, shuffled by token),
+    * then an equi-join of the exploded corpus against the count table
+    * (shuffle join on token; Spark broadcasts automatically while the
+    * vocab fits) and a per-doc aggregation — no window over the corpus,
+    * no driver-side model state beyond the 2-value (N, V) totals row.
+    *
+    * Cross-engine determinism: `ln` is the one non-correctly-rounded
+    * primitive here (IEEE guarantees sqrt, not log), so each token's
+    * log-prob is floored to integer nano-nats BEFORE the per-doc sum —
+    * the sum is then exact BIGINT arithmetic on both engines and a
+    * last-ulp `ln` disagreement would need to land within 1e-9 of a
+    * floor boundary to surface. The per-doc mean is rounded with the
+    * shared [[Det.rnd]]/[[Det.rndSql]] floor formulation.
+    */
+  private def perplexity(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    // nano-nat contribution of one token: floor(1e9 * ln((c+1)/(N+V)))
+    val contrib = floor(
+      log((col("c") + lit(1)).cast("double") /
+          (col("n") + col("v")).cast("double")) * lit(1.0e9))
+    tk.join(counts, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"), sum(contrib).as("s9"))
+      .select(col("doc_id"), col("nt").cast("int").as("n_tokens"),
+        rnd((-col("s9")).cast("double") /
+          (lit(1.0e9) * col("nt").cast("double")), 6).as("xent"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Multimodal plumbing surface: treat text bytes as an opaque binary
     * payload column and extract typed metadata (byte length + sha256) —
     * the schema/plumbing pattern for image/audio blobs (decode itself is
@@ -202,6 +239,7 @@ object TextQueries {
     "t_pack_sequences" -> (packSequences _),
     "t_pack_assign"    -> (packAssign _),
     "t_repetition"     -> (repetition _),
+    "t_perplexity"     -> (perplexity _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -336,5 +374,21 @@ object TextQueries {
          |       CAST(SUM(least((sq + 1) * 512, start_off + n_tokens)
          |             - greatest(sq * 512, start_off)) AS BIGINT) = 512 AS is_full
          |FROM x GROUP BY sq ORDER BY seq_id ASC""".stripMargin,
+    // t_perplexity: the corpus-trained add-one unigram LM replayed in
+    // SQL. Each token's log-prob is floored to integer nano-nats BEFORE
+    // the per-doc sum (ln is not IEEE-correctly-rounded, so the sum must
+    // be exact integer arithmetic on both engines); the mean is the
+    // shared floor-rounding pair.
+    "t_perplexity" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |       ${rndSql(
+               "-CAST(sum(CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS DOUBLE) / (1000000000.0 * count(*))",
+               6)} AS xent
+         |FROM tk JOIN cnt USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
   )
 }
