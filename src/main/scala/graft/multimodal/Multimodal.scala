@@ -177,6 +177,59 @@ object Multimodal {
     }
   }
 
+  case class ResizeStatsRow(media_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, decoded: Boolean, sum_r: Long, sum_g: Long,
+      sum_b: Long)
+
+  /** Nearest-neighbor RESIZE codec: decode, then sample the source at
+    * `src = (dst * srcDim) / outDim` (integer division — the exact
+    * arithmetic a SQL oracle replays). One codec handle per partition,
+    * like [[PixelCodec]]; undecodable payloads yield a zeroed
+    * `decoded = false` row.
+    */
+  private class ResizeCodec(outW: Int, outH: Int) {
+    def decode(r: MediaRow): ResizeStatsRow = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+      if (img == null)
+        ResizeStatsRow(r.media_id, 0, 0, outW, outH, decoded = false, 0L, 0L, 0L)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var yd = 0
+        while (yd < outH) {
+          val ys = yd * h / outH
+          var xd = 0
+          while (xd < outW) {
+            val xs = xd * w / outW
+            val rgb = img.getRGB(xs, ys)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            xd += 1
+          }
+          yd += 1
+        }
+        ResizeStatsRow(r.media_id, w, h, outW, outH, decoded = true, sr, sg, sb)
+      }
+    }
+  }
+
+  /** REAL decode + nearest-neighbor resize via mapPartitions — the
+    * image-preprocessing step of a multimodal training pipeline (decode ->
+    * downsample -> feature stats), same map-only per-partition-codec shape
+    * as [[decodePixels]]. Channel sums are over the RESIZED raster, so an
+    * oracle integrating the source closed form at the sampled positions
+    * proves the resize arithmetic, not just the decode.
+    */
+  def resizePixels(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizeStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new ResizeCodec(outW, outH) // once per partition
+      rows.map(codec.decode)
+    }
+  }
+
   // ---- REAL audio decode (javax.sound.sampled) ------------------------
 
   case class AudioStatsRow(media_id: Long, sample_rate: Int, channels: Int,

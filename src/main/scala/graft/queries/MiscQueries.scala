@@ -123,6 +123,23 @@ object MiscQueries {
       .orderBy(col("media_id").asc)
   }
 
+  /** REAL decode + nearest-neighbor RESIZE to 4x3 — the downsample step
+    * of an image-preprocessing pipeline over the same 24 synthetic PNGs.
+    * The channel sums integrate the source formula at the resize-sampled
+    * positions `src = (dst * srcDim) / outDim`, so the oracle match
+    * proves the decode AND the resize arithmetic pixel for pixel.
+    */
+  private def resizePx(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 24).map(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i)))
+    Multimodal.resizePixels(s.createDataset(media).repartition(4), 4, 3)
+      .toDF()
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        col("out_w"), col("out_h"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id").asc)
+  }
+
   /** REAL audio decode — the WAV sibling of m_decode_px: 20 deterministic
     * PCM files decoded on executors via javax.sound.sampled
     * (`Multimodal.decodeAudio`), exact 16-bit sample sums. The PCM
@@ -246,6 +263,7 @@ object MiscQueries {
     "v_ann_signbits"   -> (annSignBits _),
     "m_decode_meta"    -> (decodeMeta _),
     "m_decode_px"      -> (decodePx _),
+    "m_resize_px"      -> (resizePx _),
     "m_decode_wav"     -> (decodeWav _),
   )
 
@@ -363,6 +381,24 @@ object MiscQueries {
         |       CAST(8 + media_id % 5 AS INTEGER) AS width,
         |       CAST(6 + media_id % 3 AS INTEGER) AS height,
         |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(SUM((7*x + 11*y + media_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((3*x + 5*y + 2*media_id) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((13*x + 17*y + 3*media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
+    // m_resize_px: the source formula integrated at the nearest-neighbor
+    // sample positions (xd * w // 4, yd * h // 3) — matches only if the
+    // Spark side decoded AND resampled with the exact same arithmetic.
+    "m_resize_px" ->
+      """WITH px AS (
+        |  SELECT i.i AS media_id,
+        |         (xd.x * (8 + i.i % 5)) // 4 AS x,
+        |         (yd.y * (6 + i.i % 3)) // 3 AS y
+        |  FROM range(24) i(i), range(4) xd(x), range(3) yd(y))
+        |SELECT media_id,
+        |       CAST(8 + media_id % 5 AS INTEGER) AS src_w,
+        |       CAST(6 + media_id % 3 AS INTEGER) AS src_h,
+        |       CAST(4 AS INTEGER) AS out_w,
+        |       CAST(3 AS INTEGER) AS out_h,
         |       CAST(SUM((7*x + 11*y + media_id) % 256) AS BIGINT) AS sum_r,
         |       CAST(SUM((3*x + 5*y + 2*media_id) % 256) AS BIGINT) AS sum_g,
         |       CAST(SUM((13*x + 17*y + 3*media_id) % 256) AS BIGINT) AS sum_b

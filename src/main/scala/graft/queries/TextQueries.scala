@@ -219,6 +219,35 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** TF-IDF TOP TERMS — the keyword-extraction / relevance-weighting
+    * primitive: per-doc term frequency x inverse document frequency, top
+    * 3 terms per document. Scale shape: two keyed aggregations ((doc,
+    * term) then term) and a window bounded by each doc's own term set —
+    * never a corpus-wide sort. The idf is floored to integer nano-nats
+    * (the [[perplexity]] `ln` trick) and multiplied by the integer tf, so
+    * ranking and output are exact integer arithmetic on both engines.
+    */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), explode(toks).as("term"))
+    val tf = tk.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = docs(s, d).agg(count(lit(1)).as("nd"))
+    val idf9 = floor(
+      log(col("nd").cast("double") / col("df").cast("double")) * lit(1.0e9))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s9").desc, col("term").asc)
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("s9", col("tf") * idf9)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"),
+        col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
+        rnd(col("s9").cast("double") / lit(1.0e9), 6).as("tfidf"))
+      .orderBy(col("doc_id").asc, col("rn").asc)
+  }
+
   /** Multimodal plumbing surface: treat text bytes as an opaque binary
     * payload column and extract typed metadata (byte length + sha256) —
     * the schema/plumbing pattern for image/audio blobs (decode itself is
@@ -240,6 +269,7 @@ object TextQueries {
     "t_pack_assign"    -> (packAssign _),
     "t_repetition"     -> (repetition _),
     "t_perplexity"     -> (perplexity _),
+    "t_tfidf"          -> (tfidf _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -390,5 +420,24 @@ object TextQueries {
                6)} AS xent
          |FROM tk JOIN cnt USING (tok), tot
          |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    // t_tfidf: tf x nano-nat-floored idf, exact integer ranking — the
+    // same ln guard as t_perplexity
+    "t_tfidf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dfT AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |sc AS (
+         |  SELECT t.doc_id, t.term, t.tf, d.df,
+         |         t.tf * CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+         |                           * 1000000000.0) AS BIGINT) AS s9
+         |  FROM tf t JOIN dfT d USING (term), nd)
+         |SELECT doc_id, rn, term, CAST(tf AS INTEGER) AS tf,
+         |       CAST(df AS INTEGER) AS df,
+         |       ${rndSql("CAST(s9 AS DOUBLE) / 1000000000.0", 6)} AS tfidf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY s9 DESC, term ASC) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY doc_id ASC, rn ASC""".stripMargin,
   )
 }
