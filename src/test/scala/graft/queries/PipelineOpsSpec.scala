@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** Differential + property specs for the round-6 pipeline operators:
+  * perplexity and tf-idf against independent driver-side brute force,
+  * resize against the identity property, semantic dedup against the
+  * clustering invariants. (The exact values are also DuckDB-hash-checked
+  * through the Verify gate; these specs pin the semantics without SQL.)
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def docTokens(): Map[Long, Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').toSeq.filter(_.nonEmpty))
+      .toMap
+  }
+
+  test("t_perplexity matches a driver-side brute-force unigram LM") {
+    val toks = docTokens()
+    val counts = toks.values.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val n = counts.values.sum
+    val v = counts.size.toLong
+    val expected: Map[Long, (Int, Double)] = toks.map { case (id, ts) =>
+      val s9 = ts.map(t => math.floor(
+        math.log((counts(t) + 1).toDouble / (n + v).toDouble) * 1.0e9).toLong).sum
+      id -> (ts.size, rnd6(-s9.toDouble / (1.0e9 * ts.size)))
+    }
+    val got = TextQueries.queries("t_perplexity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("t_tfidf matches a driver-side brute-force ranking") {
+    val toks = docTokens()
+    val nd = toks.size.toLong
+    val tf: Map[(Long, String), Long] = toks.toSeq
+      .flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val df: Map[String, Long] = tf.keys.toSeq.map(_._2)
+      .groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val expected: Seq[(Long, Int, String, Int, Int, Double)] =
+      tf.toSeq.map { case ((id, t), f) =>
+        val idf9 = math.floor(math.log(nd.toDouble / df(t).toDouble) * 1.0e9).toLong
+        (id, t, f, f * idf9)
+      }.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+        rows.sortBy { case (_, t, _, s9) => (-s9, t) }.take(3).zipWithIndex.map {
+          case ((_, t, f, s9), i) =>
+            (id, i + 1, t, f.toInt, df(t).toInt, rnd6(s9.toDouble / 1.0e9))
+        }
+      }.sortBy(r => (r._1, r._2))
+    val got = TextQueries.queries("t_tfidf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("resizePixels at the source dimensions is the identity on channel sums") {
+    import spark.implicits._
+    // i = 0 -> 8x6; i = 10 -> 8x7 (w = 8 + i%5, h = 6 + i%3)
+    for (i <- Seq(0, 10)) {
+      val media = spark.createDataset(Seq(
+        Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i))))
+      val w = 8 + i % 5
+      val h = 6 + i % 3
+      val full = Multimodal.decodePixels(media).collect().head
+      val same = Multimodal.resizePixels(media, w, h).collect().head
+      assert((same.sum_r, same.sum_g, same.sum_b) == (full.sum_r, full.sum_g, full.sum_b))
+      assert((same.src_w, same.src_h) == (w, h))
+      // 1x1 resize samples exactly pixel (0, 0): r=(i)%256, g=(2i)%256, b=(3i)%256
+      val one = Multimodal.resizePixels(media, 1, 1).collect().head
+      assert((one.sum_r, one.sum_g, one.sum_b) ==
+        ((i % 256).toLong, (2 * i % 256).toLong, (3 * i % 256).toLong))
+    }
+  }
+
+  test("d_semantic_dedup labels are a valid min-label clustering") {
+    val rows = EngineQueries.queries("d_semantic_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    // every corpus vector is labeled exactly once
+    assert(rows.length == rows.map(_._1).distinct.length)
+    // min-label: the cluster id is a member of its own cluster and is the
+    // minimum id in it; is_canonical marks exactly that member
+    rows.foreach { case (id, cl, canon) =>
+      assert(cl <= id)
+      assert(labels(cl) == cl, s"cluster id $cl is not its own root")
+      assert(canon == (id == cl))
+    }
+    graft.Caches.releaseAll()
+  }
+}
