@@ -53,6 +53,11 @@ object PlanDump {
     "x_engine_pq_annjoin",     // flat-ADC vs codebook literal over the codes scan
     "x_engine_ivfpq_selfjoin", // corpus-scale self-join: N queries = N corpus rows
     "d_pipeline_e2e",          // five-stage curation DAG composed as flags on one scan
+    "d_semantic_dedup",        // ANN-hit edges -> CC final join (index-backed SemDeDup)
+    "d_incremental",           // batch bands BROADCAST vs persisted band index
+    "t_perplexity",            // token-count agg + token equi-join + per-doc agg
+    "t_tfidf",                 // two keyed aggs + per-doc-bounded window
+    "m_resize_px",             // mapPartitions decode+resample stage
   )
 
   def main(args: Array[String]): Unit = {

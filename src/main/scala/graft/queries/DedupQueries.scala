@@ -174,6 +174,44 @@ object DedupQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** INCREMENTAL DEDUP — the INGEST-TIME shape: a new batch (doc_id >=
+    * [[IncrementalSplit]]) checks itself against the already-ingested
+    * corpus WITHOUT rescanning it. The corpus side is the persisted band
+    * index (here: the cached band table the other dedup entries share);
+    * the batch's band rows are BROADCAST to it, so the corpus bands are
+    * never shuffled — at 100 TB this is the only viable shape: the dedup
+    * index is a table you probe, not a corpus you rescan per batch.
+    * Each new doc reports its earliest corpus dup, its earliest
+    * within-batch dup (smaller-id peer sharing a bucket), and whether it
+    * is new-unique; -1 stands in for "none" (no nullable-int columns —
+    * pandas would coerce them to float and break the strict hash).
+    */
+  private val IncrementalSplit = 400L
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val bands = bandRowsCkpt(s, d)
+    val nb = bands.filter(col("doc_id") >= IncrementalSplit)
+      .select(col("doc_id").as("new_id"), col("band_id"), col("band_hash"))
+    val ob = bands.filter(col("doc_id") < IncrementalSplit)
+      .select(col("doc_id").as("old_id"), col("band_id"), col("band_hash"))
+    val vsCorpus = broadcast(nb).join(ob, Seq("band_id", "band_hash"))
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("c"))
+    val peers = nb.select(col("new_id").as("peer_id"),
+      col("band_id"), col("band_hash"))
+    val vsBatch = broadcast(nb).join(peers, Seq("band_id", "band_hash"))
+      .filter(col("peer_id") < col("new_id"))
+      .groupBy(col("new_id")).agg(min(col("peer_id")).as("c"))
+    docs(s, d).filter(col("doc_id") >= IncrementalSplit).select(col("doc_id"))
+      .join(vsCorpus.withColumnRenamed("new_id", "doc_id")
+        .withColumnRenamed("c", "oc"), Seq("doc_id"), "left_outer")
+      .join(vsBatch.withColumnRenamed("new_id", "doc_id")
+        .withColumnRenamed("c", "ic"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("oc"), lit(-1L)).as("dup_of_corpus"),
+        coalesce(col("ic"), lit(-1L)).as("dup_in_batch"),
+        (col("oc").isNull && col("ic").isNull).as("is_new_unique"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-doc 60-bit simhash. */
   private def simhash(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), simhash60(toks).as("simhash"))
@@ -376,6 +414,7 @@ object DedupQueries {
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dup_clusters"  -> (dupClusters _),
     "d_dup_resolve"   -> (dupResolve _),
+    "d_incremental"   -> (incrementalDedup _),
     "d_simhash"       -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
     "d_jaccard_pairs" -> (jaccardPairs _),
@@ -435,6 +474,27 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // d_incremental: the batch-vs-index probe replayed as two band joins
+    "d_incremental" ->
+      s"""WITH bands AS ($bandRowsSql),
+         |nb AS (SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id >= 400),
+         |ob AS (SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id < 400),
+         |oc AS (
+         |  SELECT nb.doc_id, min(ob.doc_id) AS c
+         |  FROM nb JOIN ob USING (band_id, band_hash) GROUP BY nb.doc_id),
+         |ib AS (
+         |  SELECT a.doc_id, min(b.doc_id) AS c
+         |  FROM nb a JOIN nb b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |       AND b.doc_id < a.doc_id
+         |  GROUP BY a.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(oc.c, -1) AS dup_of_corpus,
+         |       coalesce(ib.c, -1) AS dup_in_batch,
+         |       oc.c IS NULL AND ib.c IS NULL AS is_new_unique
+         |FROM documents d LEFT JOIN oc USING (doc_id) LEFT JOIN ib USING (doc_id)
+         |WHERE d.doc_id >= 400
+         |ORDER BY doc_id ASC""".stripMargin,
     // d_dup_clusters: connected components replayed as a recursive
     // reachability CTE — every doc's cluster is the min doc_id whose
     // label can reach it along the (undirected) candidate-pair edges.
