@@ -59,42 +59,72 @@ object CurationCore {
 
   /** Min-label CONNECTED COMPONENTS over pair edges — shared by the text
     * (minhash) and embedding (cosine) near-dup families and the engine
-    * curation verb. The fused per-round job (join neighbor labels, take
-    * the min, carry a changed flag) iterates over the PAIRED nodes only;
-    * rounds = graph diameter; `nodes` rows absent from any pair rejoin as
+    * curation verb. Each round fuses (a) neighbor-min propagation — join
+    * neighbor labels, take the min — with (b) a POINTER-JUMP: every node
+    * then adopts its label's own label from the same round's map
+    * (path-halving through the label forest), so label depth roughly
+    * halves per round and convergence is O(log diameter) rounds instead
+    * of O(diameter) — the difference between ~35 rounds and ~7 on the
+    * sf0.1 ANN-threshold graph, and the difference between converging and
+    * throwing on a deep path component at corpus scale. Iterates over the
+    * PAIRED nodes only; `nodes` rows absent from any pair rejoin as
     * cluster-of-self at the end. Returns (idCol, cluster_id).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int = 50): DataFrame = {
     import GraftRddBridge.unpersistLocalCheckpoint
+    val spark = nodes.sparkSession
+    // localCheckpoint materializes the DATA but copies the checkpointed
+    // plan's ESTIMATED statistics onto the LogicalRDD — in an iterative
+    // loop whose round plan multiplies the previous round's sizeInBytes
+    // into itself (two joins referencing `labels`), the estimate's BIT
+    // LENGTH compounds per round and the driver ends up in
+    // BigInteger.multiply for tens of seconds (observed: round 19 of the
+    // sf0.1 ANN graph took 52s with every executor idle). Rebuilding the
+    // frame from the checkpointed RDD gives a fresh default-stats plan,
+    // so each round's estimation starts from scratch.
+    def freshPlan(ckpt: DataFrame): DataFrame =
+      spark.createDataFrame(ckpt.rdd, ckpt.schema)
     val Seq(aCol, bCol) = pairs.columns.toSeq
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edgesCkpt = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
+    val edges = freshPlan(edgesCkpt)
+    var labelsCkpt = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var labels = freshPlan(labelsCkpt)
     // the checkpoint whose blocks back `labels`; once a round's `next` is
-    // materialized (the count action) the previous round's blocks are dead
-    // and released — only edges + the latest labels stay resident
-    var prevCkpt = labels
+    // materialized the previous round's blocks are dead and released —
+    // only edges + the latest labels stay resident
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
+      val tRound = System.nanoTime()
       val minN = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label").as("nl"))
         .groupBy(col("id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(minN, Seq("id"), "left_outer")
+      val stepped = labels.join(minN, Seq("id"), "left_outer")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("lab"))
+      // pointer jump: adopt the (previous-round) label of the new label —
+      // labels are node ids within the component, so label-of-label is
+      // also in the component and only ever smaller
+      val next = stepped
+        .join(labels.select(col("id").as("lab"), col("label").as("ll")),
+          Seq("lab"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
+          least(col("lab"), coalesce(col("ll"), col("lab"))).as("label"),
+          (least(col("lab"), coalesce(col("ll"), col("lab"))) < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
-      unpersistLocalCheckpoint(prevCkpt)
-      prevCkpt = next
-      labels = next.select(col("id"), col("label"))
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds changed=$changed round_s=${(System.nanoTime() - tRound) / 1e9}%.2f")
+      unpersistLocalCheckpoint(labelsCkpt)
+      labelsCkpt = next
+      labels = freshPlan(next).select(col("id"), col("label"))
       rounds += 1
     }
     // an unconverged labeling is WRONG (some nodes still carry a non-minimal
@@ -102,16 +132,16 @@ object CurationCore {
     // graphs are near-cliques so diameter ~ a few, and a caller with a
     // genuinely deep path graph raises maxRounds explicitly
     if (changed > 0) {
-      unpersistLocalCheckpoint(edges); unpersistLocalCheckpoint(prevCkpt)
+      unpersistLocalCheckpoint(edgesCkpt); unpersistLocalCheckpoint(labelsCkpt)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
           s"($changed labels still changing); component diameter exceeds " +
           "maxRounds — raise it for deep-path graphs")
     }
-    unpersistLocalCheckpoint(edges)
+    unpersistLocalCheckpoint(edgesCkpt)
     // the final labels checkpoint backs the (lazy) result, so its lifetime
     // is the caller's — register it for end-of-suite release
-    graft.Caches.track(prevCkpt)
+    graft.Caches.track(labelsCkpt)
     nodes.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .select(col(idCol),

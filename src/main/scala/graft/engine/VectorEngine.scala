@@ -1318,13 +1318,13 @@ final class VectorEngine(
     *     cartesian), per-query k-bounded partial top-k;
     *   - ivf: broadcast-centroid probe join -> per-query top-nprobe
     *     partial agg -> postings equi-join on centroid_id;
-    *   - ivfpq: probe join as ivf, query residuals + self-dot arrays
-    *     computed as expressions, and the ADC distance evaluated
-    *     per-candidate against the CODEBOOK LITERAL
-    *     (IvfPqIndex.adcDistFromCodebookExpr) — the per-(query, cell)
-    *     distance tables searchBatchAnn builds driver-side are never
-    *     materialized; same micro-unit floor convention, so ranks (and
-    *     the spec-asserted results) are bit-identical;
+    *   - ivfpq: probe join as ivf, then the per-(query, cell) ADC
+    *     distance TABLE materialized on executors by the AdcDtab codegen
+    *     kernel (IvfPqIndex.adcDtabExpr — the same tables searchBatchAnn
+    *     builds driver-side, computed where the probe pairs live) and
+    *     each candidate row summing M lookups; same micro-unit floor
+    *     convention, so ranks (and the spec-asserted results) are
+    *     bit-identical;
     *   - lsh: per-query multi-probe signatures as EXPRESSIONS (the same
     *     sign-bit pack the bucket build codegens, planes as literals;
     *     flips are xors over the bound base signature), ONE bucket
@@ -1445,21 +1445,22 @@ final class VectorEngine(
         if (cb.isEmpty) flatScored()
         else {
           val c = cents.get
-          val subDim = cb(0)(0).length
-          // residual + self-dot array per probe pair, as EXPRESSIONS —
-          // float subtraction and sequential double dots, the dtab
-          // arithmetic verbatim
+          // residual per probe pair (float subtraction, the dtab
+          // arithmetic verbatim), folded straight into the per-pair ADC
+          // TABLE by the codegen kernel — candidate rows below do M
+          // lookups each, never a dot
           val pairsFull = probePairs(c)
             .join(broadcast(c.select(col("centroid_id"), col("vector"))),
               Seq("centroid_id"))
             .join(qn, Seq("query_id"))
             .select(col("query_id"), col("centroid_id"),
-              zip_with(col("qnorm"), col("vector"), (a, b) => a - b).as("qres"))
-            .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
+              IvfPqIndex.adcDtabExpr(
+                zip_with(col("qnorm"), col("vector"), (a, b) => a - b), cb)
+                .as("dtab"))
           val dists = restrict(ivfpqCodes(libId))
             .join(pairsFull, Seq("centroid_id"))
             .select(col("query_id"), col("chunk_id"),
-              IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"))
+              IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"))
           val capped = capPerQuery(dists, -col("dist_u"), IvfPqIndex.Oversample * k)
           val hydrated = libChunks.filter(col("embedding").isNotNull)
             .select(col("id").as("chunk_id"),
@@ -1540,19 +1541,18 @@ final class VectorEngine(
           else PqIndex.collectCodebooks(pqCodebooks(libId))
         if (cb.isEmpty) flatScored()
         else {
-          val subDim = cb(0)(0).length
           // flat-ADC: the query residual IS the normalized query (no
-          // coarse quantizer); evaluated against the codebook literal with
-          // the same per-subspace micro-unit floors as the driver dtab
+          // coarse quantizer); its per-query distance table carries the
+          // same per-subspace micro-unit floors as the driver dtab
           // (PqIndex.dtabFlat), so ranks are bit-identical to the batch
           // path — and the codes x queries cross is the inherent flat-PQ
-          // scan shape (every code row is M byte lookups per query)
-          val qrs = qn.select(col("query_id"), col("qnorm").as("qres"))
-            .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
+          // scan shape (every code row is M table lookups per query)
+          val qrs = qn.select(col("query_id"),
+            IvfPqIndex.adcDtabExpr(col("qnorm"), cb).as("dtab"))
           val dists = restrict(pqCodes(libId))
             .crossJoin(qrs)
             .select(col("query_id"), col("chunk_id"),
-              IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"))
+              IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"))
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
           val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
           rerank(norms.join(capped, Seq("chunk_id")))
@@ -1628,7 +1628,6 @@ final class VectorEngine(
         .sortBy(_._1)
     if (cb.isEmpty || centArr.isEmpty)
       throw new ValidationError("annJoinStream: ivfpq index is not built")
-    val subDim = cb(0)(0).length
     val nprobe = math.max(1, config.ivfNprobe)
 
     val qn = queries
@@ -1648,9 +1647,9 @@ final class VectorEngine(
         explode(slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nprobe)).as("pc"))
       .select(col("query_id"), col("qvec"),
         col("pc.cid").as("centroid_id"),
-        zip_with(col("qnorm"), element_at(cvecMap, col("pc.cid")),
-          (a, b) => a - b).as("qres"))
-      .withColumn("qq", IvfPqIndex.adcQqExpr(cb.length, subDim))
+        IvfPqIndex.adcDtabExpr(
+          zip_with(col("qnorm"), element_at(cvecMap, col("pc.cid")),
+            (a, b) => a - b), cb).as("dtab"))
 
     val codes = ivfpqCodes(libId)
       .select(col("centroid_id"), col("chunk_id"), col("codes"))
@@ -1662,7 +1661,7 @@ final class VectorEngine(
     val cands = probed.join(codes, Seq("centroid_id"))
       .join(norms, Seq("chunk_id"))
       .select(col("query_id"), col("chunk_id"),
-        IvfPqIndex.adcDistFromCodebookExpr(cb).as("dist_u"),
+        IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"),
         similarity(metric)(col("embedding_norm"), col("qvec")).as("score"))
     cands.as[(Long, String, Long, Double)]
       .groupByKey(_._1)

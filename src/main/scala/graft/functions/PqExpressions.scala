@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Quantization kernels as LOOPING codegen expressions.
   *
@@ -161,6 +161,132 @@ object PqExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Per-(query[, cell]) ADC distance TABLE: entry m*K + j = the
+    * micro-unit floor of `(qs_m . qs_m + cc[m][j]) - 2 * qs_m . cb[m][j]`
+    * over the residual's m-th slice — the driver dtab hoisted onto
+    * executors ONCE per probe pair, so each candidate row downstream is M
+    * table LOOKUPS instead of M slice+dot evaluations (the FAISS ADC-table
+    * shape; measured ~20x on the corpus-scale annJoin). Arithmetic is the
+    * exact sequence the old per-row expression pair (adcQq + codebook
+    * dist) produced: sequential double dots over the float slice, the
+    * `(qq + cc) - 2.0*dot` association, floor-to-micro-units per
+    * subspace — so ranks are bit-identical and the DuckDB replays are
+    * unchanged. Input: array<float> of length subspaces*subDim; output:
+    * array<long> of length subspaces*K.
+    */
+  case class AdcDtab(child: Expression, codebook: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    private val subspaces = codebook.length
+    private val k = codebook(0).length
+    private val subDim = codebook(0)(0).length
+
+    private lazy val cbFlat: Array[Float] = {
+      val out = new Array[Float](subspaces * k * subDim)
+      var m = 0
+      while (m < subspaces) {
+        var j = 0
+        while (j < k) {
+          System.arraycopy(codebook(m)(j), 0, out, (m * k + j) * subDim, subDim)
+          j += 1
+        }
+        m += 1
+      }
+      out
+    }
+    private lazy val ccFlat: Array[Double] = {
+      val out = new Array[Double](subspaces * k)
+      var m = 0
+      while (m < subspaces) {
+        var j = 0
+        while (j < k) {
+          val c = codebook(m)(j)
+          var acc = 0.0; var t = 0
+          while (t < subDim) { acc += c(t).toDouble * c(t).toDouble; t += 1 }
+          out(m * k + j) = acc
+          j += 1
+        }
+        m += 1
+      }
+      out
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $dt")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](subspaces * k)
+      var m = 0
+      while (m < subspaces) {
+        val base = m * subDim
+        val lim = math.min(base + subDim, n)
+        var qq = 0.0
+        var t = base
+        while (t < lim) { val x = arr.getFloat(t).toDouble; qq += x * x; t += 1 }
+        var j = 0
+        while (j < k) {
+          val cbase = (m * k + j) * subDim
+          var dot = 0.0
+          var u = base
+          while (u < lim) {
+            dot += arr.getFloat(u).toDouble * cbFlat(cbase + (u - base)).toDouble
+            u += 1
+          }
+          val d = qq + ccFlat(m * k + j) - 2.0 * dot
+          out(m * k + j) = math.floor(d * 1000000.0 + 0.5).toLong
+          j += 1
+        }
+        m += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("adcCb", cbFlat, "float[]")
+      val ccRef = ctx.addReferenceObj("adcCc", ccFlat, "double[]")
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val m = ctx.freshName("m"); val j = ctx.freshName("j")
+        val t = ctx.freshName("t"); val base = ctx.freshName("base")
+        val lim = ctx.freshName("lim"); val qq = ctx.freshName("qq")
+        val x = ctx.freshName("x"); val dot = ctx.freshName("dot")
+        val d = ctx.freshName("d"); val cbase = ctx.freshName("cbase")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $out = new long[${subspaces * k}];
+           |for (int $m = 0; $m < $subspaces; $m++) {
+           |  int $base = $m * $subDim;
+           |  int $lim = java.lang.Math.min($base + $subDim, $n);
+           |  double $qq = 0.0;
+           |  for (int $t = $base; $t < $lim; $t++) {
+           |    double $x = (double) $in.getFloat($t);
+           |    $qq += $x * $x;
+           |  }
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    int $cbase = ($m * $k + $j) * $subDim;
+           |    double $dot = 0.0;
+           |    for (int $t = $base; $t < $lim; $t++) {
+           |      $dot += ((double) $in.getFloat($t)) * ((double) $cbRef[$cbase + ($t - $base)]);
+           |    }
+           |    double $d = $qq + $ccRef[$m * $k + $j] - 2.0 * $dot;
+           |    $out[$m * $k + $j] = (long) java.lang.Math.floor($d * 1000000.0 + 0.5);
+           |  }
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** cid = argmax over centroids of dot(vector, centroid), earliest index
     * on ties (reference `utils.py:39-44` strict `>`). Replaces the
     * K-unrolled `array_sort(array(struct(dot, cid) x K))` assignment tree —
@@ -231,6 +357,9 @@ object PqExpressions {
 
   def pqEncode(vec: Column, codebook: Array[Array[Array[Float]]]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), codebook))
+
+  def adcDtab(res: Column, codebook: Array[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(AdcDtab(GraftColumnBridge.expression(res), codebook))
 
   def argmaxDot(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftColumnBridge.column(ArgmaxDot(GraftColumnBridge.expression(vec), centroids))

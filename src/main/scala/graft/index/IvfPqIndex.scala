@@ -199,38 +199,19 @@ object IvfPqIndex {
         lit(m * kw) + element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
 
-  /** Per-(query, cell) residual self-dot array (M doubles) from
-    * col("qres") — precomputed once per probe pair so the per-candidate
-    * ADC expression below does one dot instead of two.
+  /** DISTRIBUTED ADC for DataFrame-scale query sets: the per-(query[,
+    * cell]) micro-unit distance table is materialized once per probe pair
+    * by the [[graft.functions.PqExpressions.AdcDtab]] codegen loop kernel
+    * (the driver `dtabForCell` hoisted onto executors), and each
+    * candidate row then sums M lookups via [[adcDistExpr]] — the FAISS
+    * ADC-table shape; replaced a per-candidate slice+dot expression that
+    * evaluated ~20x slower at corpus-scale query counts. Same sequential
+    * double dots, `(qq + cc) - 2.0*dot` association, and per-subspace
+    * floors as the driver dtab, so ranks are bit-identical and the DuckDB
+    * replays are unchanged.
     */
-  def adcQqExpr(subspaces: Int, subDim: Int): Column =
-    array((0 until subspaces).map { m =>
-      val qs = slice(col("qres"), m * subDim + 1, subDim)
-      graft.functions.VectorFunctions.dotProduct(qs, qs)
-    }: _*)
-
-  /** DISTRIBUTED ADC distance (the driver-free formulation of
-    * `candidates`' dtab, for DataFrame-scale query sets): the codebook
-    * ships as a LITERAL (M x K x subDim floats + per-codeword self-dots)
-    * and each candidate row computes, per subspace, floor-to-micro-units
-    * of (qq + cc) - 2 * qs.c — the same sequential double dots, addition
-    * order, and per-subspace floor as the driver dtab, so ranks are
-    * bit-identical. Consumes col("codes"), col("qres"), col("qq").
-    */
-  def adcDistFromCodebookExpr(cb: Array[Array[Array[Float]]]): Column = {
-    val subDim = cb(0)(0).length
-    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val ccLit = typedLit(cb.map(_.map(c => PqIndex.dotD(c, c)).toSeq).toSeq)
-    (0 until cb.length).map { m =>
-      val code1 = element_at(col("codes"), m + 1) + 1
-      val qs = slice(col("qres"), m * subDim + 1, subDim)
-      val cw = element_at(element_at(cbLit, m + 1), code1)
-      val cc = element_at(element_at(ccLit, m + 1), code1)
-      val d = element_at(col("qq"), m + 1) + cc -
-        lit(2.0) * graft.functions.VectorFunctions.dotProduct(qs, cw)
-      floor(d * lit(1000000.0) + lit(0.5)).cast("long")
-    }.reduce(_ + _)
-  }
+  def adcDtabExpr(res: Column, cb: Array[Array[Array[Float]]]): Column =
+    graft.functions.PqExpressions.adcDtab(res, cb)
 
   def candidates(codesDf: DataFrame, topCents: Array[(Int, Array[Float])],
       cb: Array[Array[Array[Float]]], qnorm: Array[Float], k: Int): DataFrame = {
