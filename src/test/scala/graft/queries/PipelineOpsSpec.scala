@@ -91,6 +91,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AdcDtab kernel matches the driver dtabFlat bit for bit (incl. K=256)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    for ((m, k, subDim) <- Seq((8, 16, 8), (8, 256, 8), (4, 256, 16))) {
+      val cb = Array.fill(m, k, subDim)(rnd.nextFloat() * 2 - 1)
+      val rows = Seq.fill(5)(Array.fill(m * subDim)(rnd.nextFloat() * 2 - 1))
+      val got = rows.map(_.toSeq).toDF("qres")
+        .select(graft.functions.PqExpressions.adcDtab(col("qres"), cb).as("dtab"))
+        .collect().map(_.getSeq[Long](0))
+      val expected = rows.map(r => graft.index.PqIndex.dtabFlat(r, cb).toSeq)
+      assert(got.toSeq == expected)
+    }
+  }
+
   test("d_semantic_dedup labels are a valid min-label clustering") {
     val rows = EngineQueries.queries("d_semantic_dedup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
