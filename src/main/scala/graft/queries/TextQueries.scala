@@ -219,6 +219,38 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** BIGRAM-LM CROSS-ENTROPY — the same quality-scoring surface as
+    * [[perplexity]] with one token of context: P(cur|prev) = (c2(prev,
+    * cur) + 1) / (c1(prev) + V), add-one smoothed over the corpus vocab,
+    * scored over every bigram transition. Same scale shape (two keyed
+    * aggregations + an equi-join on the bigram string) and the same
+    * nano-nat floor guard; BASELINE.md records that the extra context
+    * drops the measured cross-entropy vs the unigram model. Docs with
+    * fewer than two tokens have no transitions and are absent, on both
+    * engines, by the same inner join.
+    */
+  private def perplexityBigram(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d).select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("g"))
+    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.select(substring_index(col("g"), " ", 1).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c1"))
+    val tot = docs(s, d).select(explode(toks).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val contrib = floor(
+      log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double")) * lit(1.0e9))
+    bg.join(c2, "g")
+      .join(c1, substring_index(col("g"), " ", 1) === col("p"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(contrib).as("s9"))
+      .select(col("doc_id"), col("nb").cast("int").as("n_bigrams"),
+        rnd((-col("s9")).cast("double") /
+          (lit(1.0e9) * col("nb").cast("double")), 6).as("xent2"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** TF-IDF TOP TERMS — the keyword-extraction / relevance-weighting
     * primitive: per-doc term frequency x inverse document frequency, top
     * 3 terms per document. Scale shape: two keyed aggregations ((doc,
@@ -269,6 +301,7 @@ object TextQueries {
     "t_pack_assign"    -> (packAssign _),
     "t_repetition"     -> (repetition _),
     "t_perplexity"     -> (perplexity _),
+    "t_perplexity2"    -> (perplexityBigram _),
     "t_tfidf"          -> (tfidf _),
     "m_binary_meta" -> (binaryMeta _),
   )
@@ -419,6 +452,25 @@ object TextQueries {
                "-CAST(sum(CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS DOUBLE) / (1000000000.0 * count(*))",
                6)} AS xent
          |FROM tk JOIN cnt USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    // t_perplexity2: the bigram LM — transitions from the 2-gram shingle
+    // table, prefix counts via split_part, the same nano-nat floor guard
+    "t_perplexity2" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |           i -> tk[i] || ' ' || tk[i+1])) AS g
+         |  FROM tk),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS p, count(*) AS c1 FROM bg GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM tk))
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+         |       ${rndSql(
+               "-CAST(sum(CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS DOUBLE) / (1000000000.0 * count(*))",
+               6)} AS xent2
+         |FROM bg JOIN c2 USING (g)
+         |     JOIN c1 ON split_part(bg.g, ' ', 1) = c1.p, vv
          |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     // t_tfidf: tf x nano-nat-floored idf, exact integer ranking — the
     // same ln guard as t_perplexity
