@@ -34,6 +34,29 @@ object Caches {
     df
   }
 
+  /** Keyed checkpoint-cache fill with the build OUTSIDE the lock (a
+    * checkpoint job must not serialize every other cache user) and a
+    * double-check on insert: the losing racer unpersists its own build
+    * and adopts the winner. The ONE implementation of this subtle
+    * pattern — the dedup band/pair caches and the engine self-join hits
+    * cache both go through here.
+    */
+  def cachedCkpt[K](cache: scala.collection.mutable.Map[K, DataFrame],
+      key: K)(build: => DataFrame): DataFrame =
+    cache.synchronized(cache.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        cache.synchronized {
+          cache.get(key) match {
+            case Some(winner) =>
+              GraftRddBridge.unpersistLocalCheckpoint(built)
+              winner
+            case None => cache.put(key, built); built
+          }
+        }
+    }
+
   def releaseAll(): Unit = {
     synchronized {
       tracked.foreach { ref =>

@@ -73,18 +73,17 @@ object CurationCore {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int = 50): DataFrame = {
     import GraftRddBridge.unpersistLocalCheckpoint
-    val spark = nodes.sparkSession
     // localCheckpoint materializes the DATA but copies the checkpointed
     // plan's ESTIMATED statistics onto the LogicalRDD — in an iterative
     // loop whose round plan multiplies the previous round's sizeInBytes
     // into itself (two joins referencing `labels`), the estimate's BIT
     // LENGTH compounds per round and the driver ends up in
     // BigInteger.multiply for tens of seconds (observed: round 19 of the
-    // sf0.1 ANN graph took 52s with every executor idle). Rebuilding the
-    // frame from the checkpointed RDD gives a fresh default-stats plan,
-    // so each round's estimation starts from scratch.
+    // sf0.1 ANN graph took 52s with every executor idle). Rebuilding a
+    // fresh default-stats leaf over the same InternalRow RDD resets the
+    // estimation per round with no row conversion.
     def freshPlan(ckpt: DataFrame): DataFrame =
-      spark.createDataFrame(ckpt.rdd, ckpt.schema)
+      GraftRddBridge.freshDefaultStatsFrame(ckpt)
     val Seq(aCol, bCol) = pairs.columns.toSeq
     val edgesCkpt = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))

@@ -63,21 +63,12 @@ object DedupQueries {
     * (a slow scan must not serialize unrelated callers); on a lost race the
     * loser's blocks are released and the winner is returned.
     */
+  /** Forwarder to the shared keyed checkpoint-cache fill ([[graft.Caches
+    * .cachedCkpt]] — build outside the lock, double-checked insert).
+    */
   private def cachedCkpt[K](cache: scala.collection.mutable.Map[K, DataFrame],
       key: K)(build: => DataFrame): DataFrame =
-    cache.synchronized(cache.get(key)) match {
-      case Some(df) => df
-      case None =>
-        val built = build
-        cache.synchronized {
-          cache.get(key) match {
-            case Some(winner) =>
-              org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint(built)
-              winner
-            case None => cache.put(key, built); built
-          }
-        }
-    }
+    graft.Caches.cachedCkpt(cache, key)(build)
 
   /** Release every process-lifetime checkpoint this object holds (bands +
     * candidate pairs). Long-lived sessions call this between suites so
@@ -174,24 +165,31 @@ object DedupQueries {
       .orderBy(col("doc_id").asc)
   }
 
-  /** INCREMENTAL DEDUP — the INGEST-TIME shape: a new batch (doc_id >=
-    * [[IncrementalSplit]]) checks itself against the already-ingested
-    * corpus WITHOUT rescanning it. The corpus side is the persisted band
-    * index (here: the cached band table the other dedup entries share);
-    * the batch's band rows are BROADCAST to it, so the corpus bands are
-    * never shuffled — at 100 TB this is the only viable shape: the dedup
-    * index is a table you probe, not a corpus you rescan per batch.
-    * Each new doc reports its earliest corpus dup, its earliest
-    * within-batch dup (smaller-id peer sharing a bucket), and whether it
-    * is new-unique; -1 stands in for "none" (no nullable-int columns —
-    * pandas would coerce them to float and break the strict hash).
+  /** INCREMENTAL DEDUP — the INGEST-TIME shape: a new batch (the newest
+    * fifth of doc ids — a stand-in for "the increment that just arrived";
+    * the threshold is COMPUTED from the data, `max - max/5`, so the batch
+    * stays the minority side at every scale factor) checks itself against
+    * the already-ingested corpus WITHOUT rescanning it. The corpus side
+    * is the persisted band index (here: the cached band table the other
+    * dedup entries share); the batch's band rows are BROADCAST to it, so
+    * the corpus bands are never shuffled — at 100 TB this is the only
+    * viable shape: the dedup index is a table you probe, not a corpus you
+    * rescan per batch. (A production increment is bounded by the ingest
+    * batch size; past broadcast size the same plan degrades to a shuffle
+    * join by dropping the hint.) Each new doc reports its earliest corpus
+    * dup, its earliest within-batch dup (smaller-id peer sharing a
+    * bucket), and whether it is new-unique; -1 stands in for "none" (no
+    * nullable-int columns — pandas would coerce them to float and break
+    * the strict hash).
     */
-  private val IncrementalSplit = 400L
   private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    // metadata-scale action: one max over the id column
+    val maxId = docs(s, d).agg(max(col("doc_id"))).collect().head.getLong(0)
+    val split = maxId - maxId / 5
     val bands = bandRowsCkpt(s, d)
-    val nb = bands.filter(col("doc_id") >= IncrementalSplit)
+    val nb = bands.filter(col("doc_id") >= split)
       .select(col("doc_id").as("new_id"), col("band_id"), col("band_hash"))
-    val ob = bands.filter(col("doc_id") < IncrementalSplit)
+    val ob = bands.filter(col("doc_id") < split)
       .select(col("doc_id").as("old_id"), col("band_id"), col("band_hash"))
     val vsCorpus = broadcast(nb).join(ob, Seq("band_id", "band_hash"))
       .groupBy(col("new_id")).agg(min(col("old_id")).as("c"))
@@ -200,7 +198,7 @@ object DedupQueries {
     val vsBatch = broadcast(nb).join(peers, Seq("band_id", "band_hash"))
       .filter(col("peer_id") < col("new_id"))
       .groupBy(col("new_id")).agg(min(col("peer_id")).as("c"))
-    docs(s, d).filter(col("doc_id") >= IncrementalSplit).select(col("doc_id"))
+    docs(s, d).filter(col("doc_id") >= split).select(col("doc_id"))
       .join(vsCorpus.withColumnRenamed("new_id", "doc_id")
         .withColumnRenamed("c", "oc"), Seq("doc_id"), "left_outer")
       .join(vsBatch.withColumnRenamed("new_id", "doc_id")
@@ -474,11 +472,15 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
-    // d_incremental: the batch-vs-index probe replayed as two band joins
+    // d_incremental: the batch-vs-index probe replayed as two band joins;
+    // the split replays the Spark side's computed max - max/5 threshold
     "d_incremental" ->
       s"""WITH bands AS ($bandRowsSql),
-         |nb AS (SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id >= 400),
-         |ob AS (SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id < 400),
+         |sp AS (SELECT max(doc_id) - max(doc_id) // 5 AS s FROM documents),
+         |nb AS (SELECT doc_id, band_id, band_hash FROM bands
+         |       WHERE doc_id >= (SELECT s FROM sp)),
+         |ob AS (SELECT doc_id, band_id, band_hash FROM bands
+         |       WHERE doc_id < (SELECT s FROM sp)),
          |oc AS (
          |  SELECT nb.doc_id, min(ob.doc_id) AS c
          |  FROM nb JOIN ob USING (band_id, band_hash) GROUP BY nb.doc_id),
@@ -493,7 +495,7 @@ object DedupQueries {
          |       coalesce(ib.c, -1) AS dup_in_batch,
          |       oc.c IS NULL AND ib.c IS NULL AS is_new_unique
          |FROM documents d LEFT JOIN oc USING (doc_id) LEFT JOIN ib USING (doc_id)
-         |WHERE d.doc_id >= 400
+         |WHERE d.doc_id >= (SELECT s FROM sp)
          |ORDER BY doc_id ASC""".stripMargin,
     // d_dup_clusters: connected components replayed as a recursive
     // reachability CTE — every doc's cluster is the min doc_id whose

@@ -335,22 +335,12 @@ object EngineQueries {
   private val selfJoinCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
   private def selfJoinHits(s: SparkSession, d: String): DataFrame =
-    selfJoinCache.synchronized(selfJoinCache.get((s, d))) match {
-      case Some(df) => df
-      case None =>
-        val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
-          ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
-        val qDf = Tables.embeddings(s, d)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-        val built = batchHits(eng.annJoin(lib, qDf, k = 10)).localCheckpoint()
-        selfJoinCache.synchronized {
-          selfJoinCache.get((s, d)) match {
-            case Some(winner) =>
-              org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint(built)
-              winner
-            case None => selfJoinCache.put((s, d), built); built
-          }
-        }
+    graft.Caches.cachedCkpt(selfJoinCache, (s, d)) {
+      val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+        ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+      val qDf = Tables.embeddings(s, d)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      batchHits(eng.annJoin(lib, qDf, k = 10)).localCheckpoint()
     }
 
   /** SEMANTIC DEDUP THROUGH THE INDEX (the SemDeDup shape): the corpus-

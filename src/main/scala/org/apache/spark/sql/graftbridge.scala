@@ -37,4 +37,28 @@ object GraftRddBridge {
           l.rdd.unpersist(blocking = false)
         case _ => ()
       }
+
+  /** Rebuild a locally-checkpointed Dataset as a FRESH `LogicalRDD` leaf
+    * over the SAME InternalRow RDD, dropping the inherited estimated
+    * statistics and constraints. `localCheckpoint` copies the
+    * checkpointed plan's estimated stats onto its LogicalRDD; an
+    * iterative algorithm whose round plan joins the previous round's
+    * frame into itself compounds that BigInt estimate's bit length every
+    * round until the driver lives inside BigInteger.multiply (observed:
+    * 52s/round with every executor idle). A fresh leaf resets estimation
+    * to defaults with NO InternalRow <-> Row conversion — unlike
+    * `createDataFrame(df.rdd, schema)`, downstream scans read the
+    * checkpoint blocks directly. Non-LogicalRDD plans return unchanged.
+    */
+  def freshDefaultStatsFrame(df: Dataset[Row]): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.queryExecution.analyzed match {
+      case LogicalRDD(output, rdd, part, ord, streaming, stream) =>
+        classic.Dataset.ofRows(cdf.sparkSession,
+          LogicalRDD(output, rdd, part, ord, streaming, stream)(
+            cdf.sparkSession, None, None))
+      case _ => df
+    }
+  }
 }

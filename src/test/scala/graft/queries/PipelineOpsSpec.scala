@@ -37,11 +37,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val counts = toks.values.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
     val n = counts.values.sum
     val v = counts.size.toLong
-    val expected: Map[Long, (Int, Double)] = toks.map { case (id, ts) =>
-      val s9 = ts.map(t => math.floor(
-        math.log((counts(t) + 1).toDouble / (n + v).toDouble) * 1.0e9).toLong).sum
-      id -> (ts.size, rnd6(-s9.toDouble / (1.0e9 * ts.size)))
-    }
+    // zero-token docs have no joined rows and drop out of the query (on
+    // both engines) — the brute force mirrors that instead of computing
+    // a 0/0 mean for them
+    val expected: Map[Long, (Int, Double)] = toks.filter(_._2.nonEmpty)
+      .map { case (id, ts) =>
+        val s9 = ts.map(t => math.floor(
+          math.log((counts(t) + 1).toDouble / (n + v).toDouble) * 1.0e9).toLong).sum
+        id -> (ts.size, rnd6(-s9.toDouble / (1.0e9 * ts.size)))
+      }
     val got = TextQueries.queries("t_perplexity")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
     assert(got.size == expected.size)
