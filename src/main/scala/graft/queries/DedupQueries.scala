@@ -198,11 +198,14 @@ object DedupQueries {
     val vsBatch = broadcast(nb).join(peers, Seq("band_id", "band_hash"))
       .filter(col("peer_id") < col("new_id"))
       .groupBy(col("new_id")).agg(min(col("peer_id")).as("c"))
+    // result assembly: every side is bounded by the batch, so the
+    // aggregated dup maps broadcast onto the batch scan — the whole
+    // entry runs without shuffling anything corpus-sized
     docs(s, d).filter(col("doc_id") >= split).select(col("doc_id"))
-      .join(vsCorpus.withColumnRenamed("new_id", "doc_id")
-        .withColumnRenamed("c", "oc"), Seq("doc_id"), "left_outer")
-      .join(vsBatch.withColumnRenamed("new_id", "doc_id")
-        .withColumnRenamed("c", "ic"), Seq("doc_id"), "left_outer")
+      .join(broadcast(vsCorpus.withColumnRenamed("new_id", "doc_id")
+        .withColumnRenamed("c", "oc")), Seq("doc_id"), "left_outer")
+      .join(broadcast(vsBatch.withColumnRenamed("new_id", "doc_id")
+        .withColumnRenamed("c", "ic")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("oc"), lit(-1L)).as("dup_of_corpus"),
         coalesce(col("ic"), lit(-1L)).as("dup_in_batch"),
@@ -406,6 +409,72 @@ object DedupQueries {
         .cast("long").as("n_sequences"))
   }
 
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the corpus-mixing policy step
+    * of training-data assembly: each source's sampling weight is
+    * p^(1/T) / Z at T = 2 (the standard up-sampling temperature), so
+    * rare sources are boosted and dominant ones damped without ever
+    * inverting the order. Determinism: IEEE-754 sqrt is correctly
+    * rounded on both engines, so floor(sqrt(p) * 1e9) is a bit-exact
+    * integer contribution and the normalizer Z is an exact long sum —
+    * only the final divisions are floats, rounded to 6 dp as usual.
+    * Scale shape: one map-side-combined |sources|-group aggregation
+    * plus two broadcast scalar joins; nothing corpus-sized shuffles.
+    */
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val bySrc = docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(toks)).cast("long").as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tot"))
+    val scaled = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("r9", floor(sqrt(col("p")) * lit(1.0e9)))
+    val z = scaled.agg(sum(col("r9")).as("z9"))
+    val w = col("r9").cast("double") / col("z9").cast("double")
+    scaled.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        rnd(col("p"), 6).as("p_raw"),
+        rnd(w, 6).as("w_mix"),
+        rnd(w / col("p"), 6).as("boost"))
+      .orderBy(col("source").asc)
+  }
+
+  /** CROSS-SOURCE 5-GRAM OVERLAP MATRIX — the inter-source duplication
+    * audit run before fixing a mixture: for every source pair, how many
+    * distinct word-5-grams they share and the Jaccard of their gram
+    * sets. Scale shape: the corpus collapses once to the distinct
+    * (source, gram) table (checkpointed so the self-join's two sides
+    * don't re-scan the corpus), the equi-join on gram fans out at most
+    * |sources| rows per gram, and the output is bounded by |sources|^2 —
+    * everything past the distinct is sized by the gram vocabulary, not
+    * the corpus.
+    */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val g = docs(s, d)
+      .select(col("source"),
+        explode(array_distinct(shingles(toks, 5))).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = g.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val shared = g.select(col("source").as("src_a"), col("g"))
+      .join(g.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        rnd(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact"         -> (exact _),
     "d_minhash_bands" -> (minhashBands _),
@@ -419,6 +488,8 @@ object DedupQueries {
     "d_stratified_sample" -> (stratifiedSample _),
     "d_contamination" -> (contamination _),
     "d_pipeline_e2e"  -> (pipelineE2e _),
+    "d_mixture_weights" -> (mixtureWeights _),
+    "d_source_overlap"  -> (sourceOverlap _),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -667,5 +738,44 @@ object DedupQueries {
          |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE ${rndSql("CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))", 6)} >= 0.95
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // d_mixture_weights: same integer nano-sqrt contributions; every sum
+    // is cast to BIGINT before use (DuckDB SUM(BIGINT) is HUGEINT and
+    // must never reach the driver's pandas compare un-cast)
+    "d_mixture_weights" ->
+      s"""WITH src AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |sc AS (
+         |  SELECT source, n_docs, n_tokens,
+         |         CAST(n_tokens AS DOUBLE) /
+         |           CAST((SELECT CAST(SUM(n_tokens) AS BIGINT) FROM src) AS DOUBLE) AS p
+         |  FROM src),
+         |r AS (SELECT sc.*, CAST(floor(sqrt(p) * 1e9) AS BIGINT) AS r9 FROM sc),
+         |z AS (SELECT CAST(SUM(r9) AS BIGINT) AS z9 FROM r)
+         |SELECT source, n_docs, n_tokens,
+         |       ${rndSql("p", 6)} AS p_raw,
+         |       ${rndSql("CAST(r9 AS DOUBLE) / CAST(z9 AS DOUBLE)", 6)} AS w_mix,
+         |       ${rndSql("CAST(r9 AS DOUBLE) / CAST(z9 AS DOUBLE) / p", 6)} AS boost
+         |FROM r CROSS JOIN z ORDER BY source ASC""".stripMargin,
+    "d_source_overlap" ->
+      s"""WITH tk AS (SELECT source, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source, g FROM (
+         |    SELECT source,
+         |           unnest(list_distinct(list_transform(
+         |             generate_series(1, greatest(len(tk) - 4, 0)),
+         |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+         |    FROM tk)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       sa.n AS n_a, sb.n AS n_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared,
+         |       ${rndSql("CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*))", 6)} AS jaccard
+         |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |JOIN sz sa ON sa.source = a.source
+         |JOIN sz sb ON sb.source = b.source
+         |GROUP BY a.source, b.source, sa.n, sb.n
+         |ORDER BY src_a ASC, src_b ASC""".stripMargin,
   )
 }

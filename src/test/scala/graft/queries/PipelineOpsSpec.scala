@@ -110,6 +110,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d_incremental plans the batch side as the broadcast build") {
+    val plan = DedupQueries.queries("d_incremental")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus band table must be probed, never shuffled: both band
+    // joins build on the broadcast batch side
+    assert(plan.contains("BroadcastHashJoin"),
+      "incremental dedup must probe the band index via broadcast joins")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus bands must not be shuffled for the batch probe")
+    graft.Caches.releaseAll()
+  }
+
+  test("d_mixture_weights is a valid temperature-2 mixing policy") {
+    val rows = DedupQueries.queries("d_mixture_weights")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // both the raw shares and the tempered weights are distributions
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // temperature flattens but never reorders: w_mix is monotone in p_raw,
+    // and the boost is >= 1 exactly for below-uniform-share sources
+    val byP = rows.sortBy(_._3)
+    assert(byP.map(_._4).toSeq == byP.map(_._4).sorted.toSeq,
+      "tempered weights must preserve the raw-share order")
+    val uniform = 1.0 / rows.length
+    rows.foreach { case (src, _, p, _, boost) =>
+      if (p < uniform * 0.9) assert(boost > 1.0, s"$src: rare source not boosted")
+      if (p > uniform * 1.1) assert(boost < 1.0, s"$src: dominant source not damped")
+    }
+  }
+
+  test("d_source_overlap matches a driver-side brute-force gram matrix") {
+    import org.apache.spark.sql.functions.col
+    val bySrc: Map[String, Set[String]] = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(' ').toSeq.filter(_.nonEmpty))
+      .groupBy(_._1)
+      .map { case (src, docs) =>
+        src -> docs.toSeq.flatMap(_._2.sliding(5).filter(_.size == 5)
+          .map(_.mkString(" "))).toSet
+      }
+    val expected = (for {
+      (sa, ga) <- bySrc.toSeq; (sb, gb) <- bySrc.toSeq if sa < sb
+      shared = (ga & gb).size if shared > 0
+    } yield (sa, sb, ga.size.toLong, gb.size.toLong, shared.toLong,
+        rnd6(shared.toDouble / (ga.size + gb.size - shared))))
+      .sortBy(r => (r._1, r._2))
+    val got = DedupQueries.queries("d_source_overlap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
   test("d_semantic_dedup labels are a valid min-label clustering") {
     val rows = EngineQueries.queries("d_semantic_dedup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
