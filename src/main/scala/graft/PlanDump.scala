@@ -58,6 +58,9 @@ object PlanDump {
     "t_perplexity",            // token-count agg + token equi-join + per-doc agg
     "t_tfidf",                 // two keyed aggs + per-doc-bounded window
     "m_resize_px",             // mapPartitions decode+resample stage
+    "d_mixture_weights",       // |sources|-group agg + broadcast scalar joins
+    "d_mixture_sample",        // broadcast policy thresholds onto one corpus scan
+    "d_source_overlap",        // gram -> source-set agg, map-side pair expansion
   )
 
   def main(args: Array[String]): Unit = {

@@ -420,7 +420,11 @@ object DedupQueries {
     * Scale shape: one map-side-combined |sources|-group aggregation
     * plus two broadcast scalar joins; nothing corpus-sized shuffles.
     */
-  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+  /** Un-rounded per-source policy table shared by the weights entry and
+    * the sample materialization: (source, n_docs, n_tokens, tot, p, r9,
+    * z9) with the exact long normalizer z9 broadcast on.
+    */
+  private def mixturePolicy(s: SparkSession, d: String): DataFrame = {
     val bySrc = docs(s, d).groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(size(toks)).cast("long").as("n_tokens"))
@@ -430,8 +434,12 @@ object DedupQueries {
         col("n_tokens").cast("double") / col("tot").cast("double"))
       .withColumn("r9", floor(sqrt(col("p")) * lit(1.0e9)))
     val z = scaled.agg(sum(col("r9")).as("z9"))
-    val w = col("r9").cast("double") / col("z9").cast("double")
     scaled.crossJoin(broadcast(z))
+  }
+
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val w = col("r9").cast("double") / col("z9").cast("double")
+    mixturePolicy(s, d)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         rnd(col("p"), 6).as("p_raw"),
         rnd(w, 6).as("w_mix"),
@@ -439,27 +447,64 @@ object DedupQueries {
       .orderBy(col("source").asc)
   }
 
+  /** MIXTURE SAMPLE MATERIALIZATION — the tempered policy applied: each
+    * source's weight becomes a deterministic keep threshold targeting a
+    * half-corpus token budget, membership decided by md5-hash-mod on the
+    * doc id (the [[stratifiedSample]] discipline: resample-stable,
+    * portable, partition-independent). The threshold is an exact ppm
+    * integer — floor(min(1, w*B/n_tokens) * 1e6) over bit-deterministic
+    * doubles — so kept counts replay exactly. Scale shape: the
+    * |sources|-row policy broadcasts onto one corpus scan + one
+    * map-side-combined group agg; the budget B = tot >> 1 stays integer.
+    */
+  private def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val f = least(lit(1.0),
+      col("r9").cast("double") / col("z9").cast("double") *
+        shiftright(col("tot"), 1).cast("double") /
+        col("n_tokens").cast("double"))
+    val policy = mixturePolicy(s, d)
+      .select(col("source"), col("n_docs"),
+        floor(f * lit(1.0e6)).as("keep_ppm"))
+    docs(s, d)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("nt"))
+      .join(broadcast(policy), Seq("source"))
+      .withColumn("keep",
+        hash60(col("doc_id").cast("string")) % 1000000L < col("keep_ppm"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("keep_ppm")).as("keep_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).cast("long")
+          .as("tok_kept"))
+      .orderBy(col("source").asc)
+  }
+
   /** CROSS-SOURCE 5-GRAM OVERLAP MATRIX — the inter-source duplication
     * audit run before fixing a mixture: for every source pair, how many
     * distinct word-5-grams they share and the Jaccard of their gram
-    * sets. Scale shape: the corpus collapses once to the distinct
-    * (source, gram) table (checkpointed so the self-join's two sides
-    * don't re-scan the corpus), the equi-join on gram fans out at most
-    * |sources| rows per gram, and the output is bounded by |sources|^2 —
-    * everything past the distinct is sized by the gram vocabulary, not
-    * the corpus.
+    * sets. Scale shape: ONE corpus-scale shuffle collapses each gram to
+    * its source SET (<= |sources| elements); the pair expansion then
+    * happens map-side on the grouped rows and partial-aggregates
+    * straight into <= |sources|^2 keys. A naive gram self-join is
+    * quadratically worse on exactly the corpora this audit targets —
+    * a gram shared by all 20 sources fans out 400 join rows but only
+    * 190 in-stage struct expansions here, and those never shuffle.
     */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val g = docs(s, d)
+    val bySet = docs(s, d)
       .select(col("source"),
         explode(array_distinct(shingles(toks, 5))).as("g"))
-      .distinct()
-      .localCheckpoint()
-    val sizes = g.groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val shared = g.select(col("source").as("src_a"), col("g"))
-      .join(g.select(col("source").as("src_b"), col("g")), Seq("g"))
-      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+    // per-source distinct-gram counts, derived from the same grouped
+    // table (the exchange is reused across the two consumers)
+    val sizes = bySet.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+    val shared = bySet
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("pr"))
+      .select(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))
     shared
@@ -489,6 +534,7 @@ object DedupQueries {
     "d_contamination" -> (contamination _),
     "d_pipeline_e2e"  -> (pipelineE2e _),
     "d_mixture_weights" -> (mixtureWeights _),
+    "d_mixture_sample"  -> (mixtureSample _),
     "d_source_overlap"  -> (sourceOverlap _),
   )
 
@@ -758,6 +804,35 @@ object DedupQueries {
          |       ${rndSql("CAST(r9 AS DOUBLE) / CAST(z9 AS DOUBLE)", 6)} AS w_mix,
          |       ${rndSql("CAST(r9 AS DOUBLE) / CAST(z9 AS DOUBLE) / p", 6)} AS boost
          |FROM r CROSS JOIN z ORDER BY source ASC""".stripMargin,
+    // d_mixture_sample: the same policy pipeline extended to the exact
+    // ppm threshold and the md5-mod membership replay; the token budget
+    // is integer-halved (tot // 2 == Spark's shiftright(tot, 1))
+    "d_mixture_sample" ->
+      s"""WITH src AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM src),
+         |sc AS (
+         |  SELECT source, n_docs, n_tokens, tot,
+         |         CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         |  FROM src CROSS JOIN tt),
+         |r AS (SELECT sc.*, CAST(floor(sqrt(p) * 1e9) AS BIGINT) AS r9 FROM sc),
+         |z AS (SELECT CAST(SUM(r9) AS BIGINT) AS z9 FROM r),
+         |pol AS (
+         |  SELECT source, n_docs,
+         |         CAST(floor(least(1.0,
+         |           CAST(r9 AS DOUBLE) / CAST(z9 AS DOUBLE)
+         |             * CAST(tot // 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS keep_ppm
+         |  FROM r CROSS JOIN z)
+         |SELECT d.source, p.n_docs, p.keep_ppm,
+         |       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < p.keep_ppm
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < p.keep_ppm
+         |                THEN len($toksSql) ELSE 0 END) AS BIGINT) AS tok_kept
+         |FROM documents d JOIN pol p USING (source)
+         |GROUP BY d.source, p.n_docs, p.keep_ppm
+         |ORDER BY source ASC""".stripMargin,
     "d_source_overlap" ->
       s"""WITH tk AS (SELECT source, $toksSql AS tk FROM documents),
          |g AS (

@@ -142,6 +142,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d_mixture_sample replays the policy with driver-side md5 membership") {
+    import org.apache.spark.sql.functions.col
+    def md5mod(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 1000000L
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(' ').count(_.nonEmpty).toLong))
+    val bySrc = docs.groupBy(_._2)
+      .map { case (s0, rs) => s0 -> (rs.length.toLong, rs.map(_._3).sum) }
+    val tot = bySrc.values.map(_._2).sum
+    val r9 = bySrc.map { case (s0, (_, nt)) =>
+      s0 -> math.floor(math.sqrt(nt.toDouble / tot.toDouble) * 1.0e9).toLong }
+    val z9 = r9.values.sum
+    val expected = bySrc.toSeq.sortBy(_._1).map { case (s0, (nd, nt)) =>
+      val f = math.min(1.0,
+        r9(s0).toDouble / z9.toDouble * (tot >> 1).toDouble / nt.toDouble)
+      val ppm = math.floor(f * 1.0e6).toLong
+      val kept = docs.filter(x => x._2 == s0 && md5mod(x._1) < ppm)
+      (s0, nd, ppm, kept.length.toLong, kept.map(_._3).sum)
+    }
+    val got = DedupQueries.queries("d_mixture_sample")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the tempered sample is a real downsample that still covers every source
+    assert(got.forall { case (_, nd, _, nk, _) => nk > 0 && nk <= nd })
+  }
+
   test("d_source_overlap matches a driver-side brute-force gram matrix") {
     import org.apache.spark.sql.functions.col
     val bySrc: Map[String, Set[String]] = Tables.documents(spark, sfDir)
@@ -162,6 +194,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5))).toSeq
     assert(got == expected)
+  }
+
+  test("d_source_overlap never shuffles the expanded pair stream") {
+    val plan = DedupQueries.queries("d_source_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the pair matrix must come from the map-side set expansion, not a
+    // gram self-join (which fans out quadratically on shared grams)
+    assert(!plan.contains("SortMergeJoin"),
+      "gram pair expansion must not be a corpus-scale join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-source size table must broadcast onto the pair matrix")
   }
 
   test("d_semantic_dedup labels are a valid min-label clustering") {
