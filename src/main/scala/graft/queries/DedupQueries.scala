@@ -491,9 +491,13 @@ object DedupQueries {
     * 190 in-stage struct expansions here, and those never shuffle.
     */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // token projection FIRST (the CurationCore.bandRowsOf discipline):
+    // shingles() references its input 5x per element, and inlining the
+    // non-codegen tokens() split there re-tokenizes the doc per gram
     val bySet = docs(s, d)
+      .select(col("source"), toks.as("tk"))
       .select(col("source"),
-        explode(array_distinct(shingles(toks, 5))).as("g"))
+        explode(array_distinct(shingles(col("tk"), 5))).as("g"))
       .groupBy(col("g"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
     // per-source distinct-gram counts, derived from the same grouped
