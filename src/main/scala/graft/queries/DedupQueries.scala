@@ -409,6 +409,37 @@ object DedupQueries {
         .cast("long").as("n_sequences"))
   }
 
+  /** Un-rounded per-source policy table over pre-aggregated (source,
+    * n_docs, n_tokens) counts: adds tot, p, r9 and the exact long
+    * normalizer z9 (broadcast on). Shared by the batch entries and the
+    * streaming-state variant, which maintains the counts as stream
+    * state and applies the same policy to the snapshot.
+    */
+  private[queries] def policyOf(bySrc: DataFrame): DataFrame = {
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tot"))
+    val scaled = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("r9", floor(sqrt(col("p")) * lit(1.0e9)))
+    val z = scaled.agg(sum(col("r9")).as("z9"))
+    scaled.crossJoin(broadcast(z))
+  }
+
+  /** The weights presentation over a policy table (see [[policyOf]]). */
+  private[queries] def weightsSelect(policy: DataFrame): DataFrame = {
+    val w = col("r9").cast("double") / col("z9").cast("double")
+    policy.select(col("source"), col("n_docs"), col("n_tokens"),
+      rnd(col("p"), 6).as("p_raw"),
+      rnd(w, 6).as("w_mix"),
+      rnd(w / col("p"), 6).as("boost"))
+      .orderBy(col("source").asc)
+  }
+
+  private def mixturePolicy(s: SparkSession, d: String): DataFrame =
+    policyOf(docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(toks)).cast("long").as("n_tokens")))
+
   /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the corpus-mixing policy step
     * of training-data assembly: each source's sampling weight is
     * p^(1/T) / Z at T = 2 (the standard up-sampling temperature), so
@@ -420,32 +451,8 @@ object DedupQueries {
     * Scale shape: one map-side-combined |sources|-group aggregation
     * plus two broadcast scalar joins; nothing corpus-sized shuffles.
     */
-  /** Un-rounded per-source policy table shared by the weights entry and
-    * the sample materialization: (source, n_docs, n_tokens, tot, p, r9,
-    * z9) with the exact long normalizer z9 broadcast on.
-    */
-  private def mixturePolicy(s: SparkSession, d: String): DataFrame = {
-    val bySrc = docs(s, d).groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(toks)).cast("long").as("n_tokens"))
-    val tot = bySrc.agg(sum(col("n_tokens")).as("tot"))
-    val scaled = bySrc.crossJoin(broadcast(tot))
-      .withColumn("p",
-        col("n_tokens").cast("double") / col("tot").cast("double"))
-      .withColumn("r9", floor(sqrt(col("p")) * lit(1.0e9)))
-    val z = scaled.agg(sum(col("r9")).as("z9"))
-    scaled.crossJoin(broadcast(z))
-  }
-
-  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
-    val w = col("r9").cast("double") / col("z9").cast("double")
-    mixturePolicy(s, d)
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        rnd(col("p"), 6).as("p_raw"),
-        rnd(w, 6).as("w_mix"),
-        rnd(w / col("p"), 6).as("boost"))
-      .orderBy(col("source").asc)
-  }
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame =
+    weightsSelect(mixturePolicy(s, d))
 
   /** MIXTURE SAMPLE MATERIALIZATION — the tempered policy applied: each
     * source's weight becomes a deterministic keep threshold targeting a
@@ -547,6 +554,30 @@ object DedupQueries {
   private val shinglesSql =
     s"""list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)),
        | i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2])""".stripMargin.replace("\n", "")
+
+  // distinct word-5-gram stream over a bound token-list column `tk` —
+  // shared by the contamination, pipeline, and source-overlap oracles so
+  // the gram arithmetic cannot drift between them
+  private val grams5Sql =
+    """unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(tk) - 4, 0)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])))""".stripMargin.replace("\n", "")
+
+  // shared policy CTE prefix for the two mixture oracles: per-source
+  // counts, exact BIGINT token total, raw share p, nano-sqrt r9, exact
+  // normalizer z9 — ONE copy so the policies cannot drift apart
+  private val mixPolicySql =
+    s"""src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM src),
+       |sc AS (
+       |  SELECT source, n_docs, n_tokens, tot,
+       |         CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |  FROM src CROSS JOIN tt),
+       |r AS (SELECT sc.*, CAST(floor(sqrt(p) * 1e9) AS BIGINT) AS r9 FROM sc),
+       |z AS (SELECT CAST(SUM(r9) AS BIGINT) AS z9 FROM r)""".stripMargin
 
   // numeric minhash mirror: hs = 28-bit md5 prefixes (computed once in a
   // CTE), sig_k = min universal hash with the SAME constants as
@@ -684,12 +715,7 @@ object DedupQueries {
          |  UNION
          |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
          |cl AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v = min(l)),
-         |g AS (
-         |  SELECT doc_id,
-         |         unnest(list_distinct(list_transform(
-         |           generate_series(1, greatest(len(tk) - 4, 0)),
-         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
-         |  FROM tk),
+         |g AS (SELECT doc_id, $grams5Sql AS g FROM tk),
          |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
          |contam AS (
          |  SELECT DISTINCT t.doc_id FROM g t JOIN bench b USING (g)
@@ -764,12 +790,7 @@ object DedupQueries {
     // Spark side)
     "d_contamination" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |         unnest(list_distinct(list_transform(
-         |           generate_series(1, greatest(len(tk) - 4, 0)),
-         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
-         |  FROM tk),
+         |g AS (SELECT doc_id, $grams5Sql AS g FROM tk),
          |bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM g WHERE doc_id < 20),
          |hits AS (
          |  SELECT t.doc_id, CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
@@ -792,17 +813,7 @@ object DedupQueries {
     // is cast to BIGINT before use (DuckDB SUM(BIGINT) is HUGEINT and
     // must never reach the driver's pandas compare un-cast)
     "d_mixture_weights" ->
-      s"""WITH src AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
-         |  FROM documents GROUP BY source),
-         |sc AS (
-         |  SELECT source, n_docs, n_tokens,
-         |         CAST(n_tokens AS DOUBLE) /
-         |           CAST((SELECT CAST(SUM(n_tokens) AS BIGINT) FROM src) AS DOUBLE) AS p
-         |  FROM src),
-         |r AS (SELECT sc.*, CAST(floor(sqrt(p) * 1e9) AS BIGINT) AS r9 FROM sc),
-         |z AS (SELECT CAST(SUM(r9) AS BIGINT) AS z9 FROM r)
+      s"""WITH $mixPolicySql
          |SELECT source, n_docs, n_tokens,
          |       ${rndSql("p", 6)} AS p_raw,
          |       ${rndSql("CAST(r9 AS DOUBLE) / CAST(z9 AS DOUBLE)", 6)} AS w_mix,
@@ -812,17 +823,7 @@ object DedupQueries {
     // ppm threshold and the md5-mod membership replay; the token budget
     // is integer-halved (tot // 2 == Spark's shiftright(tot, 1))
     "d_mixture_sample" ->
-      s"""WITH src AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
-         |  FROM documents GROUP BY source),
-         |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM src),
-         |sc AS (
-         |  SELECT source, n_docs, n_tokens, tot,
-         |         CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p
-         |  FROM src CROSS JOIN tt),
-         |r AS (SELECT sc.*, CAST(floor(sqrt(p) * 1e9) AS BIGINT) AS r9 FROM sc),
-         |z AS (SELECT CAST(SUM(r9) AS BIGINT) AS z9 FROM r),
+      s"""WITH $mixPolicySql,
          |pol AS (
          |  SELECT source, n_docs,
          |         CAST(floor(least(1.0,
@@ -839,13 +840,8 @@ object DedupQueries {
          |ORDER BY source ASC""".stripMargin,
     "d_source_overlap" ->
       s"""WITH tk AS (SELECT source, $toksSql AS tk FROM documents),
-         |g AS (
-         |  SELECT DISTINCT source, g FROM (
-         |    SELECT source,
-         |           unnest(list_distinct(list_transform(
-         |             generate_series(1, greatest(len(tk) - 4, 0)),
-         |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
-         |    FROM tk)),
+         |g AS (SELECT DISTINCT source, g FROM (
+         |  SELECT source, $grams5Sql AS g FROM tk)),
          |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source)
          |SELECT a.source AS src_a, b.source AS src_b,
          |       sa.n AS n_a, sb.n AS n_b,

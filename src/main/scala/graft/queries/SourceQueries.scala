@@ -309,6 +309,44 @@ object SourceQueries {
       }
     }
 
+  /** STREAMING MIXTURE MONITOR: the per-source (doc, token) counts of
+    * the corpus-mixing policy maintained as STREAM STATE over the
+    * replayed documents file — the ingest-time "mixture drift" monitor
+    * of a continuously-assembled corpus. The tempered weights are then
+    * computed over the Complete-mode snapshot by the SAME policy code as
+    * the batch entry ([[DedupQueries.policyOf]]/[[DedupQueries
+    * .weightsSelect]]), so the oracle is the identical batch SQL: if the
+    * stream dropped or double-counted any document, the exact long
+    * counts — and with them the hash — diverge. State is |sources| rows
+    * regardless of corpus size.
+    */
+  private def streamMixture(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    val src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val counts = src
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("tk"))).cast("long").as("n_tokens"))
+    withStreamStateParallelism(s) {
+      val q = counts.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("graft_stream_mixture")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    DedupQueries.weightsSelect(DedupQueries.policyOf(
+      s.table("graft_stream_mixture")))
+  }
+
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     ensureBucketedTables(s, d)
     s.table("graft_lineitem_b")
@@ -340,10 +378,14 @@ object SourceQueries {
     "e_stream_dedup"   -> (streamDedup _),
     "e_stream_join"    -> (streamStreamJoin _),
     "e_stream_knn"     -> (streamKnn _),
+    "e_stream_mixture" -> (streamMixture _),
     "q_bucketed_join"  -> (bucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    // e_stream_mixture: stream-maintained counts must yield the IDENTICAL
+    // policy as the batch entry — the oracle is literally the same SQL
+    "e_stream_mixture" -> DedupQueries.oracles("d_mixture_weights"),
     // e_stream_knn: every streamed query's top-5 recomputed in batch SQL
     // (rank by raw cosine, ties by vec_id — the aggregator's order)
     "e_stream_knn" ->

@@ -135,10 +135,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val byP = rows.sortBy(_._3)
     assert(byP.map(_._4).toSeq == byP.map(_._4).sorted.toSeq,
       "tempered weights must preserve the raw-share order")
+    // boost ~ 1/sqrt(p): anti-monotone in the raw share, and the
+    // crossing point sits at p* = (sum_j sqrt(p_j))^-2 — the dominant
+    // source is damped iff p_max > p*, which always holds when shares
+    // differ (below-uniform boosting at 0.9x uniform is sound
+    // unconditionally by Cauchy-Schwarz; a fixed above-uniform damping
+    // threshold is NOT, so the damping check uses the true crossing)
+    assert(byP.map(_._5).toSeq == byP.map(_._5).sorted.reverse.toSeq,
+      "boost must be anti-monotone in the raw share")
     val uniform = 1.0 / rows.length
+    val pStar = math.pow(rows.map(r => math.sqrt(r._3)).sum, -2)
     rows.foreach { case (src, _, p, _, boost) =>
       if (p < uniform * 0.9) assert(boost > 1.0, s"$src: rare source not boosted")
-      if (p > uniform * 1.1) assert(boost < 1.0, s"$src: dominant source not damped")
+      if (p > pStar * 1.01) assert(boost < 1.0, s"$src: source past the crossing not damped")
     }
   }
 
@@ -172,6 +181,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
     // the tempered sample is a real downsample that still covers every source
     assert(got.forall { case (_, nd, _, nk, _) => nk > 0 && nk <= nd })
+  }
+
+  test("e_stream_mixture equals the batch mixture policy row for row") {
+    val batch = DedupQueries.queries("d_mixture_weights")(spark, sfDir)
+      .collect().toSeq
+    val stream = SourceQueries.queries("e_stream_mixture")(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch)
   }
 
   test("d_source_overlap matches a driver-side brute-force gram matrix") {
