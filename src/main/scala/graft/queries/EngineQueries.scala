@@ -32,7 +32,7 @@ object EngineQueries {
     */
   private def buildEngine(s: SparkSession, d: String,
       config: IndexConfig): (VectorEngine, String, String, Array[Float]) = {
-    val root = Files.createTempDirectory("graft-engine-q").toString
+    val root = graft.TempDirs.scratch("graft-engine-q").toString
     val eng = new VectorEngine(s, root, fixedClock)
     val lib = eng.createLibrary("engine-bench", 64, config)
     val doc = eng.createDocument(lib)
@@ -54,7 +54,7 @@ object EngineQueries {
     * re-running bulkIngest per config.
     */
   private def linkCloneStore(src: String): String = {
-    val dst = Files.createTempDirectory("graft-engine-clone")
+    val dst = graft.TempDirs.scratch("graft-engine-clone")
     val s = java.nio.file.Paths.get(src)
     val stream = java.nio.file.Files.walk(s)
     try {

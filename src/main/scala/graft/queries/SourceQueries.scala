@@ -23,7 +23,7 @@ object SourceQueries {
     */
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val nation = Tables.nation(s, d)
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = graft.TempDirs.scratch("graft-csv").toString
     nation.write.mode("overwrite").option("header", "true").csv(tmp)
     s.read.schema(nation.schema).option("header", "true").csv(tmp)
       .orderBy(col("n_nationkey").asc)
@@ -35,7 +35,7 @@ object SourceQueries {
     */
   private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val sup = Tables.supplier(s, d)
-    val tmp = Files.createTempDirectory("graft-json").toString
+    val tmp = graft.TempDirs.scratch("graft-json").toString
     sup.write.mode("overwrite").json(tmp)
     s.read.schema(sup.schema).json(tmp)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
@@ -294,7 +294,7 @@ object SourceQueries {
       if (!bucketedFor.get(s).contains(d) ||
           !s.catalog.tableExists("graft_orders_b") ||
           !s.catalog.tableExists("graft_lineitem_b")) {
-        val wh = Files.createTempDirectory("graft-bucketed").toString
+        val wh = graft.TempDirs.scratch("graft-bucketed").toString
         s.sql("DROP TABLE IF EXISTS graft_orders_b")
         s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
         Tables.orders(s, d)

@@ -27,7 +27,7 @@ class CurateSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("curateLibrary matches d_pipeline_e2e counts and packs the survivors") {
-    val root = Files.createTempDirectory("graft-curate-test").toString
+    val root = graft.TempDirs.scratch("graft-curate-test").toString
     val eng = new VectorEngine(spark, root)
     val lib = eng.createLibrary("curated-corpus", 4)
     val doc = eng.createDocument(lib)
@@ -70,7 +70,7 @@ class CurateSpec extends AnyFunSuite {
   }
 
   test("curateLibrary on an empty library reports zeros, not nulls") {
-    val root = Files.createTempDirectory("graft-curate-empty").toString
+    val root = graft.TempDirs.scratch("graft-curate-empty").toString
     val eng = new VectorEngine(spark, root)
     val lib = eng.createLibrary("empty", 4)
     val stats = eng.curateLibrary(lib).collect().head

@@ -48,7 +48,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     val rnd = new Random(42)
     val dim = 4
     val eng = new VectorEngine(spark,
-      Files.createTempDirectory("graft-fuzz").toString, fixedClock)
+      graft.TempDirs.scratch("graft-fuzz").toString, fixedClock)
     val lib = eng.createLibrary("fuzz", dim)
     val docs = (0 until 3).map(i => eng.createDocument(lib, id = Some(s"doc$i")))
 
@@ -155,7 +155,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     val rnd = new Random(13)
     val dim = 4
     val eng = new VectorEngine(spark,
-      Files.createTempDirectory("graft-fuzz3").toString, fixedClock)
+      graft.TempDirs.scratch("graft-fuzz3").toString, fixedClock)
     val lib = eng.createLibrary("fuzzPq", dim, IndexConfig("ivfpq",
       ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 64))
     val docs3 = (0 until 2).map(i => eng.createDocument(lib, id = Some(s"doc$i")))
@@ -225,7 +225,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     val rnd = new Random(7)
     val dim = 4
     val eng = new VectorEngine(spark,
-      Files.createTempDirectory("graft-fuzz2").toString, fixedClock)
+      graft.TempDirs.scratch("graft-fuzz2").toString, fixedClock)
     val libA = eng.createLibrary("fuzzA", dim, id = Some("fuzz-A"))
     var libB = eng.createLibrary("fuzzB", dim, id = Some("fuzz-B"))
     val docIds = (0 until 4).map(i => s"doc$i")

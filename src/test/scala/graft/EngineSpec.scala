@@ -27,7 +27,7 @@ class EngineSpec extends AnyFunSuite {
   private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
 
   private def freshEngine(): VectorEngine = {
-    val dir = Files.createTempDirectory("graft-engine-test").toString
+    val dir = graft.TempDirs.scratch("graft-engine-test").toString
     new VectorEngine(spark, dir, fixedClock)
   }
 
@@ -287,7 +287,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("quirkCompat replicates Q2: LSH update is a silent no-op") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-quirk").toString
+    val dir = graft.TempDirs.scratch("graft-quirk").toString
     val eng = new VectorEngine(spark, dir, fixedClock, quirkCompat = true)
     val lib = eng.createLibrary("quirk", 2,
       IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 4))
@@ -352,7 +352,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("bulkIngest mints deterministic content-hash ids (ADVICE r1)") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-det-ids").toString
+    val dir = graft.TempDirs.scratch("graft-det-ids").toString
     val eng = new VectorEngine(spark, dir, fixedClock)
     val lib = eng.createLibrary("det", 2,
       IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 4))
@@ -640,7 +640,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("quirkCompat Q2 is LSH-only: IVF updates still maintain postings") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-quirk-ivf").toString
+    val dir = graft.TempDirs.scratch("graft-quirk-ivf").toString
     val eng = new VectorEngine(spark, dir, fixedClock, quirkCompat = true)
     val lib = eng.createLibrary("qivf", 2,
       IndexConfig("ivf", ivfNumCentroids = 2, ivfNprobe = 2))
@@ -869,7 +869,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("autoVacuumKeep trims snapshot history after mutating verbs") {
-    val dir = Files.createTempDirectory("graft-autovac").toString
+    val dir = graft.TempDirs.scratch("graft-autovac").toString
     val eng = new VectorEngine(spark, dir, fixedClock, autoVacuumKeep = Some(1))
     val lib = eng.createLibrary("av", 2)
     val doc = eng.createDocument(lib)
@@ -884,7 +884,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("auto index selection: flat/IVF/IVFPQ/LSH four-way thresholds (README.md:263)") {
     def build(ivfAt: Long, lshAt: Long): (VectorEngine, String, StateStore) = {
-      val dir = Files.createTempDirectory("graft-auto").toString
+      val dir = graft.TempDirs.scratch("graft-auto").toString
       val eng = new VectorEngine(spark, dir, fixedClock,
         autoIvfThreshold = ivfAt, autoLshThreshold = lshAt)
       val lib = eng.createLibrary("auto", 2, IndexConfig("auto"))
@@ -920,7 +920,7 @@ class EngineSpec extends AnyFunSuite {
     // past the top threshold with a pq-divisible dim -> IVFPQ (the
     // engine's >=10M-vector tier): codes table materializes, no planes,
     // no plain-ivf postings — and auto search dispatches on the codes
-    val dirP = Files.createTempDirectory("graft-auto").toString
+    val dirP = graft.TempDirs.scratch("graft-auto").toString
     val engP = new VectorEngine(spark, dirP, fixedClock,
       autoIvfThreshold = 5L, autoLshThreshold = 10L)
     val libP = engP.createLibrary("auto", 4,
@@ -957,7 +957,7 @@ class EngineSpec extends AnyFunSuite {
       .collect().head.getString(0)
 
   test("partition-selective writes: other libraries untouched and hardlink-shared") {
-    val dir = Files.createTempDirectory("graft-partsel").toString
+    val dir = graft.TempDirs.scratch("graft-partsel").toString
     val eng = new VectorEngine(spark, dir, fixedClock)
     val libA = eng.createLibrary("A", 2)
     val libB = eng.createLibrary("B", 2)
@@ -991,7 +991,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("moveDocument/deleteLibrary are partition-selective: bystander hardlinked") {
     import org.apache.spark.sql.functions.{col => c}
-    val dir = Files.createTempDirectory("graft-partmove").toString
+    val dir = graft.TempDirs.scratch("graft-partmove").toString
     val eng = new VectorEngine(spark, dir, fixedClock)
     val libA = eng.createLibrary("A", 2)
     val libB = eng.createLibrary("B", 2)

@@ -27,7 +27,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     import java.nio.file.Files
     val fixedClock = () => java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     // chunk rows as a file stream: 40 rows across 2 parquet files
-    val srcDir = Files.createTempDirectory("graft-sink-src").toString
+    val srcDir = graft.TempDirs.scratch("graft-sink-src").toString
     val rows = (0 until 40).map { i =>
       (f"c$i%04d", s"text $i",
         Array((i % 7).toFloat, ((i * 3) % 5).toFloat), i)
@@ -40,7 +40,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
 
     // streaming ingest
     val engS = new graft.engine.VectorEngine(spark,
-      Files.createTempDirectory("graft-sink-eng").toString, fixedClock)
+      graft.TempDirs.scratch("graft-sink-eng").toString, fixedClock)
     val libS = engS.createLibrary("streamed", 2)
     val docS = engS.createDocument(libS)
     val stream = spark.readStream
@@ -53,7 +53,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
 
     // batch ingest of the same rows
     val engB = new graft.engine.VectorEngine(spark,
-      Files.createTempDirectory("graft-sink-batch").toString, fixedClock)
+      graft.TempDirs.scratch("graft-sink-batch").toString, fixedClock)
     val libB = engB.createLibrary("batched", 2)
     val docB = engB.createDocument(libB)
     engB.bulkIngest(libB, docB, spark.read.parquet(srcDir))
@@ -218,7 +218,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
   }
 
   test("streaming tumbling agg equals the batch plan on the same data") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = graft.TempDirs.scratch("graft-stream").toString
     // rewrite through Tables.events: the raw file carries TIMESTAMP(NANOS),
     // which neither the batch nor the streaming parquet reader accepts
     graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
@@ -237,7 +237,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
 
   test("watermark drops data later than the 30-minute bound across micro-batches") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val dir = graft.TempDirs.scratch("graft-late").toString
     def ev(id: Long, ts: String, v: Double) =
       (id, java.sql.Timestamp.valueOf(ts), 1L, "click", v, "{}")
     // batch 1 advances the watermark to 12:00 - 30min = 11:30
@@ -266,7 +266,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
 
   test("stateful streaming sessionization equals the batch window query") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val dir = graft.TempDirs.scratch("graft-stream2").toString
     // rewrite through Tables.events: the raw file carries TIMESTAMP(NANOS),
     // which neither the batch nor the streaming parquet reader accepts
     graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
