@@ -61,6 +61,10 @@ object PlanDump {
     "d_mixture_weights",       // |sources|-group agg + broadcast scalar joins
     "d_mixture_sample",        // broadcast policy thresholds onto one corpus scan
     "d_source_overlap",        // gram -> source-set agg, map-side pair expansion
+    "t_bm25",                  // filtered postings aggs, broadcast idf/stats, top-k
+    "v_hybrid_rrf",            // two top-k rankings fused in a 20x20 outer join
+    "d_dsir",                  // two LM count tables joined onto the postings
+    "x_engine_hybrid",         // engine search + BM25 ranks fused k x k
   )
 
   def main(args: Array[String]): Unit = {

@@ -27,6 +27,7 @@ object SparkEntry {
       (AnnQueries.queries, AnnQueries.oracles),
       (SketchQueries.queries, SketchQueries.oracles),
       (SourceQueries.queries, SourceQueries.oracles),
+      (RetrievalQueries.queries, RetrievalQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -985,6 +985,60 @@ final class VectorEngine(
       .orderBy(col("score").desc, col("chunk_id").asc)
   }
 
+  /** HYBRID SEARCH — the lexical+vector surface modern vector stores pair
+    * with ANN: the engine's own vector `search` (whatever index family the
+    * library resolved) fused with a BM25 ranking over the library's chunk
+    * TEXT via reciprocal-rank fusion, rrf = sum over present rankings of
+    * 1/(60 + rank). BM25 ranks by the EXACT integer nano-nat score sum
+    * ([[graft.retrieval.RetrievalCore.bm25ScoresOf]]); vector ranks by
+    * (raw score desc, chunk_id asc) over the k hits `search` returned.
+    * Both rank windows run over ALREADY-k-LIMITED frames (single tiny
+    * partition by construction — never a corpus-wide window) and the
+    * fusion is a k x k outer join, so beyond `search` itself and the
+    * BM25 aggregations nothing scales with the corpus. Hits absent from
+    * one ranking carry -1 there and contribute 0. Post-search hydration
+    * is the broadcast inner join `search` uses (J1 semantics).
+    * Returns (chunk_id, rank_lex, rank_vec, rrf, text) top-k by
+    * (rrf desc, chunk_id asc).
+    */
+  def hybridSearch(libId: String, query: Array[Float], terms: Seq[String],
+      k: Int, metric: String = "cosine"): DataFrame = {
+    import graft.retrieval.RetrievalCore
+    getLibrary(libId)
+    if (terms.isEmpty)
+      throw new ValidationError("hybridSearch needs at least one query term")
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val wV = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("chunk_id").asc)
+    val vec = search(libId, query, k, metric)
+      .select(col("chunk_id"), col("score"))
+      .withColumn("rank_vec", row_number().over(wV))
+      .select(col("chunk_id"), col("rank_vec"))
+    val wL = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s9").desc, col("chunk_id").asc)
+    val lex = RetrievalCore.bm25ScoresOf(
+        libChunks.select(col("id").as("chunk_id"), col("text")),
+        "chunk_id", terms)
+      .orderBy(col("s9").desc, col("chunk_id").asc)
+      .limit(k)
+      .withColumn("rank_lex", row_number().over(wL))
+      .select(col("chunk_id"), col("rank_lex"))
+    val fused = lex.join(vec, Seq("chunk_id"), "full_outer")
+      .select(col("chunk_id"),
+        coalesce(col("rank_lex"), lit(-1)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(-1)).as("rank_vec"),
+        RetrievalCore.rnd6(RetrievalCore.rrfTerm(col("rank_lex")) +
+          RetrievalCore.rrfTerm(col("rank_vec"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("chunk_id").asc)
+      .limit(k)
+    broadcast(fused)
+      .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+      .select(col("chunk_id"), col("rank_lex"), col("rank_vec"),
+        col("rrf"), col("text"))
+      .orderBy(col("rrf").desc, col("chunk_id").asc)
+  }
+
   /** The index family `search`/`searchBatchAnn` dispatch on for this
     * library. "auto" searches whatever rebuildIndex resolved and built:
     * LSH when it has planes, IVFPQ when it has a codes table, IVF when it

@@ -97,6 +97,7 @@ object EngineQueries {
       fixtureCache.clear()
       baseCache.clear()
     }
+    hybridCache.synchronized(hybridCache.clear())
     selfJoinCache.synchronized {
       selfJoinCache.values.foreach(
         org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
@@ -369,6 +370,42 @@ object EngineQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Text-bearing fixture for the HYBRID verb: the documents table
+    * ingested WITH its aligned embedding (the corpus shares one id
+    * space — doc_id = vec_id), chunk id = d<doc_id> zero-padded, flat
+    * index — so both the BM25 side and the vector side of the fusion
+    * replay in SQL from the public tables.
+    */
+  private val hybridCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (VectorEngine, String)]
+  private def hybridFixture(s: SparkSession, d: String): (VectorEngine, String) =
+    hybridCache.synchronized {
+      hybridCache.getOrElseUpdate((s, d), {
+        val root = graft.TempDirs.scratch("graft-engine-hyb").toString
+        val eng = new VectorEngine(s, root, fixedClock)
+        val lib = eng.createLibrary("hybrid-bench", 64, IndexConfig("flat"))
+        val doc = eng.createDocument(lib)
+        eng.bulkIngest(lib, doc, Tables.documents(s, d)
+          .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+          .select(format_string("d%06d", col("doc_id")).as("id"),
+            col("text"), col("embedding"),
+            array(col("source")).as("tags")))
+        (eng, lib)
+      })
+    }
+
+  /** HYBRID SEARCH through the engine (`VectorEngine.hybridSearch`):
+    * vector ranks from the flat search for query vec 0, lexical ranks
+    * from BM25 over the chunk text, reciprocal-rank fused — every rank
+    * and the fused order hash-checked by the full SQL replay.
+    */
+  private def engineHybrid(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib) = hybridFixture(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    eng.hybridSearch(lib, q, RetrievalQueries.QueryTerms, k = 10)
+  }
+
   /** Batched lsh_det search — second hash-checked family through
     * `searchBatchAnn` (one probe-signature broadcast join for all
     * queries, per-query multiplicity rank + cap).
@@ -505,6 +542,7 @@ object EngineQueries {
     "x_engine_ivfpq_selfjoin" -> (engineIvfPqSelfJoin _),
     "d_semantic_dedup"       -> (semanticDedup _),
     "x_engine_lshdet_annjoin" -> (engineLshDetAnnJoin _),
+    "x_engine_hybrid"        -> (engineHybrid _),
     "x_engine_pq_annjoin"    -> (enginePqAnnJoin _),
     "e_stream_ann"           -> (engineStreamAnn _),
     "x_lsh_recall"           -> (lshRecall _),
@@ -973,6 +1011,35 @@ object EngineQueries {
     // same replay as the Seq-batch lsh_det entry: annJoin's
     // expression-signature path must land on identical hits
     "x_engine_lshdet_annjoin" -> lshDetBatchSql,
+    // x_engine_hybrid: the full hybrid replay — BM25 CTE chain (shared
+    // with the t_bm25 oracle, parameterized onto the chunk relation),
+    // vector ranks by RAW cosine over the stored vectors (flat search,
+    // quirk Q1; DuckDB's DOUBLE[] fold is bitwise-identical), RRF fusion
+    "x_engine_hybrid" ->
+      s"""WITH ch AS (
+         |  SELECT 'd' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0') AS chunk_id,
+         |         d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |${RetrievalQueries.bm25CtesFor("ch", "chunk_id")},
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |lex AS (
+         |  SELECT chunk_id, CAST(rn AS INTEGER) AS rank_lex FROM (
+         |    SELECT chunk_id, row_number() OVER (ORDER BY s9 DESC, chunk_id ASC) AS rn
+         |    FROM sc) WHERE rn <= 10),
+         |vec AS (
+         |  SELECT chunk_id, CAST(rn AS INTEGER) AS rank_vec FROM (
+         |    SELECT ch.chunk_id,
+         |           row_number() OVER (ORDER BY list_cosine_similarity(ch.emb, q.qv) DESC,
+         |                              ch.chunk_id ASC) AS rn
+         |    FROM ch, q) WHERE rn <= 10)
+         |SELECT coalesce(l.chunk_id, v.chunk_id) AS chunk_id,
+         |       CAST(coalesce(l.rank_lex, -1) AS INTEGER) AS rank_lex,
+         |       CAST(coalesce(v.rank_vec, -1) AS INTEGER) AS rank_vec,
+         |       ${Det.rndSql("coalesce(1.0 / CAST(l.rank_lex + 60 AS DOUBLE), 0.0) + coalesce(1.0 / CAST(v.rank_vec + 60 AS DOUBLE), 0.0)", 6)} AS rrf,
+         |       ch.text
+         |FROM lex l FULL OUTER JOIN vec v ON l.chunk_id = v.chunk_id
+         |JOIN ch ON ch.chunk_id = coalesce(l.chunk_id, v.chunk_id)
+         |ORDER BY rrf DESC, chunk_id ASC LIMIT 10""".stripMargin,
     // same replay as the Seq-batch entry: annJoin must land on identical
     // hits through its distributed-ADC path
     "x_engine_ivfpq_annjoin" -> ivfpqBatchSql,

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.cosineSim
+import graft.queries.Det.{rnd, rndSql}
+
+/** Retrieval suite: lexical BM25 ranking, hybrid lexical+vector fusion
+  * (reciprocal-rank fusion), and DSIR-style importance weighting — the
+  * retrieval/data-selection half a production vector store pairs with its
+  * ANN search (the reference covers only the vector side; hybrid search is
+  * the standard extension, and DSIR is the modern data-selection step of
+  * training-corpus assembly).
+  *
+  * Cross-engine determinism follows the suite-wide discipline: `ln` is not
+  * IEEE-correctly-rounded, so every log lands as a FLOORED integer
+  * nano-nat BEFORE any sum; per-doc accumulation is exact BIGINT
+  * arithmetic on both engines, and only final presentation divisions are
+  * floating (rounded with the shared [[Det.rnd]]/[[Det.rndSql]] pair).
+  *
+  * Scale shape: BM25 is two keyed aggregations (term df over the
+  * query-term-filtered postings, then a per-doc sum) with the |terms|-row
+  * idf table and the 2-value corpus stats broadcast — the corpus never
+  * shuffles except by doc_id for the final per-doc agg, and the top-k is
+  * TakeOrderedAndProject, never a global sort. The fusion joins two
+  * k-row rankings (k=20) — metadata-scale regardless of corpus size.
+  */
+object RetrievalQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  private def toks = tokens(col("text"))
+
+  /** The fixed lexical query — four terms present in the corpus vocab
+    * (shared with the engine hybrid-verb entry in [[EngineQueries]]).
+    */
+  private[queries] val QueryTerms = Seq("spark", "table", "join", "window")
+  private val TopK = 20
+
+  /** BM25 scoring frame (doc_id, n_tokens, n_hit, s9): Robertson
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1 = 1.2, b = 0.75. Each
+    * (doc, term)'s contribution is floor(idf9 * tf_part) — idf9 is an
+    * integer nano-nat, tf_part a single-expression double both engines
+    * evaluate with the identical association — so the per-doc score sum
+    * is exact long arithmetic. Only docs containing >= 1 query term
+    * appear (inner join on the filtered postings).
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    graft.retrieval.RetrievalCore.bm25ScoresOf(docs(s, d), "doc_id", QueryTerms)
+
+  /** BM25 TOP-K RETRIEVAL — the lexical ranking of hybrid search. */
+  private def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("n_hit"),
+        rnd(col("s9").cast("double") / lit(1.0e9), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TopK)
+
+  /** HYBRID SEARCH via RECIPROCAL-RANK FUSION: the BM25 top-20 (lexical)
+    * fused with the exact-cosine top-20 for query vector 0 (the corpus
+    * shares one id space: doc_id = vec_id), rrf = sum over present
+    * rankings of 1/(60 + rank). Both inputs are TakeOrderedAndProject
+    * top-k; the rank windows run over the ALREADY-LIMITED 20-row frames
+    * (single tiny partition by construction — never a corpus-wide
+    * window), and the fusion itself is a 20x20-row full-outer join:
+    * metadata-scale at any corpus size. Absent ranks emit -1 and
+    * contribute 0.
+    */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = bm25(s, d)
+      .withColumn("rank_lex", row_number().over(wLex))
+      .select(col("doc_id").as("id"), col("rank_lex"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val wVec = Window.orderBy(col("score").desc, col("vec_id").asc)
+    val vec = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        rnd(cosineSim(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(TopK)
+      .withColumn("rank_vec", row_number().over(wVec))
+      .select(col("vec_id").as("id"), col("rank_vec"))
+    def rrfTerm(rank: Column): Column =
+      when(rank.isNotNull, lit(1.0) / (rank + lit(60)).cast("double"))
+        .otherwise(lit(0.0))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("rank_lex"), lit(-1)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(-1)).as("rank_vec"),
+        rnd(rrfTerm(col("rank_lex")) + rrfTerm(col("rank_vec")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTING — the data-selection step of
+    * training-corpus assembly (Xie et al. 2023): score every document by
+    * the mean per-token log-ratio of a TARGET-domain unigram LM (docs
+    * from source 'src0', add-one smoothed over the corpus vocab) to the
+    * corpus LM; positive means target-like, and the keep flag is the
+    * importance-resampling selection at threshold 0. Both LMs share the
+    * corpus vocabulary V, the standard add-one formulation. Per-token
+    * contributions are differences of two floored nano-nat logs, so the
+    * per-doc sum is exact BIGINT on both engines. Scale shape: one
+    * token-count aggregation per LM (the target one is a filtered
+    * subset), an equi-join of the exploded corpus against the count
+    * tables, a per-doc agg — the [[TextQueries]] perplexity shape with a
+    * second, smaller model table.
+    */
+  private val DsirTarget = "src0"
+  private def dsir(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), col("source"),
+      explode(toks).as("tok"))
+    val cc = tk.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val ct = tk.filter(col("source") === DsirTarget)
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val tot = cc.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+    val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    def ln9(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * lit(1.0e9))
+        .cast("long")
+    val c9 = ln9(coalesce(col("ct"), lit(0L)) + lit(1), col("nt") + col("v")) -
+      ln9(col("cc") + lit(1), col("nc") + col("v"))
+    tk.join(cc, "tok")
+      .join(ct, Seq("tok"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tt))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), sum(c9).as("s9"))
+      .select(col("doc_id"), col("n_tokens"),
+        rnd(col("s9").cast("double") /
+          (lit(1.0e9) * col("n_tokens").cast("double")), 6).as("logratio"),
+        (col("s9") > 0).as("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bm25"       -> (bm25 _),
+    "v_hybrid_rrf" -> (hybridRrf _),
+    "d_dsir"       -> (dsir _),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val termsSql = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  // the BM25 CTE chain shared by the t_bm25 oracle, the hybrid fusion's
+  // lexical side, and the engine hybrid-verb replay (`EngineQueries`) —
+  // same idf/tf_part association as [[graft.retrieval.RetrievalCore
+  // .bm25ScoresOf]], token for token; parameterized over the (relation,
+  // id column) pair exactly as the Scala side is
+  private[queries] def bm25CtesFor(srcRel: String, idCol: String): String =
+    s"""tk AS (SELECT $idCol, $toksSql AS tk FROM $srcRel),
+       |dl AS (SELECT $idCol, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+       |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS sdl, CAST(count(*) AS BIGINT) AS nd FROM dl),
+       |tf AS (
+       |  SELECT $idCol, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT $idCol, unnest(tk) AS term FROM tk)
+       |  WHERE term IN $termsSql GROUP BY $idCol, term),
+       |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |idf AS (
+       |  SELECT term,
+       |         CAST(floor(ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |             / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000000.0) AS BIGINT) AS idf9
+       |  FROM dfT, st),
+       |sc AS (
+       |  SELECT t.$idCol, max(d.dl) AS n_tokens,
+       |         CAST(count(*) AS INTEGER) AS n_hit,
+       |         CAST(SUM(CAST(floor(CAST(i.idf9 AS DOUBLE) *
+       |           ((CAST(t.tf AS DOUBLE) * 2.2)
+       |             / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+       |                 / (CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE)))))) AS BIGINT))
+       |           AS BIGINT) AS s9
+       |  FROM tf t JOIN idf i USING (term) JOIN dl d USING ($idCol), st
+       |  GROUP BY t.$idCol)""".stripMargin
+
+  private val bm25Ctes = bm25CtesFor("documents", "doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "t_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_tokens, n_hit,
+         |       ${rndSql("CAST(s9 AS DOUBLE) / 1000000000.0", 6)} AS score
+         |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $TopK""".stripMargin,
+    "v_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank_lex
+         |  FROM (
+         |    SELECT doc_id, ${rndSql("CAST(s9 AS DOUBLE) / 1000000000.0", 6)} AS score
+         |    FROM sc ORDER BY score DESC, doc_id ASC LIMIT $TopK)),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank_vec
+         |  FROM (
+         |    SELECT e.vec_id,
+         |           ${rndSql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)", 6)} AS score
+         |    FROM embeddings e, q WHERE e.vec_id <> 0
+         |    ORDER BY score DESC, vec_id ASC LIMIT $TopK))
+         |SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+         |       CAST(coalesce(l.rank_lex, -1) AS INTEGER) AS rank_lex,
+         |       CAST(coalesce(v.rank_vec, -1) AS INTEGER) AS rank_vec,
+         |       ${rndSql("coalesce(1.0 / CAST(l.rank_lex + 60 AS DOUBLE), 0.0) + coalesce(1.0 / CAST(v.rank_vec + 60 AS DOUBLE), 0.0)", 6)} AS rrf
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // d_dsir: both LMs replayed with the shared nano-nat floor guard; the
+    // target LM's counts left-join onto the corpus postings
+    "d_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest($toksSql) AS tok FROM documents),
+         |cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cc FROM tk GROUP BY tok),
+         |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tk
+         |       WHERE source = '$DsirTarget' GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc, CAST(count(*) AS BIGINT) AS v FROM cc),
+         |tt AS (SELECT CAST(coalesce(SUM(ct), 0) AS BIGINT) AS nt FROM ct)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |       ${rndSql(
+             "CAST(SUM(c9) AS DOUBLE) / (1000000000.0 * count(*))", 6)} AS logratio,
+         |       CAST(SUM(c9) AS BIGINT) > 0 AS keep
+         |FROM (
+         |  SELECT t.doc_id,
+         |         CAST(floor(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+         |             / CAST(nt + v AS DOUBLE)) * 1000000000.0) AS BIGINT)
+         |         - CAST(floor(ln(CAST(cc + 1 AS DOUBLE)
+         |             / CAST(nc + v AS DOUBLE)) * 1000000000.0) AS BIGINT) AS c9
+         |  FROM tk t JOIN cc USING (tok) LEFT JOIN ct USING (tok), tot, tt)
+         |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+  )
+}

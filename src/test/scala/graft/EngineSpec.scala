@@ -1115,4 +1115,42 @@ class EngineSpec extends AnyFunSuite {
     val dst3 = eng.createLibrary("dst3", 3)
     intercept[ValidationError] { eng.moveDocument(doc, dst, dst3) }
   }
+
+  test("hybridSearch fuses lexical and vector ranks (RRF identity + validation)") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("hyb", 2)
+    val doc = eng.createDocument(lib)
+    // c00 is the vector match (aligned with the query), c03 the lexical
+    // match (saturated with the query term), c01 both, c02 neither
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("alpha beta gamma", Some(Array(1f, 0f)), id = Some("c00")),
+      ChunkIn("spark beta", Some(Array(0.9f, 0.1f)), id = Some("c01")),
+      ChunkIn("delta epsilon", Some(Array(0f, 1f)), id = Some("c02")),
+      ChunkIn("spark spark spark", Some(Array(-1f, 0.5f)), id = Some("c03"))))
+    intercept[ValidationError] { eng.hybridSearch(lib, Array(1f, 0f), Nil, 2) }
+    intercept[ValidationError] {
+      eng.hybridSearch(lib, Array(1f, 0f), Seq("spark"), 0)
+    }
+    val rows = eng.hybridSearch(lib, Array(1f, 0f), Seq("spark"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // lexical top-2 by exact BM25: c03 (tf 3) then c01 (tf 1, shorter than
+    // c03? no — rank by score); vector top-2 by cosine: c00 then c01
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId.contains("c01")) // present in both rankings
+    rows.foreach { case (_, rl, rv, rrf) =>
+      assert(rl == -1 || (rl >= 1 && rl <= 2))
+      assert(rv == -1 || (rv >= 1 && rv <= 2))
+      val expected =
+        (if (rl == -1) 0.0 else 1.0 / (rl + 60)) +
+          (if (rv == -1) 0.0 else 1.0 / (rv + 60))
+      assert(math.abs(rrf - math.floor(expected * 1e6 + 0.5) / 1e6) == 0.0)
+    }
+    // result is (rrf desc, chunk_id asc) and k-bounded
+    assert(rows.length == 2)
+    assert(rows.sortBy { case (id, _, _, f) => (-f, id) }.toSeq == rows.toSeq)
+    // c01 holds a rank in BOTH lists, so it must out-fuse any single-list
+    // chunk and lead the fused result
+    assert(rows.head._1 == "c01" && rows.head._2 != -1 && rows.head._3 != -1)
+  }
 }
