@@ -65,6 +65,8 @@ object PlanDump {
     "v_hybrid_rrf",            // two top-k rankings fused in a 20x20 outer join
     "d_dsir",                  // two LM count tables joined onto the postings
     "x_engine_hybrid",         // engine search + BM25 ranks fused k x k
+    "t_chunk_split",           // map-side overlapping-window explode
+    "v_mmr_rerank",            // distributed top-k scan + k-bounded driver greedy
   )
 
   def main(args: Array[String]): Unit = {

@@ -139,9 +139,72 @@ object RetrievalQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** MMR DIVERSITY RERANK (maximal marginal relevance, lambda = 0.5):
+    * greedily re-rank the cosine top-20 for query vec 0 so each pick
+    * maximizes relevance MINUS its max similarity to the already-picked
+    * set — the standard result-diversification step downstream of any
+    * similarity search. The candidate generation is the distributed
+    * top-k scan; the greedy itself runs on the DRIVER over the k-bounded
+    * candidate rows (20 x 64 floats by construction — a reranker's input
+    * is already k rows; same bounded-collect class as the nprobe
+    * centroids). Determinism: relevance and pair similarities are
+    * floored to integer micro-units first (the cosine fold is the
+    * VecCosine arithmetic DuckDB's list_cosine_similarity matches
+    * bitwise), so every comparison in the greedy — and the recursive-CTE
+    * oracle replaying it — is exact integer arithmetic with a vec_id
+    * tie-break.
+    */
+  private val MmrPool = 20
+  private val MmrK = 10
+  private def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val cands: Array[(Long, Array[Float], Long)] = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        floor(cosineSim(col("embedding"), col("qvec")) * lit(1.0e6) + lit(0.5))
+          .cast("long").as("rel_u"))
+      .orderBy(col("rel_u").desc, col("vec_id").asc)
+      .limit(MmrPool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    // the VecCosine fold (dot / (sqrt(na) * sqrt(nb)), sequential), then
+    // the shared micro-unit floor
+    def cosU(a: Array[Float], b: Array[Float]): Long = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val sa = math.sqrt(na); val sb = math.sqrt(nb)
+      val c = if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+      math.floor(c * 1.0e6 + 0.5).toLong
+    }
+    var selected = Vector.empty[(Long, Array[Float], Long, Long)]
+    var rest = cands.toList
+    while (selected.length < MmrK && rest.nonEmpty) {
+      val pick = rest.map { case (id, v, rel) =>
+        val ms = if (selected.isEmpty) 0L else selected.map(p => cosU(v, p._2)).max
+        (id, v, rel, ms)
+      }.minBy { case (id, _, rel, ms) => (-(rel - ms), id) }
+      selected = selected :+ pick
+      rest = rest.filterNot(_._1 == pick._1)
+    }
+    val rows = selected.zipWithIndex.map { case ((id, _, rel, ms), i) =>
+      (i + 1, id, rel.toDouble / 1.0e6, ms.toDouble / 1.0e6, rel - ms)
+    }
+    rows.toDF("rank", "vec_id", "rel", "max_sim_sel", "obj_u")
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("rel"), col("max_sim_sel"), col("obj_u"))
+      .orderBy(col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25"       -> (bm25 _),
     "v_hybrid_rrf" -> (hybridRrf _),
+    "v_mmr_rerank" -> (mmrRerank _),
     "d_dsir"       -> (dsir _),
   )
 
@@ -207,6 +270,43 @@ object RetrievalQueries {
          |       ${rndSql("coalesce(1.0 / CAST(l.rank_lex + 60 AS DOUBLE), 0.0) + coalesce(1.0 / CAST(v.rank_vec + 60 AS DOUBLE), 0.0)", 6)} AS rrf
          |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
          |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // v_mmr_rerank: the greedy replayed as a RECURSIVE CTE — the working
+    // table holds exactly the previous pick, the LATERAL argmax re-scores
+    // the remaining candidates against the accumulated id list, and every
+    // comparison is the same floored micro-unit integer the Spark greedy
+    // uses (the ms subquery sits in a derived table: DuckDB cannot ORDER
+    // BY a subquery-bearing alias directly)
+    "v_mmr_rerank" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) * 1000000.0 + 0.5) AS BIGINT) AS rel_u
+         |  FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY rel_u DESC, vec_id ASC LIMIT $MmrPool),
+         |sims AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) AS BIGINT) AS sim_u
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel(rank, vec_id, rel_u, maxsim_u, ids) AS (
+         |  SELECT 1, vec_id, rel_u, CAST(0 AS BIGINT), [vec_id]
+         |  FROM (SELECT vec_id, rel_u FROM cand ORDER BY rel_u DESC, vec_id ASC LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.rank + 1, p.vec_id, p.rel_u, p.ms, list_append(s.ids, p.vec_id)
+         |  FROM sel s, LATERAL (
+         |    SELECT vec_id, rel_u, ms FROM (
+         |      SELECT c.vec_id, c.rel_u,
+         |             (SELECT max(sim_u) FROM sims WHERE va = c.vec_id AND list_contains(s.ids, vb)) AS ms
+         |      FROM cand c
+         |      WHERE NOT list_contains(s.ids, c.vec_id)) t
+         |    ORDER BY rel_u - ms DESC, vec_id ASC
+         |    LIMIT 1) p
+         |  WHERE s.rank < $MmrK)
+         |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+         |       CAST(rel_u AS DOUBLE) / 1000000.0 AS rel,
+         |       CAST(maxsim_u AS DOUBLE) / 1000000.0 AS max_sim_sel,
+         |       CAST(rel_u - maxsim_u AS BIGINT) AS obj_u
+         |FROM sel ORDER BY rank ASC""".stripMargin,
     // d_dsir: both LMs replayed with the shared nano-nat floor guard; the
     // target LM's counts left-join onto the corpus postings
     "d_dsir" ->

@@ -280,6 +280,33 @@ object TextQueries {
       .orderBy(col("doc_id").asc, col("rn").asc)
   }
 
+  /** DOCUMENT CHUNKING with overlap — the vector-store ingestion
+    * primitive the reference assumes happens upstream of its API: split
+    * each document into fixed token windows (32 tokens, stride 24 — 8
+    * tokens of overlap so no boundary context is lost), one row per
+    * chunk with its position and text. Scale shape: pure map-side
+    * explode — chunk count per doc is ceil(n/stride), bounded output
+    * amplification of ~1/24th extra tokens, no shuffle except the
+    * presentation sort. Empty docs emit nothing (both engines: the
+    * starts sequence is empty).
+    */
+  private val ChunkWin = 32
+  private val ChunkStride = 24
+  private def chunkSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0),
+          floor((size(col("tk")) - lit(1)) / lit(ChunkStride.toDouble))
+            .cast("int"))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+        (col("ci") * ChunkStride).cast("long").as("start_tok"),
+        slice(col("tk"), col("ci") * ChunkStride + lit(1), lit(ChunkWin)).as("ctk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ctk")).as("n_tokens"),
+        array_join(col("ctk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
   /** Multimodal plumbing surface: treat text bytes as an opaque binary
     * payload column and extract typed metadata (byte length + sha256) —
     * the schema/plumbing pattern for image/audio blobs (decode itself is
@@ -303,6 +330,7 @@ object TextQueries {
     "t_perplexity"     -> (perplexity _),
     "t_perplexity2"    -> (perplexityBigram _),
     "t_tfidf"          -> (tfidf _),
+    "t_chunk_split"    -> (chunkSplit _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -491,5 +519,19 @@ object TextQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY s9 DESC, term ASC) AS rn FROM sc)
          |WHERE rn <= 3 ORDER BY doc_id ASC, rn ASC""".stripMargin,
+    // t_chunk_split: the same 32/24 token windows — starts from an
+    // integer-division series, slices replayed with list_slice's
+    // inclusive 1-based bounds
+    "t_chunk_split" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |x AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(0, (len(tk) - 1) // 24)) AS ci
+         |  FROM tk WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |       CAST(ci * 24 AS BIGINT) AS start_tok,
+         |       CAST(len(list_slice(tk, ci * 24 + 1, ci * 24 + 32)) AS INTEGER) AS n_tokens,
+         |       array_to_string(list_slice(tk, ci * 24 + 1, ci * 24 + 32), ' ') AS chunk_text
+         |FROM x ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
   )
 }

@@ -239,4 +239,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     graft.Caches.releaseAll()
   }
+
+  test("t_chunk_split windows reconstruct every document exactly") {
+    val toks = docTokens()
+    val rows = TextQueries.queries("t_chunk_split")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    // every non-empty doc chunks; counts and per-chunk slices match the
+    // 32-token window / 24-token stride contract
+    toks.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.length == (ts.length - 1) / 24 + 1)
+      chunks.foreach { case (_, ci, start, n, text) =>
+        assert(start == ci.toLong * 24)
+        val expected = ts.slice(ci * 24, math.min(ci * 24 + 32, ts.length))
+        assert(n == expected.length)
+        assert(text == expected.mkString(" "))
+      }
+      // consecutive full chunks overlap by exactly 8 tokens
+      chunks.sliding(2).foreach {
+        case Array((_, _, s1, n1, _), (_, _, s2, _, _)) =>
+          if (n1 == 32) assert(s1 + 32 - s2 == 8)
+        case _ => ()
+      }
+    }
+    assert(rows.map(_._1).toSet == toks.filter(_._2.nonEmpty).keySet)
+  }
 }

@@ -86,6 +86,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(vecRanks.distinct.length == vecRanks.length)
   }
 
+  test("v_mmr_rerank greedy invariants hold against independent recomputation") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosU(a: Array[Float], b: Array[Float]): Long = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val sa = math.sqrt(na); val sb = math.sqrt(nb)
+      val c = if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+      math.floor(c * 1.0e6 + 0.5).toLong
+    }
+    val qv = embs(0L)
+    val pool = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosU(v, qv)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    val poolIds = pool.map(_._1).toSet
+    val rows = RetrievalQueries.queries("v_mmr_rerank")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 10)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._2).distinct.length == 10)
+    rows.foreach { case (_, id, _, _, _) => assert(poolIds.contains(id)) }
+    // first pick is pure relevance (max rel_u, vec_id tie-break)
+    assert(rows.head._2 == pool.head._1)
+    // each pick's bookkeeping re-derived from raw vectors: rel, the max
+    // similarity to PRIOR picks, and the objective
+    rows.zipWithIndex.foreach { case ((_, id, rel, ms, obj), i) =>
+      val relU = pool.find(_._1 == id).get._2
+      val msU =
+        if (i == 0) 0L
+        else rows.take(i).map(p => cosU(embs(id), embs(p._2))).max
+      assert(rel == relU.toDouble / 1.0e6)
+      assert(ms == msU.toDouble / 1.0e6)
+      assert(obj == relU - msU)
+    }
+    // from rank 2 on, the greedy objective never increases: a fixed
+    // candidate's max-sim only grows as the picked set grows, and each
+    // pick was the argmax over a superset of the next round's pool.
+    // Rank 1 is excluded — it is picked by PURE relevance (ms = 0), and
+    // with negative cosines rank 2's rel - ms can legitimately exceed it
+    // (observed on this near-orthogonal corpus).
+    rows.drop(1).map(_._5).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+  }
+
   test("d_dsir prefers the target source's own documents") {
     import org.apache.spark.sql.functions.col
     val srcOf = Tables.documents(spark, sfDir)
