@@ -2,15 +2,34 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   * Explicit per-table helpers keep call-sites honest about what they scan;
   * column pruning + predicate pushdown then happen at the parquet scan.
   */
 object Tables {
+  /** Parquet `timestamp[us]` columns written without `isAdjustedToUTC`
+    * arrive as TIMESTAMP_NTZ under Spark 4's default inference; every
+    * consumer here (unix_micros, timestamp literals, window bounds) and
+    * the DuckDB oracle treat them as UTC instants, so normalize NTZ ->
+    * TIMESTAMP at the loader. The cast interprets the wall clock in the
+    * session timezone, which every entry point pins to UTC — the same
+    * convention DuckDB applies reading the naive values. A projection
+    * (not per-column withColumn) keeps this one map over the scan and
+    * preserves pushdown on the untouched columns.
+    */
+  private def ntzToUtc(df: DataFrame): DataFrame = {
+    if (!df.schema.exists(_.dataType == TimestampNTZType)) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType)
+        col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    ntzToUtc(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

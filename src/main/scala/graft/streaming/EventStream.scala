@@ -35,6 +35,38 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Streaming source over the DRIVER's `events.parquet`, robust to the
+    * generator's timestamp encoding — which has varied across rounds:
+    * TIMESTAMP(NANOS) (unreadable as a timestamp; read as long under the
+    * legacy conf and truncated to micros), micros without isAdjustedToUTC
+    * (arrives TIMESTAMP_NTZ under Spark 4's default inference), or plain
+    * UTC micros. A streaming read schema must match the file's physical
+    * type, so probe the footer with a batch schema-only read, declare
+    * `ts` as what is actually on disk, and normalize to TIMESTAMP (UTC
+    * session) after the scan. Returns exactly `fields`, in order.
+    */
+  def eventsParquetStream(s: SparkSession, dir: String,
+      fields: Seq[String]): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = StructType(eventSchema.fields.toIndexedSeq
+      .filter(f => fields.contains(f.name))
+      .map(f => if (f.name == "ts") StructField("ts", onDisk) else f))
+    val src = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val norm = onDisk match {
+      case LongType =>
+        // ns-since-epoch: integer division — a float path would lose
+        // precision past double's 2^53 mantissa (Tables.events's note)
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
+    norm.select(fields.map(col): _*)
+  }
+
   /** Tumbling 1-hour window per event_type with a 30-minute watermark:
     * counts + exact (decimal) sum. Works on both batch and streaming
     * DataFrames — the watermark is a no-op in batch mode.
