@@ -57,92 +57,119 @@ object CurationCore {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Min-label CONNECTED COMPONENTS over pair edges — shared by the text
-    * (minhash) and embedding (cosine) near-dup families and the engine
-    * curation verb. Each round fuses (a) neighbor-min propagation — join
-    * neighbor labels, take the min — with (b) a POINTER-JUMP: every node
-    * then adopts its label's own label from the same round's map
-    * (path-halving through the label forest), so label depth roughly
-    * halves per round and convergence is O(log diameter) rounds instead
-    * of O(diameter) — the difference between ~35 rounds and ~7 on the
-    * sf0.1 ANN-threshold graph, and the difference between converging and
-    * throwing on a deep path component at corpus scale. Iterates over the
-    * PAIRED nodes only; `nodes` rows absent from any pair rejoin as
-    * cluster-of-self at the end. Returns (idCol, cluster_id).
+  /** CONNECTED COMPONENTS over pair edges by ALTERNATING STAR CONTRACTION
+    * (large-star / small-star, Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — shared by the text (minhash) and embedding
+    * (cosine) near-dup families and the engine curation verb.
+    *
+    * Min-label PROPAGATION (this function's previous scheme) moves
+    * information one edge-hop per global barrier, so a near-threshold ANN
+    * graph with diameter ~18 (the sf0.1 semantic-dedup fixture) measured
+    * 20 shuffle rounds; pointer-jumping over the label forest did NOT
+    * reduce that (measured: identical round count), because the minimum
+    * still has to WALK the graph — jumps compress the label forest, not
+    * graph distance. Star contraction instead REWIRES the edge set each
+    * round: large-star hangs every node's larger neighbors on its
+    * neighborhood minimum, small-star hangs the smaller ones, and the
+    * alternation provably converges to per-component stars (center = the
+    * component-min id) in O(log n) rounds INDEPENDENT of diameter. The
+    * number of global barriers a 100 TB dup graph pays is the thing to
+    * minimize, and under this scheme it is an invariant of the algorithm,
+    * not a property of the data. Edges stay canonical (u > v), every
+    * round ends distinct'ed and localCheckpoint'ed (lineage truncation;
+    * stats note below), and the canonical edge count never grows — each
+    * round's shuffle is bounded by the DUP-GRAPH size, never the corpus.
+    *
+    * `nodes` rows absent from any pair rejoin as cluster-of-self at the
+    * end. Returns (idCol, cluster_id); cluster_id = min id reachable —
+    * the labeling the recursive-CTE oracles replay, and differentially
+    * spec'd against a driver-side union-find on seeded random graphs.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int = 50): DataFrame = {
     import GraftRddBridge.unpersistLocalCheckpoint
     // localCheckpoint materializes the DATA but copies the checkpointed
     // plan's ESTIMATED statistics onto the LogicalRDD — in an iterative
-    // loop whose round plan multiplies the previous round's sizeInBytes
-    // into itself (two joins referencing `labels`), the estimate's BIT
-    // LENGTH compounds per round and the driver ends up in
-    // BigInteger.multiply for tens of seconds (observed: round 19 of the
-    // sf0.1 ANN graph took 52s with every executor idle). Rebuilding a
-    // fresh default-stats leaf over the same InternalRow RDD resets the
-    // estimation per round with no row conversion.
+    // loop whose round plan folds the previous round's sizeInBytes into
+    // itself, the estimate's BIT LENGTH compounds per round and the
+    // driver ends up in BigInteger.multiply for tens of seconds (observed
+    // under the old scheme: round 19 took 52s with every executor idle).
+    // Rebuilding a fresh default-stats leaf over the same InternalRow RDD
+    // resets the estimation per round with no row conversion.
     def freshPlan(ckpt: DataFrame): DataFrame =
       GraftRddBridge.freshDefaultStatsFrame(ckpt)
     val Seq(aCol, bCol) = pairs.columns.toSeq
-    val edgesCkpt = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    val edges = freshPlan(edgesCkpt)
-    var labelsCkpt = edges.select(col("src").as("id"))
+    // canonical (u, v) with u > v; self-pairs drop
+    var curCkpt = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .withColumn("label", col("id"))
       .localCheckpoint()
-    var labels = freshPlan(labelsCkpt)
-    // the checkpoint whose blocks back `labels`; once a round's `next` is
-    // materialized the previous round's blocks are dead and released —
-    // only edges + the latest labels stay resident
-    var changed = 1L
+    var cur = freshPlan(curCkpt)
+    var nCur = cur.count()
+    var changed = nCur > 0L
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val tRound = System.nanoTime()
-      val minN = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("label").as("nl"))
-        .groupBy(col("id")).agg(min(col("nl")).as("nl"))
-      val stepped = labels.join(minN, Seq("id"), "left_outer")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("lab"))
-      // pointer jump: adopt the (previous-round) label of the new label —
-      // labels are node ids within the component, so label-of-label is
-      // also in the component and only ever smaller
-      val next = stepped
-        .join(labels.select(col("id").as("lab"), col("label").as("ll")),
-          Seq("lab"), "left_outer")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("ll"), col("lab"))).as("label"),
-          (least(col("lab"), coalesce(col("ll"), col("lab"))) < col("old")).as("chg"))
+      // LARGE-STAR: per node u over the symmetrized adjacency, hang every
+      // STRICTLY LARGER neighbor on m(u) = min(N(u) ∪ {u}). Each
+      // canonical edge (big, small) is emitted exactly once — from its
+      // small endpoint's group — as (big, m(small)); m(u) <= u < v keeps
+      // the output canonical and no edge is lost.
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mLarge, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: per node u over its SMALLER neighbors (exactly the
+      // canonical group of u), hang u and every smaller neighbor on the
+      // group minimum m (all v < u, so min(v) already includes the
+      // ∪ {u} term). Emits (u, m) and (v, m) for v != m — canonical by
+      // construction since m <= v < u.
+      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(mSmall, Seq("u"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+      val fresh = freshPlan(next)
+      val nNext = fresh.count()
+      // converged when the round was a no-op: same cardinality and
+      // next ⊆ cur (both sides are distinct sets, so that means equal)
+      val nNew = fresh.join(cur, Seq("u", "v"), "left_anti").count()
+      changed = !(nNext == nCur && nNew == 0L)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $rounds changed=$changed round_s=${(System.nanoTime() - tRound) / 1e9}%.2f")
-      unpersistLocalCheckpoint(labelsCkpt)
-      labelsCkpt = next
-      labels = freshPlan(next).select(col("id"), col("label"))
+        println(f"[cc] round $rounds edges=$nNext new=$nNew round_s=${(System.nanoTime() - tRound) / 1e9}%.2f")
+      unpersistLocalCheckpoint(curCkpt)
+      curCkpt = next
+      cur = freshPlan(next)
+      nCur = nNext
       rounds += 1
     }
-    // an unconverged labeling is WRONG (some nodes still carry a non-minimal
-    // label) — failing loudly beats silently emitting bad cluster ids; dup
-    // graphs are near-cliques so diameter ~ a few, and a caller with a
-    // genuinely deep path graph raises maxRounds explicitly
-    if (changed > 0) {
-      unpersistLocalCheckpoint(edgesCkpt); unpersistLocalCheckpoint(labelsCkpt)
+    // an unconverged edge set is WRONG (labels would not be component
+    // minima) — failing loudly beats silently emitting bad cluster ids.
+    // Star depth roughly halves per alternation, so the default covers
+    // any realistic graph; hitting it indicates a bug, not deep data.
+    if (changed) {
+      unpersistLocalCheckpoint(curCkpt)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds " +
-          s"($changed labels still changing); component diameter exceeds " +
-          "maxRounds — raise it for deep-path graphs")
+        s"connectedComponents did not converge in $maxRounds rounds; " +
+          "star contraction needs O(log n) — raise maxRounds or investigate")
     }
-    unpersistLocalCheckpoint(edgesCkpt)
-    // the final labels checkpoint backs the (lazy) result, so its lifetime
+    // fixpoint: every edge is (member, component-min); centers appear
+    // only on the v side, so one min-agg row per non-center member
+    val labels = cur.groupBy(col("u")).agg(min(col("v")).as("label"))
+    // the final edge checkpoint backs the (lazy) result, so its lifetime
     // is the caller's — register it for end-of-suite release
-    graft.Caches.track(labelsCkpt)
+    graft.Caches.track(curCkpt)
     nodes.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
   }

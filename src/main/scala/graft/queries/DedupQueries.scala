@@ -106,16 +106,10 @@ object DedupQueries {
         .localCheckpoint() // the bucket self-join runs once, not per entry
     }
 
-  /** Min-label CONNECTED COMPONENTS over long-id pair edges — shared by
-    * the text (minhash) and embedding (cosine) near-dup families. The
-    * fused per-round job (join neighbor labels, take the min, carry a
-    * changed flag) iterates over the PAIRED nodes only; rounds = graph
-    * diameter; `nodes` rows absent from any pair rejoin as
-    * cluster-of-self at the end. Returns (idCol, cluster_id).
-    */
   /** Forwarder kept for in-package callers; the implementation lives in
-    * [[graft.curation.CurationCore]] so the engine's curation verb shares
-    * it without an engine -> queries dependency.
+    * [[graft.curation.CurationCore]] (alternating large-star/small-star
+    * contraction — see its doc) so the engine's curation verb shares it
+    * without an engine -> queries dependency.
     */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, maxRounds: Int = 50): DataFrame =
@@ -127,14 +121,12 @@ object DedupQueries {
   /** Near-dup CLUSTER RESOLUTION — the step a real dedup pipeline runs
     * AFTER pair generation: connected components over the candidate-pair
     * graph, cluster id = min doc_id in the component, one canonical doc
-    * kept per cluster. Iterative min-label propagation: each round is one
-    * equi-join (neighbor labels) + one min-aggregation, lineage truncated
-    * per round; rounds = component diameter, which for near-dup graphs is
-    * tiny (dup clusters are near-cliques — the sf0.01 graph converges in
-    * 2 rounds). The 100 TB shape: no all-pairs, no driver-side graph, per
-    * round a bounded shuffle on doc_id — the standard iterative
-    * connected-components scheme (cf. large-star/small-star), with the
-    * DuckDB oracle replaying it as a recursive reachability CTE.
+    * kept per cluster. Alternating large-star/small-star contraction
+    * (CurationCore.connectedComponents): O(log n) rounds independent of
+    * component diameter, lineage truncated per round. The 100 TB shape:
+    * no all-pairs, no driver-side graph, per round a shuffle bounded by
+    * the dup-graph edge count — with the DuckDB oracle replaying the
+    * labeling as a recursive reachability CTE.
     */
   private def dupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(docs(s, d).select(col("doc_id")),

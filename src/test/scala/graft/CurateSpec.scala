@@ -78,4 +78,54 @@ class CurateSpec extends AnyFunSuite {
     assert(eng.curatedSequences(lib).count() == 0)
     graft.Caches.releaseAll()
   }
+
+  test("connectedComponents equals a union-find oracle on seeded random graphs") {
+    import spark.implicits._
+    // driver-side union-find with path compression: the exact min-label
+    // answer on any edge set — the oracle the distributed star
+    // contraction must match
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id root: union always hangs the larger root under the smaller
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val cases: Seq[(String, Int, Seq[(Long, Long)])] = Seq(
+      // deep diameter: a single path — the case the old min-label
+      // propagation paid one round per hop for (star contraction must
+      // converge well inside maxRounds)
+      ("path-200", 200, (0L until 199L).map(i => (i, i + 1))),
+      // two cliques bridged by one edge + isolated nodes
+      ("bridged", 50,
+        (for (a <- 0L to 9L; b <- (a + 1) to 9L) yield (a, b)) ++
+        (for (a <- 20L to 29L; b <- (a + 1) to 29L) yield (a, b)) :+ (9L, 20L)),
+      ("empty", 10, Seq.empty)) ++
+      Seq(7L, 8L, 9L).map { seed =>
+        val rnd = new scala.util.Random(seed)
+        val n = 300
+        (s"gnp-$seed", n,
+          Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+            .filter(p => p._1 != p._2))
+      }
+    cases.foreach { case (label, n, edges) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.curation.CurationCore
+        .connectedComponents(nodes, pairs, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"$label: cluster labels diverge from union-find")
+    }
+    graft.Caches.releaseAll()
+  }
 }
