@@ -539,9 +539,55 @@ object DedupQueries {
     "d_mixture_weights" -> (mixtureWeights _),
     "d_mixture_sample"  -> (mixtureSample _),
     "d_source_overlap"  -> (sourceOverlap _),
+    "d_span_repeat"     -> (spanRepeat _),
   )
 
+  /** CROSS-DOCUMENT REPEATED-SPAN AUDIT — the span-granularity
+    * approximation of exact-substring dedup ("dedup repeated training
+    * substrings", suffix-array style, without the suffix array): every
+    * 8-token window of every doc, classified by whether the identical
+    * window text occurs in at least one OTHER document; per doc the
+    * window count, the repeated-window count, and the repeated fraction
+    * (the signal a curation pipeline thresholds to drop boilerplate and
+    * templated spans that whole-doc dedup misses).
+    *
+    * 100 TB shape: the window stream is a map-side explode (x8 token
+    * amplification, no shuffle); sharedness is computed on the DISTINCT
+    * (gram, doc) projection first — so a gram repeated 1,000x inside one
+    * doc contributes ONE row to the distinct-doc count, bounding the
+    * per-gram group by the doc count, not occurrences — then one count
+    * per gram and an equi-join back on the high-cardinality gram key
+    * (no hot keys, no salting needed). Never a pairwise doc comparison.
+    */
+  private def spanRepeat(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("g"))
+    val sharedGrams = grams.dropDuplicates("g", "doc_id")
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val perDoc = grams
+      .join(sharedGrams.withColumn("shared", lit(1L)), Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("shared"), lit(0L))).as("n_shared"))
+    docs(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        rnd(coalesce(col("n_shared").cast("double") / col("n_spans"), lit(0.0)),
+          6).as("shared_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  // word-8-gram window stream over a bound token-list column `tk`
+  private val grams8Sql =
+    """list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |       tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])""".stripMargin.replace("\n", "")
   // word-3-gram shingles, 1-based list indexing
   private val shinglesSql =
     s"""list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)),
@@ -844,5 +890,23 @@ object DedupQueries {
          |JOIN sz sb ON sb.source = b.source
          |GROUP BY a.source, b.source, sa.n, sb.n
          |ORDER BY src_a ASC, src_b ASC""".stripMargin,
+    // d_span_repeat: the same 8-token window stream, sharedness on the
+    // DISTINCT (gram, doc) projection, occurrences classified per doc
+    "d_span_repeat" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |gr AS (SELECT doc_id, unnest($grams8Sql) AS g FROM tk),
+         |sh AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr)
+         |       GROUP BY g HAVING count(*) >= 2),
+         |pd AS (
+         |  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(SUM(CASE WHEN sh.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM gr LEFT JOIN sh ON gr.g = sh.g
+         |  GROUP BY gr.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared,
+         |       ${rndSql("coalesce(CAST(pd.n_shared AS DOUBLE) / pd.n_spans, 0.0)", 6)} AS shared_frac
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
   )
 }

@@ -195,6 +195,49 @@ object SketchQueries {
           .cast("decimal(28,8)")).cast("double").as("sample_revenue"))
       .orderBy(col("l_returnflag").asc)
 
+  /** COUNT-MIN SKETCH heavy hitters over the corpus token stream — the
+    * fourth sketch family (after HLL, Bloom, histogram-quantile): depth
+    * 4 x width 256 cells, row hashes = md5 of "r:token", estimate =
+    * min over rows of the probed cell, reported against the exact count
+    * for the exact top-20 tokens (CMS guarantees est >= exact; the
+    * overestimate column shows the collision error the width buys).
+    *
+    * The 100 TB shape: the sketch is built from the (token, count)
+    * aggregation — map-side-combined, the same single shuffle any token
+    * stat pays — then folded to DEPTH x WIDTH = 1,024 cells; summing
+    * counts per cell is exactly the streaming CMS total, and the 8 KB
+    * cell table broadcasts to wherever point estimates are needed.
+    * Deterministic md5 arithmetic end to end, so DuckDB rebuilds the
+    * identical sketch (unlike engine-private CMS implementations).
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 32
+  private def cmsTopk(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    def bucket(r: Int, tok: org.apache.spark.sql.Column) =
+      hash60(concat(lit(r.toString), lit(":"), tok)) % CmsWidth
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val cells = counts
+      .select(explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("token")).as("b"),
+          col("c"))): _*)).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.b").as("b"))
+      .agg(sum(col("e.c")).as("cell"))
+    val top = counts.orderBy(col("c").desc, col("token").asc).limit(20)
+    top
+      .select(col("token"), col("c"),
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r).as("r"), bucket(r, col("token")).as("b"))): _*)).as("p"))
+      .join(broadcast(cells),
+        col("p.r") === col("r") && col("p.b") === col("b"))
+      .groupBy(col("token"), col("c"))
+      .agg(min(col("cell")).cast("long").as("c_cms"))
+      .select(col("token"), col("c").cast("long").as("c_exact"), col("c_cms"))
+      .orderBy(col("c_exact").desc, col("token").asc)
+  }
+
   /** Unpivot/melt: wide per-flag measures back to long (measure, value)
     * rows — `Dataset.unpivot` (Spark's melt), the inverse of q_pivot.
     */
@@ -223,9 +266,34 @@ object SketchQueries {
     "q_bloom_probe"    -> (bloomProbe _),
     "q_sample_agg"     -> (sampleAgg _),
     "q_approx_quantile" -> (approxQuantile _),
+    "q_cms_topk"       -> (cmsTopk _),
   )
 
   val oracles: Map[String, String] = Map(
+    // q_cms_topk: the identical depth-4 x width-256 md5 sketch rebuilt
+    // from the token counts, probed for the same exact top-20
+    "q_cms_topk" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+        |rs AS (SELECT unnest([0,1,2,3]) AS r),
+        |cells AS (
+        |  SELECT r,
+        |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) % 32 AS b,
+        |         SUM(c) AS cell
+        |  FROM cnt CROSS JOIN rs
+        |  GROUP BY 1, 2),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 20),
+        |probe AS (
+        |  SELECT t.token, t.c, r.r AS r,
+        |         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 15) AS BIGINT) % 32 AS b
+        |  FROM top t CROSS JOIN rs r)
+        |SELECT p.token, CAST(p.c AS BIGINT) AS c_exact,
+        |       CAST(min(cl.cell) AS BIGINT) AS c_cms
+        |FROM probe p JOIN cells cl ON cl.r = p.r AND cl.b = p.b
+        |GROUP BY p.token, p.c
+        |ORDER BY c_exact DESC, token ASC""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,
