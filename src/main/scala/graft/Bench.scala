@@ -27,12 +27,8 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // optional subset filter for local profiling (SPARK_GRAFT_ONLY is an
-    // anchored regex over query names); the driver never sets it, so the
-    // official artifact always carries the full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.pattern.matcher(n).matches()) }
+      .filter { case (n, _) => SparkEntry.onlySelected(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -53,9 +49,12 @@ object Bench {
     // truncated it two rounds running as the suite grew. Persist the full
     // per-query map to a committed repo file (one query per line, diffable)
     // so every timing stays auditable regardless of stdout capture.
+    // a SPARK_GRAFT_ONLY subset must not overwrite the committed default
+    // artifact with partial timings — but an EXPLICIT output path is
+    // always honored
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/docs/bench_full_r6.json")
-    try if (only.isEmpty) {
+    try if (!SparkEntry.onlyIsSet || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val body = results.map { case (k, v) => s"""  "$k": ${s3(v)}""" }
         .mkString(",\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),

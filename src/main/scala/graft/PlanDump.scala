@@ -67,8 +67,8 @@ object PlanDump {
     "x_engine_hybrid",         // engine search + BM25 ranks fused k x k
     "t_chunk_split",           // map-side overlapping-window explode
     "v_mmr_rerank",            // distributed top-k scan + k-bounded driver greedy
-    "q_cms_topk",              // 1,024-cell CMS from the token-count agg
-    "d_span_repeat",           // distinct-(gram,doc) sharedness + occurrence join
+    "q_cms_topk",              // 128-cell CMS from the token-count agg
+    "d_span_repeat",           // one gram agg -> per-gram count window -> doc stats
   )
 
   def main(args: Array[String]): Unit = {

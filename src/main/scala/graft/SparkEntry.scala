@@ -41,4 +41,19 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     suites.map(_._2).reduce(_ ++ _)
+
+  /** Shared SPARK_GRAFT_ONLY contract for the Bench/Verify mains: an
+    * anchored regex over query names selects a subset for local
+    * profiling/iteration; unset selects everything (the driver never
+    * sets it, so official artifacts always carry the full suite).
+    */
+  def onlySelected: String => Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    name => only.forall(_.pattern.matcher(name).matches())
+  }
+
+  /** True when SPARK_GRAFT_ONLY restricts the run (partial results must
+    * not overwrite the default committed bench artifact).
+    */
+  def onlyIsSet: Boolean = sys.env.contains("SPARK_GRAFT_ONLY")
 }

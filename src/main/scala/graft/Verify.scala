@@ -15,12 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional subset filter for local iteration (same contract as
-    // Bench's SPARK_GRAFT_ONLY; the driver never sets it) — applied to
-    // the oracle dump too so tools/check_oracle.py sees a consistent set
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    def selected(name: String): Boolean =
-      only.forall(_.pattern.matcher(name).matches())
+    // optional SPARK_GRAFT_ONLY subset (SparkEntry.onlySelected) —
+    // applied to the oracle dump too so tools/check_oracle.py sees a
+    // consistent set
+    val selected = SparkEntry.onlySelected
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -552,26 +552,25 @@ object DedupQueries {
     * templated spans that whole-doc dedup misses).
     *
     * 100 TB shape: the window stream is a map-side explode (x8 token
-    * amplification, no shuffle); sharedness is computed on the DISTINCT
-    * (gram, doc) projection first — so a gram repeated 1,000x inside one
-    * doc contributes ONE row to the distinct-doc count, bounding the
-    * per-gram group by the doc count, not occurrences — then one count
-    * per gram and an equi-join back on the high-cardinality gram key
-    * (no hot keys, no salting needed). Never a pairwise doc comparison.
+    * amplification) consumed by exactly ONE map-side-combinable
+    * aggregation to (gram, doc, occurrences) — the exploded stream never
+    * shuffles raw and never runs twice. Sharedness is then a count
+    * window over the gram key of that collapsed table (per-gram groups
+    * bounded by the DOC count, not occurrences — a gram repeated 1,000x
+    * inside one doc is one row), and the per-doc stats are a final
+    * aggregation. High-cardinality gram keys: no hot keys, no salting.
+    * Never a pairwise doc comparison.
     */
   private def spanRepeat(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d)
+    val gd = docs(s, d)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("g"))
-    val sharedGrams = grams.dropDuplicates("g", "doc_id")
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("g"))
-    val perDoc = grams
-      .join(sharedGrams.withColumn("shared", lit(1L)), Seq("g"), "left_outer")
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("occ"))
+    val perDoc = gd
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("shared"), lit(0L))).as("n_shared"))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(lit(0L))).as("n_shared"))
     docs(s, d).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

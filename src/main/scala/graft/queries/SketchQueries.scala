@@ -197,16 +197,19 @@ object SketchQueries {
 
   /** COUNT-MIN SKETCH heavy hitters over the corpus token stream — the
     * fourth sketch family (after HLL, Bloom, histogram-quantile): depth
-    * 4 x width 256 cells, row hashes = md5 of "r:token", estimate =
-    * min over rows of the probed cell, reported against the exact count
-    * for the exact top-20 tokens (CMS guarantees est >= exact; the
-    * overestimate column shows the collision error the width buys).
+    * 4 x width 32 cells (width deliberately SMALLER than this corpus's
+    * ~40-token vocabulary so row collisions actually occur and the min
+    * across rows visibly estimates), row hashes = md5 of "r:token",
+    * estimate = min over rows of the probed cell, reported against the
+    * exact count for the exact top-20 tokens (CMS guarantees
+    * est >= exact; the overestimate column shows the collision error).
     *
     * The 100 TB shape: the sketch is built from the (token, count)
     * aggregation — map-side-combined, the same single shuffle any token
-    * stat pays — then folded to DEPTH x WIDTH = 1,024 cells; summing
-    * counts per cell is exactly the streaming CMS total, and the 8 KB
-    * cell table broadcasts to wherever point estimates are needed.
+    * stat pays — then folded to DEPTH x WIDTH = 128 cells; summing
+    * counts per cell is exactly the streaming CMS total, and the ~1 KB
+    * cell table broadcasts to wherever point estimates are needed (a
+    * production width is thousands — the constant is the demo knob).
     * Deterministic md5 arithmetic end to end, so DuckDB rebuilds the
     * identical sketch (unlike engine-private CMS implementations).
     */
@@ -270,7 +273,7 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // q_cms_topk: the identical depth-4 x width-256 md5 sketch rebuilt
+    // q_cms_topk: the identical depth-4 x width-32 md5 sketch rebuilt
     // from the token counts, probed for the same exact top-20
     "q_cms_topk" ->
       """WITH tk AS (

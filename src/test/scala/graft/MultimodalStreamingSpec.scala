@@ -264,6 +264,53 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out("2024-01-01 12:00:00.0") == 2L)
   }
 
+  test("eventsParquetStream adapts to NTZ-micros and UTC-micros ts encodings") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // one row set, written under BOTH encodings the driver has shipped
+    // (plus the nanos-as-long case, which Spark cannot write and is
+    // covered by the LongType branch reading micros `div 1000`-style
+    // would corrupt — asserted indirectly by the exact instants here)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0, "{}"),
+      (2L, "2024-01-02 23:59:59", 8L, "purchase", 2.5, "{}"))
+    def writeEvents(ntz: Boolean): String = {
+      val dir = graft.TempDirs.scratch(
+        if (ntz) "graft-ntz-ev" else "graft-ltz-ev").toString
+      val base = rows.toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+      val typed =
+        if (ntz) base.withColumn("ts", to_timestamp_ntz(col("ts")))
+        else base.withColumn("ts", to_timestamp(col("ts")))
+      val stage = s"$dir/stage"
+      typed.coalesce(1).write.parquet(stage)
+      // the driver ships ONE file literally named events.parquet; the
+      // stream helper's pathGlobFilter expects that layout
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), Paths.get(s"$dir/events.parquet"))
+      dir
+    }
+    for (ntz <- Seq(true, false)) {
+      val dir = writeEvents(ntz)
+      val src = graft.streaming.EventStream.eventsParquetStream(spark, dir,
+        Seq("event_id", "ts", "user_id", "event_type"))
+      assert(src.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val name = s"ntz_adapt_${ntz}"
+      val q = src.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(name).orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString))
+      // session tz is UTC, so the NTZ wall clock and the UTC instant
+      // must read back as the SAME timestamps
+      assert(got.toSeq == Seq(
+        (1L, "2024-01-01 10:00:00.0"), (2L, "2024-01-02 23:59:59.0")),
+        s"encoding ntz=$ntz")
+    }
+  }
+
   test("stateful streaming sessionization equals the batch window query") {
     import spark.implicits._
     val dir = graft.TempDirs.scratch("graft-stream2").toString
