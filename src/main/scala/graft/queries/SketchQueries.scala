@@ -50,6 +50,41 @@ object SketchQueries {
         4).as("hll_estimate"))
   }
 
+  /** PER-GROUP deterministic HLL — the GROUP BY form of [[hllCustkey]],
+    * which is how approximate distinct counting actually runs at 100 TB:
+    * one 64-register sketch PER KEY, built in a single two-level
+    * aggregation ((key, register) max-rho, then key), every partial
+    * merge a max — associative, commutative, partitioning-independent.
+    * Estimates distinct part keys per return flag next to the exact
+    * count; identical md5 register arithmetic to the global entry, so
+    * the oracle rebuilds every group's sketch bit-for-bit.
+    */
+  private def hllByFlag(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        hash60(col("l_partkey").cast("string")).as("h"))
+    val regs = h.select(col("l_returnflag"),
+      (col("h") % 64).cast("int").as("reg"), expr("h div 64").as("w"))
+    val rho = when(col("w") === 0, lit(55)).otherwise(
+      log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
+    val m = regs.select(col("l_returnflag"), col("reg"), rho.as("rho"))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mrho"))
+    val z = m.groupBy(col("l_returnflag")).agg(
+      sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
+        .cast("long").as("zp"),
+      count(lit(1)).as("npresent"))
+    val exact = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.join(z, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"),
+        rnd(lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55.0)) /
+          (col("zp") + (lit(64L) - col("npresent")) * lit(1L << 55)).cast("double"),
+          4).as("hll_estimate"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`: pos = q*(n-1), linear interpolation).
     */
@@ -270,6 +305,7 @@ object SketchQueries {
     "q_sample_agg"     -> (sampleAgg _),
     "q_approx_quantile" -> (approxQuantile _),
     "q_cms_topk"       -> (cmsTopk _),
+    "q_hll_by_flag"    -> (hllByFlag _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,6 +361,27 @@ object SketchQueries {
          |SELECT n_exact,
          |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS hll_estimate
          |FROM e, z""".stripMargin,
+    // q_hll_by_flag: the per-group sketch — identical register/rho
+    // arithmetic with l_returnflag carried through every stage
+    "q_hll_by_flag" ->
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, h % 64 AS reg, h // 64 AS w FROM h),
+         |rr AS (SELECT l_returnflag, reg,
+         |         CASE WHEN w = 0 THEN 55
+         |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
+         |m AS (SELECT l_returnflag, reg, MAX(rho) AS mrho FROM rr GROUP BY l_returnflag, reg),
+         |z AS (SELECT l_returnflag,
+         |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
+         |             COUNT(*) AS npresent FROM m GROUP BY l_returnflag),
+         |e AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+         |      FROM lineitem GROUP BY l_returnflag)
+         |SELECT e.l_returnflag, n_exact,
+         |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS hll_estimate
+         |FROM e JOIN z ON e.l_returnflag = z.l_returnflag
+         |ORDER BY e.l_returnflag ASC""".stripMargin,
     "q_percentiles" ->
       s"""SELECT l_returnflag,
          |       ${rndSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
