@@ -69,6 +69,7 @@ object PlanDump {
     "v_mmr_rerank",            // distributed top-k scan + k-bounded driver greedy
     "q_cms_topk",              // 128-cell CMS from the token-count agg
     "d_span_repeat",           // one gram agg -> per-gram count window -> doc stats
+    "q_hll_by_flag",           // per-key register aggs over ONE reused distinct scan
   )
 
   def main(args: Array[String]): Unit = {

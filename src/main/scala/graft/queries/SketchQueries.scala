@@ -18,70 +18,65 @@ import graft.queries.Det.{rnd, rndSql}
   */
 object SketchQueries {
 
-  /** Deterministic HyperLogLog, m = 64 registers (p = 6):
-    * register = low 6 bits of the 60-bit md5 hash, rho = position of the
-    * lowest set bit of the remaining 54 bits (a geometric variable, same
-    * distribution as leading-zero HLL), estimate = alpha_64 * m^2 / Z.
-    * Z is accumulated as an exact INTEGER (2^(55-rho) per register, max
-    * 64 * 2^55 < 2^62) so the only floating-point step is the final
-    * fixed-order division — reproducible on any engine, unlike
-    * `approx_count_distinct`'s engine-private HLL++ registers.
-    * At scale this is one shuffle of 64 register rows.
+  /** Deterministic HyperLogLog CORE, m = 64 registers (p = 6) — ONE copy
+    * of the sketch arithmetic shared by the global and per-group
+    * entries (and mirrored by the one [[hllOracleSql]] template, so
+    * Spark and DuckDB cannot drift on just one of them):
+    * register = low 6 bits of the 60-bit md5 hash, rho = position of
+    * the lowest set bit of the remaining 54 bits (a geometric variable,
+    * same distribution as leading-zero HLL), estimate =
+    * alpha_64 * m^2 / Z. Z is accumulated as an exact INTEGER
+    * (2^(55-rho) per register, max 64 * 2^55 < 2^62) so the only
+    * floating-point step is the final fixed-order division —
+    * reproducible on any engine, unlike `approx_count_distinct`'s
+    * engine-private HLL++ registers. `keys` empty = one global sketch;
+    * otherwise one mergeable sketch per key (the GROUP BY form — every
+    * partial merge is a max, associative and partitioning-independent).
+    * At scale: one shuffle of (keys x 64) register rows.
     */
-  private def hllCustkey(s: SparkSession, d: String): DataFrame = {
-    val h = Tables.orders(s, d)
-      .select(hash60(col("o_custkey").cast("string")).as("h"))
-    val regs = h.select((col("h") % 64).cast("int").as("reg"),
-      expr("h div 64").as("w"))
+  private def hllRegisters(hashed: DataFrame, keys: Seq[String]): DataFrame = {
+    val regs = hashed.select(keys.map(col) ++ Seq(
+      (col("h") % 64).cast("int").as("reg"), expr("h div 64").as("w")): _*)
     val rho = when(col("w") === 0, lit(55)).otherwise(
       log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
-    val m = regs.select(col("reg"), rho.as("rho"))
-      .groupBy(col("reg")).agg(max(col("rho")).as("mrho"))
-    val z = m.agg(
-      sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
-        .cast("long").as("zp"),
-      count(lit(1)).as("npresent"))
+    regs.select(keys.map(col) ++ Seq(col("reg"), rho.as("rho")): _*)
+      .groupBy((keys :+ "reg").map(col): _*).agg(max(col("rho")).as("mrho"))
+      .groupBy(keys.map(col): _*).agg(
+        sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
+          .cast("long").as("zp"),
+        count(lit(1)).as("npresent"))
+  }
+  private def hllEstimate: org.apache.spark.sql.Column =
+    rnd(lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55.0)) /
+      (col("zp") + (lit(64L) - col("npresent")) * lit(1L << 55)).cast("double"),
+      4).as("hll_estimate")
+
+  private def hllCustkey(s: SparkSession, d: String): DataFrame = {
+    val z = hllRegisters(Tables.orders(s, d)
+      .select(hash60(col("o_custkey").cast("string")).as("h")), Nil)
     val exact = Tables.orders(s, d)
       .agg(countDistinct(col("o_custkey")).as("n_exact"))
-    exact.crossJoin(z).select(
-      col("n_exact"),
-      rnd(lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55.0)) /
-        (col("zp") + (lit(64L) - col("npresent")) * lit(1L << 55)).cast("double"),
-        4).as("hll_estimate"))
+    exact.crossJoin(z).select(col("n_exact"), hllEstimate)
   }
 
-  /** PER-GROUP deterministic HLL — the GROUP BY form of [[hllCustkey]],
-    * which is how approximate distinct counting actually runs at 100 TB:
-    * one 64-register sketch PER KEY, built in a single two-level
-    * aggregation ((key, register) max-rho, then key), every partial
-    * merge a max — associative, commutative, partitioning-independent.
-    * Estimates distinct part keys per return flag next to the exact
-    * count; identical md5 register arithmetic to the global entry, so
-    * the oracle rebuilds every group's sketch bit-for-bit.
+  /** PER-GROUP deterministic HLL — the GROUP BY form of [[hllCustkey]]
+    * via the shared [[hllRegisters]] core. Both the sketch input and the
+    * exact count read ONE distinct (flag, partkey) projection — HLL over
+    * a multiset equals HLL over its distinct keys (registers are maxes),
+    * so the two consumers share a canonically identical distinct subtree
+    * (AQE exchange reuse can then serve both from one scan + shuffle; at
+    * worst the duplicated work is a 2-column pruned scan + distinct,
+    * never a second pass over the full fact row).
     */
   private def hllByFlag(s: SparkSession, d: String): DataFrame = {
-    val h = Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
-        hash60(col("l_partkey").cast("string")).as("h"))
-    val regs = h.select(col("l_returnflag"),
-      (col("h") % 64).cast("int").as("reg"), expr("h div 64").as("w"))
-    val rho = when(col("w") === 0, lit(55)).otherwise(
-      log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
-    val m = regs.select(col("l_returnflag"), col("reg"), rho.as("rho"))
-      .groupBy(col("l_returnflag"), col("reg"))
-      .agg(max(col("rho")).as("mrho"))
-    val z = m.groupBy(col("l_returnflag")).agg(
-      sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
-        .cast("long").as("zp"),
-      count(lit(1)).as("npresent"))
-    val exact = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    val distinctKeys = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    val z = hllRegisters(distinctKeys.select(col("l_returnflag"),
+      hash60(col("l_partkey").cast("string")).as("h")), Seq("l_returnflag"))
+    val exact = distinctKeys.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"))
     exact.join(z, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("n_exact"),
-        rnd(lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55.0)) /
-          (col("zp") + (lit(64L) - col("npresent")) * lit(1L << 55)).cast("double"),
-          4).as("hll_estimate"))
+      .select(col("l_returnflag"), col("n_exact"), hllEstimate)
       .orderBy(col("l_returnflag").asc)
   }
 
@@ -308,6 +303,38 @@ object SketchQueries {
     "q_hll_by_flag"    -> (hllByFlag _),
   )
 
+  /** ONE DuckDB template for every deterministic-HLL oracle — the SQL
+    * mirror of [[hllRegisters]]/[[hllEstimate]]. `keys` empty = global
+    * sketch (scalar cross join, no ORDER BY); otherwise one sketch per
+    * key joined to the exact per-key count. Keeping a single copy of
+    * the register/rho/estimate arithmetic on EACH engine is what stops
+    * a future constant tweak from silently desyncing exactly one of
+    * the HLL entries.
+    */
+  private def hllOracleSql(table: String, hashKey: String,
+      keys: Seq[String]): String = {
+    val kPfx = keys.map(k => s"$k, ").mkString       // "k1, k2, " or ""
+    val kGrp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+    val joinTail =
+      if (keys.isEmpty) "FROM e, z"
+      else s"FROM e JOIN z USING (${keys.mkString(", ")})" +
+        s"\nORDER BY ${keys.map(_ + " ASC").mkString(", ")}"
+    s"""WITH h AS (
+       |  SELECT ${kPfx}CAST('0x' || substr(md5(CAST($hashKey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM $table),
+       |r AS (SELECT ${kPfx}h % 64 AS reg, h // 64 AS w FROM h),
+       |rr AS (SELECT ${kPfx}reg,
+       |         CASE WHEN w = 0 THEN 55
+       |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
+       |m AS (SELECT ${kPfx}reg, MAX(rho) AS mrho FROM rr GROUP BY ${kPfx}reg),
+       |z AS (SELECT ${kPfx}CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
+       |             COUNT(*) AS npresent FROM m$kGrp),
+       |e AS (SELECT ${kPfx}COUNT(DISTINCT $hashKey) AS n_exact FROM $table$kGrp)
+       |SELECT ${kPfx}n_exact,
+       |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS hll_estimate
+       |$joinTail""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // q_cms_topk: the identical depth-4 x width-32 md5 sketch rebuilt
     // from the token counts, probed for the same exact top-20
@@ -346,42 +373,9 @@ object SketchQueries {
         |UNION ALL
         |SELECT l_returnflag, 'n_items', n_items FROM wide
         |ORDER BY l_returnflag ASC, measure ASC""".stripMargin,
-    "q_hll_custkey" ->
-      s"""WITH h AS (
-         |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |  FROM orders),
-         |r AS (SELECT h % 64 AS reg, h // 64 AS w FROM h),
-         |rr AS (SELECT reg,
-         |         CASE WHEN w = 0 THEN 55
-         |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
-         |m AS (SELECT reg, MAX(rho) AS mrho FROM rr GROUP BY reg),
-         |z AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
-         |             COUNT(*) AS npresent FROM m),
-         |e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
-         |SELECT n_exact,
-         |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS hll_estimate
-         |FROM e, z""".stripMargin,
-    // q_hll_by_flag: the per-group sketch — identical register/rho
-    // arithmetic with l_returnflag carried through every stage
+    "q_hll_custkey" -> hllOracleSql("orders", "o_custkey", Nil),
     "q_hll_by_flag" ->
-      s"""WITH h AS (
-         |  SELECT l_returnflag,
-         |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |  FROM lineitem),
-         |r AS (SELECT l_returnflag, h % 64 AS reg, h // 64 AS w FROM h),
-         |rr AS (SELECT l_returnflag, reg,
-         |         CASE WHEN w = 0 THEN 55
-         |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
-         |m AS (SELECT l_returnflag, reg, MAX(rho) AS mrho FROM rr GROUP BY l_returnflag, reg),
-         |z AS (SELECT l_returnflag,
-         |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
-         |             COUNT(*) AS npresent FROM m GROUP BY l_returnflag),
-         |e AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
-         |      FROM lineitem GROUP BY l_returnflag)
-         |SELECT e.l_returnflag, n_exact,
-         |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS hll_estimate
-         |FROM e JOIN z ON e.l_returnflag = z.l_returnflag
-         |ORDER BY e.l_returnflag ASC""".stripMargin,
+      hllOracleSql("lineitem", "l_partkey", Seq("l_returnflag")),
     "q_percentiles" ->
       s"""SELECT l_returnflag,
          |       ${rndSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
