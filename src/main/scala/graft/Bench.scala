@@ -42,18 +42,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a subset run is marked on stdout too, so a scraper cannot mistake a
+    // SPARK_GRAFT_ONLY slice for a full-suite total
+    val subsetMark =
+      if (SparkEntry.onlyIsSet) s""","subset":true,"only":"${sys.env("SPARK_GRAFT_ONLY")}"""" else ""
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetMark}"""
     println(line)
     // stdout alone is NOT the artifact: the driver's capture window has
     // truncated it two rounds running as the suite grew. Persist the full
     // per-query map to a committed repo file (one query per line, diffable)
     // so every timing stays auditable regardless of stdout capture.
-    // a SPARK_GRAFT_ONLY subset must not overwrite the committed default
-    // artifact with partial timings — but an EXPLICIT output path is
-    // always honored
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/docs/bench_full_r6.json")
+    // The committed official artifact is written ONLY when GRAFT_OFFICIAL=1
+    // (r6's driver run clobbered the clean committed pair in the working
+    // tree); everything else goes to a scratch path, and an EXPLICIT
+    // SPARK_GRAFT_BENCH_OUT is always honored.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (sys.env.get("GRAFT_OFFICIAL").contains("1"))
+        "/root/repo/docs/bench_full_r7.json"
+      else "/root/repo/target/bench_scratch.json"
+    }
     try if (!SparkEntry.onlyIsSet || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val body = results.map { case (k, v) => s"""  "$k": ${s3(v)}""" }
         .mkString(",\n")

@@ -47,8 +47,15 @@ object SparkEntry {
     * profiling/iteration; unset selects everything (the driver never
     * sets it, so official artifacts always carry the full suite).
     */
-  def onlySelected: String => Boolean = {
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+  lazy val onlySelected: String => Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map { p =>
+      try p.r
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_ONLY is not a valid regex: '$p' (${e.getMessage})")
+      }
+    }
     name => only.forall(_.pattern.matcher(name).matches())
   }
 

@@ -18,6 +18,11 @@ object CurationCore {
 
   val MinhashK = 8   // minhash signatures
   val Bands = 4      // 2 sigs per band
+  /** Canonical DSIR target domain: the `src0` source plays "the
+    * high-quality target distribution" in every surface (RetrievalQueries
+    * `d_dsir`, the full pipeline capstone, the engine curation verb).
+    */
+  val DefaultDsirTarget = "src0"
 
   private def toks = tokens(col("text"))
 
@@ -172,6 +177,70 @@ object CurationCore {
       .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Temperature-scaled (T=2) MIXTURE keep set over any (idCol, text,
+    * source) relation — the `d_mixture_sample` policy arithmetic with
+    * CONTENT-ADDRESSED membership: the per-source keep threshold is the
+    * exact ppm integer floor(min(1, w*B/n_tokens)*1e6) over
+    * bit-deterministic doubles (B = half the corpus token total), and a
+    * row is kept when hash60(md5(text)) mod 1e6 falls under its source's
+    * threshold. Hashing the TEXT rather than the id makes the selection
+    * identical across surfaces that assign different ids to the same
+    * corpus (the engine's chunk ids vs the documents table's doc_ids) —
+    * resample-stable under re-ingest. Scale shape: one |sources|-group
+    * agg + two broadcast scalars; the policy broadcasts onto one scan.
+    */
+  def mixtureKeepOf(df: DataFrame, idCol: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val bySrc = df.groupBy(col("source"))
+      .agg(sum(size(toks)).cast("long").as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tot"))
+    val scaled = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("r9", floor(sqrt(col("p")) * lit(1.0e9)))
+    val z = scaled.agg(sum(col("r9")).as("z9"))
+    val policy = scaled.crossJoin(broadcast(z))
+      .select(col("source"),
+        floor(least(lit(1.0),
+          col("r9").cast("double") / col("z9").cast("double") *
+            shiftright(col("tot"), 1).cast("double") /
+            col("n_tokens").cast("double")) * lit(1.0e6)).as("keep_ppm"))
+    df.select(col(idCol), col("source"), col("text"))
+      .join(broadcast(policy), Seq("source"))
+      .filter(hash60(md5(col("text"))) % 1000000L < col("keep_ppm"))
+      .select(col(idCol))
+  }
+
+  /** DSIR importance scores over any (idCol, text, source) relation —
+    * the `d_dsir` arithmetic (Xie et al. 2023) shared by the
+    * RetrievalQueries entry and the engine curation verb: per-row sum of
+    * floored nano-nat log-ratios of the add-one target-LM (rows whose
+    * source == target) to the corpus LM over the shared vocabulary.
+    * Returns (idCol, n_tokens INT, s9 LONG); rows with zero tokens have
+    * no row here (no tokens, no evidence — callers decide the default).
+    * The keep selection is `s9 > 0`.
+    */
+  def dsirScoresOf(df: DataFrame, idCol: String, target: String): DataFrame = {
+    val tk = df.select(col(idCol), col("source"), explode(toks).as("tok"))
+    val cc = tk.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val ct = tk.filter(col("source") === target)
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val tot = cc.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+    val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    def ln9(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(num.cast("double") / den.cast("double")) * lit(1.0e9))
+        .cast("long")
+    val c9 = ln9(coalesce(col("ct"), lit(0L)) + lit(1), col("nt") + col("v")) -
+      ln9(col("cc") + lit(1), col("nc") + col("v"))
+    tk.join(cc, "tok")
+      .join(ct, Seq("tok"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tt))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), sum(c9).as("s9"))
   }
 
   /** Gopher-rules repetition stats over any (idCol, text) relation:

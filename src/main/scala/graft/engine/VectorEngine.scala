@@ -1749,9 +1749,21 @@ final class VectorEngine(
     * strings a < b, prefix(a) <= prefix(b), so range order is compatible
     * with the global chunk-id packing order), plus an exclusive
     * driver-side prefix over the R range totals — global state is R longs.
+    *
+    * `mixture` / `dsirTarget` (VERDICT r6 #4) extend the DAG with the two
+    * corpus-assembly stages: temperature-scaled mixture sampling
+    * (content-addressed ppm thresholds over the chunk's source =
+    * metadata.source_uri, [[CurationCore.mixtureKeepOf]]) and DSIR
+    * importance selection against the named target source
+    * ([[CurationCore.dsirScoresOf]], keep iff log-ratio sum > 0). Enabled
+    * stages add `n_mixture` / `n_dsir` to the stats row and join the
+    * survivor conjunction; defaults preserve the five-stage shape
+    * bit-for-bit. The 7-stage counts equal `d_pipeline_full` on the same
+    * corpus (CurateSpec).
     */
   def curateLibrary(libId: String, benchChunkIds: Seq[String] = Nil,
-      packBudget: Int = 512): DataFrame = {
+      packBudget: Int = 512, mixture: Boolean = false,
+      dsirTarget: Option[String] = None): DataFrame = {
     getLibrary(libId)
     if (packBudget <= 0)
       throw new ValidationError(s"packBudget out of range: $packBudget")
@@ -1786,20 +1798,28 @@ final class VectorEngine(
       }
     val qualityKeep = CurationCore.repetitionStatsOf(base, "id")
       .filter(col("keep")).select("id")
+    // corpus-assembly stages (opt-in): source = metadata.source_uri
+    lazy val baseSrc = chunks.filter(col("library_id") === libId)
+      .select(col("id"), col("text"),
+        coalesce(col("metadata.source_uri"), lit("unknown")).as("source"))
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "f_exact" -> exactKeep, "f_cluster" -> clusterKeep,
+      "f_clean" -> cleanKeep, "f_quality" -> qualityKeep) ++
+      (if (mixture) Seq("f_mixture" -> CurationCore.mixtureKeepOf(baseSrc, "id"))
+       else Nil) ++
+      dsirTarget.map(t => "f_dsir" -> CurationCore.dsirScoresOf(baseSrc, "id", t)
+        .filter(col("s9") > 0).select("id")).toSeq
 
-    def flag(df: DataFrame, name: String): DataFrame =
-      df.withColumn(name, lit(1))
     // materialized once: the range totals, the packed rows, and the stats
     // row all consume it (released at suite end via the Caches registry)
     val flagged = graft.Caches.track(
-      base.select(col("id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-        .join(flag(exactKeep, "f_exact"), Seq("id"), "left_outer")
-        .join(flag(clusterKeep, "f_cluster"), Seq("id"), "left_outer")
-        .join(flag(cleanKeep, "f_clean"), Seq("id"), "left_outer")
-        .join(flag(qualityKeep, "f_quality"), Seq("id"), "left_outer")
-        .localCheckpoint())
-    val surv = coalesce(col("f_exact"), lit(0)) * coalesce(col("f_cluster"), lit(0)) *
-      coalesce(col("f_clean"), lit(0)) * coalesce(col("f_quality"), lit(0))
+      stages.foldLeft(
+          base.select(col("id"), size(tokens(col("text"))).cast("long").as("n_tok"))) {
+        case (acc, (name, keep)) =>
+          acc.join(keep.withColumn(name, lit(1)), Seq("id"), "left_outer")
+      }.localCheckpoint())
+    val surv = stages.map { case (n, _) => coalesce(col(n), lit(0)) }
+      .reduce(_ * _)
 
     // pack the survivors: two-phase prefix sum in chunk-id order
     val survivors = flagged.filter(surv === lit(1))
@@ -1837,16 +1857,15 @@ final class VectorEngine(
     // coalesce every sum: an EMPTY library (curate before ingest) must
     // report zeros, not nulls
     def z(c: Column): Column = coalesce(c, lit(0L))
-    flagged.agg(
-      count(lit(1)).cast("long").as("n_total"),
-      z(sum(coalesce(col("f_exact"), lit(0)))).cast("long").as("n_exact"),
-      z(sum(coalesce(col("f_cluster"), lit(0)))).cast("long").as("n_cluster"),
-      z(sum(coalesce(col("f_clean"), lit(0)))).cast("long").as("n_clean"),
-      z(sum(coalesce(col("f_quality"), lit(0)))).cast("long").as("n_quality"),
-      z(sum(surv)).cast("long").as("n_survivors"),
-      z(sum(surv * col("n_tok"))).cast("long").as("n_tokens_kept"),
-      floor((z(sum(surv * col("n_tok"))) + lit(packBudget - 1)) / lit(packBudget))
-        .cast("long").as("n_sequences"))
+    val aggs =
+      stages.map { case (n, _) =>
+        z(sum(coalesce(col(n), lit(0)))).cast("long")
+          .as("n_" + n.stripPrefix("f_")) } ++
+      Seq(z(sum(surv)).cast("long").as("n_survivors"),
+        z(sum(surv * col("n_tok"))).cast("long").as("n_tokens_kept"),
+        floor((z(sum(surv * col("n_tok"))) + lit(packBudget - 1)) / lit(packBudget))
+          .cast("long").as("n_sequences"))
+    flagged.agg(count(lit(1)).cast("long").as("n_total"), aggs: _*)
   }
 
   /** The curated-sequences derived table for a library (empty schema'd

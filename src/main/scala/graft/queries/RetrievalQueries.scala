@@ -112,32 +112,16 @@ object RetrievalQueries {
     * tables, a per-doc agg — the [[TextQueries]] perplexity shape with a
     * second, smaller model table.
     */
-  private val DsirTarget = "src0"
-  private def dsir(s: SparkSession, d: String): DataFrame = {
-    val tk = docs(s, d).select(col("doc_id"), col("source"),
-      explode(toks).as("tok"))
-    val cc = tk.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
-    val ct = tk.filter(col("source") === DsirTarget)
-      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
-    val tot = cc.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
-    val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    def ln9(num: Column, den: Column): Column =
-      floor(log(num.cast("double") / den.cast("double")) * lit(1.0e9))
-        .cast("long")
-    val c9 = ln9(coalesce(col("ct"), lit(0L)) + lit(1), col("nt") + col("v")) -
-      ln9(col("cc") + lit(1), col("nc") + col("v"))
-    tk.join(cc, "tok")
-      .join(ct, Seq("tok"), "left_outer")
-      .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(tt))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_tokens"), sum(c9).as("s9"))
+  private val DsirTarget = graft.curation.CurationCore.DefaultDsirTarget
+  private def dsir(s: SparkSession, d: String): DataFrame =
+    graft.curation.CurationCore.dsirScoresOf(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", DsirTarget)
       .select(col("doc_id"), col("n_tokens"),
         rnd(col("s9").cast("double") /
           (lit(1.0e9) * col("n_tokens").cast("double")), 6).as("logratio"),
         (col("s9") > 0).as("keep"))
       .orderBy(col("doc_id").asc)
-  }
 
   /** MMR DIVERSITY RERANK (maximal marginal relevance, lambda = 0.5):
     * greedily re-rank the cosine top-20 for query vec 0 so each pick

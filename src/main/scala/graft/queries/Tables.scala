@@ -18,6 +18,10 @@ object Tables {
     * convention DuckDB applies reading the naive values. A projection
     * (not per-column withColumn) keeps this one map over the scan and
     * preserves pushdown on the untouched columns.
+    *
+    * Top-level fields only: today's driver tables are flat. If a nested
+    * struct/array ever carries TIMESTAMP_NTZ it would pass through here
+    * unnormalized — extend to a recursive rewrite at that point.
     */
   private def ntzToUtc(df: DataFrame): DataFrame = {
     if (!df.schema.exists(_.dataType == TimestampNTZType)) df

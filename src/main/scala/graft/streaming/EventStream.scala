@@ -47,6 +47,10 @@ object EventStream {
     */
   def eventsParquetStream(s: SparkSession, dir: String,
       fields: Seq[String]): DataFrame = {
+    val unknown = fields.filterNot(eventSchema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"eventsParquetStream: unknown field(s) ${unknown.mkString(", ")} — " +
+        s"eventSchema has ${eventSchema.fieldNames.mkString(", ")}")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val onDisk = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val raw = StructType(eventSchema.fields.toIndexedSeq

@@ -69,6 +69,35 @@ class CurateSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("curateLibrary with mixture+DSIR matches the 7-stage d_pipeline_full") {
+    val root = graft.TempDirs.scratch("graft-curate-full").toString
+    val eng = new VectorEngine(spark, root)
+    val lib = eng.createLibrary("curated-full", 4)
+    val doc = eng.createDocument(lib)
+    // source_uri carries the documents table's source so the mixture
+    // policy and the DSIR target LM see the same per-source corpus;
+    // membership hashes md5(text), so differing ids don't matter
+    eng.bulkIngest(lib, doc, graft.queries.Tables.documents(spark, sfDir)
+      .select(format_string("d%05d", col("doc_id")).as("id"), col("text"),
+        col("source").as("source_uri")))
+    val benchIds = (0 until 20).map(i => f"d$i%05d")
+
+    val stats = eng.curateLibrary(lib, benchIds, mixture = true,
+      dsirTarget = Some(graft.curation.CurationCore.DefaultDsirTarget))
+      .collect().head
+    val expected = graft.queries.DedupQueries.queries("d_pipeline_full")(
+      spark, sfDir).collect().head
+    assert(stats.schema.fieldNames.toSeq == expected.schema.fieldNames.toSeq)
+    assert(stats.toSeq == expected.toSeq,
+      s"7-stage engine curation diverged from d_pipeline_full: " +
+        s"${stats.toSeq} vs ${expected.toSeq}")
+
+    // the packed derived table reflects the 6-flag survivor set
+    assert(eng.curatedSequences(lib).count() ==
+      stats.getAs[Long]("n_survivors"))
+    graft.Caches.releaseAll()
+  }
+
   test("curateLibrary on an empty library reports zeros, not nulls") {
     val root = graft.TempDirs.scratch("graft-curate-empty").toString
     val eng = new VectorEngine(spark, root)

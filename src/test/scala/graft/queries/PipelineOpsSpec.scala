@@ -191,6 +191,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("e_stream_dedup_incremental equals the batch d_incremental report") {
+    val batch = DedupQueries.queries("d_incremental")(spark, sfDir)
+      .collect().toSeq
+    val stream = DedupQueries.queries("e_stream_dedup_incremental")(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch,
+      "ingest-time streaming dedup diverged from the batch replay")
+  }
+
   test("d_source_overlap matches a driver-side brute-force gram matrix") {
     import org.apache.spark.sql.functions.col
     val bySrc: Map[String, Set[String]] = Tables.documents(spark, sfDir)
