@@ -144,10 +144,19 @@ object CurationCore {
         .distinct()
         .localCheckpoint()
       val fresh = freshPlan(next)
-      val nNext = fresh.count()
       // converged when the round was a no-op: same cardinality and
-      // next ⊆ cur (both sides are distinct sets, so that means equal)
-      val nNew = fresh.join(cur, Seq("u", "v"), "left_anti").count()
+      // next ⊆ cur (both sides are distinct sets, so that means equal).
+      // ONE action computes both counts (ADVICE r6): a left join of the
+      // new edge set against the old, counting rows and non-matches in
+      // the same agg — one shuffle + one job per round, not two.
+      val convRow = fresh
+        .join(cur.select(col("u"), col("v"), lit(1).as("_in")),
+          Seq("u", "v"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("new"))
+        .collect().head
+      val nNext = convRow.getLong(0)
+      val nNew = if (convRow.isNullAt(1)) 0L else convRow.getLong(1)
       changed = !(nNext == nCur && nNew == 0L)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds edges=$nNext new=$nNew round_s=${(System.nanoTime() - tRound) / 1e9}%.2f")

@@ -311,7 +311,16 @@ object Multimodal {
     * form a SQL oracle can integrate exactly, while the PNG bytes round-
     * trip losslessly through any compliant decoder.
     */
-  def syntheticPng(i: Int): Array[Byte] = {
+  def syntheticPng(i: Int): Array[Byte] = encodeSynthetic(i, "png")
+
+  /** The same pixel content as [[syntheticPng]] in a byte-level DIFFERENT
+    * encoding (BMP is lossless too) — the "same image, recompressed"
+    * duplicate that byte-hash dedup misses and pixel dedup exists to
+    * catch.
+    */
+  def syntheticBmp(i: Int): Array[Byte] = encodeSynthetic(i, "bmp")
+
+  private def encodeSynthetic(i: Int, format: String): Array[Byte] = {
     val w = 8 + i % 5
     val h = 6 + i % 3
     val img = new java.awt.image.BufferedImage(w, h,
@@ -329,7 +338,7 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
 }

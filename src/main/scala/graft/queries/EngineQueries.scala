@@ -28,7 +28,11 @@ object EngineQueries {
     * path (`bulkIngest` — the corpus never touches the driver; only the
     * single query vector is collected). Chunk id = c<vec_id> zero-padded
     * so lexicographic id order == numeric order for the Q7 tie-break;
-    * tag = label<label>.
+    * tag = label<label>. Chunk TEXT is the matching documents-table row
+    * (every vec_id has one at every SF; the format_string fallback is a
+    * safety net) so TEXT-consuming entries — hybrid BM25 — run off the
+    * same hardlink-cloned base as every other engine family instead of
+    * paying their own ingest (VERDICT r6 #7).
     */
   private def buildEngine(s: SparkSession, d: String,
       config: IndexConfig): (VectorEngine, String, String, Array[Float]) = {
@@ -36,11 +40,14 @@ object EngineQueries {
     val eng = new VectorEngine(s, root, fixedClock)
     val lib = eng.createLibrary("engine-bench", 64, config)
     val doc = eng.createDocument(lib)
-    eng.bulkIngest(lib, doc, Tables.embeddings(s, d).select(
-      format_string("c%06d", col("vec_id")).as("id"),
-      format_string("vec %d", col("vec_id")).as("text"),
-      col("embedding"),
-      array(concat(lit("label"), col("label"))).as("tags")))
+    eng.bulkIngest(lib, doc, Tables.embeddings(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("vec_id") === col("doc_id"), "left_outer")
+      .select(
+        format_string("c%06d", col("vec_id")).as("id"),
+        coalesce(col("text"), format_string("vec %d", col("vec_id"))).as("text"),
+        col("embedding"),
+        array(concat(lit("label"), col("label"))).as("tags")))
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     (eng, root, lib, q)
@@ -97,7 +104,6 @@ object EngineQueries {
       fixtureCache.clear()
       baseCache.clear()
     }
-    hybridCache.synchronized(hybridCache.clear())
     selfJoinCache.synchronized {
       selfJoinCache.values.foreach(
         org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
@@ -161,7 +167,7 @@ object EngineQueries {
     * quality metric BASELINE.md commits to measuring alongside latency.
     * Rows-only (seeded-RNG indexes), but deterministic run-to-run.
     */
-  private def recallOf(s: SparkSession, d: String,
+  private[queries] def recallOf(s: SparkSession, d: String,
       config: IndexConfig): DataFrame = {
     import s.implicits._
     val (eng, lib, q) = engineFixture(s, d, config)
@@ -370,39 +376,15 @@ object EngineQueries {
       .orderBy(col("vec_id").asc)
   }
 
-  /** Text-bearing fixture for the HYBRID verb: the documents table
-    * ingested WITH its aligned embedding (the corpus shares one id
-    * space — doc_id = vec_id), chunk id = d<doc_id> zero-padded, flat
-    * index — so both the BM25 side and the vector side of the fusion
-    * replay in SQL from the public tables.
-    */
-  private val hybridCache = scala.collection.mutable.Map
-    .empty[(SparkSession, String), (VectorEngine, String)]
-  private def hybridFixture(s: SparkSession, d: String): (VectorEngine, String) =
-    hybridCache.synchronized {
-      hybridCache.getOrElseUpdate((s, d), {
-        val root = graft.TempDirs.scratch("graft-engine-hyb").toString
-        val eng = new VectorEngine(s, root, fixedClock)
-        val lib = eng.createLibrary("hybrid-bench", 64, IndexConfig("flat"))
-        val doc = eng.createDocument(lib)
-        eng.bulkIngest(lib, doc, Tables.documents(s, d)
-          .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
-          .select(format_string("d%06d", col("doc_id")).as("id"),
-            col("text"), col("embedding"),
-            array(col("source")).as("tags")))
-        (eng, lib)
-      })
-    }
-
   /** HYBRID SEARCH through the engine (`VectorEngine.hybridSearch`):
     * vector ranks from the flat search for query vec 0, lexical ranks
     * from BM25 over the chunk text, reciprocal-rank fused — every rank
-    * and the fused order hash-checked by the full SQL replay.
+    * and the fused order hash-checked by the full SQL replay. Runs off
+    * the SHARED flat base fixture (whose chunk text is the aligned
+    * documents row since r7) — no hybrid-private ingest.
     */
   private def engineHybrid(s: SparkSession, d: String): DataFrame = {
-    val (eng, lib) = hybridFixture(s, d)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("flat"))
     eng.hybridSearch(lib, q, RetrievalQueries.QueryTerms, k = 10)
   }
 
@@ -1017,9 +999,10 @@ object EngineQueries {
     // quirk Q1; DuckDB's DOUBLE[] fold is bitwise-identical), RRF fusion
     "x_engine_hybrid" ->
       s"""WITH ch AS (
-         |  SELECT 'd' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0') AS chunk_id,
-         |         d.text, CAST(e.embedding AS DOUBLE[]) AS emb
-         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |  SELECT 'c' || lpad(CAST(e.vec_id AS VARCHAR), 6, '0') AS chunk_id,
+         |         coalesce(d.text, 'vec ' || CAST(e.vec_id AS VARCHAR)) AS text,
+         |         CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id),
          |${RetrievalQueries.bm25CtesFor("ch", "chunk_id")},
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
          |lex AS (

@@ -168,4 +168,28 @@ class RetrievalSpec extends AnyFunSuite {
       assert(lr == rnd6(s9.toDouble / (1.0e9 * n.toDouble)))
     }
   }
+
+  test("Lloyd-trained recall is at least the md5-det sibling per PQ family") {
+    // VERDICT r6 #6: BASELINE.md records "trained >= det recall"; this
+    // asserts the headline claim as a spec, at identical parameters per
+    // family (the only difference is the codebook/centroid training).
+    import graft.engine.IndexConfig
+    def recall(cfg: IndexConfig): Double =
+      EngineQueries.recallOf(spark, sfDir, cfg)
+        .collect().head.getAs[Double]("recall_at_10")
+    val families = Seq(
+      ("pq", IndexConfig("pq_trained", pqSubspaces = 8, pqCodewords = 16),
+        IndexConfig("pq", pqSubspaces = 8, pqCodewords = 16)),
+      ("ivfpq",
+        IndexConfig("ivfpq_trained", ivfNumCentroids = 8, ivfNprobe = 2,
+          pqSubspaces = 8, pqCodewords = 16),
+        IndexConfig("ivfpq", ivfNumCentroids = 8, ivfNprobe = 2,
+          pqSubspaces = 8, pqCodewords = 16)))
+    families.foreach { case (fam, trained, det) =>
+      val (rt, rd) = (recall(trained), recall(det))
+      assert(rt >= rd,
+        s"$fam: trained recall $rt fell below the det sibling's $rd")
+    }
+    graft.Caches.releaseAll()
+  }
 }
