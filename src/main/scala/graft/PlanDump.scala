@@ -70,6 +70,10 @@ object PlanDump {
     "q_cms_topk",              // 128-cell CMS from the token-count agg
     "d_span_repeat",           // one gram agg -> per-gram count window -> doc stats
     "q_hll_by_flag",           // per-key register aggs over ONE reused distinct scan
+    // round 7 additions
+    "d_pipeline_full",         // 7-stage DAG: +mixture ppm threshold, +DSIR keep
+    "m_pixel_dedup",           // decode scan -> content fingerprint -> one 32-byte-key shuffle
+    "m_phash_neardup",         // aHash decode scan -> broadcast hamming pairs
   )
 
   def main(args: Array[String]): Unit = {

@@ -341,4 +341,86 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
+
+  /** TEXTURED synthetic PNG for the perceptual-hash entry: per-pixel
+    * multiplicative-hash channels (Knuth/xxhash prime multipliers over a
+    * per-content linear index) — [[syntheticPng]]'s smooth gradients are
+    * exactly the degenerate case for aHash (luminance planes that differ
+    * by a constant produce IDENTICAL bit patterns, measured: cross-content
+    * hamming 0), while this texture separates distinct contents by >= 11
+    * bits. `delta00` shifts the (0,0) red channel — the one-pixel retouch
+    * that stays within a few hamming bits of its original.
+    */
+  def syntheticPngTextured(i: Int, delta00: Int = 0): Array[Byte] = {
+    val w = 8 + i % 5
+    val h = 6 + i % 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = x + 8L * y + 64L * i
+        val d = if (x == 0 && y == 0) delta00 else 0
+        val r = ((k * 2654435761L + d) % 256).toInt
+        val g = ((k * 2246822519L) % 256).toInt
+        val b = ((k * 3266489917L) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  case class AHashRow(media_id: Long, decoded: Boolean, ahash: Long)
+
+  /** PERCEPTUAL average-hash (aHash): decode, nearest-neighbor sample an
+    * 8x8 luminance grid (lum = r+g+b per cell — integer, no weights, so
+    * a SQL oracle replays it exactly), then one bit per cell:
+    * `64*lum > sum(lum)` (strict — every comparison integer). Images that
+    * differ by a small retouch land within a few Hamming bits; distinct
+    * images differ in many. Same per-partition-codec map-only shape as
+    * [[decodePixels]]; undecodable payloads yield decoded=false, hash 0.
+    */
+  def aHash64(media: Dataset[MediaRow]): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) AHashRow(r.media_id, decoded = false, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val lum = new Array[Long](64)
+          var total = 0L
+          var yd = 0
+          while (yd < 8) {
+            val ys = yd * h / 8
+            var xd = 0
+            while (xd < 8) {
+              val xs = xd * w / 8
+              val rgb = img.getRGB(xs, ys)
+              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              lum(yd * 8 + xd) = l
+              total += l
+              xd += 1
+            }
+            yd += 1
+          }
+          var hash = 0L
+          var j = 0
+          while (j < 64) {
+            if (64L * lum(j) > total) hash |= (1L << j)
+            j += 1
+          }
+          AHashRow(r.media_id, decoded = true, hash)
+        }
+      }
+    }
+  }
 }

@@ -179,6 +179,39 @@ object MiscQueries {
       .orderBy(col("media_id").asc)
   }
 
+  /** PERCEPTUAL NEAR-DUP (aHash + Hamming) — the near-dup sibling of
+    * `m_pixel_dedup`: 12 textured contents plus a one-pixel RETOUCH of
+    * each (not byte-equal, not pixel-equal), hashed by
+    * [[Multimodal.aHash64]] (decode -> 8x8 nearest-neighbor luminance
+    * grid -> 64-bit average hash, all-integer) and paired at Hamming
+    * <= 6. Measured separation on this set: retouch pairs <= 4 bits,
+    * distinct contents >= 11 — the threshold recovers exactly the 12
+    * retouch pairs. Every step (resize sampling, luminance, mean
+    * threshold, xor popcount) is integer arithmetic the DuckDB oracle
+    * replays bit for bit. 100 TB shape: hashing is the map-only
+    * per-partition-codec scan; pairing at scale goes through the
+    * simhash-style hamming blocking — here the hash table is
+    * broadcast-small by construction.
+    */
+  private def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 24).map { id =>
+      val payload =
+        if (id < 12) Multimodal.syntheticPngTextured(id)
+        else Multimodal.syntheticPngTextured(id - 12, delta00 = 64)
+      Multimodal.MediaRow(id.toLong, "image/png", payload)
+    }
+    val hashes = Multimodal.aHash64(s.createDataset(media).repartition(4))
+      .toDF().select(col("media_id"), col("ahash"))
+    val b = hashes.select(col("media_id").as("id_b"), col("ahash").as("hash_b"))
+    hashes.select(col("media_id").as("id_a"), col("ahash").as("hash_a"))
+      .join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(hash_a ^ hash_b) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   /** REAL audio decode — the WAV sibling of m_decode_px: 20 deterministic
     * PCM files decoded on executors via javax.sound.sampled
     * (`Multimodal.decodeAudio`), exact 16-bit sample sums. The PCM
@@ -305,6 +338,7 @@ object MiscQueries {
     "m_resize_px"      -> (resizePx _),
     "m_decode_wav"     -> (decodeWav _),
     "m_pixel_dedup"    -> (pixelDedup _),
+    "m_phash_neardup"  -> (phashNearDup _),
   )
 
   private val sigSql = (0 until 8)
@@ -471,6 +505,37 @@ object MiscQueries {
         |       min(media_id) OVER (PARTITION BY fingerprint) AS canonical_id,
         |       media_id <> min(media_id) OVER (PARTITION BY fingerprint) AS is_dup
         |FROM f ORDER BY media_id ASC""".stripMargin,
+    // m_phash_neardup: the textured formula integrated at the 8x8 resize
+    // sample positions, aHash bits from the exact integer mean threshold,
+    // pairs by xor popcount — matches only if the Spark side decoded,
+    // resampled, thresholded, and paired with identical arithmetic.
+    // Bit 63 accumulates as -(2^63) (DuckDB's << overflows at 63; the
+    // HUGEINT sum of signed powers is exactly the two's-complement long).
+    "m_phash_neardup" ->
+      """WITH px AS (
+        |  SELECT m.m AS media_id, m.m % 12 AS i, xd.x AS xd, yd.y AS yd,
+        |         (xd.x * (8 + (m.m % 12) % 5)) // 8 AS x,
+        |         (yd.y * (6 + (m.m % 12) % 3)) // 8 AS y
+        |  FROM range(24) m(m), range(8) xd(x), range(8) yd(y)),
+        |lum AS (
+        |  SELECT media_id, yd * 8 + xd AS j,
+        |         (((x + 8*y + 64*i) * 2654435761 + CASE WHEN media_id >= 12 AND x = 0 AND y = 0 THEN 64 ELSE 0 END) % 256)
+        |         + (((x + 8*y + 64*i) * 2246822519) % 256)
+        |         + (((x + 8*y + 64*i) * 3266489917) % 256) AS l
+        |  FROM px),
+        |tot AS (SELECT media_id, CAST(SUM(l) AS BIGINT) AS t FROM lum GROUP BY media_id),
+        |hsh AS (
+        |  SELECT lum.media_id,
+        |         CAST(SUM(CASE WHEN 64*l > t THEN
+        |             CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |                  ELSE CAST(CAST(1 AS BIGINT) << j AS HUGEINT) END
+        |             ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS ahash
+        |  FROM lum JOIN tot USING (media_id) GROUP BY lum.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin,
     // m_decode_wav: the synthetic-PCM sample formula integrated in SQL —
     // matches only if the Spark side really decoded every WAV frame.
     "m_decode_wav" ->
