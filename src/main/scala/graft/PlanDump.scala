@@ -74,6 +74,7 @@ object PlanDump {
     "d_pipeline_full",         // 7-stage DAG: +mixture ppm threshold, +DSIR keep
     "m_pixel_dedup",           // decode scan -> content fingerprint -> one 32-byte-key shuffle
     "m_phash_neardup",         // aHash decode scan -> broadcast hamming pairs
+    "t_curriculum",            // bounded score-histogram deciles, broadcast thresholds
   )
 
   def main(args: Array[String]): Unit = {

@@ -475,6 +475,66 @@ object EngineQueries {
     * side (the whole ivfpq replay) and the exact side are SQL, so the
     * driver hash-checks the measured recall itself, not just rows>0.
     */
+  /** Micro-unit DCG position discounts: floor(1/log2(rank+1)*1e6+0.5)
+    * for ranks 1..10, precomputed as LITERALS shared bit-for-bit with
+    * the oracle SQL — no trans-engine transcendental calls at runtime,
+    * so every DCG term is an exact long product.
+    */
+  private[queries] val NdcgDisc6: Seq[Long] = Seq(1000000L, 630930L,
+    500000L, 430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** nDCG@10 of an approximate config vs the exact-cosine ideal ranking —
+    * the graded sibling of recall@10 (an ANN family that returns 8 of 10
+    * true neighbors in the right ORDER scores higher than one returning
+    * them scrambled). Relevance of a hit = its exact cosine (rnd6,
+    * clamped at 0) in micro-units; DCG terms are exact long products
+    * against [[NdcgDisc6]], so both sides of the division are integers
+    * and the det-family metric is DuckDB-hash-checked end to end. The
+    * per-query work is k-bounded (the same bounded collects as
+    * [[recallOf]]).
+    */
+  private[queries] def ndcgOf(s: SparkSession, d: String,
+      config: IndexConfig): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = engineFixture(s, d, config)
+    // approximate ranking, in the engine's emitted order (rnd6 score
+    // desc, chunk/vec asc — the order the hits oracles replay)
+    val approxIds: Seq[Long] = eng.search(lib, q, k = 10).collect()
+      .map(r => (r.getString(0).substring(1).toLong,
+        math.floor(r.getDouble(r.fieldIndex("score")) * 1e6 + 0.5) / 1e6))
+      .sortBy { case (v, sc) => (-sc, v) }.map(_._1).toSeq
+    // exact relevance per vec (rnd6 cosine, micro-units, clamped at 0)
+    val scoresDf = Tables.embeddings(s, d)
+      .crossJoin(broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))))
+      .select(col("vec_id"),
+        rnd(graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")), 6).as("score"))
+    def rel6(score: Double): Long =
+      math.floor(math.max(score, 0.0) * 1e6 + 0.5).toLong
+    val hitRel: Map[Long, Long] = scoresDf
+      .filter(col("vec_id").isInCollection(approxIds))
+      .collect().map(r => r.getLong(0) -> rel6(r.getDouble(1))).toMap
+    val idealRel: Seq[Long] = scoresDf
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => rel6(r.getDouble(1))).toSeq
+    val dcg = approxIds.zip(NdcgDisc6)
+      .map { case (v, disc) => hitRel(v) * disc }.sum
+    val idcg = idealRel.zip(NdcgDisc6).map { case (r, disc) => r * disc }.sum
+    val ndcg = rnd6d(dcg.toDouble / idcg.toDouble)
+    Seq((0L, ndcg, approxIds.size)).toDF("query_id", "ndcg_at_10", "n_hits")
+  }
+
+  private def rnd6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def ivfpqDetNdcg(s: SparkSession, d: String): DataFrame =
+    ndcgOf(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+
+  private def lshDetNdcg(s: SparkSession, d: String): DataFrame =
+    ndcgOf(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+
   private def ivfpqRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivfpq",
       ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
@@ -534,6 +594,8 @@ object EngineQueries {
     "x_ivfdet_recall"        -> (ivfDetRecall _),
     "x_pqtrained_recall"     -> (pqTrainedRecall _),
     "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
+    "x_ivfpqdet_ndcg"        -> (ivfpqDetNdcg _),
+    "x_lshdet_ndcg"          -> (lshDetNdcg _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -639,6 +701,48 @@ object EngineQueries {
        |       ${rndSql("list_cosine_similarity(v.vnorm, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
        |FROM cand c JOIN vn v USING (vec_id)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // ivfpq approximate top-10 (scored) — shared by the recall and nDCG
+  // oracles; identical to the x_engine_ivfpq hits ranking
+  private val ivfpqApproxSelect =
+    s"""SELECT c.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM cand c JOIN vn v USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Shared nDCG@10 oracle tail: `approxSelect` must yield scored
+    * (vec_id, score) rows for the approximate top-10 in ranked order.
+    * Relevance = exact rnd6 cosine clamped at 0 in micro-units; DCG
+    * terms are exact BIGINT products against the literal discount table
+    * ([[NdcgDisc6]] — the same constants the Spark side carries).
+    * Requires a CTE `e(vec_id, emb DOUBLE[])` in scope.
+    */
+  private def ndcgSqlTail(approxSelect: String): String = {
+    val discValues = NdcgDisc6.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""approxsc AS ($approxSelect),
+       |ranked AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+       |  FROM approxsc),
+       |relv AS (
+       |  SELECT e2.vec_id,
+       |         ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS rel
+       |  FROM e e2),
+       |disc(r, d6) AS (VALUES $discValues),
+       |dcg AS (
+       |  SELECT CAST(SUM(CAST(floor(greatest(rel, 0) * 1e6 + 0.5) AS BIGINT) * d6) AS BIGINT) AS s
+       |  FROM ranked JOIN relv USING (vec_id) JOIN disc USING (r)),
+       |ideal AS (
+       |  SELECT rel, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS r
+       |  FROM (SELECT vec_id, rel FROM relv ORDER BY rel DESC, vec_id ASC LIMIT 10)),
+       |idcg AS (
+       |  SELECT CAST(SUM(CAST(floor(greatest(rel, 0) * 1e6 + 0.5) AS BIGINT) * d6) AS BIGINT) AS s
+       |  FROM ideal JOIN disc USING (r))
+       |SELECT CAST(0 AS BIGINT) AS query_id,
+       |       ${rndSql("CAST(dcg.s AS DOUBLE) / CAST(idcg.s AS DOUBLE)", 6)} AS ndcg_at_10,
+       |       CAST((SELECT count(*) FROM approxsc) AS INTEGER) AS n_hits
+       |FROM dcg, idcg""".stripMargin
+  }
 
   // x_engine_ivf_det replay (shared by the hits entry and the recall
   // metric): seeds = 8 lowest md5(chunk_id) ('c' || zero-padded vec_id),
@@ -1056,13 +1160,17 @@ object EngineQueries {
     "e_stream_ann" -> ivfpqBatchSqlFor(25),
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
+    // nDCG@10 of the det ivfpq / lsh_det rankings — the graded quality
+    // metric, both sides in SQL like the recall family
+    "x_ivfpqdet_ndcg" ->
+      s"""WITH $ivfpqCtes,
+         |${ndcgSqlTail(ivfpqApproxSelect)}""".stripMargin,
+    "x_lshdet_ndcg" ->
+      s"""WITH $lshDetCtes,
+         |${ndcgSqlTail(lshDetHitsSelect)}""".stripMargin,
     "x_ivfpq_recall" ->
       s"""WITH $ivfpqCtes,
-         |approx AS (
-         |  SELECT c.vec_id,
-         |         ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
-         |  FROM cand c JOIN vn v USING (vec_id)
-         |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+         |approx AS ($ivfpqApproxSelect),
          |exact AS (
          |  SELECT vec_id FROM (
          |    SELECT e2.vec_id,

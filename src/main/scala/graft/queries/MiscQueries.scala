@@ -179,6 +179,43 @@ object MiscQueries {
       .orderBy(col("media_id").asc)
   }
 
+  /** STREAMING MULTIMODAL DECODE (r7) — the image front door as a
+    * STREAM: the 24 synthetic PNGs arrive as 4 parquet files consumed
+    * one per micro-batch, and the SAME `Multimodal.decodePixels`
+    * transform (per-partition ImageIO codec, map-only) runs on the
+    * streaming Dataset unchanged — declare once, run batch or
+    * streaming. Results land in a memory sink; the oracle is literally
+    * `m_decode_px`'s closed-form SQL, so every streamed pixel sum is
+    * hash-checked. 100 TB shape: decode state is zero (pure map), so
+    * the stream scales with arrival rate, not corpus.
+    */
+  private def streamDecodePx(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = graft.TempDirs.scratch("graft-stream-media").toString
+    val media = (0 until 24).map(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i)))
+    s.createDataset(media).repartition(4)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    val src = s.readStream.schema(Multimodal.mediaSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*")
+      .parquet(s"$root/arrivals")
+    val decoded = Multimodal.decodePixels(src.as[Multimodal.MediaRow]).toDF()
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = decoded.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory").queryName("graft_stream_px")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.table("graft_stream_px")
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id").asc)
+  }
+
   /** PERCEPTUAL NEAR-DUP (aHash + Hamming) — the near-dup sibling of
     * `m_pixel_dedup`: 12 textured contents plus a one-pixel RETOUCH of
     * each (not byte-equal, not pixel-equal), hashed by
@@ -339,6 +376,7 @@ object MiscQueries {
     "m_decode_wav"     -> (decodeWav _),
     "m_pixel_dedup"    -> (pixelDedup _),
     "m_phash_neardup"  -> (phashNearDup _),
+    "e_stream_decode_px" -> (streamDecodePx _),
   )
 
   private val sigSql = (0 until 8)
@@ -476,6 +514,21 @@ object MiscQueries {
         |       CAST(SUM((7*x + 11*y + media_id) % 256) AS BIGINT) AS sum_r,
         |       CAST(SUM((3*x + 5*y + 2*media_id) % 256) AS BIGINT) AS sum_g,
         |       CAST(SUM((13*x + 17*y + 3*media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
+    // e_stream_decode_px: the streamed decode must land on the identical
+    // closed-form sums — the oracle is m_decode_px's SQL verbatim
+    "e_stream_decode_px" ->
+      """WITH px AS (
+        |  SELECT i.i AS media_id, x.x AS x, y.y AS y
+        |  FROM range(24) i(i), range(12) x(x), range(8) y(y)
+        |  WHERE x.x < 8 + i.i % 5 AND y.y < 6 + i.i % 3)
+        |SELECT media_id,
+        |       CAST(8 + media_id % 5 AS INTEGER) AS width,
+        |       CAST(6 + media_id % 3 AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels,
+        |       CAST(SUM((7*x + 11*y + media_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((3*x + 5*y + media_id*2) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((13*x + 17*y + media_id*3) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
     // m_pixel_dedup: the 36-row media set carries media_id % 12 as its
     // CONTENT index; the oracle integrates the pixel formula per content,

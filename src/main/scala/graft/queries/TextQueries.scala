@@ -307,6 +307,46 @@ object TextQueries {
         array_join(col("ctk"), " ").as("chunk_text"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
 
+  /** QUALITY-CURRICULUM BINNING (r7) — order the corpus into training
+    * deciles by quality score WITHOUT a global sort or ntile: the
+    * per-doc score (the t_quality formula as an exact ppm integer) feeds
+    * a bounded score histogram; decile thresholds come from the
+    * cumulative histogram (the q_approx_quantile discipline — the only
+    * window runs over the BOUNDED bin table, never the corpus), and each
+    * doc's bucket is "how many of the 9 broadcast thresholds its score
+    * clears", assigned map-side. Output: per-bucket doc/token tallies +
+    * score range — what a curriculum scheduler consumes. 100 TB shape:
+    * two corpus scans (score histogram; assign + aggregate), one
+    * bounded-window job, thresholds broadcast.
+    */
+  private def curriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = quality(s, d).select(col("doc_id"), col("n_tokens"),
+      floor(col("quality_score") * 1e6 + 0.5).cast("long").as("spm"))
+    val hist = scored.groupBy(col("spm")).agg(count(lit(1)).as("c"))
+    val w = Window
+      .partitionBy(WindowUtil.onePartition(col("spm"))) // bounded bins
+      .orderBy(col("spm").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val total = hist.agg(sum(col("c")).cast("long").as("n"))
+    val ps = { import s.implicits._; (1 to 9).map(_ * 10).toDF("p") }
+    val thresholds = cum.crossJoin(broadcast(total)).crossJoin(broadcast(ps))
+      .filter(col("cum") >= expr("(n * p + 99) div 100"))
+      .groupBy(col("p")).agg(min(col("spm")).as("thr"))
+      .select(col("thr"))
+    scored.crossJoin(broadcast(thresholds))
+      .groupBy(col("doc_id"))
+      .agg(first(col("spm")).as("spm"), first(col("n_tokens")).as("nt"),
+        sum(when(col("spm") >= col("thr"), 1).otherwise(0)).cast("int")
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"),
+        rnd(min(col("spm")).cast("double") / 1e6, 6).as("min_score"),
+        rnd(max(col("spm")).cast("double") / 1e6, 6).as("max_score"))
+      .orderBy(col("bucket").asc)
+  }
+
   /** Multimodal plumbing surface: treat text bytes as an opaque binary
     * payload column and extract typed metadata (byte length + sha256) —
     * the schema/plumbing pattern for image/audio blobs (decode itself is
@@ -331,6 +371,7 @@ object TextQueries {
     "t_perplexity2"    -> (perplexityBigram _),
     "t_tfidf"          -> (tfidf _),
     "t_chunk_split"    -> (chunkSplit _),
+    "t_curriculum"     -> (curriculum _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -359,6 +400,36 @@ object TextQueries {
          |       ${rndSql("CAST(n_stop AS DOUBLE) / n_tokens", 6)} AS stopword_ratio,
          |       ${rndSql(s"""least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + ${rndSql("CAST(n_stop AS DOUBLE) / n_tokens", 6)} * 0.5""", 6)} AS quality_score
          |FROM b ORDER BY doc_id ASC""".stripMargin,
+    // t_curriculum: the t_quality score as an exact ppm integer, decile
+    // thresholds from the cumulative score histogram (the
+    // q_approx_quantile rule), bucket = thresholds cleared
+    "t_curriculum" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |         ${stopSql("en")} AS n_stop
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(floor((${rndSql(s"""least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 + ${rndSql("CAST(n_stop AS DOUBLE) / n_tokens", 6)} * 0.5""", 6)}) * 1e6 + 0.5) AS BIGINT) AS spm
+         |  FROM b),
+         |hist AS (SELECT spm, count(*) AS c FROM sc GROUP BY spm),
+         |cum AS (SELECT spm, SUM(c) OVER (ORDER BY spm ASC) AS cum FROM hist),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+         |thr AS (
+         |  SELECT (SELECT min(spm) FROM cum, tot
+         |          WHERE cum.cum >= (tot.n * q.p + 99) // 100) AS thr
+         |  FROM (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) AS q(p)),
+         |asg AS (
+         |  SELECT doc_id, spm, n_tokens,
+         |         (SELECT CAST(count(*) AS INTEGER) FROM thr
+         |          WHERE sc.spm >= thr.thr) AS bucket
+         |  FROM sc)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       ${rndSql("CAST(min(spm) AS DOUBLE) / 1e6", 6)} AS min_score,
+         |       ${rndSql("CAST(max(spm) AS DOUBLE) / 1e6", 6)} AS max_score
+         |FROM asg GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
     "t_langid" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,
