@@ -83,6 +83,30 @@ final class VectorEngine(
     store.readVersion("chunks", version, Schemas.chunks)
   def chunksVersion: Option[Long] = store.currentVersion("chunks")
 
+  /** Snapshot CDC: the row-level change set between two chunk snapshot
+    * versions — (id, change ∈ added|deleted|updated, old_text, new_text).
+    * The incremental-downstream primitive at scale: a consumer processes
+    * the diff instead of rescanning the corpus. One distributed
+    * full-outer equi-join on id (both sides partitioned by library via
+    * the snapshot layout; unchanged rows — same version AND same text —
+    * are filtered map-side after the join, so the output is bounded by
+    * the true change set, not the corpus).
+    */
+  def snapshotDiff(vOld: Long, vNew: Long): DataFrame = {
+    val o = chunksAt(vOld).select(col("id"),
+      col("text").as("old_text"), col("version").as("old_version"))
+    val n = chunksAt(vNew).select(col("id"),
+      col("text").as("new_text"), col("version").as("new_version"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("old_version").isNull, lit("added"))
+          .when(col("new_version").isNull, lit("deleted"))
+          .when(col("old_version") =!= col("new_version") ||
+            col("old_text") =!= col("new_text"), lit("updated")))
+      .filter(col("change").isNotNull)
+      .select(col("id"), col("change"), col("old_text"), col("new_text"))
+  }
+
   /** Retention for all state tables: keep the newest `keepLast` snapshot
     * versions, delete the rest (ends time travel past the horizon).
     * Returns the number of snapshot directories removed.

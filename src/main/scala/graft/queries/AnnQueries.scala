@@ -218,6 +218,70 @@ object AnnQueries {
     Seq((nCommon, nCommon / 10.0)).toDF("n_common", "recall_at_10")
   }
 
+  /** Scalar-quantization ANN (the FAISS ScalarQuantizer/SQ8 family): each
+    * dimension is quantized to an 8-bit code against the corpus per-dim
+    * [min, max] range, search decodes the code and ranks by approximate
+    * L2. NO RNG anywhere — unlike trained PQ the whole build+search is
+    * replayed by the DuckDB oracle and hash-checked. Per-dim micro-unit
+    * contributions are floored to integers BEFORE the sum, so the
+    * 64-term accumulation is exact long arithmetic on both engines (no
+    * float summation-order hazard). 100 TB shape: the "codebook" is two
+    * doubles per dim (one tiny agg, broadcast as plan literals), encoding
+    * is one map-side pass, and stored codes are 64 B/vector — 4x smaller
+    * than float32 — scanned without any join.
+    */
+  private def annSq8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    val contribs = (0 until stats.size).map { i =>
+      val (lo, hi) = stats(i)
+      val span = hi - lo
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      val xh =
+        if (span == 0.0) lit(lo)
+        else lit(lo) +
+          floor((x - lit(lo)) / lit(span) * lit(255.0) + lit(0.5)) /
+            lit(255.0) * lit(span)
+      val diff = xh - lit(q(i).toDouble)
+      floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), contribs.reduce(_ + _).as("dist_u"))
+      .orderBy(col("dist_u").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Recall@10 of the SQ8 approximation vs the exact L2 ranking — like
+    * `v_pq_recall`, BOTH sides are pure arithmetic, so the recall number
+    * itself is DuckDB-hash-checked.
+    */
+  private def sq8Recall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    var qq = 0.0
+    var qi = 0
+    while (qi < q.length) { qq += q(qi).toDouble * q(qi).toDouble; qi += 1 }
+    val exact = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        floor((dotProduct(col("embedding"), col("embedding")) + lit(qq) -
+          lit(2.0) * dotProduct(col("embedding"), typedLit(q.toSeq))) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("du"))
+      .orderBy(col("du").asc, col("vec_id").asc)
+      .limit(10)
+    val nCommon = annSq8(s, d).select("vec_id")
+      .join(exact.select("vec_id"), "vec_id").count()
+    Seq((nCommon, nCommon / 10.0)).toDF("n_common", "recall_at_10")
+  }
+
   /** BAND (interval) JOIN via time-bucket blocking: clicks within +-1 hour
     * of each purchase by the same user. A naive inequality join plans as a
     * nested loop (per-row range scan of the whole other side); the scale
@@ -266,6 +330,8 @@ object AnnQueries {
     "v_ann_ivf"   -> (annIvf _),
     "v_ann_pq"    -> (annPq _),
     "v_pq_recall" -> (pqRecall _),
+    "v_ann_sq8"   -> (annSq8 _),
+    "v_sq8_recall" -> (sq8Recall _),
     "e_asof_join" -> (asofJoin _),
     "e_asof_custom" -> (asofCustom _),
     "e_band_join" -> (bandJoin _),
@@ -308,7 +374,44 @@ object AnnQueries {
          |GROUP BY enc.vec_id
          |ORDER BY dist_u ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  // v_ann_sq8 replay: same per-dim min/max ranges, 8-bit encode/decode,
+  // and per-dim-floored micro-unit L2 accumulation as annSq8. Expression
+  // order matches the Spark side token for token, so floor() sees
+  // identical doubles; the 64-dim sum is exact BIGINT addition on both
+  // engines. Shared by v_ann_sq8 and v_sq8_recall.
+  private val sq8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |dims AS (
+      |  SELECT i.i AS pos, min(e.emb[i.i + 1]) AS lo, max(e.emb[i.i + 1]) AS hi
+      |  FROM e, range(64) i(i) GROUP BY i.i),
+      |qe AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+      |xh AS (
+      |  SELECT e.vec_id,
+      |         CASE WHEN d.hi = d.lo THEN d.lo
+      |              ELSE d.lo + floor((e.emb[d.pos + 1] - d.lo) / (d.hi - d.lo) * 255.0 + 0.5)
+      |                   / 255.0 * (d.hi - d.lo) END AS xh,
+      |         q.qemb[d.pos + 1] AS qx
+      |  FROM e, dims d, qe q WHERE e.vec_id <> 0)
+      |SELECT vec_id,
+      |       CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
+      |FROM xh GROUP BY vec_id
+      |ORDER BY dist_u ASC, vec_id ASC LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v_ann_sq8" -> sq8Sql,
+    "v_sq8_recall" ->
+      s"""WITH sq AS ($sq8Sql),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |exact AS (
+         |  SELECT e2.vec_id,
+         |         CAST(floor((list_dot_product(e2.emb, e2.emb) + list_dot_product(q.emb, q.emb)
+         |           - 2 * list_dot_product(e2.emb, q.emb)) * 1000000.0 + 0.5) AS BIGINT) AS du
+         |  FROM e2, (SELECT emb FROM e2 WHERE vec_id = 0) q
+         |  WHERE e2.vec_id <> 0
+         |  ORDER BY du ASC, vec_id ASC LIMIT 10)
+         |SELECT CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM sq JOIN exact USING (vec_id)""".stripMargin,
     "v_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |seeds AS (

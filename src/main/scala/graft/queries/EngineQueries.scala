@@ -103,6 +103,7 @@ object EngineQueries {
     fixtureCache.synchronized {
       fixtureCache.clear()
       baseCache.clear()
+      ttCache.clear()
     }
     selfJoinCache.synchronized {
       selfJoinCache.values.foreach(
@@ -527,6 +528,139 @@ object EngineQueries {
 
   private def rnd6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Approximate top-10 vec_ids of a det config in emitted rank order
+    * (rnd6 score desc, vec asc — the exact order the hits oracles
+    * replay); k-bounded collect.
+    */
+  private def approxRankedIds(eng: VectorEngine, lib: String,
+      q: Array[Float]): Seq[Long] =
+    eng.search(lib, q, k = 10).collect()
+      .map(r => (r.getString(0).substring(1).toLong,
+        math.floor(r.getDouble(r.fieldIndex("score")) * 1e6 + 0.5) / 1e6))
+      .sortBy { case (v, sc) => (-sc, v) }.map(_._1).toSeq
+
+  /** Exact-cosine top-n vec_ids for canonical query vec 0 (rnd6 score
+    * desc, vec asc) — the relevant set shared by MRR and the recall
+    * curve; n-bounded collect off the distributed scan.
+    */
+  private def exactTopVecIds(s: SparkSession, d: String, n: Int): Seq[Long] =
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))))
+      .select(col("vec_id"),
+        rnd(graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(n).collect().map(_.getLong(0)).toSeq
+
+  /** Reciprocal rank of the det approximate ranking vs the exact top-10
+    * relevant set, in exact integer micro-units: rr6 = 1e6 DIV
+    * first_rank (long division, no floats), 0 when no relevant hit
+    * appears. Both sides SQL -> the measured RR itself is hash-checked,
+    * completing the graded-metric family (recall@10, nDCG@10, MRR).
+    */
+  private[queries] def mrrOf(s: SparkSession, d: String,
+      config: IndexConfig): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = engineFixture(s, d, config)
+    val approx = approxRankedIds(eng, lib, q)
+    val exact = exactTopVecIds(s, d, 10).toSet
+    val firstRank = approx.zipWithIndex
+      .collectFirst { case (v, i) if exact(v) => i + 1 }.getOrElse(0)
+    val rr6 = if (firstRank == 0) 0L else 1000000L / firstRank
+    Seq((0L, rr6, firstRank)).toDF("query_id", "rr6", "first_rank")
+  }
+
+  /** Recall@k curve (k = 1, 5, 10) of the det approximate ranking vs
+    * the exact ranking — recall@k = |approx top-k ∩ exact top-k| / k.
+    * The curve shape is what an ANN tuning loop actually reads (is the
+    * head right, or only the tail?); both sides SQL, hash-checked.
+    */
+  private[queries] def recallCurveOf(s: SparkSession, d: String,
+      config: IndexConfig): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = engineFixture(s, d, config)
+    val approx = approxRankedIds(eng, lib, q)
+    val exact = exactTopVecIds(s, d, 10)
+    Seq(1, 5, 10).map { k =>
+      val inter = approx.take(k).toSet.intersect(exact.take(k).toSet).size
+      (k, inter, inter.toDouble / k)
+    }.toDF("k", "n_inter", "recall_at_k").orderBy(col("k").asc)
+  }
+
+  private def ivfpqDetMrr(s: SparkSession, d: String): DataFrame =
+    mrrOf(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+
+  private def lshDetMrr(s: SparkSession, d: String): DataFrame =
+    mrrOf(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+
+  private def ivfpqDetRecallCurve(s: SparkSession, d: String): DataFrame =
+    recallCurveOf(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+
+  /** PRIVATE mutated clone for the time-travel / CDC entries: hardlink
+    * the shared base store (the shared fixtures stay read-only), then
+    * apply one deterministic mutation batch — update c000001/c000002,
+    * delete c000003, add c999901 — and remember the pre/post snapshot
+    * versions. Built once per (session, dataset).
+    */
+  private val ttCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (VectorEngine, String, Long, Long)]
+
+  private def timeTravelFixture(s: SparkSession,
+      d: String): (VectorEngine, String, Long, Long) =
+    fixtureCache.synchronized {
+      ttCache.getOrElseUpdate((s, d), {
+        val (_, baseRoot, lib, _) =
+          baseCache.getOrElseUpdate((s, d), buildEngine(s, d, IndexConfig("flat")))
+        val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+        val v0 = eng.chunksVersion.get
+        val doc = {
+          val row = eng.documents.filter(col("library_id") === lib)
+            .select(col("id")).collect().head
+          row.getString(0)
+        }
+        val embs: Map[Long, Array[Float]] = Tables.embeddings(s, d)
+          .filter(col("vec_id").isin(1L, 2L))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        eng.upsertChunks(lib, doc, Seq(
+          ChunkIn("updated c000001", Some(embs(1L)), id = Some("c000001")),
+          ChunkIn("updated c000002", Some(embs(2L)), id = Some("c000002")),
+          ChunkIn("brand new chunk", Some(embs(1L)), id = Some("c999901"))))
+        eng.deleteChunk(lib, "c000003")
+        val v1 = eng.chunksVersion.get
+        (eng, lib, v0, v1)
+      })
+    }
+
+  /** TIME TRAVEL through the engine (`VectorEngine.chunksAt` —
+    * Delta-style VERSION AS OF over the versioned snapshot store): after
+    * the mutation batch, reading the PRE-mutation version must replay
+    * the original ingest byte-for-byte. The oracle reconstructs that
+    * ingest from the raw tables, so a stale-pointer or partially-visible
+    * write fails the hash.
+    */
+  private def engineTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val (eng, _, v0, _) = timeTravelFixture(s, d)
+    eng.chunksAt(v0)
+      .select(col("id"), length(col("text")).cast("int").as("n_chars"))
+      .orderBy(col("id").asc)
+  }
+
+  /** Snapshot CDC through the engine (`VectorEngine.snapshotDiff`): the
+    * row-level change set between the pre- and post-mutation snapshots —
+    * exactly the 2 updates, 1 delete, 1 add, nothing else. The
+    * incremental-downstream primitive: at 100 TB a consumer reads this
+    * bounded diff instead of rescanning the corpus.
+    */
+  private def engineSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val (eng, _, v0, v1) = timeTravelFixture(s, d)
+    eng.snapshotDiff(v0, v1).orderBy(col("id").asc)
+  }
+
   private def ivfpqDetNdcg(s: SparkSession, d: String): DataFrame =
     ndcgOf(s, d, IndexConfig("ivfpq",
       ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
@@ -596,6 +730,11 @@ object EngineQueries {
     "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
     "x_ivfpqdet_ndcg"        -> (ivfpqDetNdcg _),
     "x_lshdet_ndcg"          -> (lshDetNdcg _),
+    "x_ivfpqdet_mrr"         -> (ivfpqDetMrr _),
+    "x_lshdet_mrr"           -> (lshDetMrr _),
+    "x_ivfpqdet_recall_curve" -> (ivfpqDetRecallCurve _),
+    "x_engine_timetravel"    -> (engineTimeTravel _),
+    "x_engine_snapshot_diff" -> (engineSnapshotDiff _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -743,6 +882,55 @@ object EngineQueries {
        |       CAST((SELECT count(*) FROM approxsc) AS INTEGER) AS n_hits
        |FROM dcg, idcg""".stripMargin
   }
+
+  /** Shared MRR oracle tail: `approxSelect` must yield scored (vec_id,
+    * score) rows for the approximate top-10. rr6 = 1000000 DIV
+    * first-relevant-rank (integer division on both engines), 0 on a
+    * whiff. Requires a CTE `e(vec_id, emb DOUBLE[])` in scope.
+    */
+  private def mrrSqlTail(approxSelect: String): String =
+    s"""approxsc AS ($approxSelect),
+       |ranked AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+       |  FROM approxsc),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e2.vec_id,
+       |           ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |    FROM e e2)
+       |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+       |fr AS (
+       |  SELECT CAST(coalesce(min(r), 0) AS INTEGER) AS first_rank
+       |  FROM ranked JOIN exact USING (vec_id))
+       |SELECT CAST(0 AS BIGINT) AS query_id,
+       |       CAST(CASE WHEN first_rank = 0 THEN 0
+       |                 ELSE 1000000 // first_rank END AS BIGINT) AS rr6,
+       |       first_rank
+       |FROM fr""".stripMargin
+
+  /** Shared recall@k-curve oracle tail (k = 1, 5, 10): both rankings
+    * row-numbered, per-k head intersection counted over the k-bounded
+    * sets. Requires a CTE `e(vec_id, emb DOUBLE[])` in scope.
+    */
+  private def recallCurveSqlTail(approxSelect: String): String =
+    s"""approxsc AS ($approxSelect),
+       |ranked AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+       |  FROM approxsc),
+       |exactr AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+       |  FROM (
+       |    SELECT e2.vec_id,
+       |           ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |    FROM e e2
+       |    ORDER BY score DESC, vec_id ASC LIMIT 10)),
+       |ks(k) AS (VALUES (1), (5), (10))
+       |SELECT CAST(ks.k AS INTEGER) AS k,
+       |       CAST((SELECT count(*) FROM ranked a JOIN exactr x USING (vec_id)
+       |             WHERE a.r <= ks.k AND x.r <= ks.k) AS INTEGER) AS n_inter,
+       |       CAST((SELECT count(*) FROM ranked a JOIN exactr x USING (vec_id)
+       |             WHERE a.r <= ks.k AND x.r <= ks.k) AS DOUBLE) / ks.k AS recall_at_k
+       |FROM ks ORDER BY k ASC""".stripMargin
 
   // x_engine_ivf_det replay (shared by the hits entry and the recall
   // metric): seeds = 8 lowest md5(chunk_id) ('c' || zero-padded vec_id),
@@ -1168,6 +1356,41 @@ object EngineQueries {
     "x_lshdet_ndcg" ->
       s"""WITH $lshDetCtes,
          |${ndcgSqlTail(lshDetHitsSelect)}""".stripMargin,
+    // MRR + recall curve — the remaining graded metrics, both sides SQL
+    "x_ivfpqdet_mrr" ->
+      s"""WITH $ivfpqCtes,
+         |${mrrSqlTail(ivfpqApproxSelect)}""".stripMargin,
+    "x_lshdet_mrr" ->
+      s"""WITH $lshDetCtes,
+         |${mrrSqlTail(lshDetHitsSelect)}""".stripMargin,
+    "x_ivfpqdet_recall_curve" ->
+      s"""WITH $ivfpqCtes,
+         |${recallCurveSqlTail(ivfpqApproxSelect)}""".stripMargin,
+    // time travel: the PRE-mutation snapshot must equal the original
+    // ingest reconstructed from the raw tables
+    "x_engine_timetravel" ->
+      """SELECT 'c' || lpad(CAST(e.vec_id AS VARCHAR), 6, '0') AS id,
+        |       CAST(length(coalesce(d.text, 'vec ' || CAST(e.vec_id AS VARCHAR))) AS INTEGER) AS n_chars
+        |FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+        |ORDER BY id ASC""".stripMargin,
+    // snapshot CDC: exactly the deterministic mutation batch, derived
+    // from the raw tables (old texts) + the mutation literals (new texts)
+    "x_engine_snapshot_diff" ->
+      """WITH src AS (
+        |  SELECT 'c' || lpad(CAST(e.vec_id AS VARCHAR), 6, '0') AS id,
+        |         coalesce(d.text, 'vec ' || CAST(e.vec_id AS VARCHAR)) AS text
+        |  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id)
+        |SELECT * FROM (
+        |  SELECT id, 'updated' AS change, text AS old_text,
+        |         'updated ' || id AS new_text
+        |  FROM src WHERE id IN ('c000001', 'c000002')
+        |  UNION ALL
+        |  SELECT id, 'deleted' AS change, text AS old_text,
+        |         CAST(NULL AS VARCHAR) AS new_text
+        |  FROM src WHERE id = 'c000003'
+        |  UNION ALL
+        |  SELECT 'c999901', 'added', CAST(NULL AS VARCHAR), 'brand new chunk')
+        |ORDER BY id ASC""".stripMargin,
     "x_ivfpq_recall" ->
       s"""WITH $ivfpqCtes,
          |approx AS ($ivfpqApproxSelect),

@@ -82,12 +82,42 @@ object EventQueries {
       .orderBy(col("event_id").asc)
   }
 
+  /** Z-order (Morton) clustering audit: interleave the bits of two 8-bit
+    * keys — user bucket × value bucket — into one z-value, then show that
+    * each 1024-wide z-range spans NARROW ranges in BOTH dimensions. That
+    * is the 100 TB data-layout property: writing the corpus sorted by
+    * z-value (`repartitionByRange(zvalue)` + sortWithinPartitions before
+    * the parquet sink) gives every file tight min/max stats on BOTH
+    * columns, so 2-D predicates prune files the way a 1-D sort only
+    * prunes one. The interleave is plain integer arithmetic (shift / and
+    * / multiply — codegen'd, engine-portable), no UDF.
+    */
+  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def nn(c: org.apache.spark.sql.Column) = ((c % 256) + 256) % 256
+    val a = nn(col("user_id"))
+    val b = nn(floor(col("value")).cast("long"))
+    val z = (0 until 8).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    ev.select(a.as("ua"), b.as("vb"), z.as("zv"))
+      .groupBy((col("zv") / 1024).cast("int").as("zbucket"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min(col("ua")).cast("int").as("min_user_bucket"),
+        max(col("ua")).cast("int").as("max_user_bucket"),
+        min(col("vb")).cast("int").as("min_value_bucket"),
+        max(col("vb")).cast("int").as("max_value_bucket"))
+      .orderBy(col("zbucket").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_latest_state"  -> (latestState _),
     "e_tumbling_daily"-> (tumblingDaily _),
     "e_sessionize"    -> (sessionize _),
     "e_created_after" -> (createdAfter _),
     "e_json_extract"  -> (jsonExtract _),
+    "e_zorder_layout" -> (zorderLayout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +150,22 @@ object EventQueries {
       """SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k
         |FROM events WHERE CAST(props ->> '$.k' AS INTEGER) >= 95
         |ORDER BY event_id ASC""".stripMargin,
+    "e_zorder_layout" -> {
+      val zSql = (0 until 8).map(i =>
+        s"((ua >> $i) & 1) * ${1L << (2 * i)} + ((vb >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT ((user_id % 256) + 256) % 256 AS ua,
+         |         ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS vb
+         |  FROM events),
+         |zc AS (SELECT ua, vb, $zSql AS zv FROM base)
+         |SELECT CAST(zv // 1024 AS INTEGER) AS zbucket,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(min(ua) AS INTEGER) AS min_user_bucket,
+         |       CAST(max(ua) AS INTEGER) AS max_user_bucket,
+         |       CAST(min(vb) AS INTEGER) AS min_value_bucket,
+         |       CAST(max(vb) AS INTEGER) AS max_value_bucket
+         |FROM zc GROUP BY 1 ORDER BY zbucket ASC""".stripMargin
+    },
   )
 }

@@ -359,6 +359,65 @@ object TextQueries {
         sha2(col("text").cast("binary"), 256).as("sha"))
       .orderBy(col("doc_id").asc)
 
+  /** Engine-portable PII regexes (no lookahead/backreferences, so Java's
+    * regex and DuckDB's RE2 agree on every span). The corpus is synthetic
+    * word soup with no real PII, so [[piiScrub]] deterministically
+    * injects matches first — the redaction machinery is what's tested.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII detection + redaction: inject an email into every third doc and
+    * a phone number into every second, then count matches and redact
+    * both patterns. The md5 of the redacted text is hash-checked, so a
+    * replacement that eats one character too many fails. Single narrow
+    * scan with per-row regex — scan-bound at any scale, no shuffle but
+    * the output ordering.
+    */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val injected = docs(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("t"))
+    injected.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrub_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Hashed-linear quality classifier (the fastText shape via the hashing
+    * trick): token -> md5 bucket (1024) -> bucket weight, where the
+    * weight is itself md5-derived (±1e6 micro-units) — a deterministic
+    * stand-in for trained weights (no labels in this corpus). The trick
+    * is the scale property: there is NO weight table to broadcast or
+    * join; scoring is per-row arithmetic folded into the token scan plus
+    * one per-doc agg. A trained model swaps the weight expression for a
+    * broadcast lookup in the same plan.
+    */
+  private def qualityClf(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), explode(toks).as("tok"))
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 1024
+    val w9 = (conv(substring(md5(concat(lit("w|"), bucket.cast("string"))),
+      1, 15), 16, 10).cast("long") % 2000001L) - 1000000L
+    tk.select(col("doc_id"), w9.as("w9"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("w9")).as("score9"))
+      .withColumn("keep", col("score9") > 0)
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_quality"     -> (quality _),
@@ -372,6 +431,8 @@ object TextQueries {
     "t_tfidf"          -> (tfidf _),
     "t_chunk_split"    -> (chunkSplit _),
     "t_curriculum"     -> (curriculum _),
+    "t_pii_scrub"      -> (piiScrub _),
+    "t_quality_clf"    -> (qualityClf _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -604,5 +665,34 @@ object TextQueries {
          |       CAST(len(list_slice(tk, ci * 24 + 1, ci * 24 + 32)) AS INTEGER) AS n_tokens,
          |       array_to_string(list_slice(tk, ci * 24 + 1, ci * 24 + 32), ' ') AS chunk_text
          |FROM x ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "t_pii_scrub" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         text ||
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 2 = 0
+         |              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phone,
+         |       md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |           '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
+         |FROM inj ORDER BY doc_id ASC""".stripMargin,
+    "t_quality_clf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |wt AS (
+         |  SELECT doc_id,
+         |         (CAST(('0x' || substr(md5('w|' || CAST(
+         |            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+         |          AS VARCHAR)), 1, 15)) AS BIGINT) % 2000001) - 1000000 AS w9
+         |  FROM tk)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |       CAST(sum(w9) AS BIGINT) AS score9, sum(w9) > 0 AS keep
+         |FROM wt GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
   )
 }

@@ -1050,6 +1050,35 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.chunks.count() == 0) // current still readable
   }
 
+  test("snapshot CDC: diff emits exactly added/deleted/updated, never unchanged") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("cdc", 2)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("keep", Some(Array(1f, 0f)), id = Some("a")),
+      ChunkIn("old", Some(Array(0f, 1f)), id = Some("b")),
+      ChunkIn("gone", Some(Array(1f, 1f)), id = Some("c"))))
+    val v0 = eng.chunksVersion.get
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("new text", Some(Array(0f, 1f)), id = Some("b")),
+      ChunkIn("fresh", Some(Array(1f, 0f)), id = Some("d"))))
+    eng.deleteChunk(lib, "c")
+    val v1 = eng.chunksVersion.get
+    val diff = eng.snapshotDiff(v0, v1).collect()
+      .map(r => r.getString(0) -> (r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(diff.keySet == Set("b", "c", "d"), "unchanged 'a' must not appear")
+    assert(diff("b") == (("updated", Some("old"), Some("new text"))))
+    assert(diff("c") == (("deleted", Some("gone"), None)))
+    assert(diff("d") == (("added", None, Some("fresh"))))
+    // reversed diff mirrors the change set
+    val rev = eng.snapshotDiff(v1, v0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rev == Map("b" -> "updated", "c" -> "added", "d" -> "deleted"))
+    // identical versions -> empty diff
+    assert(eng.snapshotDiff(v1, v1).isEmpty)
+  }
+
   test("document/library metadata verbs: create, has_tag, update, CAS, with-chunks") {
     val eng = freshEngine()
     val lib = eng.createLibrary("meta", 2,
