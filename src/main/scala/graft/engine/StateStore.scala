@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Versioned parquet snapshot store.
@@ -109,6 +110,20 @@ final class StateStore(spark: SparkSession, root: String) {
       .parquet(dir)
     repoint(table, next)
   }
+
+  /** SMALL-FILE COMPACTION: rewrite the current snapshot with each
+    * library's partition collapsed to (about) one file — a bulk ingest
+    * with N shuffle partitions leaves N part files per library, and a
+    * read-heavy table wants few large files (footer/open overhead and
+    * row-group-level stats both improve). One repartition-by-key shuffle
+    * routes each library to a single task, then the normal versioned
+    * write + repoint: readers of the old version are never disturbed and
+    * vacuum reclaims it later. Returns the new version, or -1 when the
+    * table has no snapshot yet.
+    */
+  def compact(table: String, schema: StructType): Long =
+    if (!exists(table)) -1L
+    else write(table, read(table, schema).repartition(col("library_id")))
 
   /** PARTITION-SELECTIVE rewrite: the next snapshot replaces ONLY the
     * given library's partition; every other `library_id=*` directory is

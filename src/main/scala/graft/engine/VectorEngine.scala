@@ -123,6 +123,15 @@ final class VectorEngine(
     */
   private def maybeVacuum(): Unit = autoVacuumKeep.foreach(n => vacuum(n))
 
+  /** Small-file compaction of the chunk table (the data-scale table): a
+    * bulk ingest with N shuffle partitions leaves N part files per
+    * library; this collapses each library's partition to ~one file in a
+    * fresh snapshot version (content unchanged, readers undisturbed,
+    * `vacuum` reclaims the fragmented version later). Returns the new
+    * snapshot version, or -1 when no chunk snapshot exists yet.
+    */
+  def compactChunks(): Long = store.compact("chunks", Schemas.chunks)
+
   private def lshPlanes(libId: String): DataFrame =
     store.read("lsh_planes", Schemas.lshPlanes).filter(col("library_id") === libId)
   private def lshBuckets(libId: String): DataFrame =

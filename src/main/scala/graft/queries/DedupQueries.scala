@@ -696,7 +696,103 @@ object DedupQueries {
     "d_mixture_sample"  -> (mixtureSample _),
     "d_source_overlap"  -> (sourceOverlap _),
     "d_span_repeat"     -> (spanRepeat _),
+    "d_span_strip"      -> (spanStrip _),
+    "d_minhash_eval"    -> (minhashEval _),
   )
+
+  /** MINHASH BANDING EVALUATION — "measure, don't guess" for the dedup
+    * family, the way the recall entries measure the ANN families: every
+    * banded candidate pair is scored with the EXACT 3-gram-shingle-set
+    * Jaccard (the quantity minhash estimates), and the entry reports the
+    * candidate count, how many clear the 0.5 / 0.3 thresholds, and the
+    * exact micro-unit Jaccard mass — i.e. the banding precision a
+    * pipeline operator reads before trusting the candidate graph.
+    * Per-pair Jaccard in micro-units floored BEFORE the sum, so the
+    * aggregate is exact BIGINT on both engines.
+    *
+    * 100 TB shape: work is bounded by the CANDIDATE count (the thing
+    * banding already made small), never all-pairs; the per-doc shingle
+    * sets are materialized once and equi-joined to the pair list; the
+    * per-pair intersection is the allocation-free sorted-merge counter
+    * the jaccard family already uses. Recall (missed true pairs) is
+    * deliberately NOT measured here — that is O(N^2) by definition and
+    * belongs on a bounded sample.
+    */
+  private def minhashEval(s: SparkSession, d: String): DataFrame = {
+    val sets = docs(s, d).select(col("doc_id"),
+      array_sort(array_distinct(transform(shingles(toks, 3), g => hash60(g))))
+        .as("sset"))
+    val j6 = candidatePairs(s, d)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
+      .withColumn("inter", graft.functions.SetExpressions
+        .sortedIntersectCount(col("sa"), col("sb")).cast("double"))
+      .withColumn("j",
+        when(size(col("sa")) + size(col("sb")) - col("inter") === 0.0, lit(0.0))
+          .otherwise(col("inter") /
+            (size(col("sa")) + size(col("sb")) - col("inter"))))
+      .select(floor(col("j") * lit(1000000.0) + lit(0.5)).cast("long").as("j6"))
+    j6.agg(
+        count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("j6") >= 500000L, 1L).otherwise(0L)).as("n_j50"),
+        sum(when(col("j6") >= 300000L, 1L).otherwise(0L)).as("n_j30"),
+        sum(col("j6")).as("sum_j6"))
+      .select(col("n_pairs"),
+        coalesce(col("n_j50"), lit(0L)).as("n_j50"),
+        coalesce(col("n_j30"), lit(0L)).as("n_j30"),
+        coalesce(col("sum_j6"), lit(0L)).as("sum_j6"),
+        rnd(coalesce(col("n_j50").cast("double") / col("n_pairs"), lit(0.0)), 6)
+          .as("prec50"),
+        rnd(coalesce(col("n_j30").cast("double") / col("n_pairs"), lit(0.0)), 6)
+          .as("prec30"))
+  }
+
+  /** REPEATED-SPAN REMOVAL — the transform the [[spanRepeat]] audit
+    * feeds: every 8-token window whose exact text occurs in >= 2 distinct
+    * documents is boilerplate; all token positions covered by such a
+    * window are dropped and each document is reassembled from the
+    * surviving tokens (cross-document template/boilerplate removal at
+    * span granularity — whole-doc dedup can't touch these). The output
+    * hash-checks the md5 of every reassembled document, so an
+    * off-by-one in window coverage fails.
+    *
+    * 100 TB shape: hot grams come from the same (gram, doc)-distinct agg
+    * as the audit (per-gram group bounded by doc count); coverage is an
+    * equi-join of the positioned window stream against the hot set (no
+    * broadcast assumption — hot boilerplate can be huge), an 8x position
+    * explode of MATCHED windows only, and one anti-join on (doc, pos).
+    * Reassembly sorts each doc's kept tokens inside a single per-doc
+    * aggregation; nothing is ever pairwise.
+    */
+  private def spanStrip(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), toks.as("tk"))
+    // positioned window stream (1-based start p, matching the oracle)
+    val gt = base
+      .select(col("doc_id"), posexplode(shingles(col("tk"), 8)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+    val hot = gt.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val cov = gt.join(hot, "g")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("pos"))
+      .distinct()
+    val tok = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+    val kept = tok.as("t").join(cov.as("c"),
+      expr("t.doc_id = c.doc_id AND t.i = c.pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok"))).as("stripped"))
+    base.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        md5(coalesce(col("stripped"), lit(""))).as("strip_md5"))
+      .orderBy(col("doc_id").asc)
+  }
 
   /** CROSS-DOCUMENT REPEATED-SPAN AUDIT — the span-granularity
     * approximation of exact-substring dedup ("dedup repeated training
@@ -901,6 +997,38 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "d_minhash_eval" ->
+      s"""WITH bands AS ($bandRowsSql),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |       AND a.doc_id < b.doc_id),
+         |ss AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform($shinglesSql,
+         |           g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS sset
+         |  FROM documents),
+         |jp AS (
+         |  SELECT len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS inter,
+         |         len(sa.sset) AS na, len(sb.sset) AS nb
+         |  FROM cp JOIN ss sa ON sa.doc_id = cp.doc_a
+         |          JOIN ss sb ON sb.doc_id = cp.doc_b),
+         |j AS (
+         |  SELECT CAST(floor((CASE WHEN na + nb - inter = 0 THEN 0.0
+         |           ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS j6
+         |  FROM jp),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(coalesce(SUM(CASE WHEN j6 >= 500000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_j50,
+         |         CAST(coalesce(SUM(CASE WHEN j6 >= 300000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_j30,
+         |         CAST(coalesce(SUM(j6), 0) AS BIGINT) AS sum_j6
+         |  FROM j)
+         |SELECT n_pairs, n_j50, n_j30, sum_j6,
+         |       ${rndSql("coalesce(CAST(n_j50 AS DOUBLE) / n_pairs, 0.0)", 6)} AS prec50,
+         |       ${rndSql("coalesce(CAST(n_j30 AS DOUBLE) / n_pairs, 0.0)", 6)} AS prec30
+         |FROM agg""".stripMargin,
     // d_incremental: the batch-vs-index probe replayed as two band joins;
     // the split replays the Spark side's computed max - max/5 threshold.
     // e_stream_dedup_incremental streams the SAME increment through
@@ -1140,5 +1268,37 @@ object DedupQueries {
          |       ${rndSql("coalesce(CAST(pd.n_shared AS DOUBLE) / pd.n_spans, 0.0)", 6)} AS shared_frac
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    "d_span_strip" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |gp AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS p
+         |  FROM tks),
+         |gt AS (
+         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 7), ' ') AS g
+         |  FROM gp),
+         |hot AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt)
+         |        GROUP BY g HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT gt.doc_id, unnest(generate_series(gt.p, gt.p + 7)) AS pos
+         |    FROM gt JOIN hot USING (g))),
+         |tok AS (
+         |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+         |  FROM tks),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.tk[t.i] AS tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.i
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(list(tok ORDER BY i ASC), ' ') AS stripped
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(len(t.tk) AS INTEGER) AS n_tokens,
+         |       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+         |       md5(coalesce(a.stripped, '')) AS strip_md5
+         |FROM documents d JOIN tks t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id ASC""".stripMargin,
   )
 }

@@ -208,6 +208,21 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** PRE-FILTERED det-LSH search (preFilter = true, the documented
+    * deviation from quirk Q5): the tag filter restricts candidate
+    * generation — bucket rows semi-joined against allowed ids BEFORE the
+    * multiplicity rank and cap — so filtered queries do not starve. The
+    * DuckDB oracle replays the filtered probe end to end, closing the
+    * one search mode (pre-filtering) that had spec-only coverage.
+    */
+  private def engineLshDetPrefiltered(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+    hitsOut(eng.search(lib, q, k = 10,
+      filters = Some(SearchFilters(tags = Seq("label0", "label2"))),
+      preFilter = true))
+  }
+
   private def engineIvfDet(s: SparkSession, d: String): DataFrame = {
     val (eng, lib, q) = engineFixture(s, d,
       IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
@@ -318,6 +333,43 @@ object EngineQueries {
     val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
+  /** AGGREGATE recall@10 over the 25-query annJoin — the multi-query
+    * sibling of the single-query recall metrics: per-query recall of the
+    * ivfpq annJoin against each query's exact-cosine top-10, 25 rows,
+    * BOTH sides SQL (the batched ivfpq replay + a windowed exact
+    * ranking), so the whole recall distribution is hash-checked rather
+    * than one canonical query's point estimate. Exact side is one
+    * broadcast of the 25 queries against the corpus scan + a per-query
+    * k-bounded window — queries x corpus stays one pass at any scale.
+    */
+  private def engineAnnJoinRecall(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val approx = batchHits(eng.annJoin(lib, qDf, k = 10))
+      .select(col("query_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = Tables.embeddings(s, d)
+      .crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        rnd(graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("query_id"), col("vec_id"))
+    val common = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).cast("int").as("nc"))
+    qDf.select(col("query_id")).distinct()
+      .join(common, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("nc"), lit(0)).as("n_common"),
+        rnd(coalesce(col("nc"), lit(0)).cast("double") / 10.0, 6)
+          .as("recall_at_10"))
+      .orderBy(col("query_id").asc)
   }
 
   /** CORPUS-SCALE ANN SELF-JOIN: EVERY corpus vector queries the ivfpq
@@ -735,6 +787,8 @@ object EngineQueries {
     "x_ivfpqdet_recall_curve" -> (ivfpqDetRecallCurve _),
     "x_engine_timetravel"    -> (engineTimeTravel _),
     "x_engine_snapshot_diff" -> (engineSnapshotDiff _),
+    "x_engine_lshdet_prefiltered" -> (engineLshDetPrefiltered _),
+    "x_engine_annjoin_recall" -> (engineAnnJoinRecall _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -787,16 +841,35 @@ object EngineQueries {
       |  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig
       |  FROM sigbits GROUP BY vec_id, t)""".stripMargin
 
-  private val lshDetQueryCtes =
+  private val lshDetProbeCtes =
     """qsig AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
       |probes AS (
       |  SELECT t, sig FROM qsig
       |  UNION ALL
       |  SELECT q.t, xor(q.sig, CAST(1 AS BIGINT) << h.p) AS sig
-      |  FROM qsig q, range(4) h(p)),
+      |  FROM qsig q, range(4) h(p))""".stripMargin
+
+  private val lshDetCandCte =
+    """cand AS (
+      |  SELECT s.vec_id, count(*) AS n_matches
+      |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
+      |  GROUP BY s.vec_id
+      |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
+
+  private val lshDetQueryCtes = lshDetProbeCtes + ",\n" + lshDetCandCte
+
+  // PRE-FILTERED candidate generation (the documented quirk-Q5 deviation,
+  // preFilter = true): the bucket rows are semi-joined against the ids
+  // passing the tag filter BEFORE the multiplicity rank and the 6k cap —
+  // so the cap is spent on MATCHING candidates and a filtered query
+  // returns k rows whenever k matching candidates exist. Mirrors
+  // VectorEngine.search's restrict(lshBuckets(...)).
+  private val lshDetPrefilteredCandCte =
+    """allowed AS (SELECT vec_id FROM embeddings WHERE label IN (0, 2)),
       |cand AS (
       |  SELECT s.vec_id, count(*) AS n_matches
       |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
+      |       JOIN allowed a ON a.vec_id = s.vec_id
       |  GROUP BY s.vec_id
       |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
 
@@ -1252,6 +1325,11 @@ object EngineQueries {
     "x_engine_lsh_det" ->
       s"""WITH $lshDetCtes
          |$lshDetHitsSelect""".stripMargin,
+    "x_engine_lshdet_prefiltered" ->
+      s"""WITH $lshDetCorpusCtes,
+         |$lshDetProbeCtes,
+         |$lshDetPrefilteredCandCte
+         |$lshDetHitsSelect""".stripMargin,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
@@ -1346,6 +1424,32 @@ object EngineQueries {
     // streamed answers replayed by the same batched pipeline SQL — a
     // dropped, duplicated, or mis-ranked streamed query fails the hash
     "e_stream_ann" -> ivfpqBatchSqlFor(25),
+    // the 25-query recall distribution: the batched ivfpq replay joined
+    // against a windowed exact ranking, per-query intersection counts
+    "x_engine_annjoin_recall" ->
+      s"""WITH hits AS (
+         |  SELECT * FROM (
+         |${ivfpqBatchSqlFor(25)}
+         |  ) h),
+         |e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q3 AS (SELECT vec_id AS query_id, emb FROM e3 WHERE vec_id < 25),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${rndSql("list_cosine_similarity(c.emb, q.emb)", 6)} DESC,
+         |                      c.vec_id ASC) AS rn
+         |    FROM e3 c, q3 q) WHERE rn <= 10),
+         |cm AS (
+         |  SELECT h.query_id, count(*) AS nc
+         |  FROM (SELECT DISTINCT query_id, vec_id FROM hits) h
+         |       JOIN exact USING (query_id, vec_id)
+         |  GROUP BY h.query_id)
+         |SELECT q3.query_id,
+         |       CAST(coalesce(cm.nc, 0) AS INTEGER) AS n_common,
+         |       ${rndSql("CAST(coalesce(cm.nc, 0) AS DOUBLE) / 10.0", 6)} AS recall_at_10
+         |FROM q3 LEFT JOIN cm USING (query_id)
+         |ORDER BY query_id ASC""".stripMargin,
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.
     // nDCG@10 of the det ivfpq / lsh_det rankings — the graded quality

@@ -418,6 +418,29 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Language-ID EVALUATION — per-class precision/recall of the n-gram
+    * heuristic against the labeled `lang` column ("measure, don't
+    * guess": the classifier ships with its measured confusion, like the
+    * ANN families ship recall). Two keyed aggs over the prediction
+    * stream (by actual class, by predicted class) joined on the 5-class
+    * key — output is |classes| rows regardless of corpus size.
+    */
+  private def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val pred = langId(s, d).select(col("lang"), col("pred_lang"))
+    val byActual = pred.groupBy(col("lang")).agg(
+      count(lit(1)).cast("long").as("support"),
+      sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("tp"))
+    val byPred = pred.groupBy(col("pred_lang").as("lang2"))
+      .agg(count(lit(1)).cast("long").as("n_pred"))
+    byActual.join(byPred, col("lang") === col("lang2"), "left_outer")
+      .select(col("lang"), col("support"), col("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        rnd(col("tp").cast("double") / col("support"), 6).as("rec"),
+        rnd(coalesce(col("tp").cast("double") / col("n_pred"), lit(0.0)), 6)
+          .as("prec"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> (tokenStats _),
     "t_quality"     -> (quality _),
@@ -433,6 +456,7 @@ object TextQueries {
     "t_curriculum"     -> (curriculum _),
     "t_pii_scrub"      -> (piiScrub _),
     "t_quality_clf"    -> (qualityClf _),
+    "t_langid_eval"    -> (langIdEval _),
     "m_binary_meta" -> (binaryMeta _),
   )
 
@@ -694,5 +718,28 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
          |       CAST(sum(w9) AS BIGINT) AS score9, sum(w9) > 0 AS keep
          |FROM wt GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    "t_langid_eval" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    list_sort([
+         |      {'neg_hits': -${stopSql("de")}, 'l': 'de'},
+         |      {'neg_hits': -${stopSql("en")}, 'l': 'en'},
+         |      {'neg_hits': -${stopSql("es")}, 'l': 'es'},
+         |      {'neg_hits': -${stopSql("fr")}, 'l': 'fr'},
+         |      {'neg_hits': -${stopSql("zh")}, 'l': 'zh'}])[1] AS best
+         |  FROM documents),
+         |p AS (SELECT lang, best.l AS pred FROM h),
+         |ba AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS support,
+         |         CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM p GROUP BY lang),
+         |bp AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+         |       FROM p GROUP BY pred)
+         |SELECT ba.lang, ba.support, ba.tp,
+         |       CAST(coalesce(bp.n_pred, 0) AS BIGINT) AS n_pred,
+         |       ${rndSql("CAST(ba.tp AS DOUBLE) / ba.support", 6)} AS rec,
+         |       ${rndSql("coalesce(CAST(ba.tp AS DOUBLE) / bp.n_pred, 0.0)", 6)} AS prec
+         |FROM ba LEFT JOIN bp USING (lang)
+         |ORDER BY lang ASC""".stripMargin,
   )
 }

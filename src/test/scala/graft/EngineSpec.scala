@@ -1079,6 +1079,44 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.snapshotDiff(v1, v1).isEmpty)
   }
 
+  test("compaction: collapses per-library part files, preserves content and history") {
+    import spark.implicits._
+    val dir = graft.TempDirs.scratch("graft-compact-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("cmp", 2)
+    val doc = eng.createDocument(lib)
+    // spread the ingest over several tasks -> several part files per lib
+    eng.bulkIngest(lib, doc, (0 until 200)
+      .map(i => (f"c$i%04d", s"text $i", Array(i.toFloat, 1f)))
+      .toDF("id", "text", "embedding").repartition(8))
+    def partFiles(version: Long): Int = {
+      val vd = java.nio.file.Paths.get(dir, "chunks", s"v$version")
+      val st = java.nio.file.Files.walk(vd)
+      try {
+        val it = st.iterator()
+        var n = 0
+        while (it.hasNext)
+          if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+        n
+      } finally st.close()
+    }
+    val v0 = eng.chunksVersion.get
+    val before = partFiles(v0)
+    assert(before > 1, s"expected a fragmented ingest, got $before files")
+    val content = eng.chunks.select("id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val v1 = eng.compactChunks()
+    assert(v1 == v0 + 1)
+    assert(partFiles(v1) == 1, s"compaction left ${partFiles(v1)} files")
+    assert(eng.chunks.select("id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == content)
+    assert(eng.search(lib, Array(1f, 1f), k = 1).collect().nonEmpty)
+    // the fragmented version stays time-travel readable until vacuumed
+    assert(eng.chunksAt(v0).count() == 200)
+    assert(eng.vacuum(keepLast = 1) > 0)
+    intercept[IllegalArgumentException] { eng.chunksAt(v0) }
+  }
+
   test("document/library metadata verbs: create, has_tag, update, CAS, with-chunks") {
     val eng = freshEngine()
     val lib = eng.createLibrary("meta", 2,
