@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{ChunkIn, IndexConfig, SearchFilters, VectorEngine}
@@ -371,6 +371,43 @@ object EngineQueries {
           .as("recall_at_10"))
       .orderBy(col("query_id").asc)
   }
+
+  /** INCREMENTAL INDEX MAINTENANCE, hash-checked end to end: the ivfpq
+    * index is built on the BASE corpus only (vec_id < 400), then the
+    * remaining 100 vectors arrive through `bulkIngest` — the engine's
+    * incremental add path assigns + residual-encodes them against the
+    * FROZEN centroids/codebooks (no retrain, the FAISS add-after-train
+    * contract) — and four chunks are deleted, exercising the codes
+    * anti-join removal. The oracle replays seeds/codewords from the base
+    * subset and encoding over the survivors, so a drifted incremental
+    * encode, a missed add, or an unremoved code all fail the hash.
+    *
+    * 100 TB shape: between rebuilds an ingest touches ONLY its own rows
+    * (map-side assign + encode) plus one partition-selective codes
+    * write, and a delete anti-joins one partition — the corpus is never
+    * rescanned, which is what keeps an indexed 100 TB store writable.
+    */
+  private def engineIvfPqIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft-engine-incr").toString
+    val eng = new VectorEngine(s, root, fixedClock)
+    val lib = eng.createLibrary("engine-incr", 64, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val doc = eng.createDocument(lib)
+    def rows(pred: Column): DataFrame = Tables.embeddings(s, d).filter(pred)
+      .select(format_string("c%06d", col("vec_id")).as("id"),
+        format_string("vec %d", col("vec_id")).as("text"),
+        col("embedding"))
+    eng.bulkIngest(lib, doc, rows(col("vec_id") < ivfpqIncrBase))
+    eng.rebuildIndex(lib) // centroids + codebooks frozen from the base
+    eng.bulkIngest(lib, doc, rows(col("vec_id") >= ivfpqIncrBase))
+    ivfpqIncrDeleted.foreach(i => eng.deleteChunk(lib, f"c$i%06d"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  private val ivfpqIncrBase = 400
+  private val ivfpqIncrDeleted = Seq(5, 12, 373, 450)
 
   /** CORPUS-SCALE ANN SELF-JOIN: EVERY corpus vector queries the ivfpq
     * index for its top-10 — the real shape of embedding near-dup
@@ -789,6 +826,7 @@ object EngineQueries {
     "x_engine_snapshot_diff" -> (engineSnapshotDiff _),
     "x_engine_lshdet_prefiltered" -> (engineLshDetPrefiltered _),
     "x_engine_annjoin_recall" -> (engineAnnJoinRecall _),
+    "x_engine_ivfpq_incremental" -> (engineIvfPqIncremental _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1062,8 +1100,16 @@ object EngineQueries {
   // 60 (dist asc, id asc) -> exact cosine rerank of the float-normalized
   // vector vs the RAW query. Mirrors IvfPqIndex.build/encode/candidates +
   // VectorEngine.search.
-  private val ivfpqCorpusCtes =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  private val ivfpqCorpusCtes = ivfpqCorpusCtesWith("TRUE", "TRUE")
+
+  /** The ivfpq corpus replay, parameterized: `seedPred` restricts which
+    * vectors the md5-seed centroids/codewords may come from (the corpus
+    * AT BUILD TIME), `livePred` restricts which vectors end up encoded
+    * (the corpus NOW). TRUE/TRUE is the classic build-and-query replay;
+    * the incremental entry replays build-on-base + encode-the-survivors.
+    */
+  private def ivfpqCorpusCtesWith(seedPred: String, livePred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
       |  SELECT vec_id, emb,
@@ -1071,7 +1117,7 @@ object EngineQueries {
       |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
       |  FROM nr WHERE n > 0),
       |seeds AS (
-      |  SELECT vec_id FROM vn
+      |  SELECT vec_id FROM vn WHERE $seedPred
       |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
       |  LIMIT 8),
       |cents AS (
@@ -1094,7 +1140,7 @@ object EngineQueries {
       |  GROUP BY a.vec_id, a.centroid_id),
       |cw AS (
       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS k, res
-      |  FROM (SELECT vec_id, res FROM res
+      |  FROM (SELECT vec_id, res FROM res WHERE $seedPred
       |        ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
       |        LIMIT 16)),
       |cb AS (
@@ -1103,7 +1149,7 @@ object EngineQueries {
       |vs AS (
       |  SELECT r.vec_id, r.centroid_id, g.m,
       |         list_slice(r.res, g.m*8 + 1, g.m*8 + 8) AS sv
-      |  FROM res r, range(8) g(m)),
+      |  FROM res r, range(8) g(m) WHERE $livePred),
       |enc AS (
       |  SELECT vec_id, centroid_id, m, k FROM (
       |    SELECT vs.vec_id, vs.centroid_id, vs.m, cb.k,
@@ -1358,6 +1404,19 @@ object EngineQueries {
     // identical hits for queries vec 0, 1, 2
     "x_engine_pq_annjoin" -> pqBatchSql,
     "x_engine_ivfpq" -> ivfpqHitsSql,
+    // incremental maintenance replay: seeds/codewords restricted to the
+    // corpus AT BUILD TIME (vec_id < base), encoding restricted to the
+    // SURVIVORS (base + delta minus the deleted ids) — exactly the index
+    // state the engine's add/remove paths maintain between rebuilds
+    "x_engine_ivfpq_incremental" ->
+      s"""WITH ${ivfpqCorpusCtesWith(
+              s"vec_id < $ivfpqIncrBase",
+              s"vec_id NOT IN (${ivfpqIncrDeleted.mkString(", ")})")},
+         |$ivfpqSingleQueryCtes
+         |SELECT c.vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+         |FROM cand c JOIN vn v USING (vec_id)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "x_engine_ivfpq_batch" -> ivfpqBatchSql,
     "x_engine_lshdet_batch" -> lshDetBatchSql,
     // same replay as the Seq-batch lsh_det entry: annJoin's

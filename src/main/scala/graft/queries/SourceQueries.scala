@@ -88,6 +88,33 @@ object SourceQueries {
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
+  /** SLIDING (hopping) windowed aggregation — the overlapping-window
+    * sibling of [[streamTumbling]]: 2-day windows sliding by 1 day, so
+    * every event lands in exactly two windows (Spark epoch-aligns window
+    * starts to the slide, i.e. UTC midnights). The oracle replays the
+    * two-window membership as an explicit 2-element unnest per event.
+    * State is one row per (window, event_type) — bounded by the key
+    * space and the watermark horizon, never by corpus size.
+    */
+  private def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val src = graft.streaming.EventStream.eventsParquetStream(s, d,
+      Seq("event_id", "ts", "event_type", "value"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+    withStreamStateParallelism(s) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("graft_stream_sliding")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_sliding")
+      .orderBy(col("wstart").asc, col("event_type").asc)
+  }
+
   /** Stateful streaming end-to-end: per-user sessionization (30-min idle
     * gap) via mapGroupsWithState over the replayed events file — custom
     * state machines through the REAL streaming runtime, with the batch
@@ -324,6 +351,7 @@ object SourceQueries {
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
     "e_stream_tumbling" -> (streamTumbling _),
+    "e_stream_sliding"  -> (streamSliding _),
     "e_stream_sessions" -> (streamSessions _),
     "e_stream_dedup"   -> (streamDedup _),
     "e_stream_join"    -> (streamStreamJoin _),
@@ -369,6 +397,15 @@ object SourceQueries {
         |       count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""".stripMargin,
+    "e_stream_sliding" ->
+      """WITH x AS (
+        |  SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |                 CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP)]) AS wstart,
+        |         event_type, value
+        |  FROM events)
+        |SELECT wstart, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM x GROUP BY 1, 2 ORDER BY wstart ASC, event_type ASC""".stripMargin,
     "e_stream_dedup" ->
       """SELECT event_type, count(*) AS n_distinct_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)

@@ -1117,6 +1117,41 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { eng.chunksAt(v0) }
   }
 
+  test("incremental ivfpq maintenance: delta encoded against frozen centroids, removal anti-joins codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = graft.TempDirs.scratch("graft-incr-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("incr", 4, IndexConfig("ivfpq",
+      ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 4))
+    val doc = eng.createDocument(lib)
+    def batch(ids: Range) = ids
+      .map(i => (f"c$i%04d", s"text $i",
+        Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+          math.cos(i * 1.3).toFloat, math.sin(i * 1.3).toFloat)))
+      .toDF("id", "text", "embedding")
+    eng.bulkIngest(lib, doc, batch(0 until 20))
+    eng.rebuildIndex(lib)
+    val store = new StateStore(spark, dir)
+    def codes = store.read("ivfpq_codes", Schemas.ivfpqCodes)
+    def frozen: (Seq[String], Seq[String]) = (
+      store.read("ivf_centroids", Schemas.ivfCentroids)
+        .collect().map(_.toString).sorted.toSeq,
+      store.read("pq_codebooks", Schemas.pqCodebooks)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(codes.count() == 20)
+    val before = frozen
+    // delta ingest: encoded incrementally, NO retrain of cells/codebooks
+    eng.bulkIngest(lib, doc, batch(20 until 30))
+    assert(codes.count() == 30)
+    assert(frozen == before)
+    // removal: the deleted chunk's code row is anti-joined away
+    eng.deleteChunk(lib, "c0005")
+    assert(codes.count() == 29)
+    assert(codes.filter(col("chunk_id") === "c0005").isEmpty)
+    assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
+  }
+
   test("document/library metadata verbs: create, has_tag, update, CAS, with-chunks") {
     val eng = freshEngine()
     val lib = eng.createLibrary("meta", 2,
