@@ -75,6 +75,12 @@ object PlanDump {
     "m_pixel_dedup",           // decode scan -> content fingerprint -> one 32-byte-key shuffle
     "m_phash_neardup",         // aHash decode scan -> broadcast hamming pairs
     "t_curriculum",            // bounded score-histogram deciles, broadcast thresholds
+    "d_span_strip",            // hot-gram equi-join -> matched-window explode -> (doc,pos) anti-join
+    "d_minhash_eval",          // exact Jaccard over the candidate set only (never all-pairs)
+    "x_engine_ivfpq_incremental", // frozen-centroid delta encode + codes anti-join state
+    "v_maxsim",                // broadcast query set -> two partial aggs -> TakeOrdered
+    "q_hll_merge",             // register-wise max merge: |groups| x 64 rows in
+    "d_weighted_sample",       // integer-threshold Bernoulli keep on one narrow scan
   )
 
   def main(args: Array[String]): Unit = {

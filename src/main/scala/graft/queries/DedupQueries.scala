@@ -698,7 +698,26 @@ object DedupQueries {
     "d_span_repeat"     -> (spanRepeat _),
     "d_span_strip"      -> (spanStrip _),
     "d_minhash_eval"    -> (minhashEval _),
+    "d_weighted_sample" -> (weightedSample _),
   )
+
+  /** QUALITY-WEIGHTED Bernoulli sampling — per-document importance
+    * sampling with an integer-exact keep decision: weight w =
+    * min(n_tokens, 100) (standing in for any integer quality score),
+    * P(keep) = w/100 via hash60("ws:" || doc_id) < w * floor(2^60/100).
+    * Every comparison is BIGINT, so the kept set is bit-identical on any
+    * engine and STABLE under re-runs — re-sampling the same corpus keeps
+    * the same documents, the property [[stratifiedSample]]'s hash-mod
+    * has per stratum, here carried per ITEM with its own weight. One
+    * narrow map-side scan; no shuffle, no RNG state.
+    */
+  private def weightedSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), least(size(toks), lit(100)).cast("long").as("w"),
+        hash60(concat(lit("ws:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("w"),
+        (col("h") < col("w") * lit((1L << 60) / 100)).as("kept"))
+      .orderBy(col("doc_id").asc)
 
   /** MINHASH BANDING EVALUATION — "measure, don't guess" for the dedup
     * family, the way the recall entries measure the ANN families: every
@@ -1268,6 +1287,14 @@ object DedupQueries {
          |       ${rndSql("coalesce(CAST(pd.n_shared AS DOUBLE) / pd.n_spans, 0.0)", 6)} AS shared_frac
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    "d_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CAST(least(len($toksSql), 100) AS BIGINT) AS w,
+         |         CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, w, h < w * ((CAST(1 AS BIGINT) << 60) // 100) AS kept
+         |FROM w ORDER BY doc_id ASC""".stripMargin,
     "d_span_strip" ->
       s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |gp AS (

@@ -185,10 +185,40 @@ object RetrievalQueries {
       .orderBy(col("rank").asc)
   }
 
+  /** LATE-INTERACTION (ColBERT-shape) MaxSim retrieval: the query is a
+    * SET of vectors, a candidate is a SET of vectors (here vec_id % 100
+    * buckets of 5 corpus embeddings stand in for a document's
+    * token/chunk vectors), and score(candidate) = sum over query vectors
+    * of the MAX cosine against the candidate's vectors. Per-pair cosines
+    * drop to exact micro-units BEFORE the max/sum, so the ranking is
+    * exact BIGINT on both engines.
+    *
+    * 100 TB shape: ONE corpus scan against the broadcast query set, two
+    * partial-aggregating groupBys (max, then sum — both combine
+    * map-side), and a k-bounded TakeOrdered; nothing is ever pairwise
+    * across candidates. The bucketed corpus stands in for a multi-vector
+    * table keyed by doc_id — the plan is unchanged when the bucket key
+    * is a real document id.
+    */
+  private def maxSim(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    emb.crossJoin(broadcast(q))
+      .select((col("vec_id") % 100).cast("int").as("grp"), col("qid"),
+        floor(cosineSim(col("embedding"), col("qvec")) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("cu"))
+      .groupBy(col("grp"), col("qid")).agg(max(col("cu")).as("mx"))
+      .groupBy(col("grp")).agg(sum(col("mx")).as("score_u"))
+      .orderBy(col("score_u").desc, col("grp").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bm25"       -> (bm25 _),
     "v_hybrid_rrf" -> (hybridRrf _),
     "v_mmr_rerank" -> (mmrRerank _),
+    "v_maxsim"     -> (maxSim _),
     "d_dsir"       -> (dsir _),
   )
 
@@ -228,6 +258,17 @@ object RetrievalQueries {
   private val bm25Ctes = bm25CtesFor("documents", "doc_id")
 
   val oracles: Map[String, String] = Map(
+    "v_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 3),
+        |cu AS (
+        |  SELECT CAST(e.vec_id % 100 AS INT) AS grp, q.qid,
+        |         CAST(floor(list_cosine_similarity(e.emb, q.qv) * 1000000.0 + 0.5) AS BIGINT) AS cu
+        |  FROM e, q),
+        |mx AS (SELECT grp, qid, MAX(cu) AS mx FROM cu GROUP BY grp, qid)
+        |SELECT grp, CAST(SUM(mx) AS BIGINT) AS score_u
+        |FROM mx GROUP BY grp
+        |ORDER BY score_u DESC, grp ASC LIMIT 10""".stripMargin,
     "t_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_tokens, n_hit,

@@ -34,22 +34,65 @@ object SketchQueries {
     * partial merge is a max, associative and partitioning-independent).
     * At scale: one shuffle of (keys x 64) register rows.
     */
-  private def hllRegisters(hashed: DataFrame, keys: Seq[String]): DataFrame = {
+  private def hllRegisters(hashed: DataFrame, keys: Seq[String]): DataFrame =
+    hllZ(hllRegisterRows(hashed, keys), keys)
+
+  /** The materialized per-(keys, register) max-rho rows — the SKETCH
+    * itself, exposed so [[hllMerge]] can merge sketches register-wise
+    * without re-reading the hashed input.
+    */
+  private def hllRegisterRows(hashed: DataFrame, keys: Seq[String]): DataFrame = {
     val regs = hashed.select(keys.map(col) ++ Seq(
       (col("h") % 64).cast("int").as("reg"), expr("h div 64").as("w")): _*)
     val rho = when(col("w") === 0, lit(55)).otherwise(
       log2(col("w").bitwiseAND(-col("w"))).cast("int") + 1)
     regs.select(keys.map(col) ++ Seq(col("reg"), rho.as("rho")): _*)
       .groupBy((keys :+ "reg").map(col): _*).agg(max(col("rho")).as("mrho"))
-      .groupBy(keys.map(col): _*).agg(
-        sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
-          .cast("long").as("zp"),
-        count(lit(1)).as("npresent"))
   }
-  private def hllEstimate: org.apache.spark.sql.Column =
+
+  private def hllZ(regRows: DataFrame, keys: Seq[String]): DataFrame =
+    regRows.groupBy(keys.map(col): _*).agg(
+      sum(call_function("shiftleft", lit(1L), lit(55) - col("mrho")))
+        .cast("long").as("zp"),
+      count(lit(1)).as("npresent"))
+
+  private def hllEstimate: org.apache.spark.sql.Column = hllEstimateAs("hll_estimate")
+  private def hllEstimateAs(name: String): org.apache.spark.sql.Column =
     rnd(lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55.0)) /
       (col("zp") + (lit(64L) - col("npresent")) * lit(1L << 55)).cast("double"),
-      4).as("hll_estimate")
+      4).as(name)
+
+  /** SKETCH MERGEABILITY — the property that makes sketches the 100 TB
+    * answer to distinct-counting: per-nation HLL sketches are built
+    * independently, then every REGION estimate comes from a
+    * register-wise max over its nations' sketches — the raw rows are
+    * never re-read. The entry emits the merged estimate NEXT TO the
+    * directly-built region sketch and the exact count; merged == direct
+    * is the mergeability identity (register max is associative), and
+    * the oracle replays both paths. At scale the merge input is
+    * |groups| x 64 rows, whatever the fact-table size.
+    */
+  private def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("regionkey"),
+        col("n_nationkey").as("nationkey"), col("c_custkey").as("k"))
+    val hashed = src.select(col("regionkey"), col("nationkey"),
+      hash60(col("k").cast("string")).as("h"))
+    val nationRegs = hllRegisterRows(hashed, Seq("regionkey", "nationkey"))
+    val merged = hllZ(nationRegs.groupBy(col("regionkey"), col("reg"))
+        .agg(max(col("mrho")).as("mrho")), Seq("regionkey"))
+      .select(col("regionkey"), hllEstimateAs("est_merged"))
+    val direct = hllZ(hllRegisterRows(hashed.select(col("regionkey"), col("h")),
+        Seq("regionkey")), Seq("regionkey"))
+      .select(col("regionkey"), hllEstimateAs("est_direct"))
+    val exact = src.groupBy(col("regionkey"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    exact.join(direct, Seq("regionkey")).join(merged, Seq("regionkey"))
+      .select(col("regionkey"), col("n_exact"),
+        col("est_direct"), col("est_merged"))
+      .orderBy(col("regionkey").asc)
+  }
 
   private def hllCustkey(s: SparkSession, d: String): DataFrame = {
     val z = hllRegisters(Tables.orders(s, d)
@@ -301,6 +344,7 @@ object SketchQueries {
     "q_approx_quantile" -> (approxQuantile _),
     "q_cms_topk"       -> (cmsTopk _),
     "q_hll_by_flag"    -> (hllByFlag _),
+    "q_hll_merge"      -> (hllMerge _),
   )
 
   /** ONE DuckDB template for every deterministic-HLL oracle — the SQL
@@ -376,6 +420,41 @@ object SketchQueries {
     "q_hll_custkey" -> hllOracleSql("orders", "o_custkey", Nil),
     "q_hll_by_flag" ->
       hllOracleSql("lineitem", "l_partkey", Seq("l_returnflag")),
+    // the mergeability replay: per-nation max-rho register rows (nm),
+    // merged region-wise (mm) vs built region-wise directly (dm); the
+    // estimate formula is the one hllOracleSql template expression
+    "q_hll_merge" -> {
+      val est = rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)
+      s"""WITH src AS (
+         |  SELECT n.n_regionkey AS regionkey, n.n_nationkey AS nationkey,
+         |         c.c_custkey AS k
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |h AS (SELECT regionkey, nationkey,
+         |        CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |      FROM src),
+         |r AS (SELECT regionkey, nationkey, h % 64 AS reg, h // 64 AS w FROM h),
+         |rr AS (SELECT regionkey, nationkey, reg,
+         |         CASE WHEN w = 0 THEN 55
+         |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
+         |nm AS (SELECT regionkey, nationkey, reg, MAX(rho) AS mrho
+         |       FROM rr GROUP BY regionkey, nationkey, reg),
+         |mm AS (SELECT regionkey, reg, MAX(mrho) AS mrho
+         |       FROM nm GROUP BY regionkey, reg),
+         |zm AS (SELECT regionkey,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
+         |         COUNT(*) AS npresent FROM mm GROUP BY regionkey),
+         |dm AS (SELECT regionkey, reg, MAX(rho) AS mrho
+         |       FROM rr GROUP BY regionkey, reg),
+         |zd AS (SELECT regionkey,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
+         |         COUNT(*) AS npresent FROM dm GROUP BY regionkey),
+         |em AS (SELECT regionkey, $est AS est_merged FROM zm),
+         |ed AS (SELECT regionkey, $est AS est_direct FROM zd),
+         |e AS (SELECT regionkey, COUNT(DISTINCT k) AS n_exact FROM src GROUP BY regionkey)
+         |SELECT e.regionkey, e.n_exact, ed.est_direct, em.est_merged
+         |FROM e JOIN ed USING (regionkey) JOIN em USING (regionkey)
+         |ORDER BY regionkey ASC""".stripMargin
+    },
     "q_percentiles" ->
       s"""SELECT l_returnflag,
          |       ${rndSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
