@@ -699,7 +699,51 @@ object DedupQueries {
     "d_span_strip"      -> (spanStrip _),
     "d_minhash_eval"    -> (minhashEval _),
     "d_weighted_sample" -> (weightedSample _),
+    "d_pagerank"        -> (pageRank _),
   )
+
+  private val PrMass  = 1000000000000L // total initial rank, pico-units
+  private val PrSteps = 10
+
+  /** DETERMINISTIC INTEGER PAGERANK over the dup-candidate graph — link
+    * analysis on the SAME banded candidate edges the dedup family
+    * shares (a doc linked to many near-dup candidates concentrates
+    * rank; pipelines use this to pick canonical docs and to spot
+    * template hubs). Constant-jump formulation, every step in exact
+    * BIGINT pico-units: r0 = floor(S/N), r'(v) = floor(15*S/(100*N)) +
+    * sum over in-edges of floor(85*r(u) / (100*outdeg(u))), 10 fixed
+    * supersteps. Dangling mass is NOT redistributed (the constant-jump
+    * variant) — the identical rule on both engines, so the whole
+    * 10-step trajectory replays exactly; the oracle unrolls the
+    * supersteps as ten CTEs.
+    *
+    * 100 TB shape: rank state is NODES-scale; each superstep is one
+    * edges->rank equi-join plus one dst aggregation (both partial-agg
+    * friendly); edges/outdeg come once from the shared checkpointed
+    * candidate pairs. The fixed step count bounds plan depth; at graph
+    * scale each superstep's rank frame would be checkpointed exactly as
+    * the CC rounds are.
+    */
+  private def pageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).cast("long").as("odeg"))
+    val nodes = docs(s, d).select(col("doc_id"))
+    val n = nodes.count()
+    val jump = (15L * PrMass) / (100L * n)
+    var rank = nodes.select(col("doc_id"), lit(PrMass / n).as("r"))
+    for (_ <- 1 to PrSteps) {
+      val contrib = edges.join(rank, edges("src") === rank("doc_id"))
+        .join(odeg, "src")
+        .select(col("dst").as("doc_id"),
+          expr("(r * 85) div (odeg * 100)").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("con"))
+      rank = nodes.join(contrib, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), (lit(jump) + coalesce(col("con"), lit(0L))).as("r"))
+    }
+    rank.orderBy(col("r").desc, col("doc_id").asc).limit(20)
+  }
 
   /** QUALITY-WEIGHTED Bernoulli sampling — per-document importance
     * sampling with an integer-exact keep decision: weight w =
@@ -1287,6 +1331,37 @@ object DedupQueries {
          |       ${rndSql("coalesce(CAST(pd.n_shared AS DOUBLE) / pd.n_spans, 0.0)", 6)} AS shared_frac
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    // the 10-superstep integer-PageRank trajectory unrolled as CTEs; the
+    // candidate graph is the same bands self-join the pair entries replay
+    "d_pagerank" -> {
+      val steps = (1 to PrSteps).map { i =>
+        s"""p$i AS (
+           |  SELECT d.doc_id,
+           |         CAST((15 * $PrMass) // (100 * (SELECT n FROM nn)) AS BIGINT)
+           |           + COALESCE(c.con, CAST(0 AS BIGINT)) AS r
+           |  FROM documents d LEFT JOIN (
+           |    SELECT e.dst AS doc_id,
+           |           CAST(SUM((p.r * 85) // (o.odeg * 100)) AS BIGINT) AS con
+           |    FROM ed e JOIN p${i - 1} p ON p.doc_id = e.src
+           |         JOIN odeg o ON o.src = e.src
+           |    GROUP BY e.dst) c USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bands AS ($bandRowsSql),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |       AND a.doc_id < b.doc_id),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cp
+         |       UNION ALL SELECT doc_b, doc_a FROM cp),
+         |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |p0 AS (SELECT doc_id, CAST($PrMass // (SELECT n FROM nn) AS BIGINT) AS r
+         |       FROM documents),
+         |$steps
+         |SELECT doc_id, r FROM p$PrSteps
+         |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
     "d_weighted_sample" ->
       s"""WITH w AS (
          |  SELECT doc_id,

@@ -388,26 +388,54 @@ object EngineQueries {
     * rescanned, which is what keeps an indexed 100 TB store writable.
     */
   private def engineIvfPqIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = graft.TempDirs.scratch("graft-engine-incr").toString
+    val (eng, lib, q) = incrEngine(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16),
+      "ivfpq")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** LSH-family incremental maintenance — the second family through the
+    * add/remove paths: det-LSH planes derive from (table, plane, dim)
+    * md5 only (corpus-independent), so the incrementally-maintained
+    * bucket table must equal a full rebuild MINUS the deleted rows; the
+    * oracle is the lsh_det replay with the deleted ids excluded from
+    * candidate generation. Same base/delta/delete script as the ivfpq
+    * sibling.
+    */
+  private def engineLshDetIncremental(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4),
+      "lshdet")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** Shared incremental-maintenance fixture script: ingest the base,
+    * build the index on it, ingest the delta through the incremental add
+    * path, delete a few chunks through the incremental remove path.
+    * Deliberately NOT cached: the entries measure the maintenance
+    * mutations themselves.
+    */
+  private def incrEngine(s: SparkSession, d: String, config: IndexConfig,
+      tag: String): (VectorEngine, String, Array[Float]) = {
+    val root = graft.TempDirs.scratch(s"graft-engine-incr-$tag").toString
     val eng = new VectorEngine(s, root, fixedClock)
-    val lib = eng.createLibrary("engine-incr", 64, IndexConfig("ivfpq",
-      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val lib = eng.createLibrary(s"engine-incr-$tag", 64, config)
     val doc = eng.createDocument(lib)
     def rows(pred: Column): DataFrame = Tables.embeddings(s, d).filter(pred)
       .select(format_string("c%06d", col("vec_id")).as("id"),
         format_string("vec %d", col("vec_id")).as("text"),
         col("embedding"))
-    eng.bulkIngest(lib, doc, rows(col("vec_id") < ivfpqIncrBase))
-    eng.rebuildIndex(lib) // centroids + codebooks frozen from the base
-    eng.bulkIngest(lib, doc, rows(col("vec_id") >= ivfpqIncrBase))
-    ivfpqIncrDeleted.foreach(i => eng.deleteChunk(lib, f"c$i%06d"))
+    eng.bulkIngest(lib, doc, rows(col("vec_id") < incrBase))
+    eng.rebuildIndex(lib) // index state frozen from the base corpus
+    eng.bulkIngest(lib, doc, rows(col("vec_id") >= incrBase))
+    incrDeleted.foreach(i => eng.deleteChunk(lib, f"c$i%06d"))
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-    hitsOut(eng.search(lib, q, k = 10))
+    (eng, lib, q)
   }
 
-  private val ivfpqIncrBase = 400
-  private val ivfpqIncrDeleted = Seq(5, 12, 373, 450)
+  private val incrBase = 400
+  private val incrDeleted = Seq(5, 12, 373, 450)
 
   /** CORPUS-SCALE ANN SELF-JOIN: EVERY corpus vector queries the ivfpq
     * index for its top-10 — the real shape of embedding near-dup
@@ -827,6 +855,7 @@ object EngineQueries {
     "x_engine_lshdet_prefiltered" -> (engineLshDetPrefiltered _),
     "x_engine_annjoin_recall" -> (engineAnnJoinRecall _),
     "x_engine_ivfpq_incremental" -> (engineIvfPqIncremental _),
+    "x_engine_lshdet_incremental" -> (engineLshDetIncremental _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -895,6 +924,17 @@ object EngineQueries {
       |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
 
   private val lshDetQueryCtes = lshDetProbeCtes + ",\n" + lshDetCandCte
+
+  // incremental-maintenance replay: planes are corpus-independent, so
+  // the maintained bucket table equals a rebuild minus the deleted rows —
+  // the replay just excludes the deleted ids from candidate generation
+  private val lshDetIncrCandCte =
+    s"""cand AS (
+      |  SELECT s.vec_id, count(*) AS n_matches
+      |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
+      |  WHERE s.vec_id NOT IN (${incrDeleted.mkString(", ")})
+      |  GROUP BY s.vec_id
+      |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
 
   // PRE-FILTERED candidate generation (the documented quirk-Q5 deviation,
   // preFilter = true): the bucket rows are semi-joined against the ids
@@ -1376,6 +1416,11 @@ object EngineQueries {
          |$lshDetProbeCtes,
          |$lshDetPrefilteredCandCte
          |$lshDetHitsSelect""".stripMargin,
+    "x_engine_lshdet_incremental" ->
+      s"""WITH $lshDetCorpusCtes,
+         |$lshDetProbeCtes,
+         |$lshDetIncrCandCte
+         |$lshDetHitsSelect""".stripMargin,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
@@ -1410,8 +1455,8 @@ object EngineQueries {
     // state the engine's add/remove paths maintain between rebuilds
     "x_engine_ivfpq_incremental" ->
       s"""WITH ${ivfpqCorpusCtesWith(
-              s"vec_id < $ivfpqIncrBase",
-              s"vec_id NOT IN (${ivfpqIncrDeleted.mkString(", ")})")},
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")},
          |$ivfpqSingleQueryCtes
          |SELECT c.vec_id,
          |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
