@@ -232,8 +232,14 @@ object Multimodal {
 
   // ---- REAL audio decode (javax.sound.sampled) ------------------------
 
+  /** `sum_sq` (energy) and `n_zc` (strict sign-change zero crossings)
+    * are the two classic per-clip audio features — both exact integer
+    * folds over the decoded samples, so a SQL oracle integrates them
+    * from the synthetic-PCM closed form.
+    */
   case class AudioStatsRow(media_id: Long, sample_rate: Int, channels: Int,
-      n_samples: Long, decoded: Boolean, sum_samples: Long)
+      n_samples: Long, decoded: Boolean, sum_samples: Long,
+      sum_sq: Long, n_zc: Long)
 
   /** WAV codec via `javax.sound.sampled.AudioSystem` (ships in the JVM's
     * java.desktop module — public API, no audio device needed to PARSE):
@@ -249,6 +255,9 @@ object Multimodal {
         val f = in.getFormat
         val bytes = in.readAllBytes()
         var sum = 0L
+        var sumSq = 0L
+        var nZc = 0L
+        var prev = 0
         var n = 0L
         if (f.getSampleSizeInBits == 16) {
           var i = 0
@@ -257,15 +266,18 @@ object Multimodal {
               if (f.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
               else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
             sum += s
+            sumSq += s.toLong * s.toLong
+            if (n > 0 && prev.toLong * s.toLong < 0) nZc += 1
+            prev = s
             n += 1
             i += 2
           }
         }
         AudioStatsRow(r.media_id, f.getSampleRate.toInt, f.getChannels,
-          n / math.max(1, f.getChannels), decoded = true, sum)
+          n / math.max(1, f.getChannels), decoded = true, sum, sumSq, nZc)
       } catch {
         case _: Exception =>
-          AudioStatsRow(r.media_id, 0, 0, 0L, decoded = false, 0L)
+          AudioStatsRow(r.media_id, 0, 0, 0L, decoded = false, 0L, 0L, 0L)
       }
   }
 

@@ -700,7 +700,26 @@ object DedupQueries {
     "d_minhash_eval"    -> (minhashEval _),
     "d_weighted_sample" -> (weightedSample _),
     "d_pagerank"        -> (pageRank _),
+    "d_exact_norm"      -> (exactNorm _),
   )
+
+  /** NORMALIZED exact dedup — the preprocessing real pipelines run
+    * before hashing: lowercase, strip non-alphanumerics, collapse
+    * whitespace, trim. Texts differing only in casing, punctuation, or
+    * spacing group under one md5 (the duplicates byte-hash [[exact]]
+    * dedup misses); canonical = min doc_id per normalized hash, same
+    * window shape as [[exact]]. Map-side normalization, one hash-keyed
+    * window — the same one-shuffle cost as the plain variant.
+    */
+  private def exactNorm(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+    val w = Window.partitionBy(col("h"))
+    docs(s, d).select(col("doc_id"), md5(norm).as("h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy(col("doc_id").asc)
+  }
 
   private val PrMass  = 1000000000000L // total initial rank, pico-units
   private val PrSteps = 10
@@ -1049,6 +1068,15 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
+        |SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+        |FROM f ORDER BY doc_id ASC""".stripMargin,
+    "d_exact_norm" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM documents)
         |SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
         |       doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
         |FROM f ORDER BY doc_id ASC""".stripMargin,

@@ -267,6 +267,24 @@ object MiscQueries {
       .orderBy(col("media_id").asc)
   }
 
+  /** Audio FEATURE EXTRACTION over the decoded PCM stream: per-clip
+    * energy (exact sum of squared samples) and strict zero-crossing
+    * count — the first two features a 100 TB audio curation pass
+    * computes (silence/noise filters, VAD pre-screen). Same
+    * mapPartitions codec scan as [[decodeWav]]; the oracle integrates
+    * both folds from the synthetic-PCM closed form, so a single
+    * mis-decoded frame fails the hash.
+    */
+  private def wavEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 20).map(i =>
+      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.syntheticWav(i)))
+    Multimodal.decodeAudio(s.createDataset(media).repartition(4))
+      .toDF()
+      .select(col("media_id"), col("n_samples"), col("sum_sq"), col("n_zc"))
+      .orderBy(col("media_id").asc)
+  }
+
   /** Skew-safe token frequency: the hot-key (stopword) histogram computed
     * as a SALTED two-phase aggregation — partial counts on (token, salt),
     * then merge on token. With a skewed key like "the" (in most rows), the
@@ -374,6 +392,7 @@ object MiscQueries {
     "m_decode_px"      -> (decodePx _),
     "m_resize_px"      -> (resizePx _),
     "m_decode_wav"     -> (decodeWav _),
+    "m_wav_energy"     -> (wavEnergy _),
     "m_pixel_dedup"    -> (pixelDedup _),
     "m_phash_neardup"  -> (phashNearDup _),
     "e_stream_decode_px" -> (streamDecodePx _),
@@ -602,5 +621,23 @@ object MiscQueries {
         |       CAST(50 + (media_id % 7) * 10 AS BIGINT) AS n_samples,
         |       CAST(SUM((n * 2311 + media_id * 977) % 20001 - 10000) AS BIGINT) AS sum_samples
         |FROM s GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
+    // m_wav_energy: energy + strict zero crossings integrated from the
+    // same closed form; a NULL lag (first sample) falls to the ELSE arm,
+    // and zero samples break the sign chain on both engines (x*0 < 0 is
+    // false), matching the codec's prev*s < 0 rule exactly
+    "m_wav_energy" ->
+      """WITH s AS (
+        |  SELECT i.i AS media_id, n.n AS n,
+        |         (n.n * 2311 + i.i * 977) % 20001 - 10000 AS v
+        |  FROM range(20) i(i), range(110) n(n)
+        |  WHERE n.n < 50 + (i.i % 7) * 10),
+        |w AS (SELECT media_id, n, v,
+        |        lag(v) OVER (PARTITION BY media_id ORDER BY n) AS pv
+        |      FROM s)
+        |SELECT media_id,
+        |       CAST(50 + (media_id % 7) * 10 AS BIGINT) AS n_samples,
+        |       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+        |       CAST(COALESCE(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zc
+        |FROM w GROUP BY media_id ORDER BY media_id ASC""".stripMargin,
   )
 }

@@ -123,6 +123,32 @@ object SketchQueries {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** TABLE PROFILER — the ANALYZE-equivalent every warehouse runs before
+    * planning over a new dataset: per-column row/null counts,
+    * lexicographic min/max of the canonical string form, and an
+    * HLL distinct estimate, all computed by STACKING the profiled
+    * columns into (colname, value) rows so one job covers every column
+    * (k-column amplification of a pruned scan — the standard stack-based
+    * profiler tradeoff; output is k rows whatever the table size).
+    * Distinct counting reuses the deterministic HLL core keyed by
+    * colname.
+    */
+  private def profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag")
+    val stacked = Tables.lineitem(s, d)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("colname"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.colname").as("colname"), col("s.v").as("v"))
+    val base = stacked.groupBy(col("colname")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+    val dist = hllRegisters(stacked.filter(col("v").isNotNull)
+        .select(col("colname"), hash60(col("v")).as("h")), Seq("colname"))
+      .select(col("colname"), hllEstimateAs("n_distinct_est"))
+    base.join(dist, Seq("colname")).orderBy(col("colname").asc)
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`: pos = q*(n-1), linear interpolation).
     */
@@ -345,6 +371,7 @@ object SketchQueries {
     "q_cms_topk"       -> (cmsTopk _),
     "q_hll_by_flag"    -> (hllByFlag _),
     "q_hll_merge"      -> (hllMerge _),
+    "q_profile"        -> (profile _),
   )
 
   /** ONE DuckDB template for every deterministic-HLL oracle — the SQL
@@ -417,6 +444,32 @@ object SketchQueries {
         |UNION ALL
         |SELECT l_returnflag, 'n_items', n_items FROM wide
         |ORDER BY l_returnflag ASC, measure ASC""".stripMargin,
+    // q_profile: the stacked per-column stats + the colname-keyed HLL
+    // register chain (the hllOracleSql template inlined over the stack)
+    "q_profile" ->
+      s"""WITH st AS (
+         |  SELECT 'l_orderkey' AS colname, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem),
+         |base AS (
+         |  SELECT colname, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |         MIN(v) AS min_s, MAX(v) AS max_s
+         |  FROM st GROUP BY colname),
+         |h AS (SELECT colname,
+         |        CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+         |      FROM st WHERE v IS NOT NULL),
+         |r AS (SELECT colname, h % 64 AS reg, h // 64 AS w FROM h),
+         |rr AS (SELECT colname, reg,
+         |         CASE WHEN w = 0 THEN 55
+         |              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
+         |m AS (SELECT colname, reg, MAX(rho) AS mrho FROM rr GROUP BY colname, reg),
+         |z AS (SELECT colname, CAST(SUM(CAST(1 AS BIGINT) << (55 - mrho)) AS BIGINT) AS zp,
+         |             COUNT(*) AS npresent FROM m GROUP BY colname)
+         |SELECT base.colname, base.n_rows, base.n_null, base.min_s, base.max_s,
+         |       ${rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)} AS n_distinct_est
+         |FROM base JOIN z USING (colname)
+         |ORDER BY colname ASC""".stripMargin,
     "q_hll_custkey" -> hllOracleSql("orders", "o_custkey", Nil),
     "q_hll_by_flag" ->
       hllOracleSql("lineitem", "l_partkey", Seq("l_returnflag")),
