@@ -115,6 +115,84 @@ object SourceQueries {
       .orderBy(col("wstart").asc, col("event_type").asc)
   }
 
+  /** WATERMARK LATE-DATA SEMANTICS, hash-checked — the part of streaming
+    * correctness the single-batch entries cannot see: the events table
+    * is replayed as three arrival-ordered micro-batches (on-time up to
+    * Jan 20 minus a "delayed slice"; the Jan 20+ tail; then the delayed
+    * slice of days 2-8 arriving last), under a 336-hour watermark with
+    * daily tumbling windows in APPEND mode. The on-time batch leaves the
+    * watermark at max(batch0.ts) - 336h (~Jan 5 23:xx) — and because
+    * Spark filters late events against the PREVIOUS batch's watermark
+    * (the two-watermark model of SPARK-40925, measured here: the slice
+    * arriving one batch earlier is NOT filtered), that is exactly the
+    * boundary the slice meets: days 2-4 fall at or below it and are
+    * DROPPED, days 5-8 are still open and are MERGED. The tail batch
+    * advances eviction to ~Jan 16 23:xx, finalizing (emitting) exactly
+    * the days whose window end clears it. The oracle replays the whole
+    * protocol — both watermark values, the window-end drop rule, the
+    * append-mode finalization cut; one wrong row (a dropped row kept, a
+    * kept row dropped, an unfinalized window emitted) fails the hash.
+    *
+    * 100 TB shape: this is the semantics contract of the ingest front
+    * door; state is one row per (open window, type) inside the watermark
+    * horizon regardless of corpus size.
+    */
+  private def streamLateData(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = graft.TempDirs.scratch("graft-stream-late").toString
+    val srcDir = Paths.get(root, "src")
+    JFiles.createDirectories(srcDir)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val lateSlice = dayofmonth(col("ts")).between(2, 8) &&
+      col("event_id") % 5 === 0 && col("ts") < lit("2024-01-20").cast("timestamp")
+    // the delayed slice arrives LAST: Spark filters late events against
+    // the PREVIOUS batch's watermark (the two-watermark model, so a
+    // batch can never race its own watermark advance), so the drop
+    // boundary the slice meets is the one the on-time batch established
+    val batches = Seq(
+      ev.filter(col("ts") < lit("2024-01-20").cast("timestamp") && !lateSlice),
+      ev.filter(col("ts") >= lit("2024-01-20").cast("timestamp")),
+      ev.filter(lateSlice))
+    // strictly increasing mtimes + lexicographic names => the file source
+    // replays arrival order, one file per micro-batch (the
+    // e_stream_dedup_incremental mechanism)
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$root/stage$i"
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = JFiles.list(Paths.get(stage))
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = srcDir.resolve(f"batch$i%02d.parquet")
+      JFiles.move(part, dst)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val agg = stream
+      .withWatermark("ts", "336 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("total"))
+    withStreamStateParallelism(s) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("memory").queryName("graft_stream_late")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      if (sys.env.contains("GRAFT_LATE_DEBUG"))
+        q.recentProgress.foreach(p => println(
+          s"[late] batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime}"))
+    }
+    s.table("graft_stream_late")
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   /** Stateful streaming end-to-end: per-user sessionization (30-min idle
     * gap) via mapGroupsWithState over the replayed events file — custom
     * state machines through the REAL streaming runtime, with the batch
@@ -352,6 +430,7 @@ object SourceQueries {
     "s_json_roundtrip" -> (jsonRoundtrip _),
     "e_stream_tumbling" -> (streamTumbling _),
     "e_stream_sliding"  -> (streamSliding _),
+    "e_stream_late_data" -> (streamLateData _),
     "e_stream_sessions" -> (streamSessions _),
     "e_stream_dedup"   -> (streamDedup _),
     "e_stream_join"    -> (streamStreamJoin _),
@@ -406,6 +485,34 @@ object SourceQueries {
         |SELECT wstart, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM x GROUP BY 1, 2 ORDER BY wstart ASC, event_type ASC""".stripMargin,
+    // e_stream_late_data: the full watermark protocol in SQL — batch-0
+    // watermark, window-end drop rule for the delayed slice, final
+    // watermark, append-mode finalization cut. Comparisons never land
+    // exactly on a window boundary (watermarks carry microsecond
+    // offsets, window ends are midnights), so <= vs < is unobservable.
+    "e_stream_late_data" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, event_type, value,
+        |         (date_part('day', ts) BETWEEN 2 AND 8 AND event_id % 5 = 0
+        |            AND ts < TIMESTAMP '2024-01-20') AS slice
+        |  FROM events),
+        |w0 AS (SELECT max(ts) - INTERVAL 336 HOUR AS w FROM ev
+        |       WHERE ts < TIMESTAMP '2024-01-20' AND NOT slice),
+        |kept AS (
+        |  SELECT ts, event_type, value FROM ev WHERE NOT slice
+        |  UNION ALL
+        |  SELECT e.ts, e.event_type, e.value FROM ev e, w0
+        |  WHERE e.slice
+        |    AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) + INTERVAL 1 DAY > w0.w),
+        |w2 AS (SELECT max(ts) - INTERVAL 336 HOUR AS w FROM ev),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |         count(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT a.day, a.event_type, a.n, a.total
+        |FROM agg a, w2 WHERE a.day + INTERVAL 1 DAY <= w2.w
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
     "e_stream_dedup" ->
       """SELECT event_type, count(*) AS n_distinct_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
