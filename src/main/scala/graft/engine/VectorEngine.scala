@@ -639,14 +639,26 @@ final class VectorEngine(
     * reference parity: ChunkService.delete returns without error when the
     * chunk is absent or belongs to another library (`services/chunk.py:118-121`).
     */
-  def deleteChunk(libId: String, chunkId: String): Unit = {
-    val found = chunks.filter(col("id") === chunkId &&
-      col("library_id") === libId).count()
+  def deleteChunk(libId: String, chunkId: String): Unit =
+    deleteChunks(libId, Seq(chunkId))
+
+  /** BATCH chunk delete: the whole id set leaves in ONE partition-
+    * selective chunk rewrite and ONE anti-join pass per index table —
+    * deleting k chunks costs the same number of snapshot writes as
+    * deleting one (a loop of single deletes pays k full rewrites).
+    * Missing ids are silent no-ops, matching [[deleteChunk]]'s
+    * reference parity (`chunk.py:118-121`).
+    */
+  def deleteChunks(libId: String, chunkIds: Seq[String]): Unit = {
+    if (chunkIds.isEmpty) return
+    val found = chunks.filter(col("library_id") === libId &&
+      col("id").isin(chunkIds: _*)).count()
     if (found == 0) return
     store.writeLibraryPartition("chunks", libId,
-      chunks.filter(col("library_id") === libId && col("id") =!= chunkId))
+      chunks.filter(col("library_id") === libId &&
+        !col("id").isin(chunkIds: _*)))
     removeFromIndexes(libId, spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(chunkId)), 1),
+      spark.sparkContext.parallelize(chunkIds.map(Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("chunk_id",
           org.apache.spark.sql.types.StringType)))))

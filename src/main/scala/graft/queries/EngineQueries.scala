@@ -428,7 +428,7 @@ object EngineQueries {
     eng.bulkIngest(lib, doc, rows(col("vec_id") < incrBase))
     eng.rebuildIndex(lib) // index state frozen from the base corpus
     eng.bulkIngest(lib, doc, rows(col("vec_id") >= incrBase))
-    incrDeleted.foreach(i => eng.deleteChunk(lib, f"c$i%06d"))
+    eng.deleteChunks(lib, incrDeleted.map(i => f"c$i%06d"))
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).collect().head.getSeq[Float](0).toArray
     (eng, lib, q)

@@ -29,6 +29,30 @@ object SqlQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    // TPC-H Q10 shape: revenue of returned items per customer, top 20.
+    // The decimal-exact revenue sum + portable floor-rounding keeps the
+    // double identical on both engines before the rank.
+    "sql_returned_revenue" ->
+      """SELECT c_custkey,
+        |       (floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |          * 10000.0 + 0.5) / 10000.0) AS revenue,
+        |       count(*) AS n_items
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    // VALUE-RANGE window frame (RANGE, not ROWS): per customer, the
+    // rolling decimal-exact sum over orders whose key lies within 5 of
+    // the current one — the frame the ROWS variants can't express.
+    "sql_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+        |FROM orders
+        |ORDER BY o_orderkey ASC""".stripMargin,
     "sql_above_avg_window" ->
       """WITH w AS (
         |  SELECT o_orderkey, o_custkey,

@@ -1145,10 +1145,11 @@ class EngineSpec extends AnyFunSuite {
     eng.bulkIngest(lib, doc, batch(20 until 30))
     assert(codes.count() == 30)
     assert(frozen == before)
-    // removal: the deleted chunk's code row is anti-joined away
-    eng.deleteChunk(lib, "c0005")
-    assert(codes.count() == 29)
-    assert(codes.filter(col("chunk_id") === "c0005").isEmpty)
+    // batch removal: one rewrite + one anti-join for the whole id set,
+    // missing ids silently skipped (deleteChunk parity)
+    eng.deleteChunks(lib, Seq("c0005", "c0011", "c9999"))
+    assert(codes.count() == 28)
+    assert(codes.filter(col("chunk_id").isin("c0005", "c0011")).isEmpty)
     assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
   }
 
