@@ -81,6 +81,10 @@ object PlanDump {
     "v_maxsim",                // broadcast query set -> two partial aggs -> TakeOrdered
     "q_hll_merge",             // register-wise max merge: |groups| x 64 rows in
     "d_weighted_sample",       // integer-threshold Bernoulli keep on one narrow scan
+    "d_pagerank",              // 10 fixed supersteps: edges->rank equi-join + dst agg each
+    "q_profile",               // stacked (colname, value) rows: one job profiles all columns
+    "sql_range_window",        // value-RANGE window frame over partitioned orders
+    "v_knn_prefilter",         // filter pushed below the top-k scan
   )
 
   def main(args: Array[String]): Unit = {

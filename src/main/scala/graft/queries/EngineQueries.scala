@@ -409,6 +409,18 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** IVF-family incremental maintenance — the third family through the
+    * add/remove paths: new chunks assign to the FROZEN base-seeded
+    * centroids (no re-cluster between rebuilds, the reference's own IVF
+    * contract) and deletes anti-join the postings; the oracle replays
+    * seeds-from-base / postings-over-survivors.
+    */
+  private def engineIvfDetIncremental(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d,
+      IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2), "ivfdet")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   /** Shared incremental-maintenance fixture script: ingest the base,
     * build the index on it, ingest the delta through the incremental add
     * path, delete a few chunks through the incremental remove path.
@@ -856,6 +868,7 @@ object EngineQueries {
     "x_engine_annjoin_recall" -> (engineAnnJoinRecall _),
     "x_engine_ivfpq_incremental" -> (engineIvfPqIncremental _),
     "x_engine_lshdet_incremental" -> (engineLshDetIncremental _),
+    "x_engine_ivfdet_incremental" -> (engineIvfDetIncremental _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1091,8 +1104,15 @@ object EngineQueries {
   // nprobe=2 best centroids by query-dot and reranks the float-normalized
   // vectors vs the RAW query. Mirrors IvfIndex.seedCentroids /
   // assignToCentroids and the isin-pushdown probe in VectorEngine.search.
-  private val ivfDetCtes =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  private val ivfDetCtes = ivfDetCtesWith("TRUE", "TRUE")
+
+  /** Parameterized like [[ivfpqCorpusCtesWith]]: `seedPred` = the corpus
+    * at build time (centroid seeds), `livePred` = the corpus now (which
+    * vectors hold postings) — TRUE/TRUE is the classic replay, the
+    * incremental entry replays frozen-centroid maintenance.
+    */
+  private def ivfDetCtesWith(seedPred: String, livePred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
       |  SELECT vec_id, emb,
@@ -1100,7 +1120,7 @@ object EngineQueries {
       |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
       |  FROM nr WHERE n > 0),
       |seeds AS (
-      |  SELECT vec_id FROM vn
+      |  SELECT vec_id FROM vn WHERE $seedPred
       |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
       |  LIMIT 8),
       |cents AS (
@@ -1113,7 +1133,8 @@ object EngineQueries {
       |           ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
       |                    c.centroid_id ASC) AS rn
       |  FROM vn v, cents c),
-      |postings AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+      |postings AS (SELECT vec_id, centroid_id FROM assign
+      |             WHERE rn = 1 AND $livePred),
       |qn AS (
       |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
       |  FROM e WHERE vec_id = 0),
@@ -1421,6 +1442,11 @@ object EngineQueries {
          |$lshDetProbeCtes,
          |$lshDetIncrCandCte
          |$lshDetHitsSelect""".stripMargin,
+    "x_engine_ivfdet_incremental" ->
+      s"""WITH ${ivfDetCtesWith(
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
+         |$ivfDetHitsSelect""".stripMargin,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
