@@ -112,18 +112,27 @@ final class StateStore(spark: SparkSession, root: String) {
   }
 
   /** SMALL-FILE COMPACTION: rewrite the current snapshot with each
-    * library's partition collapsed to (about) one file — a bulk ingest
-    * with N shuffle partitions leaves N part files per library, and a
+    * partition-key group collapsed to (about) one file — a bulk ingest
+    * with N shuffle partitions leaves N part files per key, and a
     * read-heavy table wants few large files (footer/open overhead and
     * row-group-level stats both improve). One repartition-by-key shuffle
-    * routes each library to a single task, then the normal versioned
+    * routes each group to a single task, then the normal versioned
     * write + repoint: readers of the old version are never disturbed and
-    * vacuum reclaims it later. Returns the new version, or -1 when the
-    * table has no snapshot yet.
+    * vacuum reclaims it later. `partitionBy` follows [[write]]'s
+    * contract (must match how the table is laid out); tables written
+    * with `partitionBy = Nil` compact to a single file. Returns the new
+    * version, or -1 when the table has no snapshot yet.
     */
-  def compact(table: String, schema: StructType): Long =
+  def compact(table: String, schema: StructType,
+      partitionBy: Seq[String] = Seq("library_id")): Long =
     if (!exists(table)) -1L
-    else write(table, read(table, schema).repartition(col("library_id")))
+    else {
+      val df = read(table, schema)
+      val collapsed =
+        if (partitionBy.isEmpty) df.coalesce(1)
+        else df.repartition(partitionBy.map(col): _*)
+      write(table, collapsed, partitionBy)
+    }
 
   /** PARTITION-SELECTIVE rewrite: the next snapshot replaces ONLY the
     * given library's partition; every other `library_id=*` directory is

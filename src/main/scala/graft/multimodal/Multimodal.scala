@@ -254,10 +254,15 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.payload))
         val f = in.getFormat
         val bytes = in.readAllBytes()
+        val nCh = math.max(1, f.getChannels)
         var sum = 0L
         var sumSq = 0L
         var nZc = 0L
-        var prev = 0
+        // zero crossings are PER CHANNEL: interleaved frames mean
+        // consecutive array samples belong to different channels, so the
+        // previous sample must be tracked per channel index
+        val prev = new Array[Int](nCh)
+        val seen = new Array[Boolean](nCh)
         var n = 0L
         if (f.getSampleSizeInBits == 16) {
           var i = 0
@@ -265,10 +270,12 @@ object Multimodal {
             val s =
               if (f.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
               else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            val ch = (n % nCh).toInt
             sum += s
             sumSq += s.toLong * s.toLong
-            if (n > 0 && prev.toLong * s.toLong < 0) nZc += 1
-            prev = s
+            if (seen(ch) && prev(ch).toLong * s.toLong < 0) nZc += 1
+            prev(ch) = s
+            seen(ch) = true
             n += 1
             i += 2
           }

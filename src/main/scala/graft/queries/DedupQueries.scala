@@ -248,10 +248,14 @@ object DedupQueries {
       docs(s, d).filter(col("doc_id") >= lo && col("doc_id") < lo + step)
         .select(col("doc_id"), col("text"))
         .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      // Using.resource: an unclosed Files.list leaks a driver fd per call
+      val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(stage))) { st =>
+        val found = st.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+        require(found.isPresent, s"no parquet part file under $stage")
+        found.get()
+      }
       val dst = srcDir.resolve(f"batch$i%02d.parquet")
       java.nio.file.Files.move(part, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
@@ -801,9 +805,12 @@ object DedupQueries {
     * belongs on a bounded sample.
     */
   private def minhashEval(s: SparkSession, d: String): DataFrame = {
-    val sets = docs(s, d).select(col("doc_id"),
+    // checkpointed: the per-doc shingle-set projection is joined to the
+    // pair list TWICE (sa and sb) and would otherwise scan+hash the
+    // corpus once per side; Caches releases it at suite end
+    val sets = graft.Caches.track(docs(s, d).select(col("doc_id"),
       array_sort(array_distinct(transform(shingles(toks, 3), g => hash60(g))))
-        .as("sset"))
+        .as("sset")).localCheckpoint())
     val j6 = candidatePairs(s, d)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")

@@ -349,8 +349,11 @@ object EngineQueries {
       ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
     val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 25)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // distinct mirrors the oracle's DISTINCT on the replayed hits — both
+    // sides state the same contract even if a future annJoin change ever
+    // emitted a duplicate (query_id, vec_id) pair
     val approx = batchHits(eng.annJoin(lib, qDf, k = 10))
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -940,14 +943,37 @@ object EngineQueries {
 
   // incremental-maintenance replay: planes are corpus-independent, so
   // the maintained bucket table equals a rebuild minus the deleted rows —
-  // the replay just excludes the deleted ids from candidate generation
-  private val lshDetIncrCandCte =
-    s"""cand AS (
+  // the replay excludes the deleted ids from candidate generation (and
+  // from the pad pool, which draws from the maintained buckets)
+  private val lshDetIncrCandCte = lshDetRestrictedCandCtes(
+    s"s.vec_id NOT IN (${incrDeleted.mkString(", ")})",
+    s"vec_id NOT IN (${incrDeleted.mkString(", ")})")
+
+  // RESTRICTED candidate generation with the engine's <k pad branch
+  // (LshIndex.candidates, LshIndex.scala:175): when the multi-probe
+  // candidates over a restricted bucket set number fewer than k=10, the
+  // engine pads from the full RESTRICTED set (chunk_id asc, up to 2k
+  // total). A restriction (tag pre-filter, incremental deletes) makes
+  // that branch reachable on sparse data, so the replay carries it too —
+  // the pad arm is provably empty whenever cand0 already holds >= 10.
+  private def lshDetRestrictedCandCtes(candFilter: String,
+      poolFilter: String): String =
+    s"""cand0 AS (
       |  SELECT s.vec_id, count(*) AS n_matches
       |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
-      |  WHERE s.vec_id NOT IN (${incrDeleted.mkString(", ")})
+      |  WHERE $candFilter
       |  GROUP BY s.vec_id
-      |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
+      |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60),
+      |cnt AS (SELECT count(*) AS n FROM cand0),
+      |padpool AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) AS rn
+      |  FROM (SELECT DISTINCT vec_id FROM sigs WHERE $poolFilter)
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM cand0)),
+      |cand AS (
+      |  SELECT vec_id FROM cand0
+      |  UNION ALL
+      |  SELECT p.vec_id FROM padpool p, cnt
+      |  WHERE cnt.n < 10 AND p.rn <= 20 - cnt.n)""".stripMargin
 
   // PRE-FILTERED candidate generation (the documented quirk-Q5 deviation,
   // preFilter = true): the bucket rows are semi-joined against the ids
@@ -955,14 +981,10 @@ object EngineQueries {
   // so the cap is spent on MATCHING candidates and a filtered query
   // returns k rows whenever k matching candidates exist. Mirrors
   // VectorEngine.search's restrict(lshBuckets(...)).
-  private val lshDetPrefilteredCandCte =
-    """allowed AS (SELECT vec_id FROM embeddings WHERE label IN (0, 2)),
-      |cand AS (
-      |  SELECT s.vec_id, count(*) AS n_matches
-      |  FROM sigs s JOIN probes pr ON s.t = pr.t AND s.sig = pr.sig
-      |       JOIN allowed a ON a.vec_id = s.vec_id
-      |  GROUP BY s.vec_id
-      |  ORDER BY n_matches DESC, s.vec_id ASC LIMIT 60)""".stripMargin
+  private val lshDetAllowedSql =
+    "(SELECT vec_id FROM embeddings WHERE label IN (0, 2))"
+  private val lshDetPrefilteredCandCte = lshDetRestrictedCandCtes(
+    s"s.vec_id IN $lshDetAllowedSql", s"vec_id IN $lshDetAllowedSql")
 
   private val lshDetCtes = lshDetCorpusCtes + ",\n" + lshDetQueryCtes
 

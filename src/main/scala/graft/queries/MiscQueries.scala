@@ -256,16 +256,23 @@ object MiscQueries {
     * oracle integrates the formula and hash-checks that every frame was
     * really read.
     */
-  private def decodeWav(s: SparkSession, d: String): DataFrame = {
+  /** The 20-clip synthetic-WAV fixture shared by [[decodeWav]] and
+    * [[wavEnergy]] — one definition, so both entries decode the same
+    * bytes their shared closed-form oracle integrates.
+    */
+  private def wavMedia(s: SparkSession) = {
     import s.implicits._
-    val media = (0 until 20).map(i =>
-      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.syntheticWav(i)))
-    Multimodal.decodeAudio(s.createDataset(media).repartition(4))
+    s.createDataset((0 until 20).map(i =>
+      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.syntheticWav(i))))
+      .repartition(4)
+  }
+
+  private def decodeWav(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(wavMedia(s))
       .toDF()
       .select(col("media_id"), col("sample_rate"), col("channels"),
         col("n_samples"), col("sum_samples"))
       .orderBy(col("media_id").asc)
-  }
 
   /** Audio FEATURE EXTRACTION over the decoded PCM stream: per-clip
     * energy (exact sum of squared samples) and strict zero-crossing
@@ -275,15 +282,11 @@ object MiscQueries {
     * both folds from the synthetic-PCM closed form, so a single
     * mis-decoded frame fails the hash.
     */
-  private def wavEnergy(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = (0 until 20).map(i =>
-      Multimodal.MediaRow(i.toLong, "audio/wav", Multimodal.syntheticWav(i)))
-    Multimodal.decodeAudio(s.createDataset(media).repartition(4))
+  private def wavEnergy(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(wavMedia(s))
       .toDF()
       .select(col("media_id"), col("n_samples"), col("sum_sq"), col("n_zc"))
       .orderBy(col("media_id").asc)
-  }
 
   /** Skew-safe token frequency: the hot-key (stopword) histogram computed
     * as a SALTED two-phase aggregation — partial counts on (token, salt),

@@ -161,10 +161,12 @@ object SourceQueries {
     batches.zipWithIndex.foreach { case (b, i) =>
       val stage = s"$root/stage$i"
       b.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = JFiles.list(Paths.get(stage))
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = scala.util.Using.resource(JFiles.list(Paths.get(stage))) { st =>
+        val found = st.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+        require(found.isPresent, s"no parquet part file under $stage")
+        found.get()
+      }
       val dst = srcDir.resolve(f"batch$i%02d.parquet")
       JFiles.move(part, dst)
       JFiles.setLastModifiedTime(dst,
