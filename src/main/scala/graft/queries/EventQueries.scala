@@ -111,7 +111,61 @@ object EventQueries {
       .orderBy(col("zbucket").asc)
   }
 
+  /** STRICT-ORDER FUNNEL (view -> click -> purchase): stage k counts the
+    * users whose earliest stage-k event strictly follows their earliest
+    * completion of stage k-1 — the canonical product-analytics operator.
+    * Each stage is one conditional min-agg on user_id joined back to the
+    * previous stage's timestamps; every shuffle in the chain is keyed on
+    * user_id, so AQE reuses one partitioning across the three stages
+    * (never a per-user sort or a window over the full log). Output is
+    * |stages| rows whatever the log size.
+    */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def stageMin(src: DataFrame, evType: String, after: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === evType)
+      val scoped = after match {
+        case None => base
+        case Some(prev) => base.join(prev, Seq("user_id"))
+          .filter(col("ts") > col("prev_ts"))
+      }
+      scoped.groupBy(col("user_id")).agg(min(col("ts")).as("prev_ts"))
+    }
+    val t1 = stageMin(ev, "view", None)
+    val t2 = stageMin(ev, "click", Some(t1))
+    val t3 = stageMin(ev, "purchase", Some(t2))
+    Seq((1, t1), (2, t2), (3, t3))
+      .map { case (k, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(k).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy(col("stage").asc)
+  }
+
+  /** WEEKLY COHORT RETENTION: users grouped by first-activity ISO week,
+    * counted per week offset they return in — the other canonical
+    * product-analytics operator. One min-agg for cohorts, one distinct
+    * active-day projection, one user_id-keyed join, one (cohort, offset)
+    * agg; output is |cohorts| x |offsets| rows whatever the log size.
+    */
+  private def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    active.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        expr("int(datediff(cast(d as date), cast(cohort_week as date)) div 7)")
+          .as("week_off"), col("user_id"))
+      .groupBy(col("cohort_week"), col("week_off"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week").asc, col("week_off").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_funnel"        -> (funnel _),
+    "e_retention"     -> (retention _),
     "e_latest_state"  -> (latestState _),
     "e_tumbling_daily"-> (tumblingDaily _),
     "e_sessionize"    -> (sessionize _),
@@ -121,6 +175,39 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS prev_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS prev_ts
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.prev_ts
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS prev_ts
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.prev_ts
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT) FROM t3
+        |ORDER BY stage ASC""".stripMargin,
+    "e_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        |  FROM events)
+        |SELECT c.cohort_week,
+        |       CAST(datediff('day', CAST(c.cohort_week AS DATE), CAST(a.d AS DATE)) // 7 AS INTEGER) AS week_off,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY c.cohort_week, week_off
+        |ORDER BY cohort_week ASC, week_off ASC""".stripMargin,
     "e_latest_state" ->
       """SELECT user_id, event_id, event_type,
         |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value
