@@ -146,6 +146,22 @@ object Schemas {
     StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
   ))
 
+  /** SQ8: per-dim quantization range (the "codebook" — 2 doubles/dim,
+    * metadata scale) and one byte code per (chunk, dim).
+    */
+  val sq8Params: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false),
+  ))
+
+  val sq8Codes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+  ))
+
   /** IVF+PQ: one row per encoded chunk — its inverted list (centroid_id,
     * the probe pushdown key) plus M one-byte RESIDUAL codes. Deliberately
     * NO stored vector: this is the byte-compressed scan table; the exact

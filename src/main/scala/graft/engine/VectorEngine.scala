@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.EngineErrors._
 import graft.functions.VectorFunctions._
-import graft.index.{IvfIndex, IvfPqIndex, LshIndex, PqIndex}
+import graft.index.{IvfIndex, IvfPqIndex, LshIndex, PqIndex, Sq8Index}
 
 /** The engine facade: the reference's service-layer verbs
   * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
@@ -144,6 +144,10 @@ final class VectorEngine(
     store.read("pq_codebooks", Schemas.pqCodebooks).filter(col("library_id") === libId)
   private def pqCodes(libId: String): DataFrame =
     store.read("pq_codes", Schemas.pqCodes).filter(col("library_id") === libId)
+  private def sq8Params(libId: String): DataFrame =
+    store.read("sq8_params", Schemas.sq8Params).filter(col("library_id") === libId)
+  private def sq8Codes(libId: String): DataFrame =
+    store.read("sq8_codes", Schemas.sq8Codes).filter(col("library_id") === libId)
   private def ivfpqCodes(libId: String): DataFrame =
     store.read("ivfpq_codes", Schemas.ivfpqCodes).filter(col("library_id") === libId)
 
@@ -868,6 +872,7 @@ final class VectorEngine(
         dropIvfTables(libId)
         dropPqTables(libId)
         dropIvfPqTables(libId)
+        dropSq8Tables(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -880,6 +885,7 @@ final class VectorEngine(
         dropLshTables(libId)
         dropPqTables(libId)
         dropIvfPqTables(libId)
+        dropSq8Tables(libId)
       case "pq" | "pq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
@@ -890,6 +896,7 @@ final class VectorEngine(
         dropLshTables(libId)
         dropIvfTables(libId)
         dropIvfPqTables(libId)
+        dropSq8Tables(libId)
       case "ivfpq" | "ivfpq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (centroids, codebooks, codes) = IvfPqIndex.build(libChunks,
@@ -905,6 +912,15 @@ final class VectorEngine(
         dropLshTables(libId)
         dropIvfPostingsOnly(libId)
         dropPqCodesOnly(libId)
+        dropSq8Tables(libId)
+      case "sq8" =>
+        val (params, codes) = Sq8Index.build(libChunks, libId, dim)
+        store.writeLibraryPartition("sq8_params", libId, params)
+        store.writeLibraryPartition("sq8_codes", libId, codes)
+        dropLshTables(libId)
+        dropIvfTables(libId)
+        dropPqTables(libId)
+        dropIvfPqTables(libId)
     }
   }
 
@@ -1001,6 +1017,29 @@ final class VectorEngine(
           val qn = LshIndex.normalizeDriver(query).get
           val cands = PqIndex.candidates(restrict(pqCodes(libId)), cb, qn, k)
           rerank(cands, query, metric)
+        }
+      case "sq8" =>
+        if (isZero) return emptyHits()
+        val p =
+          if (!store.exists("sq8_params")) Array.empty[(Double, Double)]
+          else Sq8Index.collectParams(sq8Params(libId))
+        if (p.isEmpty)
+          // ranges not built yet -> full flat scan (as the other paths)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          // byte-code scan: decode-approx L2 in integer micro-units
+          // against plan-literal ranges, cap 6k, then hydrate ONLY the
+          // capped candidates from the chunk store and exact-rerank
+          val qn = LshIndex.normalizeDriver(query).get
+          val cands = Sq8Index.candidates(restrict(sq8Codes(libId)), p, qn, k)
+          val hydrated = broadcast(cands)
+            .join(libChunks.filter(col("embedding").isNotNull)
+                .select(col("id").as("chunk_id"), col("embedding")),
+              "chunk_id")
+            .select(col("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated, query, metric)
         }
       case "ivfpq" | "ivfpq_trained" =>
         if (isZero) return emptyHits()
@@ -2008,7 +2047,7 @@ final class VectorEngine(
     */
   private def validateConfig(config: IndexConfig): Unit = {
     if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
-        "pq", "pq_trained", "ivfpq", "ivfpq_trained").contains(config.indexType))
+        "pq", "pq_trained", "ivfpq", "ivfpq_trained", "sq8").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -2098,6 +2137,16 @@ final class VectorEngine(
         }
       }
     }
+    if (t == "sq8") {
+      if (store.exists("sq8_params")) {
+        val pDf = sq8Params(libId)
+        if (!pDf.isEmpty) { // encode against FROZEN ranges (clamped)
+          val add = Sq8Index.encode(newChunks, pDf, libId)
+          store.writeLibraryPartition("sq8_codes", libId,
+            sq8Codes(libId).unionAll(add))
+        }
+      }
+    }
   }
 
   /** Index REMOVE: anti-join rewrite of this library's bucket/posting
@@ -2128,6 +2177,12 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.ivfpqCodes.fieldNames.toIndexedSeq.map(col): _*))
     }
+    if (store.exists("sq8_codes")) {
+      store.writeLibraryPartition("sq8_codes", libId,
+        sq8Codes(libId)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.sq8Codes.fieldNames.toIndexedSeq.map(col): _*))
+    }
   }
 
   /** Remove one library's derived index state: a partition drop per index
@@ -2138,6 +2193,7 @@ final class VectorEngine(
     dropIvfTables(libId)
     dropPqTables(libId)
     dropIvfPqTables(libId)
+    dropSq8Tables(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -2158,6 +2214,11 @@ final class VectorEngine(
   private def dropIvfPqTables(libId: String): Unit =
     if (store.exists("ivfpq_codes"))
       store.dropLibraryPartition("ivfpq_codes", libId)
+
+  private def dropSq8Tables(libId: String): Unit =
+    Seq("sq8_params", "sq8_codes").foreach { t =>
+      if (store.exists(t)) store.dropLibraryPartition(t, libId)
+    }
 
   /** ivfpq SHARES ivf_centroids (coarse quantizer) and pq_codebooks
     * (residual codebooks) with the ivf / pq families — its rebuild must

@@ -412,6 +412,30 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** SQ8 engine family end-to-end (build + byte-code scan + rerank):
+    * scalar quantization as a first-class engine index — per-dim [lo,hi]
+    * ranges from ONE tiny aggregate, 1-byte-per-dim codes, decode-approx
+    * L2 in exact integer micro-units against plan-literal ranges, cap
+    * 60, exact cosine rerank of the hydrated candidates. NO RNG
+    * anywhere, so the whole pipeline is hash-checked.
+    */
+  private def engineSq8(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("sq8"))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** SQ8 incremental maintenance — the fourth family through the
+    * add/remove paths: delta vectors encode against the FROZEN
+    * build-time ranges with codes CLAMPED to [0, 255] (a delta value
+    * outside the learned range degrades to the range edge), deletes
+    * anti-join the codes; the oracle replays ranges-from-base /
+    * clamped-encode-of-the-survivors.
+    */
+  private def engineSq8Incremental(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d, IndexConfig("sq8"), "sq8")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   /** IVF-family incremental maintenance — the third family through the
     * add/remove paths: new chunks assign to the FROZEN base-seeded
     * centroids (no re-cluster between rebuilds, the reference's own IVF
@@ -872,6 +896,8 @@ object EngineQueries {
     "x_engine_ivfpq_incremental" -> (engineIvfPqIncremental _),
     "x_engine_lshdet_incremental" -> (engineLshDetIncremental _),
     "x_engine_ivfdet_incremental" -> (engineIvfDetIncremental _),
+    "x_engine_sq8"               -> (engineSq8 _),
+    "x_engine_sq8_incremental"   -> (engineSq8Incremental _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1127,6 +1153,43 @@ object EngineQueries {
   // vectors vs the RAW query. Mirrors IvfIndex.seedCentroids /
   // assignToCentroids and the isin-pushdown probe in VectorEngine.search.
   private val ivfDetCtes = ivfDetCtesWith("TRUE", "TRUE")
+
+  /** SQ8 engine replay, parameterized: ranges from the corpus at BUILD
+    * time (`seedPred`), clamped encode + decode-approx L2 over the
+    * corpus NOW (`livePred`), cap 60 — token-for-token the double
+    * arithmetic `Sq8Index` executes, so floor() sees identical values
+    * and the 64-term sum is exact BIGINT on both engines.
+    */
+  private def sq8EngineCtesWith(seedPred: String, livePred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+      |  FROM nr WHERE n > 0),
+      |dims AS (
+      |  SELECT i.i AS pos, min(v.vnormf[i.i + 1]) AS lo, max(v.vnormf[i.i + 1]) AS hi
+      |  FROM vn v, range(64) i(i) WHERE $seedPred GROUP BY i.i),
+      |qn AS (SELECT vnormf AS qv FROM vn WHERE vec_id = 0),
+      |dec AS (
+      |  SELECT v.vec_id,
+      |         CASE WHEN d.hi = d.lo THEN d.lo
+      |              ELSE d.lo + least(greatest(
+      |                     floor((v.vnormf[d.pos + 1] - d.lo) / (d.hi - d.lo) * 255.0 + 0.5),
+      |                     0.0), 255.0) / 255.0 * (d.hi - d.lo) END AS xh,
+      |         q.qv[d.pos + 1] AS qx
+      |  FROM vn v, dims d, qn q WHERE $livePred),
+      |cand AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
+      |  FROM dec GROUP BY vec_id
+      |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)""".stripMargin
+
+  private val sq8HitsSelect =
+    s"""SELECT c.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM cand c JOIN vn v USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** Parameterized like [[ivfpqCorpusCtesWith]]: `seedPred` = the corpus
     * at build time (centroid seeds), `livePred` = the corpus now (which
@@ -1469,6 +1532,17 @@ object EngineQueries {
               s"vec_id < $incrBase",
               s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
          |$ivfDetHitsSelect""".stripMargin,
+    "x_engine_sq8" ->
+      s"""WITH ${sq8EngineCtesWith("TRUE", "TRUE")}
+         |$sq8HitsSelect""".stripMargin,
+    // sq8 incremental: ranges from the build-time base, clamped encode
+    // of every surviving vector (clamp only bites on out-of-range delta
+    // dims — exactly the engine's add-after-train degradation)
+    "x_engine_sq8_incremental" ->
+      s"""WITH ${sq8EngineCtesWith(
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
+         |$sq8HitsSelect""".stripMargin,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,

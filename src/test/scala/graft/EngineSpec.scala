@@ -1153,6 +1153,40 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
   }
 
+  test("sq8 engine family: frozen-range incremental encode, clamped codes, removal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, max => smax, min => smin}
+    val dir = graft.TempDirs.scratch("graft-sq8-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("sq8", 4, IndexConfig("sq8"))
+    val doc = eng.createDocument(lib)
+    def batch(ids: Range) = ids
+      .map(i => (f"c$i%04d", s"text $i",
+        Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+          math.cos(i * 1.3).toFloat, math.sin(i * 1.3).toFloat)))
+      .toDF("id", "text", "embedding")
+    eng.bulkIngest(lib, doc, batch(0 until 20))
+    eng.rebuildIndex(lib)
+    val store = new StateStore(spark, dir)
+    def codes = store.read("sq8_codes", Schemas.sq8Codes)
+    def params = store.read("sq8_params", Schemas.sq8Params)
+      .collect().map(_.toString).sorted.toSeq
+    assert(codes.count() == 20)
+    val before = params
+    // delta encodes against the FROZEN ranges — params byte-identical
+    eng.bulkIngest(lib, doc, batch(20 until 30))
+    assert(codes.count() == 30)
+    assert(params == before)
+    // every code (incl. out-of-range delta dims) clamps into one byte
+    val mm = codes.select(explode(col("codes")).as("c"))
+      .agg(smin(col("c")), smax(col("c"))).collect().head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 255)
+    eng.deleteChunks(lib, Seq("c0003"))
+    assert(codes.count() == 29)
+    assert(codes.filter(col("chunk_id") === "c0003").isEmpty)
+    assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
+  }
+
   test("document/library metadata verbs: create, has_tag, update, CAS, with-chunks") {
     val eng = freshEngine()
     val lib = eng.createLibrary("meta", 2,
