@@ -1428,6 +1428,40 @@ final class VectorEngine(
           rerankBatch(norms.join(broadcast(capped), Seq("chunk_id")))
         }
 
+      case "sq8" =>
+        val p =
+          if (!store.exists("sq8_params")) Array.empty[(Double, Double)]
+          else Sq8Index.collectParams(sq8Params(libId))
+        if (p.isEmpty) flatBatch()
+        else {
+          // queries as a broadcast table; the per-dim decode uses the
+          // SAME plan-literal ranges as the single-query path, with the
+          // query side read from the broadcast row instead of a literal
+          val qnDf = qnorms.map { case (qid, qn) => (qid, qn.toSeq) }
+            .toDF("query_id", "qnorm")
+          val contribs = p.indices.map { i =>
+            val (lo, hi) = p(i)
+            val span = hi - lo
+            val code = element_at(col("codes"), i + 1).cast("double")
+            val xh =
+              if (span == 0.0) lit(lo)
+              else lit(lo) + code / lit(255.0) * lit(span)
+            val diff = xh - element_at(col("qnorm"), i + 1).cast("double")
+            floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
+          }
+          val dists = restrict(sq8Codes(libId))
+            .crossJoin(broadcast(qnDf))
+            .select(col("query_id"), col("chunk_id"),
+              contribs.reduce(_ + _).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), Sq8Index.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(broadcast(capped), Seq("chunk_id"))
+          rerankBatch(hydrated)
+        }
+
       case "ivfpq" | "ivfpq_trained" =>
         val cents =
           if (!store.exists("ivf_centroids")) None
@@ -1726,6 +1760,41 @@ final class VectorEngine(
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
           val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
           rerank(norms.join(capped, Seq("chunk_id")))
+        }
+
+      case "sq8" =>
+        val p =
+          if (!store.exists("sq8_params")) Array.empty[(Double, Double)]
+          else Sq8Index.collectParams(sq8Params(libId))
+        if (p.isEmpty) flatScored()
+        else {
+          // plan-literal ranges x query table: per-dim decode-approx L2
+          // in integer micro-units — the same arithmetic as the
+          // single-query scan with the query side read from the qnorm
+          // column; the codes x queries cross is the inherent flat-scan
+          // shape (every code row is scored against every query)
+          val contribs = p.indices.map { i =>
+            val (lo, hi) = p(i)
+            val span = hi - lo
+            val code = element_at(col("codes"), i + 1).cast("double")
+            val xh =
+              if (span == 0.0) lit(lo)
+              else lit(lo) + code / lit(255.0) * lit(span)
+            val diff = xh - element_at(col("qnorm"), i + 1).cast("double")
+            floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
+          }
+          val dists = restrict(sq8Codes(libId))
+            .crossJoin(qn)
+            .select(col("query_id"), col("chunk_id"),
+              contribs.reduce(_ + _).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), Sq8Index.Oversample * k)
+          // the codes table stores no vectors: hydrate only the capped
+          // candidates from the primary chunk store
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated.join(capped, Seq("chunk_id")))
         }
 
       case other =>

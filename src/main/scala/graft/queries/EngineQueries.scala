@@ -436,6 +436,17 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** Batched annJoin through the sq8 family — the byte-code scan probed
+    * by a broadcast query table, per-query cap via the partial
+    * aggregator, same contract as the other families' annJoin entries.
+    */
+  private def engineSq8AnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("sq8"))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** IVF-family incremental maintenance — the third family through the
     * add/remove paths: new chunks assign to the FROZEN base-seeded
     * centroids (no re-cluster between rebuilds, the reference's own IVF
@@ -898,6 +909,7 @@ object EngineQueries {
     "x_engine_ivfdet_incremental" -> (engineIvfDetIncremental _),
     "x_engine_sq8"               -> (engineSq8 _),
     "x_engine_sq8_incremental"   -> (engineSq8Incremental _),
+    "x_engine_sq8_annjoin"       -> (engineSq8AnnJoin _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1161,6 +1173,9 @@ object EngineQueries {
     * and the 64-term sum is exact BIGINT on both engines.
     */
   private def sq8EngineCtesWith(seedPred: String, livePred: String): String =
+    sq8CorpusCtesWith(seedPred) + ",\n" + sq8SingleTailWith(livePred)
+
+  private def sq8CorpusCtesWith(seedPred: String): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
@@ -1169,14 +1184,20 @@ object EngineQueries {
       |  FROM nr WHERE n > 0),
       |dims AS (
       |  SELECT i.i AS pos, min(v.vnormf[i.i + 1]) AS lo, max(v.vnormf[i.i + 1]) AS hi
-      |  FROM vn v, range(64) i(i) WHERE $seedPred GROUP BY i.i),
-      |qn AS (SELECT vnormf AS qv FROM vn WHERE vec_id = 0),
+      |  FROM vn v, range(64) i(i) WHERE $seedPred GROUP BY i.i)""".stripMargin
+
+  // shared clamped encode+decode expression (prefix with the vn alias)
+  private def sq8XhSql(v: String): String =
+    s"""CASE WHEN d.hi = d.lo THEN d.lo
+       |              ELSE d.lo + least(greatest(
+       |                     floor(($v.vnormf[d.pos + 1] - d.lo) / (d.hi - d.lo) * 255.0 + 0.5),
+       |                     0.0), 255.0) / 255.0 * (d.hi - d.lo) END""".stripMargin
+
+  private def sq8SingleTailWith(livePred: String): String =
+    s"""qn AS (SELECT vnormf AS qv FROM vn WHERE vec_id = 0),
       |dec AS (
       |  SELECT v.vec_id,
-      |         CASE WHEN d.hi = d.lo THEN d.lo
-      |              ELSE d.lo + least(greatest(
-      |                     floor((v.vnormf[d.pos + 1] - d.lo) / (d.hi - d.lo) * 255.0 + 0.5),
-      |                     0.0), 255.0) / 255.0 * (d.hi - d.lo) END AS xh,
+      |         ${sq8XhSql("v")} AS xh,
       |         q.qv[d.pos + 1] AS qx
       |  FROM vn v, dims d, qn q WHERE $livePred),
       |cand AS (
@@ -1184,6 +1205,38 @@ object EngineQueries {
       |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
       |  FROM dec GROUP BY vec_id
       |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)""".stripMargin
+
+  // batched sq8 replay (x_engine_sq8_annjoin): the same corpus part with
+  // a 3-query probe — per-(query, vec) decode-L2, per-query rank cap 60,
+  // per-query exact rerank
+  private val sq8BatchSql =
+    s"""WITH ${sq8CorpusCtesWith("TRUE")},
+       |qnb AS (SELECT vec_id AS query_id, vnormf AS qv FROM vn WHERE vec_id IN (0, 1, 2)),
+       |dec_b AS (
+       |  SELECT q.query_id, v.vec_id,
+       |         ${sq8XhSql("v")} AS xh,
+       |         q.qv[d.pos + 1] AS qx
+       |  FROM vn v, dims d, qnb q),
+       |cand_b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY dist_u ASC, vec_id ASC) AS rn
+       |    FROM (
+       |      SELECT query_id, vec_id,
+       |             CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
+       |      FROM dec_b GROUP BY query_id, vec_id))
+       |  WHERE rn <= 60)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} DESC,
+       |                    c.vec_id ASC) AS rn
+       |  FROM cand_b c JOIN vn v USING (vec_id)
+       |       JOIN e rq ON rq.vec_id = c.query_id)
+       |WHERE rn <= 10
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   private val sq8HitsSelect =
     s"""SELECT c.vec_id,
@@ -1543,6 +1596,7 @@ object EngineQueries {
               s"vec_id < $incrBase",
               s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
          |$sq8HitsSelect""".stripMargin,
+    "x_engine_sq8_annjoin" -> sq8BatchSql,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
