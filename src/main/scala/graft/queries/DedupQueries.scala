@@ -805,12 +805,14 @@ object DedupQueries {
     * belongs on a bounded sample.
     */
   private def minhashEval(s: SparkSession, d: String): DataFrame = {
-    // checkpointed: the per-doc shingle-set projection is joined to the
-    // pair list TWICE (sa and sb) and would otherwise scan+hash the
-    // corpus once per side; Caches releases it at suite end
-    val sets = graft.Caches.track(docs(s, d).select(col("doc_id"),
+    // DELIBERATELY not checkpointed: the projection is consumed twice
+    // (sa and sb joins), but recomputing the streamed shingle-hash scan
+    // is measured CHEAPER than materializing 50k fat shingle arrays
+    // through a checkpoint (0.36s lazy vs 4.7s checkpointed at sf0.1 —
+    // the arrays dominate, not the hashing)
+    val sets = docs(s, d).select(col("doc_id"),
       array_sort(array_distinct(transform(shingles(toks, 3), g => hash60(g))))
-        .as("sset")).localCheckpoint())
+        .as("sset"))
     val j6 = candidatePairs(s, d)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
