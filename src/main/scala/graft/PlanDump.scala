@@ -85,6 +85,9 @@ object PlanDump {
     "q_profile",               // stacked (colname, value) rows: one job profiles all columns
     "sql_range_window",        // value-RANGE window frame over partitioned orders
     "v_knn_prefilter",         // filter pushed below the top-k scan
+    "x_engine_sq8",            // byte-code scan, plan-literal ranges, no search-path join
+    "x_engine_sq8_annjoin",    // codes x broadcast queries, per-query partial-agg cap
+    "e_funnel",                // conditional min-agg chain, one user_id partitioning
   )
 
   def main(args: Array[String]): Unit = {

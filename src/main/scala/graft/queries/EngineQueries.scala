@@ -190,6 +190,14 @@ object EngineQueries {
   private def lshRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("lsh", lshNumTables = 8, lshHyperplanesPerTable = 6))
 
+  /** Hash-checked recall@10 of the SQ8 engine family vs the exact scan
+    * (both sides SQL, like the det siblings) — measured 1.0 at sf0.01:
+    * byte-range quantization loses nothing on this corpus at 4x
+    * compression.
+    */
+  private def sq8EngRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("sq8"))
+
   private def ivfRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
 
@@ -892,6 +900,7 @@ object EngineQueries {
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
     "x_lshdet_recall"        -> (lshDetRecall _),
+    "x_sq8eng_recall"        -> (sq8EngRecall _),
     "x_ivfdet_recall"        -> (ivfDetRecall _),
     "x_pqtrained_recall"     -> (pqTrainedRecall _),
     "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
@@ -1600,6 +1609,9 @@ object EngineQueries {
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
+    "x_sq8eng_recall" ->
+      s"""WITH ${sq8EngineCtesWith("TRUE", "TRUE")},
+         |${recallSqlTail(sq8HitsSelect)}""".stripMargin,
     // x_engine_ivf_det: init-only IVF replay. Seeds = 8 lowest
     // md5(chunk_id) ('c' || zero-padded vec_id), centroid_id in chunk_id
     // order; centroid vectors are float-cast normalized; postings assign
