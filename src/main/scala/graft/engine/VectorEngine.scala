@@ -1439,20 +1439,11 @@ final class VectorEngine(
           // query side read from the broadcast row instead of a literal
           val qnDf = qnorms.map { case (qid, qn) => (qid, qn.toSeq) }
             .toDF("query_id", "qnorm")
-          val contribs = p.indices.map { i =>
-            val (lo, hi) = p(i)
-            val span = hi - lo
-            val code = element_at(col("codes"), i + 1).cast("double")
-            val xh =
-              if (span == 0.0) lit(lo)
-              else lit(lo) + code / lit(255.0) * lit(span)
-            val diff = xh - element_at(col("qnorm"), i + 1).cast("double")
-            floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
-          }
           val dists = restrict(sq8Codes(libId))
             .crossJoin(broadcast(qnDf))
             .select(col("query_id"), col("chunk_id"),
-              contribs.reduce(_ + _).as("dist_u"))
+              Sq8Index.distExpr(p,
+                i => element_at(col("qnorm"), i + 1).cast("double")).as("dist_u"))
           val capped = capPerQuery(dists, -col("dist_u"), Sq8Index.Oversample * k)
           val hydrated = libChunks.filter(col("embedding").isNotNull)
             .select(col("id").as("chunk_id"),
@@ -1769,24 +1760,15 @@ final class VectorEngine(
         if (p.isEmpty) flatScored()
         else {
           // plan-literal ranges x query table: per-dim decode-approx L2
-          // in integer micro-units — the same arithmetic as the
-          // single-query scan with the query side read from the qnorm
-          // column; the codes x queries cross is the inherent flat-scan
-          // shape (every code row is scored against every query)
-          val contribs = p.indices.map { i =>
-            val (lo, hi) = p(i)
-            val span = hi - lo
-            val code = element_at(col("codes"), i + 1).cast("double")
-            val xh =
-              if (span == 0.0) lit(lo)
-              else lit(lo) + code / lit(255.0) * lit(span)
-            val diff = xh - element_at(col("qnorm"), i + 1).cast("double")
-            floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
-          }
+          // in integer micro-units — the same shared [[Sq8Index.distExpr]]
+          // arithmetic as the single-query scan with the query side read
+          // from the qnorm column; the codes x queries cross is the
+          // inherent flat-scan shape (every code row scores every query)
           val dists = restrict(sq8Codes(libId))
             .crossJoin(qn)
             .select(col("query_id"), col("chunk_id"),
-              contribs.reduce(_ + _).as("dist_u"))
+              Sq8Index.distExpr(p,
+                i => element_at(col("qnorm"), i + 1).cast("double")).as("dist_u"))
           val capped = capPerQuery(dists, -col("dist_u"), Sq8Index.Oversample * k)
           // the codes table stores no vectors: hydrate only the capped
           // candidates from the primary chunk store

@@ -1,7 +1,9 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
 import org.apache.spark.sql.functions._
+
+import graft.engine.Schemas
 
 /** Scalar-quantization index — the FAISS `ScalarQuantizer` (SQ8) family:
   * every dimension of the L2-normalized vector is quantized to ONE BYTE
@@ -42,19 +44,35 @@ object Sq8Index {
 
   /** Build (params, codes): per-dim [lo, hi] over the normalized corpus
     * (ONE tiny aggregate — output is `dim` rows however large the
-    * corpus), then the map-side encode of every vector against them.
+    * corpus), then the map-side encode of every vector against them. The
+    * aggregate runs ONCE: the returned params DataFrame is constructed
+    * from the already-collected driver rows, so the caller's write does
+    * not rescan the corpus. An empty/un-embedded corpus yields empty
+    * frames with the correct schemas (the search path's
+    * ranges-not-built fallback handles the rest).
     */
   def build(chunksDf: DataFrame, libraryId: String,
       dim: Int): (DataFrame, DataFrame) = {
+    val spark = chunksDf.sparkSession
     val vn = vnormFloats(chunksDf)
-    val params = vn
+    val rows = vn
       .select(posexplode(col("vnorm")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x").cast("double")).as("lo"),
         max(col("x").cast("double")).as("hi"))
-      .select(lit(libraryId).as("library_id"), col("pos"),
-        col("lo"), col("hi"))
-    (params, encodeWith(vn, collectParams(params), libraryId))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    if (rows.isEmpty)
+      return (
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.sq8Params),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.sq8Codes))
+    require(rows.length == dim,
+      s"sq8 build: corpus dimensionality ${rows.length} != library dim $dim")
+    val params = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toIndexedSeq.map { case (pos, lo, hi) => Row(libraryId, pos, lo, hi) }, 1),
+      Schemas.sq8Params)
+    (params, encodeWith(vn, rows.map(t => (t._2, t._3)), libraryId))
   }
 
   /** Driver-collected (lo, hi) per dimension, pos-ordered — metadata
@@ -87,28 +105,37 @@ object Sq8Index {
       array(codes: _*).as("codes"))
   }
 
-  /** Approximate-L2 candidate generation over the byte-code scan: decode
-    * each dimension (lo + code/255 * span — the same double ops the
-    * oracle replays), per-dim micro-unit contributions floored BEFORE
-    * the long sum, cap Oversample*k by (dist asc, chunk_id asc). One
-    * map-side projection + a distributed TakeOrdered; the caller
-    * hydrates and exact-reranks only the capped set.
+  /** The decode-approx-L2 distance expression over a `codes` column —
+    * ONE definition shared by the single-query scan (query dims as
+    * literals) and both batch paths (query dims read from the broadcast
+    * `qnorm` column via `qxAt`), so the oracle-matched arithmetic cannot
+    * drift between the three call sites. Per-dim decode (lo + code/255 *
+    * span — the exact double ops the oracle replays), micro-unit floors
+    * BEFORE the long sum.
     */
-  def candidates(codesDf: DataFrame, p: Array[(Double, Double)],
-      qnorm: Array[Float], k: Int): DataFrame = {
-    val contribs = p.indices.map { i =>
+  def distExpr(p: Array[(Double, Double)], qxAt: Int => Column): Column =
+    p.indices.map { i =>
       val (lo, hi) = p(i)
       val span = hi - lo
       val code = element_at(col("codes"), i + 1).cast("double")
       val xh =
         if (span == 0.0) lit(lo)
         else lit(lo) + code / lit(255.0) * lit(span)
-      val diff = xh - lit(qnorm(i).toDouble)
+      val diff = xh - qxAt(i)
       floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
-    }
-    codesDf.select(col("chunk_id"), contribs.reduce(_ + _).as("dist_u"))
+    }.reduce(_ + _)
+
+  /** Approximate-L2 candidate generation over the byte-code scan:
+    * [[distExpr]] with the query folded in as literals, cap Oversample*k
+    * by (dist asc, chunk_id asc). One map-side projection + a
+    * distributed TakeOrdered; the caller hydrates and exact-reranks only
+    * the capped set.
+    */
+  def candidates(codesDf: DataFrame, p: Array[(Double, Double)],
+      qnorm: Array[Float], k: Int): DataFrame =
+    codesDf.select(col("chunk_id"),
+        distExpr(p, i => lit(qnorm(i).toDouble)).as("dist_u"))
       .orderBy(col("dist_u").asc, col("chunk_id").asc)
       .limit(Oversample * k)
       .select(col("chunk_id"))
-  }
 }

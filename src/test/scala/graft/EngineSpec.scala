@@ -727,7 +727,8 @@ class EngineSpec extends AnyFunSuite {
       IndexConfig("ivf_det", ivfNumCentroids = 4, ivfNprobe = 2),
       IndexConfig("pq", pqSubspaces = 2, pqCodewords = 8),
       IndexConfig("ivfpq", ivfNumCentroids = 4, ivfNprobe = 2,
-        pqSubspaces = 2, pqCodewords = 8))
+        pqSubspaces = 2, pqCodewords = 8),
+      IndexConfig("sq8"))
     val eng = freshEngine()
     for (cfg <- configs) {
       val lib = eng.createLibrary("batch-" + cfg.indexType, dim, cfg)
@@ -780,7 +781,8 @@ class EngineSpec extends AnyFunSuite {
         IndexConfig("lsh", lshNumTables = 2, lshHyperplanesPerTable = 3),
         // high-H det config drives some queries under k candidates -> pad path
         IndexConfig("lsh_det", lshNumTables = 2, lshHyperplanesPerTable = 12),
-        IndexConfig("pq", pqSubspaces = 2, pqCodewords = 8))) {
+        IndexConfig("pq", pqSubspaces = 2, pqCodewords = 8),
+        IndexConfig("sq8"))) {
       val lib = eng.createLibrary("aj-" + cfg.indexType, dim, cfg)
       val doc = eng.createDocument(lib)
       eng.upsertChunks(lib, doc, chunksIn)
@@ -1160,6 +1162,10 @@ class EngineSpec extends AnyFunSuite {
     val eng = new VectorEngine(spark, dir, fixedClock)
     val lib = eng.createLibrary("sq8", 4, IndexConfig("sq8"))
     val doc = eng.createDocument(lib)
+    // empty-corpus rebuild: empty index tables with correct schemas,
+    // search falls back to the flat scan path (no crash)
+    eng.rebuildIndex(lib)
+    assert(eng.search(lib, Array(1f, 0f, 0f, 0f), k = 3).isEmpty)
     def batch(ids: Range) = ids
       .map(i => (f"c$i%04d", s"text $i",
         Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
