@@ -123,6 +123,33 @@ final class VectorEngine(
     */
   private def maybeVacuum(): Unit = autoVacuumKeep.foreach(n => vacuum(n))
 
+  /** INDEX HEALTH AUDIT (sq8): per-corpus quantization error of the
+    * STORED codes against the true normalized vectors — the FAISS-style
+    * reconstruction-error readout an operator checks before trusting a
+    * compressed index (rising error after many incremental adds means
+    * the frozen ranges have drifted from the corpus and a rebuild is
+    * due). Reuses [[Sq8Index.distExpr]] with the true vector as the
+    * "query" side, so err = sum over dims of (decoded - true)^2 in
+    * exact micro-units. ONE codes-to-chunks equi-join + one aggregate;
+    * output is a single row whatever the corpus size.
+    */
+  def sq8QuantizationError(libId: String): DataFrame = {
+    if (!store.exists("sq8_params"))
+      throw new NotFoundError(s"sq8 index for library $libId")
+    val p = Sq8Index.collectParams(sq8Params(libId))
+    if (p.isEmpty) throw new NotFoundError(s"sq8 index for library $libId")
+    val truth = chunks.filter(col("library_id") === libId &&
+        col("embedding").isNotNull)
+      .select(col("id").as("chunk_id"),
+        transform(l2Normalize(col("embedding")), _.cast("float")).as("vnorm"))
+    sq8Codes(libId).join(truth, "chunk_id")
+      .select(Sq8Index.distExpr(p,
+        i => element_at(col("vnorm"), i + 1).cast("double")).as("err_u"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("err_u")).cast("long").as("sum_err_u"),
+        max(col("err_u")).as("max_err_u"))
+  }
+
   /** Small-file compaction of the chunk table (the data-scale table): a
     * bulk ingest with N shuffle partitions leaves N part files per
     * library; this collapses each library's partition to ~one file in a

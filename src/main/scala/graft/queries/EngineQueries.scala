@@ -198,6 +198,19 @@ object EngineQueries {
   private def sq8EngRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("sq8"))
 
+  private def sq8EngNdcg(s: SparkSession, d: String): DataFrame =
+    ndcgOf(s, d, IndexConfig("sq8"))
+
+  /** The sq8 INDEX HEALTH AUDIT as an entry: the engine verb's
+    * reconstruction-error readout over the fixture's stored codes,
+    * hash-checked against the oracle recomputing every code from the
+    * corpus — a single corrupted or stale code row moves sum/max.
+    */
+  private def engineSq8QError(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("sq8"))
+    eng.sq8QuantizationError(lib)
+  }
+
   private def ivfRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
 
@@ -901,6 +914,8 @@ object EngineQueries {
     "x_ivfpq_recall"         -> (ivfpqRecall _),
     "x_lshdet_recall"        -> (lshDetRecall _),
     "x_sq8eng_recall"        -> (sq8EngRecall _),
+    "x_sq8eng_ndcg"          -> (sq8EngNdcg _),
+    "x_engine_sq8_qerror"    -> (engineSq8QError _),
     "x_ivfdet_recall"        -> (ivfDetRecall _),
     "x_pqtrained_recall"     -> (pqTrainedRecall _),
     "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
@@ -1612,6 +1627,27 @@ object EngineQueries {
     "x_sq8eng_recall" ->
       s"""WITH ${sq8EngineCtesWith("TRUE", "TRUE")},
          |${recallSqlTail(sq8HitsSelect)}""".stripMargin,
+    "x_sq8eng_ndcg" ->
+      s"""WITH ${sq8EngineCtesWith("TRUE", "TRUE")},
+         |${ndcgSqlTail(sq8HitsSelect)}""".stripMargin,
+    // the audit replay recomputes EVERY code from the corpus and folds
+    // (decoded - true)^2 per dim — micro-unit floors before the per-
+    // vector sum, exact BIGINT aggregate over the per-vector errors
+    "x_engine_sq8_qerror" ->
+      s"""WITH ${sq8CorpusCtesWith("TRUE")},
+         |dec AS (
+         |  SELECT v.vec_id,
+         |         ${sq8XhSql("v")} AS xh,
+         |         v.vnormf[d.pos + 1] AS qx
+         |  FROM vn v, dims d),
+         |errs AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
+         |  FROM dec GROUP BY vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(err_u) AS BIGINT) AS sum_err_u,
+         |       CAST(MAX(err_u) AS BIGINT) AS max_err_u
+         |FROM errs""".stripMargin,
     // x_engine_ivf_det: init-only IVF replay. Seeds = 8 lowest
     // md5(chunk_id) ('c' || zero-padded vec_id), centroid_id in chunk_id
     // order; centroid vectors are float-cast normalized; postings assign
