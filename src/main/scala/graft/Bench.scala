@@ -34,34 +34,38 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal seconds, one compact JSON line: the full 86-query map must
-    // fit the driver's stdout capture window (r4's artifact lost the first
-    // ~18 entries to per-query 17-digit doubles)
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is marked on stdout too, so a scraper cannot mistake a
     // SPARK_GRAFT_ONLY slice for a full-suite total
     val subsetMark =
       if (SparkEntry.onlyIsSet) s""","subset":true,"only":"${sys.env("SPARK_GRAFT_ONLY")}"""" else ""
-    val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetMark}"""
-    println(line)
-    // stdout alone is NOT the artifact: the driver's capture window has
-    // truncated it two rounds running as the suite grew. Persist the full
-    // per-query map to a committed repo file (one query per line, diffable)
-    // so every timing stays auditable regardless of stdout capture.
     // The committed official artifact is written ONLY when GRAFT_OFFICIAL=1
     // (r6's driver run clobbered the clean committed pair in the working
     // tree); everything else goes to a scratch path, and an EXPLICIT
     // SPARK_GRAFT_BENCH_OUT is always honored.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       if (sys.env.get("GRAFT_OFFICIAL").contains("1"))
-        "/root/repo/docs/bench_full_r7.json"
+        "/root/repo/docs/bench_full_r8.json"
       else "/root/repo/target/bench_scratch.json"
     }
+    // The stdout line must FIT the driver's capture window: at 172 entries
+    // the full per-query map overflowed it (BENCH_r07 "parsed": null), so
+    // the full-suite line carries only the parsed total + the artifact
+    // path holding the per-query map; small subset runs (<= 40 entries)
+    // still inline their map for at-a-glance iteration.
+    val qs =
+      if (results.size <= 40)
+        ""","queries":""" + results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+          .mkString("{", ",", "}")
+      else ""
+    val line =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"artifact":"$outPath"$qs,"sf":"$sfDir"$subsetMark}"""
+    println(line)
+    // stdout alone is NOT the artifact: persist the full per-query map to
+    // a file (one query per line, diffable) so every timing stays
+    // auditable regardless of stdout capture.
     try if (!SparkEntry.onlyIsSet || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val body = results.map { case (k, v) => s"""  "$k": ${s3(v)}""" }
         .mkString(",\n")

@@ -457,6 +457,21 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** INDEX-TABLE COMPACTION through the incremental fixture (VERDICT r7
+    * #4): same base/delta/delete script as `x_engine_sq8_incremental` —
+    * which leaves `sq8_codes` fragmented across the build write plus the
+    * partition-selective delta writes — then `compactIndexes()` collapses
+    * every index table to ~one file per library in a fresh snapshot
+    * version, and the search runs against the COMPACTED codes. The
+    * oracle is the incremental sibling's SQL verbatim: compaction must be
+    * a pure layout change, so a single drifted row fails the hash.
+    */
+  private def engineSq8Compacted(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d, IndexConfig("sq8"), "sq8cmp")
+    eng.compactIndexes()
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   /** Batched annJoin through the sq8 family — the byte-code scan probed
     * by a broadcast query table, per-query cap via the partial
     * aggregator, same contract as the other families' annJoin entries.
@@ -933,6 +948,7 @@ object EngineQueries {
     "x_engine_ivfdet_incremental" -> (engineIvfDetIncremental _),
     "x_engine_sq8"               -> (engineSq8 _),
     "x_engine_sq8_incremental"   -> (engineSq8Incremental _),
+    "x_engine_sq8_compacted"     -> (engineSq8Compacted _),
     "x_engine_sq8_annjoin"       -> (engineSq8AnnJoin _),
   )
 
@@ -1616,6 +1632,14 @@ object EngineQueries {
     // of every surviving vector (clamp only bites on out-of-range delta
     // dims — exactly the engine's add-after-train degradation)
     "x_engine_sq8_incremental" ->
+      s"""WITH ${sq8EngineCtesWith(
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
+         |$sq8HitsSelect""".stripMargin,
+    // compaction is a pure LAYOUT change: the compacted search must land
+    // on exactly the incremental sibling's hits, so the oracle is the
+    // same replay verbatim
+    "x_engine_sq8_compacted" ->
       s"""WITH ${sq8EngineCtesWith(
               s"vec_id < $incrBase",
               s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}

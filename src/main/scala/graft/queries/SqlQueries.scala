@@ -30,19 +30,22 @@ object SqlQueries {
         |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     // TPC-H Q10 shape: revenue of returned items per customer, top 20.
-    // The decimal-exact revenue sum + portable floor-rounding keeps the
-    // double identical on both engines before the rank.
+    // Revenue is emitted as BIGINT ten-thousandths (e4 units): each item's
+    // DECIMAL-exact extprice*(1-discount) is scaled by 10^4 and floored to
+    // a long BEFORE the sum, so the aggregate is an exact integer on both
+    // engines — no DECIMAL->DOUBLE conversion anywhere (that cast rounds
+    // differently by 1 ulp across DuckDB builds and broke the r7 hash).
     "sql_returned_revenue" ->
       """SELECT c_custkey,
-        |       (floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        |          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-        |          * 10000.0 + 0.5) / 10000.0) AS revenue,
+        |       SUM(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))
+        |          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |          * 10000) AS BIGINT)) AS revenue_e4,
         |       count(*) AS n_items
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |     JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey
-        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+        |ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20""".stripMargin,
     // VALUE-RANGE window frame (RANGE, not ROWS): per customer, the
     // rolling decimal-exact sum over orders whose key lies within 5 of
     // the current one — the frame the ROWS variants can't express.

@@ -1119,6 +1119,51 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { eng.chunksAt(v0) }
   }
 
+  test("compactIndexes: collapses fragmented index tables, search byte-identical") {
+    import spark.implicits._
+    val dir = graft.TempDirs.scratch("graft-compact-idx-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("cmpidx", 2, IndexConfig("sq8"))
+    val doc = eng.createDocument(lib)
+    def batch(ids: Range) = ids
+      .map(i => (f"c$i%04d", s"text $i", Array(i.toFloat, 1f)))
+      .toDF("id", "text", "embedding").repartition(4)
+    eng.bulkIngest(lib, doc, batch(0 until 100))
+    eng.rebuildIndex(lib)
+    // three incremental adds, each a partition-selective codes write ->
+    // the sq8_codes partition fragments exactly like streaming ingest
+    eng.bulkIngest(lib, doc, batch(100 until 130))
+    eng.bulkIngest(lib, doc, batch(130 until 160))
+    eng.bulkIngest(lib, doc, batch(160 until 200))
+    def codeFiles(version: Long): Int = {
+      val vd = java.nio.file.Paths.get(dir, "sq8_codes", s"v$version")
+      val st = java.nio.file.Files.walk(vd)
+      try {
+        val it = st.iterator()
+        var n = 0
+        while (it.hasNext)
+          if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+        n
+      } finally st.close()
+    }
+    def hits(): Seq[(String, Double)] =
+      eng.search(lib, Array(1f, 1f), k = 10).select("chunk_id", "score")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val store = new StateStore(spark, dir)
+    val v0 = store.currentVersion("sq8_codes").get
+    val before = codeFiles(v0)
+    assert(before > 3, s"expected a fragmented codes table, got $before files")
+    val hitsBefore = hits()
+    val compacted = eng.compactIndexes().toMap
+    val v1 = compacted("sq8_codes")
+    assert(v1 == v0 + 1)
+    assert(codeFiles(v1) == 1, s"compaction left ${codeFiles(v1)} files")
+    assert(hits() == hitsBefore)
+    // the fragmented version stays time-travel readable until vacuumed
+    assert(store.readVersion("sq8_codes", v0, Schemas.sq8Codes).count() ==
+      store.readVersion("sq8_codes", v1, Schemas.sq8Codes).count())
+  }
+
   test("incremental ivfpq maintenance: delta encoded against frozen centroids, removal anti-joins codes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
