@@ -146,8 +146,77 @@ final class VectorEngine(
       .select(Sq8Index.distExpr(p,
         i => element_at(col("vnorm"), i + 1).cast("double")).as("err_u"))
       .agg(count(lit(1)).as("n"),
-        sum(col("err_u")).cast("long").as("sum_err_u"),
-        max(col("err_u")).as("max_err_u"))
+        coalesce(sum(col("err_u")), lit(0L)).cast("long").as("sum_err_u"),
+        coalesce(max(col("err_u")), lit(0L)).cast("long").as("max_err_u"))
+  }
+
+  /** INDEX HEALTH AUDIT (flat PQ) — the same rebuild-due signal as
+    * [[sq8QuantizationError]] for the PQ family (VERDICT r7 #5): decode
+    * every STORED code through the codebook and fold (decoded - true)^2
+    * per dim in exact micro-units against the stored float-normalized
+    * vector the code approximated. The codebook is metadata-scale
+    * (M x K x dsub floats) and ships as plan literals; the scan is ONE
+    * pass over `pq_codes` (no join — the truth vector is stored beside
+    * the codes) + one aggregate. Rising error after incremental adds
+    * means the frozen codebooks have drifted from the corpus.
+    */
+  def pqQuantizationError(libId: String): DataFrame = {
+    val cb = PqIndex.collectCodebooks(pqCodebooks(libId))
+    if (cb.isEmpty) throw new NotFoundError(s"pq index for library $libId")
+    pqCodes(libId)
+      .select(pqReconErr(cb, d => element_at(col("embedding_norm"), d + 1)
+        .cast("double")).as("err_u"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("err_u")), lit(0L)).cast("long").as("sum_err_u"),
+        coalesce(max(col("err_u")), lit(0L)).cast("long").as("max_err_u"))
+  }
+
+  /** INDEX HEALTH AUDIT (IVF+PQ): reconstruction error of the stored
+    * RESIDUAL codes vs the true residuals (float-normalized vector minus
+    * assigned centroid, the exact quantity `IvfPqIndex.encode`
+    * quantized). `ivfpq_codes` stores no vector, so the truth side is
+    * one equi-join to the chunk store plus a broadcast join to the
+    * metadata-scale centroid table; the fold is the same per-dim exact
+    * micro-unit error as the SQ8/PQ audits. This closes the FAISS
+    * add-after-train drift signal across all compressed families.
+    */
+  def ivfpqQuantizationError(libId: String): DataFrame = {
+    if (!store.exists("ivfpq_codes"))
+      throw new NotFoundError(s"ivfpq index for library $libId")
+    val cb = PqIndex.collectCodebooks(pqCodebooks(libId))
+    if (cb.isEmpty) throw new NotFoundError(s"ivfpq index for library $libId")
+    val truth = chunks.filter(col("library_id") === libId &&
+        col("embedding").isNotNull)
+      .select(col("id").as("chunk_id"),
+        transform(l2Normalize(col("embedding")), _.cast("float")).as("vnorm"))
+    val cents = broadcast(ivfCentroids(libId)
+      .select(col("centroid_id"), col("vector").as("cvec")))
+    // true residual per dim: FLOAT subtraction (both sides float-cast),
+    // exactly the arithmetic the stored codes were encoded against
+    val res = (d: Int) =>
+      (element_at(col("vnorm"), d + 1) - element_at(col("cvec"), d + 1))
+        .cast("double")
+    ivfpqCodes(libId).join(truth, "chunk_id").join(cents, "centroid_id")
+      .select(pqReconErr(cb, res).as("err_u"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("err_u")), lit(0L)).cast("long").as("sum_err_u"),
+        coalesce(max(col("err_u")), lit(0L)).cast("long").as("max_err_u"))
+  }
+
+  /** Shared PQ decode-error fold: Σ_d floor((cb[m][codes[m]][j] -
+    * truth(d))^2 * 1e6 + 0.5) as exact BIGINT micro-units, with the
+    * per-(m,j) codeword→component lookup a K-length plan literal.
+    */
+  private def pqReconErr(cb: Array[Array[Array[Float]]],
+      truthAt: Int => Column): Column = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    (for (mi <- 0 until m; j <- 0 until dsub) yield {
+      val lut = typedLit(cb(mi).map(_(j).toDouble).toIndexedSeq)
+      val dec = element_at(lut, element_at(col("codes"), mi + 1) + 1)
+      val diff = dec - truthAt(mi * dsub + j)
+      floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
+    }).reduce(_ + _)
   }
 
   /** Small-file compaction of the chunk table (the data-scale table): a

@@ -211,6 +211,24 @@ object EngineQueries {
     eng.sq8QuantizationError(lib)
   }
 
+  /** PQ-family index-health audits (VERDICT r7 #5): the same
+    * reconstruction-error readout as the sq8 entry, decoded through the
+    * stored codebooks — flat PQ vs the stored normalized vectors, IVF+PQ
+    * vs the true residuals. Both replays recompute EVERY code from the
+    * corpus, so a single drifted codeword fails the hash.
+    */
+  private def enginePqQError(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("pq", pqSubspaces = 8, pqCodewords = 16))
+    eng.pqQuantizationError(lib)
+  }
+
+  private def engineIvfPqQError(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    eng.ivfpqQuantizationError(lib)
+  }
+
   private def ivfRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
 
@@ -931,6 +949,8 @@ object EngineQueries {
     "x_sq8eng_recall"        -> (sq8EngRecall _),
     "x_sq8eng_ndcg"          -> (sq8EngNdcg _),
     "x_engine_sq8_qerror"    -> (engineSq8QError _),
+    "x_engine_pq_qerror"     -> (enginePqQError _),
+    "x_engine_ivfpq_qerror"  -> (engineIvfPqQError _),
     "x_ivfdet_recall"        -> (ivfDetRecall _),
     "x_pqtrained_recall"     -> (pqTrainedRecall _),
     "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
@@ -1668,6 +1688,40 @@ object EngineQueries {
          |  SELECT vec_id,
          |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
          |  FROM dec GROUP BY vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(err_u) AS BIGINT) AS sum_err_u,
+         |       CAST(MAX(err_u) AS BIGINT) AS max_err_u
+         |FROM errs""".stripMargin,
+    // PQ-family audit replays: recompute every code from the corpus
+    // (the same corpus CTEs as the hits entries), decode it through the
+    // replayed codebook, and fold (decoded - truth)^2 per dim — micro-
+    // unit floors before the per-vector sum, exact BIGINT aggregates.
+    // Flat PQ's truth is the normalized-vector slice; ivfpq's is the
+    // float residual slice the code was encoded against.
+    "x_engine_pq_qerror" ->
+      s"""WITH $pqCorpusCtes,
+         |errs AS (
+         |  SELECT vs.vec_id,
+         |         CAST(SUM(CAST(floor((cb.c[i.i] - vs.sv[i.i]) * (cb.c[i.i] - vs.sv[i.i])
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
+         |  FROM vs JOIN enc ON vs.vec_id = enc.vec_id AND vs.m = enc.m
+         |       JOIN cb ON cb.m = enc.m AND cb.k = enc.k,
+         |       range(1, 9) i(i)
+         |  GROUP BY vs.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(err_u) AS BIGINT) AS sum_err_u,
+         |       CAST(MAX(err_u) AS BIGINT) AS max_err_u
+         |FROM errs""".stripMargin,
+    "x_engine_ivfpq_qerror" ->
+      s"""WITH $ivfpqCorpusCtes,
+         |errs AS (
+         |  SELECT vs.vec_id,
+         |         CAST(SUM(CAST(floor((cb.c[i.i] - vs.sv[i.i]) * (cb.c[i.i] - vs.sv[i.i])
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
+         |  FROM vs JOIN enc ON vs.vec_id = enc.vec_id AND vs.m = enc.m
+         |       JOIN cb ON cb.m = enc.m AND cb.k = enc.k,
+         |       range(1, 9) i(i)
+         |  GROUP BY vs.vec_id)
          |SELECT CAST(count(*) AS BIGINT) AS n,
          |       CAST(SUM(err_u) AS BIGINT) AS sum_err_u,
          |       CAST(MAX(err_u) AS BIGINT) AS max_err_u
