@@ -701,6 +701,7 @@ object DedupQueries {
     "d_source_overlap"  -> (sourceOverlap _),
     "d_span_repeat"     -> (spanRepeat _),
     "d_span_strip"      -> (spanStrip _),
+    "d_span_strip_multi" -> (spanStripMulti _),
     "d_minhash_eval"    -> (minhashEval _),
     "d_weighted_sample" -> (weightedSample _),
     "d_pagerank"        -> (pageRank _),
@@ -855,18 +856,39 @@ object DedupQueries {
     * Reassembly sorts each doc's kept tokens inside a single per-doc
     * aggregation; nothing is ever pairwise.
     */
-  private def spanStrip(s: SparkSession, d: String): DataFrame = {
+  private def spanStrip(s: SparkSession, d: String): DataFrame =
+    spanStripScales(s, d, Seq(8))
+
+  /** MULTI-SCALE span strip (VERDICT r7 #6): the same hot-set machinery
+    * run at BOTH 8- and 32-token window scales, coverage unioned before
+    * the anti-join — the step between fixed-window span-strip and
+    * whole-doc dedup: a 32-token tier catches long templated passages as
+    * ONE hot gram each (where the 8-token tier sees them only as many
+    * short windows), and any position covered at either scale is
+    * dropped. Cost is one extra explode+agg per scale over the same
+    * token stream; the reassembly tail is shared and runs once.
+    */
+  private def spanStripMulti(s: SparkSession, d: String): DataFrame =
+    spanStripScales(s, d, Seq(8, 32))
+
+  private def spanStripScales(s: SparkSession, d: String,
+      scales: Seq[Int]): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), toks.as("tk"))
-    // positioned window stream (1-based start p, matching the oracle)
-    val gt = base
-      .select(col("doc_id"), posexplode(shingles(col("tk"), 8)).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
-    val hot = gt.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("g"))
-    val cov = gt.join(hot, "g")
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("pos"))
-      .distinct()
+    // per-scale positioned window stream (1-based start p, matching the
+    // oracle) -> hot set -> covered positions; scales union before the
+    // one distinct + anti-join
+    val cov = scales.map { wlen =>
+      val gt = base
+        .select(col("doc_id"),
+          posexplode(shingles(col("tk"), wlen)).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+      val hot = gt.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      gt.join(hot, "g")
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + wlen - 1)).as("pos"))
+    }.reduce(_ unionAll _).distinct()
     val tok = base
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
@@ -1422,6 +1444,49 @@ object DedupQueries {
          |  SELECT DISTINCT doc_id, pos FROM (
          |    SELECT gt.doc_id, unnest(generate_series(gt.p, gt.p + 7)) AS pos
          |    FROM gt JOIN hot USING (g))),
+         |tok AS (
+         |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+         |  FROM tks),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.tk[t.i] AS tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.i
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(list(tok ORDER BY i ASC), ' ') AS stripped
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(len(t.tk) AS INTEGER) AS n_tokens,
+         |       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+         |       md5(coalesce(a.stripped, '')) AS strip_md5
+         |FROM documents d JOIN tks t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id ASC""".stripMargin,
+    // the multi-scale variant: the 8- and 32-token window streams each
+    // build their own hot set; coverage is the DISTINCT union of both
+    // scales' covered positions, and the reassembly tail is identical
+    "d_span_strip_multi" ->
+      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |gt8 AS (
+         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 7), ' ') AS g
+         |  FROM (SELECT doc_id, tk,
+         |               unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS p
+         |        FROM tks)),
+         |hot8 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt8)
+         |         GROUP BY g HAVING count(*) >= 2),
+         |gt32 AS (
+         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 31), ' ') AS g
+         |  FROM (SELECT doc_id, tk,
+         |               unnest(generate_series(1, greatest(len(tk) - 31, 0))) AS p
+         |        FROM tks)),
+         |hot32 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt32)
+         |          GROUP BY g HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT gt8.doc_id, unnest(generate_series(gt8.p, gt8.p + 7)) AS pos
+         |    FROM gt8 JOIN hot8 USING (g)
+         |    UNION ALL
+         |    SELECT gt32.doc_id, unnest(generate_series(gt32.p, gt32.p + 31)) AS pos
+         |    FROM gt32 JOIN hot32 USING (g))),
          |tok AS (
          |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
          |  FROM tks),
