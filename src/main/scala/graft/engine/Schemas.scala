@@ -174,6 +174,27 @@ object Schemas {
     StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
   ))
 
+  /** IVF+SQ8: per-(cell, dim) residual quantization range (2 doubles per
+    * dim per cell — metadata scale) and one row per encoded chunk with
+    * its inverted list (centroid_id, the probe pushdown key) plus dim
+    * one-byte residual codes. No stored vector: the exact rerank
+    * hydrates the capped candidates from the chunk store by id.
+    */
+  val ivfsq8Params: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false),
+  ))
+
+  val ivfsq8Codes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+  ))
+
   /** Curation verb output (`VectorEngine.curateLibrary`): the packed
     * training sequences derived from a library's curated chunk survivors —
     * one row per surviving chunk with its position in the

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.EngineErrors._
 import graft.functions.VectorFunctions._
-import graft.index.{IvfIndex, IvfPqIndex, LshIndex, PqIndex, Sq8Index}
+import graft.index.{IvfIndex, IvfPqIndex, IvfSq8Index, LshIndex, PqIndex, Sq8Index}
 
 /** The engine facade: the reference's service-layer verbs
   * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
@@ -114,7 +114,8 @@ final class VectorEngine(
   def vacuum(keepLast: Int = 1): Int =
     Seq("libraries", "documents", "chunks", "lsh_planes", "lsh_buckets",
       "ivf_centroids", "ivf_postings", "pq_codebooks", "pq_codes",
-      "ivfpq_codes", "sq8_params", "sq8_codes", "curated_sequences")
+      "ivfpq_codes", "sq8_params", "sq8_codes", "ivfsq8_params",
+      "ivfsq8_codes", "curated_sequences")
       .map(store.vacuum(_, keepLast)).sum
 
   /** Auto-retention hook: when `autoVacuumKeep = Some(n)` every mutating
@@ -244,7 +245,8 @@ final class VectorEngine(
       "ivf_postings" -> Schemas.ivfPostings,
       "pq_codes" -> Schemas.pqCodes,
       "ivfpq_codes" -> Schemas.ivfpqCodes,
-      "sq8_codes" -> Schemas.sq8Codes)
+      "sq8_codes" -> Schemas.sq8Codes,
+      "ivfsq8_codes" -> Schemas.ivfsq8Codes)
       .collect { case (t, sch) if store.exists(t) =>
         t -> store.compact(t, sch)
       }
@@ -267,6 +269,10 @@ final class VectorEngine(
     store.read("sq8_codes", Schemas.sq8Codes).filter(col("library_id") === libId)
   private def ivfpqCodes(libId: String): DataFrame =
     store.read("ivfpq_codes", Schemas.ivfpqCodes).filter(col("library_id") === libId)
+  private def ivfsq8Params(libId: String): DataFrame =
+    store.read("ivfsq8_params", Schemas.ivfsq8Params).filter(col("library_id") === libId)
+  private def ivfsq8Codes(libId: String): DataFrame =
+    store.read("ivfsq8_codes", Schemas.ivfsq8Codes).filter(col("library_id") === libId)
 
   // ---- library CRUD ---------------------------------------------------
 
@@ -841,6 +847,8 @@ final class VectorEngine(
           case "pq_codebooks"  => Schemas.pqCodebooks
           case "pq_codes"      => Schemas.pqCodes
           case "ivfpq_codes"   => Schemas.ivfpqCodes
+          case "ivfsq8_params" => Schemas.ivfsq8Params
+          case "ivfsq8_codes"  => Schemas.ivfsq8Codes
           case _               => Schemas.ivfPostings
         }).filter(col("library_id") === libId).isEmpty
     LibraryStats(libId, config.indexType, nDocs, nChunks, nEmbedded,
@@ -848,7 +856,9 @@ final class VectorEngine(
       hasIvfIndex = has("ivf_centroids") && has("ivf_postings"),
       hasPqIndex = has("pq_codebooks") && has("pq_codes"),
       hasIvfPqIndex = has("ivf_centroids") && has("pq_codebooks") &&
-        has("ivfpq_codes"))
+        has("ivfpq_codes"),
+      hasIvfSq8Index = has("ivf_centroids") && has("ivfsq8_params") &&
+        has("ivfsq8_codes"))
   }
 
   /** Paginated library listing (reference `LibraryService.list`,
@@ -990,6 +1000,7 @@ final class VectorEngine(
         dropPqTables(libId)
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -1003,6 +1014,7 @@ final class VectorEngine(
         dropPqTables(libId)
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
       case "pq" | "pq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
@@ -1014,6 +1026,7 @@ final class VectorEngine(
         dropIvfTables(libId)
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
       case "ivfpq" | "ivfpq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (centroids, codebooks, codes) = IvfPqIndex.build(libChunks,
@@ -1030,6 +1043,7 @@ final class VectorEngine(
         dropIvfPostingsOnly(libId)
         dropPqCodesOnly(libId)
         dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
       case "sq8" =>
         val (params, codes) = Sq8Index.build(libChunks, libId, dim)
         store.writeLibraryPartition("sq8_params", libId, params)
@@ -1038,6 +1052,21 @@ final class VectorEngine(
         dropIvfTables(libId)
         dropPqTables(libId)
         dropIvfPqTables(libId)
+        dropIvfSq8Tables(libId)
+      case "ivfsq8" =>
+        val (centroids, params, codes) = IvfSq8Index.build(libChunks, libId,
+          dim, config.ivfNumCentroids)
+        // shares ivf_centroids (coarse quantizer) with the ivf/ivfpq
+        // families; ivfsq8_params/ivfsq8_codes are the per-cell ranges
+        // and the byte-compressed inverted-list table
+        store.writeLibraryPartition("ivf_centroids", libId, centroids)
+        store.writeLibraryPartition("ivfsq8_params", libId, params)
+        store.writeLibraryPartition("ivfsq8_codes", libId, codes)
+        dropLshTables(libId)
+        dropIvfPostingsOnly(libId)
+        dropPqTables(libId)
+        dropIvfPqTables(libId)
+        dropSq8Tables(libId)
     }
   }
 
@@ -1191,6 +1220,44 @@ final class VectorEngine(
           // embedding.isNotNull mirrors flatScore: codes-table provenance
           // already guarantees embedded chunks, but the invariant should
           // be local, not implied by another table
+          val hydrated = broadcast(cands)
+            .join(libChunks.filter(col("embedding").isNotNull)
+                .select(col("id").as("chunk_id"), col("embedding")),
+              "chunk_id")
+            .select(col("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated, query, metric)
+        }
+      case "ivfsq8" =>
+        if (isZero) return emptyHits()
+        val qn = LshIndex.normalizeDriver(query).get
+        // top-nprobe cells WITH their centroid vectors (the per-cell
+        // query residuals need the cell's origin) — one driver-side
+        // TakeOrdered over metadata-scale centroid rows, as ivfpq
+        val topCents: Array[(Int, Array[Float])] =
+          if (!store.exists("ivf_centroids")) Array.empty
+          else ivfCentroids(libId)
+            .select(col("centroid_id"), col("vector"),
+              dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
+            .orderBy(col("cscore").desc, col("centroid_id").asc)
+            .limit(math.max(1, config.ivfNprobe))
+            .collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        val pmap =
+          if (topCents.isEmpty || !store.exists("ivfsq8_params"))
+            Map.empty[Int, Array[(Double, Double)]]
+          else IvfSq8Index.collectParams(ivfsq8Params(libId))
+        if (pmap.isEmpty)
+          // not built yet -> full flat scan (as the other paths)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          // centroid-pruned byte-code inverted lists: per probed cell a
+          // decode-approx L2 against the cell's plan-literal ranges and
+          // the query residual, cap 6k union-wide — then hydrate the
+          // exact vectors for ONLY the capped candidates and rerank
+          val cands = IvfSq8Index.candidates(restrict(ivfsq8Codes(libId)),
+            pmap, topCents, qn, k)
           val hydrated = broadcast(cands)
             .join(libChunks.filter(col("embedding").isNotNull)
                 .select(col("id").as("chunk_id"), col("embedding")),
@@ -2230,7 +2297,8 @@ final class VectorEngine(
     */
   private def validateConfig(config: IndexConfig): Unit = {
     if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
-        "pq", "pq_trained", "ivfpq", "ivfpq_trained", "sq8").contains(config.indexType))
+        "pq", "pq_trained", "ivfpq", "ivfpq_trained", "sq8",
+        "ivfsq8").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -2330,6 +2398,18 @@ final class VectorEngine(
         }
       }
     }
+    if (t == "ivfsq8") {
+      if (store.exists("ivf_centroids") && store.exists("ivfsq8_params")) {
+        val cents = ivfCentroids(libId)
+        val pDf = ivfsq8Params(libId)
+        if (!cents.isEmpty && !pDf.isEmpty) {
+          // assign to FROZEN cells, clamp-encode against FROZEN ranges
+          val add = IvfSq8Index.encode(newChunks, cents, pDf, libId)
+          store.writeLibraryPartition("ivfsq8_codes", libId,
+            ivfsq8Codes(libId).unionAll(add))
+        }
+      }
+    }
   }
 
   /** Index REMOVE: anti-join rewrite of this library's bucket/posting
@@ -2366,6 +2446,12 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.sq8Codes.fieldNames.toIndexedSeq.map(col): _*))
     }
+    if (store.exists("ivfsq8_codes")) {
+      store.writeLibraryPartition("ivfsq8_codes", libId,
+        ivfsq8Codes(libId)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.ivfsq8Codes.fieldNames.toIndexedSeq.map(col): _*))
+    }
   }
 
   /** Remove one library's derived index state: a partition drop per index
@@ -2377,6 +2463,7 @@ final class VectorEngine(
     dropPqTables(libId)
     dropIvfPqTables(libId)
     dropSq8Tables(libId)
+    dropIvfSq8Tables(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -2400,6 +2487,11 @@ final class VectorEngine(
 
   private def dropSq8Tables(libId: String): Unit =
     Seq("sq8_params", "sq8_codes").foreach { t =>
+      if (store.exists(t)) store.dropLibraryPartition(t, libId)
+    }
+
+  private def dropIvfSq8Tables(libId: String): Unit =
+    Seq("ivfsq8_params", "ivfsq8_codes").foreach { t =>
       if (store.exists(t)) store.dropLibraryPartition(t, libId)
     }
 
@@ -2443,7 +2535,8 @@ case class LibraryStats(
     hasLshIndex: Boolean,
     hasIvfIndex: Boolean,
     hasPqIndex: Boolean = false,
-    hasIvfPqIndex: Boolean = false)
+    hasIvfPqIndex: Boolean = false,
+    hasIvfSq8Index: Boolean = false)
 
 /** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
 case class ChunkIn(

@@ -1,0 +1,168 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Schemas
+
+/** IVF + scalar-quantization composite index — FAISS's `IVF,SQ8`: coarse
+  * cells from the deterministic md5-seeded centroids
+  * ([[IvfIndex.seedCentroids]], zero-RNG), and within each cell the
+  * RESIDUAL (normalized vector minus its centroid) quantized to one byte
+  * per dimension against per-(cell, dim) [lo, hi] ranges learned from the
+  * build corpus. The scan table is the centroid-partitioned byte-code
+  * inverted list (`centroid_id IN (...)` pushdown prunes it to
+  * nprobe/K-th of the corpus, as ivfpq), and the "codebook" is
+  * 2 doubles x dim per cell — metadata scale, folded into the probed
+  * cells' scan expressions as plan literals.
+  *
+  * Determinism: NO RNG anywhere (md5 seeds, min/max ranges, closed-form
+  * encode/decode), so build + incremental add/delete + search are all
+  * replayed and hash-checked by the DuckDB oracle, like the flat-SQ8 and
+  * det families.
+  *
+  * Incremental contract (add-after-train): [[encode]] assigns new
+  * vectors to the FROZEN centroids and quantizes their residuals against
+  * the FROZEN per-cell ranges, CLAMPING codes to [0, 255] — exactly
+  * [[Sq8Index]]'s frozen-range degradation, per cell. Every cell has
+  * >= 1 build member (a seed's own vector dots itself at 1.0, the
+  * maximum for normalized vectors), so every cell has ranges.
+  *
+  * Reference anchor: the reference has no compressed or composite family
+  * (`indexing/` stores raw vectors); this is the documented scale
+  * extension completing the FAISS triple (PQ / IVFPQ / SQ8 -> IVF,SQ8).
+  */
+object IvfSq8Index {
+
+  val Oversample = 6 // candidate cap multiplier, as the other families
+
+  /** Residuals of the assigned corpus: FLOAT subtraction of the
+    * float-cast normalized vector and its centroid (both sides float, so
+    * the oracle's REAL arithmetic reproduces every bit — the ivfpq
+    * residual contract).
+    */
+  private def residuals(assignments: DataFrame,
+      centroidsDf: DataFrame): DataFrame =
+    assignments
+      .join(broadcast(centroidsDf.select(col("centroid_id"), col("vector"))),
+        Seq("centroid_id"))
+      .select(col("centroid_id"), col("chunk_id"),
+        zip_with(col("embedding_norm"), col("vector"), (a, b) => a - b).as("res"))
+
+  /** Build (centroids, params, codes): seed cells, assign, ONE
+    * per-(cell, dim) min/max aggregate over the residuals (output
+    * K x dim rows however large the corpus), then the map-side clamped
+    * encode of every residual against its cell's ranges. Empty corpus
+    * yields empty frames with the correct schemas.
+    */
+  def build(chunksDf: DataFrame, libraryId: String, dim: Int,
+      numCentroids: Int): (DataFrame, DataFrame, DataFrame) = {
+    val spark = chunksDf.sparkSession
+    def empty(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    val centroidsDf = IvfIndex.seedCentroids(chunksDf, libraryId, numCentroids)
+    if (centroidsDf.isEmpty)
+      return (centroidsDf, empty(Schemas.ivfsq8Params), empty(Schemas.ivfsq8Codes))
+    val assignments = IvfIndex.assignToCentroids(chunksDf, centroidsDf, libraryId)
+    val res = residuals(assignments, centroidsDf)
+    val rows = res
+      .select(col("centroid_id"), posexplode(col("res")).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val params = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toIndexedSeq.map { case (c, pos, lo, hi) =>
+          Row(libraryId, c, pos, lo, hi)
+        }, 1),
+      Schemas.ivfsq8Params)
+    val pmap = toParamMap(rows.map { case (c, pos, lo, hi) => (c, pos, lo, hi) })
+    (centroidsDf, params, encodeWith(res, pmap, libraryId))
+  }
+
+  /** Driver-collected per-cell ranges, pos-ordered per centroid —
+    * metadata scale (2 doubles x dim x K).
+    */
+  def collectParams(paramsDf: DataFrame): Map[Int, Array[(Double, Double)]] =
+    toParamMap(paramsDf.select(col("centroid_id"), col("pos"), col("lo"), col("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))))
+
+  private def toParamMap(
+      rows: Array[(Int, Int, Double, Double)]): Map[Int, Array[(Double, Double)]] =
+    rows.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.sortBy(_._2).map(t => (t._3, t._4))
+    }
+
+  /** Encode NEW chunks against EXISTING centroids + ranges (incremental
+    * add between rebuilds — assign to the frozen cells, clamp-encode
+    * against the frozen per-cell ranges; no retrain).
+    */
+  def encode(chunksDf: DataFrame, centroidsDf: DataFrame,
+      paramsDf: DataFrame, libraryId: String): DataFrame = {
+    val pmap = collectParams(paramsDf)
+    if (pmap.isEmpty)
+      return chunksDf.sparkSession.createDataFrame(
+        chunksDf.sparkSession.sparkContext.emptyRDD[Row], Schemas.ivfsq8Codes)
+    val assignments = IvfIndex.assignToCentroids(chunksDf, centroidsDf, libraryId)
+    encodeWith(residuals(assignments, centroidsDf), pmap, libraryId)
+  }
+
+  /** Map-side clamped encode: per dim, code = clamp(floor((res - lo) /
+    * span * 255 + 0.5), 0, 255) with the cell's (lo, hi) looked up from
+    * a metadata-scale map literal; a zero-span dim (single-member cell)
+    * encodes 0 and decodes back to lo exactly.
+    */
+  private def encodeWith(res: DataFrame,
+      pmap: Map[Int, Array[(Double, Double)]], libraryId: String): DataFrame = {
+    val dim = pmap.head._2.length
+    val loMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._1).toSeq })
+    val hiMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._2).toSeq })
+    val codes = (0 until dim).map { i =>
+      val lo = element_at(element_at(loMap, col("centroid_id")), i + 1)
+      val hi = element_at(element_at(hiMap, col("centroid_id")), i + 1)
+      val span = hi - lo
+      val x = element_at(col("res"), i + 1).cast("double")
+      val raw = when(span === lit(0.0), lit(0.0))
+        .otherwise(floor((x - lo) / span * lit(255.0) + lit(0.5)))
+      least(greatest(raw, lit(0.0)), lit(255.0)).cast("int")
+    }
+    res.select(lit(libraryId).as("library_id"), col("centroid_id"),
+      col("chunk_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Candidate generation over the probed cells: per probed cell, one
+    * `centroid_id = c`-pruned scan whose decode-approx L2 is
+    * [[Sq8Index.distExpr]] against the CELL's ranges with the query
+    * RESIDUAL (float subtraction, driver-side) folded in as literals —
+    * then the nprobe branches union, cap Oversample*k by (dist asc,
+    * chunk_id asc). The caller hydrates and exact-reranks only the
+    * capped set.
+    */
+  def candidates(codesDf: DataFrame,
+      pmap: Map[Int, Array[(Double, Double)]],
+      topCents: Array[(Int, Array[Float])],
+      qnorm: Array[Float], k: Int): DataFrame = {
+    val perCell = topCents.toSeq.flatMap { case (cid, cvec) =>
+      pmap.get(cid).map { p =>
+        val qres = qnorm.indices.map(i => (qnorm(i) - cvec(i)).toDouble).toArray
+        codesDf.filter(col("centroid_id") === cid)
+          .select(col("chunk_id"),
+            Sq8Index.distExpr(p, i => lit(qres(i))).as("dist_u"))
+      }
+    }
+    if (perCell.isEmpty)
+      return codesDf.sparkSession.createDataFrame(
+        codesDf.sparkSession.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("chunk_id",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    perCell.reduce(_ unionAll _)
+      .orderBy(col("dist_u").asc, col("chunk_id").asc)
+      .limit(Oversample * k)
+      .select(col("chunk_id"))
+  }
+}

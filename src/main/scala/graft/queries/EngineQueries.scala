@@ -475,6 +475,34 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** IVF+SQ8 composite family end-to-end (VERDICT r7 #7) — FAISS's
+    * `IVF,SQ8`: md5-seeded coarse cells + per-(cell, dim) residual byte
+    * quantization, centroid-pruned byte-code scan, per-cell
+    * decode-approx L2 in exact micro-units, cap 60, exact cosine rerank.
+    * Zero-RNG, so the WHOLE pipeline is hash-checked, incremental
+    * included.
+    */
+  private def engineIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d,
+      IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** IVF+SQ8 incremental maintenance — the fifth family through the
+    * add/remove paths: delta vectors assign to the FROZEN cells and
+    * clamp-encode against the FROZEN per-cell ranges; deletes anti-join
+    * the codes. The oracle replays seeds+ranges-from-base /
+    * encode-of-the-survivors.
+    */
+  private def engineIvfSq8Incremental(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d,
+      IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2), "ivfsq8")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  private def ivfSq8Recall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+
   /** INDEX-TABLE COMPACTION through the incremental fixture (VERDICT r7
     * #4): same base/delta/delete script as `x_engine_sq8_incremental` —
     * which leaves `sq8_codes` fragmented across the build write plus the
@@ -970,6 +998,9 @@ object EngineQueries {
     "x_engine_sq8_incremental"   -> (engineSq8Incremental _),
     "x_engine_sq8_compacted"     -> (engineSq8Compacted _),
     "x_engine_sq8_annjoin"       -> (engineSq8AnnJoin _),
+    "x_engine_ivfsq8"            -> (engineIvfSq8 _),
+    "x_engine_ivfsq8_incremental" -> (engineIvfSq8Incremental _),
+    "x_ivfsq8_recall"            -> (ivfSq8Recall _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1299,6 +1330,93 @@ object EngineQueries {
        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   private val sq8HitsSelect =
+    s"""SELECT c.vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM cand c JOIN vn v USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** IVF+SQ8 replay (VERDICT r7 #7), parameterized like the ivfpq
+    * builder: md5-seed centroids and per-(cell, dim) residual min/max
+    * ranges from the corpus at BUILD time (`seedPred`); clamped encode +
+    * per-cell decode-approx L2 over the corpus NOW (`livePred`); probe
+    * the nprobe=2 best cells by query dot; cap 60 (dist asc, id asc);
+    * exact cosine rerank of the float-normalized vector vs the RAW
+    * query. Token-for-token the arithmetic `IvfSq8Index` executes
+    * (FLOAT residuals, double decode, micro-unit floors before the
+    * 64-term BIGINT sum).
+    */
+  private def ivfsq8CtesWith(seedPred: String, livePred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         list_transform(emb, x -> x / n) AS vnormd,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+      |  FROM nr WHERE n > 0),
+      |seeds AS (
+      |  SELECT vec_id FROM vn WHERE $seedPred
+      |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+      |  LIMIT 8),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
+      |         v.vnormf AS cvec
+      |  FROM seeds s JOIN vn v USING (vec_id)),
+      |assign AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT v.vec_id, c.centroid_id,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
+      |                      c.centroid_id ASC) AS rn
+      |    FROM vn v, cents c) WHERE rn = 1),
+      |res AS (
+      |  SELECT a.vec_id, a.centroid_id,
+      |         list(CAST(CAST(v.vnormf[i.i] AS REAL) - CAST(c.cvec[i.i] AS REAL) AS DOUBLE)
+      |              ORDER BY i.i) AS res
+      |  FROM assign a JOIN vn v USING (vec_id) JOIN cents c USING (centroid_id),
+      |       range(1, 65) i(i)
+      |  GROUP BY a.vec_id, a.centroid_id),
+      |rng AS (
+      |  SELECT r.centroid_id, i.i - 1 AS pos,
+      |         min(r.res[i.i]) AS lo, max(r.res[i.i]) AS hi
+      |  FROM res r, range(1, 65) i(i) WHERE $seedPred
+      |  GROUP BY r.centroid_id, i.i),
+      |enc AS (
+      |  SELECT r.vec_id, r.centroid_id,
+      |         list(CAST(LEAST(GREATEST(
+      |                CASE WHEN g.hi = g.lo THEN 0.0
+      |                     ELSE floor((r.res[g.pos + 1] - g.lo) / (g.hi - g.lo) * 255.0 + 0.5)
+      |                END, 0.0), 255.0) AS INTEGER) ORDER BY g.pos) AS codes
+      |  FROM res r JOIN rng g ON r.centroid_id = g.centroid_id
+      |  WHERE $livePred
+      |  GROUP BY r.vec_id, r.centroid_id),
+      |qn AS (
+      |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+      |  FROM e WHERE vec_id = 0),
+      |top_c AS (
+      |  SELECT c.centroid_id, c.cvec FROM cents c, qn
+      |  ORDER BY list_dot_product(c.cvec, qn.v) DESC, c.centroid_id ASC
+      |  LIMIT 2),
+      |qr AS (
+      |  SELECT t.centroid_id,
+      |         list(CAST(CAST(qn.v[i.i] AS REAL) - CAST(t.cvec[i.i] AS REAL) AS DOUBLE)
+      |              ORDER BY i.i) AS qres
+      |  FROM top_c t, qn, range(1, 65) i(i)
+      |  GROUP BY t.centroid_id),
+      |dec AS (
+      |  SELECT e2.vec_id,
+      |         CASE WHEN g.hi = g.lo THEN g.lo
+      |              ELSE g.lo + e2.codes[g.pos + 1] / 255.0 * (g.hi - g.lo) END AS xh,
+      |         q.qres[g.pos + 1] AS qx
+      |  FROM enc e2
+      |       JOIN qr q ON e2.centroid_id = q.centroid_id
+      |       JOIN rng g ON g.centroid_id = e2.centroid_id),
+      |cand AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
+      |  FROM dec GROUP BY vec_id
+      |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)""".stripMargin
+
+  private val ivfsq8HitsSelect =
     s"""SELECT c.vec_id,
        |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
        |FROM cand c JOIN vn v USING (vec_id)
@@ -1665,6 +1783,20 @@ object EngineQueries {
               s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
          |$sq8HitsSelect""".stripMargin,
     "x_engine_sq8_annjoin" -> sq8BatchSql,
+    "x_engine_ivfsq8" ->
+      s"""WITH ${ivfsq8CtesWith("TRUE", "TRUE")}
+         |$ivfsq8HitsSelect""".stripMargin,
+    // ivfsq8 incremental: seeds + per-cell ranges from the build-time
+    // base, clamped encode of every surviving vector against the frozen
+    // state — the add-after-train contract per cell
+    "x_engine_ivfsq8_incremental" ->
+      s"""WITH ${ivfsq8CtesWith(
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")}
+         |$ivfsq8HitsSelect""".stripMargin,
+    "x_ivfsq8_recall" ->
+      s"""WITH ${ivfsq8CtesWith("TRUE", "TRUE")},
+         |${recallSqlTail(ivfsq8HitsSelect)}""".stripMargin,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
