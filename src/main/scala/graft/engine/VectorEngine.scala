@@ -1675,6 +1675,45 @@ final class VectorEngine(
             .join(broadcast(capped), Seq("chunk_id"))
           rerankBatch(hydrated)
         }
+
+      case "ivfsq8" =>
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val pmap =
+          if (cents.isEmpty || !store.exists("ivfsq8_params"))
+            Map.empty[Int, Array[(Double, Double)]]
+          else IvfSq8Index.collectParams(ivfsq8Params(libId))
+        if (pmap.isEmpty) flatBatch()
+        else {
+          val c = cents.get
+          val pairs = probePairs(c, math.max(1, config.ivfNprobe))
+          val cids = pairs.map(_._2).distinct.toIndexedSeq
+          // per-(query, cell) FLOAT query residual (the encode arithmetic
+          // verbatim), broadcast beside the probe pairs; the candidate
+          // rows decode against the cell's map-literal ranges
+          val cvec: Map[Int, Array[Float]] = c
+            .filter(col("centroid_id").isin(cids.map(Int.box): _*))
+            .select(col("centroid_id"), col("vector")).collect()
+            .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+          val qnMap = qnorms.toMap
+          val probeDf = pairs.map { case (qid, cid) =>
+            val cv = cvec(cid); val qv = qnMap(qid)
+            (qid, cid, qv.indices.map(i => (qv(i) - cv(i)).toDouble))
+          }.toSeq.toDF("query_id", "centroid_id", "qres")
+          val dists = restrict(ivfsq8Codes(libId))
+            .filter(col("centroid_id").isin(cids.map(Int.box): _*))
+            .join(broadcast(probeDf), Seq("centroid_id"))
+            .select(col("query_id"), col("chunk_id"),
+              IvfSq8Index.adcDistExpr(pmap).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), IvfSq8Index.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(broadcast(capped), Seq("chunk_id"))
+          rerankBatch(hydrated)
+        }
     }
     batchTopKHydrate(scored, libChunks, k, filters)
   }
@@ -1961,6 +2000,40 @@ final class VectorEngine(
               transform(l2Normalize(col("embedding")), _.cast("float"))
                 .as("embedding_norm"))
           rerank(hydrated.join(capped, Seq("chunk_id")))
+        }
+
+      case "ivfsq8" =>
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val pmap =
+          if (cents.isEmpty || !store.exists("ivfsq8_params"))
+            Map.empty[Int, Array[(Double, Double)]]
+          else IvfSq8Index.collectParams(ivfsq8Params(libId))
+        if (pmap.isEmpty) flatScored()
+        else {
+          val c = cents.get
+          // per probe pair the FLOAT query residual is computed on
+          // executors (zip_with — the encode arithmetic verbatim), so
+          // NOTHING query-dependent lands on the driver; candidate rows
+          // decode against the cell's metadata-scale map-literal ranges
+          val pairsFull = probePairs(c)
+            .join(broadcast(c.select(col("centroid_id"), col("vector"))),
+              Seq("centroid_id"))
+            .join(qn, Seq("query_id"))
+            .select(col("query_id"), col("centroid_id"),
+              zip_with(col("qnorm"), col("vector"), (a, b) => a - b).as("qres"))
+          val dists = restrict(ivfsq8Codes(libId))
+            .join(pairsFull, Seq("centroid_id"))
+            .select(col("query_id"), col("chunk_id"),
+              IvfSq8Index.adcDistExpr(pmap).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), IvfSq8Index.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(capped, Seq("chunk_id"))
+          rerank(hydrated)
         }
 
       case other =>

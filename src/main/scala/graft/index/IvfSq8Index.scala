@@ -134,6 +134,29 @@ object IvfSq8Index {
       col("chunk_id"), array(codes: _*).as("codes"))
   }
 
+  /** Batch-path decode-approx L2: the SAME per-cell decode + micro-unit
+    * floor arithmetic as [[Sq8Index.distExpr]], with the cell's ranges
+    * looked up from metadata-scale map literals (keyed by the row's
+    * `centroid_id`) and the query RESIDUAL read from the broadcast
+    * `qres` column instead of plan literals — one definition for both
+    * batch paths so the oracle-matched arithmetic cannot drift.
+    */
+  def adcDistExpr(pmap: Map[Int, Array[(Double, Double)]]): Column = {
+    val dim = pmap.head._2.length
+    val loMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._1).toSeq })
+    val hiMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._2).toSeq })
+    (0 until dim).map { i =>
+      val lo = element_at(element_at(loMap, col("centroid_id")), i + 1)
+      val hi = element_at(element_at(hiMap, col("centroid_id")), i + 1)
+      val span = hi - lo
+      val code = element_at(col("codes"), i + 1).cast("double")
+      val xh = when(span === lit(0.0), lo)
+        .otherwise(lo + code / lit(255.0) * span)
+      val diff = xh - element_at(col("qres"), i + 1).cast("double")
+      floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+  }
+
   /** Candidate generation over the probed cells: per probed cell, one
     * `centroid_id = c`-pruned scan whose decode-approx L2 is
     * [[Sq8Index.distExpr]] against the CELL's ranges with the query

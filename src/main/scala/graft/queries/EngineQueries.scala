@@ -503,6 +503,19 @@ object EngineQueries {
   private def ivfSq8Recall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
 
+  /** Batched annJoin through the ivfsq8 family: the distributed
+    * zip_with-residual probe + per-cell map-literal decode, per-query
+    * cap via the partial aggregator — same query set and contract as
+    * the other families' annJoin entries.
+    */
+  private def engineIvfSq8AnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** INDEX-TABLE COMPACTION through the incremental fixture (VERDICT r7
     * #4): same base/delta/delete script as `x_engine_sq8_incremental` —
     * which leaves `sq8_codes` fragmented across the build write plus the
@@ -1000,6 +1013,7 @@ object EngineQueries {
     "x_engine_sq8_annjoin"       -> (engineSq8AnnJoin _),
     "x_engine_ivfsq8"            -> (engineIvfSq8 _),
     "x_engine_ivfsq8_incremental" -> (engineIvfSq8Incremental _),
+    "x_engine_ivfsq8_annjoin"    -> (engineIvfSq8AnnJoin _),
     "x_ivfsq8_recall"            -> (ivfSq8Recall _),
   )
 
@@ -1346,6 +1360,9 @@ object EngineQueries {
     * 64-term BIGINT sum).
     */
   private def ivfsq8CtesWith(seedPred: String, livePred: String): String =
+    ivfsq8CorpusCtesWith(seedPred, livePred) + ",\n" + ivfsq8SingleTail
+
+  private def ivfsq8CorpusCtesWith(seedPred: String, livePred: String): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
@@ -1388,8 +1405,10 @@ object EngineQueries {
       |                END, 0.0), 255.0) AS INTEGER) ORDER BY g.pos) AS codes
       |  FROM res r JOIN rng g ON r.centroid_id = g.centroid_id
       |  WHERE $livePred
-      |  GROUP BY r.vec_id, r.centroid_id),
-      |qn AS (
+      |  GROUP BY r.vec_id, r.centroid_id)""".stripMargin
+
+  private val ivfsq8SingleTail =
+    """qn AS (
       |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
       |  FROM e WHERE vec_id = 0),
       |top_c AS (
@@ -1421,6 +1440,57 @@ object EngineQueries {
        |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
        |FROM cand c JOIN vn v USING (vec_id)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // Batched ivfsq8 replay (x_engine_ivfsq8_annjoin): the corpus CTEs
+  // with the probe/residual/decode/cap/rerank tail PARTITIONED BY
+  // query_id for queries vec 0, 1, 2 — the SQL mirror of annJoin's
+  // distributed zip_with residual + map-literal decode path.
+  private val ivfsq8BatchSql =
+    s"""WITH ${ivfsq8CorpusCtesWith("TRUE", "TRUE")},
+       |qn_b AS (
+       |  SELECT vec_id AS query_id,
+       |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+       |  FROM e WHERE vec_id < 3),
+       |top_c_b AS (
+       |  SELECT query_id, centroid_id, cvec FROM (
+       |    SELECT q.query_id, c.centroid_id, c.cvec,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_dot_product(c.cvec, q.v) DESC, c.centroid_id ASC) AS rn
+       |    FROM cents c, qn_b q) WHERE rn <= 2),
+       |qr_b AS (
+       |  SELECT t.query_id, t.centroid_id,
+       |         list(CAST(CAST(q.v[i.i] AS REAL) - CAST(t.cvec[i.i] AS REAL) AS DOUBLE)
+       |              ORDER BY i.i) AS qres
+       |  FROM top_c_b t JOIN qn_b q USING (query_id), range(1, 65) i(i)
+       |  GROUP BY t.query_id, t.centroid_id),
+       |dec_b AS (
+       |  SELECT q2.query_id, e2.vec_id,
+       |         CASE WHEN g.hi = g.lo THEN g.lo
+       |              ELSE g.lo + e2.codes[g.pos + 1] / 255.0 * (g.hi - g.lo) END AS xh,
+       |         q2.qres[g.pos + 1] AS qx
+       |  FROM enc e2
+       |       JOIN qr_b q2 ON e2.centroid_id = q2.centroid_id
+       |       JOIN rng g ON g.centroid_id = e2.centroid_id),
+       |cand_b AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY dist_u ASC, vec_id ASC) AS rn
+       |    FROM (
+       |      SELECT query_id, vec_id,
+       |             CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
+       |      FROM dec_b GROUP BY query_id, vec_id))
+       |  WHERE rn <= 60)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} DESC,
+       |                    c.vec_id ASC) AS rn
+       |  FROM cand_b c JOIN vn v USING (vec_id)
+       |       JOIN e rq ON rq.vec_id = c.query_id)
+       |WHERE rn <= 10
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   /** Parameterized like [[ivfpqCorpusCtesWith]]: `seedPred` = the corpus
     * at build time (centroid seeds), `livePred` = the corpus now (which
@@ -1797,6 +1867,7 @@ object EngineQueries {
     "x_ivfsq8_recall" ->
       s"""WITH ${ivfsq8CtesWith("TRUE", "TRUE")},
          |${recallSqlTail(ivfsq8HitsSelect)}""".stripMargin,
+    "x_engine_ivfsq8_annjoin" -> ivfsq8BatchSql,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
