@@ -93,11 +93,15 @@ final class VectorEngine(
     * the true change set, not the corpus).
     */
   def snapshotDiff(vOld: Long, vNew: Long): DataFrame = {
-    val o = chunksAt(vOld).select(col("id"),
+    // join on (library_id, id), not id alone: chunk ids are
+    // caller-supplied and only de-duplicated within a library, so two
+    // libraries ingesting the same id must not cross-match into
+    // duplicate keys and spurious 'updated' rows (ADVICE r7)
+    val o = chunksAt(vOld).select(col("library_id"), col("id"),
       col("text").as("old_text"), col("version").as("old_version"))
-    val n = chunksAt(vNew).select(col("id"),
+    val n = chunksAt(vNew).select(col("library_id"), col("id"),
       col("text").as("new_text"), col("version").as("new_version"))
-    o.join(n, Seq("id"), "full_outer")
+    o.join(n, Seq("library_id", "id"), "full_outer")
       .withColumn("change",
         when(col("old_version").isNull, lit("added"))
           .when(col("new_version").isNull, lit("deleted"))
@@ -778,17 +782,33 @@ final class VectorEngine(
     */
   def deleteChunks(libId: String, chunkIds: Seq[String]): Unit = {
     if (chunkIds.isEmpty) return
-    val found = chunks.filter(col("library_id") === libId &&
-      col("id").isin(chunkIds: _*)).count()
-    if (found == 0) return
-    store.writeLibraryPartition("chunks", libId,
-      chunks.filter(col("library_id") === libId &&
-        !col("id").isin(chunkIds: _*)))
-    removeFromIndexes(libId, spark.createDataFrame(
-      spark.sparkContext.parallelize(chunkIds.map(Row(_)), 1),
+    val idsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(chunkIds.distinct.map(Row(_)),
+        math.max(1, chunkIds.size / 100000)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("chunk_id",
-          org.apache.spark.sql.types.StringType)))))
+          org.apache.spark.sql.types.StringType))))
+    if (chunkIds.size <= VectorEngine.UpsertMaxBatch) {
+      // small set: the isin literal pushes into the parquet scan
+      val found = chunks.filter(col("library_id") === libId &&
+        col("id").isin(chunkIds: _*)).count()
+      if (found == 0) return
+      store.writeLibraryPartition("chunks", libId,
+        chunks.filter(col("library_id") === libId &&
+          !col("id").isin(chunkIds: _*)))
+    } else {
+      // large set: a distributed anti-join on a DataFrame of ids — the
+      // same UpsertMaxBatch guard as upsertChunks, because a
+      // million-entry isin literal is a plan bomb (ADVICE r7)
+      val keyed = idsDf.withColumnRenamed("chunk_id", "id")
+      val found = chunks.filter(col("library_id") === libId)
+        .join(keyed, Seq("id"), "left_semi").count()
+      if (found == 0) return
+      store.writeLibraryPartition("chunks", libId,
+        chunks.filter(col("library_id") === libId)
+          .join(keyed, Seq("id"), "left_anti"))
+    }
+    removeFromIndexes(libId, idsDf)
   }
 
   // ---- list / get (S1-S3, T5-T6, P7-P8) ------------------------------

@@ -240,6 +240,10 @@ object AnnQueries {
       .toMap
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .collect().head.getSeq[Float](0).toArray
+    // fail loudly on a dataset-dim change instead of silently
+    // desynchronizing from the oracle's hardcoded range(64) (ADVICE r7)
+    require(stats.size == 64,
+      s"v_ann_sq8 oracle assumes dim 64, corpus has ${stats.size}")
     val contribs = (0 until stats.size).map { i =>
       val (lo, hi) = stats(i)
       val span = hi - lo

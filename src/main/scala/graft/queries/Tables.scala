@@ -19,11 +19,29 @@ object Tables {
     * (not per-column withColumn) keeps this one map over the scan and
     * preserves pushdown on the untouched columns.
     *
-    * Top-level fields only: today's driver tables are flat. If a nested
-    * struct/array ever carries TIMESTAMP_NTZ it would pass through here
-    * unnormalized — extend to a recursive rewrite at that point.
+    * Top-level fields only today; a nested struct/array carrying
+    * TIMESTAMP_NTZ FAILS FAST here (instead of silently passing through
+    * unnormalized) — extend to a recursive rewrite when a driver table
+    * first needs it.
     */
+  private def hasNestedNtz(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case TimestampNTZType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasNestedNtz(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasNestedNtz(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasNestedNtz(m.keyType) || hasNestedNtz(m.valueType)
+      case _ => false
+    }
+
   private def ntzToUtc(df: DataFrame): DataFrame = {
+    val nested = df.schema.fields
+      .filter(f => f.dataType != TimestampNTZType && hasNestedNtz(f.dataType))
+    require(nested.isEmpty,
+      s"nested TIMESTAMP_NTZ in column(s) ${nested.map(_.name).mkString(", ")} " +
+        "— ntzToUtc normalizes top-level fields only; extend it to a " +
+        "recursive rewrite for this table")
     if (!df.schema.exists(_.dataType == TimestampNTZType)) df
     else df.select(df.schema.fields.map { f =>
       if (f.dataType == TimestampNTZType)
