@@ -229,6 +229,19 @@ object EngineQueries {
     eng.ivfpqQuantizationError(lib)
   }
 
+  /** The DRIFT readout the audits exist for: reconstruction error of the
+    * ivfpq codes AFTER the incremental add/delete script (seeds and
+    * codebooks frozen from the base, delta encoded against them) — the
+    * number an operator compares with the clean-build entry to decide a
+    * rebuild is due. BASELINE.md records both points as the trend.
+    */
+  private def engineIvfPqQErrorIncr(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = incrEngine(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16),
+      "ivfpqqe")
+    eng.ivfpqQuantizationError(lib)
+  }
+
   private def ivfRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivf", ivfNumCentroids = 16, ivfNprobe = 4))
 
@@ -992,6 +1005,7 @@ object EngineQueries {
     "x_engine_sq8_qerror"    -> (engineSq8QError _),
     "x_engine_pq_qerror"     -> (enginePqQError _),
     "x_engine_ivfpq_qerror"  -> (engineIvfPqQError _),
+    "x_engine_ivfpq_qerror_incr" -> (engineIvfPqQErrorIncr _),
     "x_ivfdet_recall"        -> (ivfDetRecall _),
     "x_pqtrained_recall"     -> (pqTrainedRecall _),
     "x_ivfpqtrained_recall"  -> (ivfpqTrainedRecall _),
@@ -1903,6 +1917,24 @@ object EngineQueries {
     // float residual slice the code was encoded against.
     "x_engine_pq_qerror" ->
       s"""WITH $pqCorpusCtes,
+         |errs AS (
+         |  SELECT vs.vec_id,
+         |         CAST(SUM(CAST(floor((cb.c[i.i] - vs.sv[i.i]) * (cb.c[i.i] - vs.sv[i.i])
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
+         |  FROM vs JOIN enc ON vs.vec_id = enc.vec_id AND vs.m = enc.m
+         |       JOIN cb ON cb.m = enc.m AND cb.k = enc.k,
+         |       range(1, 9) i(i)
+         |  GROUP BY vs.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(err_u) AS BIGINT) AS sum_err_u,
+         |       CAST(MAX(err_u) AS BIGINT) AS max_err_u
+         |FROM errs""".stripMargin,
+    // drift variant: the same errs fold over the incremental build state
+    // (seeds/codebooks from the base, codes over the survivors)
+    "x_engine_ivfpq_qerror_incr" ->
+      s"""WITH ${ivfpqCorpusCtesWith(
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")},
          |errs AS (
          |  SELECT vs.vec_id,
          |         CAST(SUM(CAST(floor((cb.c[i.i] - vs.sv[i.i]) * (cb.c[i.i] - vs.sv[i.i])
