@@ -111,50 +111,47 @@ object IvfSq8Index {
     encodeWith(residuals(assignments, centroidsDf), pmap, libraryId)
   }
 
+  /** The per-cell ranges as DENSE (cell x dim) arrays ordered by
+    * centroid_id (seed ids are row_number-derived 0..K-1, so the index
+    * is total) — shipped to the kernels ONCE as flat reference objects.
+    * The first formulation looked these up per dim via nested
+    * `element_at` literal trees; the janino compile of that tree
+    * dominated the whole entry (see [[graft.functions.IvfSq8Kernels]]).
+    */
+  private def denseRanges(pmap: Map[Int, Array[(Double, Double)]])
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val k = pmap.size
+    require(pmap.keySet == (0 until k).toSet,
+      s"ivfsq8 cells must be dense 0..${k - 1}, got ${pmap.keySet}")
+    val ordered = (0 until k).map(pmap(_))
+    (ordered.map(_.map(_._1)).toArray, ordered.map(_.map(_._2)).toArray)
+  }
+
   /** Map-side clamped encode: per dim, code = clamp(floor((res - lo) /
-    * span * 255 + 0.5), 0, 255) with the cell's (lo, hi) looked up from
-    * a metadata-scale map literal; a zero-span dim (single-member cell)
-    * encodes 0 and decodes back to lo exactly.
+    * span * 255 + 0.5), 0, 255) against the row's cell ranges — one
+    * LOOPING codegen kernel per row; a zero-span dim (single-member
+    * cell) encodes 0 and decodes back to lo exactly.
     */
   private def encodeWith(res: DataFrame,
       pmap: Map[Int, Array[(Double, Double)]], libraryId: String): DataFrame = {
-    val dim = pmap.head._2.length
-    val loMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._1).toSeq })
-    val hiMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._2).toSeq })
-    val codes = (0 until dim).map { i =>
-      val lo = element_at(element_at(loMap, col("centroid_id")), i + 1)
-      val hi = element_at(element_at(hiMap, col("centroid_id")), i + 1)
-      val span = hi - lo
-      val x = element_at(col("res"), i + 1).cast("double")
-      val raw = when(span === lit(0.0), lit(0.0))
-        .otherwise(floor((x - lo) / span * lit(255.0) + lit(0.5)))
-      least(greatest(raw, lit(0.0)), lit(255.0)).cast("int")
-    }
+    val (lo, hi) = denseRanges(pmap)
     res.select(lit(libraryId).as("library_id"), col("centroid_id"),
-      col("chunk_id"), array(codes: _*).as("codes"))
+      col("chunk_id"),
+      graft.functions.IvfSq8Kernels
+        .ivfSq8Encode(col("res"), col("centroid_id"), lo, hi).as("codes"))
   }
 
   /** Batch-path decode-approx L2: the SAME per-cell decode + micro-unit
     * floor arithmetic as [[Sq8Index.distExpr]], with the cell's ranges
-    * looked up from metadata-scale map literals (keyed by the row's
-    * `centroid_id`) and the query RESIDUAL read from the broadcast
-    * `qres` column instead of plan literals — one definition for both
-    * batch paths so the oracle-matched arithmetic cannot drift.
+    * looked up from the dense metadata-scale array literals (indexed by
+    * the row's `centroid_id`) and the query RESIDUAL read from the
+    * broadcast `qres` column instead of plan literals — one definition
+    * for both batch paths so the oracle-matched arithmetic cannot drift.
     */
   def adcDistExpr(pmap: Map[Int, Array[(Double, Double)]]): Column = {
-    val dim = pmap.head._2.length
-    val loMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._1).toSeq })
-    val hiMap = typedLit(pmap.map { case (c, p) => c -> p.map(_._2).toSeq })
-    (0 until dim).map { i =>
-      val lo = element_at(element_at(loMap, col("centroid_id")), i + 1)
-      val hi = element_at(element_at(hiMap, col("centroid_id")), i + 1)
-      val span = hi - lo
-      val code = element_at(col("codes"), i + 1).cast("double")
-      val xh = when(span === lit(0.0), lo)
-        .otherwise(lo + code / lit(255.0) * span)
-      val diff = xh - element_at(col("qres"), i + 1).cast("double")
-      floor(diff * diff * lit(1000000.0) + lit(0.5)).cast("long")
-    }.reduce(_ + _)
+    val (lo, hi) = denseRanges(pmap)
+    graft.functions.IvfSq8Kernels
+      .ivfSq8Dist(col("codes"), col("centroid_id"), col("qres"), lo, hi)
   }
 
   /** Candidate generation over the probed cells: per probed cell, one
