@@ -208,6 +208,35 @@ final class VectorEngine(
         coalesce(max(col("err_u")), lit(0L)).cast("long").as("max_err_u"))
   }
 
+  /** INDEX HEALTH AUDIT (IVF+SQ8): reconstruction error of the stored
+    * per-cell byte codes vs the true residuals — the fourth compressed
+    * family through the same rebuild-due readout, completing the audit
+    * matrix. Reuses the [[IvfSq8Index.adcDistExpr]] kernel with the TRUE
+    * residual standing in as the "query" side, so err = the exact
+    * micro-unit decode-vs-truth fold the search path ranks by. One
+    * codes-to-chunks equi-join + one broadcast centroid join + one
+    * aggregate.
+    */
+  def ivfsq8QuantizationError(libId: String): DataFrame = {
+    if (!store.exists("ivfsq8_codes") || !store.exists("ivfsq8_params"))
+      throw new NotFoundError(s"ivfsq8 index for library $libId")
+    val pmap = IvfSq8Index.collectParams(ivfsq8Params(libId))
+    if (pmap.isEmpty) throw new NotFoundError(s"ivfsq8 index for library $libId")
+    val truth = chunks.filter(col("library_id") === libId &&
+        col("embedding").isNotNull)
+      .select(col("id").as("chunk_id"),
+        transform(l2Normalize(col("embedding")), _.cast("float")).as("vnorm"))
+    val cents = broadcast(ivfCentroids(libId)
+      .select(col("centroid_id"), col("vector").as("cvec")))
+    ivfsq8Codes(libId).join(truth, "chunk_id").join(cents, "centroid_id")
+      .select(col("codes"), col("centroid_id"),
+        zip_with(col("vnorm"), col("cvec"), (a, b) => a - b).as("qres"))
+      .select(IvfSq8Index.adcDistExpr(pmap).as("err_u"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("err_u")), lit(0L)).cast("long").as("sum_err_u"),
+        coalesce(max(col("err_u")), lit(0L)).cast("long").as("max_err_u"))
+  }
+
   /** Shared PQ decode-error fold: Σ_d floor((cb[m][codes[m]][j] -
     * truth(d))^2 * 1e6 + 0.5) as exact BIGINT micro-units, with the
     * per-(m,j) codeword→component lookup a K-length plan literal.

@@ -516,6 +516,30 @@ object EngineQueries {
   private def ivfSq8Recall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
 
+  private def ivfSq8Ndcg(s: SparkSession, d: String): DataFrame =
+    ndcgOf(s, d, IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+
+  /** The searchBatchAnn (driver probe-pair) path through ivfsq8 — same
+    * query set and oracle as the annJoin entry, so one replay
+    * hash-checks both batched execution paths.
+    */
+  private def engineIvfSq8Batch(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+    batchHitsOut(eng.searchBatchAnn(lib, batchQueryVecs(s, d), k = 10))
+  }
+
+  /** The ivfsq8 index-health audit as an entry — the fourth compressed
+    * family through the reconstruction-error readout; the oracle
+    * recomputes every per-cell code and decodes it against the replayed
+    * ranges.
+    */
+  private def engineIvfSq8QError(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+    eng.ivfsq8QuantizationError(lib)
+  }
+
   /** Batched annJoin through the ivfsq8 family: the distributed
     * zip_with-residual probe + per-cell map-literal decode, per-query
     * cap via the partial aggregator — same query set and contract as
@@ -1028,7 +1052,10 @@ object EngineQueries {
     "x_engine_ivfsq8"            -> (engineIvfSq8 _),
     "x_engine_ivfsq8_incremental" -> (engineIvfSq8Incremental _),
     "x_engine_ivfsq8_annjoin"    -> (engineIvfSq8AnnJoin _),
+    "x_engine_ivfsq8_batch"      -> (engineIvfSq8Batch _),
+    "x_engine_ivfsq8_qerror"     -> (engineIvfSq8QError _),
     "x_ivfsq8_recall"            -> (ivfSq8Recall _),
+    "x_ivfsq8_ndcg"              -> (ivfSq8Ndcg _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1882,6 +1909,32 @@ object EngineQueries {
       s"""WITH ${ivfsq8CtesWith("TRUE", "TRUE")},
          |${recallSqlTail(ivfsq8HitsSelect)}""".stripMargin,
     "x_engine_ivfsq8_annjoin" -> ivfsq8BatchSql,
+    // the driver probe-pair batch path must land on the identical hits
+    "x_engine_ivfsq8_batch" -> ivfsq8BatchSql,
+    "x_ivfsq8_ndcg" ->
+      s"""WITH ${ivfsq8CtesWith("TRUE", "TRUE")},
+         |${ndcgSqlTail(ivfsq8HitsSelect)}""".stripMargin,
+    // the audit replay: every per-cell code recomputed from the corpus,
+    // decoded against the replayed ranges, and folded vs the TRUE
+    // residual — micro-unit floors before the per-vector BIGINT sum
+    "x_engine_ivfsq8_qerror" ->
+      s"""WITH ${ivfsq8CorpusCtesWith("TRUE", "TRUE")},
+         |dec AS (
+         |  SELECT e2.vec_id,
+         |         CASE WHEN g.hi = g.lo THEN g.lo
+         |              ELSE g.lo + e2.codes[g.pos + 1] / 255.0 * (g.hi - g.lo) END AS xh,
+         |         r.res[g.pos + 1] AS qx
+         |  FROM enc e2
+         |       JOIN res r ON r.vec_id = e2.vec_id
+         |       JOIN rng g ON g.centroid_id = e2.centroid_id),
+         |errs AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
+         |  FROM dec GROUP BY vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(err_u) AS BIGINT) AS sum_err_u,
+         |       CAST(MAX(err_u) AS BIGINT) AS max_err_u
+         |FROM errs""".stripMargin,
     "x_lshdet_recall" ->
       s"""WITH $lshDetCtes,
          |${recallSqlTail(lshDetHitsSelect)}""".stripMargin,
