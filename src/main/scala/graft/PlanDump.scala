@@ -88,6 +88,13 @@ object PlanDump {
     "x_engine_sq8",            // byte-code scan, plan-literal ranges, no search-path join
     "x_engine_sq8_annjoin",    // codes x broadcast queries, per-query partial-agg cap
     "e_funnel",                // conditional min-agg chain, one user_id partitioning
+    // round 8 additions
+    "x_engine_ivfsq8",         // cell-pruned byte-code scan, per-cell kernel decode, bounded rerank
+    "x_engine_ivfsq8_annjoin", // zip_with residual probe pairs -> looping dist kernel -> per-query cap
+    "x_engine_sq8_compacted",  // search over the COMPACTED codes snapshot (layout-only change)
+    "x_engine_pq_qerror",      // codebook decode-error fold, no join (truth stored beside the codes)
+    "x_engine_ivfpq_qerror",   // ADC decode-error vs true residuals: chunk join + broadcast cents
+    "d_span_strip_multi",      // two-scale hot-window coverage union -> one (doc,pos) anti-join
   )
 
   def main(args: Array[String]): Unit = {

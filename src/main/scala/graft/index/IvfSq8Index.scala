@@ -154,33 +154,44 @@ object IvfSq8Index {
       .ivfSq8Dist(col("codes"), col("centroid_id"), col("qres"), lo, hi)
   }
 
-  /** Candidate generation over the probed cells: per probed cell, one
-    * `centroid_id = c`-pruned scan whose decode-approx L2 is
-    * [[Sq8Index.distExpr]] against the CELL's ranges with the query
-    * RESIDUAL (float subtraction, driver-side) folded in as literals —
-    * then the nprobe branches union, cap Oversample*k by (dist asc,
-    * chunk_id asc). The caller hydrates and exact-reranks only the
-    * capped set.
+  /** Candidate generation over the probed cells: ONE `centroid_id IN
+    * (...)`-pruned codes scan joined to a broadcast (centroid_id, qres)
+    * probe table (the per-cell FLOAT query residuals, driver-computed —
+    * nprobe rows), scored by the [[adcDistExpr]] LOOPING kernel, cap
+    * Oversample*k by (dist asc, chunk_id asc). Query values live in the
+    * broadcast COLUMN, not plan literals, so the generated code is
+    * IDENTICAL across queries (janino cache hit per query — the
+    * per-cell-literal formulation recompiled on every search) and the
+    * plan shape is independent of nprobe. The caller hydrates and
+    * exact-reranks only the capped set.
     */
   def candidates(codesDf: DataFrame,
       pmap: Map[Int, Array[(Double, Double)]],
       topCents: Array[(Int, Array[Float])],
       qnorm: Array[Float], k: Int): DataFrame = {
-    val perCell = topCents.toSeq.flatMap { case (cid, cvec) =>
-      pmap.get(cid).map { p =>
-        val qres = qnorm.indices.map(i => (qnorm(i) - cvec(i)).toDouble).toArray
-        codesDf.filter(col("centroid_id") === cid)
-          .select(col("chunk_id"),
-            Sq8Index.distExpr(p, i => lit(qres(i))).as("dist_u"))
-      }
+    val probed = topCents.toSeq.collect {
+      case (cid, cvec) if pmap.contains(cid) =>
+        Row(cid, qnorm.indices.map(i => (qnorm(i) - cvec(i)).toDouble))
     }
-    if (perCell.isEmpty)
-      return codesDf.sparkSession.createDataFrame(
-        codesDf.sparkSession.sparkContext.emptyRDD[Row],
+    val spark = codesDf.sparkSession
+    if (probed.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("chunk_id",
             org.apache.spark.sql.types.StringType, nullable = false))))
-    perCell.reduce(_ unionAll _)
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probed, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("qres",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    val cids = probed.map(_.getInt(0))
+    codesDf.filter(col("centroid_id").isin(cids.map(Int.box): _*))
+      .join(broadcast(probeDf), Seq("centroid_id"))
+      .select(col("chunk_id"), adcDistExpr(pmap).as("dist_u"))
       .orderBy(col("dist_u").asc, col("chunk_id").asc)
       .limit(Oversample * k)
       .select(col("chunk_id"))
