@@ -2108,7 +2108,7 @@ final class VectorEngine(
 
   /** STREAMING ANN through the index tables (the 100 TB online-serving
     * shape): the query side is a STREAMING DataFrame probing the ivfpq
-    * index, not a broadcast of the corpus. Structured Streaming permits
+    * or ivfsq8 index, not a broadcast of the corpus. Structured Streaming permits
     * one stateful operator on this plan, so the batch pipeline's two
     * stateful steps (ADC cap, then top-k after hydration) fuse into ONE
     * bounded aggregation ([[graft.functions.CapRerank]]):
@@ -2142,19 +2142,25 @@ final class VectorEngine(
     similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
     import spark.implicits._
     val effType = effectiveIndexType(libId, config)
-    if (effType != "ivfpq" && effType != "ivfpq_trained")
+    if (!Set("ivfpq", "ivfpq_trained", "ivfsq8").contains(effType))
       throw new ValidationError(
-        s"annJoinStream probes the ivfpq index tables; library is '$effType'")
+        s"annJoinStream probes the ivfpq/ivfsq8 index tables; library is '$effType'")
+    val isIvfSq8 = effType == "ivfsq8"
     val cb =
-      if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
+      if (isIvfSq8 || !store.exists("pq_codebooks"))
+        Array.empty[Array[Array[Float]]]
       else PqIndex.collectCodebooks(pqCodebooks(libId))
+    val pmap =
+      if (!isIvfSq8 || !store.exists("ivfsq8_params"))
+        Map.empty[Int, Array[(Double, Double)]]
+      else IvfSq8Index.collectParams(ivfsq8Params(libId))
     val centArr: Array[(Int, Array[Float])] =
       if (!store.exists("ivf_centroids")) Array.empty
       else ivfCentroids(libId).select(col("centroid_id"), col("vector"))
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-    if (cb.isEmpty || centArr.isEmpty)
-      throw new ValidationError("annJoinStream: ivfpq index is not built")
+    if ((if (isIvfSq8) pmap.isEmpty else cb.isEmpty) || centArr.isEmpty)
+      throw new ValidationError(s"annJoinStream: $effType index is not built")
     val nprobe = math.max(1, config.ivfNprobe)
 
     val qn = queries
@@ -2169,31 +2175,45 @@ final class VectorEngine(
         lit(cid).as("cid"))
     }
     val cvecMap = typedLit(centArr.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
-    val probed = qn
+    val topCells = qn
       .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("qvec"),
-        col("pc.cid").as("centroid_id"),
-        IvfPqIndex.adcDtabExpr(
+    // per probe row, the family's query-side table: ivfpq carries the
+    // per-cell ADC dtab; ivfsq8 carries the per-cell FLOAT query
+    // residual consumed directly by the looping dist kernel
+    val probed =
+      if (isIvfSq8)
+        topCells.select(col("query_id"), col("qvec"),
+          col("pc.cid").as("centroid_id"),
           zip_with(col("qnorm"), element_at(cvecMap, col("pc.cid")),
-            (a, b) => a - b), cb).as("dtab"))
+            (a, b) => a - b).as("qres"))
+      else
+        topCells.select(col("query_id"), col("qvec"),
+          col("pc.cid").as("centroid_id"),
+          IvfPqIndex.adcDtabExpr(
+            zip_with(col("qnorm"), element_at(cvecMap, col("pc.cid")),
+              (a, b) => a - b), cb).as("dtab"))
 
-    val codes = ivfpqCodes(libId)
+    val codes = (if (isIvfSq8) ivfsq8Codes(libId) else ivfpqCodes(libId))
       .select(col("centroid_id"), col("chunk_id"), col("codes"))
     val norms = chunks.filter(col("library_id") === libId)
       .filter(col("embedding").isNotNull)
       .select(col("id").as("chunk_id"),
         transform(l2Normalize(col("embedding")), _.cast("float"))
           .as("embedding_norm"))
+    val distU =
+      if (isIvfSq8) IvfSq8Index.adcDistExpr(pmap)
+      else IvfPqIndex.adcDistExpr(cb.length, cb(0).length)
+    val oversample =
+      if (isIvfSq8) IvfSq8Index.Oversample else IvfPqIndex.Oversample
     val cands = probed.join(codes, Seq("centroid_id"))
       .join(norms, Seq("chunk_id"))
-      .select(col("query_id"), col("chunk_id"),
-        IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"),
+      .select(col("query_id"), col("chunk_id"), distU.as("dist_u"),
         similarity(metric)(col("embedding_norm"), col("qvec")).as("score"))
     cands.as[(Long, String, Long, Double)]
       .groupByKey(_._1)
       .agg(graft.functions.CapRerankAggregator
-        .capRerank(IvfPqIndex.Oversample * k, k).toColumn)
+        .capRerank(oversample * k, k).toColumn)
       .toDF("query_id", "hits")
   }
 

@@ -770,6 +770,46 @@ object EngineQueries {
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
   }
 
+  /** STREAMING ANN through the ivfsq8 family — the same 25-query stream
+    * as `e_stream_ann` probing the composite index's per-cell byte
+    * codes through the fused cap+rerank aggregator; the family is
+    * zero-RNG, so the streamed hits are hash-checked against the
+    * batched replay widened to 25 queries.
+    */
+  private def engineStreamAnnIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("ivfsq8", ivfNumCentroids = 8, ivfNprobe = 2))
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val qStream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val hits = eng.annJoinStream(lib, qStream, k = 10)
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = hits.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory").queryName("graft_stream_ann_ivfsq8")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.table("graft_stream_ann_ivfsq8")
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"),
+        expr("CAST(substring(h._2, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("h._1"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
     * first recall metric with a full DuckDB oracle: both the approximate
     * side (the whole ivfpq replay) and the exact side are SQL, so the
@@ -1020,6 +1060,7 @@ object EngineQueries {
     "x_engine_hybrid"        -> (engineHybrid _),
     "x_engine_pq_annjoin"    -> (enginePqAnnJoin _),
     "e_stream_ann"           -> (engineStreamAnn _),
+    "e_stream_ann_ivfsq8"    -> (engineStreamAnnIvfSq8 _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
@@ -1482,16 +1523,19 @@ object EngineQueries {
        |FROM cand c JOIN vn v USING (vec_id)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  // Batched ivfsq8 replay (x_engine_ivfsq8_annjoin): the corpus CTEs
-  // with the probe/residual/decode/cap/rerank tail PARTITIONED BY
-  // query_id for queries vec 0, 1, 2 — the SQL mirror of annJoin's
-  // distributed zip_with residual + map-literal decode path.
-  private val ivfsq8BatchSql =
+  // Batched ivfsq8 replay (x_engine_ivfsq8_annjoin/_batch and the
+  // 25-query streaming entry): the corpus CTEs with the
+  // probe/residual/decode/cap/rerank tail PARTITIONED BY query_id —
+  // the SQL mirror of annJoin's distributed zip_with residual + kernel
+  // decode path.
+  private val ivfsq8BatchSql = ivfsq8BatchSqlFor(3)
+
+  private def ivfsq8BatchSqlFor(nQueries: Int): String =
     s"""WITH ${ivfsq8CorpusCtesWith("TRUE", "TRUE")},
        |qn_b AS (
        |  SELECT vec_id AS query_id,
        |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
-       |  FROM e WHERE vec_id < 3),
+       |  FROM e WHERE vec_id < $nQueries),
        |top_c_b AS (
        |  SELECT query_id, centroid_id, cvec FROM (
        |    SELECT q.query_id, c.centroid_id, c.cvec,
@@ -2118,6 +2162,7 @@ object EngineQueries {
     // streamed answers replayed by the same batched pipeline SQL — a
     // dropped, duplicated, or mis-ranked streamed query fails the hash
     "e_stream_ann" -> ivfpqBatchSqlFor(25),
+    "e_stream_ann_ivfsq8" -> ivfsq8BatchSqlFor(25),
     // the 25-query recall distribution: the batched ivfpq replay joined
     // against a windowed exact ranking, per-query intersection counts
     "x_engine_annjoin_recall" ->

@@ -152,12 +152,31 @@ class EngineFuzzSpec extends AnyFunSuite {
     * quirk-Q1 top-k at every step.
     */
   test("150 random verbs against an IVFPQ library: incremental maintenance stays exact (seed 13)") {
-    val rnd = new Random(13)
+    indexedWalk("ivfpq", IndexConfig("ivfpq",
+      ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 64),
+      seed0 = 13, tag = "graft-fuzz3")
+  }
+
+  /** Fourth walk: the same full-coverage churn against an IVF+SQ8
+    * library — nprobe = numCentroids and cap 6k >= the id space admit
+    * every live code into the exact rerank, so byte-quantization loss
+    * cannot reorder the output and `search` must equal the model's
+    * quirk-Q1 top-k exactly; a missed incremental encode or an
+    * unremoved code row would drop/inject a candidate and diverge.
+    */
+  test("150 random verbs against an IVF+SQ8 library: incremental maintenance stays exact (seed 29)") {
+    indexedWalk("ivfsq8",
+      IndexConfig("ivfsq8", ivfNumCentroids = 2, ivfNprobe = 2),
+      seed0 = 29, tag = "graft-fuzz4")
+  }
+
+  private def indexedWalk(label: String, config: IndexConfig,
+      seed0: Int, tag: String): Unit = {
+    val rnd = new Random(seed0)
     val dim = 4
     val eng = new VectorEngine(spark,
-      graft.TempDirs.scratch("graft-fuzz3").toString, fixedClock)
-    val lib = eng.createLibrary("fuzzPq", dim, IndexConfig("ivfpq",
-      ivfNumCentroids = 2, ivfNprobe = 2, pqSubspaces = 2, pqCodewords = 64))
+      graft.TempDirs.scratch(tag).toString, fixedClock)
+    val lib = eng.createLibrary(s"fuzz-$label", dim, config)
     val docs3 = (0 until 2).map(i => eng.createDocument(lib, id = Some(s"doc$i")))
     val model = mutable.LinkedHashMap.empty[String, MChunk]
 
@@ -174,7 +193,7 @@ class EngineFuzzSpec extends AnyFunSuite {
       }
     }
 
-    // seed + first build so every later search takes the ivfpq path
+    // seed + first build so every later search takes the indexed path
     val seed = (0 until 12).map { _ =>
       val id = s"c${rnd.nextInt(30)}"
       ChunkIn(s"seed-$id", randVec(), id = Some(id))
@@ -211,7 +230,7 @@ class EngineFuzzSpec extends AnyFunSuite {
               .map(c => (c.id, cosQ1(c.emb.get, q)))
               .sortBy { case (id, s) => (-s, id) }.take(k)
             assert(got.map(_._1).toSeq == expected.map(_._1),
-              s"step $step: ivfpq ids diverged (k=$k)")
+              s"step $step: $label ids diverged (k=$k)")
             got.zip(expected).foreach { case ((_, gs), (_, es)) =>
               assert(math.abs(gs - es) < 1e-9, s"step $step: score diverged")
             }

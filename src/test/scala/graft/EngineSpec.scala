@@ -1200,6 +1200,55 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
   }
 
+  test("ivfsq8 engine family: lifecycle, frozen-cell incremental, removal, rebuild swap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = graft.TempDirs.scratch("graft-ivfsq8-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("isq8", 4,
+      IndexConfig("ivfsq8", ivfNumCentroids = 2, ivfNprobe = 2))
+    val doc = eng.createDocument(lib)
+    // empty-corpus rebuild: empty index tables, flat-scan fallback
+    eng.rebuildIndex(lib)
+    assert(eng.search(lib, Array(1f, 0f, 0f, 0f), k = 3).isEmpty)
+    def batch(ids: Range) = ids
+      .map(i => (f"c$i%04d", s"text $i",
+        Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+          math.cos(i * 1.3).toFloat, math.sin(i * 1.3).toFloat)))
+      .toDF("id", "text", "embedding")
+    eng.bulkIngest(lib, doc, batch(0 until 20))
+    eng.rebuildIndex(lib)
+    val store = new StateStore(spark, dir)
+    def codes = store.read("ivfsq8_codes", Schemas.ivfsq8Codes)
+    def frozen: (Seq[String], Seq[String]) = (
+      store.read("ivf_centroids", Schemas.ivfCentroids)
+        .collect().map(_.toString).sorted.toSeq,
+      store.read("ivfsq8_params", Schemas.ivfsq8Params)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(codes.count() == 20)
+    assert(eng.libraryStats(lib).hasIvfSq8Index)
+    // self-query: the vector's own chunk must rank first at full recall
+    // of its cell (nprobe = num_centroids here, so no prune loss)
+    val top = eng.search(lib, Array(math.cos(2.1).toFloat, math.sin(2.1).toFloat,
+      math.cos(3.9).toFloat, math.sin(3.9).toFloat), k = 1)
+      .select("chunk_id").collect().head.getString(0)
+    assert(top == "c0003", s"self-query returned $top")
+    val before = frozen
+    // delta ingest: assigned + clamp-encoded against FROZEN cells/ranges
+    eng.bulkIngest(lib, doc, batch(20 until 30))
+    assert(codes.count() == 30)
+    assert(frozen == before)
+    eng.deleteChunks(lib, Seq("c0003", "c0021", "c9999"))
+    assert(codes.count() == 28)
+    assert(codes.filter(col("chunk_id").isin("c0003", "c0021")).isEmpty)
+    assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
+    // config swap to flat drops this library's ivfsq8 state
+    eng.updateIndexConfig(lib, IndexConfig("flat"))
+    assert(codes.filter(col("library_id") === lib).isEmpty)
+    assert(!eng.libraryStats(lib).hasIvfSq8Index)
+    assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
+  }
+
   test("sq8 engine family: frozen-range incremental encode, clamped codes, removal") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax, min => smin}
