@@ -237,6 +237,37 @@ final class VectorEngine(
         coalesce(max(col("err_u")), lit(0L)).cast("long").as("max_err_u"))
   }
 
+  /** AUDIT-DRIVEN REBUILD POLICY — the rebuild-due signal closed into a
+    * verb: run the library's family-appropriate reconstruction-error
+    * audit and rebuild the index iff the mean per-vector error exceeds
+    * `maxMeanErrU` micro-units (frozen build state drifted past the
+    * operator's tolerance under incremental adds). The audit is one
+    * bounded aggregate; the rebuild is the normal full-corpus path.
+    * Returns the decision record (family, n, sum/max/mean error,
+    * whether a rebuild ran). Families without stored codes (flat, lsh,
+    * ivf) have nothing to audit — ValidationError.
+    */
+  def rebuildIfDrifted(libId: String, maxMeanErrU: Double): RebuildDecision = {
+    val (_, config, _) = getLibrary(libId)
+    val family = effectiveIndexType(libId, config)
+    val audit = family match {
+      case "sq8"                      => sq8QuantizationError(libId)
+      case "pq" | "pq_trained"        => pqQuantizationError(libId)
+      case "ivfpq" | "ivfpq_trained"  => ivfpqQuantizationError(libId)
+      case "ivfsq8"                   => ivfsq8QuantizationError(libId)
+      case other => throw new ValidationError(
+        s"rebuildIfDrifted: '$other' stores no compressed codes to audit")
+    }
+    val row = audit.collect().head
+    val n = row.getLong(0)
+    val sumErr = row.getLong(1)
+    val maxErr = row.getLong(2)
+    val mean = if (n == 0) 0.0 else sumErr.toDouble / n
+    val due = mean > maxMeanErrU
+    if (due) rebuildIndex(libId)
+    RebuildDecision(family, n, sumErr, maxErr, mean, rebuilt = due)
+  }
+
   /** Shared PQ decode-error fold: Σ_d floor((cb[m][codes[m]][j] -
     * truth(d))^2 * 1e6 + 0.5) as exact BIGINT micro-units, with the
     * per-(m,j) codeword→component lookup a K-length plan literal.
@@ -2666,6 +2697,18 @@ object VectorEngine {
     */
   val PackRangeCount = 1024
 }
+
+/** Audit-driven rebuild decision (see [[VectorEngine.rebuildIfDrifted]]):
+  * the audit readout plus whether the drift threshold triggered a
+  * rebuild. Errors are exact micro-units; mean is per encoded vector.
+  */
+case class RebuildDecision(
+    family: String,
+    n: Long,
+    sumErrU: Long,
+    maxErrU: Long,
+    meanErrU: Double,
+    rebuilt: Boolean)
 
 /** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */
 case class LibraryStats(

@@ -1249,6 +1249,38 @@ class EngineSpec extends AnyFunSuite {
     assert(eng.search(lib, Array(1f, 0f, 1f, 0f), k = 5).count() == 5)
   }
 
+  test("rebuildIfDrifted: clamped out-of-range deltas trip the threshold, rebuild clears it") {
+    import spark.implicits._
+    val dir = graft.TempDirs.scratch("graft-drift-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("drift", 2, IndexConfig("sq8"))
+    val doc = eng.createDocument(lib)
+    // tight build corpus: all vectors near (1, 0) -> narrow frozen ranges
+    eng.bulkIngest(lib, doc, (0 until 20)
+      .map(i => (f"a$i%04d", s"t$i", Array(1f, 0.01f * i)))
+      .toDF("id", "text", "embedding"))
+    eng.rebuildIndex(lib)
+    val clean = eng.rebuildIfDrifted(lib, maxMeanErrU = 1000.0)
+    assert(!clean.rebuilt && clean.n == 20)
+    // delta far outside the learned ranges: codes clamp to the edges and
+    // reconstruction error explodes -> the audit must trip the policy
+    eng.bulkIngest(lib, doc, (0 until 20)
+      .map(i => (f"b$i%04d", s"u$i", Array(-1f, -0.01f * i)))
+      .toDF("id", "text", "embedding"))
+    val drifted = eng.rebuildIfDrifted(lib, maxMeanErrU = 1000.0)
+    assert(drifted.rebuilt && drifted.n == 40,
+      s"expected a drift rebuild, got $drifted")
+    assert(drifted.meanErrU > clean.meanErrU * 10)
+    // the rebuild re-learned the ranges over the full corpus: clean again
+    val after = eng.rebuildIfDrifted(lib, maxMeanErrU = 1000.0)
+    assert(!after.rebuilt && after.n == 40, s"post-rebuild still dirty: $after")
+    // families with no compressed codes refuse the audit
+    val flatLib = eng.createLibrary("flatlib", 2)
+    intercept[EngineErrors.ValidationError] {
+      eng.rebuildIfDrifted(flatLib, 1000.0)
+    }
+  }
+
   test("sq8 engine family: frozen-range incremental encode, clamped codes, removal") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax, min => smin}
