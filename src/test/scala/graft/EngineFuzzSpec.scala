@@ -170,6 +170,21 @@ class EngineFuzzSpec extends AnyFunSuite {
       seed0 = 29, tag = "graft-fuzz4")
   }
 
+  /** Fifth/sixth walks: SQ8 (cap >= id space admits every code into the
+    * exact rerank) and flat PQ (64 codewords >= the 30-id corpus =
+    * exact reconstruction) under the same churn — every compressed
+    * family's incremental add/remove path is now fuzz-proven exact.
+    */
+  test("150 random verbs against an SQ8 library: incremental maintenance stays exact (seed 31)") {
+    indexedWalk("sq8", IndexConfig("sq8"), seed0 = 31, tag = "graft-fuzz5")
+  }
+
+  test("150 random verbs against a PQ library: incremental maintenance stays exact (seed 37)") {
+    indexedWalk("pq",
+      IndexConfig("pq", pqSubspaces = 2, pqCodewords = 64),
+      seed0 = 37, tag = "graft-fuzz6")
+  }
+
   private def indexedWalk(label: String, config: IndexConfig,
       seed0: Int, tag: String): Unit = {
     val rnd = new Random(seed0)
