@@ -296,6 +296,43 @@ object TextQueries {
       .orderBy(col("doc_id").asc, col("rn").asc)
   }
 
+  /** Sparse TF-IDF document similarity via a df-capped POSTINGS self-join —
+    * the inverted-index (lexical) complement to the dense ANN families:
+    * top-20 document pairs by exact-integer TF-IDF dot product.
+    *
+    * Scale shape: the document-frequency cap (2 <= df <= 50) is the load-
+    * bearing guard — it drops hapax terms (which can't pair) AND stopword-
+    * frequency terms, bounding every posting list at 50 entries, so the
+    * term-keyed equi-join fans out at most 50^2/2 pairs per term (the
+    * classic DAAT bound; without the cap a stopword's posting list is
+    * corpus-length and its self-join is the corpus squared). Pair scores
+    * are map-side-combined on (doc_a, doc_b); the final top-20 is
+    * TakeOrderedAndProject. Weights are tf x floor(ln(N/df) * 1e6) exact
+    * BIGINT micro-nats (the t_tfidf formulation scaled to leave product
+    * headroom: w6 <= tf * 5.5e6 here, pair terms ~3e13 x tf^2, far inside
+    * BIGINT even summed over a 50-term overlap).
+    */
+  private def tfidfSim(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), explode(toks).as("term"))
+    val tf = tk.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50))
+    val tot = docs(s, d).agg(count(lit(1)).as("nd"))
+    val post = tf.join(dfT, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("doc_id"),
+        (col("tf") * floor(log(col("nd").cast("double") / col("df").cast("double"))
+          * lit(1.0e6))).cast("long").as("w6"))
+    post.as("a").join(post.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w6") * col("b.w6")).as("sim_u"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("sim_u").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+  }
+
   /** DOCUMENT CHUNKING with overlap — the vector-store ingestion
     * primitive the reference assumes happens upstream of its API: split
     * each document into fixed token windows (32 tokens, stride 24 — 8
@@ -468,6 +505,7 @@ object TextQueries {
     "t_perplexity"     -> (perplexity _),
     "t_perplexity2"    -> (perplexityBigram _),
     "t_tfidf"          -> (tfidf _),
+    "t_tfidf_sim"      -> (tfidfSim _),
     "t_chunk_split"    -> (chunkSplit _),
     "t_curriculum"     -> (curriculum _),
     "t_pii_scrub"      -> (piiScrub _),
@@ -691,6 +729,26 @@ object TextQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY s9 DESC, term ASC) AS rn FROM sc)
          |WHERE rn <= 3 ORDER BY doc_id ASC, rn ASC""".stripMargin,
+    // t_tfidf_sim: same postings weights in e6 units, df-capped [2,50],
+    // exact-integer pair dot products
+    "t_tfidf_sim" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dfT AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+         |        HAVING count(*) BETWEEN 2 AND 50),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |post AS (
+         |  SELECT t.term, t.doc_id,
+         |         t.tf * CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+         |                           * 1000000.0) AS BIGINT) AS w6
+         |  FROM tf t JOIN dfT d USING (term), nd)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(SUM(a.w6 * b.w6) AS BIGINT) AS sim_u,
+         |       count(*) AS n_shared
+         |FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY sim_u DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin,
     // t_chunk_split: the same 32/24 token windows — starts from an
     // integer-division series, slices replayed with list_slice's
     // inclusive 1-based bounds

@@ -168,6 +168,77 @@ object VectorQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** One-pass Gram / uncentered-covariance matrix of the corpus — the
+    * statistics pass behind embedding whitening / PCA / OPQ rotations.
+    * The whole corpus folds into a single 64x64 buffer via a typed
+    * Aggregator (map-side partial agg: one 32 KiB buffer per partition
+    * crosses the shuffle, independent of corpus size). Cells are exact
+    * BIGINT micro-unit sums (per-row product floored BEFORE summing), so
+    * the result is summation-order-immune and fully hash-checked; only
+    * the upper triangle is emitted (the matrix is symmetric).
+    */
+  private val GramDim = 64
+  private def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d).select(col("embedding")).as[Array[Float]]
+      .select(new graft.functions.GramMatrixAgg(GramDim).toColumn)
+      .toDF("g")
+      .select(posexplode(col("g")).as(Seq("pos", "g_u")))
+      .select(expr(s"CAST(pos div $GramDim AS INT)").as("i"),
+        expr(s"CAST(pos % $GramDim AS INT)").as("j"),
+        col("g_u"))
+      .filter(col("i") <= col("j"))
+      .orderBy(col("i").asc, col("j").asc)
+  }
+
+  /** Capacity-balanced semantic sharding — route every vector to the
+    * nearest per-label centroid shard, with a one-pass overflow spill to
+    * the second-nearest shard once a shard hits capacity ceil(N/10) (the
+    * balanced-assignment step of semantic sharding / curriculum
+    * partitioning at corpus scale). Scale shape: the 10x64 centroid table
+    * is metadata (broadcast); scoring is one corpus scan; both windows
+    * run over N x 1 rows keyed by vec_id / shard_id — no corpus
+    * cross-product anywhere. Centroid positions are deterministically
+    * rounded to 6 decimals BEFORE the cosine, so the only cross-engine
+    * float surface is the per-position mean (the hash-green v_centroids
+    * precedent); scores are rnd6 with full (shard, vec) tie-breaks.
+    * One-pass semantics: a spilled vector takes its second choice even if
+    * that shard is itself full — the bounded-cascade contract, documented
+    * rather than iterated.
+    */
+  private def semanticShard(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val perPos = e.select(col("label"), posexplode(vecAsDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(rnd(avg(col("col")), 6).as("m"))
+    val cents = perPos.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("shard_id"), expr("transform(pm, x -> x.m)").as("cvec"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("shard_id"),
+        rnd(cosineSim(vecAsDouble(col("embedding")), col("cvec")), 6).as("score"))
+    val wChoice = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("shard_id").asc)
+    val ranked = scored.withColumn("choice", row_number().over(wChoice))
+      .filter(col("choice") <= 2)
+    val second = ranked.filter(col("choice") === 2)
+      .select(col("vec_id"), col("shard_id").as("shard2"), col("score").as("score2"))
+    val wLoad = Window.partitionBy(col("shard_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val placed = ranked.filter(col("choice") === 1)
+      .withColumn("load_rank", row_number().over(wLoad))
+      .crossJoin(broadcast(n))
+      .withColumn("cap", expr("CAST((n + 9) div 10 AS INT)"))
+    val kept = placed.filter(col("load_rank") <= col("cap"))
+      .select(col("vec_id"), col("shard_id"), lit(1).as("placement"), col("score"))
+    val spilled = placed.filter(col("load_rank") > col("cap"))
+      .join(second, "vec_id")
+      .select(col("vec_id"), col("shard2").as("shard_id"),
+        lit(2).as("placement"), col("score2").as("score"))
+    kept.unionByName(spilled).orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
@@ -179,6 +250,8 @@ object VectorQueries {
     "v_centroids"      -> (centroids _),
     "v_neardup_pairs"  -> (nearDupPairs _),
     "v_neardup_clusters" -> (nearDupClusters _),
+    "v_gram_matrix"    -> (gramMatrix _),
+    "v_semantic_shard" -> (semanticShard _),
   )
 
   private val normSql =
@@ -248,5 +321,49 @@ object VectorQueries {
          |lab AS (SELECT v AS vec_id, min(l) AS cluster_id FROM reach GROUP BY v)
          |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
          |FROM lab ORDER BY vec_id ASC""".stripMargin,
+    // v_gram_matrix: the identical per-element floor(x_i*x_j*1e6 + 0.5)
+    // contract — exact BIGINT sums, upper triangle only
+    "v_gram_matrix" ->
+      s"""WITH el AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS p,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS x
+         |  FROM embeddings)
+         |SELECT CAST(a.p AS INTEGER) AS i, CAST(b.p AS INTEGER) AS j,
+         |       CAST(SUM(CAST(floor(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g_u
+         |FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.p <= b.p
+         |GROUP BY 1, 2 ORDER BY i ASC, j ASC""".stripMargin,
+    // v_semantic_shard: rnd6 centroid positions -> sequential-fold cosine
+    // -> the same two row_number windows and ceil(N/10) capacity rule
+    "v_semantic_shard" ->
+      s"""WITH expl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS x
+         |  FROM embeddings),
+         |perpos AS (
+         |  SELECT label, pos, ${rndSql("avg(x)", 6)} AS m
+         |  FROM expl GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS shard_id, list(m ORDER BY pos) AS cvec
+         |  FROM perpos GROUP BY label),
+         |n AS (SELECT count(*) AS n FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, c.shard_id,
+         |         ${rndSql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)", 6)} AS score
+         |  FROM embeddings e, cents c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, shard_id ASC) AS choice FROM scored),
+         |fst AS (
+         |  SELECT *, row_number() OVER (PARTITION BY shard_id
+         |    ORDER BY score DESC, vec_id ASC) AS load_rank
+         |  FROM ranked WHERE choice = 1),
+         |snd AS (SELECT vec_id, shard_id AS shard2, score AS score2
+         |        FROM ranked WHERE choice = 2)
+         |SELECT f.vec_id, f.shard_id, 1 AS placement, f.score
+         |FROM fst f, n WHERE f.load_rank <= (n + 9) // 10
+         |UNION ALL
+         |SELECT f.vec_id, s.shard2 AS shard_id, 2 AS placement, s.score2 AS score
+         |FROM fst f JOIN snd s USING (vec_id), n WHERE f.load_rank > (n + 9) // 10
+         |ORDER BY vec_id ASC""".stripMargin,
   )
 }

@@ -274,4 +274,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_._1).toSet == toks.filter(_._2.nonEmpty).keySet)
   }
+
+  test("v_gram_matrix matches a driver-side brute-force fold") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = 64
+    val exp = Array.ofDim[Long](dim, dim)
+    for (a <- embs; i <- 0 until dim; j <- i until dim)
+      exp(i)(j) += math.floor(a(i).toDouble * a(j).toDouble * 1e6 + 0.5).toLong
+    val got = VectorQueries.queries("v_gram_matrix")(spark, sfDir)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    for (i <- 0 until dim; j <- i until dim) assert(got((i, j)) == exp(i)(j))
+    // diagonal cells are sums of squares: strictly positive
+    for (i <- 0 until dim) assert(got((i, i)) > 0L)
+  }
+
+  test("v_semantic_shard places every vector once and respects first-choice capacity") {
+    import org.apache.spark.sql.functions.col
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val rows = VectorQueries.queries("v_semantic_shard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == n)
+    assert(rows.map(_._1).distinct.length == n)
+    val cap = (n + 9) / 10
+    // capacity binds on FIRST-choice placements (spills may overfill
+    // their second shard by the documented one-pass contract)
+    rows.filter(_._3 == 1).groupBy(_._2).values
+      .foreach(g => assert(g.size <= cap))
+    assert(rows.count(_._3 == 2) < n / 2)
+  }
+
+  test("t_tfidf_sim matches a driver-side postings brute force") {
+    val toks = docTokens()
+    val tf = toks.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, d, g.size.toLong) } }
+    val dfm = tf.groupBy(_._1).map { case (t, g) => t -> g.size }
+      .filter { case (_, c) => c >= 2 && c <= 50 }
+    val nd = toks.size.toDouble
+    val post = tf.collect { case (t, d, f) if dfm.contains(t) =>
+      (t, d, f * math.floor(math.log(nd / dfm(t).toDouble) * 1e6).toLong) }
+    val pairs = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for ((_, ps) <- post.groupBy(_._1); a <- ps; b <- ps if a._2 < b._2) {
+      val k = (a._2, b._2)
+      val (s0, c0) = pairs.getOrElse(k, (0L, 0L))
+      pairs(k) = (s0 + a._3 * b._3, c0 + 1)
+    }
+    val expTop = pairs.toSeq.map { case ((da, db), (s, c)) => (da, db, s, c) }
+      .sortBy { case (da, db, s, _) => (-s, da, db) }.take(20)
+    val got = TextQueries.queries("t_tfidf_sim")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expTop)
+  }
 }
