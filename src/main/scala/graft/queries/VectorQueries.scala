@@ -239,6 +239,73 @@ object VectorQueries {
     kept.unionByName(spilled).orderBy(col("vec_id").asc)
   }
 
+  /** Dominant principal direction via EXACT INTEGER power iteration on the
+    * mean Gram matrix — the public Spark MLlib `RowMatrix
+    * .computePrincipalComponents` pattern: the distributed pass is the
+    * one-scan Gram fold (GramMatrixAgg — one 32 KiB buffer per partition),
+    * and the eigen-solve runs driver-side on the collected 64x64 matrix,
+    * which is METADATA-scale state (4096 longs) at any corpus size.
+    *
+    * Everything is fixed-point integer so the result hash-checks across
+    * engines: gbar = g_u div N (micro-units of E[x_i x_j] — bounded 1e6
+    * by unit vectors, so the iteration never overflows at ANY corpus
+    * size), v0 = 1e6 (max-norm e6), then 30 rounds of w = gbar.v,
+    * v = (w * 1e6) div_trunc max|w| — the matvec fits BIGINT (64 terms of
+    * <= 1e12) and only the transient rescale product needs 128 bits
+    * (BigInt here, DuckDB's native HUGEINT SUM type there). Divisions
+    * truncate toward zero on BOTH engines (the oracle spells the negative
+    * branch explicitly — DuckDB's `//` is only pinned on positives).
+    * 30 rounds: convergence is gap-limited ((l2/l1)^30), and each extra
+    * round is metadata-scale on both sides.
+    */
+  private val PcaIters = 30
+  private val PcaScale = 1000000L
+  private def powerVec(s: SparkSession, d: String): Array[Long] = {
+    import s.implicits._
+    val n = emb(s, d).count()
+    require(n > 0, "empty embeddings table")
+    val g = emb(s, d).select(col("embedding")).as[Array[Float]]
+      .select(new graft.functions.GramMatrixAgg(GramDim).toColumn).head()
+    def tdiv(a: Long, b: Long): Long = a / b // JVM: truncate toward zero
+    val gb = Array.ofDim[Long](GramDim, GramDim)
+    for (i <- 0 until GramDim; j <- i until GramDim) {
+      val m = tdiv(g(i * GramDim + j), n)
+      gb(i)(j) = m; gb(j)(i) = m
+    }
+    var v = Array.fill(GramDim)(PcaScale)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(GramDim) { i =>
+        var acc = 0L; var j = 0
+        while (j < GramDim) { acc += gb(i)(j) * v(j); j += 1 }; acc
+      }
+      val m = w.map(math.abs).max
+      require(m > 0, "power iteration hit the zero vector")
+      // BigInt division truncates toward zero — same as Long `/`
+      v = w.map(wi => (BigInt(wi) * PcaScale / BigInt(m)).toLong)
+    }
+    v
+  }
+
+  private def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    powerVec(s, d).zipWithIndex.map { case (vu, i) => (i, vu) }
+      .toSeq.toDF("i", "v_u")
+      .orderBy(col("i").asc)
+  }
+
+  /** Project the corpus onto the learned principal direction: the 64-long
+    * direction vector is a broadcast literal, so the projection is ONE
+    * narrow scan with a sequential-fold dot product — no join, no shuffle
+    * beyond the presentation sort.
+    */
+  private def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val v = powerVec(s, d).map(_.toDouble).toSeq
+    emb(s, d).select(col("vec_id"),
+        rnd(dotProduct(vecAsDouble(col("embedding")), typedLit(v)) / lit(PcaScale.toDouble), 6)
+          .as("proj"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
@@ -252,7 +319,49 @@ object VectorQueries {
     "v_neardup_clusters" -> (nearDupClusters _),
     "v_gram_matrix"    -> (gramMatrix _),
     "v_semantic_shard" -> (semanticShard _),
+    "v_pca_power"      -> (pcaPower _),
+    "v_pca_project"    -> (pcaProject _),
   )
+
+  /** Shared CTE chain replaying the integer power iteration in SQL:
+    * the Gram fold, symmetrization, mean division, and PcaIters unrolled
+    * (matvec, max-norm, rescale) rounds — all exact integer arithmetic
+    * with truncate-toward-zero division spelled out for negatives.
+    */
+  private def pcaChainSql: String = {
+    // MATERIALIZED + single-reference rounds: DuckDB inlines plain CTEs
+    // at every reference, so a round whose rescale read the matvec twice
+    // would double the inline tree per level (2^30 by round 30). The
+    // max-norm comes from a whole-frame window instead of a second CTE,
+    // and the shared tables are pinned with AS MATERIALIZED.
+    val base =
+      s"""el AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS p,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS x
+         |  FROM embeddings),
+         |g0 AS MATERIALIZED (
+         |  SELECT CAST(a.p AS INTEGER) AS i, CAST(b.p AS INTEGER) AS j,
+         |         CAST(SUM(CAST(floor(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g_u
+         |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.p <= b.p
+         |  GROUP BY 1, 2),
+         |gsym AS (SELECT i, j, g_u FROM g0
+         |         UNION ALL SELECT j, i, g_u FROM g0 WHERE i < j),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |gb AS MATERIALIZED (SELECT i, j,
+         |         CASE WHEN g_u >= 0 THEN g_u // n ELSE -((-g_u) // n) END AS gb
+         |       FROM gsym, nn),
+         |v0 AS (SELECT DISTINCT i, CAST($PcaScale AS BIGINT) AS v FROM gb)""".stripMargin
+    val steps = (1 to PcaIters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT i, w, max(abs(w)) OVER () AS m
+         |  FROM (SELECT gb.i AS i, SUM(gb.gb * v.v) AS w
+         |        FROM gb JOIN v${t - 1} v ON gb.j = v.i GROUP BY gb.i)),
+         |v$t AS (SELECT i, CAST(CASE WHEN w >= 0 THEN (w * $PcaScale) // m
+         |                 ELSE -(((0 - w) * $PcaScale) // m) END AS BIGINT) AS v
+         |        FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps"
+  }
 
   private val normSql =
     "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
@@ -365,5 +474,16 @@ object VectorQueries {
          |SELECT f.vec_id, s.shard2 AS shard_id, 2 AS placement, s.score2 AS score
          |FROM fst f JOIN snd s USING (vec_id), n WHERE f.load_rank > (n + 9) // 10
          |ORDER BY vec_id ASC""".stripMargin,
+    // v_pca_power / v_pca_project: the full integer power iteration
+    // replayed as unrolled CTE rounds (the d_pagerank discipline)
+    "v_pca_power" ->
+      s"""WITH $pcaChainSql
+         |SELECT i, v AS v_u FROM v$PcaIters ORDER BY i ASC""".stripMargin,
+    "v_pca_project" ->
+      s"""WITH $pcaChainSql,
+         |vl AS (SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS vv FROM v$PcaIters)
+         |SELECT e.vec_id,
+         |       ${rndSql(s"list_dot_product(CAST(e.embedding AS DOUBLE[]), vl.vv) / $PcaScale.0", 6)} AS proj
+         |FROM embeddings e, vl ORDER BY vec_id ASC""".stripMargin,
   )
 }

@@ -306,6 +306,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.count(_._3 == 2) < n / 2)
   }
 
+  test("v_pca_power converges to the dominant eigendirection of the mean Gram") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = 64
+    val n = embs.length.toDouble
+    val g = Array.ofDim[Double](dim, dim)
+    for (a <- embs; i <- 0 until dim; j <- 0 until dim) g(i)(j) += a(i) * a(j) / n
+    // double-precision reference: 200 power-iteration rounds, L2-normalized
+    var ref = Array.fill(dim)(1.0)
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * ref(j)).sum)
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      ref = w.map(_ / nw)
+    }
+    def rayleigh(v: Array[Double]): Double = {
+      val gv = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      (0 until dim).map(i => v(i) * gv(i)).sum / v.map(x => x * x).sum
+    }
+    val got = VectorQueries.queries("v_pca_power")(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    // the captured VARIANCE converges quadratically even when the vector
+    // itself is eigengap-limited: the integer direction must capture
+    // >= 99% of the dominant eigenvalue the converged reference reaches
+    val lam = rayleigh(got)
+    val lamRef = rayleigh(ref)
+    assert(lam >= 0.99 * lamRef, s"rayleigh $lam vs converged $lamRef")
+    // and still point the same way within the fixed-point budget
+    val ng = math.sqrt(got.map(x => x * x).sum)
+    val cos = math.abs((0 until dim).map(i => got(i) / ng * ref(i)).sum)
+    assert(cos >= 0.9, s"cos(integer direction, double reference) = $cos")
+  }
+
+  test("v_pca_project equals the driver-side sequential-fold projection") {
+    import org.apache.spark.sql.functions.col
+    val v = VectorQueries.queries("v_pca_power")(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    val embs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = VectorQueries.queries("v_pca_project")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == embs.size)
+    got.foreach { case (id, proj) =>
+      val x = embs(id)
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += x(i).toDouble * v(i); i += 1 }
+      assert(proj == rnd6(acc / 1000000.0), s"vec $id")
+    }
+  }
+
   test("t_tfidf_sim matches a driver-side postings brute force") {
     val toks = docTokens()
     val tf = toks.toSeq.flatMap { case (d, ts) =>
