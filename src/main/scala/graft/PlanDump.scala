@@ -95,6 +95,10 @@ object PlanDump {
     "x_engine_pq_qerror",      // codebook decode-error fold, no join (truth stored beside the codes)
     "x_engine_ivfpq_qerror",   // ADC decode-error vs true residuals: chunk join + broadcast cents
     "d_span_strip_multi",      // two-scale hot-window coverage union -> one (doc,pos) anti-join
+    "v_gram_matrix",           // one ObjectHashAggregate fold: 32 KiB buffer per partition
+    "v_semantic_shard",        // broadcast centroids scan + two keyed windows, no cross-product
+    "t_tfidf_sim",             // df-capped postings self-join, map-side pair combine, TakeOrdered
+    "v_pca_project",           // broadcast direction literal, one narrow scan + TakeOrdered-free sort
   )
 
   def main(args: Array[String]): Unit = {
