@@ -46,6 +46,35 @@ object SqlQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey
         |ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    // TPC-H Q18 shape (large-volume orders): the GROUP BY ... HAVING
+    // semi-join pattern — membership computed by an aggregate subquery.
+    // Quantities are integral by data contract, so sums are exact BIGINT.
+    "sql_big_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    // TPC-H Q17 shape (small-quantity revenue): correlated per-part
+    // average rewritten multiplicatively (qty*5*cnt < sum) so the whole
+    // predicate is exact integer arithmetic — no decimal AVG, whose
+    // division rounding differs across engines. Catalyst/DuckDB both
+    // decorrelate the two scalar subqueries into one per-part aggregate
+    // join; revenue follows the e4-unit convention.
+    "sql_small_qty_revenue" ->
+      """SELECT CAST(COALESCE(SUM(CAST(floor(CAST(l.l_extendedprice AS DECIMAL(18,4))
+        |            * 10000) AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size = 1
+        |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT SUM(CAST(l3.l_quantity AS BIGINT))
+        |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
     // VALUE-RANGE window frame (RANGE, not ROWS): per customer, the
     // rolling decimal-exact sum over orders whose key lies within 5 of
     // the current one — the frame the ROWS variants can't express.
