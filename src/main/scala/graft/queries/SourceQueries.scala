@@ -404,6 +404,59 @@ object SourceQueries {
       s.table("graft_stream_mixture")))
   }
 
+  /** STREAMING second-moment maintenance: the corpus arrives as four
+    * micro-batches (deterministic per-batch files, the
+    * e_stream_dedup_incremental mechanism) and the SAME GramMatrixAgg
+    * buffer that powers the batch entry is the streaming STATE — each
+    * micro-batch folds its rows into the 64x64 matrix and Complete mode
+    * re-emits the merged statistic. The final matrix must be byte-equal
+    * to the one-shot batch fold (exact integer cells are commutative/
+    * associative, so arrival order provably cannot matter), which is why
+    * the oracle is LITERALLY the batch v_gram_matrix SQL — the stream ==
+    * batch contract, hash-checked. 100 TB shape: state is one 32 KiB
+    * buffer regardless of corpus size; each micro-batch touches only its
+    * own rows.
+    */
+  private def streamGram(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths}
+    import s.implicits._
+    val root = graft.TempDirs.scratch("graft-stream-gram").toString
+    val srcDir = Paths.get(root, "src")
+    JFiles.createDirectories(srcDir)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val t0 = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      val stage = s"$root/stage$i"
+      e.filter(col("vec_id") % 4 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = scala.util.Using.resource(JFiles.list(Paths.get(stage))) { st =>
+        val found = st.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+        require(found.isPresent, s"no parquet part file under $stage")
+        found.get()
+      }
+      val dst = srcDir.resolve(f"batch$i%02d.parquet")
+      JFiles.move(part, dst)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+    }
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val agg = stream.select(col("embedding")).as[Array[Float]]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.GramMatrixAgg(VectorQueries.GramDim).toColumn)
+      .toDF("k", "g")
+    withStreamStateParallelism(s) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("memory").queryName("graft_stream_gram")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VectorQueries.gramTriangle(s.table("graft_stream_gram").select(col("g")))
+  }
+
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     ensureBucketedTables(s, d)
     s.table("graft_lineitem_b")
@@ -436,6 +489,7 @@ object SourceQueries {
     "e_stream_sessions" -> (streamSessions _),
     "e_stream_dedup"   -> (streamDedup _),
     "e_stream_join"    -> (streamStreamJoin _),
+    "e_stream_gram"    -> (streamGram _),
     "e_stream_knn"     -> (streamKnn _),
     "e_stream_mixture" -> (streamMixture _),
     "q_bucketed_join"  -> (bucketedJoin _),
@@ -445,6 +499,9 @@ object SourceQueries {
     // e_stream_mixture: stream-maintained counts must yield the IDENTICAL
     // policy as the batch entry — the oracle is literally the same SQL
     "e_stream_mixture" -> DedupQueries.oracles("d_mixture_weights"),
+    // e_stream_gram: the streamed statistic must equal the one-shot batch
+    // fold — the oracle IS the batch gram SQL
+    "e_stream_gram" -> VectorQueries.oracles("v_gram_matrix"),
     // e_stream_knn: every streamed query's top-5 recomputed in batch SQL
     // (rank by raw cosine, ties by vec_id — the aggregator's order)
     "e_stream_knn" ->

@@ -177,18 +177,26 @@ object VectorQueries {
     * the result is summation-order-immune and fully hash-checked; only
     * the upper triangle is emitted (the matrix is symmetric).
     */
-  private val GramDim = 64
-  private def gramMatrix(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    emb(s, d).select(col("embedding")).as[Array[Float]]
-      .select(new graft.functions.GramMatrixAgg(GramDim).toColumn)
-      .toDF("g")
-      .select(posexplode(col("g")).as(Seq("pos", "g_u")))
+  private[queries] val GramDim = 64
+
+  /** Row-major pos-indexed matrix column `g` -> ordered (i, j, g_u) upper
+    * triangle — shared by the batch and streaming gram entries so both
+    * provably emit the same shape (and share one oracle).
+    */
+  private[queries] def gramTriangle(df: DataFrame): DataFrame =
+    df.select(posexplode(col("g")).as(Seq("pos", "g_u")))
       .select(expr(s"CAST(pos div $GramDim AS INT)").as("i"),
         expr(s"CAST(pos % $GramDim AS INT)").as("j"),
         col("g_u"))
       .filter(col("i") <= col("j"))
       .orderBy(col("i").asc, col("j").asc)
+
+  private def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gramTriangle(
+      emb(s, d).select(col("embedding")).as[Array[Float]]
+        .select(new graft.functions.GramMatrixAgg(GramDim).toColumn)
+        .toDF("g"))
   }
 
   /** Capacity-balanced semantic sharding — route every vector to the
