@@ -910,6 +910,27 @@ object EngineQueries {
     Seq((0L, rr6, firstRank)).toDF("query_id", "rr6", "first_rank")
   }
 
+  /** Average precision@10 of the det approximate ranking vs the exact
+    * top-10 relevant set, in exact integer micro-units: each relevant
+    * hit at rank r contributes (1e6 * hits_so_far) DIV r, and ap6 is the
+    * term sum DIV 10 — long division only, so the measured AP itself is
+    * hash-checked. Completes the graded family (recall, curve, MRR,
+    * nDCG, MAP).
+    */
+  private[queries] def mapOf(s: SparkSession, d: String,
+      config: IndexConfig): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = engineFixture(s, d, config)
+    val approx = approxRankedIds(eng, lib, q)
+    val exact = exactTopVecIds(s, d, 10).toSet
+    var hits = 0
+    var sum6 = 0L
+    approx.zipWithIndex.foreach { case (v, i) =>
+      if (exact(v)) { hits += 1; sum6 += 1000000L * hits / (i + 1) }
+    }
+    Seq((0L, sum6 / 10, hits)).toDF("query_id", "ap6", "n_hits")
+  }
+
   /** Recall@k curve (k = 1, 5, 10) of the det approximate ranking vs
     * the exact ranking — recall@k = |approx top-k ∩ exact top-k| / k.
     * The curve shape is what an ANN tuning loop actually reads (is the
@@ -933,6 +954,14 @@ object EngineQueries {
 
   private def lshDetMrr(s: SparkSession, d: String): DataFrame =
     mrrOf(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+
+  private def ivfpqDetMap(s: SparkSession, d: String): DataFrame =
+    mapOf(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+
+  private def lshDetMap(s: SparkSession, d: String): DataFrame =
+    mapOf(s, d,
       IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
 
   private def ivfpqDetRecallCurve(s: SparkSession, d: String): DataFrame =
@@ -1078,6 +1107,8 @@ object EngineQueries {
     "x_lshdet_ndcg"          -> (lshDetNdcg _),
     "x_ivfpqdet_mrr"         -> (ivfpqDetMrr _),
     "x_lshdet_mrr"           -> (lshDetMrr _),
+    "x_ivfpqdet_map"         -> (ivfpqDetMap _),
+    "x_lshdet_map"           -> (lshDetMap _),
     "x_ivfpqdet_recall_curve" -> (ivfpqDetRecallCurve _),
     "x_engine_timetravel"    -> (engineTimeTravel _),
     "x_engine_snapshot_diff" -> (engineSnapshotDiff _),
@@ -1318,6 +1349,34 @@ object EngineQueries {
        |                 ELSE 1000000 // first_rank END AS BIGINT) AS rr6,
        |       first_rank
        |FROM fr""".stripMargin
+
+  /** Shared MAP@10 oracle tail: each relevant approx hit at rank r
+    * contributes (1e6 * cumulative-hits) // r; ap6 = term sum // 10 —
+    * integer division on both engines. Requires a CTE `e(vec_id,
+    * emb DOUBLE[])` in scope.
+    */
+  private def mapSqlTail(approxSelect: String): String =
+    s"""approxsc AS ($approxSelect),
+       |ranked AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+       |  FROM approxsc),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e2.vec_id,
+       |           ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |    FROM e e2)
+       |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+       |marked AS (
+       |  SELECT r, CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+       |            THEN 1 ELSE 0 END AS rel
+       |  FROM ranked),
+       |terms AS (
+       |  SELECT r, rel, SUM(rel) OVER (ORDER BY r) AS hits FROM marked)
+       |SELECT CAST(0 AS BIGINT) AS query_id,
+       |       CAST(COALESCE(SUM(CASE WHEN rel = 1
+       |              THEN (1000000 * hits) // r ELSE 0 END), 0) // 10 AS BIGINT) AS ap6,
+       |       CAST(COALESCE(SUM(rel), 0) AS INTEGER) AS n_hits
+       |FROM terms""".stripMargin
 
   /** Shared recall@k-curve oracle tail (k = 1, 5, 10): both rankings
     * row-numbered, per-k head intersection counted over the k-bounded
@@ -2206,6 +2265,12 @@ object EngineQueries {
     "x_lshdet_mrr" ->
       s"""WITH $lshDetCtes,
          |${mrrSqlTail(lshDetHitsSelect)}""".stripMargin,
+    "x_ivfpqdet_map" ->
+      s"""WITH $ivfpqCtes,
+         |${mapSqlTail(ivfpqApproxSelect)}""".stripMargin,
+    "x_lshdet_map" ->
+      s"""WITH $lshDetCtes,
+         |${mapSqlTail(lshDetHitsSelect)}""".stripMargin,
     "x_ivfpqdet_recall_curve" ->
       s"""WITH $ivfpqCtes,
          |${recallCurveSqlTail(ivfpqApproxSelect)}""".stripMargin,
