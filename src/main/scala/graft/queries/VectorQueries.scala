@@ -268,18 +268,26 @@ object VectorQueries {
     */
   private val PcaIters = 30
   private val PcaScale = 1000000L
-  private def powerVec(s: SparkSession, d: String): Array[Long] = {
+
+  /** The symmetric mean Gram matrix in exact micro-units (gbar = g_u div
+    * N, truncate toward zero) — the metadata-scale driver state all PCA
+    * entries share.
+    */
+  private def meanGram(s: SparkSession, d: String): Array[Array[Long]] = {
     import s.implicits._
     val n = emb(s, d).count()
     require(n > 0, "empty embeddings table")
     val g = emb(s, d).select(col("embedding")).as[Array[Float]]
       .select(new graft.functions.GramMatrixAgg(GramDim).toColumn).head()
-    def tdiv(a: Long, b: Long): Long = a / b // JVM: truncate toward zero
     val gb = Array.ofDim[Long](GramDim, GramDim)
     for (i <- 0 until GramDim; j <- i until GramDim) {
-      val m = tdiv(g(i * GramDim + j), n)
+      val m = g(i * GramDim + j) / n // Long `/`: truncate toward zero
       gb(i)(j) = m; gb(j)(i) = m
     }
+    gb
+  }
+
+  private def powerIterate(gb: Array[Array[Long]]): Array[Long] = {
     var v = Array.fill(GramDim)(PcaScale)
     for (_ <- 1 to PcaIters) {
       val w = Array.tabulate(GramDim) { i =>
@@ -292,6 +300,44 @@ object VectorQueries {
       v = w.map(wi => (BigInt(wi) * PcaScale / BigInt(m)).toLong)
     }
     v
+  }
+
+  private def powerVec(s: SparkSession, d: String): Array[Long] =
+    powerIterate(meanGram(s, d))
+
+  /** Top-2 principal directions via DEFLATION, all exact integer: after
+    * the first component converges, lam_u = (v1' G v1) div (v1' v1)
+    * (128-bit numerator — BigInt here, DuckDB HUGEINT there), the
+    * rank-one projector term (lam_u * v1_i * v1_j) div (v1' v1) is
+    * subtracted cell-wise — v1 is MAX-norm fixed point, so the projector
+    * normalizer is its actual squared L2 norm, not Scale^2 — and the
+    * same 30-round iteration runs on the deflated matrix. Deflation
+    * leaves a <= 1-micro-unit-per-cell rank-one residual — far below
+    * lambda2, so the second iteration converges to the second component.
+    */
+  private def powerVec2(s: SparkSession, d: String): (Array[Long], Array[Long]) = {
+    val gb = meanGram(s, d)
+    val v1 = powerIterate(gb)
+    var num = BigInt(0)
+    var den = BigInt(0)
+    for (i <- 0 until GramDim) {
+      den += BigInt(v1(i)) * v1(i)
+      for (j <- 0 until GramDim) num += BigInt(gb(i)(j)) * v1(i) * v1(j)
+    }
+    val lam = (num / den).toLong
+    val gb2 = Array.tabulate(GramDim, GramDim) { (i, j) =>
+      gb(i)(j) - ((BigInt(lam) * v1(i) * v1(j)) / den).toLong
+    }
+    (v1, powerIterate(gb2))
+  }
+
+  private def pcaTop2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (v1, v2) = powerVec2(s, d)
+    (v1.zipWithIndex.map { case (vu, i) => (1, i, vu) } ++
+      v2.zipWithIndex.map { case (vu, i) => (2, i, vu) })
+      .toSeq.toDF("comp", "i", "v_u")
+      .orderBy(col("comp").asc, col("i").asc)
   }
 
   private def pcaPower(s: SparkSession, d: String): DataFrame = {
@@ -314,6 +360,38 @@ object VectorQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** k-distance OUTLIER scoring — the corrupt/off-manifold embedding
+    * detector of a curation pipeline: each vector's mean similarity to
+    * its 5 nearest neighbors, low mean = isolated point. Scores are
+    * floored to exact micro-units BEFORE ranking and the mean is the
+    * integer top-5 sum DIV 5, so the whole output is summation-order-
+    * immune. Scale shape: the scored self-join feeds the k-bounded
+    * TopKByScore PARTIAL aggregator (<= 5 rows per vector cross the
+    * shuffle, never the N x N product); at 100 TB the same downstream
+    * (top-k state -> integer mean) rides annJoin candidates instead of
+    * the exact cross product.
+    */
+  private def knnOutlier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = emb(s, d).select(col("vec_id"), col("embedding"))
+    val b = emb(s, d).select(col("vec_id").as("other_id"),
+      col("embedding").as("eb"))
+    val scored = a.join(b, col("vec_id") =!= col("other_id"))
+      .select(col("vec_id"), col("other_id"),
+        floor(cosineSim(col("embedding"), col("eb")) * lit(1.0e6) + lit(0.5))
+          .cast("long").as("s6"))
+    scored.as[(Long, Long, Long)]
+      .map { case (v, o, s) => (v, o, s.toDouble) }
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(5).toColumn)
+      .flatMap { case (vid, hits) =>
+        val top = hits.map(_._1.toLong)
+        Some((vid, top.sum / top.length, top.length))
+      }
+      .toDF("vec_id", "mean_s6", "n_nbrs")
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
@@ -329,7 +407,25 @@ object VectorQueries {
     "v_semantic_shard" -> (semanticShard _),
     "v_pca_power"      -> (pcaPower _),
     "v_pca_project"    -> (pcaProject _),
+    "v_knn_outlier"    -> (knnOutlier _),
+    "v_pca_top2"       -> (pcaTop2 _),
   )
+
+  /** PcaIters unrolled (matvec, max-norm, rescale) rounds over matrix CTE
+    * `mat(i, j, gb)`, starting from `${pfx}0(i, v)` (declared by the
+    * caller) and ending at `$pfx$PcaIters`. Single-reference MATERIALIZED
+    * rounds — see pcaChainSql.
+    */
+  private def pcaRoundsSql(mat: String, pfx: String): String =
+    (1 to PcaIters).map { t =>
+      s"""w$pfx$t AS MATERIALIZED (
+         |  SELECT i, w, max(abs(w)) OVER () AS m
+         |  FROM (SELECT m.i AS i, SUM(m.gb * v.v) AS w
+         |        FROM $mat m JOIN $pfx${t - 1} v ON m.j = v.i GROUP BY m.i)),
+         |$pfx$t AS (SELECT i, CAST(CASE WHEN w >= 0 THEN (w * $PcaScale) // m
+         |                 ELSE -(((0 - w) * $PcaScale) // m) END AS BIGINT) AS v
+         |        FROM w$pfx$t)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared CTE chain replaying the integer power iteration in SQL:
     * the Gram fold, symmetrization, mean division, and PcaIters unrolled
@@ -359,16 +455,7 @@ object VectorQueries {
          |         CASE WHEN g_u >= 0 THEN g_u // n ELSE -((-g_u) // n) END AS gb
          |       FROM gsym, nn),
          |v0 AS (SELECT DISTINCT i, CAST($PcaScale AS BIGINT) AS v FROM gb)""".stripMargin
-    val steps = (1 to PcaIters).map { t =>
-      s"""w$t AS MATERIALIZED (
-         |  SELECT i, w, max(abs(w)) OVER () AS m
-         |  FROM (SELECT gb.i AS i, SUM(gb.gb * v.v) AS w
-         |        FROM gb JOIN v${t - 1} v ON gb.j = v.i GROUP BY gb.i)),
-         |v$t AS (SELECT i, CAST(CASE WHEN w >= 0 THEN (w * $PcaScale) // m
-         |                 ELSE -(((0 - w) * $PcaScale) // m) END AS BIGINT) AS v
-         |        FROM w$t)""".stripMargin
-    }.mkString(",\n")
-    s"$base,\n$steps"
+    s"$base,\n${pcaRoundsSql("gb", "v")}"
   }
 
   private val normSql =
@@ -482,6 +569,26 @@ object VectorQueries {
          |SELECT f.vec_id, s.shard2 AS shard_id, 2 AS placement, s.score2 AS score
          |FROM fst f JOIN snd s USING (vec_id), n WHERE f.load_rank > (n + 9) // 10
          |ORDER BY vec_id ASC""".stripMargin,
+    // v_knn_outlier: micro-unit scores BEFORE ranking, integer top-5
+    // mean with truncate-toward-zero division spelled for negatives
+    "v_knn_outlier" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sc AS (
+         |  SELECT a.vec_id, b.vec_id AS other_id,
+         |         CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |top AS (
+         |  SELECT vec_id, s6,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY s6 DESC, other_id ASC) AS r
+         |  FROM sc),
+         |agg AS (SELECT vec_id, SUM(s6) AS ssum, COUNT(*) AS cnt
+         |        FROM top WHERE r <= 5 GROUP BY vec_id)
+         |SELECT vec_id,
+         |       CAST(CASE WHEN ssum >= 0 THEN ssum // cnt
+         |            ELSE -((-ssum) // cnt) END AS BIGINT) AS mean_s6,
+         |       CAST(cnt AS INTEGER) AS n_nbrs
+         |FROM agg ORDER BY vec_id ASC""".stripMargin,
     // v_pca_power / v_pca_project: the full integer power iteration
     // replayed as unrolled CTE rounds (the d_pagerank discipline)
     "v_pca_power" ->
@@ -493,5 +600,28 @@ object VectorQueries {
          |SELECT e.vec_id,
          |       ${rndSql(s"list_dot_product(CAST(e.embedding AS DOUBLE[]), vl.vv) / $PcaScale.0", 6)} AS proj
          |FROM embeddings e, vl ORDER BY vec_id ASC""".stripMargin,
+    // v_pca_top2: deflate by the integer rank-one term, iterate again —
+    // lam's 128-bit numerator rides DuckDB's native HUGEINT SUM type
+    "v_pca_top2" ->
+      s"""WITH $pcaChainSql,
+         |va AS MATERIALIZED (SELECT i, v FROM v$PcaIters),
+         |lam AS MATERIALIZED (
+         |  SELECT CAST(CASE WHEN num >= 0 THEN num // den
+         |         ELSE -((0 - num) // den) END AS BIGINT) AS lam,
+         |         den
+         |  FROM (SELECT SUM(CAST(g.gb AS HUGEINT) * a.v * b.v) AS num
+         |        FROM gb g JOIN va a ON g.i = a.i JOIN va b ON g.j = b.i),
+         |       (SELECT SUM(v * v) AS den FROM va)),
+         |gb2 AS MATERIALIZED (
+         |  SELECT i, j, gb - CAST(CASE WHEN t >= 0 THEN t // den
+         |         ELSE -((0 - t) // den) END AS BIGINT) AS gb
+         |  FROM (SELECT g.i, g.j, g.gb AS gb, lam.lam * a.v * b.v AS t, lam.den AS den
+         |        FROM gb g JOIN va a ON g.i = a.i JOIN va b ON g.j = b.i, lam)),
+         |vb0 AS (SELECT DISTINCT i, CAST($PcaScale AS BIGINT) AS v FROM gb2),
+         |${pcaRoundsSql("gb2", "vb")}
+         |SELECT 1 AS comp, i, v AS v_u FROM va
+         |UNION ALL
+         |SELECT 2 AS comp, i, v AS v_u FROM vb$PcaIters
+         |ORDER BY comp ASC, i ASC""".stripMargin,
   )
 }

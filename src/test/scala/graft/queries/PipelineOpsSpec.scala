@@ -357,6 +357,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v_pca_top2 components are near-orthogonal, variance-ordered, and consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = VectorQueries.queries("v_pca_top2")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val dim = 64
+    assert(rows.length == 2 * dim)
+    val v1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3.toDouble)
+    val v2 = rows.filter(_._1 == 2).sortBy(_._2).map(_._3.toDouble)
+    // comp 1 IS the v_pca_power direction (same iteration, same state)
+    val p1 = VectorQueries.queries("v_pca_power")(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(v1.map(_.toLong).sameElements(p1))
+    val embs = Tables.embeddings(spark, sfDir).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = embs.length.toDouble
+    val g = Array.ofDim[Double](dim, dim)
+    for (a <- embs; i <- 0 until dim; j <- 0 until dim) g(i)(j) += a(i) * a(j) / n
+    def rayleigh(v: Array[Double]): Double = {
+      val gv = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      (0 until dim).map(i => v(i) * gv(i)).sum / v.map(x => x * x).sum
+    }
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cos = math.abs((0 until dim).map(i => v1(i) * v2(i)).sum / (norm(v1) * norm(v2)))
+    assert(cos <= 0.05, s"components not orthogonal: cos = $cos")
+    val (l1, l2) = (rayleigh(v1), rayleigh(v2))
+    assert(l1 >= l2 && l2 > 0, s"variance order violated: $l1 vs $l2")
+  }
+
+  test("v_knn_outlier matches a driver-side brute-force top-5 mean") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]) = (0 until a.length).map(i => a(i) * b(i)).sum
+    def cosine(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = VectorQueries.queries("v_knn_outlier")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == embs.length)
+    got.foreach { case (id, mean, cnt) =>
+      val top = embs.filter(_._1 != id)
+        .map { case (o, e) => (math.floor(cosine(embs.toMap.apply(id), e) * 1e6 + 0.5).toLong, o) }
+        .sortBy { case (s, o) => (-s, o) }.take(5).map(_._1)
+      assert(cnt == top.length)
+      assert(mean == top.sum / top.length, s"vec $id")
+    }
+  }
+
   test("t_tfidf_sim matches a driver-side postings brute force") {
     val toks = docTokens()
     val tf = toks.toSeq.flatMap { case (d, ts) =>
