@@ -392,6 +392,29 @@ object VectorQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Per-DIMENSION feature statistics — the drift/health readout a
+    * feature store keeps on an embedding column (a shifted mean or
+    * collapsed range on one dimension = a broken producer): count, mean,
+    * min, max per position, all in exact micro-units (per-element floor
+    * BEFORE aggregation; the mean is an integer division with the
+    * negative branch spelled). One scan, map-side partial agg, output =
+    * dim rows whatever the corpus size.
+    */
+  private def dimStats(s: SparkSession, d: String): DataFrame = {
+    val el = emb(s, d)
+      .select(posexplode(vecAsDouble(col("embedding"))))
+      .select(col("pos"),
+        floor(col("col") * lit(1.0e6) + lit(0.5)).cast("long").as("s6"))
+    el.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("s6")).as("sum_u"),
+        min(col("s6")).as("min_u"), max(col("s6")).as("max_u"))
+      .select(col("pos"), col("n"),
+        when(col("sum_u") >= 0, expr("sum_u div n"))
+          .otherwise(-expr("(-sum_u) div n")).as("mean_u"),
+        col("min_u"), col("max_u"))
+      .orderBy(col("pos").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
@@ -409,6 +432,7 @@ object VectorQueries {
     "v_pca_project"    -> (pcaProject _),
     "v_knn_outlier"    -> (knnOutlier _),
     "v_pca_top2"       -> (pcaTop2 _),
+    "v_dim_stats"      -> (dimStats _),
   )
 
   /** PcaIters unrolled (matvec, max-norm, rescale) rounds over matrix CTE
@@ -569,6 +593,18 @@ object VectorQueries {
          |SELECT f.vec_id, s.shard2 AS shard_id, 2 AS placement, s.score2 AS score
          |FROM fst f JOIN snd s USING (vec_id), n WHERE f.load_rank > (n + 9) // 10
          |ORDER BY vec_id ASC""".stripMargin,
+    // v_dim_stats: identical per-element micro floor, exact aggregates,
+    // truncating mean spelled for negatives
+    "v_dim_stats" ->
+      s"""WITH el AS (
+         |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         |         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |  FROM embeddings)
+         |SELECT CAST(pos AS INTEGER) AS pos, count(*) AS n,
+         |       CAST(CASE WHEN SUM(s6) >= 0 THEN SUM(s6) // count(*)
+         |            ELSE -((0 - SUM(s6)) // count(*)) END AS BIGINT) AS mean_u,
+         |       CAST(min(s6) AS BIGINT) AS min_u, CAST(max(s6) AS BIGINT) AS max_u
+         |FROM el GROUP BY pos ORDER BY pos ASC""".stripMargin,
     // v_knn_outlier: micro-unit scores BEFORE ranking, integer top-5
     // mean with truncate-toward-zero division spelled for negatives
     "v_knn_outlier" ->
