@@ -163,7 +163,52 @@ object EventQueries {
       .orderBy(col("cohort_week").asc, col("week_off").asc)
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) reconstruction: each user's
+    * event stream becomes validity INTERVALS — state valid from its own
+    * timestamp until the next event's (NULL = current). One lead() window
+    * per user partition; at 100 TB the only shuffle is the user_id
+    * partitioning, and output rows == input rows. Orders carry an
+    * event_id tie-break so equal timestamps resolve identically on both
+    * engines.
+    */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d).filter(col("user_id") < 30)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id").asc, col("valid_from").asc, col("event_id").asc)
+  }
+
+  /** Calendar GAP FILLING: daily high-value purchase totals joined onto a
+    * generated continuous day spine (derived from the table's own min/max
+    * day), absent days emitted as explicit zero rows — the resampling step
+    * every time-series consumer needs before rolling metrics. The spine is
+    * |days| rows (metadata-scale) broadcast against the aggregated (not
+    * raw) dailies.
+    */
+  private def gapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cal = ev.agg(min(to_date(date_trunc("day", col("ts")))).as("d0"),
+        max(to_date(date_trunc("day", col("ts")))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val daily = ev
+      .filter(col("event_type") === "purchase" && col("value") >= 300)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"), dsum6(col("value")).as("total"))
+    cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        (coalesce(col("n"), lit(0L)) === 0).as("is_gap"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_scd2"          -> (scd2 _),
+    "e_gapfill"       -> (gapfill _),
     "e_funnel"        -> (funnel _),
     "e_retention"     -> (retention _),
     "e_latest_state"  -> (latestState _),
@@ -175,6 +220,26 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_scd2" ->
+      """SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC) AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+        |FROM events WHERE user_id < 30
+        |ORDER BY user_id ASC, valid_from ASC, event_id ASC""".stripMargin,
+    "e_gapfill" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+        |                  CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM events WHERE event_type = 'purchase' AND value >= 300
+        |  GROUP BY 1)
+        |SELECT cal.day, COALESCE(n, 0) AS n, COALESCE(total, 0.0) AS total,
+        |       COALESCE(n, 0) = 0 AS is_gap
+        |FROM cal LEFT JOIN daily USING (day) ORDER BY day ASC""".stripMargin,
     "e_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS prev_ts FROM events
