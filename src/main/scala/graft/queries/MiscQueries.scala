@@ -378,6 +378,43 @@ object MiscQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** SHOT-BOUNDARY (scene-cut) detection over the synthetic clip — the
+    * temporal multimodal op of a video curation pipeline: the 24 PNGs
+    * decode (REAL javax codec per partition) to per-frame mean channel
+    * intensities in exact milli-units, and a lag() window marks a cut
+    * wherever the frame-to-frame L1 intensity distance exceeds 25000.
+    * The unpartitioned window is CLIP-scoped (24 frames); at scale it
+    * partitions by clip_id, giving one shuffle keyed on clip. The oracle
+    * integrates the pixel formula and replays the same integer means,
+    * lag, and threshold — a wrong decode or a wrong boundary flips a row.
+    */
+  private def sceneCut(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 24).map(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i)))
+    val m = Multimodal.decodePixels(s.createDataset(media).repartition(4))
+      .toDF()
+      .select(col("media_id").as("frame_no"),
+        (col("width") * col("height")).cast("long").as("npx"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .select(col("frame_no"),
+        expr("(1000 * sum_r) div npx").as("mr"),
+        expr("(1000 * sum_g) div npx").as("mg"),
+        expr("(1000 * sum_b) div npx").as("mb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("frame_no").asc)
+    m.select(col("frame_no"),
+        lag(col("mr"), 1).over(w).as("pr"),
+        lag(col("mg"), 1).over(w).as("pg"),
+        lag(col("mb"), 1).over(w).as("pb"),
+        col("mr"), col("mg"), col("mb"))
+      .filter(col("pr").isNotNull)
+      .select(col("frame_no"),
+        (abs(col("mr") - col("pr")) + abs(col("mg") - col("pg"))
+          + abs(col("mb") - col("pb"))).as("dist_m"))
+      .withColumn("is_cut", col("dist_m") > 25000)
+      .orderBy(col("frame_no").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_frame_sample"   -> (frameSample _),
     "t_token_ids"      -> (tokenIds _),
@@ -393,6 +430,7 @@ object MiscQueries {
     "v_ann_signbits"   -> (annSignBits _),
     "m_decode_meta"    -> (decodeMeta _),
     "m_decode_px"      -> (decodePx _),
+    "m_scene_cut"      -> (sceneCut _),
     "m_resize_px"      -> (resizePx _),
     "m_decode_wav"     -> (decodeWav _),
     "m_wav_energy"     -> (wavEnergy _),
@@ -506,6 +544,26 @@ object MiscQueries {
         |ORDER BY d.doc_id ASC""".stripMargin,
     // m_decode_px: the synthetic-PNG pixel formula integrated in SQL —
     // matches only if the Spark side REALLY decoded the PNG pixels.
+    "m_scene_cut" ->
+      """WITH px AS (
+        |  SELECT i.i AS frame_no, x.x AS x, y.y AS y
+        |  FROM range(24) i(i), range(12) x(x), range(8) y(y)
+        |  WHERE x.x < 8 + i.i % 5 AND y.y < 6 + i.i % 3),
+        |s AS (SELECT frame_no, count(*) AS npx,
+        |        SUM((7*x + 11*y + frame_no) % 256) AS sr,
+        |        SUM((3*x + 5*y + 2*frame_no) % 256) AS sg,
+        |        SUM((13*x + 17*y + 3*frame_no) % 256) AS sb
+        |      FROM px GROUP BY frame_no),
+        |m AS (SELECT frame_no, (1000*sr) // npx AS mr, (1000*sg) // npx AS mg,
+        |             (1000*sb) // npx AS mb FROM s),
+        |lg AS (SELECT frame_no, mr, mg, mb,
+        |         lag(mr) OVER (ORDER BY frame_no) AS pr,
+        |         lag(mg) OVER (ORDER BY frame_no) AS pg,
+        |         lag(mb) OVER (ORDER BY frame_no) AS pb FROM m)
+        |SELECT frame_no,
+        |       CAST(abs(mr - pr) + abs(mg - pg) + abs(mb - pb) AS BIGINT) AS dist_m,
+        |       (abs(mr - pr) + abs(mg - pg) + abs(mb - pb)) > 25000 AS is_cut
+        |FROM lg WHERE pr IS NOT NULL ORDER BY frame_no ASC""".stripMargin,
     "m_decode_px" ->
       """WITH px AS (
         |  SELECT i.i AS media_id, x.x AS x, y.y AS y
