@@ -333,6 +333,47 @@ object TextQueries {
       .limit(20)
   }
 
+  /** WINNOWING document fingerprint (the MOSS local-fingerprint
+    * algorithm, Schleimer et al. 2003): hash every 4-token gram, slide a
+    * 4-gram window, and select each window's minimal hash (ties ->
+    * RIGHTMOST position, the standard rule) — guaranteeing any shared
+    * run of >= w+k-1 tokens between two documents shares a fingerprint
+    * hash, with far fewer hashes than all-grams. Two passes, both
+    * doc-partitioned: a ROWS-frame min window, then the rightmost-argmin
+    * resolved by a per-doc banded self-join (co-located — the band never
+    * leaves the doc partition). Output: per-doc gram/selection counts +
+    * the md5 of the sorted selected-hash set, all hash-checked.
+    */
+  private val WinK = 4
+  private val WinW = 4
+  private def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= WinK)
+      .select(col("doc_id"),
+        (size(col("tk")) - WinK + 1).cast("long").as("n_grams"),
+        posexplode(transform(shingles(col("tk"), WinK), g => hash60(g))))
+      .select(col("doc_id"), col("n_grams"), col("pos"), col("col").as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(WinW - 1), 0)
+    val ends = base.withColumn("wmin", min(col("h")).over(frame))
+      .filter(col("pos") >= WinW - 1)
+      .select(col("doc_id"), col("pos").as("e"), col("wmin"))
+    val sel = ends
+      .join(base.select(col("doc_id"), col("pos"), col("h")), Seq("doc_id"))
+      .filter(col("pos").between(col("e") - (WinW - 1), col("e")) &&
+        col("h") === col("wmin"))
+      .groupBy(col("doc_id"), col("e"), col("wmin"))
+      .agg(max(col("pos")).as("pos"))
+    val selp = sel.select(col("doc_id"), col("wmin").as("h"), col("pos")).distinct()
+    val fp = selp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sel"),
+        md5(concat_ws(" ", array_sort(collect_set(col("h").cast("string")))))
+          .as("fp_md5"))
+    base.select(col("doc_id"), col("n_grams")).distinct()
+      .join(fp, "doc_id")
+      .orderBy(col("doc_id").asc)
+  }
+
   /** DOCUMENT CHUNKING with overlap — the vector-store ingestion
     * primitive the reference assumes happens upstream of its API: split
     * each document into fixed token windows (32 tokens, stride 24 — 8
@@ -499,6 +540,7 @@ object TextQueries {
     "t_quality"     -> (quality _),
     "t_langid"      -> (langId _),
     "t_fingerprint" -> (fingerprintDups _),
+    "t_winnow_fp"   -> (winnowFingerprint _),
     "t_pack_sequences" -> (packSequences _),
     "t_pack_assign"    -> (packAssign _),
     "t_repetition"     -> (repetition _),
@@ -729,6 +771,33 @@ object TextQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY s9 DESC, term ASC) AS rn FROM sc)
          |WHERE rn <= 3 ORDER BY doc_id ASC, rn ASC""".stripMargin,
+    // t_winnow_fp: identical gram hashing, frame min, and rightmost-
+    // argmin banded join
+    "t_winnow_fp" ->
+      s"""WITH tkc AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams,
+         |         generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+         |  FROM (SELECT doc_id, tk,
+         |          list_transform(range(1, len(tk) - 2),
+         |            i -> CAST('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')), 1, 15) AS BIGINT)) AS hs
+         |        FROM tkc WHERE len(tk) >= 4)),
+         |wm AS (SELECT doc_id, pos, h,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM base),
+         |ends AS (SELECT doc_id, pos AS e, wmin FROM wm WHERE pos >= 3),
+         |sel AS (SELECT e.doc_id, e.wmin AS h, MAX(b.pos) AS pos
+         |        FROM ends e JOIN base b ON b.doc_id = e.doc_id
+         |          AND b.pos BETWEEN e.e - 3 AND e.e AND b.h = e.wmin
+         |        GROUP BY e.doc_id, e.e, e.wmin),
+         |selp AS (SELECT DISTINCT doc_id, h, pos FROM sel),
+         |fp AS (SELECT doc_id, count(*) AS n_sel,
+         |         md5(array_to_string(list_sort(list(DISTINCT CAST(h AS VARCHAR))), ' ')) AS fp_md5
+         |       FROM selp GROUP BY doc_id)
+         |SELECT d.doc_id, d.n_grams, fp.n_sel, fp.fp_md5
+         |FROM (SELECT DISTINCT doc_id, n_grams FROM base) d JOIN fp USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
     // t_tfidf_sim: same postings weights in e6 units, df-capped [2,50],
     // exact-integer pair dot products
     "t_tfidf_sim" ->
