@@ -346,32 +346,67 @@ object TextQueries {
     */
   private val WinK = 4
   private val WinW = 4
-  private def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), toks.as("tk"))
+  private def winnowBase(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= WinK)
       .select(col("doc_id"),
         (size(col("tk")) - WinK + 1).cast("long").as("n_grams"),
         posexplode(transform(shingles(col("tk"), WinK), g => hash60(g))))
       .select(col("doc_id"), col("n_grams"), col("pos"), col("col").as("h"))
+
+  /** The selected (doc_id, h, pos) fingerprint postings, shared by the
+    * per-doc digest entry and the dup-pair entry.
+    */
+  private def winnowSelected(s: SparkSession, d: String): DataFrame = {
+    val base = winnowBase(s, d)
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       .rowsBetween(-(WinW - 1), 0)
     val ends = base.withColumn("wmin", min(col("h")).over(frame))
       .filter(col("pos") >= WinW - 1)
       .select(col("doc_id"), col("pos").as("e"), col("wmin"))
-    val sel = ends
+    ends
       .join(base.select(col("doc_id"), col("pos"), col("h")), Seq("doc_id"))
       .filter(col("pos").between(col("e") - (WinW - 1), col("e")) &&
         col("h") === col("wmin"))
       .groupBy(col("doc_id"), col("e"), col("wmin"))
       .agg(max(col("pos")).as("pos"))
-    val selp = sel.select(col("doc_id"), col("wmin").as("h"), col("pos")).distinct()
+      .select(col("doc_id"), col("wmin").as("h"), col("pos")).distinct()
+  }
+
+  /** Distinct (doc_id, h) fingerprint postings for the pair join. */
+  private def winnowPostings(s: SparkSession, d: String): DataFrame =
+    winnowSelected(s, d).select(col("doc_id"), col("h")).distinct()
+
+  private def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val selp = winnowSelected(s, d)
     val fp = selp.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sel"),
         md5(concat_ws(" ", array_sort(collect_set(col("h").cast("string")))))
           .as("fp_md5"))
-    base.select(col("doc_id"), col("n_grams")).distinct()
+    winnowBase(s, d).select(col("doc_id"), col("n_grams")).distinct()
       .join(fp, "doc_id")
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Winnowing DUP PAIRS — what the fingerprints are for (the MOSS
+    * workflow's second half): documents sharing >= 3 selected hashes are
+    * near-dup/plagiarism candidates. The fingerprint postings self-join
+    * inherits winnowing's guarantee (a shared >= w+k-1-token run shares a
+    * hash) at fingerprint density, not gram density; a df-cap on hashes
+    * (<= 50 docs) bounds the per-hash fan-out exactly like the tfidf_sim
+    * DAAT guard. Output: candidate pairs with shared-hash counts.
+    */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowPostings(s, d)
+    val dfH = fp.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh").between(2, 50))
+    val post = fp.join(dfH, "h")
+    post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
   }
 
   /** DOCUMENT CHUNKING with overlap — the vector-store ingestion
@@ -541,6 +576,7 @@ object TextQueries {
     "t_langid"      -> (langId _),
     "t_fingerprint" -> (fingerprintDups _),
     "t_winnow_fp"   -> (winnowFingerprint _),
+    "t_winnow_pairs" -> (winnowPairs _),
     "t_pack_sequences" -> (packSequences _),
     "t_pack_assign"    -> (packAssign _),
     "t_repetition"     -> (repetition _),
@@ -798,6 +834,30 @@ object TextQueries {
          |SELECT d.doc_id, d.n_grams, fp.n_sel, fp.fp_md5
          |FROM (SELECT DISTINCT doc_id, n_grams FROM base) d JOIN fp USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    "t_winnow_pairs" ->
+      s"""WITH tkc AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |base AS (
+         |  SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len(tk) - 2),
+         |            i -> CAST('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')), 1, 15) AS BIGINT)) AS hs
+         |        FROM tkc WHERE len(tk) >= 4)),
+         |wm AS (SELECT doc_id, pos, h,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM base),
+         |ends AS (SELECT doc_id, pos AS e, wmin FROM wm WHERE pos >= 3),
+         |sel AS (SELECT e.doc_id, e.wmin AS h, MAX(b.pos) AS pos
+         |        FROM ends e JOIN base b ON b.doc_id = e.doc_id
+         |          AND b.pos BETWEEN e.e - 3 AND e.e AND b.h = e.wmin
+         |        GROUP BY e.doc_id, e.e, e.wmin),
+         |post AS (SELECT DISTINCT doc_id, h FROM sel),
+         |dfh AS (SELECT h FROM post GROUP BY h HAVING count(*) BETWEEN 2 AND 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM post a JOIN dfh USING (h) JOIN post b
+         |  ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY n_shared DESC, doc_a ASC, doc_b ASC""".stripMargin,
     // t_tfidf_sim: same postings weights in e6 units, df-capped [2,50],
     // exact-integer pair dot products
     "t_tfidf_sim" ->
