@@ -553,6 +553,21 @@ object EngineQueries {
     batchHitsOut(eng.annJoin(lib, qDf, k = 10))
   }
 
+  /** FILTERED batch ANN — the reference's filtered search (quirk Q5:
+    * top-k FIRST, metadata filter AFTER, may return < k per query) at
+    * DataFrame scale: the same annJoin machinery with SearchFilters
+    * applied post-rank, so a query's hits thin out exactly like the
+    * single-search filtered path. Flat family = exact ranking, so the
+    * whole batch + filter contract is hash-checked.
+    */
+  private def engineAnnJoinFiltered(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("flat"))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10,
+      filters = Some(SearchFilters(tags = Seq("label0", "label2")))))
+  }
+
   /** INDEX-TABLE COMPACTION through the incremental fixture (VERDICT r7
     * #4): same base/delta/delete script as `x_engine_sq8_incremental` —
     * which leaves `sq8_codes` fragmented across the build write plus the
@@ -1071,6 +1086,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
+    "x_engine_annjoin_filtered" -> (engineAnnJoinFiltered _),
     "x_engine_lsh"           -> (engineLsh _),
     "x_engine_ivf"           -> (engineIvf _),
     "x_engine_lsh_det"       -> (engineLshDet _),
@@ -1950,6 +1966,19 @@ object EngineQueries {
          |  ORDER BY score DESC, vec_id ASC LIMIT 20)
          |SELECT vec_id, score FROM topk WHERE label IN (0, 2)
          |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    "x_engine_annjoin_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id, e.label,
+         |         ${rndSql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)", 6)} AS score
+         |  FROM embeddings e, q),
+         |topk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS rn FROM scored)
+         |SELECT query_id, vec_id, score FROM topk
+         |WHERE rn <= 10 AND label IN (0, 2)
+         |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
     // x_engine_lsh / x_engine_ivf: seeded-RNG index paths — rows-only check.
     // x_engine_lsh_det: FULL build+search replay. Planes: comp(t,p,j) =
     // float(long(md5("lshdet|t|p|j")[0:15 hex]) / 2^60 * 2 - 1); stored
