@@ -404,6 +404,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_winnow_fp satisfies the winnowing density guarantee") {
+    // winnowing's defining property: every w-window contains a selected
+    // gram, i.e. consecutive selected positions are never more than w
+    // apart — verified against a driver-side replay of the selection
+    val w = 4
+    val k = 4
+    val toks = docTokens().filter(_._2.length >= k)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val got = TextQueries.queries("t_winnow_fp")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got.map(_._1).toSet == toks.keySet)
+    got.foreach { case (id, nGrams, nSel, fpMd5) =>
+      val ts = toks(id)
+      val hs = (0 to ts.length - k).map(i => h60(ts.slice(i, i + k).mkString(" ")))
+      assert(nGrams == hs.length)
+      // replay: rightmost-min per window
+      val sel = (w - 1 until hs.length).map { e =>
+        val win = (e - w + 1) to e
+        val m = win.map(hs).min
+        val pos = win.filter(p => hs(p) == m).max
+        (hs(pos), pos)
+      }.distinct
+      assert(nSel == sel.size)
+      // density: consecutive selected positions <= w apart
+      val poss = sel.map(_._2).sorted
+      poss.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= w)
+        case _ => ()
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sel.map(_._1.toString).distinct.sorted.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fpMd5 == md, s"doc $id fingerprint mismatch")
+    }
+  }
+
+  test("e_gapfill spine is continuous and matches the direct aggregation") {
+    // sf0.01: the 300-value cutoff leaves 5 of 30 days populated, so both
+    // branches (gap and mass) are exercised (sf0.001 has zero qualifying
+    // purchases — an all-gap spine would vacuously pass)
+    val rows = EventQueries.queries("e_gapfill")(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // continuous daily spine
+    rows.sliding(2).foreach {
+      case Array((d1, _, _, _), (d2, _, _, _)) => assert(d2 == d1.plusDays(1))
+      case _ => ()
+    }
+    // gap rows are exactly the zero-count rows; non-gap days carry mass
+    rows.foreach { case (_, n, total, isGap) =>
+      assert(isGap == (n == 0))
+      if (isGap) assert(total == 0.0) else assert(total > 0.0)
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("t_tfidf_sim matches a driver-side postings brute force") {
     val toks = docTokens()
     val tf = toks.toSeq.flatMap { case (d, ts) =>
