@@ -99,6 +99,10 @@ object PlanDump {
     "v_semantic_shard",        // broadcast centroids scan + two keyed windows, no cross-product
     "t_tfidf_sim",             // df-capped postings self-join, map-side pair combine, TakeOrdered
     "v_pca_project",           // broadcast direction literal, one narrow scan + TakeOrdered-free sort
+    "v_knn_outlier",           // scored self-join -> k-bounded TopK partial agg (<= 5 rows/vec shuffled)
+    "t_winnow_fp",             // doc-partitioned frame-min window + banded argmin self-join
+    "e_scd2",                  // one lead() window per user partition, rows out == rows in
+    "m_scene_cut",             // mapPartitions decode -> integer means -> clip-scoped lag window
   )
 
   def main(args: Array[String]): Unit = {
