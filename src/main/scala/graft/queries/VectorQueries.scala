@@ -315,8 +315,10 @@ object VectorQueries {
     * leaves a <= 1-micro-unit-per-cell rank-one residual — far below
     * lambda2, so the second iteration converges to the second component.
     */
-  private def powerVec2(s: SparkSession, d: String): (Array[Long], Array[Long]) = {
-    val gb = meanGram(s, d)
+  private def powerVec2(s: SparkSession, d: String): (Array[Long], Array[Long]) =
+    powerVec2Of(meanGram(s, d))
+
+  private def powerVec2Of(gb: Array[Array[Long]]): (Array[Long], Array[Long]) = {
     val v1 = powerIterate(gb)
     var num = BigInt(0)
     var den = BigInt(0)
@@ -329,6 +331,28 @@ object VectorQueries {
       gb(i)(j) - ((BigInt(lam) * v1(i) * v1(j)) / den).toLong
     }
     (v1, powerIterate(gb2))
+  }
+
+  /** Scree readout: the integer Rayleigh eigenvalue (micro-units of
+    * variance) of each of the top-2 principal directions against the
+    * ORIGINAL mean Gram — the "variance explained" number an operator
+    * reads off a PCA. Pure integer division; the 128-bit numerators ride
+    * BigInt / HUGEINT exactly like the deflation constant.
+    */
+  private def pcaEigvals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gb = meanGram(s, d)
+    val (v1, v2) = powerVec2Of(gb)
+    def lam(v: Array[Long]): Long = {
+      var num = BigInt(0); var den = BigInt(0)
+      for (i <- 0 until GramDim) {
+        den += BigInt(v(i)) * v(i)
+        for (j <- 0 until GramDim) num += BigInt(gb(i)(j)) * v(i) * v(j)
+      }
+      (num / den).toLong
+    }
+    Seq((1, lam(v1)), (2, lam(v2))).toDF("comp", "lam_u")
+      .orderBy(col("comp").asc)
   }
 
   private def pcaTop2(s: SparkSession, d: String): DataFrame = {
@@ -432,6 +456,7 @@ object VectorQueries {
     "v_pca_project"    -> (pcaProject _),
     "v_knn_outlier"    -> (knnOutlier _),
     "v_pca_top2"       -> (pcaTop2 _),
+    "v_pca_eigvals"    -> (pcaEigvals _),
     "v_dim_stats"      -> (dimStats _),
   )
 
@@ -636,10 +661,35 @@ object VectorQueries {
          |SELECT e.vec_id,
          |       ${rndSql(s"list_dot_product(CAST(e.embedding AS DOUBLE[]), vl.vv) / $PcaScale.0", 6)} AS proj
          |FROM embeddings e, vl ORDER BY vec_id ASC""".stripMargin,
-    // v_pca_top2: deflate by the integer rank-one term, iterate again —
-    // lam's 128-bit numerator rides DuckDB's native HUGEINT SUM type
+    // v_pca_top2 / v_pca_eigvals: deflate by the integer rank-one term,
+    // iterate again — the 128-bit numerators ride DuckDB's native
+    // HUGEINT SUM type
     "v_pca_top2" ->
-      s"""WITH $pcaChainSql,
+      s"""WITH $pcaDeflatedChainSql
+         |SELECT 1 AS comp, i, v AS v_u FROM va
+         |UNION ALL
+         |SELECT 2 AS comp, i, v AS v_u FROM vb$PcaIters
+         |ORDER BY comp ASC, i ASC""".stripMargin,
+    "v_pca_eigvals" ->
+      s"""WITH $pcaDeflatedChainSql,
+         |vbm AS MATERIALIZED (SELECT i, v FROM vb$PcaIters),
+         |lam2 AS (
+         |  SELECT CAST(CASE WHEN num >= 0 THEN num // den
+         |         ELSE -((0 - num) // den) END AS BIGINT) AS lam
+         |  FROM (SELECT SUM(CAST(g.gb AS HUGEINT) * a.v * b.v) AS num
+         |        FROM gb g JOIN vbm a ON g.i = a.i JOIN vbm b ON g.j = b.i),
+         |       (SELECT SUM(v * v) AS den FROM vbm))
+         |SELECT 1 AS comp, lam AS lam_u FROM lam
+         |UNION ALL
+         |SELECT 2 AS comp, lam AS lam_u FROM lam2
+         |ORDER BY comp ASC""".stripMargin,
+  )
+
+  /** The top-2 chain: base gram CTEs + comp-1 rounds + lam/deflation +
+    * comp-2 rounds (va = converged comp 1, vb$PcaIters = comp 2).
+    */
+  private def pcaDeflatedChainSql: String =
+      s"""$pcaChainSql,
          |va AS MATERIALIZED (SELECT i, v FROM v$PcaIters),
          |lam AS MATERIALIZED (
          |  SELECT CAST(CASE WHEN num >= 0 THEN num // den
@@ -654,10 +704,5 @@ object VectorQueries {
          |  FROM (SELECT g.i, g.j, g.gb AS gb, lam.lam * a.v * b.v AS t, lam.den AS den
          |        FROM gb g JOIN va a ON g.i = a.i JOIN va b ON g.j = b.i, lam)),
          |vb0 AS (SELECT DISTINCT i, CAST($PcaScale AS BIGINT) AS v FROM gb2),
-         |${pcaRoundsSql("gb2", "vb")}
-         |SELECT 1 AS comp, i, v AS v_u FROM va
-         |UNION ALL
-         |SELECT 2 AS comp, i, v AS v_u FROM vb$PcaIters
-         |ORDER BY comp ASC, i ASC""".stripMargin,
-  )
+         |${pcaRoundsSql("gb2", "vb")}""".stripMargin
 }
