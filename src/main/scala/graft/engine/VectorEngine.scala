@@ -138,6 +138,28 @@ final class VectorEngine(
     * exact micro-units. ONE codes-to-chunks equi-join + one aggregate;
     * output is a single row whatever the corpus size.
     */
+  /** INDEX-BALANCE audit for the IVF families: members per coarse cell,
+    * empty cells included — a hot cell makes every probe touching it pay
+    * its full posting list (the candidate bound is nprobe/K of the
+    * corpus ONLY when cells are balanced), and an empty cell wastes a
+    * probe. This is the reading an operator thresholds before
+    * re-training/rebalancing, the coarse-cell sibling of the
+    * reconstruction-error audits. One groupBy over the postings table +
+    * a left join to the metadata-scale centroid list.
+    */
+  def ivfCellStats(libId: String): DataFrame = {
+    if (!store.exists("ivf_postings"))
+      throw new NotFoundError(s"ivf index for library $libId")
+    val cents = ivfCentroids(libId).select(col("centroid_id"))
+    if (cents.isEmpty) throw new NotFoundError(s"ivf index for library $libId")
+    val counts = ivfPostings(libId).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+    cents.join(counts, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n"), lit(0L)).as("n_members"))
+      .orderBy(col("centroid_id").asc)
+  }
+
   def sq8QuantizationError(libId: String): DataFrame = {
     if (!store.exists("sq8_params"))
       throw new NotFoundError(s"sq8 index for library $libId")

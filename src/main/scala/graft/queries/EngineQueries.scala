@@ -164,6 +164,18 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** IVF cell-balance audit through the det build — postings per coarse
+    * cell with empty cells as explicit zeros (the skew reading that
+    * decides a re-train, next to the reconstruction-error audits). The
+    * md5-seeded det assignment replays in SQL, so the whole balance
+    * readout is hash-checked.
+    */
+  private def engineIvfDetCellStats(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
+    eng.ivfCellStats(lib)
+  }
+
   /** Recall@10 of an approximate index config vs the exact scan — the
     * quality metric BASELINE.md commits to measuring alongside latency.
     * Rows-only (seeded-RNG indexes), but deterministic run-to-run.
@@ -1091,6 +1103,7 @@ object EngineQueries {
     "x_engine_ivf"           -> (engineIvf _),
     "x_engine_lsh_det"       -> (engineLshDet _),
     "x_engine_ivf_det"       -> (engineIvfDet _),
+    "x_engine_ivfdet_cellstats" -> (engineIvfDetCellStats _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
@@ -1991,6 +2004,13 @@ object EngineQueries {
     "x_engine_lsh_det" ->
       s"""WITH $lshDetCtes
          |$lshDetHitsSelect""".stripMargin,
+    "x_engine_ivfdet_cellstats" ->
+      s"""WITH ${ivfDetCtesWith("TRUE", "TRUE")},
+         |counts AS (SELECT centroid_id, count(*) AS n
+         |           FROM postings GROUP BY centroid_id)
+         |SELECT c.centroid_id, COALESCE(counts.n, 0) AS n_members
+         |FROM cents c LEFT JOIN counts USING (centroid_id)
+         |ORDER BY c.centroid_id ASC""".stripMargin,
     "x_engine_lshdet_prefiltered" ->
       s"""WITH $lshDetCorpusCtes,
          |$lshDetProbeCtes,
