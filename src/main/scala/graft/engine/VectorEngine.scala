@@ -160,6 +160,26 @@ final class VectorEngine(
       .orderBy(col("centroid_id").asc)
   }
 
+  /** Bucket-balance audit for the LSH families, per hash table: bucket
+    * count, total entries, and the largest bucket. A degenerate table
+    * (most vectors in one sign bucket — planes aligned with the data's
+    * dominant direction) makes its probes near-linear scans; per-table
+    * stats show WHICH table to re-plane. One groupBy over the bucket
+    * table, output = |tables| rows.
+    */
+  def lshBucketStats(libId: String): DataFrame = {
+    if (!store.exists("lsh_buckets"))
+      throw new NotFoundError(s"lsh index for library $libId")
+    val b = lshBuckets(libId)
+    if (b.isEmpty) throw new NotFoundError(s"lsh index for library $libId")
+    b.groupBy(col("table_id"), col("signature"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("table_id"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("bn")).as("n_entries"),
+        max(col("bn")).as("max_bucket"))
+      .orderBy(col("table_id").asc)
+  }
+
   def sq8QuantizationError(libId: String): DataFrame = {
     if (!store.exists("sq8_params"))
       throw new NotFoundError(s"sq8 index for library $libId")

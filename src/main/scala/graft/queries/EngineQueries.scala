@@ -176,6 +176,17 @@ object EngineQueries {
     eng.ivfCellStats(lib)
   }
 
+  /** LSH bucket-balance audit through the det build — per-table bucket
+    * counts / entries / largest bucket, hash-checked via the md5-plane
+    * signature replay. The per-table view shows WHICH table degenerated
+    * (planes aligned with the data) and probes near-linearly.
+    */
+  private def engineLshDetBucketStats(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+    eng.lshBucketStats(lib)
+  }
+
   /** Recall@10 of an approximate index config vs the exact scan — the
     * quality metric BASELINE.md commits to measuring alongside latency.
     * Rows-only (seeded-RNG indexes), but deterministic run-to-run.
@@ -1104,6 +1115,7 @@ object EngineQueries {
     "x_engine_lsh_det"       -> (engineLshDet _),
     "x_engine_ivf_det"       -> (engineIvfDet _),
     "x_engine_ivfdet_cellstats" -> (engineIvfDetCellStats _),
+    "x_engine_lshdet_bucketstats" -> (engineLshDetBucketStats _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
@@ -2011,6 +2023,14 @@ object EngineQueries {
          |SELECT c.centroid_id, COALESCE(counts.n, 0) AS n_members
          |FROM cents c LEFT JOIN counts USING (centroid_id)
          |ORDER BY c.centroid_id ASC""".stripMargin,
+    "x_engine_lshdet_bucketstats" ->
+      s"""WITH $lshDetCorpusCtes,
+         |buckets AS (SELECT t, sig, count(*) AS bn FROM sigs GROUP BY t, sig)
+         |SELECT CAST(t AS INTEGER) AS table_id,
+         |       count(*) AS n_buckets,
+         |       CAST(SUM(bn) AS BIGINT) AS n_entries,
+         |       CAST(MAX(bn) AS BIGINT) AS max_bucket
+         |FROM buckets GROUP BY t ORDER BY table_id ASC""".stripMargin,
     "x_engine_lshdet_prefiltered" ->
       s"""WITH $lshDetCorpusCtes,
          |$lshDetProbeCtes,
