@@ -180,6 +180,29 @@ final class VectorEngine(
       .orderBy(col("table_id").asc)
   }
 
+  /** Codebook-usage audit for the PQ families, per subspace: distinct
+    * codewords actually used and the hottest codeword's count. Dead
+    * codewords (n_used << K) mean wasted codebook capacity and coarser
+    * quantization than the bit budget paid for — with the
+    * reconstruction-error audits, the re-train signal for the PQ side.
+    * One posexplode + two keyed aggs; output = |subspaces| rows.
+    */
+  def pqCodeStats(libId: String): DataFrame = {
+    if (!store.exists("pq_codes"))
+      throw new NotFoundError(s"pq index for library $libId")
+    val c = store.read("pq_codes", Schemas.pqCodes)
+      .filter(col("library_id") === libId)
+    if (c.isEmpty) throw new NotFoundError(s"pq index for library $libId")
+    c.select(posexplode(col("codes")))
+      .groupBy(col("pos"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_used"), max(col("cnt")).as("max_use"))
+      .select(col("pos").cast("int").as("subspace"),
+        col("n_used"), col("max_use"))
+      .orderBy(col("subspace").asc)
+  }
+
   def sq8QuantizationError(libId: String): DataFrame = {
     if (!store.exists("sq8_params"))
       throw new NotFoundError(s"sq8 index for library $libId")

@@ -187,6 +187,17 @@ object EngineQueries {
     eng.lshBucketStats(lib)
   }
 
+  /** PQ codebook-usage audit through the det build — per-subspace used
+    * codewords + hottest codeword, hash-checked via the md5-codebook
+    * encode replay. Dead codewords = wasted bit budget; with qerror the
+    * complete re-train signal for the PQ side.
+    */
+  private def enginePqCodeStats(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d,
+      IndexConfig("pq", pqSubspaces = 8, pqCodewords = 16))
+    eng.pqCodeStats(lib)
+  }
+
   /** Recall@10 of an approximate index config vs the exact scan — the
     * quality metric BASELINE.md commits to measuring alongside latency.
     * Rows-only (seeded-RNG indexes), but deterministic run-to-run.
@@ -1116,6 +1127,7 @@ object EngineQueries {
     "x_engine_ivf_det"       -> (engineIvfDet _),
     "x_engine_ivfdet_cellstats" -> (engineIvfDetCellStats _),
     "x_engine_lshdet_bucketstats" -> (engineLshDetBucketStats _),
+    "x_engine_pq_codestats" -> (enginePqCodeStats _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
@@ -2206,6 +2218,12 @@ object EngineQueries {
     // ranking capped at 6k=60 (dist asc, chunk_id asc), exact cosine
     // rerank vs the RAW query. Mirrors PqIndex.build/encode/candidates
     // and VectorEngine.search step for step.
+    "x_engine_pq_codestats" ->
+      s"""WITH $pqCorpusCtes,
+         |usage AS (SELECT m, k, count(*) AS cnt FROM enc GROUP BY m, k)
+         |SELECT CAST(m AS INTEGER) AS subspace, count(*) AS n_used,
+         |       CAST(MAX(cnt) AS BIGINT) AS max_use
+         |FROM usage GROUP BY m ORDER BY subspace ASC""".stripMargin,
     "x_engine_pq" -> pqHitsSql,
     // same replay batched: annJoin's codebook-literal ADC must land on
     // identical hits for queries vec 0, 1, 2
