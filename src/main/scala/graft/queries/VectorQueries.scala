@@ -439,6 +439,32 @@ object VectorQueries {
       .orderBy(col("pos").asc)
   }
 
+  /** Embedding DRIFT monitor — the train/serve-skew readout: per-label
+    * centroids computed on two corpus halves (even / odd vec_ids
+    * standing in for "reference window" vs "live window") and compared
+    * by cosine. A label whose halves' centroids diverge is a class whose
+    * embedding distribution moved. Same scale shape as v_centroids (the
+    * per-position partial agg shuffles |labels| x dim rows whatever the
+    * corpus size); positions rnd6 before the sequential-fold cosine (the
+    * v_semantic_shard discipline).
+    */
+  private def centroidShift(s: SparkSession, d: String): DataFrame = {
+    def cent(par: Int) =
+      emb(s, d).filter(col("vec_id") % 2 === par)
+        .select(col("label"), posexplode(vecAsDouble(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(rnd(avg(col("col")), 6).as("m"), count(lit(1)).as("cn"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+          max(col("cn")).as(s"n_$par"))
+        .select(col("label"), expr("transform(pm, x -> x.m)").as(s"c$par"),
+          col(s"n_$par"))
+    cent(0).join(cent(1), "label")
+      .select(col("label"), col("n_0"), col("n_1"),
+        rnd(cosineSim(col("c0"), col("c1")), 6).as("shift_cos"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
@@ -458,6 +484,7 @@ object VectorQueries {
     "v_pca_top2"       -> (pcaTop2 _),
     "v_pca_eigvals"    -> (pcaEigvals _),
     "v_dim_stats"      -> (dimStats _),
+    "v_centroid_shift" -> (centroidShift _),
   )
 
   /** PcaIters unrolled (matvec, max-norm, rescale) rounds over matrix CTE
@@ -630,6 +657,25 @@ object VectorQueries {
          |            ELSE -((0 - SUM(s6)) // count(*)) END AS BIGINT) AS mean_u,
          |       CAST(min(s6) AS BIGINT) AS min_u, CAST(max(s6) AS BIGINT) AS max_u
          |FROM el GROUP BY pos ORDER BY pos ASC""".stripMargin,
+    // v_centroid_shift: rnd6 per-position half-centroids -> sequential
+    // list_cosine_similarity, the v_centroids/avg precedent on each half
+    "v_centroid_shift" ->
+      s"""WITH expl AS (
+         |  SELECT label, vec_id % 2 AS par,
+         |         generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS x
+         |  FROM embeddings),
+         |perpos AS (
+         |  SELECT label, par, pos, ${rndSql("avg(x)", 6)} AS m, count(*) AS cn
+         |  FROM expl GROUP BY label, par, pos),
+         |cents AS (
+         |  SELECT label, par, list(m ORDER BY pos) AS cvec, max(cn) AS n
+         |  FROM perpos GROUP BY label, par)
+         |SELECT a.label, a.n AS n_0, b.n AS n_1,
+         |       ${rndSql("list_cosine_similarity(a.cvec, b.cvec)", 6)} AS shift_cos
+         |FROM cents a JOIN cents b ON a.label = b.label
+         |WHERE a.par = 0 AND b.par = 1
+         |ORDER BY a.label ASC""".stripMargin,
     // v_knn_outlier: micro-unit scores BEFORE ranking, integer top-5
     // mean with truncate-toward-zero division spelled for negatives
     "v_knn_outlier" ->
