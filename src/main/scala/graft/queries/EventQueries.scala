@@ -206,9 +206,41 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** Robust ANOMALY detection on the daily event series: median /
+    * median-absolute-deviation flags (|n - med| > 3 * MAD), all exact
+    * integers — the lower median is picked by rank (row_number with a
+    * day tie-break), so there is no interpolating quantile to disagree
+    * across engines. Every window runs over the BOUNDED daily table
+    * (|days| rows), never the event log; the log is touched by exactly
+    * one count aggregation.
+    */
+  private def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(count(lit(1)).as("tot"))
+    val wN = Window.orderBy(col("n").asc, col("day").asc)
+    val med = daily.withColumn("rn", row_number().over(wN))
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") === expr("(tot + 1) div 2"))
+      .select(col("n").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val wD = Window.orderBy(col("dev").asc, col("day").asc)
+    val mad = dev.withColumn("rn", row_number().over(wD))
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") === expr("(tot + 1) div 2"))
+      .select(col("dev").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"), col("med"), col("mad"), col("dev"),
+        (col("dev") > col("mad") * 3).as("is_anomaly"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_scd2"          -> (scd2 _),
     "e_gapfill"       -> (gapfill _),
+    "e_anomaly_days"  -> (anomalyDays _),
     "e_funnel"        -> (funnel _),
     "e_retention"     -> (retention _),
     "e_latest_state"  -> (latestState _),
@@ -228,6 +260,20 @@ object EventQueries {
         |         ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
         |FROM events WHERE user_id < 30
         |ORDER BY user_id ASC, valid_from ASC, event_id ASC""".stripMargin,
+    "e_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM daily),
+        |medr AS (SELECT n, row_number() OVER (ORDER BY n ASC, day ASC) AS rn
+        |         FROM daily),
+        |med AS (SELECT n AS med FROM medr, tot WHERE rn = (tot + 1) // 2),
+        |dev AS (SELECT day, n, med, abs(n - med) AS dev FROM daily, med),
+        |madr AS (SELECT dev, row_number() OVER (ORDER BY dev ASC, day ASC) AS rn
+        |         FROM dev),
+        |mad AS (SELECT dev AS mad FROM madr, tot WHERE rn = (tot + 1) // 2)
+        |SELECT day, n, med, mad, dev, dev > mad * 3 AS is_anomaly
+        |FROM dev, mad ORDER BY day ASC""".stripMargin,
     "e_gapfill" ->
       """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
         |                  CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events),
