@@ -463,6 +463,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("index balance audits account for every vector exactly once") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    // IVF cells: every vector sits in exactly one cell
+    val cells = EngineQueries.queries("x_engine_ivfdet_cellstats")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(cells.length == 8)
+    assert(cells.map(_._2).sum == n)
+    // LSH: every table holds every vector once; the largest bucket is
+    // bounded by the table's entries
+    val buckets = EngineQueries.queries("x_engine_lshdet_bucketstats")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(buckets.length == 4)
+    buckets.foreach { case (_, nb, ne, mb) =>
+      assert(ne == n); assert(mb <= ne); assert(nb <= ne)
+    }
+    // PQ: every subspace uses at most K codewords, hottest <= corpus
+    val codes = EngineQueries.queries("x_engine_pq_codestats")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(codes.length == 8)
+    codes.foreach { case (_, used, hot) =>
+      assert(used >= 1 && used <= 16); assert(hot >= 1 && hot <= n)
+    }
+  }
+
   test("t_tfidf_sim matches a driver-side postings brute force") {
     val toks = docTokens()
     val tf = toks.toSeq.flatMap { case (d, ts) =>
