@@ -681,8 +681,34 @@ object DedupQueries {
       .orderBy(col("src_a").asc, col("src_b").asc)
   }
 
+  /** N-GRAM NOVELTY scoring — each document's marginal contribution to
+    * the corpus: the fraction of its distinct 3-gram hashes whose FIRST
+    * occurrence (min doc_id over the corpus) is this document. The
+    * dedup-aware curation metric between span-level and whole-doc
+    * dedup: a low-novelty doc is mostly restating earlier content even
+    * when no single document duplicates it. Shape: one distinct
+    * (gram, doc) projection, one min-agg per gram, one count-back join —
+    * all keyed on the gram hash; exact ppm integers.
+    */
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val g = docs(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles(toks, 3), x => hash60(x))))
+          .as("g"))
+    val firstDoc = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(firstDoc, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact"         -> (exact _),
+    "d_ngram_novelty" -> (ngramNovelty _),
     "d_minhash_bands" -> (minhashBands _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dup_clusters"  -> (dupClusters _),
@@ -1097,6 +1123,17 @@ object DedupQueries {
        |  WHERE f1 <= 0.2 AND f2 <= 0.18)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d_ngram_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform($shinglesSql,
+         |           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS g
+         |  FROM documents),
+         |fd AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
+         |FROM g JOIN fd USING (g)
+         |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "d_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
         |SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
