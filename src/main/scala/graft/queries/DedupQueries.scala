@@ -695,8 +695,11 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(array_distinct(transform(shingles(toks, 3), x => hash60(x))))
           .as("g"))
-    val firstDoc = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    g.join(firstDoc, "g")
+    // first occurrence as a per-gram window, NOT a min-agg + join-back:
+    // one shingle pass and ONE gram-keyed shuffle (the join formulation
+    // recomputed the whole explode on both sides — measured 9.5s -> this)
+    val w = Window.partitionBy(col("g"))
+    g.withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
