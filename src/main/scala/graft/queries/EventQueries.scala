@@ -237,7 +237,59 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** INTERVAL-OVERLAP JOIN (interval x interval) via time-bucket blocking
+    * with an exactly-once "meet at the greatest-start bucket" residual.
+    * Distinct from `e_asof_join` (point -> latest interval) and
+    * `e_band_join` (point +- W): BOTH sides here are intervals — per-user
+    * DAILY activity spans [min ts, max ts] — and a pair matches when the
+    * spans intersect. The naive plan is a nested-loop inequality join
+    * (per-row range scan of the whole other side); the scale shape is to
+    * explode each interval into the fixed-width time buckets it spans
+    * (bounded: a day-bounded span covers <= 5 six-hour buckets), equi-join
+    * on the bucket, and keep a pair ONLY in the bucket containing
+    * greatest(a_start, b_start). Both intervals provably span that bucket,
+    * so every overlapping pair meets there and NOWHERE else — exactly-once
+    * without a distinct/dedup shuffle. At 100 TB the bucket width W is
+    * tuned to the typical interval length (candidate count ~ concurrent
+    * intervals per bucket, never all-pairs), and the only shuffles are the
+    * two bucket-keyed exchanges. The oracle is DuckDB's native IEJoin on
+    * the raw inequality predicate — two different algorithms, row-for-row
+    * identical. Sides are even-user intervals (A, kept with zero counts)
+    * vs odd-user intervals (B), so the pair space is bipartite by
+    * construction. Reference anchor: `services/search.py:40-62` filter
+    * composition (time-range predicates) generalized to range x range.
+    */
+  private val IvW = 21600000000L // 6 hours in micros
+
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(unix_micros(min(col("ts"))).as("s_us"),
+           unix_micros(max(col("ts"))).as("e_us"))
+    val a = iv.filter(col("user_id") % 2 === 0)
+      .select(col("user_id").as("a_user"), col("day").as("a_day"),
+        col("s_us").as("a_s"), col("e_us").as("a_e"))
+    val b = iv.filter(col("user_id") % 2 === 1)
+      .select(col("s_us").as("b_s"), col("e_us").as("b_e"))
+    val aExp = a.withColumn("bucket",
+      explode(sequence(expr(s"a_s div $IvW"), expr(s"a_e div $IvW"))))
+    val bExp = b.withColumn("bucket",
+      explode(sequence(expr(s"b_s div $IvW"), expr(s"b_e div $IvW"))))
+    val matched = aExp.join(bExp,
+        aExp("bucket") === bExp("bucket") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+          aExp("bucket") === expr(s"greatest(a_s, b_s) div $IvW"))
+      .groupBy(col("a_user").as("m_user"), col("a_day").as("m_day"))
+      .agg(count(lit(1)).as("n_c"))
+    a.join(matched, col("a_user") === col("m_user") &&
+        col("a_day") === col("m_day"), "left")
+      .select(col("a_user").as("user_id"), col("a_day").as("day"),
+        coalesce(col("n_c"), lit(0L)).as("n_concurrent"))
+      .orderBy(col("user_id").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_interval_join" -> (intervalJoin _),
     "e_scd2"          -> (scd2 _),
     "e_gapfill"       -> (gapfill _),
     "e_anomaly_days"  -> (anomalyDays _),
@@ -252,6 +304,17 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT * FROM iv WHERE user_id % 2 = 0),
+        |b AS (SELECT * FROM iv WHERE user_id % 2 = 1)
+        |SELECT a.user_id, a.day,
+        |       CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+        |FROM a LEFT JOIN b ON a.s_us <= b.e_us AND b.s_us <= a.e_us
+        |GROUP BY 1, 2 ORDER BY a.user_id ASC, a.day ASC""".stripMargin,
     "e_scd2" ->
       """SELECT user_id, event_id, event_type AS state, ts AS valid_from,
         |       lead(ts) OVER (PARTITION BY user_id
