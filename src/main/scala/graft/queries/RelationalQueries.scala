@@ -182,7 +182,66 @@ object RelationalQueries {
       .orderBy(col("p_partkey").asc)
   }
 
+  /** TRIANGLE COUNT + local clustering coefficient over the co-purchase
+    * graph (parts appearing in the same order, restricted to high-quantity
+    * lineitems so the graph is non-trivially sparse). The canonical graph
+    * pattern beyond the r7 PageRank entry, in its scale shape:
+    * DEGREE-ORIENTED wedge counting — every undirected edge is directed
+    * from its (degree, id)-smaller endpoint to the larger, wedges are
+    * generated only from each node's OUT-neighbors, and a wedge closes iff
+    * the oriented edge (v, w) exists. Orientation bounds per-node wedge
+    * fan-out by the out-degree, which is O(sqrt(|E|)) for every node
+    * regardless of hubs (a raw self-join on the hub's full neighbor list
+    * is the classic skew blow-up this avoids); the plan is three
+    * equi-joins and two aggregations, no driver-side graph state. Each
+    * triangle is produced exactly once (its corners are totally ordered by
+    * (degree, id)), then exploded to its three corners for per-node
+    * counts; cc6 = 2*tri/(deg*(deg-1)) in integer micro-units. The oracle
+    * replays triangles with the straightforward id-ordered three-way join
+    * — a DIFFERENT enumeration order that must agree corner-for-corner.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.as("ea").join(li.as("eb"),
+        col("ea.l_orderkey") === col("eb.l_orderkey") &&
+          col("ea.l_partkey") < col("eb.l_partkey"))
+      .select(col("ea.l_partkey").as("pa"), col("eb.l_partkey").as("pb"))
+      .distinct()
+    val deg = e.select(col("pa").as("p")).unionAll(e.select(col("pb").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("p").as("pa"), col("degree").as("da")), Seq("pa"))
+      .join(deg.select(col("p").as("pb"), col("degree").as("db")), Seq("pb"))
+    // pa < pb always, so (da, pa) < (db, pb) iff da < db or da == db
+    val aFirst = col("da") < col("db") || col("da") === col("db")
+    val oriented = withDeg.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+    val wedges = oriented.as("w1").join(oriented.as("w2"),
+        col("w1.src") === col("w2.src") &&
+          (col("w1.ddst") < col("w2.ddst") ||
+            (col("w1.ddst") === col("w2.ddst") &&
+              col("w1.dst") < col("w2.dst"))))
+      .select(col("w1.src").as("u"), col("w1.dst").as("v"),
+        col("w2.dst").as("w"))
+    val tri = wedges.join(oriented.select(col("src").as("v"),
+        col("dst").as("w")), Seq("v", "w"))
+    val corners = tri.select(col("u").as("p"))
+      .unionAll(tri.select(col("v").as("p")))
+      .unionAll(tri.select(col("w").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("nt"))
+    deg.join(corners, Seq("p"), "left")
+      .select(col("p").as("p_partkey"), col("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_tri"),
+        expr("CASE WHEN degree >= 2 THEN (2000000 * coalesce(nt, 0)) div (degree * (degree - 1)) ELSE 0 END")
+          .as("cc6"))
+      .orderBy(col("p_partkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles"       -> (triangles _),
     "q1_pricing"        -> (q1Pricing _),
     "q3_top_orders"     -> (q3TopOrders _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -197,6 +256,28 @@ object RelationalQueries {
     "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
 
   val oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT pa AS p FROM e UNION ALL SELECT pb FROM e) t
+        |        GROUP BY p),
+        |tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        |        FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |                  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |corner AS (SELECT x AS p FROM tri UNION ALL SELECT y FROM tri
+        |           UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM corner GROUP BY p)
+        |SELECT deg.p AS p_partkey, degree, COALESCE(n_tri, 0) AS n_tri,
+        |       CASE WHEN degree >= 2
+        |            THEN (2000000 * COALESCE(n_tri, 0)) // (degree * (degree - 1))
+        |            ELSE 0 END AS cc6
+        |FROM deg LEFT JOIN tc ON tc.p = deg.p
+        |ORDER BY p_partkey ASC""".stripMargin,
     "q1_pricing" ->
       s"""WITH base AS (
          |  SELECT l_returnflag, l_linestatus,

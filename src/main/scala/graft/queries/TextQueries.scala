@@ -570,7 +570,45 @@ object TextQueries {
       .orderBy(col("lang").asc)
   }
 
+  /** TOKEN-DISTRIBUTION DRIFT — the dataset-shift monitor a production
+    * corpus pipeline runs between two snapshots (here: even- vs odd-id
+    * halves standing in for "yesterday vs today"): per-token chi-square
+    * on PER-MILLION RATES, top-20 drifting tokens. Exact-integer
+    * pipeline: each half's token count becomes a truncated ppm rate
+    * (c*1e6 div N), and the statistic is (r0-r1)^2 div (r0+r1) — the
+    * 2-sample chi-square computed in rate space, so every intermediate
+    * fits a BIGINT at ANY corpus size ((1e6)^2 worst case; raw-count
+    * chi-square would need 128-bit transients at 100 TB) and the score is
+    * scale-STABLE: rates converge as N grows, so alert thresholds survive
+    * a 100x scale-up where a raw-count statistic would inflate linearly.
+    * One exploded-token scan, one (token, half) partial agg, the two
+    * totals broadcast; output is k rows. Companion to `v_centroid_shift`
+    * (embedding drift) on the text side.
+    */
+  private def tokenDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val tok = Tables.documents(s, d)
+      .select((col("doc_id") % 2).as("half"),
+        explode(tokens(col("text"))).as("token"))
+    val totals = tok.groupBy().agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+    val counts = tok.groupBy(col("token")).agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("c0"), col("c1"),
+        expr("(c0 * 1000000) div n0").as("r0_ppm"),
+        expr("(c1 * 1000000) div n1").as("r1_ppm"))
+      .withColumn("drift",
+        expr("CASE WHEN r0_ppm + r1_ppm = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((r0_ppm - r1_ppm) * (r0_ppm - r1_ppm)) div (r0_ppm + r1_ppm) END"))
+      .orderBy(col("drift").desc, col("token").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_drift" -> (tokenDrift _),
     "t_token_stats" -> (tokenStats _),
     "t_quality"     -> (quality _),
     "t_langid"      -> (langId _),
@@ -600,6 +638,25 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t_token_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 AS half, unnest($toksSql) AS token
+         |  FROM documents),
+         |n AS (SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM tok),
+         |c AS (SELECT token,
+         |             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |      FROM tok GROUP BY token),
+         |r AS (SELECT token, c0, c1,
+         |             (c0 * 1000000) // n0 AS r0_ppm,
+         |             (c1 * 1000000) // n1 AS r1_ppm
+         |      FROM c, n)
+         |SELECT token, c0, c1, r0_ppm, r1_ppm,
+         |       CASE WHEN r0_ppm + r1_ppm = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE ((r0_ppm - r1_ppm) * (r0_ppm - r1_ppm)) // (r0_ppm + r1_ppm)
+         |       END AS drift
+         |FROM r ORDER BY drift DESC, token ASC LIMIT 20""".stripMargin,
     "t_token_stats" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens,
          |       CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct,
