@@ -103,6 +103,11 @@ object PlanDump {
     "t_winnow_fp",             // doc-partitioned frame-min window + banded argmin self-join
     "e_scd2",                  // one lead() window per user partition, rows out == rows in
     "m_scene_cut",             // mapPartitions decode -> integer means -> clip-scoped lag window
+    "e_interval_join",         // interval x interval: bucket equi-join + greatest-start-bucket residual
+    "q_triangles",             // degree-oriented wedge join: three equi-joins, no hub blow-up
+    "t_token_drift",           // (token, half) partial agg + broadcast totals, k-bounded output
+    "q_salted_join",           // forced ShuffledHashJoin on (key, salt): hot keys spread 8-way
+    "d_prefix_join",           // rarity-ordered prefix explode -> candidate equi-join -> merge verify
   )
 
   def main(args: Array[String]): Unit = {

@@ -288,6 +288,66 @@ object Multimodal {
       }
   }
 
+  case class WhtBandRow(media_id: Long, band: Int, n_frames: Long,
+      energy: Long)
+
+  /** 8-point WALSH-HADAMARD band energies over consecutive PCM frames —
+    * the exact-integer stand-in for the DFT/MFCC filter-bank step of an
+    * audio curation pipeline (spectral-shape features for music/speech/
+    * silence triage). The WHT is the transform whose basis is +-1 only,
+    * so coefficient k of a frame is a signed SUM of the 8 samples
+    * (sign = parity of popcount(m AND k)) and band energy is the exact
+    * BIGINT sum of squared coefficients — no irrational twiddle factor
+    * anywhere, which is what lets an independent SQL engine replay a
+    * "spectral" feature bit-for-bit. Same per-partition javax codec scan
+    * as [[decodeAudio]]; the tail partial frame is dropped. Output is
+    * |clips| x 8 rows whatever the audio volume.
+    */
+  def decodeWhtBands(media: Dataset[MediaRow]): Dataset[WhtBandRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = in.getFormat
+          val bytes = in.readAllBytes()
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+            s"WHT bands expect mono 16-bit PCM, got $f")
+          val n = bytes.length / 2
+          val nFrames = n / 8
+          val energy = new Array[Long](8)
+          var fr = 0
+          while (fr < nFrames) {
+            var k = 0
+            while (k < 8) {
+              var c = 0L
+              var m = 0
+              while (m < 8) {
+                val idx = (fr * 8 + m) * 2
+                val sm =
+                  if (f.isBigEndian)
+                    ((bytes(idx) << 8) | (bytes(idx + 1) & 0xff)).toShort
+                  else ((bytes(idx + 1) << 8) | (bytes(idx) & 0xff)).toShort
+                c += (if (java.lang.Integer.bitCount(m & k) % 2 == 1) -sm.toLong
+                      else sm.toLong)
+                m += 1
+              }
+              energy(k) += c * c
+              k += 1
+            }
+            fr += 1
+          }
+          (0 until 8).map(k =>
+            WhtBandRow(r.media_id, k, nFrames.toLong, energy(k)))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            Seq.empty[WhtBandRow]
+        }
+      }
+    }
+  }
+
   /** REAL audio decode via mapPartitions — the audio sibling of
     * [[decodePixels]]: one codec handle per partition, map-only scan.
     */

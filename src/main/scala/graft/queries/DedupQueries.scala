@@ -709,7 +709,68 @@ object DedupQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** PREFIX-FILTERED set-similarity join (PPJoin family) — the THIRD
+    * candidate-generation regime next to minhash-LSH (probabilistic,
+    * recall < 1) and lang-blocked all-pairs (`d_jaccard_pairs`, coarse
+    * fixed blocks): EXACT Jaccard >= 0.5 with a LOSSLESS, data-dependent
+    * filter, over distinct word-3-gram SHINGLE sets (the same set family
+    * the minhash entries sketch — raw token sets are degenerate on
+    * template-shaped corpora where every doc shares the vocabulary; the
+    * shingle-set Jaccard is what minhash estimates, so this entry is
+    * also the exact ground truth the LSH recall is measured against).
+    * Every doc's shingle-hash set is ordered by GLOBAL
+    * rarity ((freq asc, hash asc) — no dense rank needed, the (f,h) pair
+    * itself is the sort key, so there is no vocab-scale window anywhere);
+    * if J(x,y) >= t then x and y MUST share a token within the first
+    * |x| - ceil(t|x|) + 1 rarest elements, so only docs sharing a PREFIX
+    * token ever meet (t=0.5: p = n div 2 + 1). Rarity ordering makes
+    * prefix tokens the least-frequent ones, so candidate lists stay
+    * short at any corpus size — stopword-shaped hot tokens sit at the
+    * BACK of every set and never generate candidates; the heavy verify
+    * (sorted-merge intersection, codegen) runs only on survivors.
+    * Jaccard is emitted in EXACT integer micro-units
+    * ((inter*1e6) div union) and the t-threshold is the exact rational
+    * test 2*inter >= union. The oracle is the BRUTE-FORCE all-pairs
+    * join — the hash match proves the filter lossless, not just fast.
+    */
+  private def prefixJoin(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d).select(col("doc_id"),
+      explode(array_distinct(transform(shingles(toks, 3), tk => hash60(tk))))
+        .as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val sets = tok.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"),
+        transform(col("fh"), x => x.getField("h")).as("rset"), // rarity order
+        array_sort(transform(col("fh"), x => x.getField("h"))).as("vset"),
+        size(col("fh")).as("n"))
+      .localCheckpoint() // sets build once, consumed by both join sides
+    val pref = sets.select(col("doc_id"),
+      explode(expr("slice(rset, 1, n div 2 + 1)")).as("h"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = graft.functions.SetExpressions
+      .sortedIntersectCount(col("va"), col("vb"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("vset").as("va"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("vset").as("vb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", inter.cast("long"))
+      .filter(col("na") + col("nb") - col("inter") > 0 &&
+        col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("inter"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("j6"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_prefix_join"   -> (prefixJoin _),
     "d_exact"         -> (exact _),
     "d_ngram_novelty" -> (ngramNovelty _),
     "d_minhash_bands" -> (minhashBands _),
@@ -1137,6 +1198,25 @@ object DedupQueries {
          |       CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
          |FROM g JOIN fd USING (g)
          |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    // d_prefix_join: BRUTE-FORCE all-pairs — deliberately a different
+    // algorithm from the engine's prefix filter; the hash match proves
+    // the filter is lossless at the 0.5 threshold.
+    "d_prefix_join" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform($shinglesSql,
+        |           tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT))) AS tset
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_filter(a.tset, x -> list_contains(b.tset, x))) AS BIGINT) AS inter,
+        |         CAST(len(a.tset) AS BIGINT) AS na, CAST(len(b.tset) AS BIGINT) AS nb
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, na, nb, inter,
+        |       (inter * 1000000) // (na + nb - inter) AS j6
+        |FROM p
+        |WHERE na + nb - inter > 0 AND 2 * inter >= na + nb - inter
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "d_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
         |SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS canonical_id,

@@ -288,6 +288,17 @@ object MiscQueries {
       .select(col("media_id"), col("n_samples"), col("sum_sq"), col("n_zc"))
       .orderBy(col("media_id").asc)
 
+  /** Walsh-Hadamard band energies over the same decoded clips — see
+    * [[Multimodal.decodeWhtBands]]: the exact-integer spectral-shape
+    * feature (8 bands per clip from consecutive 8-sample frames), oracle
+    * integrated from the synthetic-PCM closed form with bit_count parity
+    * supplying the +-1 basis.
+    */
+  private def whtBands(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeWhtBands(wavMedia(s))
+      .toDF()
+      .orderBy(col("media_id").asc, col("band").asc)
+
   /** Skew-safe token frequency: the hot-key (stopword) histogram computed
     * as a SALTED two-phase aggregation — partial counts on (token, salt),
     * then merge on token. With a skewed key like "the" (in most rows), the
@@ -434,6 +445,7 @@ object MiscQueries {
     "m_resize_px"      -> (resizePx _),
     "m_decode_wav"     -> (decodeWav _),
     "m_wav_energy"     -> (wavEnergy _),
+    "m_wht_bands"      -> (whtBands _),
     "m_pixel_dedup"    -> (pixelDedup _),
     "m_phash_neardup"  -> (phashNearDup _),
     "e_stream_decode_px" -> (streamDecodePx _),
@@ -686,6 +698,25 @@ object MiscQueries {
     // same closed form; a NULL lag (first sample) falls to the ELSE arm,
     // and zero samples break the sign chain on both engines (x*0 < 0 is
     // false), matching the codec's prev*s < 0 rule exactly
+    // m_wht_bands: the +-1 Walsh-Hadamard basis replayed as bit_count
+    // parity over the closed-form samples; tail partial frames excluded
+    // on both engines (n < 8 * (n_samples // 8))
+    "m_wht_bands" ->
+      """WITH s AS (
+        |  SELECT i.i AS media_id, n.n AS n,
+        |         (n.n * 2311 + i.i * 977) % 20001 - 10000 AS v
+        |  FROM range(20) i(i), range(110) n(n)
+        |  WHERE n.n < 8 * ((50 + (i.i % 7) * 10) // 8)),
+        |coef AS (
+        |  SELECT media_id, n // 8 AS f, k.k AS band,
+        |         CAST(SUM(CASE WHEN bit_count(CAST(n % 8 AS BIGINT) & k.k) % 2 = 1
+        |                       THEN -v ELSE v END) AS BIGINT) AS c
+        |  FROM s, range(8) k(k) GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(band AS INTEGER) AS band,
+        |       CAST((50 + (media_id % 7) * 10) // 8 AS BIGINT) AS n_frames,
+        |       CAST(SUM(c * c) AS BIGINT) AS energy
+        |FROM coef GROUP BY media_id, band
+        |ORDER BY media_id ASC, band ASC""".stripMargin,
     "m_wav_energy" ->
       """WITH s AS (
         |  SELECT i.i AS media_id, n.n AS n,

@@ -240,7 +240,45 @@ object RelationalQueries {
       .orderBy(col("p_partkey").asc)
   }
 
+  /** SKEW-SALTED shuffle join — the standard hot-key recipe, exercised
+    * end-to-end with a hash-checked result: events join a 4-row type-dim
+    * on `event_type` (cardinality 5 — EVERY key is a hot key; on a
+    * shuffled join each key funnels into one reducer). The salted plan
+    * adds a deterministic salt (user_id % 8) to the probe side,
+    * REPLICATES the dim 8x with an exploded salt column, and equi-joins
+    * on (event_type, salt) — each hot key now spreads over 8 reducers,
+    * at the cost of an 8x copy of the METADATA-scale side only. The
+    * shuffle_hash hint forces the shuffled-join regime under test (the
+    * optimizer would rightly broadcast a 32-row dim; at 100 TB the
+    * replicated side may be a million-row dim that exceeds the broadcast
+    * threshold while the salt factor still bounds per-reducer load).
+    * Deterministic salt means the result is provably IDENTICAL to the
+    * unsalted join — the oracle runs the plain join, so a lost or
+    * double-counted row under salting fails the hash. AQE's runtime
+    * skew-split covers sort-merge joins; explicit salting remains the
+    * portable fix for hash-partitioned aggregating joins like this one.
+    */
+  private def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("salt", (col("user_id") % S).cast("int"))
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 5), ("signup", 10))
+      .toDF("event_type", "weight")
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(S - 1))))
+      .withColumn("salt", col("salt").cast("int"))
+    ev.join(dimSalted.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v") * col("weight")).cast("double").as("weighted"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join"     -> (saltedJoin _),
     "q_triangles"       -> (triangles _),
     "q1_pricing"        -> (q1Pricing _),
     "q3_top_orders"     -> (q3TopOrders _),
@@ -256,6 +294,13 @@ object RelationalQueries {
     "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """WITH dim(event_type, weight) AS (
+        |  VALUES ('click', 1), ('view', 2), ('purchase', 5), ('signup', 10))
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6)) * weight) AS DOUBLE) AS weighted
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type ASC""".stripMargin,
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
         |           FROM lineitem WHERE l_quantity >= 40),
