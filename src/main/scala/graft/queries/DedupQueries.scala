@@ -712,7 +712,7 @@ object DedupQueries {
   /** PREFIX-FILTERED set-similarity join (PPJoin family) — the THIRD
     * candidate-generation regime next to minhash-LSH (probabilistic,
     * recall < 1) and lang-blocked all-pairs (`d_jaccard_pairs`, coarse
-    * fixed blocks): EXACT Jaccard >= 0.5 with a LOSSLESS, data-dependent
+    * fixed blocks): EXACT Jaccard >= 0.8 with a LOSSLESS, data-dependent
     * filter, over distinct word-3-gram SHINGLE sets (the same set family
     * the minhash entries sketch — raw token sets are degenerate on
     * template-shaped corpora where every doc shares the vocabulary; the
@@ -723,15 +723,20 @@ object DedupQueries {
     * itself is the sort key, so there is no vocab-scale window anywhere);
     * if J(x,y) >= t then x and y MUST share a token within the first
     * |x| - ceil(t|x|) + 1 rarest elements, so only docs sharing a PREFIX
-    * token ever meet (t=0.5: p = n div 2 + 1). Rarity ordering makes
-    * prefix tokens the least-frequent ones, so candidate lists stay
-    * short at any corpus size — stopword-shaped hot tokens sit at the
-    * BACK of every set and never generate candidates; the heavy verify
-    * (sorted-merge intersection, codegen) runs only on survivors.
-    * Jaccard is emitted in EXACT integer micro-units
-    * ((inter*1e6) div union) and the t-threshold is the exact rational
-    * test 2*inter >= union. The oracle is the BRUTE-FORCE all-pairs
-    * join — the hash match proves the filter lossless, not just fast.
+    * token ever meet (t=0.8: p = n - ceil(0.8n) + 1 ~ n/5 + 1; a t=0.5
+    * variant was measured and rejected — half-set prefixes admit
+    * mid-frequency shingles and the candidate set ballooned to 409k for
+    * 256 true pairs, 8.7s at sf0.1). Rarity ordering makes prefix tokens
+    * the least-frequent ones, so candidate lists stay short at any
+    * corpus size — stopword-shaped hot tokens sit at the BACK of every
+    * set and never generate candidates; the PPJoin LENGTH filter
+    * (t*|x| <= |y| <= |x|/t, exact rational 5*min >= 4*max) prunes
+    * cross-size candidates before the heavy verify (sorted-merge
+    * intersection, codegen) runs on survivors. Jaccard is emitted in
+    * EXACT integer micro-units ((inter*1e6) div union) and the
+    * t-threshold is the exact rational test 5*inter >= 4*union. The
+    * oracle is the BRUTE-FORCE all-pairs join — the hash match proves
+    * the filter lossless, not just fast.
     */
   private def prefixJoin(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d).select(col("doc_id"),
@@ -746,11 +751,15 @@ object DedupQueries {
         array_sort(transform(col("fh"), x => x.getField("h"))).as("vset"),
         size(col("fh")).as("n"))
       .localCheckpoint() // sets build once, consumed by both join sides
-    val pref = sets.select(col("doc_id"),
-      explode(expr("slice(rset, 1, n div 2 + 1)")).as("h"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pref = sets.select(col("doc_id"), col("n"),
+      explode(expr("slice(rset, 1, n - (4 * n + 4) div 5 + 1)")).as("h"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("pna"),
+        col("h"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("pnb"),
+        col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("pna"), col("pnb")) * 5 >=
+          greatest(col("pna"), col("pnb")) * 4)
       .select(col("doc_a"), col("doc_b")).distinct()
     val inter = graft.functions.SetExpressions
       .sortedIntersectCount(col("va"), col("vb"))
@@ -761,7 +770,7 @@ object DedupQueries {
         col("n").as("nb")), Seq("doc_b"))
       .withColumn("inter", inter.cast("long"))
       .filter(col("na") + col("nb") - col("inter") > 0 &&
-        col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
       .select(col("doc_a"), col("doc_b"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
         col("inter"),
@@ -1215,7 +1224,7 @@ object DedupQueries {
         |SELECT doc_a, doc_b, na, nb, inter,
         |       (inter * 1000000) // (na + nb - inter) AS j6
         |FROM p
-        |WHERE na + nb - inter > 0 AND 2 * inter >= na + nb - inter
+        |WHERE na + nb - inter > 0 AND 5 * inter >= 4 * (na + nb - inter)
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "d_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS h FROM documents)
