@@ -358,7 +358,88 @@ object SketchQueries {
       .orderBy(col("l_returnflag").asc, col("measure").asc)
   }
 
+  /** KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
+    * estimator next to the bit-pattern HLL family: keep the k smallest
+    * 40-bit hashes per group; estimate = (k-1) * 2^40 div h_(k) (the
+    * classic KMV/bottom-k estimator), exact count when the group holds
+    * fewer than k values. Two properties the entry proves end-to-end:
+    * (1) BOUNDED partial aggregation — per-nation sketches fold through
+    * the k-bounded TopKByScore typed Aggregator (score = -h), so the map
+    * side ships at most k rows per nation whatever the table size, the
+    * same shape every distributed sketch needs; (2) EXACT mergeability —
+    * the region sketch built by merging nation sketches (flatten the
+    * <= |nations| x k candidate values, keep the k smallest) is
+    * IDENTICAL to the sketch built directly from the region's rows,
+    * because any region-level bottom-k value is necessarily inside its
+    * nation's bottom-k. Both paths are emitted and hash-checked, so the
+    * merge law is verified, not asserted. 40-bit hash space (hash60 div
+    * 2^20) keeps (k-1) * 2^40 inside a BIGINT on both engines.
+    */
+  private val KmvK = 16
+  private val KmvSpace = 1L << 40
+
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").cast("long").as("regionkey"),
+        col("n_nationkey").cast("long").as("nationkey"),
+        col("c_custkey").as("k"))
+    val hashed = src
+      .select(col("regionkey"), col("nationkey"),
+        hash60(col("k").cast("string")).as("h60"))
+      .select(col("regionkey"), col("nationkey"),
+        expr("h60 div 1048576").as("h40"))
+      .localCheckpoint() // one scan feeds the nation and direct paths
+    // caller must have the sketch array bound as column `ks` (h asc)
+    def estCols = Seq(
+      size(col("ks")).cast("long").as("n_sketch"),
+      when(size(col("ks")) < KmvK, size(col("ks")).cast("long"))
+        .otherwise(expr(
+          s"${(KmvK - 1) * KmvSpace}L div greatest(element_at(ks, $KmvK), 1L)"))
+        .cast("long").as("est"))
+    // nation sketches: k-bounded partial agg (TopKByScore, score = -h)
+    val nationSk = hashed
+      .select(col("nationkey").as("gk"), col("h40").as("id"),
+        (-col("h40")).cast("double").as("sc"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(KmvK).toColumn)
+      .toDF("nationkey", "hits")
+      .select(col("nationkey"),
+        transform(col("hits"), x => x.getField("_2")).as("ks")) // h asc
+    val nkey = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        col("n_regionkey").cast("long").as("regionkey"))
+    // merged region sketch: k smallest of the <= |nations| x k candidates
+    val merged = nationSk.join(broadcast(nkey), Seq("nationkey"))
+      .groupBy(col("regionkey"))
+      .agg(slice(array_sort(flatten(collect_list(col("ks")))), 1, KmvK)
+        .as("ks"))
+      .select(col("regionkey") +: estCols: _*)
+      .withColumnRenamed("est", "est_merged").drop("n_sketch")
+    // direct region sketch: same bounded aggregator keyed by region
+    val direct = hashed
+      .select(col("regionkey").as("gk"), col("h40").as("id"),
+        (-col("h40")).cast("double").as("sc"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topK(KmvK).toColumn)
+      .toDF("regionkey", "hits")
+      .select(col("regionkey"),
+        transform(col("hits"), x => x.getField("_2")).as("ks"))
+      .select(col("regionkey") +: estCols: _*)
+      .withColumnRenamed("est", "est_direct")
+    val exact = src.groupBy(col("regionkey"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    exact.join(direct, Seq("regionkey")).join(merged, Seq("regionkey"))
+      .select(col("regionkey"), col("n_exact"), col("n_sketch"),
+        col("est_direct"), col("est_merged"))
+      .orderBy(col("regionkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct"   -> (kmvDistinct _),
     "q_unpivot"        -> (unpivotQty _),
     "q_hll_custkey"    -> (hllCustkey _),
     "q_percentiles"    -> (percentiles _),
@@ -407,6 +488,43 @@ object SketchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q_kmv_distinct: both sketch paths replayed by rank windows — the
+    // merged path ranks ONLY within the per-nation bottom-k rows, the
+    // direct path over all rows; 16492674416640 = (k-1) * 2^40
+    "q_kmv_distinct" ->
+      """WITH src AS (
+        |  SELECT n_regionkey AS regionkey, n_nationkey AS nationkey,
+        |         c_custkey AS k
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |h AS (SELECT regionkey, nationkey,
+        |        CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+        |          // 1048576 AS h40
+        |      FROM src),
+        |nk AS (SELECT regionkey, h40,
+        |         row_number() OVER (PARTITION BY nationkey ORDER BY h40 ASC) AS rn
+        |       FROM h),
+        |mrg AS (SELECT regionkey, h40,
+        |          row_number() OVER (PARTITION BY regionkey ORDER BY h40 ASC) AS rn
+        |        FROM nk WHERE rn <= 16),
+        |msk AS (SELECT regionkey, CAST(count(*) AS BIGINT) AS n,
+        |          max(CASE WHEN rn = 16 THEN h40 END) AS hk
+        |        FROM mrg WHERE rn <= 16 GROUP BY regionkey),
+        |dir AS (SELECT regionkey, h40,
+        |          row_number() OVER (PARTITION BY regionkey ORDER BY h40 ASC) AS rn
+        |        FROM h),
+        |dsk AS (SELECT regionkey, CAST(count(*) AS BIGINT) AS n,
+        |          max(CASE WHEN rn = 16 THEN h40 END) AS hk
+        |        FROM dir WHERE rn <= 16 GROUP BY regionkey),
+        |ex AS (SELECT CAST(regionkey AS BIGINT) AS regionkey,
+        |         CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+        |       FROM src GROUP BY regionkey)
+        |SELECT ex.regionkey, ex.n_exact, dsk.n AS n_sketch,
+        |       CASE WHEN dsk.n < 16 THEN dsk.n
+        |            ELSE 16492674416640 // greatest(dsk.hk, 1) END AS est_direct,
+        |       CASE WHEN msk.n < 16 THEN msk.n
+        |            ELSE 16492674416640 // greatest(msk.hk, 1) END AS est_merged
+        |FROM ex JOIN dsk USING (regionkey) JOIN msk USING (regionkey)
+        |ORDER BY regionkey ASC""".stripMargin,
     // q_cms_topk: the identical depth-4 x width-32 md5 sketch rebuilt
     // from the token counts, probed for the same exact top-20
     "q_cms_topk" ->

@@ -480,7 +480,91 @@ object SourceQueries {
     !plan.contains("Exchange hashpartitioning")
   }
 
+  /** BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`, the
+    * Spark 3.5+ API whose whole point is that dedup state EXPIRES (the
+    * plain `dropDuplicates` of `e_stream_dedup` keeps every key forever —
+    * unrunnable on an unbounded 100 TB/day stream). The four-batch
+    * trajectory proves each semantic with WIDE margins (weeks, not
+    * seconds, from every boundary — so the exact eviction instant inside
+    * the micro-batch never matters):
+    *   b0: one row per (user_id, event_type) key (Jan 1-10) -> all emit;
+    *   b1: byte-identical REPLAY of b0 -> with a 25-day delay the
+    *       watermark is still pre-epoch, every key is live in state, all
+    *       suppressed (the dedup half of the guarantee);
+    *   b2: a single disjoint-key row at Mar 15 pushes the watermark to
+    *       ~Feb 18, past every b0 key's (event_ts + delay) expiry;
+    *   b3: a second disjoint-key pusher — needed because state EVICTION
+    *       for batch N runs with the watermark committed after batch
+    *       N-1 (the same two-watermark model as `e_stream_late_data` /
+    *       SPARK-40925; measured here: without this batch the replay
+    *       still saw live state and emitted nothing), so b3 is the batch
+    *       whose end-of-batch cleanup actually drops the b0 keys;
+    *   b4: the b0 keys AGAIN at (ts + 65 days, ~Mar 6-15, above the
+    *       watermark) -> state was evicted, so every key RE-EMITS — the
+    *       bounded-state half.
+    * Emission counts per key are therefore exactly 2 for b0 keys and 1
+    * per pusher, which is the whole oracle: the streaming semantics
+    * collapse to a three-line batch SQL. Per-batch one-file arrival uses
+    * the maxFilesPerTrigger=1 mtime-ordered mechanism
+    * (`streamIngestDedup`). Rows are pre-aggregated to one per key per
+    * batch so emission multiplicity never depends on intra-batch
+    * partition order.
+    */
+  private def streamDedupWithinWm(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = graft.TempDirs.scratch("graft-stream-dedup-wm").toString
+    val srcDir = Paths.get(root, "src")
+    JFiles.createDirectories(srcDir)
+    val b0 = Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-10").cast("timestamp"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("ts"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def pusher(uid: Long, key: String, ts: String) = s.range(1)
+      .select(lit(uid).as("user_id"), lit(key).as("event_type"),
+        lit(ts).cast("timestamp").as("ts"))
+    val batches = Seq(
+      b0,
+      b0, // byte-identical replay: all suppressed (state still live)
+      pusher(-1L, "wm_push", "2024-03-15 00:00:00"), // wm -> ~Feb 18
+      pusher(-2L, "wm_push2", "2024-03-16 00:00:00"), // eviction commits
+      b0.withColumn("ts", col("ts") + expr("interval 65 days")))
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$root/stage$i"
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = scala.util.Using.resource(JFiles.list(Paths.get(stage))) { st =>
+        val found = st.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+        require(found.isPresent, s"no parquet part file under $stage")
+        found.get()
+      }
+      val dst = srcDir.resolve(f"batch$i%02d.parquet")
+      JFiles.move(part, dst)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+    }
+    val stream = s.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val deduped = stream
+      .withWatermark("ts", "600 hours") // 25 days
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    withStreamStateParallelism(s) {
+      val q = deduped.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("memory").queryName("graft_stream_dedup_wm")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_dedup_wm")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_emitted"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stream_dedup_wm" -> (streamDedupWithinWm _),
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
     "e_stream_tumbling" -> (streamTumbling _),
@@ -496,6 +580,19 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // e_stream_dedup_wm: the four-batch expiry trajectory collapses to
+    // "every pre-Jan-10 key emits twice, the watermark pusher once" —
+    // wide margins make the exact eviction instant irrelevant
+    "e_stream_dedup_wm" ->
+      """WITH b0 AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-10' GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, CAST(2 AS BIGINT) AS n_emitted FROM b0
+        |UNION ALL
+        |SELECT -1, 'wm_push', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT -2, 'wm_push2', CAST(1 AS BIGINT)
+        |ORDER BY user_id ASC, event_type ASC""".stripMargin,
     // e_stream_mixture: stream-maintained counts must yield the IDENTICAL
     // policy as the batch entry — the oracle is literally the same SQL
     "e_stream_mixture" -> DedupQueries.oracles("d_mixture_weights"),
