@@ -778,7 +778,47 @@ object DedupQueries {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** ASYMMETRIC CONTAINMENT scoring over the banded candidate pairs —
+    * quote / subset detection: C(A->B) = |A n B| / |A| tells "A is
+    * inside B" apart from the SYMMETRIC Jaccard every other dedup entry
+    * ranks by (a short doc fully quoted inside a long one has LOW
+    * Jaccard but containment ~1 — whole-doc dedup misses it, and it is
+    * exactly the training-data case of a document embedded in a larger
+    * crawl page). Candidates come from the SAME minhash band index as
+    * the pairs/clusters entries (bounded, never all-pairs; at 100 TB the
+    * short-in-long case additionally wants the asymmetric band scheme of
+    * Broder's containment sketches — noted, not built). Both directions
+    * are emitted in exact integer micro-units plus a classification
+    * (mutual / a_in_b / b_in_a / partial at the 0.9 threshold); the
+    * oracle replays bands, candidate join, and both divisions.
+    */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sets = docs(s, d).select(col("doc_id"),
+      array_sort(array_distinct(transform(shingles(toks, 3), g => hash60(g))))
+        .as("sset"))
+    candidatePairs(s, d)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"),
+        graft.functions.SetExpressions
+          .sortedIntersectCount(col("sa"), col("sb")).cast("long").as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+        expr("CASE WHEN na = 0 THEN CAST(0 AS BIGINT) ELSE (inter * 1000000) div na END")
+          .as("c_ab6"),
+        expr("CASE WHEN nb = 0 THEN CAST(0 AS BIGINT) ELSE (inter * 1000000) div nb END")
+          .as("c_ba6"))
+      .withColumn("relation",
+        when(col("c_ab6") >= 900000L && col("c_ba6") >= 900000L, "mutual")
+          .when(col("c_ab6") >= 900000L, "a_in_b")
+          .when(col("c_ba6") >= 900000L, "b_in_a")
+          .otherwise("partial"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_containment"   -> (containmentPairs _),
     "d_prefix_join"   -> (prefixJoin _),
     "d_exact"         -> (exact _),
     "d_ngram_novelty" -> (ngramNovelty _),
@@ -1207,6 +1247,37 @@ object DedupQueries {
          |       CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
          |FROM g JOIN fd USING (g)
          |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    // d_containment: bands -> candidate pairs -> shingle sets -> both
+    // asymmetric divisions, replayed end-to-end
+    "d_containment" ->
+      s"""WITH bands AS ($bandRowsSql),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |       AND a.doc_id < b.doc_id),
+         |ss AS (SELECT doc_id,
+         |         list_distinct(list_transform($shinglesSql,
+         |           g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS sset
+         |       FROM documents),
+         |p AS (SELECT doc_a, doc_b,
+         |        CAST(len(sa.sset) AS BIGINT) AS na,
+         |        CAST(len(sb.sset) AS BIGINT) AS nb,
+         |        CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS BIGINT) AS inter
+         |      FROM cp JOIN ss sa ON sa.doc_id = cp.doc_a
+         |              JOIN ss sb ON sb.doc_id = cp.doc_b),
+         |c AS (SELECT doc_a, doc_b, na, nb, inter,
+         |        CASE WHEN na = 0 THEN CAST(0 AS BIGINT)
+         |             ELSE (inter * 1000000) // na END AS c_ab6,
+         |        CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
+         |             ELSE (inter * 1000000) // nb END AS c_ba6
+         |      FROM p)
+         |SELECT doc_a, doc_b, na, nb, inter, c_ab6, c_ba6,
+         |       CASE WHEN c_ab6 >= 900000 AND c_ba6 >= 900000 THEN 'mutual'
+         |            WHEN c_ab6 >= 900000 THEN 'a_in_b'
+         |            WHEN c_ba6 >= 900000 THEN 'b_in_a'
+         |            ELSE 'partial' END AS relation
+         |FROM c ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     // d_prefix_join: BRUTE-FORCE all-pairs — deliberately a different
     // algorithm from the engine's prefix filter; the hash match proves
     // the filter is lossless at the 0.5 threshold.

@@ -288,7 +288,47 @@ object EventQueries {
       .orderBy(col("user_id").asc, col("day").asc)
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE of a mergeable aggregate — the pattern
+    * that keeps a 100 TB rollup current WITHOUT rescanning the corpus:
+    * the maintained view is base-aggregate MERGED with delta-aggregate
+    * (counts add, exact decimal sums add; the split lands mid-day on
+    * purpose so one (day, type) group genuinely exists in BOTH halves
+    * and the merge arithmetic is exercised, not just unioned). The entry
+    * emits the maintained columns NEXT TO a full recompute and the hash
+    * check proves maintained == direct — the IVM identity for
+    * append-only deltas. At scale the delta agg touches only delta rows
+    * and the merge is |groups|-bounded; the full recompute exists here
+    * only as the verification side. (Non-append deltas need retractions
+    * or the engine store's snapshot CDC — `x_engine_snapshot_diff`.)
+    */
+  private def ivmMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-20 06:00:00").cast("timestamp")
+    def aggOf(df: DataFrame) =
+      df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("t"))
+    val base = aggOf(ev.filter(col("ts") < cut))
+      .select(col("day"), col("event_type"),
+        col("n").as("n0"), col("t").as("t0"))
+    val delta = aggOf(ev.filter(col("ts") >= cut))
+      .select(col("day"), col("event_type"),
+        col("n").as("n1"), col("t").as("t1"))
+    val zero = lit(0).cast("decimal(28,6)")
+    val maintained = base.join(delta, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+          .as("n_m"),
+        (coalesce(col("t0"), zero) + coalesce(col("t1"), zero))
+          .cast("double").as("total_m"))
+    val direct = aggOf(ev).select(col("day"), col("event_type"),
+      col("n").as("n_d"), col("t").cast("double").as("total_d"))
+    maintained.join(direct, Seq("day", "event_type"))
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ivm_merge"     -> (ivmMerge _),
     "e_interval_join" -> (intervalJoin _),
     "e_scd2"          -> (scd2 _),
     "e_gapfill"       -> (gapfill _),
@@ -304,6 +344,32 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_ivm_merge" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |         count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS t
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20 06:00:00'
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |         count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS t
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 06:00:00'
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT COALESCE(b.day, d2.day) AS day,
+        |         COALESCE(b.event_type, d2.event_type) AS event_type,
+        |         CAST(COALESCE(b.n, 0) + COALESCE(d2.n, 0) AS BIGINT) AS n_m,
+        |         CAST(COALESCE(b.t, 0) + COALESCE(d2.t, 0) AS DOUBLE) AS total_m
+        |  FROM b FULL OUTER JOIN d2
+        |    ON b.day = d2.day AND b.event_type = d2.event_type),
+        |dir AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |         count(*) AS n_d,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_d
+        |  FROM events GROUP BY 1, 2)
+        |SELECT m.day, m.event_type, n_m, total_m, n_d, total_d
+        |FROM m JOIN dir ON m.day = dir.day AND m.event_type = dir.event_type
+        |ORDER BY m.day ASC, m.event_type ASC""".stripMargin,
     "e_interval_join" ->
       """WITH iv AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -438,7 +438,55 @@ object SketchQueries {
       .orderBy(col("regionkey").asc)
   }
 
+  /** RUNTIME-FILTER (bloom-pruned) JOIN — the explicit, deterministic
+    * form of the semi-join pushdown Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` injects: the
+    * build side's keys become a 65536-bit / 3-hash bloom bitmap (1024
+    * longs, 8 KiB — driver state bounded by the FILTER size, never the
+    * data; positions come from the same md5 scheme as `q_bloom_probe`),
+    * the bitmap rides into the plan as one array literal, and the fact
+    * scan drops non-matching rows with three pure-arithmetic bit tests
+    * BEFORE any exchange — at 100 TB this is the difference between
+    * shuffling the whole fact table into the join and shuffling only the
+    * ~|dim-matching| rows (plus a bounded false-positive trickle). The
+    * exact join then removes false positives, so the result is PROVABLY
+    * the plain join — the oracle doesn't model the bloom at all, and any
+    * pruning error (a bit mis-set, a hash drifted) surfaces as a
+    * hash-red row. Money exact as floored e4-unit BIGINTs per item.
+    */
+  private def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val positions = dim
+      .select(hash60(col("c_custkey").cast("string")).as("h"))
+      .select(explode(array(
+        col("h").bitwiseAND(lit(65535L)).cast("int"),
+        shiftright(col("h"), 16).bitwiseAND(lit(65535L)).cast("int"),
+        shiftright(col("h"), 32).bitwiseAND(lit(65535L)).cast("int")))
+        .as("pos"))
+      .distinct().collect().map(_.getInt(0)) // <= 65536 ints: filter-scale
+    val bitmap = new Array[Long](1024)
+    positions.foreach(p => bitmap(p >> 6) |= (1L << (p & 63)))
+    val fact = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .withColumn("bm", typedLit(bitmap.toSeq))
+      .withColumn("h", hash60(col("o_custkey").cast("string")))
+    val pruned = Seq("h & 65535", "(h >> 16) & 65535", "(h >> 32) & 65535")
+      .foldLeft(fact) { (df, p) =>
+        df.filter(expr(
+          s"((element_at(bm, cast(($p) div 64 as int) + 1) >> cast(($p) % 64 as int)) & 1) = 1"))
+      }
+    pruned.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)"))
+          .cast("long").as("total_e4"))
+      .orderBy(col("c_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join"     -> (bloomJoin _),
     "q_kmv_distinct"   -> (kmvDistinct _),
     "q_unpivot"        -> (unpivotQty _),
     "q_hll_custkey"    -> (hllCustkey _),
@@ -488,6 +536,14 @@ object SketchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q_bloom_join: the PLAIN join — the bloom pre-filter is correctness-
+    // invisible by construction, so the oracle need not model it
+    "q_bloom_join" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS total_e4
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey ORDER BY c_custkey ASC""".stripMargin,
     // q_kmv_distinct: both sketch paths replayed by rank windows — the
     // merged path ranks ONLY within the per-nation bottom-k rows, the
     // direct path over all rows; 16492674416640 = (k-1) * 2^40
