@@ -200,14 +200,22 @@ object RelationalQueries {
     * replays triangles with the straightforward id-ordered three-way join
     * — a DIFFERENT enumeration order that must agree corner-for-corner.
     */
-  private def triangles(s: SparkSession, d: String): DataFrame = {
+  /** The co-purchase graph (parts sharing an order, high-quantity
+    * lineitems only) — shared by the triangle and k-core entries so the
+    * two graph analytics provably read the same edge set.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = li.as("ea").join(li.as("eb"),
+    li.as("ea").join(li.as("eb"),
         col("ea.l_orderkey") === col("eb.l_orderkey") &&
           col("ea.l_partkey") < col("eb.l_partkey"))
       .select(col("ea.l_partkey").as("pa"), col("eb.l_partkey").as("pb"))
       .distinct()
+  }
+
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
     val deg = e.select(col("pa").as("p")).unionAll(e.select(col("pb").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("degree"))
     val withDeg = e
@@ -277,7 +285,67 @@ object RelationalQueries {
       .orderBy(col("event_type").asc)
   }
 
+  /** K-CORE DECOMPOSITION (k=3) by iterative peeling over the shared
+    * co-purchase graph — the graph-robustness operator beside PageRank
+    * (influence) and triangles (local density): repeatedly delete nodes
+    * with degree < k until a fixpoint; what survives is the maximal
+    * subgraph where every node keeps >= k neighbors (spam/boilerplate
+    * hubs peel early, genuinely dense cores survive — the graph-side
+    * dedup signal). Peeling runs R=8 FIXED supersteps (measured
+    * convergence: 4 rounds at sf0.01, 5 at sf0.1 — the fixpoint is
+    * reached with 3+ rounds of margin, and a converged fixpoint is the
+    * true k-core regardless of R). Per round: the edge set is restricted
+    * to live endpoints (two semi-joins), degrees recomputed (one agg),
+    * survivors kept — every shuffle bounded by the CURRENT subgraph, and
+    * the live set is localCheckpoint'ed per superstep (nodes-scale rows)
+    * exactly like an iterative graph engine truncates lineage per
+    * iteration; without it each round's plan would re-derive the
+    * previous round three times (3^R blowup). Output: every node with
+    * its peel round (0 = survived into the core) — a coreness readout,
+    * not just a membership bit. The oracle unrolls the same 8 rounds as
+    * MATERIALIZED CTEs (each live set is referenced three times per
+    * round; DuckDB inlines non-materialized CTEs per reference — the
+    * 2^R trap the PCA oracle documented).
+    */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    val K = 3
+    val R = 8
+    val e = coPurchaseEdges(s, d).localCheckpoint() // consumed every round
+    var alive = e.select(col("pa").as("p"))
+      .unionAll(e.select(col("pb").as("p"))).distinct()
+      .localCheckpoint()
+    var peeled: DataFrame = null
+    // early exit at the fixpoint: an empty peel round is idempotent, so
+    // stopping when |alive| stops shrinking yields the IDENTICAL output
+    // to running all R rounds (the oracle replays the full unrolled R —
+    // its post-fixpoint rounds are no-ops); the count is an O(1)-ish
+    // action on the just-checkpointed live set
+    var lastCount = alive.count()
+    var converged = false
+    for (r <- 1 to R if !converged) {
+      val er = e
+        .join(alive.select(col("p").as("pa")), Seq("pa"), "left_semi")
+        .join(alive.select(col("p").as("pb")), Seq("pb"), "left_semi")
+      val deg = er.select(col("pa").as("p"))
+        .unionAll(er.select(col("pb").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val kept = deg.filter(col("c") >= K).select(col("p"))
+      val removed = alive.join(kept, Seq("p"), "left_anti")
+        .withColumn("peel_round", lit(r))
+      peeled = if (peeled == null) removed else peeled.unionAll(removed)
+      alive = kept.localCheckpoint() // superstep lineage truncation
+      val c = alive.count()
+      converged = c == lastCount
+      lastCount = c
+    }
+    peeled.unionAll(alive.withColumn("peel_round", lit(0)))
+      .select(col("p").as("p_partkey"), col("peel_round").cast("int").as("peel_round"),
+        (col("peel_round") === 0).as("in_core"))
+      .orderBy(col("p_partkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore"           -> (kcore _),
     "q_salted_join"     -> (saltedJoin _),
     "q_triangles"       -> (triangles _),
     "q1_pricing"        -> (q1Pricing _),
@@ -293,7 +361,35 @@ object RelationalQueries {
   private val rev =
     "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
 
+  /** The unrolled 8-round peel replay — every per-round live set and
+    * restricted edge set is MATERIALIZED (each is referenced more than
+    * once; DuckDB inlines plain CTEs per reference — the 2^R trap).
+    */
+  private def kcoreOracleSql: String = {
+    val K = 3
+    val R = 8
+    val sb = new StringBuilder
+    sb.append("WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),\n")
+    sb.append("e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),\n")
+    sb.append("a0 AS MATERIALIZED (SELECT pa AS p FROM e UNION SELECT pb FROM e)")
+    for (r <- 1 to R) {
+      sb.append(s""",
+         |er$r AS MATERIALIZED (SELECT e.pa, e.pb FROM e
+         |  JOIN a${r - 1} x ON e.pa = x.p JOIN a${r - 1} y ON e.pb = y.p),
+         |d$r AS (SELECT p, count(*) AS c FROM (
+         |  SELECT pa AS p FROM er$r UNION ALL SELECT pb FROM er$r) t GROUP BY p),
+         |a$r AS MATERIALIZED (SELECT p FROM d$r WHERE c >= $K)""".stripMargin)
+    }
+    val removeds = (1 to R).map(r =>
+      s"SELECT p, $r AS peel_round FROM a${r - 1} WHERE p NOT IN (SELECT p FROM a$r)")
+    sb.append("\nSELECT p AS p_partkey, CAST(peel_round AS INTEGER) AS peel_round, peel_round = 0 AS in_core FROM (\n")
+    sb.append((removeds :+ s"SELECT p, 0 AS peel_round FROM a$R").mkString("\nUNION ALL\n"))
+    sb.append("\n) t ORDER BY p_partkey ASC")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kcore" -> kcoreOracleSql,
     "q_salted_join" ->
       """WITH dim(event_type, weight) AS (
         |  VALUES ('click', 1), ('view', 2), ('purchase', 5), ('signup', 10))
