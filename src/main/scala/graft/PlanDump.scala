@@ -108,6 +108,8 @@ object PlanDump {
     "t_token_drift",           // (token, half) partial agg + broadcast totals, k-bounded output
     "q_salted_join",           // forced ShuffledHashJoin on (key, salt): hot keys spread 8-way
     "d_prefix_join",           // rarity-ordered prefix explode -> candidate equi-join -> merge verify
+    "q_bloom_join",            // 8 KiB bitmap literal, three bit-test filters BEFORE the exchange
+    "e_ivm_merge",             // base agg full-outer delta agg vs direct recompute
   )
 
   def main(args: Array[String]): Unit = {

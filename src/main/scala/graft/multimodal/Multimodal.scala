@@ -288,6 +288,55 @@ object Multimodal {
       }
   }
 
+  case class TileStatsRow(media_id: Long, tile_x: Int, tile_y: Int,
+      npx: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** PATCHIFY — the ViT-style tiling step of a vision training pipeline:
+    * each decoded image splits into a 2x2 tile grid (tile boundary at
+    * dim div 2; the right/bottom tiles absorb odd remainders) and each
+    * tile reports exact integer channel sums + pixel count. Real javax
+    * decode per partition like [[decodePixels]]; output is
+    * |images| x 4 rows whatever the pixel volume, and per-tile stats are
+    * the inputs every patch-normalization (mean/std per patch) needs.
+    */
+  def decodeTiles(media: Dataset[MediaRow]): Dataset[TileStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for media ${r.media_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val acc = Array.fill(2, 2)(Array.fill(4)(0L)) // npx, r, g, b
+          var y = 0
+          while (y < h) {
+            val ty = if (y < h / 2) 0 else 1
+            var x = 0
+            while (x < w) {
+              val tx = if (x < w / 2) 0 else 1
+              val rgb = img.getRGB(x, y)
+              val a = acc(tx)(ty)
+              a(0) += 1
+              a(1) += (rgb >> 16) & 0xff
+              a(2) += (rgb >> 8) & 0xff
+              a(3) += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          for (tx <- 0 to 1; ty <- 0 to 1) yield {
+            val a = acc(tx)(ty)
+            TileStatsRow(r.media_id, tx, ty, a(0), a(1), a(2), a(3))
+          }
+        } catch {
+          case _: Exception => Seq.empty[TileStatsRow]
+        }
+      }
+    }
+  }
+
   case class WhtBandRow(media_id: Long, band: Int, n_frames: Long,
       energy: Long)
 

@@ -299,6 +299,21 @@ object MiscQueries {
       .toDF()
       .orderBy(col("media_id").asc, col("band").asc)
 
+  /** ViT-style PATCHIFY over the same 24 synthetic PNGs — see
+    * [[Multimodal.decodeTiles]]: 2x2 tile grid, exact per-tile channel
+    * sums; the oracle integrates the pixel closed form over each tile's
+    * x/y range, so a mis-placed tile boundary or a mis-decoded pixel
+    * flips a row.
+    */
+  private def imageTiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 24).map(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i)))
+    Multimodal.decodeTiles(s.createDataset(media).repartition(4))
+      .toDF()
+      .orderBy(col("media_id").asc, col("tile_x").asc, col("tile_y").asc)
+  }
+
   /** Skew-safe token frequency: the hot-key (stopword) histogram computed
     * as a SALTED two-phase aggregation — partial counts on (token, salt),
     * then merge on token. With a skewed key like "the" (in most rows), the
@@ -446,6 +461,7 @@ object MiscQueries {
     "m_decode_wav"     -> (decodeWav _),
     "m_wav_energy"     -> (wavEnergy _),
     "m_wht_bands"      -> (whtBands _),
+    "m_image_tiles"    -> (imageTiles _),
     "m_pixel_dedup"    -> (pixelDedup _),
     "m_phash_neardup"  -> (phashNearDup _),
     "e_stream_decode_px" -> (streamDecodePx _),
@@ -698,6 +714,26 @@ object MiscQueries {
     // same closed form; a NULL lag (first sample) falls to the ELSE arm,
     // and zero samples break the sign chain on both engines (x*0 < 0 is
     // false), matching the codec's prev*s < 0 rule exactly
+    // m_image_tiles: the tile grid integrated from the pixel closed form
+    // (w = 8 + i%5, h = 6 + i%3; boundary at dim // 2)
+    "m_image_tiles" ->
+      """WITH px AS (
+        |  SELECT i.i AS media_id, x.x AS x, y.y AS y,
+        |         8 + i.i % 5 AS w, 6 + i.i % 3 AS h,
+        |         (7 * x.x + 11 * y.y + i.i) % 256 AS r,
+        |         (3 * x.x + 5 * y.y + 2 * i.i) % 256 AS g,
+        |         (13 * x.x + 17 * y.y + 3 * i.i) % 256 AS b
+        |  FROM range(24) i(i), range(12) x(x), range(8) y(y)
+        |  WHERE x.x < 8 + i.i % 5 AND y.y < 6 + i.i % 3)
+        |SELECT media_id,
+        |       CAST(CASE WHEN x < w // 2 THEN 0 ELSE 1 END AS INTEGER) AS tile_x,
+        |       CAST(CASE WHEN y < h // 2 THEN 0 ELSE 1 END AS INTEGER) AS tile_y,
+        |       CAST(count(*) AS BIGINT) AS npx,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r,
+        |       CAST(SUM(g) AS BIGINT) AS sum_g,
+        |       CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY media_id ASC, tile_x ASC, tile_y ASC""".stripMargin,
     // m_wht_bands: the +-1 Walsh-Hadamard basis replayed as bit_count
     // parity over the closed-form samples; tail partial frames excluded
     // on both engines (n < 8 * (n_samples // 8))

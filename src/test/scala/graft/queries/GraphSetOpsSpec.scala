@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential specs for the late-round-8 operator batch: each entry's
+  * distributed algorithm is checked against an INDEPENDENT driver-side
+  * brute force at sf0.001 (tiny enough to enumerate exhaustively), so
+  * correctness does not rest on the DuckDB oracle alone — a shared
+  * misconception between the Spark query and its SQL replay would slip
+  * the hash gate but not these.
+  */
+class GraphSetOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The co-purchase edge set (qty >= 40, pa < pb), collected. */
+  private def edges(): Set[(Long, Long)] = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter("l_quantity >= 40")
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { grp =>
+      val parts = grp.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+  }
+
+  test("q_triangles matches a brute-force triple enumeration") {
+    val e = edges()
+    val adj = (e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expTri = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- e; c <- adj(a) if c > b && adj(b).contains(c)) {
+      expTri(a) += 1; expTri(b) += 1; expTri(c) += 1
+    }
+    val got = RelationalQueries.queries("q_triangles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (p, deg, nt) =>
+      assert(nt == expTri(p), s"triangle count mismatch for part $p")
+      assert(deg == adj.get(p).map(_.size.toLong).getOrElse(0L))
+    }
+    assert(got.map(_._3).sum == 3L * got.map(_._3).sum / 3,
+      "corner sum must be divisible by 3")
+  }
+
+  test("q_kcore matches driver-side exhaustive peeling") {
+    val e = edges()
+    var alive = e.flatMap(p => Seq(p._1, p._2))
+    val expRound = scala.collection.mutable.Map.empty[Long, Int]
+    var r = 1
+    var changed = true
+    while (changed) {
+      val deg = scala.collection.mutable.Map.empty[Long, Int]
+        .withDefaultValue(0)
+      for ((a, b) <- e if alive(a) && alive(b)) { deg(a) += 1; deg(b) += 1 }
+      val removed = alive.filter(deg(_) < 3)
+      changed = removed.nonEmpty
+      removed.foreach(expRound(_) = r)
+      alive = alive -- removed
+      r += 1
+    }
+    alive.foreach(expRound(_) = 0)
+    val got = RelationalQueries.queries("q_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == expRound.keySet)
+    got.foreach { case (p, pr) =>
+      assert(pr == expRound(p), s"peel round mismatch for part $p")
+    }
+  }
+
+  private def hash60(sIn: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sIn.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("d_prefix_join is lossless vs brute-force all-pairs Jaccard >= 0.8") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val sets = docs.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val sh = toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      id -> sh.map(hash60).toSet
+    }.toMap
+    // iterate a Seq, not the Map — a for over a Map would yield a Map
+    // keyed by `a`, silently keeping ONE pair per left doc
+    val setsSeq = sets.toSeq
+    val exp = (for {
+      (a, sa) <- setsSeq; (b, sb) <- setsSeq if a < b
+      inter = (sa & sb).size
+      union = sa.size + sb.size - inter
+      if union > 0 && 5 * inter >= 4 * union
+    } yield (a, b)).toSet
+    val got = DedupQueries.queries("d_prefix_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"prefix join pairs diverge: got ${got.size}, expected ${exp.size}")
+  }
+
+  test("q_kmv_distinct: merge law holds and estimates are sane") {
+    val rows = SketchQueries.queries("q_kmv_distinct")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (exact, est_d, est_m) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(est_d == est_m, "bottom-k merge law violated")
+      assert(exact > 0)
+      assert(est_d >= exact / 5 && est_d <= exact * 5,
+        s"KMV estimate wildly off: est=$est_d exact=$exact")
+    }
+  }
+
+  test("e_interval_join matches a naive all-pairs overlap count") {
+    // events.ts is TIMESTAMP_NTZ in the raw parquet — go through the
+    // same Tables loader the entry uses (NTZ-normalizing)
+    val iv = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("ts"))).as("s"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("ts"))).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3)))
+    val a = iv.filter(_._1 % 2 == 0)
+    val b = iv.filter(_._1 % 2 == 1)
+    val exp = a.map { case (u, day, s0, e0) =>
+      (u, day) -> b.count { case (_, _, s1, e1) => s0 <= e1 && s1 <= e0 }.toLong
+    }.toMap
+    val got = EventQueries.queries("e_interval_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, n) => assert(n == exp(k), s"overlap count mismatch at $k") }
+  }
+}
