@@ -327,7 +327,67 @@ object EventQueries {
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
+  /** NEXT-EVENT TRANSITION MATRIX — the Markov-chain readout of user
+    * journeys (what follows what): one lag/lead window per user
+    * partition pairs each event with its successor, then a
+    * (from, to)-keyed count; transition probabilities are exact integer
+    * ppm against the from-state's outgoing total, computed on the
+    * AGGREGATED |states|^2 table (a broadcast-scale join, never a second
+    * pass over the log). The event_id tie-break pins equal timestamps on
+    * both engines. One user_id shuffle at any scale.
+    */
+  private def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("n_out").cast("long").as("n_out"),
+        expr("(n * 1000000) div n_out").as("p_ppm"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
+  /** EXACT LEAST-SQUARES TREND per event type over the daily series —
+    * slope of counts vs day index from the closed-form normal equation
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), every sufficient
+    * statistic an exact BIGINT (the five sums are also the MERGEABLE
+    * state — two half-corpus fits combine by adding them, the same
+    * property `e_ivm_merge` proves for count/sum). Slope is emitted in
+    * micro-units with truncate-toward-zero division (negative slopes
+    * exist; the oracle spells the sign-safe // form — DuckDB floors
+    * negatives). The window is the BOUNDED daily table; the log pays one
+    * count aggregation.
+    */
+  private def trendFit(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val x0 = daily.agg(min(col("day")).as("d0"))
+    val st = daily.crossJoin(broadcast(x0))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    st.select(col("event_type"), col("n"),
+        col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+        col("sxy").cast("long").as("sxy"), col("sxx").cast("long").as("sxx"),
+        expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+          .as("slope6"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_transitions"   -> (transitions _),
+    "e_trend_fit"     -> (trendFit _),
     "e_ivm_merge"     -> (ivmMerge _),
     "e_interval_join" -> (intervalJoin _),
     "e_scd2"          -> (scd2 _),
@@ -344,6 +404,43 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_out,
+        |       (c.n * 1000000) // t.n_out AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type ASC, to_type ASC""".stripMargin,
+    // e_trend_fit: sign-safe truncating division (DuckDB // floors
+    // negatives; Spark div truncates toward zero)
+    "e_trend_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT min(day) AS d0 FROM daily),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(datediff('day', d0, day)) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(datediff('day', d0, day) * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(datediff('day', d0, day) * datediff('day', d0, day)) AS BIGINT) AS sxx
+        |  FROM daily, x0 GROUP BY event_type),
+        |f AS (SELECT event_type, n, sx, sy, sxy, sxx,
+        |        1000000 * (n * sxy - sx * sy) AS num,
+        |        n * sxx - sx * sx AS den
+        |      FROM st)
+        |SELECT event_type, n, sx, sy, sxy, sxx,
+        |       CASE WHEN num >= 0 THEN num // den
+        |            ELSE -((0 - num) // den) END AS slope6
+        |FROM f ORDER BY event_type ASC""".stripMargin,
     "e_ivm_merge" ->
       """WITH b AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
