@@ -817,7 +817,63 @@ object DedupQueries {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** PRIORITY SAMPLING (fixed-size weighted without replacement) — the
+    * third sampling regime beside per-item Bernoulli (`d_weighted_sample`,
+    * no size guarantee) and per-stratum rates (`d_stratified_sample`):
+    * exactly k documents, selection probability increasing with weight —
+    * "give me the 64 highest-value docs by quality-weighted lottery",
+    * the shape curation uses when the budget is a COUNT, not a rate.
+    * Deterministic integer form of the w/u priority rule: priority =
+    * (w * 2^40) div h40, where h40 is the 40-bit md5 hash standing in
+    * for uniform u — heavier docs divide by the same uniform, so their
+    * priority stochastically dominates, and every engine recomputes the
+    * identical lottery. Top-k is TakeOrderedAndProject (k-bounded, never
+    * a global sort); the resample-stability story of the hash60 entries
+    * applies — adding documents never reshuffles the priorities of
+    * existing ones.
+    */
+  private def prioritySample(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val pri = docs(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("w"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) div 1048576")
+          .as("h40"))
+      .select(col("doc_id"), col("w"),
+        expr("(w * 1099511627776) div greatest(h40, 1)").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k)
+    val win = Window.partitionBy(WindowUtil.onePartition(col("doc_id")))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    pri.withColumn("rank", row_number().over(win))
+      .select(col("rank"), col("doc_id"), col("w"), col("priority"))
+      .orderBy(col("rank").asc)
+  }
+
+  /** BANDING RECALL against EXACT ground truth — the companion to
+    * `d_minhash_eval`'s precision: now that `d_prefix_join` computes the
+    * exact J >= 0.8 pair set losslessly, the LSH band index can be
+    * graded on how many true pairs its candidates actually cover
+    * (the metric that decides bands-vs-rows tuning at 100 TB; precision
+    * alone can't see missed pairs). One row out: truth size, candidate
+    * size, hits, recall in exact ppm. Both sides are k-/candidate-
+    * bounded; the oracle replays truth brute-force and candidates from
+    * the band SQL.
+    */
+  private def bandingRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = prefixJoin(s, d).select(col("doc_a"), col("doc_b"))
+    val cand = candidatePairs(s, d)
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+        cand.agg(count(lit(1)).as("n_cand"))).crossJoin(
+        hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) ELSE (n_hit * 1000000) div n_truth END")
+          .as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_priority_sample" -> (prioritySample _),
+    "d_banding_recall"  -> (bandingRecall _),
     "d_containment"   -> (containmentPairs _),
     "d_prefix_join"   -> (prefixJoin _),
     "d_exact"         -> (exact _),
@@ -1247,6 +1303,47 @@ object DedupQueries {
          |       CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
          |FROM g JOIN fd USING (g)
          |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    "d_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           // 1048576 AS h40
+        |  FROM documents),
+        |pr AS (SELECT doc_id, w,
+        |         (w * 1099511627776) // greatest(h40, 1) AS priority FROM p),
+        |r AS (SELECT row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank,
+        |             doc_id, w, priority FROM pr)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, w, priority
+        |FROM r WHERE rank <= 64 ORDER BY rank ASC""".stripMargin,
+    // d_banding_recall: truth replayed brute-force (the d_prefix_join
+    // core), candidates from the band SQL, counts joined pairwise
+    "d_banding_recall" ->
+      s"""WITH bands AS ($bandRowsSql),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |       AND a.doc_id < b.doc_id),
+         |ss AS (SELECT doc_id,
+         |         list_distinct(list_transform($shinglesSql,
+         |           g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS tset
+         |       FROM documents),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_filter(a.tset, x -> list_contains(b.tset, x))) AS BIGINT) AS inter,
+         |         CAST(len(a.tset) AS BIGINT) AS na, CAST(len(b.tset) AS BIGINT) AS nb
+         |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+         |t AS (SELECT doc_a, doc_b FROM tp
+         |      WHERE na + nb - inter > 0 AND 5 * inter >= 4 * (na + nb - inter)),
+         |agg AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_cand,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM t JOIN cp USING (doc_a, doc_b)) AS n_hit)
+         |SELECT n_truth, n_cand, n_hit,
+         |       CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (n_hit * 1000000) // n_truth END AS recall_ppm
+         |FROM agg""".stripMargin,
     // d_containment: bands -> candidate pairs -> shingle sets -> both
     // asymmetric divisions, replayed end-to-end
     "d_containment" ->

@@ -563,7 +563,39 @@ object SourceQueries {
       .orderBy(col("user_id").asc, col("event_type").asc)
   }
 
+  /** PARTITION-PRUNED SCAN end-to-end — the most basic 100 TB lever,
+    * exercised rather than assumed: the event log is written out
+    * Hive-partitioned by day (`partitionBy("day")` — the layout every
+    * date-organized lake table uses), then a single-day query is
+    * answered through it. The entry SELF-AUDITS the physical plan: it
+    * requires the day predicate to appear as a PartitionFilter on the
+    * scan (directory-level pruning — 1 of ~30 partitions read, zero
+    * data-file IO for the rest) rather than a post-scan Filter; a
+    * regression that silently degrades to a full scan fails the entry
+    * loudly, not just slowly (the `q_bucketed_join` no-Exchange check
+    * precedent). The oracle answers the same day from the raw table.
+    */
+  private def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft-part-prune").toString +
+      "/events_by_day"
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(root)
+    val agg = s.read.parquet(root)
+      .filter(col("day") === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy(col("event_type").asc)
+    val plan = agg.queryExecution.sparkPlan.toString
+    require(plan.contains("PartitionFilters: [isnotnull(day") ||
+        plan.contains("PartitionFilters: [(day"),
+      s"day predicate did not reach the scan as a partition filter:\n$plan")
+    agg
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_partition_prune" -> (partitionPrune _),
     "e_stream_dedup_wm" -> (streamDedupWithinWm _),
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
@@ -580,6 +612,12 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     // e_stream_dedup_wm: the four-batch expiry trajectory collapses to
     // "every pre-Jan-10 key emits twice, the watermark pusher once" —
     // wide margins make the exact eviction instant irrelevant
