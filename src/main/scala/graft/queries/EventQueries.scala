@@ -385,7 +385,39 @@ object EventQueries {
       .orderBy(col("event_type").asc)
   }
 
+  /** LOCF (last-observation-carried-forward) IMPUTATION — the
+    * time-series gap repair step after `e_gapfill` materializes the
+    * missing days: each gap day inherits the most recent observed total
+    * via last(value, ignoreNulls) over an unbounded-preceding frame
+    * (days before the first observation stay NULL — LOCF has nothing to
+    * carry; the flag column says which values are imputed). The window
+    * runs over the BOUNDED day spine, never the raw log; at scale it
+    * partitions by series key. Cross-engine note: Spark's
+    * last(ignoreNulls) frame semantics match DuckDB's
+    * last_value(... IGNORE NULLS) on the same ROWS frame.
+    */
+  private def locf(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cal = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val daily = ev
+      .filter(col("event_type") === "purchase" && col("value") >= 300)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum6(col("value")).as("total"))
+    val w = Window.partitionBy(WindowUtil.onePartition(col("day")))
+      .orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("day"), "left")
+      .withColumn("total_locf", last(col("total"), ignoreNulls = true).over(w))
+      .select(col("day"), col("total"), col("total_locf"),
+        col("total").isNull.as("is_imputed"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_locf"          -> (locf _),
     "e_transitions"   -> (transitions _),
     "e_trend_fit"     -> (trendFit _),
     "e_ivm_merge"     -> (ivmMerge _),
@@ -404,6 +436,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_locf" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+        |                  CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM events WHERE event_type = 'purchase' AND value >= 300
+        |  GROUP BY 1)
+        |SELECT cal.day, total,
+        |       last_value(total IGNORE NULLS) OVER (
+        |         ORDER BY cal.day ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf,
+        |       total IS NULL AS is_imputed
+        |FROM cal LEFT JOIN daily USING (day)
+        |ORDER BY day ASC""".stripMargin,
     "e_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
