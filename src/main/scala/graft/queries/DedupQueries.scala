@@ -77,7 +77,7 @@ object DedupQueries {
     * dataset swapped in-place at the same path is also picked up).
     */
   def releaseCaches(): Unit =
-    Seq(bandsCache, pairsCache).foreach { c =>
+    Seq(bandsCache, pairsCache, prefixCache).foreach { c =>
       c.synchronized {
         c.values.foreach(
           org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
@@ -738,7 +738,19 @@ object DedupQueries {
     * oracle is the BRUTE-FORCE all-pairs join — the hash match proves
     * the filter lossless, not just fast.
     */
-  private def prefixJoin(s: SparkSession, d: String): DataFrame = {
+  /** The verified pair set is computed ONCE per (session, dataset) and
+    * shared by the `d_prefix_join` entry and `d_banding_recall`'s
+    * ground-truth side (the result is pair-count rows — tiny — while
+    * the pipeline behind it costs seconds; same engineFixture/bands
+    * precedent).
+    */
+  private val prefixCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+
+  private def prefixJoin(s: SparkSession, d: String): DataFrame =
+    cachedCkpt(prefixCache, (s, d))(prefixJoinCore(s, d).localCheckpoint())
+
+  private def prefixJoinCore(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d).select(col("doc_id"),
       explode(array_distinct(transform(shingles(toks, 3), tk => hash60(tk))))
         .as("h"))
