@@ -201,7 +201,58 @@ case class MinhashSigsFromHashes(child: Expression, a: Seq[Long], b: Seq[Long],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 3-probe bloom membership over a fixed 65536-bit filter: positions are
+  * the three 16-bit windows of the 60-bit hash (the `q_bloom_probe`
+  * scheme). The bitmap rides as a codegen REFERENCE OBJECT
+  * (addReferenceObj), not a plan literal — a typedLit formulation
+  * stringifies the 1024-long array into every predicate copy the
+  * optimizer propagates (measured: six copies in the q_bloom_join plan
+  * text) and pays per-probe element_at machinery; here the generated
+  * code indexes a plain long[] and the plan prints a one-token tag.
+  */
+case class BloomMayContain(child: Expression, bitmap: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bitmap.length == 1024, s"expected 1024 longs, got ${bitmap.length}")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"expected bigint, got $dt")
+  }
+
+  private def test(pos: Int): Boolean =
+    ((bitmap(pos >> 6) >>> (pos & 63)) & 1L) == 1L
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    test((h & 0xffffL).toInt) && test(((h >> 16) & 0xffffL).toInt) &&
+      test(((h >> 32) & 0xffffL).toInt)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      val bm = ctx.addReferenceObj("bloomBits", bitmap, "long[]")
+      val ok = ctx.freshName("ok")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |boolean $ok = true;
+         |for (int $s = 0; $s <= 32 && $ok; $s += 16) {
+         |  int $p = (int) (($h >>> $s) & 65535L);
+         |  $ok = (($bm[$p >> 6] >>> ($p & 63)) & 1L) == 1L;
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object SetExpressions {
+  def bloomMayContain(h: Column, bitmap: Array[Long]): Column =
+    GraftColumnBridge.column(BloomMayContain(
+      GraftColumnBridge.expression(h), bitmap))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -444,9 +444,11 @@ object SketchQueries {
     * build side's keys become a 65536-bit / 3-hash bloom bitmap (1024
     * longs, 8 KiB — driver state bounded by the FILTER size, never the
     * data; positions come from the same md5 scheme as `q_bloom_probe`),
-    * the bitmap rides into the plan as one array literal, and the fact
-    * scan drops non-matching rows with three pure-arithmetic bit tests
-    * BEFORE any exchange — at 100 TB this is the difference between
+    * the bitmap rides into the generated code as ONE reference object
+    * (`BloomMayContain`, addReferenceObj — a typedLit variant was
+    * measured stringifying the 8 KiB array six times into the plan
+    * text), and the fact scan drops non-matching rows with three
+    * pure-arithmetic bit tests BEFORE any exchange — at 100 TB this is the difference between
     * shuffling the whole fact table into the join and shuffling only the
     * ~|dim-matching| rows (plus a bounded false-positive trickle). The
     * exact join then removes false positives, so the result is PROVABLY
@@ -470,13 +472,9 @@ object SketchQueries {
     positions.foreach(p => bitmap(p >> 6) |= (1L << (p & 63)))
     val fact = Tables.orders(s, d)
       .select(col("o_custkey"), col("o_totalprice"))
-      .withColumn("bm", typedLit(bitmap.toSeq))
       .withColumn("h", hash60(col("o_custkey").cast("string")))
-    val pruned = Seq("h & 65535", "(h >> 16) & 65535", "(h >> 32) & 65535")
-      .foldLeft(fact) { (df, p) =>
-        df.filter(expr(
-          s"((element_at(bm, cast(($p) div 64 as int) + 1) >> cast(($p) % 64 as int)) & 1) = 1"))
-      }
+    val pruned = fact.filter(
+      graft.functions.SetExpressions.bloomMayContain(col("h"), bitmap))
     pruned.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"))
       .agg(count(lit(1)).as("n_orders"),

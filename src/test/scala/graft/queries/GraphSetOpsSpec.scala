@@ -122,6 +122,26 @@ class GraphSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomMayContain: members always pass, random non-members mostly fail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val members = (0L until 200L).map(_ * 7919L + 13L)
+    val bitmap = new Array[Long](1024)
+    members.foreach { h =>
+      Seq((h & 0xffffL).toInt, ((h >> 16) & 0xffffL).toInt,
+        ((h >> 32) & 0xffffL).toInt)
+        .foreach(p => bitmap(p >> 6) |= (1L << (p & 63)))
+    }
+    val probe = (members ++ (1000000L until 1002000L).map(_ * 104729L))
+      .toDF("h")
+    val passed = probe.filter(graft.functions.SetExpressions
+        .bloomMayContain(col("h"), bitmap))
+      .collect().map(_.getLong(0)).toSet
+    assert(members.forall(passed), "a true member was pruned")
+    val fpr = (passed.size - members.size).toDouble / 2000.0
+    assert(fpr < 0.05, s"false-positive rate implausibly high: $fpr")
+  }
+
   test("e_interval_join matches a naive all-pairs overlap count") {
     // events.ts is TIMESTAMP_NTZ in the raw parquet — go through the
     // same Tables loader the entry uses (NTZ-normalizing)
