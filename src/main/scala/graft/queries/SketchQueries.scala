@@ -483,7 +483,61 @@ object SketchQueries {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** THETA-SKETCH set algebra from bottom-k sketches — the capability
+    * that makes KMV more than a distinct counter: estimate the
+    * INTERSECTION and UNION of two huge sets from two k-row sketches
+    * without ever joining the raw sets ("how many customers do these
+    * two segments share" from 64 rows a side, whatever the table size).
+    * The two sides are exactly `q_intersect`'s segments (BUILDING vs
+    * acctbal > 5000), so the suite holds the exact answer next to the
+    * estimate. Rule: theta = min of the per-side thresholds (k-th
+    * smallest 40-bit hash, or the full space when a side holds < k);
+    * rows surviving below theta are a uniform sample of the union, so
+    * est = count * 2^40 div theta, exact integers end to end. Per side
+    * the sketch is TakeOrderedAndProject (k-bounded, no global sort) —
+    * at scale each side ships 64 rows to a driver-free 64x64 join.
+    */
+  private def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val M = KmvSpace
+    def side(df: DataFrame) = df
+      .select(hash60(col("c_custkey").cast("string")).as("h60"))
+      .select(expr("h60 div 1048576").as("h"))
+      .orderBy(col("h").asc).limit(k)
+    val cust = Tables.customer(s, d)
+    val aSet = cust.filter(col("c_mktsegment") === "BUILDING")
+    val bSet = cust.filter(col("c_acctbal") > 5000)
+    val skA = side(aSet).localCheckpoint()
+    val skB = side(bSet).localCheckpoint()
+    def theta(sk: DataFrame) = sk.agg(
+      when(count(lit(1)) === k, max(col("h")) + 1)
+        .otherwise(lit(M)).as("th"))
+    val th = theta(skA).crossJoin(theta(skB).withColumnRenamed("th", "th2"))
+      .select(least(col("th"), col("th2")).as("theta"))
+    val interCnt = skA.join(skB, Seq("h")).crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_si"))
+    val unionCnt = skA.unionAll(skB).distinct().crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_su"))
+    val exact = aSet.select(col("c_custkey")).agg(count(lit(1)).as("n_a"))
+      .crossJoin(bSet.select(col("c_custkey")).agg(count(lit(1)).as("n_b")))
+      .crossJoin(aSet.select(col("c_custkey"))
+        .join(bSet.select(col("c_custkey")), Seq("c_custkey"))
+        .agg(count(lit(1)).as("n_inter")))
+    exact.crossJoin(broadcast(th)).crossJoin(broadcast(interCnt))
+      .crossJoin(broadcast(unionCnt))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        col("n_si"), col("n_su"), col("theta"),
+        expr(s"(n_si * ${M}L) div theta").as("est_inter"),
+        expr(s"(n_su * ${M}L) div theta").as("est_union"),
+        expr("CASE WHEN n_su = 0 THEN CAST(0 AS BIGINT) ELSE (n_si * 1000000) div n_su END")
+          .as("est_j_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_intersect"  -> (kmvIntersect _),
     "q_bloom_join"     -> (bloomJoin _),
     "q_kmv_distinct"   -> (kmvDistinct _),
     "q_unpivot"        -> (unpivotQty _),
@@ -534,6 +588,40 @@ object SketchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q_kmv_intersect: both sketches, the theta rule, and the exact
+    // sides replayed; 1099511627776 = 2^40
+    "q_kmv_intersect" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |ha AS (SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |         // 1048576 AS h FROM a),
+        |hb AS (SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |         // 1048576 AS h FROM b),
+        |ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+        |                       FROM ha) t WHERE rn <= 64),
+        |skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+        |                       FROM hb) t WHERE rn <= 64),
+        |tha AS (SELECT CASE WHEN count(*) = 64 THEN max(h) + 1
+        |               ELSE 1099511627776 END AS th FROM ska),
+        |thb AS (SELECT CASE WHEN count(*) = 64 THEN max(h) + 1
+        |               ELSE 1099511627776 END AS th FROM skb),
+        |th AS (SELECT least(tha.th, thb.th) AS theta FROM tha, thb),
+        |si AS (SELECT CAST(count(*) AS BIGINT) AS n_si
+        |       FROM ska JOIN skb USING (h), th WHERE h < theta),
+        |su AS (SELECT CAST(count(*) AS BIGINT) AS n_su
+        |       FROM (SELECT h FROM ska UNION SELECT h FROM skb) u, th
+        |       WHERE h < theta),
+        |ex AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |              (SELECT CAST(count(*) AS BIGINT)
+        |               FROM a JOIN b USING (c_custkey)) AS n_inter)
+        |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+        |       n_si, n_su, theta,
+        |       (n_si * 1099511627776) // theta AS est_inter,
+        |       (n_su * 1099511627776) // theta AS est_union,
+        |       CASE WHEN n_su = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE (n_si * 1000000) // n_su END AS est_j_ppm
+        |FROM ex, th, si, su""".stripMargin,
     // q_bloom_join: the PLAIN join — the bloom pre-filter is correctness-
     // invisible by construction, so the oracle need not model it
     "q_bloom_join" ->
