@@ -465,7 +465,46 @@ object VectorQueries {
       .orderBy(col("label").asc)
   }
 
+  /** MATRYOSHKA (truncated-dimension) PROGRESSIVE RETRIEVAL — the serving
+    * pattern MRL-trained embeddings exist for: stage 1 scores the corpus
+    * on only the FIRST 16 of 64 dimensions (4x less arithmetic and, at
+    * scale, 4x less scan IO when the prefix is stored as its own
+    * column/file group) and keeps a 100-candidate pool; stage 2 reranks
+    * just the pool with full-dimension cosine for the final top-10. Both
+    * stages are TakeOrderedAndProject with the rnd6 + vec_id tie-break
+    * contract; the oracle replays prefix slicing and both rankings, so a
+    * wrong slice bound or a pool that silently lost a candidate goes
+    * hash-red. (With md5-deterministic embeddings the prefix is not
+    * MRL-trained, so stage-1 order differs from full-dim order — which
+    * is exactly why the rerank stage exists and is exercised.)
+    */
+  private def matryoshka(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.similarity
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qfull"),
+        expr("slice(embedding, 1, 16)").as("qpre"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qfull"),
+        rnd(similarity("cosine")(expr("slice(embedding, 1, 16)"),
+          col("qpre")), 6).as("coarse"))
+      .orderBy(col("coarse").desc, col("vec_id").asc).limit(100)
+    val top = pool
+      .select(col("vec_id"), col("coarse"),
+        rnd(similarity("cosine")(col("embedding"), col("qfull")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(WindowUtil.onePartition(col("vec_id")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("vec_id"), col("coarse"), col("score"))
+      .orderBy(col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_matryoshka"     -> (matryoshka _),
     "v_knn_cosine"     -> knn("cosine", 10) _,
     "v_knn_dot"        -> knn("dot_product", 10) _,
     "v_knn_euclidean"  -> knn("euclidean", 10) _,
@@ -540,6 +579,20 @@ object VectorQueries {
     "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
   val oracles: Map[String, String] = Map(
+    "v_matryoshka" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |s1 AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |         ${rndSql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[])[1:16], q.qv[1:16])", 6)} AS coarse
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY coarse DESC, vec_id ASC LIMIT 100),
+         |s2 AS (SELECT vec_id, coarse,
+         |         ${rndSql("list_cosine_similarity(ev, qv)", 6)} AS score
+         |       FROM s1, q)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank,
+         |       vec_id, coarse, score
+         |FROM s2 ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "v_knn_cosine"    -> knnSql(cosSql, 10),
     "v_knn_dot"       -> knnSql(dotSql, 10),
     "v_knn_euclidean" -> knnSql(eucSql, 10),
