@@ -416,7 +416,49 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** EWMA CONTROL CHART on the daily series — the smoothing-based
+    * monitor beside the median/MAD flags (`e_anomaly_days`): e_t =
+    * (7*e_{t-1} + y_t) div 8 (alpha = 1/8) as an EXACT INTEGER
+    * recursion, seeded e_1 = y_1. A recursion is not expressible as a
+    * closed-form window, so the BOUNDED daily series (|days| rows —
+    * never the log) is folded per prefix with the aggregate() HOF; the
+    * sentinel-init fold (acc < 0 -> first element) reproduces DuckDB's
+    * list_reduce first-element-init semantics exactly, and truncating
+    * integer division makes the whole trajectory engine-portable where
+    * a float alpha*y + (1-alpha)*e would be at the mercy of rounding.
+    * Spike flag: 2*n > 3*prev_ewma (n > 1.5x the smoothed level as an
+    * exact rational). O(|days|^2) prefix folds on a 30-row series is
+    * nothing; at scale the series is per-key and the fold runs inside
+    * one row per key.
+    */
+  private def ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val arr = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("ds"))
+      .select(transform(col("ds"), x => x.getField("day")).as("days"),
+        transform(col("ds"), x => x.getField("n")).as("ys"))
+    val traj = arr
+      .select(col("days"), col("ys"),
+        expr("""transform(sequence(1, size(ys)),
+               |  i -> aggregate(slice(ys, 1, i), CAST(-1 AS BIGINT),
+               |         (acc, x) -> IF(acc < 0, x, (7 * acc + x) div 8)))""".stripMargin)
+          .as("es"))
+      .select(explode(arrays_zip(col("days"), col("ys"), col("es"))).as("r"))
+      .select(col("r.days").as("day"), col("r.ys").as("n"),
+        col("r.es").as("ewma"))
+    val w = Window.partitionBy(WindowUtil.onePartition(col("day")))
+      .orderBy(col("day").asc)
+    traj.withColumn("prev_ewma", lag(col("ewma"), 1).over(w))
+      .select(col("day"), col("n"), col("ewma"),
+        when(col("prev_ewma").isNull, lit(false))
+          .otherwise(col("n") * 2 > col("prev_ewma") * 3).as("is_spike"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ewma"          -> (ewma _),
     "e_locf"          -> (locf _),
     "e_transitions"   -> (transitions _),
     "e_trend_fit"     -> (trendFit _),
@@ -436,6 +478,27 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // e_ewma: list_reduce's first-element-init matches the Spark fold's
+    // sentinel init; generate_subscripts per the no-lateral-series rule
+    "e_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |arr AS (SELECT list(day ORDER BY day ASC) AS days,
+        |               list(n ORDER BY day ASC) AS ys FROM daily),
+        |idx AS (SELECT generate_subscripts(ys, 1) AS i, days, ys
+        |        FROM arr),
+        |traj AS (SELECT days[i] AS day, ys[i] AS n,
+        |           CAST(list_reduce(ys[1:i],
+        |             (acc, x) -> (7 * acc + x) // 8) AS BIGINT) AS ewma
+        |         FROM idx),
+        |t2 AS (SELECT day, n, ewma,
+        |         lag(ewma) OVER (ORDER BY day ASC) AS prev_ewma FROM traj)
+        |SELECT day, n, ewma,
+        |       CASE WHEN prev_ewma IS NULL THEN false
+        |            ELSE n * 2 > prev_ewma * 3 END AS is_spike
+        |FROM t2 ORDER BY day ASC""".stripMargin,
     "e_locf" ->
       """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
         |                  CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events),
