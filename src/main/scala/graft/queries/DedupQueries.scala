@@ -913,6 +913,7 @@ object DedupQueries {
     "d_weighted_sample" -> (weightedSample _),
     "d_pagerank"        -> (pageRank _),
     "d_exact_norm"      -> (exactNorm _),
+    "d_edit_dedup"      -> (editDedup _),
   )
 
   /** NORMALIZED exact dedup — the preprocessing real pipelines run
@@ -931,6 +932,40 @@ object DedupQueries {
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** EDIT-DISTANCE CONFIRMATION over the banded candidates — the fuzzy
+    * verification tier between MinHash candidates (set overlap, blind to
+    * token ORDER) and exact-hash dedup: Levenshtein distance on the
+    * normalized text (the [[exactNorm]] lowercase/strip/collapse rule),
+    * as an exact-ppm edit ratio against the longer side. Classic
+    * record-linkage shape: candidates from blocking, expensive pairwise
+    * metric ONLY on candidates — the O(len²)-per-pair DP never sees a
+    * non-candidate pair, and the normalized text is capped at 2048 chars
+    * (a no-op on this corpus; the bounded-kernel-cost guard a 100 TB run
+    * needs, where a single 1 MB doc would otherwise cost 10^12 cell
+    * updates per pair).
+    *
+    * 100 TB shape: two candidate-bounded equi-joins hydrate the texts
+    * (at scale the text side shuffles on doc_id, the pair list is the
+    * small side); the DP itself is per-row compute inside codegen
+    * (Spark's `levenshtein`), no state. Both engines implement the
+    * textbook Wagner-Fischer recurrence, so the integer distances match
+    * exactly.
+    */
+  private def editDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = substring(trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " ")), 1, 2048)
+    val texts = docs(s, d).select(col("doc_id"), norm.as("t"))
+    candidatePairs(s, d)
+      .join(texts.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
+      .withColumn("ratio_ppm", expr("(lev * 1000000) div greatest(maxlen, 1)"))
+      .withColumn("is_dup", col("ratio_ppm") <= 300000L)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   private val PrMass  = 1000000000000L // total initial rank, pico-units
@@ -1428,6 +1463,28 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "d_edit_dedup" ->
+      s"""WITH bands AS ($bandRowsSql),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |       AND a.doc_id < b.doc_id),
+         |tx AS (
+         |  SELECT doc_id,
+         |         substr(trim(regexp_replace(regexp_replace(lower(text),
+         |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 2048) AS t
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev,
+         |         CAST(greatest(length(ta.t), length(tb.t)) AS BIGINT) AS maxlen
+         |  FROM cp JOIN tx ta ON ta.doc_id = cp.doc_a
+         |          JOIN tx tb ON tb.doc_id = cp.doc_b)
+         |SELECT doc_a, doc_b, lev, maxlen,
+         |       (lev * 1000000) // greatest(maxlen, 1) AS ratio_ppm,
+         |       (lev * 1000000) // greatest(maxlen, 1) <= 300000 AS is_dup
+         |FROM sc ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "d_minhash_eval" ->
       s"""WITH bands AS ($bandRowsSql),
          |cp AS (

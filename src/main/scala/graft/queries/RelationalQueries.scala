@@ -344,7 +344,146 @@ object RelationalQueries {
       .orderBy(col("p_partkey").asc)
   }
 
+  /** ASSOCIATION-RULE MINING over the order/part basket (market-basket
+    * analysis, the frequent-itemset surface): pair support, directional
+    * confidence, and lift for co-purchased part pairs. Apriori pruning
+    * order: items below the support floor are dropped BEFORE pair
+    * generation (the classic candidate-explosion guard), so the
+    * orderkey self-join runs over frequent items only and its output is
+    * bounded by sum over orders of (frequent items per order choose 2)
+    * — basket width is bounded (≤13 distinct parts here), never
+    * |items|². All metrics are exact BIGINT ppm (lift via integer
+    * `div`, no float division), top-20 by lift with (pa, pb) id
+    * tie-breaks.
+    *
+    * 100 TB shape: one distinct-projection shuffle on (order, part); the
+    * pair join is an equi-join on l_orderkey (co-partitioned with the
+    * basket projection); the item-count joins key on partkey and the
+    * total-order count rides along as a one-row crossJoin, never a
+    * collect. At catalog scale the item-count side stays |items|-scale —
+    * AQE picks broadcast vs shuffle.
+    */
+  private def assocRules(s: SparkSession, d: String): DataFrame = {
+    val minItemSup = 5L
+    val minPairSup = 2L
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = basket.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = basket.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSup)
+    val fb = basket.join(itemCnt, Seq("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = fb.as("a")
+      .join(fb.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSup)
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("pa"), col("n_item").as("n_a")), Seq("pa"))
+      .join(itemCnt.select(col("l_partkey").as("pb"), col("n_item").as("n_b")), Seq("pb"))
+      .crossJoin(nOrders)
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * 1000000) div n_a").as("conf_ab_ppm"),
+        expr("(n_ab * 1000000) div n_b").as("conf_ba_ppm"),
+        expr("((n_ab * n_orders) * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  /** DATA-QUALITY CONSTRAINT AUDIT (the Deequ/Great-Expectations shape):
+    * a declarative check suite — completeness, key uniqueness,
+    * referential integrity, range and set-membership bounds — evaluated
+    * in ONE conditional-aggregate pass per table plus one anti-join per
+    * FK edge, emitted as (check, metric_ppm, threshold_ppm, passed)
+    * rows. Every metric is an exact BIGINT ppm ratio; `passed` compares
+    * against the check's own threshold so warn-tier rules coexist with
+    * hard invariants (one deliberately tightened bound exercises the
+    * failure path on this data).
+    *
+    * 100 TB shape: per-table checks fold into a single partial-agg scan
+    * (the shuffle carries one row per table); RI checks are key-only
+    * anti-joins (orphan side is empty on clean data, and the join
+    * carries just the key column). Nothing is collected; the report is
+    * a ~constant-row frame assembled by crossJoining one-row aggregates.
+    */
+  private def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d)
+    val oAgg = o.agg(
+      count(lit(1)).as("n_o"),
+      count(col("o_custkey")).as("o_cust_nn"),
+      countDistinct(col("o_orderkey")).as("o_key_nd"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("o_status_ok"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("o_price_ok"))
+    val liAgg = li.agg(
+      count(lit(1)).as("n_l"),
+      sum(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1L).otherwise(0L)).as("l_qty_ok"),
+      sum(when(col("l_quantity") <= 45, 1L).otherwise(0L)).as("l_qty_tight"),
+      sum(when(col("l_discount") >= 0 && col("l_discount") <= 0.1, 1L).otherwise(0L)).as("l_disc_ok"))
+    val liOrphan = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("l_orphans"))
+    val oOrphan = o.join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("o_orphans"))
+    oAgg.crossJoin(liAgg).crossJoin(liOrphan).crossJoin(oOrphan)
+      .select(expr(
+        """stack(8,
+          |  'orders.custkey_complete',   (o_cust_nn * 1000000) div n_o,            1000000,
+          |  'orders.orderkey_unique',    (o_key_nd * 1000000) div n_o,             1000000,
+          |  'orders.status_in_set',      (o_status_ok * 1000000) div n_o,          1000000,
+          |  'orders.totalprice_positive',(o_price_ok * 1000000) div n_o,           1000000,
+          |  'orders.custkey_ri',         ((n_o - o_orphans) * 1000000) div n_o,    1000000,
+          |  'lineitem.orderkey_ri',      ((n_l - l_orphans) * 1000000) div n_l,    1000000,
+          |  'lineitem.quantity_in_1_50', (l_qty_ok * 1000000) div n_l,             1000000,
+          |  'lineitem.quantity_le_45',   (l_qty_tight * 1000000) div n_l,          1000000
+          |) AS (check, metric_ppm, threshold_ppm)""".stripMargin))
+      .withColumn("metric_ppm", col("metric_ppm").cast("long"))
+      .withColumn("threshold_ppm", col("threshold_ppm").cast("long"))
+      .withColumn("passed", col("metric_ppm") >= col("threshold_ppm"))
+      .orderBy(col("check").asc)
+  }
+
+  /** 2-D SKYLINE (Pareto frontier) over part — minimize price, maximize
+    * size: a part survives iff no other part is cheaper-or-equal AND
+    * bigger-or-equal with one strict. Computed WITHOUT the quadratic
+    * dominance join: group to one (price, max size) row per distinct
+    * price, take a running max of size over strictly-cheaper groups
+    * (rows-frame window on the price spine), then a part is dominated
+    * iff the strictly-cheaper running max reaches its size (case a) or
+    * its own price group holds a strictly larger size (case b). One
+    * groupBy + one |distinct price|-scale window + one equi-join back.
+    *
+    * 100 TB shape: the window runs over the price SPINE (|distinct
+    * prices|), not the fact rows; at extreme spine sizes the running
+    * max falls to the same range-partitioned two-phase prefix pattern
+    * the packing offsets use. Price passes through as raw parquet
+    * DOUBLE bits — grouped and compared, never arithmetic — so both
+    * engines see identical keys.
+    */
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"),
+      col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+    val g = p.groupBy(col("price")).agg(max(col("size")).as("gmax"))
+    val w = Window.partitionBy(WindowUtil.onePartition(col("price")))
+      .orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = g.withColumn("prevmax", max(col("gmax")).over(w))
+    p.join(spine, Seq("price"))
+      .filter(coalesce(col("prevmax"), lit(Long.MinValue)) < col("size") &&
+        !(col("gmax") > col("size")))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("p_partkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules"     -> (assocRules _),
+    "q_dq_checks"       -> (dqChecks _),
+    "q_skyline"         -> (skyline _),
     "q_kcore"           -> (kcore _),
     "q_salted_join"     -> (saltedJoin _),
     "q_triangles"       -> (triangles _),
@@ -389,6 +528,72 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |ic AS MATERIALIZED (
+        |  SELECT l_partkey, count(*) AS n_item FROM b
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |fb AS MATERIALIZED (
+        |  SELECT b.l_orderkey, b.l_partkey FROM b JOIN ic USING (l_partkey)),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS n_ab
+        |  FROM fb a JOIN fb c
+        |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |       (n_ab * 1000000) // ia.n_item AS conf_ab_ppm,
+        |       (n_ab * 1000000) // ib.n_item AS conf_ba_ppm,
+        |       ((n_ab * n_orders) * 1000000) // (ia.n_item * ib.n_item) AS lift_ppm
+        |FROM p JOIN ic ia ON ia.l_partkey = p.pa
+        |       JOIN ic ib ON ib.l_partkey = p.pb CROSS JOIN n
+        |ORDER BY lift_ppm DESC, pa ASC, pb ASC LIMIT 20""".stripMargin,
+    "q_dq_checks" ->
+      """WITH oa AS (
+        |  SELECT count(*) AS n_o,
+        |         count(o_custkey) AS o_cust_nn,
+        |         count(DISTINCT o_orderkey) AS o_key_nd,
+        |         coalesce(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS o_status_ok,
+        |         coalesce(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END), 0) AS o_price_ok
+        |  FROM orders),
+        |la AS (
+        |  SELECT count(*) AS n_l,
+        |         coalesce(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0) AS l_qty_ok,
+        |         coalesce(SUM(CASE WHEN l_quantity <= 45 THEN 1 ELSE 0 END), 0) AS l_qty_tight,
+        |         coalesce(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END), 0) AS l_disc_ok
+        |  FROM lineitem),
+        |lo AS (SELECT count(*) AS l_orphans FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |oo AS (SELECT count(*) AS o_orphans FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |rows_("check", metric_ppm, threshold_ppm) AS (
+        |  SELECT 'orders.custkey_complete',    (o_cust_nn * 1000000) // n_o,         1000000 FROM oa
+        |  UNION ALL SELECT 'orders.orderkey_unique', (o_key_nd * 1000000) // n_o,    1000000 FROM oa
+        |  UNION ALL SELECT 'orders.status_in_set', (o_status_ok * 1000000) // n_o,   1000000 FROM oa
+        |  UNION ALL SELECT 'orders.totalprice_positive', (o_price_ok * 1000000) // n_o, 1000000 FROM oa
+        |  UNION ALL SELECT 'orders.custkey_ri', ((n_o - o_orphans) * 1000000) // n_o, 1000000 FROM oa, oo
+        |  UNION ALL SELECT 'lineitem.orderkey_ri', ((n_l - l_orphans) * 1000000) // n_l, 1000000 FROM la, lo
+        |  UNION ALL SELECT 'lineitem.quantity_in_1_50', (l_qty_ok * 1000000) // n_l, 1000000 FROM la
+        |  UNION ALL SELECT 'lineitem.quantity_le_45', (l_qty_tight * 1000000) // n_l, 1000000 FROM la)
+        |SELECT "check", CAST(metric_ppm AS BIGINT) AS metric_ppm,
+        |       CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+        |       metric_ppm >= threshold_ppm AS passed
+        |FROM rows_ ORDER BY "check" ASC""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |g AS (SELECT price, max(size) AS gmax FROM p GROUP BY 1),
+        |g2 AS (
+        |  SELECT price, gmax,
+        |         max(gmax) OVER (ORDER BY price ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM g)
+        |SELECT p.p_partkey, p.price, p.size
+        |FROM p JOIN g2 USING (price)
+        |WHERE coalesce(prevmax, -9223372036854775807 - 1) < size
+        |  AND NOT (gmax > size)
+        |ORDER BY p_partkey ASC""".stripMargin,
     "q_kcore" -> kcoreOracleSql,
     "q_salted_join" ->
       """WITH dim(event_type, weight) AS (

@@ -29,6 +29,41 @@ object SourceQueries {
       .orderBy(col("n_nationkey").asc)
   }
 
+  /** SCHEMA EVOLUTION read — the lake-table migration every long-lived
+    * dataset goes through: epoch-1 files written BEFORE a column existed,
+    * epoch-2 files after the migration added it, one `mergeSchema` read
+    * reconciling both under the union schema (old files surface the new
+    * column as NULL). The entry SELF-AUDITS the merged schema (REQUIRE on
+    * the exact field set, epoch partition column included) and proves the
+    * NULL/value split per epoch with exact-e4 money sums.
+    *
+    * 100 TB shape: mergeSchema's cost is footer-reads at PLANNING time
+    * (one per file — on a real lake bounded by partition pruning /
+    * metadata caching, or pinned by a declared read schema); execution is
+    * an ordinary partitioned scan + one partial agg keyed by epoch.
+    */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val root = graft.TempDirs.scratch("graft-schema-evo").toString
+    sup.filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .write.mode("overwrite").parquet(root + "/epoch=1")
+    sup.filter(col("s_suppkey") % 2 === 1)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(18,4)").cast("double").as("s_acctbal"))
+      .write.mode("overwrite").parquet(root + "/epoch=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(root)
+    require(merged.schema.fieldNames.toSet ==
+        Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "epoch"),
+      s"mergeSchema did not reconcile to the union schema: ${merged.schema.treeString}")
+    merged.groupBy(col("epoch").cast("int").as("epoch"))
+      .agg(count(lit(1)).as("n"),
+        count(col("s_acctbal")).as("n_acctbal"),
+        coalesce(sum(floor(col("s_acctbal") * 10000).cast("long")), lit(0L))
+          .as("sum_acctbal_e4"))
+      .orderBy(col("epoch").asc)
+  }
+
   /** Parquet -> JSON lines -> read back with the explicit schema (the
     * reference's ingest format is JSON-over-HTTP, dto.py; here the
     * full-fidelity JSONL analog, incl. exact double round-trip).
@@ -599,6 +634,7 @@ object SourceQueries {
     "e_stream_dedup_wm" -> (streamDedupWithinWm _),
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
+    "s_schema_evolution" -> (schemaEvolution _),
     "e_stream_tumbling" -> (streamTumbling _),
     "e_stream_sliding"  -> (streamSliding _),
     "e_stream_late_data" -> (streamLateData _),
@@ -661,6 +697,17 @@ object SourceQueries {
         |ORDER BY p.event_id ASC, click_ts ASC""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
+    "s_schema_evolution" ->
+      """WITH v AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_suppkey % 2 = 1
+        |              THEN CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS DOUBLE) END AS s_acctbal,
+        |         CASE WHEN s_suppkey % 2 = 1 THEN 2 ELSE 1 END AS epoch
+        |  FROM supplier)
+        |SELECT CAST(epoch AS INTEGER) AS epoch, count(*) AS n,
+        |       count(s_acctbal) AS n_acctbal,
+        |       CAST(coalesce(SUM(CAST(floor(s_acctbal * 10000) AS BIGINT)), 0) AS BIGINT) AS sum_acctbal_e4
+        |FROM v GROUP BY 1 ORDER BY epoch ASC""".stripMargin,
     "s_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,
         |       CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS s_acctbal
