@@ -344,6 +344,53 @@ object RelationalQueries {
       .orderBy(col("p_partkey").asc)
   }
 
+  /** SINGLE-SOURCE SHORTEST PATHS (Bellman-Ford supersteps) over the
+    * shared co-purchase graph — the fourth classic graph operator
+    * beside PageRank, triangles/clustering and k-core, on provably the
+    * SAME edge set. Edge weights are md5-hash-derived integers in
+    * [1,9] (the hash60 lottery convention — deterministic, both
+    * engines replay them), the source is the minimum node id, and the
+    * semantics are exactly 8 relaxation supersteps:
+    * d_{r+1}(v) = min over in-edges (d_r(u) + w(u,v)), with a
+    * ZERO-WEIGHT SELF-LOOP per node standing in for "keep my current
+    * distance" — that folds the keep-vs-relax min into ONE aggregate
+    * and, critically, means each round references the previous
+    * distance frame exactly ONCE (the same single-reference discipline
+    * that keeps PageRank's lazily-chained lineage linear instead of
+    * 2^R).
+    *
+    * 100 TB shape: distance state is NODES-scale; each superstep is one
+    * edges->dist equi-join plus one min-aggregate (partial-agg
+    * friendly, shuffle keyed on dst). The edge set (bidirected + self
+    * loops) is built once and localCheckpoint'ed — it feeds all 8
+    * rounds. Distances are exact BIGINTs bounded by R * max(w), so the
+    * whole trajectory replays in the oracle's 8 unrolled MATERIALIZED
+    * CTEs.
+    */
+  private def shortestPath(s: SparkSession, d: String): DataFrame = {
+    val R = 8
+    val base = coPurchaseEdges(s, d).withColumn("w",
+      expr("CAST(conv(substring(md5(concat(CAST(pa AS STRING), ':', CAST(pb AS STRING))), 1, 15), 16, 10) AS BIGINT) % 9 + 1"))
+    val nodes = base.select(col("pa").as("p"))
+      .unionAll(base.select(col("pb").as("p"))).distinct()
+    val edges = base.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionAll(base.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+      .unionAll(nodes.select(col("p").as("src"), col("p").as("dst"),
+        lit(0L).as("w")))
+      .localCheckpoint() // consumed by all 8 supersteps
+    var dist = base.agg(min(col("pa")).as("p")).select(col("p"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to R) {
+      dist = edges.join(dist, edges("src") === dist("p"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("dist"))
+        .withColumnRenamed("dst", "p")
+    }
+    nodes.join(dist, Seq("p"), "left")
+      .select(col("p").as("p_partkey"), col("dist"),
+        col("dist").isNotNull.as("reached"))
+      .orderBy(col("p_partkey").asc)
+  }
+
   /** ASSOCIATION-RULE MINING over the order/part basket (market-basket
     * analysis, the frequent-itemset surface): pair support, directional
     * confidence, and lift for co-purchased part pairs. Apriori pruning
@@ -484,6 +531,7 @@ object RelationalQueries {
     "q_assoc_rules"     -> (assocRules _),
     "q_dq_checks"       -> (dqChecks _),
     "q_skyline"         -> (skyline _),
+    "q_shortest_path"   -> (shortestPath _),
     "q_kcore"           -> (kcore _),
     "q_salted_join"     -> (saltedJoin _),
     "q_triangles"       -> (triangles _),
@@ -527,7 +575,27 @@ object RelationalQueries {
     sb.toString
   }
 
+  /** The unrolled 8-superstep Bellman-Ford replay — every round
+    * MATERIALIZED (the DuckDB plain-CTE inline trap; d0..d8 chain
+    * linearly but `e` feeds all eight).
+    */
+  private def shortestPathOracleSql: String = {
+    val R = 8
+    val sb = new StringBuilder
+    sb.append("WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),\n")
+    sb.append("be AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),\n")
+    sb.append("bw AS MATERIALIZED (SELECT pa, pb, CAST('0x' || substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 1, 15) AS BIGINT) % 9 + 1 AS w FROM be),\n")
+    sb.append("nodes AS MATERIALIZED (SELECT pa AS p FROM be UNION SELECT pb FROM be),\n")
+    sb.append("e AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM bw UNION ALL SELECT pb, pa, w FROM bw UNION ALL SELECT p, p, CAST(0 AS BIGINT) FROM nodes),\n")
+    sb.append("d0 AS MATERIALIZED (SELECT min(pa) AS p, CAST(0 AS BIGINT) AS dist FROM be)")
+    for (r <- 1 to R)
+      sb.append(s",\nd$r AS MATERIALIZED (SELECT e.dst AS p, min(d.dist + e.w) AS dist FROM e JOIN d${r - 1} d ON e.src = d.p GROUP BY 1)")
+    sb.append(s"\nSELECT n.p AS p_partkey, d.dist, d.dist IS NOT NULL AS reached FROM nodes n LEFT JOIN d$R d ON d.p = n.p ORDER BY p_partkey ASC")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_shortest_path" -> shortestPathOracleSql,
     "q_assoc_rules" ->
       """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),

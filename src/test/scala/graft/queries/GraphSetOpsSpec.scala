@@ -169,4 +169,113 @@ class GraphSetOpsSpec extends AnyFunSuite {
     assert(got.keySet == exp.keySet)
     got.foreach { case (k, n) => assert(n == exp(k), s"overlap count mismatch at $k") }
   }
+
+  /** The entry's md5-derived edge weight, recomputed with
+    * java.security.MessageDigest — independent of Spark's md5/conv SQL.
+    */
+  private def edgeWeight(pa: Long, pb: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$pa:$pb".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 9 + 1
+  }
+
+  test("q_shortest_path matches driver-side Bellman-Ford and bounds Dijkstra") {
+    val e = edges()
+    val w = e.map { case (a, b) => (a, b) -> edgeWeight(a, b) }.toMap
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val adj = e.toSeq.flatMap { case (a, b) =>
+      Seq(a -> (b, w((a, b))), b -> (a, w((a, b)))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val src = nodes.min
+    // independent 8-round Bellman-Ford (the spec'd fixed-superstep semantics)
+    var bf = Map(src -> 0L)
+    for (_ <- 1 to 8) {
+      val next = scala.collection.mutable.Map.empty[Long, Long]
+      for ((u, du) <- bf) {
+        if (!next.get(u).exists(_ <= du)) next(u) = du
+        for ((v, wv) <- adj.getOrElse(u, Seq.empty))
+          if (!next.get(v).exists(_ <= du + wv)) next(v) = du + wv
+      }
+      bf = next.toMap
+    }
+    // true shortest distances (Dijkstra) as a lower-bound invariant
+    val dij = scala.collection.mutable.Map(src -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (du, u) = pq.dequeue()
+      if (dij(u) == du)
+        for ((v, wv) <- adj.getOrElse(u, Seq.empty))
+          if (!dij.get(v).exists(_ <= du + wv)) { dij(v) = du + wv; pq.enqueue((du + wv, v)) }
+    }
+    val got = RelationalQueries.queries("q_shortest_path")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    assert(got.map(_._1).toSet == nodes)
+    got.foreach { case (p, dOpt, reached) =>
+      assert(reached == dOpt.isDefined)
+      assert(dOpt == bf.get(p), s"8-round BF distance mismatch at node $p")
+      dOpt.foreach { dv =>
+        assert(dij.contains(p) && dv >= dij(p),
+          s"BF distance below true shortest at node $p")
+      }
+    }
+  }
+
+  test("q_skyline matches brute-force dominance") {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    val exp = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz) }
+    }.map(_._1).toSet
+    val got = RelationalQueries.queries("q_skyline")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exp, s"skyline sets differ: got $got exp $exp")
+  }
+
+  test("q_assoc_rules metrics match brute-force basket counting") {
+    val baskets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val itemCnt = baskets.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+      .filter(_._2 >= 5L)
+    val pairCnt = baskets.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.filter(itemCnt.contains).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    val got = RelationalQueries.queries("q_assoc_rules")(spark, sfDir)
+      .collect()
+    assert(got.length == math.min(20, pairCnt.size))
+    got.foreach { r =>
+      val (pa, pb, nab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pairCnt((pa, pb)) == nab)
+      assert(r.getLong(3) == itemCnt(pa) && r.getLong(4) == itemCnt(pb))
+      assert(r.getLong(5) == nab * 1000000L / itemCnt(pa))
+      assert(r.getLong(6) == nab * 1000000L / itemCnt(pb))
+      assert(r.getLong(7) == nab * nOrders * 1000000L / (itemCnt(pa) * itemCnt(pb)))
+    }
+    // the returned rows are the global lift top-k under the id tie-break
+    val lift = pairCnt.map { case ((a, b), nab) =>
+      (a, b, nab * nOrders * 1000000L / (itemCnt(a) * itemCnt(b))) }.toSeq
+      .sortBy { case (a, b, l) => (-l, a, b) }.take(20)
+      .map(t => (t._1, t._2)).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == lift)
+  }
+
+  test("q_dq_checks recounts two checks exactly") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_quantity").collect().map(_.getDouble(0))
+    val expTight = li.count(_ <= 45.0).toLong * 1000000L / li.length
+    val got = RelationalQueries.queries("q_dq_checks")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got("lineitem.quantity_le_45")._1 == expTight)
+    assert(got("lineitem.quantity_le_45")._2 == (expTight >= 1000000L))
+    assert(got("orders.orderkey_unique") == ((1000000L, true)))
+    assert(got.size == 8 && got.values.forall(v => v._1 >= 0 && v._1 <= 1000000L))
+  }
 }
