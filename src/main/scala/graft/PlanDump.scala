@@ -110,6 +110,11 @@ object PlanDump {
     "d_prefix_join",           // rarity-ordered prefix explode -> candidate equi-join -> merge verify
     "q_bloom_join",            // 8 KiB bitmap literal, three bit-test filters BEFORE the exchange
     "e_ivm_merge",             // base agg full-outer delta agg vs direct recompute
+    "q_assoc_rules",           // Apriori prune BEFORE the orderkey pair self-join, ppm metrics
+    "q_skyline",               // price-spine window (|distinct prices|), no quadratic dominance join
+    "q_shortest_path",         // 8 chained relax supersteps, self-loop min fold, checkpointed edges
+    "d_edit_dedup",            // candidate-bounded text hydration joins + codegen levenshtein
+    "q_dq_checks",             // one conditional-agg pass per table + key-only anti-joins, stacked rows
   )
 
   def main(args: Array[String]): Unit = {
