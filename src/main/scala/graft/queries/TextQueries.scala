@@ -607,7 +607,35 @@ object TextQueries {
       .limit(20)
   }
 
+  /** UNIGRAM TOKEN ENTROPY per document — the lexical-diversity quality
+    * signal beside length/stopword heuristics and perplexity: H = ln n
+    * - (1/n) sum c_i ln c_i over the doc's token counts, carried in
+    * exact nano-nat integers under the established floor-ln convention
+    * (per-distinct-token contribution c * floor(1e9 * ln c) summed as
+    * BIGINT, one truncating div by n at the end — no float summation
+    * anywhere, so partitioning can't move the result). Template/boiler-
+    * plate docs score low, diverse prose high; curation pipelines
+    * threshold on exactly this.
+    *
+    * 100 TB shape: one token explode -> (doc, token) partial-agg ->
+    * per-doc agg, both shuffles keyed and combiner-friendly; output one
+    * row per doc.
+    */
+  private def entropy(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * floor(log(col("c").cast("double")) * 1e9).cast("long"))
+          .as("sc"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        (floor(log(col("n").cast("double")) * 1e9).cast("long") -
+          expr("sc div n")).as("ent_e9"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_entropy"     -> (entropy _),
     "t_token_drift" -> (tokenDrift _),
     "t_token_stats" -> (tokenStats _),
     "t_quality"     -> (quality _),
@@ -638,6 +666,17 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, count(*) AS n_distinct,
+         |         CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sc
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens, n_distinct,
+         |       CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) - sc // n AS ent_e9
+         |FROM agg ORDER BY doc_id ASC""".stripMargin,
     "t_token_drift" ->
       s"""WITH tok AS (
          |  SELECT doc_id % 2 AS half, unnest($toksSql) AS token

@@ -267,6 +267,61 @@ class GraphSetOpsSpec extends AnyFunSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == lift)
   }
 
+  test("q_shard_ring: movers land ONLY on the new shard; assignment matches driver ring") {
+    val rows = MiscQueries.queries("q_shard_ring")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // the consistent-hashing contract: adding a shard only STEALS keys
+    rows.foreach { case (id, s8, s9, moved) =>
+      assert(moved == (s8 != s9))
+      if (moved) assert(s9 == 8L, s"doc $id moved to old shard $s9")
+      assert(s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9)
+    }
+    // independent driver-side ring replay (java MD5, not Spark SQL)
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val vn = for (sh <- 0 until 9; v <- 0 until 16)
+      yield (h60(s"s:$sh:$v") / 32) * 256 + sh
+    def pick(ring: Seq[Long], dpos: Long): Long = {
+      val cand = ring.filter(e => (e / 256) >= dpos)
+      (if (cand.nonEmpty) cand.min else ring.min) % 256
+    }
+    val r8 = vn.filter(_ % 256 < 8)
+    rows.foreach { case (id, s8, s9, _) =>
+      val dpos = h60(id.toString) / 32
+      assert(s8 == pick(r8, dpos) && s9 == pick(vn, dpos),
+        s"ring assignment mismatch for doc $id")
+    }
+  }
+
+  test("t_entropy matches the driver integer formula and its bounds") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).values.map(_.length.toLong)
+      val n = counts.sum
+      val sc = counts.map(c => c * math.floor(math.log(c.toDouble) * 1e9).toLong).sum
+      id -> (n, counts.size.toLong,
+        math.floor(math.log(n.toDouble) * 1e9).toLong - sc / n)
+    }.toMap
+    val got = TextQueries.queries("t_entropy")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == exp.size)
+    got.foreach { case (id, v) =>
+      assert(v == exp(id), s"entropy mismatch for doc $id")
+      val (n, nd, e) = v
+      assert(e >= 0L, s"negative entropy for doc $id")
+      // H <= ln(n_distinct) up to nano-nat floor slack
+      assert(e <= math.floor(math.log(nd.toDouble) * 1e9).toLong + 2,
+        s"entropy above the uniform bound for doc $id")
+    }
+  }
+
   test("q_dq_checks recounts two checks exactly") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity").collect().map(_.getDouble(0))
