@@ -914,6 +914,7 @@ object DedupQueries {
     "d_pagerank"        -> (pageRank _),
     "d_exact_norm"      -> (exactNorm _),
     "d_edit_dedup"      -> (editDedup _),
+    "d_greedy_cover"    -> (greedyCover _),
   )
 
   /** NORMALIZED exact dedup — the preprocessing real pipelines run
@@ -932,6 +933,60 @@ object DedupQueries {
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** GREEDY MAX-COVERAGE SUBSET SELECTION — the submodular
+    * data-subset-selection operator (facility-location/coreset family):
+    * pick K=10 docs that together cover the most distinct word-3-gram
+    * shingles, by the classic 1-1/e greedy — each round scores every
+    * remaining doc by its MARGINAL gain (uncovered grams only) and
+    * takes the argmax (gain desc, doc_id asc tie-break). "Select a
+    * small diverse subset" is a first-class training-data op (data
+    * pruning, eval-set seeding, dedup-aware sampling).
+    *
+    * Distribution shape per round: covered grams = one semi-join +
+    * distinct (bounded by the selected docs' grams), marginal scores =
+    * one anti-join + count agg, argmax = TakeOrdered(1). Driver state
+    * is the K selected ids and one 1-row collect per round — the
+    * documented k-bounded greedy pattern (`v_mmr_rerank`); the gram
+    * table is built once and localCheckpoint'ed (consumed twice per
+    * round). A selected doc's grams are all covered, so it drops out
+    * of the anti-join naturally — no explicit exclusion list. The
+    * oracle unrolls all 10 rounds as MATERIALIZED CTEs and replays the
+    * same argmax.
+    */
+  private def greedyCover(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, shingles, hash60}
+    val K = 10
+    val grams = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(transform(shingles(tokens(col("text")), 3),
+          x => hash60(x)))).as("g"))
+      .localCheckpoint()
+    var selIds = Seq.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var totalCovered = 0L
+    for (r <- 1 to K) {
+      val scores =
+        if (selIds.isEmpty)
+          grams.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        else {
+          import s.implicits._
+          val covered = grams.join(selIds.toDF("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("g")).distinct()
+          grams.join(covered, Seq("g"), "left_anti")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        }
+      val top = scores.orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect()(0)
+      totalCovered += top.getLong(1)
+      out += ((r, top.getLong(0), top.getLong(1), totalCovered))
+      selIds :+= top.getLong(0)
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "doc_id", "marginal_gain", "covered_total")
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("marginal_gain"), col("covered_total"))
+      .orderBy(col("rank").asc)
   }
 
   /** EDIT-DISTANCE CONFIRMATION over the banded candidates — the fuzzy
@@ -1195,6 +1250,34 @@ object DedupQueries {
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
       |       tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])""".stripMargin.replace("\n", "")
   // word-3-gram shingles, 1-based list indexing
+  /** The 10-round greedy max-coverage replay: per round, covered grams
+    * (semi-join on the selected set), marginal counts (anti via
+    * null-extended left join), argmax as ORDER BY ... LIMIT 1 — every
+    * round MATERIALIZED (`g` feeds all ten, each selN feeds two).
+    */
+  private def greedyCoverOracleSql: String = {
+    val K = 10
+    val sb = new StringBuilder
+    sb.append("WITH g AS MATERIALIZED (\n")
+    sb.append(s"  SELECT doc_id, unnest(list_distinct(list_transform($shinglesSql,\n")
+    sb.append("    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS gr\n")
+    sb.append("  FROM documents),\n")
+    sb.append("s1 AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM g GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1),\n")
+    sb.append("sel1 AS MATERIALIZED (SELECT doc_id FROM s1)")
+    for (r <- 2 to K) {
+      sb.append(s""",
+         |cov$r AS MATERIALIZED (SELECT DISTINCT gr FROM g JOIN sel${r - 1} USING (doc_id)),
+         |s$r AS MATERIALIZED (SELECT g.doc_id, count(*) AS gain FROM g LEFT JOIN cov$r c ON g.gr = c.gr WHERE c.gr IS NULL GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT doc_id FROM sel${r - 1} UNION ALL SELECT doc_id FROM s$r)""".stripMargin)
+    }
+    val unions = (1 to K).map(r => s"SELECT $r AS rank, doc_id, gain FROM s$r")
+    sb.append("\nSELECT CAST(rank AS INTEGER) AS rank, doc_id, gain AS marginal_gain,\n")
+    sb.append("       CAST(SUM(gain) OVER (ORDER BY rank ASC) AS BIGINT) AS covered_total\nFROM (\n")
+    sb.append(unions.mkString("\nUNION ALL\n"))
+    sb.append("\n) u ORDER BY rank ASC")
+    sb.toString
+  }
+
   private val shinglesSql =
     s"""list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)),
        | i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2])""".stripMargin.replace("\n", "")
@@ -1485,6 +1568,7 @@ object DedupQueries {
          |       (lev * 1000000) // greatest(maxlen, 1) AS ratio_ppm,
          |       (lev * 1000000) // greatest(maxlen, 1) <= 300000 AS is_dup
          |FROM sc ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "d_greedy_cover" -> greedyCoverOracleSql,
     "d_minhash_eval" ->
       s"""WITH bands AS ($bandRowsSql),
          |cp AS (

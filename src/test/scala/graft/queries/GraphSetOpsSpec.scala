@@ -322,6 +322,38 @@ class GraphSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d_greedy_cover matches an exhaustive driver greedy; gains non-increasing") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val gramSets = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      id -> toks.sliding(3).filter(_.length == 3)
+        .map(w => h60(w.mkString(" "))).toSet
+    }.toMap
+    var covered = Set.empty[Long]
+    val exp = (1 to 10).map { r =>
+      val (bestId, bestGain) = gramSets.toSeq
+        .map { case (id, gs) => (id, (gs -- covered).size.toLong) }
+        .maxBy { case (id, gain) => (gain, -id) }
+      covered = covered ++ gramSets(bestId)
+      (r, bestId, bestGain, covered.size.toLong)
+    }
+    val got = DedupQueries.queries("d_greedy_cover")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp, s"greedy trace differs:\n$got\nvs\n$exp")
+    // submodularity: greedy marginal gains never increase
+    got.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
+
   test("q_dq_checks recounts two checks exactly") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity").collect().map(_.getDouble(0))
