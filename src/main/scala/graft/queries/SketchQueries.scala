@@ -94,6 +94,55 @@ object SketchQueries {
       .orderBy(col("regionkey").asc)
   }
 
+  /** RUNNING CUMULATIVE-DISTINCT CURVE from the HLL sketch — "distinct
+    * users to date, per day", the growth metric every corpus/user
+    * dashboard needs, WITHOUT ever re-scanning history: per-day
+    * sketches (the same md5 register core) become the cumulative
+    * sketch at day d by a running register-wise max over the day
+    * spine — mergeability applied along TIME instead of across groups
+    * (`q_hll_merge`). The exact cumulative count rides beside the
+    * estimate (first-seen-day counts, one running sum), so the
+    * estimator error is visible per day.
+    *
+    * 100 TB shape: the heavy input collapses to |days| x 64 register
+    * rows at the first aggregate; the spine cross join, running-max
+    * window (partitioned BY REGISTER, |days| rows each) and the
+    * per-day Z fold all run on that metadata-scale frame. The
+    * first-seen exact side is one user-keyed agg + a |days|-scale
+    * running sum.
+    */
+  private def hllRunning(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val regRows = hllRegisterRows(
+      ev.select(col("day"), hash60(col("user_id").cast("string")).as("h")),
+      Seq("day"))
+    val days = ev.select(col("day")).distinct()
+    val spine = days.crossJoin(
+      s.range(64).select(col("id").cast("int").as("reg")))
+    val wreg = W.partitionBy(col("reg")).orderBy(col("day").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val z = spine.join(regRows, Seq("day", "reg"), "left")
+      .withColumn("runm", max(col("mrho")).over(wreg))
+      .filter(col("runm").isNotNull)
+      .groupBy(col("day")).agg(
+        sum(call_function("shiftleft", lit(1L), lit(55) - col("runm")))
+          .cast("long").as("zp"),
+        count(lit(1)).as("npresent"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("nnew"))
+    val wday = W.partitionBy(WindowUtil.onePartition(col("day")))
+      .orderBy(col("day").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    days.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_exact_cum",
+        sum(coalesce(col("nnew"), lit(0L))).over(wday))
+      .join(z, Seq("day"))
+      .select(col("day"), col("n_exact_cum"), hllEstimateAs("est_cum"))
+      .orderBy(col("day").asc)
+  }
+
   private def hllCustkey(s: SparkSession, d: String): DataFrame = {
     val z = hllRegisters(Tables.orders(s, d)
       .select(hash60(col("o_custkey").cast("string")).as("h")), Nil)
@@ -552,6 +601,7 @@ object SketchQueries {
     "q_cms_topk"       -> (cmsTopk _),
     "q_hll_by_flag"    -> (hllByFlag _),
     "q_hll_merge"      -> (hllMerge _),
+    "q_hll_running"    -> (hllRunning _),
     "q_profile"        -> (profile _),
   )
 
@@ -736,6 +786,35 @@ object SketchQueries {
     // the mergeability replay: per-nation max-rho register rows (nm),
     // merged region-wise (mm) vs built region-wise directly (dm); the
     // estimate formula is the one hllOracleSql template expression
+    "q_hll_running" -> {
+      val est = rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)
+      s"""WITH ev AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
+         |h AS (SELECT day, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM ev),
+         |r AS (SELECT day, h % 64 AS reg, h // 64 AS w FROM h),
+         |rr AS (SELECT day, reg,
+         |         CASE WHEN w = 0 THEN 55 ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho FROM r),
+         |dm AS (SELECT day, reg, MAX(rho) AS mrho FROM rr GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM ev),
+         |spine AS (SELECT d.day, g.reg FROM days d, generate_series(0, 63) AS g(reg)),
+         |run AS (
+         |  SELECT s.day, s.reg,
+         |         MAX(dm.mrho) OVER (PARTITION BY s.reg ORDER BY s.day ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runm
+         |  FROM spine s LEFT JOIN dm ON dm.day = s.day AND dm.reg = s.reg),
+         |z AS (SELECT day, CAST(SUM(CAST(1 AS BIGINT) << (55 - runm)) AS BIGINT) AS zp,
+         |        COUNT(*) AS npresent
+         |      FROM run WHERE runm IS NOT NULL GROUP BY 1),
+         |fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+         |nn AS (SELECT day, COUNT(*) AS nnew FROM fs GROUP BY 1),
+         |ex AS (
+         |  SELECT d.day,
+         |         CAST(SUM(coalesce(nn.nnew, 0)) OVER (ORDER BY d.day ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_exact_cum
+         |  FROM days d LEFT JOIN nn ON nn.day = d.day)
+         |SELECT ex.day, ex.n_exact_cum, $est AS est_cum
+         |FROM ex JOIN z USING (day) ORDER BY day ASC""".stripMargin
+    },
     "q_hll_merge" -> {
       val est = rndSql("0.709 * 4096.0 * POWER(2.0, 55.0) / CAST(zp + (64 - npresent) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)", 4)
       s"""WITH src AS (
