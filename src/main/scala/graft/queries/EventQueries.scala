@@ -457,7 +457,57 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** TOKEN-BUCKET RATE-LIMIT REPLAY per user — admission-control audit
+    * over the event log (quota/throttling semantics every serving stack
+    * enforces; replaying it over history is how limits get tuned):
+    * bucket of 5 tokens, 1 token per 600 s refill, every event takes
+    * one token or is throttled. The clamped recursion (min(capacity,
+    * tokens + refill)) has no window-function closed form, so it runs
+    * as the [[ewma]]-family exact-integer fold — but with the WHOLE
+    * bucket state packed into one BIGINT (admitted * 2^42 +
+    * milli_tokens * 2^23 + rel_seconds), because DuckDB's list_reduce
+    * initializes from the raw FIRST ELEMENT: the Spark side folds
+    * slice(2..n) with init = element 1 (identical semantics, no
+    * sentinel), and the step lambda decodes "raw element" vs "packed
+    * state" by magnitude (a packed state always carries admitted >= 1
+    * in the high bits). rel_seconds is anchored at 2024-01-01 and the
+    * 23-bit field holds 97 days — the fold is exact while a per-user
+    * window stays under that horizon (at scale the keyed state would
+    * roll per (user, month), like every quota ledger).
+    *
+    * 100 TB shape: one user-keyed shuffle; per-user lists are
+    * per-key-bounded (the quota window), the fold is per-row compute;
+    * output one row per user.
+    */
+  private def rateLimit(s: SparkSession, d: String): DataFrame = {
+    val step = (acc: String, x: String) =>
+      s"""(CAST(IF($acc < 8388608, 1, $acc div 4398046511104) +
+         |   IF(least(3000, IF($acc < 8388608, 2000, ($acc div 8388608) % 524288)
+         |        + (($x - $acc % 8388608) * 5) div 216) >= 1000, 1, 0) AS BIGINT)
+         |    * 4398046511104
+         | + (least(3000, IF($acc < 8388608, 2000, ($acc div 8388608) % 524288)
+         |        + (($x - $acc % 8388608) * 5) div 216)
+         |    - IF(least(3000, IF($acc < 8388608, 2000, ($acc div 8388608) % 524288)
+         |        + (($x - $acc % 8388608) * 5) div 216) >= 1000, 1000, 0)) * 8388608
+         | + $x)""".stripMargin.replace("\n", " ")
+    Tables.events(s, d)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - lit(1704067200L)).as("rel"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("rel"))).as("tss"),
+        count(lit(1)).as("n_events"))
+      .withColumn("fin", expr(
+        s"""aggregate(slice(tss, 2, greatest(size(tss) - 1, 0)),
+           |  element_at(tss, 1), (acc, x) -> ${step("acc", "x")})""".stripMargin))
+      .select(col("user_id"), col("n_events"),
+        expr("IF(fin < 8388608, CAST(1 AS BIGINT), fin div 4398046511104)").as("n_admitted"),
+        expr("IF(fin < 8388608, CAST(2000 AS BIGINT), (fin div 8388608) % 524288)").as("tokens_milli"))
+      .withColumn("n_throttled", col("n_events") - col("n_admitted"))
+      .orderBy(col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_rate_limit"    -> (rateLimit _),
     "e_ewma"          -> (ewma _),
     "e_locf"          -> (locf _),
     "e_transitions"   -> (transitions _),
@@ -478,6 +528,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // e_rate_limit: the identical packed-state fold; list_reduce's raw
+    // first-element init is decoded by magnitude inside the step
+    "e_rate_limit" -> {
+      def tok0(acc: String) =
+        s"(CASE WHEN $acc < 8388608 THEN 2000 ELSE ($acc // 8388608) % 524288 END)"
+      def adm0(acc: String) =
+        s"(CASE WHEN $acc < 8388608 THEN 1 ELSE $acc // 4398046511104 END)"
+      val t1 = s"least(3000, ${tok0("acc")} + ((x - acc % 8388608) * 5) // 216)"
+      val step = s"(${adm0("acc")} + (CASE WHEN $t1 >= 1000 THEN 1 ELSE 0 END)) * 4398046511104" +
+        s" + ($t1 - (CASE WHEN $t1 >= 1000 THEN 1000 ELSE 0 END)) * 8388608 + x"
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_ms(ts) // 1000 - 1704067200 AS rel FROM events),
+         |arr AS (SELECT user_id, count(*) AS n_events,
+         |               list(rel ORDER BY rel ASC) AS tss
+         |        FROM ev GROUP BY 1),
+         |f AS (SELECT user_id, n_events,
+         |             list_reduce(tss, (acc, x) -> $step) AS fin
+         |      FROM arr)
+         |SELECT user_id, n_events,
+         |  CAST(CASE WHEN fin < 8388608 THEN 1 ELSE fin // 4398046511104 END AS BIGINT) AS n_admitted,
+         |  CAST(CASE WHEN fin < 8388608 THEN 2000 ELSE (fin // 8388608) % 524288 END AS BIGINT) AS tokens_milli,
+         |  n_events - CAST(CASE WHEN fin < 8388608 THEN 1 ELSE fin // 4398046511104 END AS BIGINT) AS n_throttled
+         |FROM f ORDER BY user_id ASC""".stripMargin
+    },
     // e_ewma: list_reduce's first-element-init matches the Spark fold's
     // sentinel init; generate_subscripts per the no-lateral-series rule
     "e_ewma" ->

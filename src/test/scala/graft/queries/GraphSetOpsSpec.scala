@@ -354,6 +354,35 @@ class GraphSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e_rate_limit matches a driver token-bucket simulation") {
+    val ev = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        (org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("ts")) -
+          org.apache.spark.sql.functions.lit(1704067200L)).as("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = ev.groupBy(_._1).map { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      var tok = 2000L; var adm = 1L; var last = ts.head
+      for (x <- ts.tail) {
+        tok = math.min(3000L, tok + (x - last) * 5 / 216)
+        if (tok >= 1000L) { tok -= 1000L; adm += 1 }
+        last = x
+      }
+      uid -> (ts.length.toLong, adm, tok)
+    }
+    val got = EventQueries.queries("e_rate_limit")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == exp.size)
+    got.foreach { case (uid, (n, adm, tokMilli, thr)) =>
+      val (en, eadm, etok) = exp(uid)
+      assert(n == en && adm == eadm && tokMilli == etok && thr == n - adm,
+        s"bucket state mismatch for user $uid")
+    }
+    assert(got.map(_._2._4).sum > 0, "parameters must actually throttle")
+  }
+
   test("q_dq_checks recounts two checks exactly") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity").collect().map(_.getDouble(0))
