@@ -115,6 +115,10 @@ object PlanDump {
     "q_shortest_path",         // 8 chained relax supersteps, self-loop min fold, checkpointed edges
     "d_edit_dedup",            // candidate-bounded text hydration joins + codegen levenshtein
     "q_dq_checks",             // one conditional-agg pass per table + key-only anti-joins, stacked rows
+    "d_greedy_cover",          // per-round semi-join covered set + anti-join marginals + TakeOrdered(1)
+    "q_hll_running",           // |days| x 64 register spine, running max window, per-day Z fold
+    "e_rate_limit",            // user-keyed fold: packed-BIGINT bucket state in one aggregate HOF
+    "q_shard_ring",            // one-row ring column crossJoin, map-side assignment, no literal
   )
 
   def main(args: Array[String]): Unit = {
