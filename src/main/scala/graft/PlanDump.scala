@@ -119,6 +119,9 @@ object PlanDump {
     "q_hll_running",           // |days| x 64 register spine, running max window, per-day Z fold
     "e_rate_limit",            // user-keyed fold: packed-BIGINT bucket state in one aggregate HOF
     "q_shard_ring",            // one-row ring column crossJoin, map-side assignment, no literal
+    "v_kcenter_coreset",       // incremental min-dist frame x broadcast newest center, TakeOrdered(1)/round
+    "q_communities",           // LPA superstep: equi-join + two hash aggs (max_by argmax, no sort window)
+    "e_attribution",           // one user-keyed IGNORE-NULLS carry window -> |days|-bounded agg
   )
 
   def main(args: Array[String]): Unit = {

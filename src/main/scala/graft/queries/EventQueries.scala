@@ -506,7 +506,49 @@ object EventQueries {
       .orderBy(col("user_id").asc)
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing/conversion-analytics join of
+    * the funnel family: every purchase is attributed to the user's most
+    * recent click strictly before it and within a 7-day lookback, daily
+    * rollup of attributed vs organic purchases plus attributed revenue.
+    * One pass, no self-join: an IGNORE-NULLS running `last` window per
+    * user (ordered by ts, event_id — the total-order contract) carries
+    * the latest click timestamp onto every row, then the purchase filter
+    * and a daily aggregate. The horizon test runs on epoch MICROSECOND
+    * integers (unix_micros/epoch_us — identical on both engines; no
+    * interval arithmetic), strict `<` so a same-instant click never
+    * attributes to itself, and revenue is per-item floor(value*1e4+0.5)
+    * BIGINT e4 units summed exactly (the sql_returned_revenue rule).
+    *
+    * 100 TB shape: one user_id-keyed shuffle for the window (the
+    * sessionize/funnel partitioning), then a |days|-bounded aggregate
+    * with map-side partials; no state beyond the one carried column and
+    * no driver-side anything.
+    */
+  private def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val H = 7L * 86400L * 1000000L // 7-day lookback in microseconds
+    Tables.events(s, d)
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("is_attr",
+        col("click_us").isNotNull && col("click_us") < col("us") &&
+          (col("us") - col("click_us")) <= lit(H))
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(when(col("is_attr"), 1L).otherwise(0L)).as("attributed"),
+        sum(when(col("is_attr"),
+            floor(col("value") * lit(10000.0) + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("attributed_value_e4"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_attribution"   -> (attribution _),
     "e_rate_limit"    -> (rateLimit _),
     "e_ewma"          -> (ewma _),
     "e_locf"          -> (locf _),
@@ -528,6 +570,27 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // e_attribution: identical IGNORE-NULLS carry + integer-microsecond
+    // horizon + e4-unit revenue replay
+    "e_attribution" ->
+      """WITH wc AS (
+        |  SELECT ts, event_type, value, epoch_us(ts) AS us,
+        |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        |  FROM events),
+        |p AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         (click_us IS NOT NULL AND click_us < us
+        |          AND us - click_us <= 604800000000) AS is_attr,
+        |         value
+        |  FROM wc WHERE event_type = 'purchase')
+        |SELECT day, CAST(count(*) AS BIGINT) AS purchases,
+        |       CAST(sum(CASE WHEN is_attr THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+        |       CAST(sum(CASE WHEN is_attr
+        |                THEN CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+        |                ELSE 0 END) AS BIGINT) AS attributed_value_e4
+        |FROM p GROUP BY day ORDER BY day ASC""".stripMargin,
     // e_rate_limit: the identical packed-state fold; list_reduce's raw
     // first-element init is decoded by magnitude inside the step
     "e_rate_limit" -> {

@@ -503,6 +503,100 @@ object VectorQueries {
       .orderBy(col("rank").asc)
   }
 
+  /** K-CENTER CORESET SELECTION — Gonzalez farthest-point greedy, the
+    * 2-approximation for the k-center objective and the classic
+    * diversity-maximizing subset selector for training-data curation
+    * (pick K exemplars so no point is far from its nearest exemplar; the
+    * geometric complement of the coverage-maximizing d_greedy_cover).
+    * Deterministic throughout: per-dim micro-unit quantization
+    * (floor(x*1e6 + 0.5), the v_dim_stats convention) makes every
+    * distance an exact BIGINT so the whole K-round trajectory replays in
+    * SQL; seed = min vec_id; argmax ties break to the smaller vec_id.
+    * radius2 of round r is the selected point's squared distance to the
+    * r-1 previously chosen centers — the greedy max-min sequence, which
+    * the spec asserts is non-increasing (the property the 2-approx proof
+    * rests on).
+    *
+    * 100 TB shape: the min-distance frame is NODES-scale and updated
+    * INCREMENTALLY — each round joins it against ONLY the newest center
+    * (broadcast 1-row), computes least(md, dist-to-new), and takes one
+    * TakeOrdered(1); no round ever re-scans the full center set, so the
+    * per-round cost is one corpus scan + K driver-side rows total (the
+    * d_greedy_cover / v_mmr_rerank k-bounded driver-state pattern).
+    * localCheckpoint per round keeps lineage depth constant.
+    */
+  private def kcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val q = emb(s, d).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("qe"))
+      .localCheckpoint()
+    val seedId = q.agg(min(col("vec_id"))).head().getLong(0)
+    def centerEmb(id: Long) =
+      broadcast(q.filter(col("vec_id") === lit(id)).select(col("qe").as("ce")))
+    var sel = Vector((1, seedId, 0L))
+    var md = q.crossJoin(centerEmb(seedId))
+      .select(col("vec_id"), col("qe"), d2(col("qe"), col("ce")).as("md"))
+      .localCheckpoint()
+    for (r <- 2 to K) {
+      val top = md.orderBy(col("md").desc, col("vec_id").asc)
+        .select(col("vec_id"), col("md")).limit(1).head()
+      val cid = top.getLong(0)
+      sel = sel :+ ((r, cid, top.getLong(1)))
+      if (r < K)
+        md = md.crossJoin(centerEmb(cid))
+          .select(col("vec_id"), col("qe"),
+            least(col("md"), d2(col("qe"), col("ce"))).as("md"))
+          .localCheckpoint()
+    }
+    sel.toDF("rank", "vec_id", "radius2")
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("radius2"))
+      .orderBy(col("rank").asc)
+  }
+
+  /** Oracle: the identical greedy unrolled as K rounds of MATERIALIZED
+    * CTEs (cr = argmax of the min-distance frame, mr = incremental
+    * least() against only cr — the same linear recurrence the engine
+    * runs), distances replayed with list_zip on the same micro-unit
+    * integer lists.
+    */
+  private def kcenterOracleSql: String = {
+    val K = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |c1 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS md FROM q ORDER BY vec_id ASC LIMIT 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT a.vec_id,
+        |         CAST(list_sum(list_transform(list_zip(a.qe, c.qe),
+        |              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS md
+        |  FROM q a, (SELECT q.qe FROM q JOIN c1 USING (vec_id)) c)""".stripMargin)
+    for (r <- 2 to K) {
+      sb.append(
+        s""",\nc$r AS MATERIALIZED (SELECT vec_id, md FROM m${r - 1} ORDER BY md DESC, vec_id ASC LIMIT 1)""")
+      if (r < K) sb.append(
+        s""",\nm$r AS MATERIALIZED (
+           |  SELECT a.vec_id,
+           |         LEAST(a.md, CAST(list_sum(list_transform(list_zip(q.qe, c.qe),
+           |              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS md
+           |  FROM m${r - 1} a JOIN q ON q.vec_id = a.vec_id
+           |  CROSS JOIN (SELECT q.qe FROM q JOIN c$r USING (vec_id)) c)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to K).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, vec_id, md AS radius2 FROM c$r"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rank ASC"))
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_matryoshka"     -> (matryoshka _),
     "v_knn_cosine"     -> knn("cosine", 10) _,
@@ -524,6 +618,7 @@ object VectorQueries {
     "v_pca_eigvals"    -> (pcaEigvals _),
     "v_dim_stats"      -> (dimStats _),
     "v_centroid_shift" -> (centroidShift _),
+    "v_kcenter_coreset" -> (kcenterCoreset _),
   )
 
   /** PcaIters unrolled (matvec, max-norm, rescale) rounds over matrix CTE
@@ -782,6 +877,7 @@ object VectorQueries {
          |UNION ALL
          |SELECT 2 AS comp, lam AS lam_u FROM lam2
          |ORDER BY comp ASC""".stripMargin,
+    "v_kcenter_coreset" -> kcenterOracleSql,
   )
 
   /** The top-2 chain: base gram CTEs + comp-1 rounds + lam/deflation +

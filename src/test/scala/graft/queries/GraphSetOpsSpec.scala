@@ -394,4 +394,82 @@ class GraphSetOpsSpec extends AnyFunSuite {
     assert(got("orders.orderkey_unique") == ((1000000L, true)))
     assert(got.size == 8 && got.values.forall(v => v._1 >= 0 && v._1 <= 1000000L))
   }
+
+  test("q_communities matches a driver-side synchronous LPA replay") {
+    val e = edges()
+    val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 5) {
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        val mx = counts.values.max
+        v -> counts.collect { case (l, c) if c == mx => l }.min
+      }
+    }
+    val got = RelationalQueries.queries("q_communities")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab, "per-node community labels must match the replay")
+    assert(got.values.toSet.size < got.size,
+      "propagation must actually merge some labels")
+  }
+
+  test("v_kcenter_coreset matches a driver greedy; radii non-increasing") {
+    val pts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000.0 + 0.5) as bigint)) qe")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val ids = pts.keys.toSeq.sorted
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var exp = Vector((1, ids.head, 0L))
+    val md = scala.collection.mutable.Map.empty[Long, Long]
+    ids.foreach(i => md(i) = d2(pts(i), pts(ids.head)))
+    for (r <- 2 to 8) {
+      val cid = ids.minBy(i => (-md(i), i))
+      exp = exp :+ ((r, cid, md(cid)))
+      ids.foreach { i =>
+        val d = d2(pts(i), pts(cid)); if (d < md(i)) md(i) = d
+      }
+    }
+    val got = VectorQueries.queries("v_kcenter_coreset")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == exp, "greedy selection trajectory must match the replay")
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "max-min radii must be non-increasing (greedy k-center invariant)")
+  }
+
+  test("e_attribution matches a driver last-touch replay") {
+    import org.apache.spark.sql.functions.{col, unix_micros, date_trunc, to_date}
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        to_date(date_trunc("day", col("ts"))).cast("string").as("day"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5)))
+    val H = 7L * 86400L * 1000000L
+    val daily = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    ev.groupBy(_._1).values.foreach { rows =>
+      var clickUs = Option.empty[Long]
+      rows.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, day, typ, v) =>
+        if (typ == "purchase") {
+          val attr = clickUs.exists(c => c < us && us - c <= H)
+          val (p, a, rev) = daily(day)
+          daily(day) = (p + 1, a + (if (attr) 1L else 0L),
+            rev + (if (attr) math.floor(v * 10000.0 + 0.5).toLong else 0L))
+        }
+        if (typ == "click") clickUs = Some(us)
+      }
+    }
+    val got = EventQueries.queries("e_attribution")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == daily.toMap, "daily attribution rollup must match")
+    assert(got.values.map(_._2).sum > 0 &&
+      got.values.map(_._2).sum < got.values.map(_._1).sum,
+      "both the attributed and organic paths must be exercised")
+  }
 }
