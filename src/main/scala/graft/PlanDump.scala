@@ -122,6 +122,10 @@ object PlanDump {
     "v_kcenter_coreset",       // incremental min-dist frame x broadcast newest center, TakeOrdered(1)/round
     "q_communities",           // LPA superstep: equi-join + two hash aggs (max_by argmax, no sort window)
     "e_attribution",           // one user-keyed IGNORE-NULLS carry window -> |days|-bounded agg
+    "t_clf_auc",               // bucketed rank decomposition: R-bucket prefix + per-bucket windows
+    "q_link_predict",          // wedge equi-join -> anti-join existing edges -> TakeOrdered(20)
+    "e_wau",                   // dedup user-days -> bounded cover explode -> per-day count-distinct
+    "q_skew_audit",            // per-key count agg + decimal moment fold + k-bounded top-10 side
   )
 
   def main(args: Array[String]): Unit = {

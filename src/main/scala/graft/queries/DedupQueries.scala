@@ -476,6 +476,32 @@ object DedupQueries {
       .orderBy(col("lang").asc)
   }
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT (98/1/1) — the last
+    * bookkeeping step before a corpus ships to training, and the one
+    * that must be STABLE under re-runs, appends, and repartitioning:
+    * split = hash60("split|" || doc_id) % 100 (<98 train, =98 val, else
+    * test), a pure per-row function of the document identity — no RNG
+    * state, no global sort, no sampling pass; adding documents never
+    * flips an existing assignment (the resample-stability contract the
+    * hash-threshold samplers established). Output is the per-(lang,
+    * split) audit: counts plus exact-ppm share within the language — the
+    * stratification-drift readout reviewers check before a run. One
+    * map-side-combined aggregation; the share join is |lang|x3 rows.
+    */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val b = hash60(concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    val split = when(b < 98, "train").when(b === 98, "val").otherwise("test")
+    val g = docs(s, d).select(col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+    val tot = g.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    g.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("split"), col("n"),
+        col("n_lang").cast("long").as("n_lang"),
+        expr("(1000000 * n) div n_lang").as("share_ppm"))
+      .orderBy(col("lang").asc, col("split").asc)
+  }
+
   /** The WHOLE curation pipeline as one DAG — the capstone composition:
     * exact dedup (md5-canonical), near-dup cluster dedup (CC-canonical),
     * benchmark decontamination, repetition quality filter, then sequence
@@ -899,6 +925,7 @@ object DedupQueries {
     "d_simhash"       -> (simhash _),
     "d_simhash_pairs" -> (simhashPairs _),
     "d_jaccard_pairs" -> (jaccardPairs _),
+    "d_split_assign" -> (splitAssign _),
     "d_stratified_sample" -> (stratifiedSample _),
     "d_contamination" -> (contamination _),
     "d_pipeline_e2e"  -> (pipelineE2e _),
@@ -1747,6 +1774,21 @@ object DedupQueries {
          |FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // d_split_assign: identical hash-mod-100 assignment; shares replayed
+    // with the same truncating ppm division (all positive)
+    "d_split_assign" ->
+      """WITH a AS (
+        |  SELECT lang,
+        |         CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 98 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 = 98 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM g GROUP BY 1)
+        |SELECT g.lang, g.split, g.n, t.n_lang,
+        |       CAST((1000000 * g.n) // t.n_lang AS BIGINT) AS share_ppm
+        |FROM g JOIN t USING (lang)
+        |ORDER BY lang ASC, split ASC""".stripMargin,
     "d_stratified_sample" ->
       """WITH rates(lang, keep_pct) AS (
         |  VALUES ('en', 20), ('zh', 60), ('es', 60), ('de', 60))

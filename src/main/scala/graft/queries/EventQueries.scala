@@ -547,7 +547,103 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** AUTOCORRELATION FUNCTION (lags 1..7) of the daily purchase-count
+    * series — the seasonality probe of the time-series family (weekly
+    * cadence shows as a lag-7 peak), beside `e_trend_fit` (trend) and
+    * `e_ewma` (smoothing). Exact-integer estimator: with n = |days| and
+    * S = Σy, the centered deviation n·y_t − S is an exact integer (no
+    * rational mean anywhere), and
+    *   acf_e6(k) = (1e6 · Σ_t dev_t·dev_{t+k}) div (Σ_t dev_t²)
+    * — the classic biased ACF estimator scaled by n² in both numerator
+    * and denominator, so the n² cancels and every intermediate is an
+    * exact product of integers. Deviations are DECIMAL(18,0) so products
+    * are exact DECIMAL(37,0) (at 100 TB: y≈1e11/day over a 30-day spine
+    * makes dev≈3e12, dev²≈1e25, lag-sums≈3e26 — inside DECIMAL(28,0)
+    * for the final 1e6 rescale, spelled with an explicit down-cast so
+    * Spark's precision-loss rules never engage). Division truncates
+    * toward zero on both engines (Spark `div`; the oracle spells the
+    * sign-safe `//` CASE — DuckDB floors negatives).
+    *
+    * 100 TB shape: the raw log collapses to |days| rows at the first
+    * count aggregate; the spine join, the 7-lag self-join, and both
+    * sufficient-statistic aggregates all run on that bounded series
+    * (gap days count 0 so lag-k is a true calendar shift). Driver state:
+    * nothing — the scalar stats ride a broadcast one-row crossJoin.
+    */
+  private def acf(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cal = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val series = cal.join(daily, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val st = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dev = series.crossJoin(broadcast(st))
+      .select(col("day"),
+        (col("y") * col("n") - col("s")).cast("decimal(18,0)").as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    dev.as("a").crossJoin(broadcast(lags))
+      .withColumn("day2", date_add(col("day"), col("lag")))
+      .join(dev.as("b"), col("day2") === col("b.day"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("npairs"),
+        sum(col("a.dev") * col("b.dev")).as("num0"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("npairs"),
+        expr("(1000000 * CAST(num0 AS DECIMAL(28,0))) div den").as("acf_e6"))
+      .orderBy(col("lag").asc)
+  }
+
+  /** EXACT TRAILING-7-DAY ACTIVE USERS (DAU/WAU + stickiness) — the
+    * engagement readout beside `q_hll_running`'s sketch curve, computed
+    * EXACTLY without any per-day rescan of history: the distinct
+    * (user, day) pairs each cover the ≤7 report days they make "active"
+    * (one bounded explode — a 7x blowup of the DEDUPLICATED user-day
+    * frame, not the raw log), then one count-distinct per report day.
+    * Stickiness = DAU/WAU in truncating ppm — the ratio product teams
+    * actually watch. The day spine left-join keeps silent days visible
+    * as zeros.
+    *
+    * 100 TB shape: the raw log collapses to distinct user-days first
+    * (one keyed shuffle with partial agg); the cover explode is bounded
+    * by 7x that; both count-distincts shuffle on (day, user) — no
+    * global window, no driver state. The HLL entry is the sketch path
+    * when even user-days are too hot; this is the exact path.
+    */
+  private def wau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1"),
+      expr("interval 1 day"))).as("day"))
+    val cover = ud.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(date_add(col("day"), 6), col("d1")),
+          expr("interval 1 day"))).as("rday"))
+    val wauD = cover.groupBy(col("rday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dauD = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    spine.join(wauD, Seq("day"), "left_outer")
+      .join(dauD, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness_ppm",
+        expr("CASE WHEN wau = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * dau) div wau END"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_acf"           -> (acf _),
+    "e_wau"           -> (wau _),
     "e_attribution"   -> (attribution _),
     "e_rate_limit"    -> (rateLimit _),
     "e_ewma"          -> (ewma _),
@@ -570,6 +666,52 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // e_acf: the identical n-scaled integer deviations; HUGEINT products
+    // (SUM(BIGINT) is already HUGEINT), sign-safe truncating division
+    "e_acf" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+        |                  CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |series AS (
+        |  SELECT cal.day, COALESCE(y, 0) AS y FROM cal LEFT JOIN daily USING (day)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS s FROM series),
+        |dev AS (
+        |  SELECT day, CAST(y * n - s AS HUGEINT) AS dev FROM series, st),
+        |den AS (SELECT SUM(dev * dev) AS den FROM dev),
+        |num AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS npairs,
+        |         SUM(a.dev * b.dev) AS num0
+        |  FROM dev a, (SELECT unnest(generate_series(1, 7)) AS lag) l,
+        |       dev b
+        |  WHERE b.day = a.day + CAST(lag AS INTEGER)
+        |  GROUP BY lag)
+        |SELECT CAST(lag AS INTEGER) AS lag, npairs,
+        |       CAST(CASE WHEN num0 >= 0 THEN (1000000 * num0) // den
+        |                 ELSE -((0 - 1000000 * num0) // den) END AS BIGINT) AS acf_e6
+        |FROM num, den ORDER BY lag ASC""".stripMargin,
+    // e_wau: identical cover-day explode on the deduplicated user-day
+    // frame; all counts non-negative so plain truncating //
+    "e_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |cover AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(day, LEAST(day + 6, (SELECT d1 FROM b)), INTERVAL 1 DAY)) AS DATE) AS rday
+        |  FROM ud),
+        |w AS (SELECT rday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM cover GROUP BY 1),
+        |da AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY 1)
+        |SELECT cal.day, COALESCE(da.dau, 0) AS dau, COALESCE(w.wau, 0) AS wau,
+        |       CAST(CASE WHEN COALESCE(w.wau, 0) = 0 THEN 0
+        |                 ELSE (1000000 * COALESCE(da.dau, 0)) // w.wau END AS BIGINT) AS stickiness_ppm
+        |FROM cal LEFT JOIN w USING (day) LEFT JOIN da USING (day)
+        |ORDER BY day ASC""".stripMargin,
     // e_attribution: identical IGNORE-NULLS carry + integer-microsecond
     // horizon + e4-unit revenue replay
     "e_attribution" ->

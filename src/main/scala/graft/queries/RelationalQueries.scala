@@ -466,6 +466,66 @@ object RelationalQueries {
     sb.toString
   }
 
+  /** LINK PREDICTION over the shared co-purchase graph — the
+    * recommender-side readout beside LPA (communities) and PageRank
+    * (influence): for every non-adjacent pair at distance 2, the
+    * common-neighbor count and the neighbor-set Jaccard, top-20
+    * predicted links. cn(u,w) = |N(u)∩N(w)| comes from ONE wedge
+    * equi-join through the shared neighbor (the triangle-counting
+    * shape) + a hash aggregate; existing edges drop out with an
+    * anti-join; Jaccard is exact integer ppm via |N(u)∪N(w)| =
+    * du+dw−cn (u,w proved non-adjacent, so no overlap correction).
+    * Ranking (cn desc, jacc desc, id asc) is total — compiles to
+    * TakeOrderedAndProject.
+    *
+    * 100 TB shape: the candidate set is wedge-bounded (Σ_v deg(v)²),
+    * never |V|² — the same hub-skew exposure as triangle counting,
+    * handled there by degree orientation and here by AQE skew-split on
+    * the wedge join (production graphs add a degree cap on the hub
+    * side); all joins are equi-joins on node keys, the degree side is
+    * nodes-scale, and the k-bounded top-20 never materializes a global
+    * sort.
+    */
+  private def linkPredict(s: SparkSession, d: String): DataFrame = {
+    val base = coPurchaseEdges(s, d).localCheckpoint() // wedges×2 + anti
+    val adj = base.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(base.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = adj.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    val cand = adj.as("x").join(adj.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
+      .select(col("x.src").as("u"), col("y.dst").as("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+    val nonEdge = cand.join(base,
+      cand("u") === base("pa") && cand("w") === base("pb"), "left_anti")
+    nonEdge
+      .join(deg.select(col("p").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("w"), col("deg").as("dw")), Seq("w"))
+      .select(col("u").as("pa"), col("w").as("pb"), col("cn"),
+        col("du"), col("dw"),
+        expr("(1000000 * cn) div (du + dw - cn)").as("jacc_e6"))
+      .orderBy(col("cn").desc, col("jacc_e6").desc,
+        col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  private def linkPredictOracleSql: String =
+    """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |be AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM be UNION ALL SELECT pb, pa FROM be),
+      |deg AS (SELECT src AS p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |cand AS (
+      |  SELECT x.src AS u, y.dst AS w, CAST(count(*) AS BIGINT) AS cn
+      |  FROM e x JOIN e y ON x.dst = y.src AND x.src < y.dst
+      |  GROUP BY 1, 2),
+      |ne AS (
+      |  SELECT u, w, cn FROM cand
+      |  WHERE NOT EXISTS (SELECT 1 FROM be WHERE be.pa = cand.u AND be.pb = cand.w))
+      |SELECT ne.u AS pa, ne.w AS pb, ne.cn,
+      |       du.deg AS du, dw.deg AS dw,
+      |       CAST((1000000 * ne.cn) // (du.deg + dw.deg - ne.cn) AS BIGINT) AS jacc_e6
+      |FROM ne JOIN deg du ON du.p = ne.u JOIN deg dw ON dw.p = ne.w
+      |ORDER BY cn DESC, jacc_e6 DESC, pa ASC, pb ASC LIMIT 20""".stripMargin
+
   /** ASSOCIATION-RULE MINING over the order/part basket (market-basket
     * analysis, the frequent-itemset surface): pair support, directional
     * confidence, and lift for co-purchased part pairs. Apriori pruning
@@ -570,6 +630,39 @@ object RelationalQueries {
       .orderBy(col("check").asc)
   }
 
+  /** KEY-DISTRIBUTION SKEW AUDIT over the event log's user_id — the
+    * measurement that decides whether a shuffle needs salting BEFORE the
+    * job runs (the `q_salted_join` fix, preceded by its diagnostic):
+    * key count, max and top-10 key shares in exact ppm, and the
+    * partitioning-theory IMBALANCE FACTOR imb = K·Σc²/T² — the expected
+    * per-lookup cost ratio vs a uniform distribution (1.0 = uniform; a
+    * hash-partitioned shuffle's hottest-reducer blowup grows with it).
+    * Pure aggregates, NO global sort: Σc² and max(c) come from the one
+    * per-key count pass, the top-10 side is a k-bounded TakeOrdered, and
+    * Σc² accumulates in DECIMAL(38,0) (at 100 TB: T≈1e12 rows, K≈1e9
+    * keys makes K·Σc²≈1e27 — past BIGINT, inside 38 digits; the oracle's
+    * SUM(BIGINT) is already HUGEINT).
+    */
+  private def skewAudit(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val top10 = keyed.orderBy(col("c").desc, col("user_id").asc).limit(10)
+      .agg(sum(col("c")).as("top10"))
+    keyed.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sc2"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        expr("(1000000 * max_c) div n_rows").as("top1_share_ppm"),
+        expr("(1000000 * top10) div n_rows").as("top10_share_ppm"),
+        expr("(1000000 * CAST(n_keys AS DECIMAL(19,0)) * sc2) div " +
+          "(CAST(n_rows AS DECIMAL(19,0)) * CAST(n_rows AS DECIMAL(19,0)))")
+          .as("imb_e6"))
+  }
+
   /** 2-D SKYLINE (Pareto frontier) over part — minimize price, maximize
     * size: a part survives iff no other part is cheaper-or-equal AND
     * bigger-or-equal with one strict. Computed WITHOUT the quadratic
@@ -605,10 +698,12 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc_rules"     -> (assocRules _),
     "q_dq_checks"       -> (dqChecks _),
+    "q_skew_audit"      -> (skewAudit _),
     "q_skyline"         -> (skyline _),
     "q_shortest_path"   -> (shortestPath _),
     "q_communities"     -> (communities _),
     "q_kcore"           -> (kcore _),
+    "q_link_predict"    -> (linkPredict _),
     "q_salted_join"     -> (saltedJoin _),
     "q_triangles"       -> (triangles _),
     "q1_pricing"        -> (q1Pricing _),
@@ -673,6 +768,27 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q_shortest_path" -> shortestPathOracleSql,
     "q_communities" -> communitiesOracleSql,
+    "q_link_predict" -> linkPredictOracleSql,
+    // q_skew_audit: one per-key count pass; SUM(BIGINT) is HUGEINT so
+    // K·Σc² never overflows; top-10 via LIMIT; all positive, plain //
+    "q_skew_audit" ->
+      """WITH keyed AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |t10 AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS top10 FROM (
+        |    SELECT c FROM keyed ORDER BY c DESC, user_id ASC LIMIT 10)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(SUM(c) AS BIGINT) AS n_rows,
+        |         CAST(MAX(c) AS BIGINT) AS max_c,
+        |         SUM(c * c) AS sc2
+        |  FROM keyed)
+        |SELECT n_keys, n_rows, max_c,
+        |       CAST((1000000 * max_c) // n_rows AS BIGINT) AS top1_share_ppm,
+        |       CAST((1000000 * top10) // n_rows AS BIGINT) AS top10_share_ppm,
+        |       CAST((1000000 * n_keys * sc2) // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS imb_e6
+        |FROM a, t10""".stripMargin,
     "q_assoc_rules" ->
       """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),

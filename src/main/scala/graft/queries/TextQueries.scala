@@ -547,6 +547,100 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** EXACT ROC-AUC of the hashed-linear quality score against the `lang ==
+    * 'en'` label — the threshold-free companion to `t_langid_eval`'s
+    * per-class precision/recall (every trained filter in a data pipeline
+    * ships with its AUC). The Mann-Whitney identity makes it exact
+    * integer arithmetic: with per-distinct-score positive/negative counts
+    * (pc, nc) and negs_less = negatives at strictly smaller scores,
+    *   2U = Σ pc·(2·negs_less + nc)   (ties count half), and
+    *   auc_e6 = (1e6 · 2U) div (2·P·N).
+    * The rank statistic is computed WITHOUT a global sort: scores land in
+    * R=1024 FIXED-width buckets (width = (hi−lo) div R + 1 — constant
+    * driver state at any corpus size, the two-phase prefix-sum pattern),
+    * per-bucket negative totals take one metadata-scale cumulative window
+    * over ≤R+1 rows, and the within-bucket cumulative runs partitioned BY
+    * bucket — bounded partitions, never one global ORDER BY over all
+    * distinct scores. U sums in DECIMAL(38,0) (P·N ≈ 1e22 at 100 TB
+    * overflows BIGINT). The oracle replays the SAME negs_less as one
+    * plain cumulative window — a different decomposition that must agree
+    * to the last pair.
+    */
+  /** Per-doc hashed-linear score + `lang == 'en'` label — the shared
+    * evaluation frame for the AUC and calibration entries.
+    */
+  private def clfScored(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), col("lang"),
+      explode(toks).as("tok"))
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 1024
+    val w9 = (conv(substring(md5(concat(lit("w|"), bucket.cast("string"))),
+      1, 15), 16, 10).cast("long") % 2000001L) - 1000000L
+    tk.select(col("doc_id"), col("lang"), w9.as("w9"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("w9")).as("score"))
+      .select(col("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+  }
+
+  private def clfAuc(s: SparkSession, d: String): DataFrame = {
+    val R = 1024
+    val g = clfScored(s, d).groupBy(col("score"))
+      .agg(sum(col("pos")).as("pc"), sum(lit(1L) - col("pos")).as("nc"))
+    val ext = g.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val bucketed = g.crossJoin(broadcast(ext))
+      .select(col("score"), col("pc"), col("nc"),
+        expr(s"(score - lo) div ((hi - lo) div $R + 1)").as("bkt"))
+    val wB = Window.partitionBy(WindowUtil.onePartition(col("bkt")))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = bucketed.groupBy(col("bkt")).agg(sum(col("nc")).as("bn"))
+      .withColumn("before", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("bkt"), col("before"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bucketed.join(pref, Seq("bkt"))
+      .withColumn("negs_less",
+        col("before") + coalesce(sum(col("nc")).over(wIn), lit(0L)))
+    ranked.agg(
+        sum(col("pc")).cast("long").as("p"),
+        sum(col("nc")).cast("long").as("n"),
+        sum(col("pc").cast("decimal(19,0)") *
+          (lit(2L) * col("negs_less") + col("nc")).cast("decimal(19,0)"))
+          .as("u2"))
+      .select(col("p"), col("n"),
+        expr("(1000000 * CAST(u2 AS DECIMAL(28,0))) div " +
+          "(2 * CAST(p AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))")
+          .as("auc_e6"))
+  }
+
+  /** CALIBRATION / RELIABILITY TABLE for the hashed-linear score — the
+    * companion readout to `t_clf_auc` (AUC says the score RANKS well;
+    * calibration says what a score VALUE means): B=10 fixed-width score
+    * bins, each with its count, positive count, exact-ppm empirical
+    * positive rate, and truncating mean score. Bin width = (hi−lo) div
+    * B + 1 — the constant-driver-state rule (no quantile pass, no global
+    * sort; the two extremes ride a broadcast one-row crossJoin), and the
+    * arithmetic guarantees bin ∈ [0, B−1] with no clamp. One map-side
+    * binning pass over the per-doc scores; output is ≤B rows at any
+    * corpus size.
+    */
+  private def clfCalibration(s: SparkSession, d: String): DataFrame = {
+    val B = 10
+    val scored = clfScored(s, d)
+    val ext = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(ext))
+      .select(expr(s"(score - lo) div ((hi - lo) div $B + 1)").as("bin"),
+        col("pos"), col("score"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score")).as("ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_ppm"),
+        expr("ssum div n").as("mean_score"))
+      .orderBy(col("bin").asc)
+  }
+
   /** Language-ID EVALUATION — per-class precision/recall of the n-gram
     * heuristic against the labeled `lang` column ("measure, don't
     * guess": the classifier ships with its measured confusion, like the
@@ -654,6 +748,8 @@ object TextQueries {
     "t_curriculum"     -> (curriculum _),
     "t_pii_scrub"      -> (piiScrub _),
     "t_quality_clf"    -> (qualityClf _),
+    "t_clf_auc"        -> (clfAuc _),
+    "t_clf_calibration" -> (clfCalibration _),
     "t_langid_eval"    -> (langIdEval _),
     "m_binary_meta" -> (binaryMeta _),
   )
@@ -1017,6 +1113,68 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
          |       CAST(sum(w9) AS BIGINT) AS score9, sum(w9) > 0 AS keep
          |FROM wt GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    // t_clf_auc: the same per-token hashed weights, then the Mann-Whitney
+    // rank statistic as ONE plain cumulative window over distinct scores —
+    // a different decomposition than the engine's bucketed prefix sums
+    // that must produce the identical 2U. SUM(BIGINT) is HUGEINT, so the
+    // 1e6 rescale never overflows; all quantities non-negative, plain //.
+    "t_clf_auc" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |wt AS (
+         |  SELECT doc_id, lang,
+         |         (CAST(('0x' || substr(md5('w|' || CAST(
+         |            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+         |          AS VARCHAR)), 1, 15)) AS BIGINT) % 2000001) - 1000000 AS w9
+         |  FROM tk),
+         |scored AS (
+         |  SELECT SUM(w9) AS score,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM wt GROUP BY doc_id, lang),
+         |g AS (
+         |  SELECT score, CAST(SUM(pos) AS BIGINT) AS pc,
+         |         CAST(SUM(1 - pos) AS BIGINT) AS nc
+         |  FROM scored GROUP BY score),
+         |r AS (
+         |  SELECT pc, nc,
+         |         COALESCE(SUM(nc) OVER (ORDER BY score ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_less
+         |  FROM g),
+         |t AS (
+         |  SELECT CAST(SUM(pc) AS BIGINT) AS p, CAST(SUM(nc) AS BIGINT) AS n,
+         |         SUM(pc * (2 * negs_less + nc)) AS u2
+         |  FROM r)
+         |SELECT p, n,
+         |       CAST((1000000 * u2) // (2 * p * n) AS BIGINT) AS auc_e6
+         |FROM t""".stripMargin,
+    // t_clf_calibration: same scores, same fixed-width binning; only the
+    // mean-score division can see a negative numerator -> sign-safe CASE
+    "t_clf_calibration" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |wt AS (
+         |  SELECT doc_id, lang,
+         |         (CAST(('0x' || substr(md5('w|' || CAST(
+         |            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+         |          AS VARCHAR)), 1, 15)) AS BIGINT) % 2000001) - 1000000 AS w9
+         |  FROM tk),
+         |scored AS (
+         |  SELECT SUM(w9) AS score,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM wt GROUP BY doc_id, lang),
+         |ext AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+         |bb AS (
+         |  SELECT (score - lo) // ((hi - lo) // 10 + 1) AS bin, pos, score
+         |  FROM scored, ext),
+         |g AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(SUM(pos) AS BIGINT) AS n_pos, SUM(score) AS ssum
+         |  FROM bb GROUP BY bin)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |       CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_ppm,
+         |       CAST(CASE WHEN ssum >= 0 THEN ssum // n
+         |                 ELSE -((0 - ssum) // n) END AS BIGINT) AS mean_score
+         |FROM g ORDER BY bin ASC""".stripMargin,
     "t_langid_eval" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,

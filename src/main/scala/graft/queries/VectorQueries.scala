@@ -525,12 +525,19 @@ object VectorQueries {
     * d_greedy_cover / v_mmr_rerank k-bounded driver-state pattern).
     * localCheckpoint per round keeps lineage depth constant.
     */
-  private def kcenterCoreset(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def kcD2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The shared Gonzalez greedy: returns the K selected (rank, vec_id,
+    * radius2) rows and the quantized corpus frame — consumed by both the
+    * coreset entry and the silhouette audit so the two provably score
+    * the same centers.
+    */
+  private def kcenterRun(s: SparkSession, d: String)
+      : (Vector[(Int, Long, Long)], DataFrame) = {
     val K = 8
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
     val q = emb(s, d).select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("qe"))
@@ -540,7 +547,7 @@ object VectorQueries {
       broadcast(q.filter(col("vec_id") === lit(id)).select(col("qe").as("ce")))
     var sel = Vector((1, seedId, 0L))
     var md = q.crossJoin(centerEmb(seedId))
-      .select(col("vec_id"), col("qe"), d2(col("qe"), col("ce")).as("md"))
+      .select(col("vec_id"), col("qe"), kcD2(col("qe"), col("ce")).as("md"))
       .localCheckpoint()
     for (r <- 2 to K) {
       val top = md.orderBy(col("md").desc, col("vec_id").asc)
@@ -550,13 +557,62 @@ object VectorQueries {
       if (r < K)
         md = md.crossJoin(centerEmb(cid))
           .select(col("vec_id"), col("qe"),
-            least(col("md"), d2(col("qe"), col("ce"))).as("md"))
+            least(col("md"), kcD2(col("qe"), col("ce"))).as("md"))
           .localCheckpoint()
     }
+    (sel, q)
+  }
+
+  private def kcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (sel, _) = kcenterRun(s, d)
     sel.toDF("rank", "vec_id", "radius2")
       .select(col("rank").cast("int").as("rank"), col("vec_id"),
         col("radius2"))
       .orderBy(col("rank").asc)
+  }
+
+  /** SQUARED-DISTANCE SILHOUETTE of the k-center clustering — the
+    * cluster-quality audit over the Gonzalez centers (`measure, don't
+    * guess` for the clustering family, as the recall/qerror entries are
+    * for ANN): every point is assigned to its nearest center (exact
+    * BIGINT micro-unit squared distances, ties to the smaller center
+    * id), a = own-center distance², b = runner-up distance², and the
+    * simplified per-point silhouette s = (b−a)/max(a,b) is emitted in
+    * exact e6 units (squared-distance variant — no sqrt, so every value
+    * hash-replays; s∈[0,1e6] since b≥a by assignment). Output: per
+    * cluster n, truncating-mean and min silhouette — the weak-cluster
+    * (low mean / low min) rebuild signal.
+    *
+    * 100 TB shape: ONE corpus scan against the broadcast K-row center
+    * set (the flat-KNN shape with K=8 constant), per-point state a
+    * bounded 8-struct sorted array, then one vec_id-keyed agg to
+    * clusters; nothing driver-side beyond the K center rows the greedy
+    * already collects.
+    */
+  private def silhouette(s: SparkSession, d: String): DataFrame = {
+    val (sel, q) = kcenterRun(s, d)
+    val cids = sel.map(_._2)
+    val cent = broadcast(q.filter(col("vec_id").isin(cids: _*))
+      .select(col("vec_id").as("cid"), col("qe").as("ce")))
+    val ab = q.crossJoin(cent)
+      .select(col("vec_id"),
+        struct(kcD2(col("qe"), col("ce")).as("d2"), col("cid")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(col("p"))).as("arr"))
+      .select(
+        element_at(col("arr"), 1).getField("cid").as("cluster_id"),
+        element_at(col("arr"), 1).getField("d2").as("a2"),
+        element_at(col("arr"), 2).getField("d2").as("b2"))
+    ab.select(col("cluster_id"),
+        expr("CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * (b2 - a2)) div greatest(a2, b2) END").as("s_e6"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("s_e6")).as("ss"),
+        min(col("s_e6")).as("min_sil_e6"))
+      .select(col("cluster_id"), col("n"),
+        expr("ss div n").as("mean_sil_e6"), col("min_sil_e6"))
+      .orderBy(col("cluster_id").asc)
   }
 
   /** Oracle: the identical greedy unrolled as K rounds of MATERIALIZED
@@ -565,8 +621,10 @@ object VectorQueries {
     * runs), distances replayed with list_zip on the same micro-unit
     * integer lists.
     */
-  private def kcenterOracleSql: String = {
-    val K = 8
+  /** The WITH-clause prefix (q, c1..cK, m1..m{K-1}) shared by the coreset
+    * and silhouette oracles — both replay the same greedy trajectory.
+    */
+  private def kcenterCtesSql(K: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH q AS MATERIALIZED (
@@ -590,11 +648,53 @@ object VectorQueries {
            |  FROM m${r - 1} a JOIN q ON q.vec_id = a.vec_id
            |  CROSS JOIN (SELECT q.qe FROM q JOIN c$r USING (vec_id)) c)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to K).map { r =>
-      s"SELECT CAST($r AS INTEGER) AS rank, vec_id, md AS radius2 FROM c$r"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY rank ASC"))
     sb.toString
+  }
+
+  private def kcenterOracleSql: String = {
+    val K = 8
+    kcenterCtesSql(K) + "\n" +
+      (1 to K).map { r =>
+        s"SELECT CAST($r AS INTEGER) AS rank, vec_id, md AS radius2 FROM c$r"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rank ASC")
+  }
+
+  /** Silhouette oracle: the same greedy CTE chain, then the K-center
+    * assignment replayed as a row_number window over the 8 per-point
+    * distances (a different argmin enumeration than the engine's sorted
+    * 8-struct array that must agree point-for-point), and the identical
+    * truncating e6 silhouette arithmetic.
+    */
+  private def silhouetteOracleSql: String = {
+    val K = 8
+    kcenterCtesSql(K) +
+      s""",
+         |cent AS MATERIALIZED (
+         |  SELECT q.vec_id AS cid, q.qe AS ce FROM q
+         |  JOIN (${(1 to K).map(r => s"SELECT vec_id FROM c$r").mkString(" UNION ALL ")}) cs
+         |    ON cs.vec_id = q.vec_id),
+         |pr AS (
+         |  SELECT a.vec_id, c.cid,
+         |         CAST(list_sum(list_transform(list_zip(a.qe, c.ce),
+         |              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+         |  FROM q a CROSS JOIN cent c),
+         |rk AS (
+         |  SELECT vec_id, cid, d2,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY d2 ASC, cid ASC) AS rn
+         |  FROM pr),
+         |ab AS (
+         |  SELECT a.vec_id, a.cid AS cluster_id, a.d2 AS a2, b.d2 AS b2
+         |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+         |sil AS (
+         |  SELECT cluster_id,
+         |         CASE WHEN GREATEST(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST((1000000 * (b2 - a2)) // GREATEST(a2, b2) AS BIGINT) END AS s_e6
+         |  FROM ab)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(s_e6) // count(*) AS BIGINT) AS mean_sil_e6,
+         |       MIN(s_e6) AS min_sil_e6
+         |FROM sil GROUP BY cluster_id ORDER BY cluster_id ASC""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -619,6 +719,7 @@ object VectorQueries {
     "v_dim_stats"      -> (dimStats _),
     "v_centroid_shift" -> (centroidShift _),
     "v_kcenter_coreset" -> (kcenterCoreset _),
+    "v_silhouette"     -> (silhouette _),
   )
 
   /** PcaIters unrolled (matvec, max-norm, rescale) rounds over matrix CTE
@@ -878,6 +979,7 @@ object VectorQueries {
          |SELECT 2 AS comp, lam AS lam_u FROM lam2
          |ORDER BY comp ASC""".stripMargin,
     "v_kcenter_coreset" -> kcenterOracleSql,
+    "v_silhouette" -> silhouetteOracleSql,
   )
 
   /** The top-2 chain: base gram CTEs + comp-1 rounds + lam/deflation +

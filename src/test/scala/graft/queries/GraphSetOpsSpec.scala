@@ -472,4 +472,206 @@ class GraphSetOpsSpec extends AnyFunSuite {
       got.values.map(_._2).sum < got.values.map(_._1).sum,
       "both the attributed and organic paths must be exercised")
   }
+
+  test("e_acf matches a BigInt driver replay on the gap-filled spine") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val days = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .collect().map(r => (java.time.LocalDate.parse(r.getString(0)), r.getString(1)))
+    val counts = days.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (d, xs) => d -> xs.size.toLong }
+    val d0 = days.map(_._1).min
+    val d1 = days.map(_._1).max
+    val spine = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toVector
+    val y = spine.map(d => counts.getOrElse(d, 0L))
+    val n = BigInt(y.size); val sS = BigInt(y.sum)
+    val dev = y.map(v => BigInt(v) * n - sS)
+    val den = dev.map(v => v * v).sum
+    val exp = (1 to 7).map { k =>
+      val num = (0 until (y.size - k)).map(t => dev(t) * dev(t + k)).sum
+      k -> ((y.size - k).toLong, ((BigInt(1000000) * num) / den).toLong)
+    }.toMap
+    val got = EventQueries.queries("e_acf")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp, "per-lag exact-integer ACF must match the replay")
+    assert(got.values.forall { case (_, a) => a.abs <= 1000000L },
+      "|acf| is bounded by 1 (Cauchy-Schwarz)")
+  }
+
+  test("q_link_predict matches a brute-force distance-2 scorer") {
+    val e = edges()
+    val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val cand = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      u = nodes(i); w = nodes(j)
+      if !e.contains((u, w))
+      cn = (adj(u) & adj(w)).size if cn > 0
+    } yield {
+      val du = adj(u).size.toLong; val dw = adj(w).size.toLong
+      (u, w, cn.toLong, du, dw, 1000000L * cn / (du + dw - cn))
+    }
+    val exp = cand.sortBy { case (u, w, cn, _, _, j) => (-cn, -j, u, w) }
+      .take(20).toVector
+    val got = RelationalQueries.queries("q_link_predict")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toVector
+    assert(got == exp, "top-20 predicted links must match the brute force")
+    assert(exp.nonEmpty, "the graph must yield distance-2 candidates")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("t_clf_auc matches a driver Mann-Whitney replay") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val scored = rows.flatMap { case (text, lang) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None // explode drops token-less docs on both engines
+      else Some((toks.map { tok =>
+        val bucket = java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 1024
+        java.lang.Long.parseLong(md5hex(s"w|$bucket").take(15), 16) % 2000001L - 1000000L
+      }.sum, lang == "en"))
+    }
+    val p = scored.count(_._2).toLong
+    val nn = scored.size - p
+    // 2U = sum over positives of (2 * negs strictly below + negs tied)
+    val negs = scored.filter(!_._2).map(_._1)
+    val u2 = scored.filter(_._2).map { case (sc, _) =>
+      2L * negs.count(_ < sc) + negs.count(_ == sc)
+    }.sum
+    val expAuc = BigInt(1000000) * u2 / (2L * p * nn)
+    val got = TextQueries.queries("t_clf_auc")(spark, sfDir).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (p, nn, expAuc.toLong), "exact AUC must match the rank-sum replay")
+    assert(got.getLong(2) >= 0 && got.getLong(2) <= 1000000L)
+  }
+
+  test("d_split_assign matches a driver hash split; splits exhaust the corpus") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val assigned = rows.map { case (id, lang) =>
+      val b = java.lang.Long.parseLong(md5hex(s"split|$id").take(15), 16) % 100
+      (lang, if (b < 98) "train" else if (b == 98) "val" else "test")
+    }
+    val exp = assigned.groupBy(identity).map { case ((lang, sp), xs) =>
+      val nLang = assigned.count(_._1 == lang).toLong
+      (lang, sp) -> (xs.size.toLong, nLang, 1000000L * xs.size / nLang)
+    }
+    val got = DedupQueries.queries("d_split_assign")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp, "per-(lang, split) audit must match the replay")
+    assert(got.map(_._2._1).sum == rows.length.toLong,
+      "splits must partition the corpus exactly")
+  }
+
+  test("e_wau matches a driver sliding-window distinct replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+      .distinct
+    val d0 = ud.map(_._2).min; val d1 = ud.map(_._2).max
+    val spine = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toVector
+    val exp = spine.map { day =>
+      val dau = ud.count(_._2 == day).toLong
+      val wau = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.size.toLong
+      day.toString -> (dau, wau,
+        if (wau == 0) 0L else 1000000L * dau / wau)
+    }.toMap
+    val got = EventQueries.queries("e_wau")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp, "per-day DAU/WAU/stickiness must match the replay")
+    assert(got.values.forall { case (dau, wau, _) => wau >= dau },
+      "WAU dominates DAU by containment")
+  }
+
+  test("t_clf_calibration matches a driver binning replay") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val scored = rows.flatMap { case (text, lang) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else Some((toks.map { tok =>
+        val bucket = java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 1024
+        java.lang.Long.parseLong(md5hex(s"w|$bucket").take(15), 16) % 2000001L - 1000000L
+      }.sum, if (lang == "en") 1L else 0L))
+    }
+    val lo = scored.map(_._1).min; val hi = scored.map(_._1).max
+    val w = (hi - lo) / 10 + 1
+    val exp = scored.groupBy { case (sc, _) => (sc - lo) / w }.map {
+      case (bin, xs) =>
+        val n = xs.size.toLong; val np = xs.map(_._2).sum
+        val ssum = xs.map(_._1).sum
+        bin -> (n, np, 1000000L * np / n, ssum / n)
+    }
+    val got = TextQueries.queries("t_clf_calibration")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp, "per-bin reliability table must match the replay")
+    assert(got.keys.forall(b => b >= 0 && b <= 9), "bins stay inside [0, 9]")
+  }
+
+  test("q_skew_audit matches a BigInt driver replay") {
+    val users = Tables.events(spark, sfDir).select("user_id")
+      .collect().map(_.getLong(0))
+    val c = users.groupBy(identity).map { case (u, xs) => u -> xs.size.toLong }
+    val k = c.size.toLong; val t = users.length.toLong
+    val maxC = c.values.max
+    val top10 = c.toSeq.sortBy { case (u, n) => (-n, u) }.take(10).map(_._2).sum
+    val sc2 = c.values.map(v => BigInt(v) * v).sum
+    val imb = BigInt(1000000) * k * sc2 / (BigInt(t) * t)
+    val got = RelationalQueries.queries("q_skew_audit")(spark, sfDir).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) ==
+      (k, t, maxC, 1000000L * maxC / t, 1000000L * top10 / t, imb.toLong))
+    assert(got.getLong(5) >= 1000000L, "imbalance factor is >= 1 (uniform floor)")
+  }
+
+  test("v_silhouette matches a driver replay over the greedy centers") {
+    val pts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000.0 + 0.5) as bigint)) qe")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val ids = pts.keys.toSeq.sorted
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // the same Gonzalez greedy the coreset spec validates
+    var centers = Vector(ids.head)
+    val md = scala.collection.mutable.Map.empty[Long, Long]
+    ids.foreach(i => md(i) = d2(pts(i), pts(ids.head)))
+    for (_ <- 2 to 8) {
+      val cid = ids.minBy(i => (-md(i), i))
+      centers = centers :+ cid
+      ids.foreach { i =>
+        val dd = d2(pts(i), pts(cid)); if (dd < md(i)) md(i) = dd
+      }
+    }
+    val perPoint = ids.map { i =>
+      val ds = centers.map(cid => (d2(pts(i), pts(cid)), cid)).sorted
+      val (a2, own) = ds(0); val b2 = ds(1)._1
+      val s = if (math.max(a2, b2) == 0) 0L
+        else 1000000L * (b2 - a2) / math.max(a2, b2)
+      own -> s
+    }
+    val exp = perPoint.groupBy(_._1).map { case (cid, xs) =>
+      val ss = xs.map(_._2)
+      cid -> (ss.size.toLong, ss.sum / ss.size, ss.min)
+    }
+    val got = VectorQueries.queries("v_silhouette")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp, "per-cluster silhouette audit must match the replay")
+    assert(got.keys.toSet == centers.toSet, "every center owns a cluster")
+  }
 }
