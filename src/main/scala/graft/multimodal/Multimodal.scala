@@ -177,6 +177,44 @@ object Multimodal {
     }
   }
 
+  case class LumaHistRow(media_id: Long, bin: Int, n_px: Long)
+
+  /** REAL decode → 16-bin LUMA HISTOGRAM per image — the per-image
+    * feature a preprocessing pipeline thresholds on (exposure filters,
+    * equalization decisions): integer BT.601 luma (299r+587g+114b) div
+    * 1000, bin = luma div 16. Same per-partition codec-handle shape as
+    * [[decodePixels]]; emits only non-empty bins. Undecodable payloads
+    * emit nothing (the caller's headers path owns that case).
+    */
+  def decodeLumaHist(media: Dataset[MediaRow]): Dataset[LumaHistRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val h = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              h(l >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until 16).iterator.filter(h(_) > 0)
+            .map(b => LumaHistRow(r.media_id, b, h(b)))
+        }
+      }
+    }
+  }
+
   case class ResizeStatsRow(media_id: Long, src_w: Int, src_h: Int,
       out_w: Int, out_h: Int, decoded: Boolean, sum_r: Long, sum_g: Long,
       sum_b: Long)

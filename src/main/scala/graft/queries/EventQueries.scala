@@ -641,8 +641,98 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** TWO-SIDED CUSUM CHANGE-POINT DETECTION on the daily purchase
+    * series — the sequential shift detector beside the EWMA control
+    * chart (EWMA flags spiky LEVELS; CUSUM accumulates small persistent
+    * SHIFTS that never individually breach a band): S⁺_t = max(0,
+    * S⁺_{t−1} + y_t − 70), S⁻_t = max(0, S⁻_{t−1} + 60 − y_t), alarm at
+    * ≥ 12 (targets bracket the series mean 66 so both sides fire on
+    * this data). The clamped recursion has no window closed form — it
+    * runs as the [[ewma]]-family exact-integer fold over the sorted
+    * day array, and because the CUSUM init is the IDENTITY value 0,
+    * the DuckDB replay needs no packed-state magnitude trick: the
+    * oracle list_prepends a literal 0 so list_reduce's
+    * first-element-init semantics start the fold at the true S_0 (the
+    * e_rate_limit workaround, reduced to its trivial case).
+    *
+    * 100 TB shape: the log collapses to |days| rows at the first agg;
+    * the fold is over the bounded day array (at scale: one fold per
+    * (series, month) key, like every control chart).
+    */
+  private def cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val arr = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("ds"))
+      .select(transform(col("ds"), x => x.getField("day")).as("days"),
+        transform(col("ds"), x => x.getField("y")).as("ys"))
+    arr.select(col("days"), col("ys"),
+        expr("""transform(sequence(1, size(ys)), i ->
+               |  aggregate(slice(ys, 1, i), CAST(0 AS BIGINT),
+               |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (x - 70))))"""
+          .stripMargin).as("up"),
+        expr("""transform(sequence(1, size(ys)), i ->
+               |  aggregate(slice(ys, 1, i), CAST(0 AS BIGINT),
+               |    (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (60 - x))))"""
+          .stripMargin).as("dn"))
+      .select(explode(arrays_zip(col("days"), col("ys"),
+        col("up"), col("dn"))).as("r"))
+      .select(col("r.days").as("day"), col("r.ys").as("y"),
+        col("r.up").as("cusum_up"), col("r.dn").as("cusum_dn"))
+      .withColumn("alarm_up", col("cusum_up") >= 12)
+      .withColumn("alarm_dn", col("cusum_dn") >= 12)
+      .orderBy(col("day").asc)
+  }
+
+  /** A/B EXPERIMENT READOUT — the analysis step downstream of
+    * hash-based assignment (`d_split_assign`'s machinery pointed at
+    * experimentation): users land in cohort hash60("exp1|"+user_id)%2
+    * (stable under re-runs and appends, the property that makes
+    * exposure logs replayable), conversion = repeat purchaser (≥15
+    * purchases — 50/150 users at sf0.01, 561/1500 at sf0.1, so both
+    * outcomes are live at every test SF), and the
+    * one-row readout carries both cohorts' exact-ppm conversion rates,
+    * the signed rate difference, and the RATE-SPACE chi-square score
+    * (rA−rB)²/(rA+rB) — the `t_token_drift` statistic, exact BIGINT at
+    * any corpus size and scale-STABLE (rates converge as N grows, so
+    * alert thresholds survive a 100× scale-up where a raw-count
+    * statistic inflates linearly).
+    *
+    * 100 TB shape: one user-keyed partial-agg pass (conversion flag),
+    * one 2-group agg; the cohort split is map-side arithmetic — no
+    * assignment table to join.
+    */
+  private def abTest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 15L).cast("long").as("conv"))
+      .select((hash60(concat(lit("exp1|"), col("user_id").cast("string")))
+        % 2).as("cohort"), col("conv"))
+    val g = perUser.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("users"), sum(col("conv")).as("conv"))
+      .select(col("cohort"), col("users"), col("conv").cast("long").as("conv"),
+        expr("(1000000 * conv) div users").as("rate_ppm"))
+    val a = g.filter(col("cohort") === 0)
+      .select(col("users").as("users_a"), col("conv").as("conv_a"),
+        col("rate_ppm").as("rate_a_ppm"))
+    val b = g.filter(col("cohort") === 1)
+      .select(col("users").as("users_b"), col("conv").as("conv_b"),
+        col("rate_ppm").as("rate_b_ppm"))
+    a.crossJoin(b)
+      .withColumn("diff_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
+      .withColumn("score",
+        expr("CASE WHEN rate_a_ppm + rate_b_ppm = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (diff_ppm * diff_ppm) div (rate_a_ppm + rate_b_ppm) END"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ab_test"       -> (abTest _),
     "e_acf"           -> (acf _),
+    "e_cusum"         -> (cusum _),
     "e_wau"           -> (wau _),
     "e_attribution"   -> (attribution _),
     "e_rate_limit"    -> (rateLimit _),
@@ -693,6 +783,54 @@ object EventQueries {
         |       CAST(CASE WHEN num0 >= 0 THEN (1000000 * num0) // den
         |                 ELSE -((0 - 1000000 * num0) // den) END AS BIGINT) AS acf_e6
         |FROM num, den ORDER BY lag ASC""".stripMargin,
+    // e_ab_test: identical hash-cohort split and rate-space score; the
+    // only possibly-negative division input is squared first
+    "e_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+        |              THEN 1 ELSE 0 END AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |co AS (
+        |  SELECT CAST('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS cohort,
+        |         conv
+        |  FROM pu),
+        |g AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS users,
+        |         CAST(SUM(conv) AS BIGINT) AS conv,
+        |         CAST((1000000 * SUM(conv)) // count(*) AS BIGINT) AS rate_ppm
+        |  FROM co GROUP BY cohort),
+        |ab AS (
+        |  SELECT a.users AS users_a, a.conv AS conv_a, a.rate_ppm AS rate_a_ppm,
+        |         b.users AS users_b, b.conv AS conv_b, b.rate_ppm AS rate_b_ppm
+        |  FROM (SELECT * FROM g WHERE cohort = 0) a,
+        |       (SELECT * FROM g WHERE cohort = 1) b)
+        |SELECT users_a, conv_a, rate_a_ppm, users_b, conv_b, rate_b_ppm,
+        |       rate_a_ppm - rate_b_ppm AS diff_ppm,
+        |       CAST(CASE WHEN rate_a_ppm + rate_b_ppm = 0 THEN 0
+        |                 ELSE ((rate_a_ppm - rate_b_ppm) * (rate_a_ppm - rate_b_ppm))
+        |                      // (rate_a_ppm + rate_b_ppm) END AS BIGINT) AS score
+        |FROM ab""".stripMargin,
+    // e_cusum: identical clamped folds; a literal 0 is prepended so
+    // list_reduce's first-element init IS the true S_0
+    "e_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |arr AS (SELECT list(day ORDER BY day ASC) AS days,
+        |               list(y ORDER BY day ASC) AS ys FROM daily),
+        |idx AS (SELECT generate_subscripts(ys, 1) AS i, days, ys FROM arr),
+        |traj AS (
+        |  SELECT days[i] AS day, ys[i] AS y,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:i]),
+        |           (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (x - 70))) AS BIGINT) AS cusum_up,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:i]),
+        |           (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (60 - x))) AS BIGINT) AS cusum_dn
+        |  FROM idx)
+        |SELECT day, y, cusum_up, cusum_dn,
+        |       cusum_up >= 12 AS alarm_up, cusum_dn >= 12 AS alarm_dn
+        |FROM traj ORDER BY day ASC""".stripMargin,
     // e_wau: identical cover-day explode on the deduplicated user-day
     // frame; all counts non-negative so plain truncating //
     "e_wau" ->

@@ -123,6 +123,24 @@ object MiscQueries {
       .orderBy(col("media_id").asc)
   }
 
+  /** REAL decode → 16-bin integer LUMA HISTOGRAM per image over the same
+    * 24 synthetic PNGs — the per-image feature extraction a filtering
+    * pipeline thresholds on (exposure/flat-image checks). BT.601 integer
+    * luma and the div-16 binning are exact, PNG is lossless, and the
+    * pixels follow the closed form, so the DuckDB oracle integrates the
+    * same formula per bin — a decoder that mis-handles one pixel moves a
+    * bin count and fails the hash. Map-only decode (per-partition codec
+    * handle), then a (media, bin)-keyed agg — ≤16 rows per image out.
+    */
+  private def pxHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = (0 until 24).map(i =>
+      Multimodal.MediaRow(i.toLong, "image/png", Multimodal.syntheticPng(i)))
+    Multimodal.decodeLumaHist(s.createDataset(media).repartition(4))
+      .toDF()
+      .orderBy(col("media_id").asc, col("bin").asc)
+  }
+
   /** REAL decode + nearest-neighbor RESIZE to 4x3 — the downsample step
     * of an image-preprocessing pipeline over the same 24 synthetic PNGs.
     * The channel sums integrate the source formula at the resize-sampled
@@ -503,6 +521,7 @@ object MiscQueries {
     "v_ann_signbits"   -> (annSignBits _),
     "m_decode_meta"    -> (decodeMeta _),
     "m_decode_px"      -> (decodePx _),
+    "m_px_histogram"   -> (pxHistogram _),
     "m_scene_cut"      -> (sceneCut _),
     "m_resize_px"      -> (resizePx _),
     "m_decode_wav"     -> (decodeWav _),
@@ -657,6 +676,23 @@ object MiscQueries {
         |       CAST(abs(mr - pr) + abs(mg - pg) + abs(mb - pb) AS BIGINT) AS dist_m,
         |       (abs(mr - pr) + abs(mg - pg) + abs(mb - pb)) > 25000 AS is_cut
         |FROM lg WHERE pr IS NOT NULL ORDER BY frame_no ASC""".stripMargin,
+    // m_px_histogram: the closed-form pixels pushed through the same
+    // integer BT.601 luma + div-16 binning, grouped per (image, bin)
+    "m_px_histogram" ->
+      """WITH px AS (
+        |  SELECT i.i AS media_id, x.x AS x, y.y AS y
+        |  FROM range(24) i(i), range(12) x(x), range(8) y(y)
+        |  WHERE x.x < 8 + i.i % 5 AND y.y < 6 + i.i % 3),
+        |l AS (
+        |  SELECT media_id,
+        |         (299 * ((7*x + 11*y + media_id) % 256)
+        |        + 587 * ((3*x + 5*y + 2*media_id) % 256)
+        |        + 114 * ((13*x + 17*y + 3*media_id) % 256)) // 1000 AS luma
+        |  FROM px)
+        |SELECT media_id, CAST(luma // 16 AS INTEGER) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_px
+        |FROM l GROUP BY 1, 2
+        |ORDER BY media_id ASC, bin ASC""".stripMargin,
     "m_decode_px" ->
       """WITH px AS (
         |  SELECT i.i AS media_id, x.x AS x, y.y AS y

@@ -638,6 +638,70 @@ class GraphSetOpsSpec extends AnyFunSuite {
     assert(got.getLong(5) >= 1000000L, "imbalance factor is >= 1 (uniform floor)")
   }
 
+  test("e_cusum matches a driver clamped-fold replay; trajectories non-negative") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var su = 0L; var sd = 0L
+    val exp = daily.map { case (day, y) =>
+      su = math.max(0L, su + (y - 70)); sd = math.max(0L, sd + (60 - y))
+      day -> (y, su, sd, su >= 12, sd >= 12)
+    }.toMap
+    val got = EventQueries.queries("e_cusum")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got == exp, "CUSUM trajectories and alarms must match the replay")
+    assert(got.values.forall { case (_, u, dn, _, _) => u >= 0 && dn >= 0 },
+      "clamped statistics never go negative")
+  }
+
+  test("e_ab_test matches a driver cohort replay") {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val conv = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> (if (xs.count(_._2 == "purchase") >= 15) 1L else 0L)
+    }
+    val co = conv.groupBy { case (u, _) =>
+      java.lang.Long.parseLong(md5hex(s"exp1|$u").take(15), 16) % 2
+    }
+    def stats(c: Long) = {
+      val xs = co(c).values
+      val users = xs.size.toLong; val cc = xs.sum
+      (users, cc, 1000000L * cc / users)
+    }
+    val (ua, ca, ra) = stats(0L); val (ub, cb, rb) = stats(1L)
+    val score = if (ra + rb == 0) 0L else (ra - rb) * (ra - rb) / (ra + rb)
+    val got = EventQueries.queries("e_ab_test")(spark, sfDir).collect()(0)
+    assert((0 until 8).map(got.getLong) ==
+      Seq(ua, ca, ra, ub, cb, rb, ra - rb, score),
+      "A/B readout must match the cohort replay")
+  }
+
+  test("m_px_histogram bins sum to the image area and match the closed form") {
+    val got = MiscQueries.queries("m_px_histogram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exp = (0 until 24).flatMap { i =>
+      val w = 8 + i % 5; val h = 6 + i % 3
+      val hist = new Array[Long](16)
+      for (x <- 0 until w; y <- 0 until h) {
+        val l = (299 * ((7 * x + 11 * y + i) % 256) +
+          587 * ((3 * x + 5 * y + 2 * i) % 256) +
+          114 * ((13 * x + 17 * y + 3 * i) % 256)) / 1000
+        hist(l >> 4) += 1
+      }
+      (0 until 16).filter(hist(_) > 0).map(b => (i.toLong, b, hist(b)))
+    }
+    assert(got.toSeq == exp, "per-bin luma counts must match the formula")
+    val areas = got.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._3).sum }
+    assert(areas.forall { case (i, n) =>
+      n == (8 + i % 5) * (6 + i % 3) }, "bins partition every decoded pixel")
+  }
+
   test("v_silhouette matches a driver replay over the greedy centers") {
     val pts = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id",
