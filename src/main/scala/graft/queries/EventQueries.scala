@@ -729,8 +729,80 @@ object EventQueries {
           "ELSE (diff_ppm * diff_ppm) div (rate_a_ppm + rate_b_ppm) END"))
   }
 
+  /** The Holt fold step, templated once for both engines (the
+    * e_rate_limit pattern): state = (level + 2^20)·2^24 + (trend +
+    * 2^23) packed in one BIGINT; a raw element (daily count < 2^23)
+    * IS the init state level=y₁/trend=0, decoded by magnitude. The two
+    * α=β=1/4 recursion divisions truncate toward zero on BOTH engines
+    * (Spark `div` natively; DuckDB via the sign-safe `//` CASE — the
+    * trend numerator goes negative on down-slopes).
+    */
+  private def holtStep(spark: Boolean)(acc: String, x: String): String = {
+    def sdiv(a: String) =
+      if (spark) s"(($a) div 4)"
+      else s"(CASE WHEN ($a) >= 0 THEN ($a) // 4 ELSE -((0 - ($a)) // 4) END)"
+    val lp =
+      if (spark) s"IF($acc < 8388608, $acc, ($acc div 16777216) - 1048576)"
+      else s"(CASE WHEN $acc < 8388608 THEN $acc ELSE ($acc // 16777216) - 1048576 END)"
+    val bp =
+      if (spark) s"IF($acc < 8388608, CAST(0 AS BIGINT), ($acc % 16777216) - 8388608)"
+      else s"(CASE WHEN $acc < 8388608 THEN 0 ELSE ($acc % 16777216) - 8388608 END)"
+    val lt = sdiv(s"$x + 3 * (($lp) + ($bp))")
+    val bt = sdiv(s"(($lt) - ($lp)) + 3 * ($bp)")
+    s"((($lt) + 1048576) * 16777216 + (($bt) + 8388608))"
+  }
+
+  /** HOLT LINEAR SMOOTHING + ONE-STEP FORECAST on the daily purchase
+    * series — the forecasting capstone of the control-chart family
+    * (EWMA smooths level, CUSUM detects shifts, trend-fit is a global
+    * slope, ACF reads seasonality; Holt tracks level AND trend
+    * adaptively and emits tomorrow's forecast with its tracking error):
+    * l_t = (y_t + 3(l+b)) div 4, b_t = ((l_t−l) + 3b) div 4 — exact
+    * integer α=β=1/4 smoothing with TWO state components, so the fold
+    * packs (level, trend) into one BIGINT and decodes raw-vs-packed by
+    * magnitude ([[holtStep]]; the e_rate_limit machinery on a signed
+    * two-field state). forecast_t = l_{t−1} + b_{t−1} via one lag over
+    * the bounded trajectory; err_t = y_t − forecast_t (day 1 has no
+    * forecast — NULLs replay identically). Field widths: daily counts
+    * < 2^23 and |trend| < 2^23 — at 100 TB a per-series daily count can
+    * exceed that; the fold then keys per (series, month) with wider
+    * fields, like every packed-state ledger here.
+    *
+    * 100 TB shape: log → |days| rows at the first agg; the O(|days|²)
+    * prefix folds run on the bounded day array (at scale: one fold per
+    * series key).
+    */
+  private def holt(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val arr = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("ds"))
+      .select(transform(col("ds"), x => x.getField("day")).as("days"),
+        transform(col("ds"), x => x.getField("y")).as("ys"))
+    val traj = arr.select(col("days"), col("ys"),
+        expr(s"""transform(sequence(1, size(ys)), i ->
+               |  aggregate(slice(ys, 2, i - 1), element_at(ys, 1),
+               |    (acc, x) -> ${holtStep(spark = true)("acc", "x")}))"""
+          .stripMargin.replace("\n", " ")).as("ps"))
+      .select(explode(arrays_zip(col("days"), col("ys"), col("ps"))).as("r"))
+      .select(col("r.days").as("day"), col("r.ys").as("y"),
+        expr("IF(r.ps < 8388608, r.ps, (r.ps div 16777216) - 1048576)")
+          .as("level"),
+        expr("IF(r.ps < 8388608, CAST(0 AS BIGINT), (r.ps % 16777216) - 8388608)")
+          .as("trend"))
+    val w = Window.partitionBy(WindowUtil.onePartition(col("day")))
+      .orderBy(col("day").asc)
+    traj
+      .withColumn("forecast", lag(col("level") + col("trend"), 1).over(w))
+      .withColumn("err", col("y") - col("forecast"))
+      .orderBy(col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ab_test"       -> (abTest _),
+    "e_holt"          -> (holt _),
     "e_acf"           -> (acf _),
     "e_cusum"         -> (cusum _),
     "e_wau"           -> (wau _),
@@ -811,6 +883,34 @@ object EventQueries {
         |                 ELSE ((rate_a_ppm - rate_b_ppm) * (rate_a_ppm - rate_b_ppm))
         |                      // (rate_a_ppm + rate_b_ppm) END AS BIGINT) AS score
         |FROM ab""".stripMargin,
+    // e_holt: the identical packed fold via list_reduce's native
+    // first-element init; both decodes and the lag replayed
+    "e_holt" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         CAST(count(*) AS BIGINT) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |arr AS (SELECT list(day ORDER BY day ASC) AS days,
+         |               list(y ORDER BY day ASC) AS ys FROM daily),
+         |idx AS (SELECT generate_subscripts(ys, 1) AS i, days, ys FROM arr),
+         |tr AS (
+         |  SELECT days[i] AS day, ys[i] AS y,
+         |         CAST(list_reduce(ys[1:i],
+         |           (acc, x) -> ${holtStep(spark = false)("acc", "x")}) AS BIGINT) AS p
+         |  FROM idx),
+         |dec AS (
+         |  SELECT day, y,
+         |         CAST(CASE WHEN p < 8388608 THEN p
+         |              ELSE (p // 16777216) - 1048576 END AS BIGINT) AS level,
+         |         CAST(CASE WHEN p < 8388608 THEN 0
+         |              ELSE (p % 16777216) - 8388608 END AS BIGINT) AS trend
+         |  FROM tr),
+         |f AS (
+         |  SELECT day, y, level, trend,
+         |         lag(level + trend) OVER (ORDER BY day ASC) AS forecast
+         |  FROM dec)
+         |SELECT day, y, level, trend, forecast, y - forecast AS err
+         |FROM f ORDER BY day ASC""".stripMargin,
     // e_cusum: identical clamped folds; a literal 0 is prepended so
     // list_reduce's first-element init IS the true S_0
     "e_cusum" ->

@@ -660,6 +660,33 @@ class GraphSetOpsSpec extends AnyFunSuite {
       "clamped statistics never go negative")
   }
 
+  test("e_holt matches a driver two-state smoothing replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // Scala / truncates toward zero — the spelled contract on both engines
+    var l = daily.head._2; var b = 0L
+    var prevF = Option.empty[Long]
+    val exp = daily.zipWithIndex.map { case ((day, y), i) =>
+      if (i > 0) {
+        val lt = (y + 3 * (l + b)) / 4
+        val bt = ((lt - l) + 3 * b) / 4
+        l = lt; b = bt
+      }
+      val row = (day, y, l, b, prevF)
+      prevF = Some(l + b)
+      row
+    }.toVector
+    val got = EventQueries.queries("e_holt")(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toVector
+    assert(got == exp, "Holt trajectory must match the replay")
+  }
+
   test("e_ab_test matches a driver cohort replay") {
     val ev = Tables.events(spark, sfDir).select("user_id", "event_type")
       .collect().map(r => (r.getLong(0), r.getString(1)))
