@@ -126,6 +126,8 @@ object PlanDump {
     "q_link_predict",          // wedge equi-join -> anti-join existing edges -> TakeOrdered(20)
     "e_wau",                   // dedup user-days -> bounded cover explode -> per-day count-distinct
     "q_skew_audit",            // per-key count agg + decimal moment fold + k-bounded top-10 side
+    "e_holt",                  // packed two-state integer fold over the bounded day array + lag
+    "e_ab_test",               // user-keyed conversion agg -> 2-group agg -> one-row rate-space score
   )
 
   def main(args: Array[String]): Unit = {
