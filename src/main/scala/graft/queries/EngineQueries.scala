@@ -461,6 +461,59 @@ object EngineQueries {
       .orderBy(col("query_id").asc)
   }
 
+  /** FILTERED-SEARCH RECALL, pre- vs post-filter — the eval the filtered
+    * entries were missing (the recall rows grade UNfiltered search; the
+    * filtered entries are hash-checked but ungraded): 25 queries against
+    * the ivfpq index under a tag filter, scored both ways against the
+    * exact FILTERED top-10 truth. Post-filter (the reference's Q5
+    * semantics, annJoin's default) takes the global top-10 then drops
+    * non-matching hits — recall collapses when the filter is selective
+    * (the classic filtered-ANN failure; n_post also shrinks below k).
+    * Pre-filter restricts the CODES scan by a semi-join on the allowed
+    * ids before ADC ranking, so the full oversample budget is spent
+    * inside the filtered subset. Both replays share the parameterized
+    * ADC pipeline (`candPred` hook); at 100 TB the pre-filter side is
+    * one key-only semi-join pushed below the cap — the scalable shape.
+    */
+  private def engineFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("ivfpq",
+      ivfNumCentroids = 8, ivfNprobe = 2, pqSubspaces = 8, pqCodewords = 16))
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val f = Some(SearchFilters(tags = Seq("label0", "label2")))
+    val post = batchHits(eng.annJoin(lib, qDf, k = 10, filters = f))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val pre = batchHits(
+        eng.annJoin(lib, qDf, k = 10, filters = f, preFilter = true))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val truth = Tables.embeddings(s, d).filter(col("label").isin(0, 2))
+      .crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        rnd(graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("query_id"), col("vec_id"))
+    def common(h: DataFrame, nm: String) =
+      h.join(truth, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).cast("int").as(nm))
+    val nPost = post.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_post"))
+    qDf.select(col("query_id")).distinct()
+      .join(nPost, Seq("query_id"), "left_outer")
+      .join(common(post, "ncp"), Seq("query_id"), "left_outer")
+      .join(common(pre, "ncr"), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_post"), lit(0)).as("n_post"),
+        rnd(coalesce(col("ncp"), lit(0)).cast("double") / 10.0, 6)
+          .as("recall_post"),
+        rnd(coalesce(col("ncr"), lit(0)).cast("double") / 10.0, 6)
+          .as("recall_pre"))
+      .orderBy(col("query_id").asc)
+  }
+
   /** INCREMENTAL INDEX MAINTENANCE, hash-checked end to end: the ivfpq
     * index is built on the BASE corpus only (vec_id < 400), then the
     * remaining 100 vectors arrive through `bulkIngest` — the engine's
@@ -1167,6 +1220,7 @@ object EngineQueries {
     "x_engine_snapshot_diff" -> (engineSnapshotDiff _),
     "x_engine_lshdet_prefiltered" -> (engineLshDetPrefiltered _),
     "x_engine_annjoin_recall" -> (engineAnnJoinRecall _),
+    "x_engine_filtered_recall" -> (engineFilteredRecall _),
     "x_engine_ivfpq_incremental" -> (engineIvfPqIncremental _),
     "x_engine_lshdet_incremental" -> (engineLshDetIncremental _),
     "x_engine_ivfdet_incremental" -> (engineIvfDetIncremental _),
@@ -1839,11 +1893,11 @@ object EngineQueries {
   // vec 0, 1, 2.
   private val ivfpqBatchSql = ivfpqBatchSqlFor(3)
 
-  private def ivfpqBatchSqlFor(nQueries: Int): String =
+  private def ivfpqBatchSqlFor(nQueries: Int, candPred: String = "TRUE"): String =
     ivfpqBatchSqlQnb(
       s"""SELECT vec_id AS query_id,
          |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
-         |  FROM e WHERE vec_id < $nQueries""".stripMargin)
+         |  FROM e WHERE vec_id < $nQueries""".stripMargin, candPred)
 
   // the self-join replay: the query CTE is the WHOLE normalized corpus
   // (vn's vnormf is the identical normalize-then-float expression, and
@@ -1851,7 +1905,12 @@ object EngineQueries {
   private val ivfpqSelfJoinSql =
     ivfpqBatchSqlQnb("SELECT vec_id AS query_id, vnormf AS v FROM vn")
 
-  private def ivfpqBatchSqlQnb(qnbSelect: String): String =
+  /** `candPred` restricts the ADC candidate stage (a predicate over
+    * `enc.vec_id`) — the oracle-side mirror of annJoin's preFilter
+    * semi-join on the codes scan; "TRUE" for the unfiltered entries.
+    */
+  private def ivfpqBatchSqlQnb(qnbSelect: String,
+      candPred: String = "TRUE"): String =
     s"""WITH $ivfpqCorpusCtes,
        |qn_b AS (
        |  $qnbSelect),
@@ -1884,6 +1943,7 @@ object EngineQueries {
        |      SELECT d.query_id, enc.vec_id, CAST(SUM(d.du) AS BIGINT) AS dist_u
        |      FROM enc JOIN dtab_b d
        |        ON enc.centroid_id = d.centroid_id AND enc.m = d.m AND enc.k = d.k
+       |      WHERE $candPred
        |      GROUP BY d.query_id, enc.vec_id))
        |  WHERE rn <= 60)
        |SELECT query_id, vec_id, score FROM (
@@ -2334,6 +2394,45 @@ object EngineQueries {
          |       CAST(coalesce(cm.nc, 0) AS INTEGER) AS n_common,
          |       ${rndSql("CAST(coalesce(cm.nc, 0) AS DOUBLE) / 10.0", 6)} AS recall_at_10
          |FROM q3 LEFT JOIN cm USING (query_id)
+         |ORDER BY query_id ASC""".stripMargin,
+    // x_engine_filtered_recall: the SAME pipeline replayed twice — once
+    // unrestricted with the label filter applied AFTER the top-10 (post,
+    // Q5 semantics), once with the candPred hook restricting the ADC
+    // candidate stage (pre) — each graded against the exact FILTERED
+    // top-10 truth
+    "x_engine_filtered_recall" ->
+      s"""WITH postq AS (
+         |  SELECT h.query_id, h.vec_id FROM (
+         |${ivfpqBatchSqlFor(25)}
+         |  ) h JOIN embeddings lb ON lb.vec_id = h.vec_id
+         |  WHERE lb.label IN (0, 2)),
+         |preq AS (
+         |  SELECT p.query_id, p.vec_id FROM (
+         |${ivfpqBatchSqlFor(25, "enc.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0, 2))")}
+         |  ) p),
+         |e3 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q3 AS (SELECT vec_id AS query_id, emb FROM e3 WHERE vec_id < 25),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${rndSql("list_cosine_similarity(c.emb, q.emb)", 6)} DESC,
+         |                      c.vec_id ASC) AS rn
+         |    FROM e3 c, q3 q WHERE c.label IN (0, 2)) WHERE rn <= 10),
+         |np AS (SELECT query_id, CAST(count(*) AS INTEGER) AS n_post
+         |       FROM (SELECT DISTINCT query_id, vec_id FROM postq) GROUP BY 1),
+         |cp AS (SELECT t.query_id, count(*) AS nc
+         |       FROM truth t JOIN (SELECT DISTINCT query_id, vec_id FROM postq) h
+         |            USING (query_id, vec_id) GROUP BY 1),
+         |cr AS (SELECT t.query_id, count(*) AS nc
+         |       FROM truth t JOIN (SELECT DISTINCT query_id, vec_id FROM preq) h
+         |            USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q3.query_id,
+         |       COALESCE(np.n_post, 0) AS n_post,
+         |       ${rndSql("CAST(COALESCE(cp.nc, 0) AS DOUBLE) / 10.0", 6)} AS recall_post,
+         |       ${rndSql("CAST(COALESCE(cr.nc, 0) AS DOUBLE) / 10.0", 6)} AS recall_pre
+         |FROM q3 LEFT JOIN np USING (query_id)
+         |     LEFT JOIN cp USING (query_id) LEFT JOIN cr USING (query_id)
          |ORDER BY query_id ASC""".stripMargin,
     // x_ivfpq_recall: recall@10 of the ivfpq replay vs the exact scan —
     // BOTH sides are SQL, so the measured recall itself is hash-checked.

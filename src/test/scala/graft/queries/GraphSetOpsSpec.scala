@@ -729,6 +729,19 @@ class GraphSetOpsSpec extends AnyFunSuite {
       n == (8 + i % 5) * (6 + i % 3) }, "bins partition every decoded pixel")
   }
 
+  test("x_engine_filtered_recall: pre-filter dominates post-filter on average") {
+    val rows = EngineQueries.queries("x_engine_filtered_recall")(spark, sfDir)
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (np, _, _) => np >= 0 && np <= 10 },
+      "post-filter survivors stay within k")
+    val meanPost = rows.map(_._2).sum / rows.length
+    val meanPre = rows.map(_._3).sum / rows.length
+    assert(meanPre >= meanPost,
+      s"pre-filter recall ($meanPre) must dominate post-filter ($meanPost): " +
+        "the oversample budget is spent inside the filtered subset")
+  }
+
   test("v_silhouette matches a driver replay over the greedy centers") {
     val pts = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id",
