@@ -800,8 +800,63 @@ object EventQueries {
       .orderBy(col("day").asc)
   }
 
+  /** EXACT PEARSON + SPEARMAN CORRELATION between the daily click and
+    * purchase series — the cross-series dependence readout beside the
+    * single-series family (ACF = self-dependence): both coefficients as
+    * exact SIGNED r² in e6 units (r itself needs a sqrt; r² = num² /
+    * (denx·deny) is an exact rational, and the sign is num's sign —
+    * together they carry exactly what r does). Spearman handles TIES
+    * properly by running the same Pearson sufficient statistics over
+    * DOUBLED MIDRANKS r2 = 2·rank + cnt_eq − 1 (= twice the average
+    * rank, always an integer; the textbook 1−6Σd²/... closed form is
+    * tie-broken, this is the general definition). Products accumulate
+    * in DECIMAL(38,0)/HUGEINT (num² at 100 TB daily volumes needs the
+    * e_acf rescale note: at extreme per-day counts run it on weekly or
+    * rate-scaled units). Ranks come from rank()+count() windows over
+    * the BOUNDED day series (onePartition — |days| rows by
+    * construction); the raw log pays one count aggregation.
+    */
+  private def correlation(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    def rank2(c: String) = {
+      val wOrd = Window.partitionBy(WindowUtil.onePartition(col("day")))
+        .orderBy(col(c).asc)
+      val wEq = Window.partitionBy(col(c))
+      lit(2L) * rank().over(wOrd) + count(lit(1)).over(wEq) - lit(1L)
+    }
+    val ranked = daily
+      .withColumn("rx", rank2("x"))
+      .withColumn("ry", rank2("y"))
+    val st = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("rx")).as("tx"), sum(col("ry")).as("ty"),
+      sum(col("rx") * col("ry")).as("txy"),
+      sum(col("rx") * col("rx")).as("txx"),
+      sum(col("ry") * col("ry")).as("tyy"))
+    def r2e6(num: String, dx: String, dy: String) =
+      (s"CASE WHEN ($dx) = 0 OR ($dy) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        s"(1000000 * CAST($num AS DECIMAL(19,0)) * CAST($num AS DECIMAL(19,0)))" +
+        s" div (CAST($dx AS DECIMAL(19,0)) * CAST($dy AS DECIMAL(19,0))) END")
+    st.select(col("n").cast("long").as("n"),
+        expr("CASE WHEN n * sxy - sx * sy > 0 THEN 1 " +
+          "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END").as("pearson_sign"),
+        expr(r2e6("n * sxy - sx * sy",
+          "n * sxx - sx * sx", "n * syy - sy * sy")).as("pearson_r2_e6"),
+        expr("CASE WHEN n * txy - tx * ty > 0 THEN 1 " +
+          "WHEN n * txy - tx * ty < 0 THEN -1 ELSE 0 END").as("spearman_sign"),
+        expr(r2e6("n * txy - tx * ty",
+          "n * txx - tx * tx", "n * tyy - ty * ty")).as("spearman_r2_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ab_test"       -> (abTest _),
+    "e_correlation"   -> (correlation _),
     "e_holt"          -> (holt _),
     "e_acf"           -> (acf _),
     "e_cusum"         -> (cusum _),
@@ -911,6 +966,38 @@ object EventQueries {
          |  FROM dec)
          |SELECT day, y, level, trend, forecast, y - forecast AS err
          |FROM f ORDER BY day ASC""".stripMargin,
+    // e_correlation: identical doubled-midranks and sufficient stats;
+    // SUM(BIGINT) is HUGEINT, the r2 numerator is a square (plain //)
+    "e_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |rk AS (
+        |  SELECT day, x, y,
+        |         2 * rank() OVER (ORDER BY x ASC) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |         2 * rank() OVER (ORDER BY y ASC) + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM daily),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |         SUM(x*x) AS sxx, SUM(y*y) AS syy,
+        |         SUM(rx) AS tx, SUM(ry) AS ty, SUM(rx*ry) AS txy,
+        |         SUM(rx*rx) AS txx, SUM(ry*ry) AS tyy
+        |  FROM rk)
+        |SELECT n,
+        |  CASE WHEN n*sxy - sx*sy > 0 THEN 1
+        |       WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS pearson_sign,
+        |  CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+        |       ELSE (1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |            // ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS BIGINT) AS pearson_r2_e6,
+        |  CASE WHEN n*txy - tx*ty > 0 THEN 1
+        |       WHEN n*txy - tx*ty < 0 THEN -1 ELSE 0 END AS spearman_sign,
+        |  CAST(CASE WHEN (n*txx - tx*tx) = 0 OR (n*tyy - ty*ty) = 0 THEN 0
+        |       ELSE (1000000 * (n*txy - tx*ty) * (n*txy - tx*ty))
+        |            // ((n*txx - tx*tx) * (n*tyy - ty*ty)) END AS BIGINT) AS spearman_r2_e6
+        |FROM st""".stripMargin,
     // e_cusum: identical clamped folds; a literal 0 is prepended so
     // list_reduce's first-element init IS the true S_0
     "e_cusum" ->

@@ -687,6 +687,43 @@ class GraphSetOpsSpec extends AnyFunSuite {
     assert(got == exp, "Holt trajectory must match the replay")
   }
 
+  test("e_correlation matches a driver midrank replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def rank2(vs: Seq[Long]): Seq[Long] = vs.map { v =>
+      2L * (vs.count(_ < v) + 1) + vs.count(_ == v) - 1
+    }
+    def stats(xs: Seq[Long], ys: Seq[Long]): (Int, BigInt, BigInt, BigInt) = {
+      val n = xs.size
+      val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = xs.map(a => BigInt(a) * a).sum
+      val syy = ys.map(b => BigInt(b) * b).sum
+      val num = n * sxy - sx * sy
+      (num.signum, num, n * sxx - sx * sx, n * syy - sy * sy)
+    }
+    def r2e6(num: BigInt, dx: BigInt, dy: BigInt): Long =
+      if (dx == 0 || dy == 0) 0L
+      else ((BigInt(1000000) * num * num) / (dx * dy)).toLong
+    val xs = daily.map(_._1).toSeq; val ys = daily.map(_._2).toSeq
+    val (ps, pn, pdx, pdy) = stats(xs, ys)
+    val (ss, sn, sdx, sdy) = stats(rank2(xs), rank2(ys))
+    val got = EventQueries.queries("e_correlation")(spark, sfDir).collect()(0)
+    assert((got.getLong(0), got.getInt(1), got.getLong(2),
+      got.getInt(3), got.getLong(4)) ==
+      (daily.length.toLong, ps, r2e6(pn, pdx, pdy), ss, r2e6(sn, sdx, sdy)),
+      "exact signed r-squared must match the replay")
+    assert(got.getLong(2) <= 1000000L && got.getLong(4) <= 1000000L,
+      "r-squared is bounded by 1 (Cauchy-Schwarz)")
+  }
+
   test("e_ab_test matches a driver cohort replay") {
     val ev = Tables.events(spark, sfDir).select("user_id", "event_type")
       .collect().map(r => (r.getLong(0), r.getString(1)))
