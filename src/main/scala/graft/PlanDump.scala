@@ -128,6 +128,8 @@ object PlanDump {
     "q_skew_audit",            // per-key count agg + decimal moment fold + k-bounded top-10 side
     "e_holt",                  // packed two-state integer fold over the bounded day array + lag
     "e_ab_test",               // user-keyed conversion agg -> 2-group agg -> one-row rate-space score
+    "e_cusum",                 // two clamped prefix folds emitted per day from one sorted array
+    "e_correlation",           // bounded midrank windows -> one sufficient-statistics agg, one row out
   )
 
   def main(args: Array[String]): Unit = {
