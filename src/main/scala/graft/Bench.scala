@@ -63,6 +63,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"artifact":"$outPath"$qs,"sf":"$sfDir"$subsetMark}"""
     println(line)
+    // The driver's scraper json-parses stdout lines, so the metric line
+    // must survive whatever trails it: print it once here (humans reading
+    // the log see it next to the run) and once more as the very LAST
+    // thing the JVM emits — a shutdown hook runs after spark.stop()'s
+    // executor/checkpoint WARN chatter, so no log line can land after it.
+    // build.sbt additionally forks the run with StdoutOutput so no sbt
+    // `[info] ` prefix wraps either copy (the r7/r8 "parsed": null cause).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(line)
+      System.out.flush()
+    }))
     // stdout alone is NOT the artifact: persist the full per-query map to
     // a file (one query per line, diffable) so every timing stays
     // auditable regardless of stdout capture.
@@ -74,6 +85,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
     }
+    // Quiet the teardown: unpersisting locally-checkpointed RDDs WARNs at
+    // shutdown, which is exactly the noise that buried the metric line.
+    spark.sparkContext.setLogLevel("ERROR")
     Caches.releaseAll()
     spark.stop()
   }

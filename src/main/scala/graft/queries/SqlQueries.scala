@@ -7,9 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL (one string, two engines) — subquery decorrelation (EXISTS / IN /
   * scalar subqueries) is Catalyst's job, not hand-written join code.
   *
-  * Float determinism: every comparison/output derives from decimal-exact
-  * sums or integer counts cast to double — no parallel-summation-order
-  * dependence, so the same SQL hashes identically on both engines.
+  * Float determinism: every money/quantity output is integer units
+  * (BIGINT cents via round(x*100) on the exact-cent DOUBLE columns, or
+  * BIGINT quantities) — never a DECIMAL cast on a DOUBLE column, whose
+  * rounding is a per-DuckDB-build choice (the r7/r8 sql_returned_revenue
+  * red hash), and never a float sum whose value depends on partition
+  * order.
   */
 object SqlQueries {
 
@@ -30,16 +33,19 @@ object SqlQueries {
         |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     // TPC-H Q10 shape: revenue of returned items per customer, top 20.
-    // Revenue is emitted as BIGINT ten-thousandths (e4 units): each item's
-    // DECIMAL-exact extprice*(1-discount) is scaled by 10^4 and floored to
-    // a long BEFORE the sum, so the aggregate is an exact integer on both
-    // engines — no DECIMAL->DOUBLE conversion anywhere (that cast rounds
-    // differently by 1 ulp across DuckDB builds and broke the r7 hash).
+    // Revenue is emitted as BIGINT ten-thousandths (e4 units) derived with
+    // ZERO decimal casts: prices/discounts are exact cent multiples stored
+    // as DOUBLE, so round(x*100) recovers the integer cents bit-identically
+    // on both engines, and revenue_e4 = cents * (100 - disc_cents) is pure
+    // BIGINT arithmetic from there. The r7/r8 red hash came from routing
+    // the DOUBLE through CAST(... AS DECIMAL(18,4)) — that cast's rounding
+    // is a per-DuckDB-build choice, so the floored unit flipped between
+    // the local gate and the driver's oracle. No DECIMAL type appears
+    // anywhere in this query now.
     "sql_returned_revenue" ->
       """SELECT c_custkey,
-        |       SUM(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))
-        |          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |          * 10000) AS BIGINT)) AS revenue_e4,
+        |       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
         |       count(*) AS n_items
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |     JOIN lineitem ON l_orderkey = o_orderkey
@@ -64,10 +70,11 @@ object SqlQueries {
     // predicate is exact integer arithmetic — no decimal AVG, whose
     // division rounding differs across engines. Catalyst/DuckDB both
     // decorrelate the two scalar subqueries into one per-part aggregate
-    // join; revenue follows the e4-unit convention.
+    // join; revenue follows the e4-unit convention via integer cents
+    // (round(x*100), zero DECIMAL casts — the sql_returned_revenue rule).
     "sql_small_qty_revenue" ->
-      """SELECT CAST(COALESCE(SUM(CAST(floor(CAST(l.l_extendedprice AS DECIMAL(18,4))
-        |            * 10000) AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+      """SELECT CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |            * 100), 0) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_items
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_size = 1
@@ -76,26 +83,30 @@ object SqlQueries {
         |    < (SELECT SUM(CAST(l3.l_quantity AS BIGINT))
         |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
     // VALUE-RANGE window frame (RANGE, not ROWS): per customer, the
-    // rolling decimal-exact sum over orders whose key lies within 5 of
-    // the current one — the frame the ROWS variants can't express.
+    // rolling exact sum over orders whose key lies within 5 of the
+    // current one — the frame the ROWS variants can't express. Output is
+    // BIGINT cents (round(x*100), zero DECIMAL casts).
     "sql_range_window" ->
       """SELECT o_orderkey, o_custkey,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderkey
-        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS rolling_sum_e2
         |FROM orders
         |ORDER BY o_orderkey ASC""".stripMargin,
+    // Above-1.5x-the-customer-mean filter, decimal-free: integer cents,
+    // and the mean comparison multiplied out (2*p*cnt > 3*tot) so the
+    // whole predicate is exact BIGINT — no division, no DOUBLE compare.
     "sql_above_avg_window" ->
       """WITH w AS (
         |  SELECT o_orderkey, o_custkey,
-        |         CAST(o_totalprice AS DECIMAL(18,4)) AS p,
-        |         SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-        |           OVER (PARTITION BY o_custkey) AS tot,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS p_e2,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey) AS tot_e2,
         |         COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
         |  FROM orders)
-        |SELECT o_orderkey, o_custkey, CAST(p AS DOUBLE) AS o_totalprice
+        |SELECT o_orderkey, o_custkey, p_e2
         |FROM w
-        |WHERE CAST(p AS DOUBLE) * cnt > 1.5 * CAST(tot AS DOUBLE)
+        |WHERE 2 * p_e2 * cnt > 3 * tot_e2
         |ORDER BY o_orderkey ASC""".stripMargin,
   )
 
