@@ -333,6 +333,62 @@ final class VectorEngine(
     RebuildDecision(family, n, sumErr, maxErr, mean, rebuilt = due)
   }
 
+  /** BALANCE-DRIVEN REBUILD POLICY (VERDICT r8 #7) — the balance audits
+    * closed into a verb, the skew sibling of [[rebuildIfDrifted]]: read
+    * the library's family-appropriate balance stats and rebuild iff the
+    * hottest unit's share of all entries exceeds `maxSharePpm` (exact
+    * integer parts-per-million, so the decision replays bit-identically).
+    * For the IVF-coarse families the unit is a cell (a hot cell makes
+    * every probe touching it pay its full posting list — candidates stay
+    * ~nprobe/K of the corpus ONLY when cells are balanced; incremental
+    * adds assign to FROZEN centroids, so a drifting corpus concentrates
+    * there). For LSH the unit is a bucket and the share is measured
+    * WITHIN its hash table, worst table taken (a degenerate table's
+    * probes are near-linear scans). A rebuild re-trains centroids /
+    * re-draws planes on the CURRENT corpus, redistributing members.
+    * The audit is one keyed agg; driver state is one decision row.
+    */
+  def rebalanceIfSkewed(libId: String, maxSharePpm: Long): RebalanceDecision = {
+    val (_, config, _) = getLibrary(libId)
+    val family = effectiveIndexType(libId, config)
+    val members: DataFrame = family match {
+      case "ivf" =>
+        ivfCellStats(libId).select(lit(0).as("grp"), col("n_members").as("m"))
+      case "ivfpq" | "ivfpq_trained" =>
+        if (!store.exists("ivfpq_codes"))
+          throw new NotFoundError(s"ivfpq index for library $libId")
+        ivfpqCodes(libId).groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("m")).select(lit(0).as("grp"), col("m"))
+      case "ivfsq8" =>
+        if (!store.exists("ivfsq8_codes"))
+          throw new NotFoundError(s"ivfsq8 index for library $libId")
+        ivfsq8Codes(libId).groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("m")).select(lit(0).as("grp"), col("m"))
+      case "lsh" =>
+        if (!store.exists("lsh_buckets"))
+          throw new NotFoundError(s"lsh index for library $libId")
+        lshBuckets(libId).groupBy(col("table_id"), col("signature"))
+          .agg(count(lit(1)).as("m"))
+          .select(col("table_id").as("grp"), col("m"))
+      case other => throw new ValidationError(
+        s"rebalanceIfSkewed: '$other' has no balance-audited index units")
+    }
+    // worst per-group share in exact ppm: group = the whole index for the
+    // IVF families, one hash table for LSH
+    val row = members.groupBy(col("grp"))
+      .agg(count(lit(1)).as("nu"), sum(col("m")).as("tot"), max(col("m")).as("mx"))
+      .agg(coalesce(sum(col("nu")), lit(0L)).cast("long").as("n_units"),
+        coalesce(sum(col("tot")), lit(0L)).cast("long").as("n_entries"),
+        coalesce(max(expr("(1000000 * mx) div tot")), lit(0L)).cast("long")
+          .as("max_share_ppm"))
+      .collect().head
+    val (nUnits, nEntries, sharePpm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val due = nEntries > 0 && sharePpm > maxSharePpm
+    if (due) rebuildIndex(libId)
+    RebalanceDecision(family, nUnits, nEntries, sharePpm, rebuilt = due)
+  }
+
   /** Shared PQ decode-error fold: Σ_d floor((cb[m][codes[m]][j] -
     * truth(d))^2 * 1e6 + 0.5) as exact BIGINT micro-units, with the
     * per-(m,j) codeword→component lookup a K-length plan literal.
@@ -2773,6 +2829,18 @@ case class RebuildDecision(
     sumErrU: Long,
     maxErrU: Long,
     meanErrU: Double,
+    rebuilt: Boolean)
+
+/** Balance-driven rebuild decision (see [[VectorEngine.rebalanceIfSkewed]]):
+  * the worst unit share in exact ppm plus whether the skew threshold
+  * triggered a rebuild. Units are coarse cells (IVF families) or
+  * per-table buckets (LSH).
+  */
+case class RebalanceDecision(
+    family: String,
+    nUnits: Long,
+    nEntries: Long,
+    maxSharePpm: Long,
     rebuilt: Boolean)
 
 /** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */

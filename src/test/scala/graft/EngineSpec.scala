@@ -1281,6 +1281,48 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceIfSkewed: pile-up on frozen centroids trips the skew policy, rebuild rebalances") {
+    import spark.implicits._
+    val dir = graft.TempDirs.scratch("graft-skew-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("skew", 2,
+      IndexConfig("ivf", ivfNumCentroids = 2, ivfNprobe = 2))
+    val doc = eng.createDocument(lib)
+    def arc(prefix: String, baseDeg: Int) = (0 until 20)
+      .map { i =>
+        val a = math.toRadians(baseDeg + i)
+        (f"$prefix$i%04d", s"t$prefix$i",
+          Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("id", "text", "embedding")
+    // build corpus: one 20-vector arc at 0..19 degrees; k=2 splits it in
+    // two roughly-even cells
+    eng.bulkIngest(lib, doc, arc("a", 0))
+    eng.rebuildIndex(lib)
+    val clean = eng.rebalanceIfSkewed(lib, maxSharePpm = 700000L)
+    assert(!clean.rebuilt && clean.family == "ivf" && clean.nEntries == 20,
+      s"unexpected clean decision: $clean")
+    // a NEW cluster at 120..139 degrees arrives incrementally: every
+    // vector assigns to the SAME frozen centroid (both trained centroids
+    // sit inside the 0..19-degree arc, and the new arc is single-sidedly
+    // closer to the higher-angle one) -> that cell now holds 30/40
+    eng.bulkIngest(lib, doc, arc("b", 120))
+    val skewed = eng.rebalanceIfSkewed(lib, maxSharePpm = 700000L)
+    assert(skewed.rebuilt && skewed.nEntries == 40, s"expected skew rebuild: $skewed")
+    assert(skewed.maxSharePpm == 750000L,
+      s"30-of-40 pile-up should read exactly 750000 ppm: $skewed")
+    // the rebuild re-trained on the full corpus: two far clusters, one
+    // centroid each -> exactly 20/20 (500000 ppm), policy clean again
+    val after = eng.rebalanceIfSkewed(lib, maxSharePpm = 700000L)
+    assert(!after.rebuilt && after.nEntries == 40, s"post-rebuild still skewed: $after")
+    assert(after.maxSharePpm == 500000L,
+      s"two equal clusters should split 20/20: $after")
+    // families with no balance-audited units refuse the audit
+    val flatLib2 = eng.createLibrary("flatlib-skew", 2)
+    intercept[EngineErrors.ValidationError] {
+      eng.rebalanceIfSkewed(flatLib2, 700000L)
+    }
+  }
+
   test("sq8 engine family: frozen-range incremental encode, clamped codes, removal") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, max => smax, min => smin}
