@@ -47,7 +47,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT is always honored.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       if (sys.env.get("GRAFT_OFFICIAL").contains("1"))
-        "/root/repo/docs/bench_full_r8.json"
+        "/root/repo/docs/bench_full_r9.json"
       else "/root/repo/target/bench_scratch.json"
     }
     // The stdout line must FIT the driver's capture window: at 172 entries

@@ -102,7 +102,7 @@ object PlanDump {
     "v_knn_outlier",           // scored self-join -> k-bounded TopK partial agg (<= 5 rows/vec shuffled)
     "t_winnow_fp",             // doc-partitioned frame-min window + banded argmin self-join
     "e_scd2",                  // one lead() window per user partition, rows out == rows in
-    "m_scene_cut",             // mapPartitions decode -> integer means -> clip-scoped lag window
+    "m_scene_cut",             // mapPartitions decode -> integer means -> clip_id-PARTITIONED lag window
     "e_interval_join",         // interval x interval: bucket equi-join + greatest-start-bucket residual
     "q_triangles",             // degree-oriented wedge join: three equi-joins, no hub blow-up
     "t_token_drift",           // (token, half) partial agg + broadcast totals, k-bounded output
@@ -130,6 +130,10 @@ object PlanDump {
     "e_ab_test",               // user-keyed conversion agg -> 2-group agg -> one-row rate-space score
     "e_cusum",                 // two clamped prefix folds emitted per day from one sorted array
     "e_correlation",           // bounded midrank windows -> one sufficient-statistics agg, one row out
+    // round 9 additions
+    "t_langid",                // exploded-gram scan -> per-doc bucket agg -> 5x4096 broadcast profile join -> argmax agg
+    "t_bpe_encode",            // learned segmentation broadcast join, per-doc ordered piece fold
+    "sql_returned_revenue",    // integer-cents join-agg: zero DECIMAL casts anywhere in the plan
   )
 
   def main(args: Array[String]): Unit = {

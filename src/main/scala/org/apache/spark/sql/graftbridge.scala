@@ -33,8 +33,17 @@ object GraftRddBridge {
   def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
       .collectLeaves().foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
+        // A STOPPED context already dropped every block with its
+        // executors — unpersist would NPE on the dead driver endpoint,
+        // and a release sweep that throws mid-iteration leaves the rest
+        // of the cache pinned AND the dead entry cached (the r9 full-
+        // suite cascade: one suite stops the shared session, every later
+        // Caches.releaseAll() re-throws on the same stale frame). Guard
+        // plus catch: the stop can also race the unpersist call itself.
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if !l.rdd.context.isStopped =>
+          try l.rdd.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
         case _ => ()
       }
 
