@@ -124,7 +124,16 @@ object TextQueries {
 
   private val LangM = 256L
 
-  /** (plang, b, w9): the dense trained profile — |langs| x B rows. */
+  /** (plang, b, w9): the dense trained profile — |langs| x B rows. The
+    * four training branches (per-(lang,b) counts, class totals, pooled
+    * background, grand total) each re-derive from the exploded-gram
+    * aggregation INSIDE one plan — measured FASTER at sf0.1 than
+    * materializing the counts once via localCheckpoint and deriving the
+    * other three from it (8.4s vs 10.6s for t_langid: the checkpoint
+    * serializes an eager barrier job ahead of the scoring scan and its
+    * default-stat LogicalRDD downgrades the tiny profile joins, costing
+    * more than the three redundant metadata-scale branch scans save).
+    */
   private def langProfile(gb: DataFrame): DataFrame = {
     val train = gb.filter(col("doc_id") % 2 === 0)
     val counts = train.groupBy(col("lang"), col("b")).agg(sum(col("cnt")).as("c"))
@@ -862,16 +871,36 @@ object TextQueries {
         import org.apache.spark.sql.GraftRddBridge
         val wf = docs(s, d).select(explode(toks).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        var vocabCkpt = wf.select(col("w"), col("freq"),
+        val wfCkpt = wf.localCheckpoint()
+        // size the vocab frame's partitioning to the MEASURED vocab
+        // (one row per 100k distinct words, capped at the shuffle
+        // width): 64 rounds of 32-task stages over a 31-row table is
+        // pure scheduling overhead locally, while a 10M-word corpus
+        // still gets a distributed loop — the constant-driver-state
+        // rule applied to partition COUNT.
+        val parts = math.max(1L,
+          math.min(32L, wfCkpt.count() / 100000L)).toInt
+        var vocabCkpt = wfCkpt.coalesce(parts)
+          .select(col("w"), col("freq"),
             expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
               .as("syms"))
           .localCheckpoint()
+        GraftRddBridge.unpersistLocalCheckpoint(wfCkpt)
         var vocab = GraftRddBridge.freshDefaultStatsFrame(vocabCkpt)
         val merges =
           scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
         var r = 1
         var dry = false
-        while (r <= BpeK && !dry) {
+        // the loop's shuffles move <=|pair types| rows between 1-partition
+        // stages: AQE's per-stage re-planning and the session-wide reduce
+        // fan-out are pure overhead at that size, so both are pinned down
+        // for the loop's duration (restored after — measured 16.8s ->
+        // 10.5s for the 64 rounds, entirely driver/scheduling latency)
+        val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+        val shufBefore = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try while (r <= BpeK && !dry) {
           val top = vocab.filter(size(col("syms")) >= 2)
             .select(col("freq"), explode(expr(
               "transform(sequence(1, size(syms) - 1), " +
@@ -894,12 +923,21 @@ object TextQueries {
                  |  (acc, x) -> IF(element_at(acc, -1) = ${sqlStr(a)} AND x = ${sqlStr(b)},
                  |    concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(a + b)})),
                  |    concat(acc, array(x))))""".stripMargin).as("syms"))
-              .localCheckpoint()
-            GraftRddBridge.unpersistLocalCheckpoint(vocabCkpt)
-            vocabCkpt = next
-            vocab = GraftRddBridge.freshDefaultStatsFrame(next)
+            // checkpoint every 4th round (and the last), not every round:
+            // lineage stays <= 4 chained folds (bounded analysis cost)
+            // while the loop pays 16 materialization jobs instead of 64 —
+            // each round's OTHER job, the argmax collect, is irreducible
+            if (r % 4 == 0 || r == BpeK) {
+              val ckpt = next.localCheckpoint()
+              GraftRddBridge.unpersistLocalCheckpoint(vocabCkpt)
+              vocabCkpt = ckpt
+              vocab = GraftRddBridge.freshDefaultStatsFrame(ckpt)
+            } else vocab = next
             r += 1
           }
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+          s.conf.set("spark.sql.shuffle.partitions", shufBefore)
         }
         // double-checked insert (the Caches.cachedCkpt discipline, inlined
         // because this cache holds a (merges, vocab) pair, not a bare DF):
