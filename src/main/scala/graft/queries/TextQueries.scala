@@ -1054,11 +1054,13 @@ object TextQueries {
            |  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
            |v$r AS MATERIALIZED (
            |  SELECT w, freq,
-           |    list_reduce(list_transform(syms, s -> [s]),
-           |      (acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b
-           |                  THEN list_append(list_slice(acc, 1, len(acc) - 1), p.a || p.b)
-           |                  ELSE list_concat(acc, x) END) AS syms
-           |  FROM v${r - 1} CROSS JOIN p$r p)""".stripMargin)
+           |    CASE WHEN p.a IS NULL THEN syms ELSE
+           |      list_reduce(list_transform(syms, s -> [s]),
+           |        (acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b
+           |                    THEN list_append(list_slice(acc, 1, len(acc) - 1), p.a || p.b)
+           |                    ELSE list_concat(acc, x) END)
+           |    END AS syms
+           |  FROM v${r - 1} LEFT JOIN p$r p ON TRUE)""".stripMargin)
     }
     sb.toString
   }

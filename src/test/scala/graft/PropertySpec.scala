@@ -125,7 +125,9 @@ class PropertySpec extends AnyFunSuite {
     assert(!band.contains("BroadcastNestedLoopJoin") &&
       !band.contains("CartesianProduct"),
       "bucket-blocked band join must never plan a nested loop")
-    val pq = graft.SparkEntry.queries("v_ann_pq")(spark, d)
+    // the entry itself serves a checkpointed fixture (shared with
+    // v_pq_recall); assert on the underlying build plan
+    val pq = graft.queries.AnnQueries.annPqBuild(spark, d)
       .queryExecution.executedPlan.toString
     assert(!pq.contains("Exchange hashpartitioning"),
       "PQ encode+score must be map-only up to the top-k")
