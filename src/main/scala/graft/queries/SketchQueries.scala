@@ -287,14 +287,23 @@ object SketchQueries {
       .select(col("o_custkey"), hash60(col("o_custkey").cast("string")).as("h"))
     val probePos = probe.select(col("o_custkey"),
       explode(positions(col("h"))).as("pos"))
-    val passed = probePos.join(broadcast(bloomPos), Seq("pos"))
-      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nhit"))
-      .filter(col("nhit") === 3)
-    val trueMembers = probe.join(build.select(col("c_custkey").as("k")),
-      col("o_custkey") === col("k"), "left_semi")
-    probe.agg(count(lit(1)).as("n_probed")).crossJoin(
-        passed.agg(count(lit(1)).as("n_bloom_pass"))).crossJoin(
-        trueMembers.agg(count(lit(1)).as("n_true")))
+    // ONE linear pipeline (r10): the previous crossJoin of three 1-row
+    // aggregates re-evaluated the `probe` subtree (orders scan + distinct
+    // shuffle) THREE times in one plan — at 100 TB that is two wasted
+    // fact scans. Now: per-position membership as a broadcast LEFT join
+    // (so zero-hit keys survive with nhit=0 — multiplicity of duplicate
+    // positions preserved exactly as the inner-join count did), one agg
+    // per custkey, one broadcast LEFT join to the dim for true
+    // membership, one final 1-row agg. Same three counts, one scan.
+    probePos
+      .join(broadcast(bloomPos.withColumn("m", lit(1L))), Seq("pos"), "left_outer")
+      .groupBy(col("o_custkey"))
+      .agg(sum(coalesce(col("m"), lit(0L))).as("nhit"))
+      .join(broadcast(build.select(col("c_custkey").as("o_custkey"),
+        lit(1L).as("t"))), Seq("o_custkey"), "left_outer")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when(col("nhit") === 3, 1L).otherwise(0L)).cast("long").as("n_bloom_pass"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).cast("long").as("n_true"))
   }
 
   /** Deterministic 10% Bernoulli sample -> decimal-exact aggregate: the
