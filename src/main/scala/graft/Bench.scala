@@ -45,10 +45,14 @@ object Bench {
     // (r6's driver run clobbered the clean committed pair in the working
     // tree); everything else goes to a scratch path, and an EXPLICIT
     // SPARK_GRAFT_BENCH_OUT is always honored.
+    // The official label comes from GRAFT_ROUND (e.g. "r11") so the path
+    // can never go stale again (the r10 miss: a hardcoded "_r9" survived
+    // into round 10 and would have mislabeled the pair).
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-      if (sys.env.get("GRAFT_OFFICIAL").contains("1"))
-        "/root/repo/docs/bench_full_r9.json"
-      else "/root/repo/target/bench_scratch.json"
+      if (sys.env.get("GRAFT_OFFICIAL").contains("1")) {
+        val round = sys.env.getOrElse("GRAFT_ROUND", "r11")
+        s"/root/repo/docs/bench_full_$round.json"
+      } else "/root/repo/target/bench_scratch.json"
     }
     // The stdout line must FIT the driver's capture window: at 172 entries
     // the full per-query map overflowed it (BENCH_r07 "parsed": null), so

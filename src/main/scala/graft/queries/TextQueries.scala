@@ -156,9 +156,25 @@ object TextQueries {
 
   /** (doc_id, lang, pred_lang, score9): every doc scored by the trained
     * profile; struct-min argmax = (max score, then lexicographically first
-    * language).
+    * language). Served as a CROSS-ENTRY checkpointed fixture (r11):
+    * `t_langid` and `t_langid_eval` both consume the full scored frame
+    * (~|docs| narrow rows), so the train+score pipeline is paid once per
+    * (session, dir). This is the pqTopCache pattern, NOT the internal
+    * checkpoint the r9 measurement rejected — that one inserted a barrier
+    * INSIDE the training plan ahead of the scoring scan; here the
+    * checkpoint is the final entry-sized output and the second entry
+    * skips the pipeline entirely (measured at sf0.1: pair 11.26s ->
+    * 8.87s — the payer absorbs ~0.7s of checkpoint cost once, eval
+    * drops 3.33s -> 0.25s).
     */
-  private def langScored(s: SparkSession, d: String): DataFrame = {
+  private val langScoredCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def langScored(s: SparkSession, d: String): DataFrame =
+    graft.Caches.cachedCkpt(langScoredCache, (s, d))(
+      langScoredBuild(s, d).localCheckpoint())
+
+  private def langScoredBuild(s: SparkSession, d: String): DataFrame = {
     val gb = gramBuckets(s, d)
     gb.join(broadcast(langProfile(gb)), Seq("b"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
@@ -428,11 +444,18 @@ object TextQueries {
     * 4-gram window, and select each window's minimal hash (ties ->
     * RIGHTMOST position, the standard rule) — guaranteeing any shared
     * run of >= w+k-1 tokens between two documents shares a fingerprint
-    * hash, with far fewer hashes than all-grams. Two passes, both
-    * doc-partitioned: a ROWS-frame min window, then the rightmost-argmin
-    * resolved by a per-doc banded self-join (co-located — the band never
-    * leaves the doc partition). Output: per-doc gram/selection counts +
-    * the md5 of the sorted selected-hash set, all hash-checked.
+    * hash, with far fewer hashes than all-grams. ONE doc-partitioned
+    * ROWS-frame window pass: `min(struct(h, -pos))` picks the minimal
+    * hash AND its rightmost position in the same frame (lexicographic
+    * struct min — smallest h, then smallest -pos = largest pos), so the
+    * selection is resolved with no join at all. (r11: replaces the
+    * original per-doc banded self-join, which re-joined every window end
+    * against ALL of the doc's positions — O(len^2) work per document;
+    * harmless at this corpus's <= 128 tokens, quadratic on a long-doc
+    * corpus. The window plan is doc-length-LINEAR after the per-doc
+    * sort, with identical selection semantics — hash-unchanged.)
+    * Output: per-doc gram/selection counts + the md5 of the sorted
+    * selected-hash set, all hash-checked.
     */
   private val WinK = 4
   private val WinW = 4
@@ -445,22 +468,32 @@ object TextQueries {
       .select(col("doc_id"), col("n_grams"), col("pos"), col("col").as("h"))
 
   /** The selected (doc_id, h, pos) fingerprint postings, shared by the
-    * per-doc digest entry and the dup-pair entry.
+    * per-doc digest entry and the dup-pair entry — as a checkpointed
+    * fixture (r11): `t_winnow_fp` and `t_winnow_pairs` previously each
+    * recomputed the whole selection (the same double-pay the PQ/SQ8
+    * fixtures remove); whichever entry runs first pays the one window
+    * pass, the other reads the checkpoint.
     */
-  private def winnowSelected(s: SparkSession, d: String): DataFrame = {
+  private val winnowSelCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def winnowSelected(s: SparkSession, d: String): DataFrame =
+    graft.Caches.cachedCkpt(winnowSelCache, (s, d))(
+      winnowSelectedBuild(s, d).localCheckpoint())
+
+  /** The uncheckpointed single-window selection plan (package-visible so
+    * specs can assert join-freedom on the REAL plan).
+    */
+  private[graft] def winnowSelectedBuild(s: SparkSession, d: String): DataFrame = {
     val base = winnowBase(s, d)
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       .rowsBetween(-(WinW - 1), 0)
-    val ends = base.withColumn("wmin", min(col("h")).over(frame))
+    base
+      .withColumn("sel",
+        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(frame))
       .filter(col("pos") >= WinW - 1)
-      .select(col("doc_id"), col("pos").as("e"), col("wmin"))
-    ends
-      .join(base.select(col("doc_id"), col("pos"), col("h")), Seq("doc_id"))
-      .filter(col("pos").between(col("e") - (WinW - 1), col("e")) &&
-        col("h") === col("wmin"))
-      .groupBy(col("doc_id"), col("e"), col("wmin"))
-      .agg(max(col("pos")).as("pos"))
-      .select(col("doc_id"), col("wmin").as("h"), col("pos")).distinct()
+      .select(col("doc_id"), col("sel.h").as("h"), (-col("sel.np")).as("pos"))
+      .distinct()
   }
 
   /** Distinct (doc_id, h) fingerprint postings for the pair join. */
@@ -853,11 +886,23 @@ object TextQueries {
     scala.collection.mutable.Map.empty[(SparkSession, String),
       (Seq[(Int, String, String, Long)], DataFrame)]
 
-  def releaseCaches(): Unit = bpeCache.synchronized {
-    bpeCache.values.foreach { case (_, df) =>
-      org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint(df)
+  def releaseCaches(): Unit = {
+    bpeCache.synchronized {
+      bpeCache.values.foreach { case (_, df) =>
+        org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint(df)
+      }
+      bpeCache.clear()
     }
-    bpeCache.clear()
+    winnowSelCache.synchronized {
+      winnowSelCache.values.foreach(
+        org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
+      winnowSelCache.clear()
+    }
+    langScoredCache.synchronized {
+      langScoredCache.values.foreach(
+        org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
+      langScoredCache.clear()
+    }
   }
 
   /** Runs the K-round training loop once per (session, dir): returns the

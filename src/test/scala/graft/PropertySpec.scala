@@ -133,6 +133,14 @@ class PropertySpec extends AnyFunSuite {
       "PQ encode+score must be map-only up to the top-k")
     assert(pq.contains("TakeOrderedAndProject"),
       "PQ top-k must be a TakeOrdered, not a global sort")
+    // r11: same bar for the flat-SQ8 sibling, now on the one-cell
+    // IvfSq8Kernels looping path instead of a 64-term unrolled tree
+    val sq8 = graft.queries.AnnQueries.annSq8Build(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!sq8.contains("Exchange hashpartitioning"),
+      "SQ8 encode+score must be map-only up to the top-k")
+    assert(sq8.contains("TakeOrderedAndProject"),
+      "SQ8 top-k must be a TakeOrdered, not a global sort")
   }
 
   test("salted blocked pair join is row-equal to the broadcast plan (VERDICT r2 #5)") {
