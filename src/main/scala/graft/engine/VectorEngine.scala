@@ -1510,13 +1510,17 @@ final class VectorEngine(
       throw new ValidationError("hybridSearch needs at least one query term")
     if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
     val libChunks = chunks.filter(col("library_id") === libId)
+    // k-bounded rank frames (see scaladoc): single partition on purpose,
+    // stated via onePartition so WindowExec stays warning-free.
     val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.queries.WindowUtil.onePartition(col("chunk_id")))
       .orderBy(col("score").desc, col("chunk_id").asc)
     val vec = search(libId, query, k, metric)
       .select(col("chunk_id"), col("score"))
       .withColumn("rank_vec", row_number().over(wV))
       .select(col("chunk_id"), col("rank_vec"))
     val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.queries.WindowUtil.onePartition(col("chunk_id")))
       .orderBy(col("s9").desc, col("chunk_id").asc)
     val lex = RetrievalCore.bm25ScoresOf(
         libChunks.select(col("id").as("chunk_id"), col("text")),

@@ -219,14 +219,19 @@ object EventQueries {
       .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(count(lit(1)).as("n"))
     val tot = daily.agg(count(lit(1)).as("tot"))
-    val wN = Window.orderBy(col("n").asc, col("day").asc)
+    // |days|-bounded frames: both median-rank windows run over the daily
+    // table, never the event log — single partition on purpose, stated
+    // via the onePartition idiom so WindowExec stays warning-free.
+    val wN = Window.partitionBy(WindowUtil.onePartition(col("day")))
+      .orderBy(col("n").asc, col("day").asc)
     val med = daily.withColumn("rn", row_number().over(wN))
       .crossJoin(broadcast(tot))
       .filter(col("rn") === expr("(tot + 1) div 2"))
       .select(col("n").as("med"))
     val dev = daily.crossJoin(broadcast(med))
       .withColumn("dev", abs(col("n") - col("med")))
-    val wD = Window.orderBy(col("dev").asc, col("day").asc)
+    val wD = Window.partitionBy(WindowUtil.onePartition(col("day")))
+      .orderBy(col("dev").asc, col("day").asc)
     val mad = dev.withColumn("rn", row_number().over(wD))
       .crossJoin(broadcast(tot))
       .filter(col("rn") === expr("(tot + 1) div 2"))

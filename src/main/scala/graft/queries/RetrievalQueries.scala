@@ -71,13 +71,20 @@ object RetrievalQueries {
     * contribute 0.
     */
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+    // k-bounded frames: the rank windows run over ALREADY-LIMITED top-k
+    // inputs, so the single partition is the point — the onePartition
+    // idiom states that and keeps WindowExec's "moving all data to a
+    // single partition" warning out of the logs (ADVICE r10: every such
+    // warning must be a deliberate, bounded plan).
+    val wLex = Window.partitionBy(WindowUtil.onePartition(col("doc_id")))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val lex = bm25(s, d)
       .withColumn("rank_lex", row_number().over(wLex))
       .select(col("doc_id").as("id"), col("rank_lex"))
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-    val wVec = Window.orderBy(col("score").desc, col("vec_id").asc)
+    val wVec = Window.partitionBy(WindowUtil.onePartition(col("vec_id")))
+      .orderBy(col("score").desc, col("vec_id").asc)
     val vec = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
