@@ -553,4 +553,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(np <= nt * 12)
     }
   }
+
+  test("d_substring_dedup run invariants hold on every shard") {
+    // maximal-run accounting: every run covers at least SubL=20 tokens
+    // (dup_tokens >= 20 * n_runs only when runs never overlap-merge, so
+    // the safe direction is dup_tokens >= n_runs + 19 per isolated run's
+    // minimum — use the exact lower bound: a run of w consecutive starts
+    // covers w + 19 tokens, runs are disjoint in starts, so
+    // dup_tokens <= n_dup_wins + 19 * n_runs and dup_tokens >= 20 per
+    // run is NOT guaranteed under extent overlap across runs; assert the
+    // two exact bounds that ARE invariant)
+    val rows = graft.queries.DedupQueries.queries("d_substring_dedup")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "derived long-doc shard must be non-empty")
+    rows.foreach { r =>
+      val nTok = r.getLong(1); val nWins = r.getLong(2)
+      val nRuns = r.getLong(3); val dupTok = r.getLong(4)
+      assert(nWins >= nRuns, "a run is at least one matched window")
+      // each run's covered extent is its windows + 19 tokens of tail,
+      // minus whatever later runs' extents overlap — never more
+      assert(dupTok <= nWins + 19 * nRuns,
+        s"covered tokens exceed the union bound: $r")
+      assert(dupTok <= nTok, s"coverage exceeds shard length: $r")
+      assert(nRuns == 0 || dupTok >= nWins + 19,
+        "at least the last run's tail extends past its windows")
+    }
+    // the planted cross-doc duplicates must actually light the tier up
+    assert(rows.map(_.getLong(3)).sum > 0, "no duplicated runs found")
+  }
 }
