@@ -59,6 +59,12 @@ object DedupQueries {
   private val bandsCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
 
+  /** Maximal duplicated-run frame of the long-doc shard (r11), shared by
+    * `d_substring_dedup` and `d_substring_top` — ~10 rows/shard.
+    */
+  private val subRunsCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+
   /** Double-checked cache fill: the checkpoint JOB runs OUTSIDE the lock
     * (a slow scan must not serialize unrelated callers); on a lost race the
     * loser's blocks are released and the winner is returned.
@@ -77,7 +83,7 @@ object DedupQueries {
     * dataset swapped in-place at the same path is also picked up).
     */
   def releaseCaches(): Unit =
-    Seq(bandsCache, pairsCache, prefixCache).foreach { c =>
+    Seq(bandsCache, pairsCache, prefixCache, subRunsCache).foreach { c =>
       c.synchronized {
         c.values.foreach(
           org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
@@ -943,6 +949,8 @@ object DedupQueries {
     "d_edit_dedup"      -> (editDedup _),
     "d_greedy_cover"    -> (greedyCover _),
     "d_substring_dedup" -> (substringDedup _),
+    "d_substring_top"   -> (substringTop _),
+    "d_cdc_dedup"       -> (cdcDedup _),
   )
 
   /** NORMALIZED exact dedup — the preprocessing real pipelines run
@@ -1324,49 +1332,25 @@ object DedupQueries {
     // gram start is emitted exactly once (by its own chunk), so the hash
     // stream is identical to the naive whole-doc shingle the oracle
     // replays via string_agg.
-    val member = docs(s, d)
-      .select((col("doc_id") % SubG).as("ldoc_id"), col("doc_id"), toks.as("tk"))
-      .withColumn("n", size(col("tk")))
-    val wOff = Window.partitionBy(col("ldoc_id")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val tokStream = member
-      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .select(col("ldoc_id"), col("off"), posexplode(col("tk")))
-      .select(col("ldoc_id"), (col("off") + col("pos")).as("gpos"),
-        col("col").as("tok"))
-      .withColumn("c0", expr(s"gpos DIV $SubC"))
-    val dup = tokStream.select(col("ldoc_id"), col("gpos"), col("tok"),
-      explode(when(pmod(col("gpos"), lit(SubC.toLong)) <= SubL - 2 &&
-          col("c0") > 0, array(col("c0"), col("c0") - 1))
-        .otherwise(array(col("c0")))).as("chunk"))
-    val base = dup.groupBy(col("ldoc_id"), col("chunk"))
-      .agg(sort_array(collect_list(struct(col("gpos"), col("tok")))).as("st"))
-      .select(col("ldoc_id"), (col("chunk") * SubC).as("cstart"),
-        transform(col("st"), x => x.getField("tok")).as("ctk"))
-      .select(col("ldoc_id"), col("cstart"),
-        posexplode(transform(shingles(col("ctk"), SubL), g => hash60(g))))
-      .filter(col("pos") < SubC) // starts in the chunk's own span only
-      .select(col("ldoc_id"), (col("cstart") + col("pos")).as("pos"),
-        col("col").as("h"))
-    val nt = member.groupBy(col("ldoc_id"))
+    val runs = subRuns(s, d)
+    val nt = subMember(s, d).groupBy(col("ldoc_id"))
       .agg(sum(col("n")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= SubL)
-    val hot = base.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-    val mp = base.join(hot.select("h"), Seq("h"), "left_semi")
-      .select(col("ldoc_id"), col("pos")).distinct()
-    val w = Window.partitionBy(col("ldoc_id")).orderBy(col("pos").asc)
-    val nRuns = mp.withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("ldoc_id"))
-      .agg(countDistinct(col("grp")).as("n_runs"))
-    val cov = mp
+    // run accounting straight off the ~10-rows/shard runs frame: matched
+    // window starts partition into runs by consecutiveness, so
+    // n_dup_wins = sum of run widths, and covered positions = the union
+    // of run EXTENTS [start, endp+SubL-1] (within a run the per-window
+    // extents are consecutive, so the union telescopes) — the distinct
+    // de-overlaps extents of DIFFERENT runs closer than SubL apart
+    val nRuns = runs.groupBy(col("ldoc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("endp") - col("start") + 1).as("n_dup_wins"))
+    val cov = runs
       .select(col("ldoc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(SubL - 1))).as("p"))
+        explode(sequence(col("start"), col("endp") + lit(SubL - 1))).as("p"))
       .distinct()
       .groupBy(col("ldoc_id")).agg(count(lit(1)).as("dup_tokens"))
-    val nw = mp.groupBy(col("ldoc_id")).agg(count(lit(1)).as("n_dup_wins"))
     nt
-      .join(nw, Seq("ldoc_id"), "left_outer")
       .join(nRuns, Seq("ldoc_id"), "left_outer")
       .join(cov, Seq("ldoc_id"), "left_outer")
       .select(col("ldoc_id"), col("n_tokens"),
@@ -1376,6 +1360,157 @@ object DedupQueries {
         rnd(coalesce(col("dup_tokens").cast("double") / col("n_tokens"),
           lit(0.0)), 6).as("dup_frac"))
       .orderBy(col("ldoc_id").asc)
+  }
+
+  /** (ldoc_id, doc_id, tk, n): the long-doc shard membership. */
+  private def subMember(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select((col("doc_id") % SubG).as("ldoc_id"), col("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+
+  /** (ldoc_id, gpos, tok): the long-doc token stream with global
+    * positions — doc-parallel explode, offsets from one running-sum
+    * window over the |docs| member table.
+    */
+  private def subTokStream(s: SparkSession, d: String): DataFrame = {
+    val wOff = Window.partitionBy(col("ldoc_id")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    subMember(s, d)
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("ldoc_id"), col("off"), posexplode(col("tk")))
+      .select(col("ldoc_id"), (col("off") + col("pos")).as("gpos"),
+        col("col").as("tok"))
+  }
+
+  /** (ldoc_id, start, endp): maximal duplicated runs (consecutive
+    * matched SubL-gram starts), the shared checkpointed fixture both
+    * substring entries read (~10 rows/shard).
+    */
+  private[graft] def subRunsBuildForProf(s: SparkSession, d: String): DataFrame =
+    subRunsBuild(s, d)
+
+  private def subRuns(s: SparkSession, d: String): DataFrame =
+    cachedCkpt(subRunsCache, (s, d)) { subRunsBuild(s, d).localCheckpoint() }
+
+  private def subRunsBuild(s: SparkSession, d: String): DataFrame = {
+      val tokStream = subTokStream(s, d).withColumn("c0", expr(s"gpos DIV $SubC"))
+      val dup = tokStream.select(col("ldoc_id"), col("gpos"), col("tok"),
+        explode(when(pmod(col("gpos"), lit(SubC.toLong)) <= SubL - 2 &&
+            col("c0") > 0, array(col("c0"), col("c0") - 1))
+          .otherwise(array(col("c0")))).as("chunk"))
+      val base = dup.groupBy(col("ldoc_id"), col("chunk"))
+        .agg(sort_array(collect_list(struct(col("gpos"), col("tok")))).as("st"))
+        .select(col("ldoc_id"), (col("chunk") * SubC).as("cstart"),
+          transform(col("st"), x => x.getField("tok")).as("ctk"))
+        .select(col("ldoc_id"), col("cstart"),
+          posexplode(transform(shingles(col("ctk"), SubL), g => hash60(g))))
+        .filter(col("pos") < SubC) // starts in the chunk's own span only
+        .select(col("ldoc_id"), (col("cstart") + col("pos")).as("pos"),
+          col("col").as("h"))
+      val hot = base.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2)
+      val mp = base.join(hot.select("h"), Seq("h"), "left_semi")
+        .select(col("ldoc_id"), col("pos")).distinct()
+      val w = Window.partitionBy(col("ldoc_id")).orderBy(col("pos").asc)
+      mp.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("ldoc_id"), col("grp"))
+        .agg(min(col("pos")).as("start"), max(col("pos")).as("endp"))
+        .select(col("ldoc_id"), col("start"), col("endp"))
+    }
+
+  /** TOP REPEATED SUBSTRINGS — what the dedup summary points at (the
+    * Lee et al. workflow reports these: the boilerplate/template
+    * passages themselves). Each maximal run's exact token extent
+    * [start, endp + SubL - 1] is rehydrated from the token stream (runs
+    * are ~10/shard, BROADCAST against the stream — never a pair join),
+    * fingerprinted with md5, and identical passages are grouped across
+    * shards. Output: top 20 by extent length (md5 tie-break) with
+    * occurrence counts. A shorter echo of a longer passage surfaces as
+    * its own row (different extent, different md5) — maximal-extent-
+    * per-shard semantics, stated in the oracle too.
+    */
+  private def substringTop(s: SparkSession, d: String): DataFrame = {
+    val runs = subRuns(s, d)
+      .select(col("ldoc_id"), col("start"), (col("endp") + lit(SubL - 1)).as("xend"))
+    val spans = subTokStream(s, d).as("t")
+      .join(broadcast(runs).as("r"),
+        col("t.ldoc_id") === col("r.ldoc_id") &&
+          col("t.gpos").between(col("r.start"), col("r.xend")))
+      .groupBy(col("r.ldoc_id").as("ldoc_id"), col("r.start").as("start"),
+        col("r.xend").as("xend"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("t.gpos"), col("t.tok")))),
+        x => x.getField("tok")), " ")).as("span_md5"))
+    spans
+      .groupBy(col("span_md5"),
+        (col("xend") - col("start") + 1).cast("long").as("span_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("ldoc_id")).as("n_shards"))
+      .orderBy(col("span_tokens").desc, col("span_md5").asc)
+      .limit(20)
+  }
+
+  /** CONTENT-DEFINED CHUNKING DEDUP — the rsync/FastCDC-family
+    * primitive fixed-window chunking can't provide: chunk boundaries are
+    * cut where the CONTENT's rolling fingerprint hits a mask (here:
+    * hash60 of the trailing CdcW-token gram ≡ 0 mod CdcMod, expected
+    * chunk ≈ CdcMod tokens), so an insertion or deletion shifts only the
+    * chunk it lands in — every later boundary re-synchronizes, and
+    * shared passages between edited documents still produce IDENTICAL
+    * chunks with identical md5s (fixed-stride chunking would misalign
+    * every chunk after the edit). Chunks are then deduped corpus-wide by
+    * content hash: a chunk whose md5 appears in >= 2 distinct docs is
+    * shared material.
+    *
+    * 100 TB shape: one doc-parallel token explode, one doc-partitioned
+    * running-sum window (doc-length bounded; for book-length docs the
+    * same overlapping-chunk regrouping as [[subRuns]] applies since the
+    * cut predicate is CdcW-local), one (doc, chunk) agg, and one
+    * hash-keyed group for the hot set — no pairwise anything. Output:
+    * per-doc chunk counts, shared-chunk counts, shared-token fraction;
+    * fully hash-checked (boundary placement, chunk reassembly, and md5s
+    * all replayed by DuckDB).
+    */
+  private val CdcW = 4    // rolling-fingerprint window (tokens)
+  private val CdcMod = 16 // boundary mask -> expected chunk length
+
+  private def cdcDedup(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+    val tp = tk.select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    // cut AFTER position p (p >= CdcW-1) when the gram ENDING at p masks
+    val cuts = tk.select(col("doc_id"),
+        posexplode(transform(shingles(col("tk"), CdcW),
+          g => when(pmod(hash60(g), lit(CdcMod.toLong)) === 0, 1).otherwise(0))))
+      .select(col("doc_id"), (col("pos") + CdcW - 1).as("pos"),
+        col("col").as("cut"))
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tp.join(cuts, Seq("doc_id", "pos"), "left_outer")
+      .withColumn("chunk",
+        coalesce(sum(coalesce(col("cut"), lit(0))).over(wCum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chash"))
+    val hot = chunks.select(col("chash"), col("doc_id")).distinct()
+      .groupBy(col("chash")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val marked = chunks.join(hot.select("chash"), Seq("chash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_chunks"), sum(col("n_tok")).as("dup_tokens"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(chunks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks")), Seq("doc_id"))
+      .join(marked, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        rnd(coalesce(col("dup_tokens").cast("double") / col("n_tokens"),
+          lit(0.0)), 6).as("dup_frac"))
+      .orderBy(col("doc_id").asc)
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1746,6 +1881,85 @@ object DedupQueries {
          |FROM nd LEFT JOIN nw USING (ldoc_id) LEFT JOIN nr USING (ldoc_id)
          |     LEFT JOIN cov USING (ldoc_id)
          |ORDER BY ldoc_id ASC""".stripMargin,
+    // top repeated substrings: same run derivation, then each maximal
+    // extent rehydrated with list_slice from the shard's token list and
+    // md5-fingerprinted; identical passages grouped across shards
+    "d_substring_top" ->
+      s"""WITH ld AS MATERIALIZED (
+         |  SELECT doc_id % $SubG AS ldoc_id,
+         |         string_agg(text, ' ' ORDER BY doc_id) AS text
+         |  FROM documents GROUP BY 1),
+         |tkc AS MATERIALIZED (SELECT ldoc_id, $toksSql AS tk FROM ld),
+         |base AS MATERIALIZED (
+         |  SELECT ldoc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+         |  FROM (SELECT ldoc_id, tk,
+         |          list_transform(range(1, len(tk) - ${SubL - 2}),
+         |            i -> CAST('0x' || substr(md5(array_to_string(
+         |              list_slice(tk, i, i + ${SubL - 1}), ' ')), 1, 15) AS BIGINT)) AS hs
+         |        FROM tkc WHERE len(tk) >= $SubL)),
+         |hot AS (SELECT h FROM base GROUP BY h HAVING count(*) >= 2),
+         |mp AS (SELECT DISTINCT ldoc_id, pos FROM base JOIN hot USING (h)),
+         |runs AS (
+         |  SELECT ldoc_id, min(pos) AS start, max(pos) AS endp
+         |  FROM (SELECT ldoc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY ldoc_id ORDER BY pos) AS grp
+         |        FROM mp)
+         |  GROUP BY ldoc_id, grp),
+         |spans AS (
+         |  SELECT r.ldoc_id, r.start, r.endp + ${SubL - 1} AS xend,
+         |         md5(array_to_string(
+         |           list_slice(t.tk, CAST(r.start + 1 AS INT),
+         |             CAST(r.endp + $SubL AS INT)), ' ')) AS span_md5
+         |  FROM runs r JOIN tkc t USING (ldoc_id))
+         |SELECT span_md5,
+         |       CAST(xend - start + 1 AS BIGINT) AS span_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(count(DISTINCT ldoc_id) AS BIGINT) AS n_shards
+         |FROM spans
+         |GROUP BY span_md5, xend - start + 1
+         |ORDER BY span_tokens DESC, span_md5 ASC
+         |LIMIT 20""".stripMargin,
+    // CDC dedup: boundary placement (trailing-4-gram hash60 mod 16),
+    // exclusive running-sum chunk ids, chunk reassembly + md5, hot set
+    // by distinct-doc count — the whole pipeline replayed
+    "d_cdc_dedup" ->
+      s"""WITH tkf AS MATERIALIZED (
+         |  SELECT doc_id, tk FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+         |  WHERE len(tk) > 0),
+         |tp AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+         |         unnest(tk) AS tok FROM tkf),
+         |cuts AS (
+         |  SELECT doc_id, generate_subscripts(cs, 1) - 1 + ${CdcW - 1} AS pos,
+         |         unnest(cs) AS cut
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len(tk) - ${CdcW - 2}),
+         |            i -> CASE WHEN CAST('0x' || substr(md5(array_to_string(
+         |                   list_slice(tk, i, i + ${CdcW - 1}), ' ')), 1, 15)
+         |                   AS BIGINT) % $CdcMod = 0 THEN 1 ELSE 0 END) AS cs
+         |        FROM tkf WHERE len(tk) >= $CdcW)),
+         |tc AS (SELECT tp.doc_id, tp.pos, tp.tok,
+         |         COALESCE(SUM(COALESCE(c.cut, 0)) OVER (
+         |           PARTITION BY tp.doc_id ORDER BY tp.pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |       FROM tp LEFT JOIN cuts c ON c.doc_id = tp.doc_id AND c.pos = tp.pos),
+         |chunks AS MATERIALIZED (
+         |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+         |  FROM tc GROUP BY doc_id, chunk),
+         |hot AS (SELECT chash FROM (SELECT DISTINCT chash, doc_id FROM chunks)
+         |        GROUP BY chash HAVING count(*) >= 2),
+         |marked AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks,
+         |             CAST(SUM(c.n_tok) AS BIGINT) AS dup_tokens
+         |           FROM chunks c JOIN hot USING (chash) GROUP BY c.doc_id),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |       FROM chunks GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkf)
+         |SELECT nt.doc_id, nt.n_tokens, nc.n_chunks,
+         |       CAST(coalesce(marked.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+         |       CAST(coalesce(marked.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       ${rndSql("coalesce(CAST(marked.dup_tokens AS DOUBLE) / nt.n_tokens, 0.0)", 6)} AS dup_frac
+         |FROM nt JOIN nc USING (doc_id) LEFT JOIN marked USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
     "d_minhash_eval" ->
       s"""WITH bands AS ($bandRowsSql),
          |cp AS (
