@@ -950,6 +950,7 @@ object DedupQueries {
     "d_greedy_cover"    -> (greedyCover _),
     "d_substring_dedup" -> (substringDedup _),
     "d_substring_top"   -> (substringTop _),
+    "d_substring_strip" -> (substringStrip _),
     "d_cdc_dedup"       -> (cdcDedup _),
   )
 
@@ -1450,6 +1451,65 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** SUBSTRING-DEDUP TRANSFORM — the removal pass the audit entries
+    * feed (Lee et al. keep the FIRST occurrence of each duplicated
+    * substring and drop the rest): spans with the same passage md5 are
+    * ordered by (ldoc_id, start), the first is kept, and every token
+    * position covered by a NON-first span's extent is stripped; each
+    * shard is reassembled from its surviving tokens. Overlap rule,
+    * stated: the strip set is the UNION of non-first extents, so a
+    * position shared with a kept span is still stripped (deterministic
+    * and oracle-replayable; the alternative — subtracting kept extents
+    * — would make the result depend on span enumeration order).
+    *
+    * 100 TB shape: spans/strip positions are bounded by duplicated
+    * boilerplate (runs fixture, ~10/shard), the strip set joins the
+    * token stream with one anti-join on (shard, position), and
+    * reassembly is one per-shard sorted aggregation — the [[spanStrip]]
+    * machinery at arbitrary-length granularity. Output per shard:
+    * kept/stripped token counts + md5 of the reassembled text, all
+    * hash-checked.
+    */
+  private def substringStrip(s: SparkSession, d: String): DataFrame = {
+    val runs = subRuns(s, d)
+      .select(col("ldoc_id"), col("start"),
+        (col("endp") + lit(SubL - 1)).as("xend"))
+    val ts = subTokStream(s, d)
+    val spans = ts.as("t")
+      .join(broadcast(runs).as("r"),
+        col("t.ldoc_id") === col("r.ldoc_id") &&
+          col("t.gpos").between(col("r.start"), col("r.xend")))
+      .groupBy(col("r.ldoc_id").as("ldoc_id"), col("r.start").as("start"),
+        col("r.xend").as("xend"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("t.gpos"), col("t.tok")))),
+        x => x.getField("tok")), " ")).as("span_md5"))
+    val wFirst = Window.partitionBy(col("span_md5"))
+      .orderBy(col("ldoc_id").asc, col("start").asc)
+    val strip = spans
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .select(col("ldoc_id"),
+        explode(sequence(col("start"), col("xend"))).as("gpos"))
+      .distinct()
+    val kept = ts.join(strip, Seq("ldoc_id", "gpos"), "left_anti")
+    val nt = subMember(s, d).groupBy(col("ldoc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    nt
+      .join(kept.groupBy(col("ldoc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("gpos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("stripped_md5")),
+        Seq("ldoc_id"), "left_outer")
+      .select(col("ldoc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_stripped"),
+        coalesce(col("stripped_md5"), lit("")).as("stripped_md5"))
+      .orderBy(col("ldoc_id").asc)
+  }
+
   /** CONTENT-DEFINED CHUNKING DEDUP — the rsync/FastCDC-family
     * primitive fixed-window chunking can't provide: chunk boundaries are
     * cut where the CONTENT's rolling fingerprint hits a mask (here:
@@ -1919,6 +1979,62 @@ object DedupQueries {
          |GROUP BY span_md5, xend - start + 1
          |ORDER BY span_tokens DESC, span_md5 ASC
          |LIMIT 20""".stripMargin,
+    // substring strip: same run/span derivation as _top, first occurrence
+    // per passage md5 by (ldoc_id, start), non-first extents exploded to
+    // a strip set (range() with column bounds is a scalar list fn), one
+    // anti-join, per-shard reassembly md5
+    "d_substring_strip" ->
+      s"""WITH ld AS MATERIALIZED (
+         |  SELECT doc_id % $SubG AS ldoc_id,
+         |         string_agg(text, ' ' ORDER BY doc_id) AS text
+         |  FROM documents GROUP BY 1),
+         |tkc AS MATERIALIZED (SELECT ldoc_id, $toksSql AS tk FROM ld),
+         |base AS MATERIALIZED (
+         |  SELECT ldoc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+         |  FROM (SELECT ldoc_id, tk,
+         |          list_transform(range(1, len(tk) - ${SubL - 2}),
+         |            i -> CAST('0x' || substr(md5(array_to_string(
+         |              list_slice(tk, i, i + ${SubL - 1}), ' ')), 1, 15) AS BIGINT)) AS hs
+         |        FROM tkc WHERE len(tk) >= $SubL)),
+         |hot AS (SELECT h FROM base GROUP BY h HAVING count(*) >= 2),
+         |mp AS (SELECT DISTINCT ldoc_id, pos FROM base JOIN hot USING (h)),
+         |runs AS (
+         |  SELECT ldoc_id, min(pos) AS start, max(pos) AS endp
+         |  FROM (SELECT ldoc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY ldoc_id ORDER BY pos) AS grp
+         |        FROM mp)
+         |  GROUP BY ldoc_id, grp),
+         |spans AS MATERIALIZED (
+         |  SELECT r.ldoc_id, r.start, r.endp + ${SubL - 1} AS xend,
+         |         md5(array_to_string(
+         |           list_slice(t.tk, CAST(r.start + 1 AS INT),
+         |             CAST(r.endp + $SubL AS INT)), ' ')) AS span_md5
+         |  FROM runs r JOIN tkc t USING (ldoc_id)),
+         |strp AS (
+         |  SELECT DISTINCT ldoc_id, gpos FROM (
+         |    SELECT ldoc_id, unnest(range(start, xend + 1)) AS gpos
+         |    FROM (SELECT ldoc_id, start, xend,
+         |            row_number() OVER (PARTITION BY span_md5
+         |              ORDER BY ldoc_id, start) AS rn
+         |          FROM spans)
+         |    WHERE rn > 1)),
+         |tp AS (SELECT ldoc_id, generate_subscripts(tk, 1) - 1 AS gpos,
+         |         unnest(tk) AS tok FROM tkc),
+         |kept AS (SELECT tp.ldoc_id, tp.gpos, tp.tok
+         |         FROM tp LEFT JOIN strp s
+         |           ON s.ldoc_id = tp.ldoc_id AND s.gpos = tp.gpos
+         |         WHERE s.gpos IS NULL),
+         |ka AS (SELECT ldoc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         md5(string_agg(tok, ' ' ORDER BY gpos)) AS stripped_md5
+         |       FROM kept GROUP BY ldoc_id),
+         |nt AS (SELECT ldoc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+         |       FROM tkc WHERE len(tk) > 0)
+         |SELECT nt.ldoc_id, nt.n_tokens,
+         |       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(nt.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT) AS n_stripped,
+         |       coalesce(ka.stripped_md5, '') AS stripped_md5
+         |FROM nt LEFT JOIN ka USING (ldoc_id)
+         |ORDER BY ldoc_id ASC""".stripMargin,
     // CDC dedup: boundary placement (trailing-4-gram hash60 mod 16),
     // exclusive running-sum chunk ids, chunk reassembly + md5, hot set
     // by distinct-doc count — the whole pipeline replayed
