@@ -83,7 +83,8 @@ object DedupQueries {
     * dataset swapped in-place at the same path is also picked up).
     */
   def releaseCaches(): Unit =
-    Seq(bandsCache, pairsCache, prefixCache, subRunsCache).foreach { c =>
+    Seq(bandsCache, pairsCache, prefixCache, subRunsCache,
+        cdcChunksCache).foreach { c =>
       c.synchronized {
         c.values.foreach(
           org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
@@ -952,6 +953,7 @@ object DedupQueries {
     "d_substring_top"   -> (substringTop _),
     "d_substring_strip" -> (substringStrip _),
     "d_cdc_dedup"       -> (cdcDedup _),
+    "e_stream_cdc_dedup" -> (streamCdcDedup _),
   )
 
   /** NORMALIZED exact dedup — the preprocessing real pipelines run
@@ -1534,8 +1536,13 @@ object DedupQueries {
   private val CdcW = 4    // rolling-fingerprint window (tokens)
   private val CdcMod = 16 // boundary mask -> expected chunk length
 
-  private def cdcDedup(s: SparkSession, d: String): DataFrame = {
-    val tk = docs(s, d).select(col("doc_id"), toks.as("tk"))
+  /** (doc_id, chunk, n_tok, chash): CDC chunks of a (doc_id, text)
+    * frame — shared by the batch dedup entry and the streaming ingest
+    * probe (the chunker must be ONE piece of code or the stream==batch
+    * contract is meaningless).
+    */
+  private def cdcChunksOf(df: DataFrame): DataFrame = {
+    val tk = df.select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) > 0)
     val tp = tk.select(col("doc_id"), posexplode(col("tk")))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
@@ -1547,7 +1554,7 @@ object DedupQueries {
         col("col").as("cut"))
     val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = tp.join(cuts, Seq("doc_id", "pos"), "left_outer")
+    tp.join(cuts, Seq("doc_id", "pos"), "left_outer")
       .withColumn("chunk",
         coalesce(sum(coalesce(col("cut"), lit(0))).over(wCum), lit(0L)))
       .groupBy(col("doc_id"), col("chunk"))
@@ -1555,6 +1562,23 @@ object DedupQueries {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ")).as("chash"))
+  }
+
+  /** Corpus CDC chunk table as a checkpointed fixture (the
+    * [[bandRowsCkpt]] precedent): `d_cdc_dedup` consumes it three ways
+    * and `e_stream_cdc_dedup` seeds its persisted index from it.
+    */
+  private val cdcChunksCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+
+  private def cdcChunksCkpt(s: SparkSession, d: String): DataFrame =
+    cachedCkpt(cdcChunksCache, (s, d))(
+      cdcChunksOf(docs(s, d)).localCheckpoint())
+
+  private def cdcDedup(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+    val chunks = cdcChunksCkpt(s, d)
     val hot = chunks.select(col("chash"), col("doc_id")).distinct()
       .groupBy(col("chash")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
@@ -1571,6 +1595,110 @@ object DedupQueries {
         rnd(coalesce(col("dup_tokens").cast("double") / col("n_tokens"),
           lit(0.0)), 6).as("dup_frac"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** STREAMING CDC INGEST DEDUP — [[cdcDedup]] at the ingest front door
+    * (the [[streamIngestDedup]] harness with content-defined chunks as
+    * the index unit): the increment arrives as 4 ascending-doc_id
+    * micro-batches; each foreachBatch (1) chunks its docs with the ONE
+    * shared [[cdcChunksOf]] chunker, (2) probes the PERSISTED chunk-hash
+    * index (corpus chunks seeded once + every earlier arrival — all of
+    * which, by ascending arrival order, have strictly smaller doc_ids),
+    * (3) resolves same-batch sharing against smaller-id peers, (4)
+    * writes its per-doc report and only THEN appends its chunk hashes to
+    * the index. A chunk instance is SHARED iff its chash was first
+    * produced by a strictly smaller doc_id — so the streamed report
+    * equals the batch rule "first_doc(chash) < doc_id" and the oracle
+    * replays it in pure SQL over the whole table. Per-batch work is
+    * bounded by the batch (broadcast probe + one append); the corpus is
+    * chunked exactly once, to seed.
+    */
+  private def streamCdcDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val maxId = docs(s, d).agg(max(col("doc_id"))).collect().head.getLong(0)
+    val split = maxId - maxId / 5
+    val root = graft.TempDirs.scratch("graft-stream-cdc").toString
+    val idxDir = s"$root/chunk_index"
+    val outDir = s"$root/report"
+    val srcDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/arrivals"))
+    // seed the persisted chunk index with the already-ingested corpus
+    // (from the shared fixture — chunking a doc subset equals filtering
+    // the full chunk table, since chunk boundaries are per-doc)
+    cdcChunksCkpt(s, d).filter(col("doc_id") < split)
+      .select(col("doc_id"), col("chash"))
+      .write.mode("overwrite").parquet(idxDir)
+    // stage the increment as 4 ascending arrival files (one per batch)
+    val span = maxId - split + 1
+    val step = math.max(1L, span / 4 + (if (span % 4 == 0) 0L else 1L))
+    val t0 = java.nio.file.Files.getLastModifiedTime(srcDir).toMillis
+    (0 until 4).foreach { i =>
+      val lo = split + i * step
+      val stage = s"$root/stage$i"
+      docs(s, d).filter(col("doc_id") >= lo && col("doc_id") < lo + step)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(stage))) { st =>
+        val found = st.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+        require(found.isPresent, s"no parquet part file under $stage")
+        found.get()
+      }
+      val dst = srcDir.resolve(f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+    }
+    val srcSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val nc = cdcChunksOf(batch).persist()
+            try {
+              // index probe by chash alone: every indexed doc_id is
+              // strictly smaller than any current-batch doc_id
+              val idxHit = s.read.parquet(idxDir).select(col("chash")).distinct()
+                .withColumn("in_idx", lit(1))
+              val peers = nc.select(col("doc_id").as("peer_id"), col("chash"))
+                .distinct()
+              val perChunk = nc
+                .join(broadcast(idxHit), Seq("chash"), "left_outer")
+                .join(broadcast(peers), Seq("chash"), "left_outer")
+                .groupBy(col("doc_id"), col("chunk"))
+                .agg(first(col("n_tok")).as("n_tok"),
+                  (max(coalesce(col("in_idx"), lit(0))) === 1 ||
+                    min(when(col("peer_id") < col("doc_id"), col("peer_id")))
+                      .isNotNull).as("shared"))
+              perChunk.groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("n_chunks"),
+                  sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared_chunks"),
+                  sum(when(col("shared"), col("n_tok")).otherwise(0L))
+                    .as("shared_tokens"))
+                .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+                  col("shared_tokens"),
+                  (col("n_shared_chunks") === col("n_chunks")).as("is_fully_dup"))
+                .write.mode("append").parquet(outDir)
+              // probe done — NOW this batch's chunk hashes join the index
+              nc.select(col("doc_id"), col("chash"))
+                .write.mode("append").parquet(idxDir)
+            } finally { nc.unpersist(); () }
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.read.parquet(outDir).orderBy(col("doc_id").asc)
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1671,6 +1799,36 @@ object DedupQueries {
     * batch-vs-index probe replayed as two band joins, with the split
     * replaying the Spark side's computed `max - max/5` threshold.
     */
+  /** The CDC chunk derivation (tokens, boundary cuts, exclusive
+    * running-sum chunk ids, reassembled chunk md5s) as CTEs over
+    * `documents` — ONE copy shared by the `d_cdc_dedup` and
+    * `e_stream_cdc_dedup` oracles so the chunker replay cannot drift.
+    */
+  private lazy val cdcChunksCtesSql =
+    s"""tkf AS MATERIALIZED (
+       |  SELECT doc_id, tk FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+       |  WHERE len(tk) > 0),
+       |tp AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+       |         unnest(tk) AS tok FROM tkf),
+       |cuts AS (
+       |  SELECT doc_id, generate_subscripts(cs, 1) - 1 + ${CdcW - 1} AS pos,
+       |         unnest(cs) AS cut
+       |  FROM (SELECT doc_id,
+       |          list_transform(range(1, len(tk) - ${CdcW - 2}),
+       |            i -> CASE WHEN CAST('0x' || substr(md5(array_to_string(
+       |                   list_slice(tk, i, i + ${CdcW - 1}), ' ')), 1, 15)
+       |                   AS BIGINT) % $CdcMod = 0 THEN 1 ELSE 0 END) AS cs
+       |        FROM tkf WHERE len(tk) >= $CdcW)),
+       |tc AS (SELECT tp.doc_id, tp.pos, tp.tok,
+       |         COALESCE(SUM(COALESCE(c.cut, 0)) OVER (
+       |           PARTITION BY tp.doc_id ORDER BY tp.pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |       FROM tp LEFT JOIN cuts c ON c.doc_id = tp.doc_id AND c.pos = tp.pos),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+       |  FROM tc GROUP BY doc_id, chunk)""".stripMargin
+
   private lazy val incrementalSql =
     s"""WITH bands AS ($bandRowsSql),
        |sp AS (SELECT max(doc_id) - max(doc_id) // 5 AS s FROM documents),
@@ -2039,29 +2197,7 @@ object DedupQueries {
     // exclusive running-sum chunk ids, chunk reassembly + md5, hot set
     // by distinct-doc count — the whole pipeline replayed
     "d_cdc_dedup" ->
-      s"""WITH tkf AS MATERIALIZED (
-         |  SELECT doc_id, tk FROM (SELECT doc_id, $toksSql AS tk FROM documents)
-         |  WHERE len(tk) > 0),
-         |tp AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
-         |         unnest(tk) AS tok FROM tkf),
-         |cuts AS (
-         |  SELECT doc_id, generate_subscripts(cs, 1) - 1 + ${CdcW - 1} AS pos,
-         |         unnest(cs) AS cut
-         |  FROM (SELECT doc_id,
-         |          list_transform(range(1, len(tk) - ${CdcW - 2}),
-         |            i -> CASE WHEN CAST('0x' || substr(md5(array_to_string(
-         |                   list_slice(tk, i, i + ${CdcW - 1}), ' ')), 1, 15)
-         |                   AS BIGINT) % $CdcMod = 0 THEN 1 ELSE 0 END) AS cs
-         |        FROM tkf WHERE len(tk) >= $CdcW)),
-         |tc AS (SELECT tp.doc_id, tp.pos, tp.tok,
-         |         COALESCE(SUM(COALESCE(c.cut, 0)) OVER (
-         |           PARTITION BY tp.doc_id ORDER BY tp.pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-         |       FROM tp LEFT JOIN cuts c ON c.doc_id = tp.doc_id AND c.pos = tp.pos),
-         |chunks AS MATERIALIZED (
-         |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
-         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
-         |  FROM tc GROUP BY doc_id, chunk),
+      s"""WITH $cdcChunksCtesSql,
          |hot AS (SELECT chash FROM (SELECT DISTINCT chash, doc_id FROM chunks)
          |        GROUP BY chash HAVING count(*) >= 2),
          |marked AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks,
@@ -2115,6 +2251,27 @@ object DedupQueries {
     // shares this SQL verbatim.
     "d_incremental" -> incrementalSql,
     "e_stream_dedup_incremental" -> incrementalSql,
+    // streamed CDC ingest report == the batch rule "chunk shared iff its
+    // chash was first produced by a strictly smaller doc_id" (ascending
+    // arrival order makes index + peer probes exactly that predicate)
+    "e_stream_cdc_dedup" ->
+      s"""WITH $cdcChunksCtesSql,
+         |sp AS (SELECT max(doc_id) - max(doc_id) // 5 AS s FROM documents),
+         |fd AS (SELECT chash, min(doc_id) AS fdoc FROM chunks GROUP BY chash),
+         |rep AS (
+         |  SELECT c.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_chunks,
+         |         CAST(SUM(CASE WHEN f.fdoc < c.doc_id THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_shared_chunks,
+         |         CAST(SUM(CASE WHEN f.fdoc < c.doc_id THEN c.n_tok ELSE 0 END)
+         |           AS BIGINT) AS shared_tokens
+         |  FROM chunks c JOIN fd f USING (chash)
+         |  WHERE c.doc_id >= (SELECT s FROM sp)
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, n_chunks, n_shared_chunks, shared_tokens,
+         |       n_shared_chunks = n_chunks AS is_fully_dup
+         |FROM rep
+         |ORDER BY doc_id ASC""".stripMargin,
     // d_dup_clusters: connected components replayed as a recursive
     // reachability CTE — every doc's cluster is the min doc_id whose
     // label can reach it along the (undirected) candidate-pair edges.
