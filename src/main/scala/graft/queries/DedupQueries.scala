@@ -1541,7 +1541,7 @@ object DedupQueries {
     * probe (the chunker must be ONE piece of code or the stream==batch
     * contract is meaningless).
     */
-  private def cdcChunksOf(df: DataFrame): DataFrame = {
+  private[graft] def cdcChunksOf(df: DataFrame): DataFrame = {
     val tk = df.select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) > 0)
     val tp = tk.select(col("doc_id"), posexplode(col("tk")))

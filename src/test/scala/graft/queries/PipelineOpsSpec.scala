@@ -554,6 +554,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunking is edit-resilient: one edit disturbs O(1) chunks") {
+    // the property that justifies content-defined over fixed-stride
+    // chunking: boundary decisions depend only on the trailing 4-token
+    // window, so editing one token can move boundaries only inside the
+    // 4 windows covering it — every chunk outside that neighborhood
+    // keeps its hash. A fixed-stride chunker would shift EVERY chunk
+    // after an insertion.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val toks = Vector.fill(400)(words(rnd.nextInt(words.length)))
+    def chunksOf(ts: Vector[String]): Set[String] = {
+      val df = Seq((1L, ts.mkString(" "))).toDF("doc_id", "text")
+      graft.queries.DedupQueries.cdcChunksOf(df)
+        .select("chash").collect().map(_.getString(0)).toSet
+    }
+    val origTokens = toks
+    val orig = chunksOf(origTokens)
+    for (editPos <- Seq(50, 199, 350)) {
+      // substitution
+      val sub = origTokens.updated(editPos, "EDITED")
+      val subDiff = (orig diff chunksOf(sub)).size
+      assert(subDiff <= 4,
+        s"substitution at $editPos disturbed $subDiff chunks (> 4)")
+      // insertion — the fixed-stride killer
+      val ins = (origTokens.take(editPos) :+ "INSERTED") ++
+        origTokens.drop(editPos)
+      val insDiff = (orig diff chunksOf(ins)).size
+      assert(insDiff <= 4,
+        s"insertion at $editPos disturbed $insDiff chunks (> 4)")
+    }
+    // sanity: the doc actually chunks into many pieces, so <=4 is a
+    // real bound and not "the whole doc is one chunk"
+    assert(orig.size >= 10, s"expected many chunks, got ${orig.size}")
+  }
+
   test("d_substring_dedup run invariants hold on every shard") {
     // maximal-run accounting: every run covers at least SubL=20 tokens
     // (dup_tokens >= 20 * n_runs only when runs never overlap-merge, so
