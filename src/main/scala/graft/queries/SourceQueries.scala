@@ -629,8 +629,80 @@ object SourceQueries {
     agg
   }
 
+  /** Z-ORDER (Morton-curve) DATA LAYOUT + MIN/MAX SKIPPING AUDIT — the
+    * multi-dimensional file-skipping technique of Delta/Iceberg-class
+    * tables, measured against a single-column sort: orders are
+    * bucketized on (o_custkey, order day) into 32 x 32 cells, the two
+    * 5-bit bucket ids are BIT-INTERLEAVED into a 10-bit Morton z-value,
+    * and rows are assigned to 32 "files" by z-prefix (vs 32 files by
+    * custkey bucket for the linear layout). Each file keeps min/max of
+    * BOTH dims — the footer stats a real table format stores — and two
+    * predicates are evaluated by STATS ALONE: a two-dim middle-eighth
+    * box, and a date-only range (the linear layout's worst case: sorted
+    * by custkey, every file spans all dates, so nothing can be
+    * skipped, while z-prefix files are date-tight). Output: files/rows
+    * read per (layout, predicate), fully hash-checked — the z-value
+    * arithmetic, file assignment, stats, and skipping decisions all
+    * replay in DuckDB with identical integer expressions.
+    *
+    * 100 TB shape: the layout pass is one scan + one keyed agg (a real
+    * writer would range-partition by z and write); the skipping
+    * decision reads ONLY per-file stats (metadata scale, the entire
+    * point) — the scan cost it saves multiplies with table size.
+    */
+  private val ZB = 32 // buckets per dimension (5 bits)
+
+  private def zorderPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("dayi"))
+    // metadata-scale action: global min/max of both dims
+    val mmr = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("dayi")), max(col("dayi"))).collect().head
+    val (minc, maxc, mind, maxd) =
+      (mmr.getLong(0), mmr.getLong(1), mmr.getLong(2), mmr.getLong(3))
+    val (spanC, spanD) = (maxc - minc + 1, maxd - mind + 1)
+    val zExpr = (0 until 5).map { i =>
+      s"((cb DIV ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((db DIV ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    val b = o
+      .withColumn("cb", expr(s"((o_custkey - $minc) * $ZB) DIV $spanC"))
+      .withColumn("db", expr(s"((dayi - $mind) * $ZB) DIV $spanD"))
+      .withColumn("z", expr(zExpr))
+    def stats(layout: String, fileCol: org.apache.spark.sql.Column) =
+      b.groupBy(fileCol.as("file_id"))
+        .agg(min(col("o_custkey")).as("fminc"), max(col("o_custkey")).as("fmaxc"),
+          min(col("dayi")).as("fmind"), max(col("dayi")).as("fmaxd"),
+          count(lit(1)).as("nrows"))
+        .withColumn("layout", lit(layout))
+    val fs = stats("zorder", expr(s"z DIV $ZB")).unionByName(
+      stats("linear", col("cb")))
+    // predicate constants: middle eighths, same integer arithmetic as SQL
+    val (cLo, cHi) = (minc + 7 * spanC / 16, minc + 9 * spanC / 16)
+    val (dLo, dHi) = (mind + 7 * spanD / 16, mind + 9 * spanD / 16)
+    val preds = Seq(
+      ("p_both", Some(cLo), Some(cHi), dLo, dHi),
+      ("p_date_only", Option.empty[Long], Option.empty[Long], dLo, dHi))
+      .toDF("pred", "clo", "chi", "dlo", "dhi")
+    val surv = (col("clo").isNull ||
+        (col("fmaxc") >= col("clo") && col("fminc") < col("chi"))) &&
+      col("fmaxd") >= col("dlo") && col("fmind") < col("dhi")
+    fs.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(surv, 1L).otherwise(0L)).as("files_read"),
+        sum(when(surv, col("nrows")).otherwise(0L)).as("rows_read"),
+        sum(col("nrows")).as("total_rows"))
+      .withColumn("read_frac",
+        rnd(col("rows_read").cast("double") / col("total_rows"), 6))
+      .orderBy(col("layout").asc, col("pred").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_partition_prune" -> (partitionPrune _),
+    "s_zorder_prune"   -> (zorderPrune _),
     "e_stream_dedup_wm" -> (streamDedupWithinWm _),
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
@@ -647,7 +719,67 @@ object SourceQueries {
     "q_bucketed_join"  -> (bucketedJoin _),
   )
 
+  private val zExprSql = (0 until 5).map { i =>
+    s"((cb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+      s" + ((db // ${1L << i}) % 2) * ${1L << (2 * i)}"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // z-order skipping: identical integer bucket/interleave arithmetic,
+    // per-file min/max stats, and the same stats-only survive predicate
+    "s_zorder_prune" ->
+      s"""WITH mm AS (
+         |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+         |         min(epoch_us(o_orderdate) // 86400000000) AS mind,
+         |         max(epoch_us(o_orderdate) // 86400000000) AS maxd
+         |  FROM orders),
+         |b AS (
+         |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dayi,
+         |         ((o_custkey - minc) * 32) // (maxc - minc + 1) AS cb,
+         |         ((epoch_us(o_orderdate) // 86400000000 - mind) * 32)
+         |           // (maxd - mind + 1) AS db
+         |  FROM orders, mm),
+         |z AS (SELECT *, $zExprSql AS z FROM b),
+         |fs AS (
+         |  SELECT 'zorder' AS layout, z // 32 AS file_id,
+         |         min(o_custkey) AS fminc, max(o_custkey) AS fmaxc,
+         |         min(dayi) AS fmind, max(dayi) AS fmaxd,
+         |         count(*) AS nrows
+         |  FROM z GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'linear', cb, min(o_custkey), max(o_custkey),
+         |         min(dayi), max(dayi), count(*)
+         |  FROM z GROUP BY 1, 2),
+         |preds AS (
+         |  SELECT 'p_both' AS pred,
+         |         minc + 7 * (maxc - minc + 1) // 16 AS clo,
+         |         minc + 9 * (maxc - minc + 1) // 16 AS chi,
+         |         mind + 7 * (maxd - mind + 1) // 16 AS dlo,
+         |         mind + 9 * (maxd - mind + 1) // 16 AS dhi
+         |  FROM mm
+         |  UNION ALL
+         |  SELECT 'p_date_only', NULL, NULL,
+         |         mind + 7 * (maxd - mind + 1) // 16,
+         |         mind + 9 * (maxd - mind + 1) // 16
+         |  FROM mm),
+         |j AS (
+         |  SELECT f.layout, p.pred, f.nrows,
+         |         CASE WHEN (p.clo IS NULL OR
+         |                    (f.fmaxc >= p.clo AND f.fminc < p.chi))
+         |               AND f.fmaxd >= p.dlo AND f.fmind < p.dhi
+         |              THEN 1 ELSE 0 END AS surv
+         |  FROM fs f CROSS JOIN preds p)
+         |SELECT layout, pred,
+         |       CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(SUM(surv) AS BIGINT) AS files_read,
+         |       CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS BIGINT)
+         |         AS rows_read,
+         |       CAST(SUM(nrows) AS BIGINT) AS total_rows,
+         |       ${rndSql("CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS DOUBLE) / SUM(nrows)", 6)}
+         |         AS read_frac
+         |FROM j
+         |GROUP BY layout, pred
+         |ORDER BY layout ASC, pred ASC""".stripMargin,
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
