@@ -700,9 +700,75 @@ object SourceQueries {
       .orderBy(col("layout").asc, col("pred").asc)
   }
 
+  /** BLOOM-FILTER FILE SKIPPING — the point-lookup complement to
+    * [[zorderPrune]]'s min/max stats: when files are organized by one
+    * key (here: customer), a lookup on a DIFFERENT high-cardinality
+    * column (order id) finds every file's [min, max] straddling the
+    * probe — min/max stats skip nothing — but a tiny per-file Bloom
+    * filter (K=3 md5-derived bit positions in an m=4096 space, the
+    * format-level column filter Parquet/ORC/Delta store) skips every
+    * file whose filter misses any probe bit. 16 probes (the 8 smallest
+    * order ids — each present in exactly one file — and 8 ids past the
+    * maximum) are answered from the FILTERS ALONE; false-positive reads
+    * surface per probe as files_bloom - files_actual. Bit positions,
+    * per-file filter contents, and every skip decision replay in DuckDB
+    * bit-identically (md5 hashing, not engine-private murmur).
+    *
+    * 100 TB shape: filters are per-file metadata (|files| x up to m
+    * bits) built in the same single pass that writes the file; probes
+    * never touch data — the scan cost skipped multiplies with table
+    * size exactly like the z-order audit.
+    */
+  private val BfM = 4096L // filter bits
+  private val BfK = 3     // hashes per key
+
+  private def bloomSkipping(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_custkey") % 32).as("file_id"))
+    def posArr(key: org.apache.spark.sql.Column) =
+      array((1 to BfK).map(j =>
+        pmod(hash60(concat(lit(s"bloom$j:"), key.cast("string"))), lit(BfM))): _*)
+    // per-file filter = the distinct set of bit positions its keys set
+    val bits = o.select(col("file_id"), explode(posArr(col("o_orderkey"))).as("pos"))
+      .distinct()
+    val present = o.select(col("o_orderkey").as("probe"))
+      .orderBy(col("probe").asc).limit(8)
+      .withColumn("is_present", lit(true))
+    val absent = o.agg(max(col("o_orderkey")).as("mx"))
+      .select(explode(sequence(lit(1), lit(8))).as("i"), col("mx"))
+      .select((col("mx") + col("i")).as("probe"), lit(false).as("is_present"))
+    val probes = present.unionByName(absent)
+    val kb = probes.select(col("probe"), explode(posArr(col("probe"))).as("pos"))
+      .distinct()
+    val kn = kb.groupBy(col("probe")).agg(count(lit(1)).as("npos"))
+    // a file is a candidate iff its filter contains ALL of the probe's
+    // distinct positions (collisions make npos < K — handled exactly)
+    val cand = kb.join(bits, Seq("pos"))
+      .groupBy(col("probe"), col("file_id"))
+      .agg(count(lit(1)).as("nm"))
+      .join(kn, Seq("probe"))
+      .filter(col("nm") === col("npos"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("files_bloom"))
+    val actual = o.join(probes.select(col("probe")),
+        col("o_orderkey") === col("probe"))
+      .select(col("probe"), col("file_id")).distinct()
+      .groupBy(col("probe")).agg(count(lit(1)).as("files_actual"))
+    probes
+      .join(cand, Seq("probe"), "left_outer")
+      .join(actual, Seq("probe"), "left_outer")
+      .select(col("probe"), col("is_present"),
+        coalesce(col("files_bloom"), lit(0L)).as("files_bloom"),
+        coalesce(col("files_actual"), lit(0L)).as("files_actual"),
+        (coalesce(col("files_bloom"), lit(0L)) -
+          coalesce(col("files_actual"), lit(0L))).as("false_pos_files"))
+      .orderBy(col("probe").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_partition_prune" -> (partitionPrune _),
     "s_zorder_prune"   -> (zorderPrune _),
+    "s_bloom_skipping" -> (bloomSkipping _),
     "e_stream_dedup_wm" -> (streamDedupWithinWm _),
     "s_csv_roundtrip"  -> (csvRoundtrip _),
     "s_json_roundtrip" -> (jsonRoundtrip _),
@@ -724,7 +790,44 @@ object SourceQueries {
       s" + ((db // ${1L << i}) % 2) * ${1L << (2 * i)}"
   }.mkString(" + ")
 
+  private def bfPosSql(key: String): String =
+    (1 to BfK).map(j =>
+      s"CAST('0x' || substr(md5('bloom$j:' || CAST($key AS VARCHAR)), 1, 15) " +
+        s"AS BIGINT) % $BfM").mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    // bloom skipping: md5 bit positions, per-file filter sets, and the
+    // all-positions-present candidate rule replayed bit-identically
+    "s_bloom_skipping" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey % 32 AS file_id FROM orders),
+         |bits AS (SELECT DISTINCT file_id, pos FROM (
+         |  SELECT file_id, unnest(${bfPosSql("o_orderkey")}) AS pos FROM o)),
+         |pres AS (SELECT o_orderkey AS probe, TRUE AS is_present
+         |         FROM o ORDER BY 1 LIMIT 8),
+         |absk AS (SELECT (SELECT max(o_orderkey) FROM o) + i AS probe,
+         |                FALSE AS is_present
+         |         FROM (SELECT unnest(range(1, 9)) AS i)),
+         |probes AS (SELECT * FROM pres UNION ALL SELECT * FROM absk),
+         |kb AS (SELECT DISTINCT probe, pos FROM (
+         |  SELECT probe, unnest(${bfPosSql("probe")}) AS pos FROM probes)),
+         |kn AS (SELECT probe, count(*) AS npos FROM kb GROUP BY probe),
+         |cand AS (
+         |  SELECT kb.probe, CAST(count(*) AS BIGINT) AS files_bloom FROM (
+         |    SELECT kb.probe AS probe, b.file_id, count(*) AS nm
+         |    FROM kb JOIN bits b USING (pos) GROUP BY 1, 2) kb
+         |  JOIN kn ON kn.probe = kb.probe AND kb.nm = kn.npos
+         |  GROUP BY kb.probe),
+         |act AS (
+         |  SELECT p.probe, CAST(count(DISTINCT o.file_id) AS BIGINT) AS files_actual
+         |  FROM probes p JOIN o ON o.o_orderkey = p.probe
+         |  GROUP BY p.probe)
+         |SELECT p.probe, p.is_present,
+         |       CAST(coalesce(c.files_bloom, 0) AS BIGINT) AS files_bloom,
+         |       CAST(coalesce(a.files_actual, 0) AS BIGINT) AS files_actual,
+         |       CAST(coalesce(c.files_bloom, 0) - coalesce(a.files_actual, 0)
+         |         AS BIGINT) AS false_pos_files
+         |FROM probes p LEFT JOIN cand c USING (probe) LEFT JOIN act a USING (probe)
+         |ORDER BY probe ASC""".stripMargin,
     // z-order skipping: identical integer bucket/interleave arithmetic,
     // per-file min/max stats, and the same stats-only survive predicate
     "s_zorder_prune" ->
