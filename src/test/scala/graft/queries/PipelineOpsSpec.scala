@@ -554,6 +554,98 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunker matches a driver-side brute force on random corpora") {
+    // differential fuzz beyond the fixed corpus: random docs, the
+    // boundary rule + chunk reassembly re-implemented sequentially on
+    // the driver, full (doc, chunk, n_tok, chash) set compared
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val words = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    for (seed <- Seq(7, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val docsV = (1L to 25L).map { id =>
+        val n = 1 + rnd.nextInt(60) // includes docs shorter than the gram
+        (id, Vector.fill(n)(words(rnd.nextInt(words.length))))
+      }
+      val expected = docsV.flatMap { case (id, ts) =>
+        // cut AFTER pos p (p >= 3) when h60 of gram ending at p masks
+        val cuts = (3 until ts.length).filter { p =>
+          h60(ts.slice(p - 3, p + 1).mkString(" ")) % 16 == 0
+        }.toSet
+        val ids = ts.indices.map(q => (0 until q).count(cuts.contains))
+        ts.indices.groupBy(ids).map { case (cid, poss) =>
+          val ctoks = poss.sorted.map(ts)
+          (id, cid.toLong, ctoks.length.toLong,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(ctoks.mkString(" ").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString)
+        }
+      }.toSet
+      val df = docsV.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.DedupQueries.cdcChunksOf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expected, s"seed $seed: CDC chunker diverges from brute force")
+    }
+  }
+
+  test("substring-dedup summary matches a driver-side brute force") {
+    // random docs with PLANTED cross-shard duplicated runs; the whole
+    // long-doc derivation, hot-gram set, run merge and coverage union
+    // re-implemented sequentially on the driver
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val planted = Vector.fill(25)(vocab(rnd.nextInt(vocab.length)))
+    val docsV = (0L until 30L).map { id =>
+      val base = Vector.fill(5 + rnd.nextInt(35))(vocab(rnd.nextInt(vocab.length)))
+      // plant the shared 25-token run into every 5th doc (lands in
+      // different shards since 5 and 8 are coprime)
+      (id, if (id % 5 == 0) base ++ planted else base)
+    }
+    // driver brute force
+    val shards = docsV.groupBy(_._1 % 8).map { case (ld, ds) =>
+      ld -> ds.sortBy(_._1).flatMap(_._2).toVector
+    }
+    val allGrams = shards.toSeq.flatMap { case (ld, ts) =>
+      (0 to ts.length - 20).map(p => (ld, p, h60(ts.slice(p, p + 20).mkString(" "))))
+    }
+    val hot = allGrams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = shards.toSeq.filter(_._2.length >= 20).map { case (ld, ts) =>
+      val starts = (0 to ts.length - 20)
+        .filter(p => hot.contains(h60(ts.slice(p, p + 20).mkString(" "))))
+      val runs = starts.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && acc.last._2 == p - 1 =>
+          acc.init :+ (acc.last._1, p)
+        case (acc, p) => acc :+ (p, p)
+      }
+      val covered = runs.flatMap { case (a, b) => a to (b + 19) }.toSet.size
+      (ld, ts.length.toLong, starts.length.toLong, runs.length.toLong,
+        covered.toLong)
+    }.sortBy(_._1).toVector
+    // write the corpus as a documents table and run the real entry
+    val dir = graft.TempDirs.scratch("graft-substring-fuzz").toString
+    docsV.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.DedupQueries.queries("d_substring_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toVector
+    assert(got == expected, "substring summary diverges from brute force")
+    assert(expected.map(_._4).sum > 0, "planted duplicates must produce runs")
+  }
+
   test("CDC chunking is edit-resilient: one edit disturbs O(1) chunks") {
     // the property that justifies content-defined over fixed-stride
     // chunking: boundary decisions depend only on the trailing 4-token
