@@ -47,10 +47,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT is always honored.
     // The official label comes from GRAFT_ROUND (e.g. "r11") so the path
     // can never go stale again (the r10 miss: a hardcoded "_r9" survived
-    // into round 10 and would have mislabeled the pair).
+    // into round 10 and would have mislabeled the pair). No fallback: a
+    // default would itself go stale every round and silently clobber the
+    // previous round's committed artifact — fail loudly instead.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       if (sys.env.get("GRAFT_OFFICIAL").contains("1")) {
-        val round = sys.env.getOrElse("GRAFT_ROUND", "r11")
+        val round = sys.env.getOrElse("GRAFT_ROUND",
+          sys.error("GRAFT_OFFICIAL=1 requires GRAFT_ROUND (e.g. r12) so " +
+            "the artifact cannot mislabel itself or overwrite a prior round"))
         s"/root/repo/docs/bench_full_$round.json"
       } else "/root/repo/target/bench_scratch.json"
     }

@@ -1389,9 +1389,6 @@ object DedupQueries {
     * matched SubL-gram starts), the shared checkpointed fixture both
     * substring entries read (~10 rows/shard).
     */
-  private[graft] def subRunsBuildForProf(s: SparkSession, d: String): DataFrame =
-    subRunsBuild(s, d)
-
   private def subRuns(s: SparkSession, d: String): DataFrame =
     cachedCkpt(subRunsCache, (s, d)) { subRunsBuild(s, d).localCheckpoint() }
 
@@ -1432,10 +1429,17 @@ object DedupQueries {
     * its own row (different extent, different md5) — maximal-extent-
     * per-shard semantics, stated in the oracle too.
     */
-  private def substringTop(s: SparkSession, d: String): DataFrame = {
+  /** (ldoc_id, start, xend, span_md5): every maximal run's exact token
+    * extent rehydrated from the token stream (runs ~10/shard, BROADCAST
+    * — never a pair join) and md5-fingerprinted. ONE implementation
+    * shared by `d_substring_top` and `d_substring_strip`, so the
+    * passage fingerprint cannot drift between the report and the
+    * transform.
+    */
+  private def subSpans(s: SparkSession, d: String): DataFrame = {
     val runs = subRuns(s, d)
       .select(col("ldoc_id"), col("start"), (col("endp") + lit(SubL - 1)).as("xend"))
-    val spans = subTokStream(s, d).as("t")
+    subTokStream(s, d).as("t")
       .join(broadcast(runs).as("r"),
         col("t.ldoc_id") === col("r.ldoc_id") &&
           col("t.gpos").between(col("r.start"), col("r.xend")))
@@ -1444,14 +1448,16 @@ object DedupQueries {
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("t.gpos"), col("t.tok")))),
         x => x.getField("tok")), " ")).as("span_md5"))
-    spans
+  }
+
+  private def substringTop(s: SparkSession, d: String): DataFrame =
+    subSpans(s, d)
       .groupBy(col("span_md5"),
         (col("xend") - col("start") + 1).cast("long").as("span_tokens"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("ldoc_id")).as("n_shards"))
       .orderBy(col("span_tokens").desc, col("span_md5").asc)
       .limit(20)
-  }
 
   /** SUBSTRING-DEDUP TRANSFORM — the removal pass the audit entries
     * feed (Lee et al. keep the FIRST occurrence of each duplicated
@@ -1473,19 +1479,8 @@ object DedupQueries {
     * hash-checked.
     */
   private def substringStrip(s: SparkSession, d: String): DataFrame = {
-    val runs = subRuns(s, d)
-      .select(col("ldoc_id"), col("start"),
-        (col("endp") + lit(SubL - 1)).as("xend"))
     val ts = subTokStream(s, d)
-    val spans = ts.as("t")
-      .join(broadcast(runs).as("r"),
-        col("t.ldoc_id") === col("r.ldoc_id") &&
-          col("t.gpos").between(col("r.start"), col("r.xend")))
-      .groupBy(col("r.ldoc_id").as("ldoc_id"), col("r.start").as("start"),
-        col("r.xend").as("xend"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("t.gpos"), col("t.tok")))),
-        x => x.getField("tok")), " ")).as("span_md5"))
+    val spans = subSpans(s, d)
     val wFirst = Window.partitionBy(col("span_md5"))
       .orderBy(col("ldoc_id").asc, col("start").asc)
     val strip = spans
@@ -1576,8 +1571,6 @@ object DedupQueries {
       cdcChunksOf(docs(s, d)).localCheckpoint())
 
   private def cdcDedup(s: SparkSession, d: String): DataFrame = {
-    val tk = docs(s, d).select(col("doc_id"), toks.as("tk"))
-      .filter(size(col("tk")) > 0)
     val chunks = cdcChunksCkpt(s, d)
     val hot = chunks.select(col("chash"), col("doc_id")).distinct()
       .groupBy(col("chash")).agg(count(lit(1)).as("nd"))
@@ -1585,9 +1578,12 @@ object DedupQueries {
     val marked = chunks.join(hot.select("chash"), Seq("chash"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_chunks"), sum(col("n_tok")).as("dup_tokens"))
-    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
-      .join(chunks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks")), Seq("doc_id"))
+    // n_tokens from the fixture, not a second corpus tokenization: the
+    // chunks PARTITION each tokenized doc (and both sides exclude
+    // zero-token docs), so sum(n_tok) per doc IS the token count
+    chunks.groupBy(col("doc_id"))
+      .agg(sum(col("n_tok")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_chunks"))
       .join(marked, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),

@@ -141,6 +141,13 @@ class PropertySpec extends AnyFunSuite {
       "SQ8 encode+score must be map-only up to the top-k")
     assert(sq8.contains("TakeOrderedAndProject"),
       "SQ8 top-k must be a TakeOrdered, not a global sort")
+    // r11: the winnow selection must stay JOIN-FREE — the r10 plan
+    // resolved rightmost-min with a per-doc band self-join (quadratic
+    // per doc); the struct-min window plan has no join of any kind
+    val winnow = graft.queries.TextQueries.winnowSelectedBuild(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!winnow.contains("Join"),
+      "winnow selection must be a pure window plan, never a self-join")
   }
 
   test("salted blocked pair join is row-equal to the broadcast plan (VERDICT r2 #5)") {

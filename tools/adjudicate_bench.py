@@ -24,6 +24,10 @@ def main(prior_p, a_p, b_p, thr=1.5):
     common = sorted(set(prior) & set(a) & set(b))
     print(f"common entries: {len(common)}  "
           f"(prior {len(prior)}, runA {len(a)}, runB {len(b)})")
+    if not common:
+        print("no common entries between the artifacts - nothing to adjudicate "
+              "(wrong file or a renamed entry scheme?)")
+        return
     sp, sa, sb = (sum(d[k] for k in common) for d in (prior, a, b))
     print(f"sums over common: prior {sp:.1f}s  runA {sa:.1f}s  runB {sb:.1f}s "
           f"(A/prior {sa/sp:.3f}, B/prior {sb/sp:.3f}, B/A {sb/sa:.3f})")
