@@ -644,6 +644,45 @@ class PipelineOpsSpec extends AnyFunSuite {
         r.getLong(4))).sortBy(_._1).toVector
     assert(got == expected, "substring summary diverges from brute force")
     assert(expected.map(_._4).sum > 0, "planted duplicates must produce runs")
+
+    // the strip TRANSFORM on the same staged corpus: first occurrence
+    // per passage md5 by (shard, start) kept, non-first extents
+    // stripped (union rule), shards reassembled — driver brute force
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val spans = shards.toSeq.filter(_._2.length >= 20).flatMap { case (ld, ts) =>
+      val starts = (0 to ts.length - 20)
+        .filter(p => hot.contains(h60(ts.slice(p, p + 20).mkString(" "))))
+      val runs = starts.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && acc.last._2 == p - 1 =>
+          acc.init :+ (acc.last._1, p)
+        case (acc, p) => acc :+ (p, p)
+      }
+      runs.map { case (a, b) =>
+        (ld, a, b + 19, md5hex(ts.slice(a, b + 20).mkString(" ")))
+      }
+    }
+    val firstOf = spans.groupBy(_._4).map { case (m, ss) =>
+      m -> ss.minBy(sp => (sp._1, sp._2))
+    }
+    val stripSet = spans.filterNot(sp => firstOf(sp._4) == sp)
+      .groupBy(_._1).map { case (ld, ss) =>
+        ld -> ss.flatMap { case (_, a, x, _) => a to x }.toSet
+      }
+    val expStrip = shards.toSeq.filter(_._2.nonEmpty).map { case (ld, ts) =>
+      val strip = stripSet.getOrElse(ld, Set.empty[Int])
+      val kept = ts.indices.filterNot(strip.contains).map(ts)
+      (ld, ts.length.toLong, kept.length.toLong,
+        (ts.length - kept.length).toLong,
+        if (kept.isEmpty) "" else md5hex(kept.mkString(" ")))
+    }.sortBy(_._1).toVector
+    val gotStrip = graft.queries.DedupQueries.queries("d_substring_strip")(
+        spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1).toVector
+    assert(gotStrip == expStrip, "strip transform diverges from brute force")
+    assert(expStrip.exists(_._4 > 0), "planted duplicates must strip tokens")
   }
 
   test("CDC chunking is edit-resilient: one edit disturbs O(1) chunks") {
