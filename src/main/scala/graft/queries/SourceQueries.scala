@@ -700,6 +700,109 @@ object SourceQueries {
       .orderBy(col("layout").asc, col("pred").asc)
   }
 
+  /** HILBERT-CURVE LAYOUT — the locality-optimal sibling of
+    * [[zorderPrune]]: the Morton curve takes long jumps at power-of-two
+    * boundaries, so a z-prefix file can contain two far-apart rectangles;
+    * the Hilbert curve is continuous (successive cells always adjacent),
+    * giving tighter per-file bounding boxes and therefore better stats
+    * skipping at the same file count. Same 32x32 bucket grid, same 32
+    * files by curve-prefix, same stats-only predicates — THREE layouts
+    * (linear, zorder, hilbert) on one output so the comparison is a
+    * single hash-checked table. The xy→d transform is the classic
+    * rotate-and-reflect recurrence unrolled to 5 integer rounds
+    * (s = 16, 8, 4, 2, 1), generated from ONE Scala template for both
+    * engines — pure DIV/%/CASE arithmetic, no bit intrinsics, so the
+    * DuckDB replay is expression-identical.
+    */
+  private case class HRound(s: Long) {
+    // rx = bit s of x, ry = bit s of y; dInc = s^2 * ((3*rx) XOR ry)
+    // spelled as a CASE over rx*2+ry (values 0,1,3,2); rotation (the
+    // classic rot()): when ry = 0 -> reflect with the FULL grid width
+    // (x' = rx = 1 ? N-1-y : y) — N-1-v complements every bit of v, so
+    // the low bits later rounds read are the same as s-1-v would give,
+    // but the value stays in [0, N) where s-1-v would go NEGATIVE for
+    // full-width coordinates and break the DIV/% bit reads (caught by
+    // the bijectivity spec — the oracle alone could NOT catch it, since
+    // it replays the same template)
+    def exprs(x: String, y: String, d: String, divOp: String,
+        xo: String, yo: String, dout: String): Seq[String] = {
+      val nm1 = ZB - 1
+      val rx = s"(($x $divOp $s) % 2)"
+      val ry = s"(($y $divOp $s) % 2)"
+      val term = s"(CASE $rx * 2 + $ry WHEN 0 THEN 0 WHEN 1 THEN 1 " +
+        s"WHEN 2 THEN 3 ELSE 2 END)"
+      Seq(
+        s"$d + ${s * s} * $term AS $dout",
+        s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nm1 - $y " +
+          s"ELSE $y END) ELSE $x END AS $xo",
+        s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nm1 - $x " +
+          s"ELSE $x END) ELSE $y END AS $yo")
+    }
+  }
+  private val HRounds = Seq(16L, 8L, 4L, 2L, 1L).map(HRound)
+
+  /** Appends `hd` (the order-5 Hilbert index of the `cb`, `db` bucket
+    * columns) via the five unrolled rounds — package-visible so the
+    * bijectivity/continuity spec exercises the REAL transform.
+    */
+  private[graft] def hilbertOf(df: DataFrame): DataFrame = {
+    var b = df.withColumn("x0", col("cb")).withColumn("y0", col("db"))
+      .withColumn("d0", lit(0L))
+    HRounds.zipWithIndex.foreach { case (r, i) =>
+      // one selectExpr per round; the SAME template emits the oracle CTEs
+      b = b.selectExpr((b.columns.toSeq ++ r.exprs(s"x$i", s"y$i", s"d$i",
+        "DIV", s"x${i + 1}", s"y${i + 1}", s"d${i + 1}")): _*)
+    }
+    b.withColumn("hd", col("d5"))
+  }
+
+  private def hilbertPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("dayi"))
+    val mmr = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("dayi")), max(col("dayi"))).collect().head
+    val (minc, maxc, mind, maxd) =
+      (mmr.getLong(0), mmr.getLong(1), mmr.getLong(2), mmr.getLong(3))
+    val (spanC, spanD) = (maxc - minc + 1, maxd - mind + 1)
+    val zExpr = (0 until 5).map { i =>
+      s"((cb DIV ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((db DIV ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    val hb = hilbertOf(o
+      .withColumn("cb", expr(s"((o_custkey - $minc) * $ZB) DIV $spanC"))
+      .withColumn("db", expr(s"((dayi - $mind) * $ZB) DIV $spanD"))
+      .withColumn("z", expr(zExpr)))
+    def stats(layout: String, fileCol: org.apache.spark.sql.Column) =
+      hb.groupBy(fileCol.as("file_id"))
+        .agg(min(col("o_custkey")).as("fminc"), max(col("o_custkey")).as("fmaxc"),
+          min(col("dayi")).as("fmind"), max(col("dayi")).as("fmaxd"),
+          count(lit(1)).as("nrows"))
+        .withColumn("layout", lit(layout))
+    val fs = stats("hilbert", expr(s"hd DIV $ZB"))
+      .unionByName(stats("zorder", expr(s"z DIV $ZB")))
+      .unionByName(stats("linear", col("cb")))
+    val (cLo, cHi) = (minc + 7 * spanC / 16, minc + 9 * spanC / 16)
+    val (dLo, dHi) = (mind + 7 * spanD / 16, mind + 9 * spanD / 16)
+    val preds = Seq(
+      ("p_both", Some(cLo), Some(cHi), dLo, dHi),
+      ("p_date_only", Option.empty[Long], Option.empty[Long], dLo, dHi))
+      .toDF("pred", "clo", "chi", "dlo", "dhi")
+    val surv = (col("clo").isNull ||
+        (col("fmaxc") >= col("clo") && col("fminc") < col("chi"))) &&
+      col("fmaxd") >= col("dlo") && col("fmind") < col("dhi")
+    fs.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(surv, 1L).otherwise(0L)).as("files_read"),
+        sum(when(surv, col("nrows")).otherwise(0L)).as("rows_read"),
+        sum(col("nrows")).as("total_rows"))
+      .withColumn("read_frac",
+        rnd(col("rows_read").cast("double") / col("total_rows"), 6))
+      .orderBy(col("layout").asc, col("pred").asc)
+  }
+
   /** BLOOM-FILTER FILE SKIPPING — the point-lookup complement to
     * [[zorderPrune]]'s min/max stats: when files are organized by one
     * key (here: customer), a lookup on a DIFFERENT high-cardinality
@@ -768,6 +871,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_partition_prune" -> (partitionPrune _),
     "s_zorder_prune"   -> (zorderPrune _),
+    "s_hilbert_prune"  -> (hilbertPrune _),
     "s_bloom_skipping" -> (bloomSkipping _),
     "e_stream_dedup_wm" -> (streamDedupWithinWm _),
     "s_csv_roundtrip"  -> (csvRoundtrip _),
@@ -795,7 +899,78 @@ object SourceQueries {
       s"CAST('0x' || substr(md5('bloom$j:' || CAST($key AS VARCHAR)), 1, 15) " +
         s"AS BIGINT) % $BfM").mkString("[", ", ", "]")
 
+  /** The five Hilbert rounds as nested subselects over `zb`, emitted
+    * from the SAME [[HRound.exprs]] template the Spark plan uses (DuckDB
+    * `//` for Spark `DIV`) — the recurrence cannot drift between
+    * engines.
+    */
+  private lazy val hilbertRoundsSql: String =
+    HRounds.zipWithIndex.foldLeft(
+      "SELECT *, cb AS x0, db AS y0, CAST(0 AS BIGINT) AS d0 FROM zb") {
+      case (inner, (r, i)) =>
+        val es = r.exprs(s"x$i", s"y$i", s"d$i", "//",
+          s"x${i + 1}", s"y${i + 1}", s"d${i + 1}")
+        s"SELECT *, ${es.mkString(", ")} FROM ($inner)"
+    }
+
   val oracles: Map[String, String] = Map(
+    // hilbert vs zorder vs linear skipping: same bucket/interleave
+    // arithmetic as s_zorder_prune plus the unrolled Hilbert recurrence
+    "s_hilbert_prune" ->
+      s"""WITH mm AS (
+         |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+         |         min(epoch_us(o_orderdate) // 86400000000) AS mind,
+         |         max(epoch_us(o_orderdate) // 86400000000) AS maxd
+         |  FROM orders),
+         |zb AS (
+         |  SELECT o_custkey, dayi, cb, db, $zExprSql AS z FROM (
+         |    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dayi,
+         |           ((o_custkey - minc) * 32) // (maxc - minc + 1) AS cb,
+         |           ((epoch_us(o_orderdate) // 86400000000 - mind) * 32)
+         |             // (maxd - mind + 1) AS db
+         |    FROM orders, mm)),
+         |hb AS ($hilbertRoundsSql),
+         |fs AS (
+         |  SELECT 'hilbert' AS layout, d5 // 32 AS file_id,
+         |         min(o_custkey) AS fminc, max(o_custkey) AS fmaxc,
+         |         min(dayi) AS fmind, max(dayi) AS fmaxd, count(*) AS nrows
+         |  FROM hb GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'zorder', z // 32, min(o_custkey), max(o_custkey),
+         |         min(dayi), max(dayi), count(*) FROM hb GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'linear', cb, min(o_custkey), max(o_custkey),
+         |         min(dayi), max(dayi), count(*) FROM hb GROUP BY 1, 2),
+         |preds AS (
+         |  SELECT 'p_both' AS pred,
+         |         minc + 7 * (maxc - minc + 1) // 16 AS clo,
+         |         minc + 9 * (maxc - minc + 1) // 16 AS chi,
+         |         mind + 7 * (maxd - mind + 1) // 16 AS dlo,
+         |         mind + 9 * (maxd - mind + 1) // 16 AS dhi
+         |  FROM mm
+         |  UNION ALL
+         |  SELECT 'p_date_only', NULL, NULL,
+         |         mind + 7 * (maxd - mind + 1) // 16,
+         |         mind + 9 * (maxd - mind + 1) // 16
+         |  FROM mm),
+         |j AS (
+         |  SELECT f.layout, p.pred, f.nrows,
+         |         CASE WHEN (p.clo IS NULL OR
+         |                    (f.fmaxc >= p.clo AND f.fminc < p.chi))
+         |               AND f.fmaxd >= p.dlo AND f.fmind < p.dhi
+         |              THEN 1 ELSE 0 END AS surv
+         |  FROM fs f CROSS JOIN preds p)
+         |SELECT layout, pred,
+         |       CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(SUM(surv) AS BIGINT) AS files_read,
+         |       CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS BIGINT)
+         |         AS rows_read,
+         |       CAST(SUM(nrows) AS BIGINT) AS total_rows,
+         |       ${rndSql("CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS DOUBLE) / SUM(nrows)", 6)}
+         |         AS read_frac
+         |FROM j
+         |GROUP BY layout, pred
+         |ORDER BY layout ASC, pred ASC""".stripMargin,
     // bloom skipping: md5 bit positions, per-file filter sets, and the
     // all-positions-present candidate rule replayed bit-identically
     "s_bloom_skipping" ->
