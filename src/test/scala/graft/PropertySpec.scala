@@ -150,6 +150,21 @@ class PropertySpec extends AnyFunSuite {
       "winnow selection must be a pure window plan, never a self-join")
   }
 
+  test("the Morton z-interleave is a bijection over the 32x32 grid") {
+    // same structural guard as the Hilbert spec for the z-order layout:
+    // every cell gets a unique z in [0, 1024) (no continuity claim —
+    // Morton jumps at power-of-two boundaries by construction)
+    val zExpr = (0 until 5).map { i =>
+      s"((cb DIV ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((db DIV ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    val zs = spark.range(1024)
+      .selectExpr("id % 32 AS cb", "id DIV 32 AS db")
+      .selectExpr(s"$zExpr AS z").collect().map(_.getLong(0)).toSet
+    assert(zs == (0L until 1024L).toSet,
+      "z-interleave must be a bijection onto [0, 1024)")
+  }
+
   test("the order-5 Hilbert transform is a bijective unit-step curve") {
     // the two properties that make s_hilbert_prune's layout claim true:
     // every 32x32 cell gets a UNIQUE index in [0, 1024) (bijection), and
