@@ -240,9 +240,11 @@ object DedupQueries {
     val srcDir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$root/arrivals"))
     // seed the persisted band index with the already-ingested corpus
+    // (its own subdirectory: every later micro-batch writes b<id>, and all
+    // readers glob $idxDir/* — see the idempotency note below)
     bandRowsCkpt(s, d).filter(col("doc_id") < split)
       .withColumn("origin", lit("corpus"))
-      .write.mode("overwrite").parquet(idxDir)
+      .write.mode("overwrite").parquet(s"$idxDir/seed")
     // stage the increment as 4 arrival files: ascending doc_id ranges
     // with strictly increasing mtimes AND lexicographic names, so the
     // file source replays them in arrival order, one per micro-batch
@@ -270,17 +272,26 @@ object DedupQueries {
     }
     val srcSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
-    val stream = s.readStream.schema(srcSchema)
+    // the 4-batch protocol wants small shuffles (batch-bounded frames):
+    // scope the override to a CLONED session — mutating the shared
+    // session's conf would leak the setting to any concurrent query on
+    // the same SparkSession (ADVICE r11)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       val q = stream.writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // IDEMPOTENT per-batch writes (ADVICE r11): foreachBatch is
+        // at-least-once, so a retried micro-batch must not duplicate
+        // report or index rows — each batch OVERWRITES its own b<id>
+        // subdirectory and readers glob the parent, making a retry a
+        // byte-identical rewrite instead of an append-twice
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           if (!batch.isEmpty) {
             // bands computed once per micro-batch, probed three ways
             val nb = graft.curation.CurationCore.bandRowsOf(batch, "doc_id")
@@ -288,7 +299,7 @@ object DedupQueries {
                 col("band_hash"))
               .persist()
             try {
-              val idx = s.read.parquet(idxDir).select(
+              val idx = batch.sparkSession.read.parquet(s"$idxDir/*").select(
                 col("doc_id").as("old_id"), col("band_id"),
                 col("band_hash"), col("origin"))
               // one probe join, split by origin: earliest corpus dup vs
@@ -314,20 +325,20 @@ object DedupQueries {
                     .as("dup_in_batch"),
                   (col("oc").isNull && col("ie").isNull && col("ii").isNull)
                     .as("is_new_unique"))
-                .write.mode("append").parquet(outDir)
+                .write.mode("overwrite").parquet(s"$outDir/b$bid")
               // probe done — NOW this batch's bands join the index so the
               // next arrival sees them
               nb.select(col("new_id").as("doc_id"), col("band_id"),
                   col("band_hash"))
                 .withColumn("origin", lit("stream"))
-                .write.mode("append").parquet(idxDir)
+                .write.mode("overwrite").parquet(s"$idxDir/b$bid")
             } finally { nb.unpersist(); () }
           }
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", old)
-    s.read.parquet(outDir).orderBy(col("doc_id").asc)
+    }
+    s.read.parquet(s"$outDir/*").orderBy(col("doc_id").asc)
   }
 
   /** Per-doc 60-bit simhash. */
@@ -1393,30 +1404,30 @@ object DedupQueries {
     cachedCkpt(subRunsCache, (s, d)) { subRunsBuild(s, d).localCheckpoint() }
 
   private def subRunsBuild(s: SparkSession, d: String): DataFrame = {
-      val tokStream = subTokStream(s, d).withColumn("c0", expr(s"gpos DIV $SubC"))
-      val dup = tokStream.select(col("ldoc_id"), col("gpos"), col("tok"),
-        explode(when(pmod(col("gpos"), lit(SubC.toLong)) <= SubL - 2 &&
-            col("c0") > 0, array(col("c0"), col("c0") - 1))
-          .otherwise(array(col("c0")))).as("chunk"))
-      val base = dup.groupBy(col("ldoc_id"), col("chunk"))
-        .agg(sort_array(collect_list(struct(col("gpos"), col("tok")))).as("st"))
-        .select(col("ldoc_id"), (col("chunk") * SubC).as("cstart"),
-          transform(col("st"), x => x.getField("tok")).as("ctk"))
-        .select(col("ldoc_id"), col("cstart"),
-          posexplode(transform(shingles(col("ctk"), SubL), g => hash60(g))))
-        .filter(col("pos") < SubC) // starts in the chunk's own span only
-        .select(col("ldoc_id"), (col("cstart") + col("pos")).as("pos"),
-          col("col").as("h"))
-      val hot = base.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2)
-      val mp = base.join(hot.select("h"), Seq("h"), "left_semi")
-        .select(col("ldoc_id"), col("pos")).distinct()
-      val w = Window.partitionBy(col("ldoc_id")).orderBy(col("pos").asc)
-      mp.withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("ldoc_id"), col("grp"))
-        .agg(min(col("pos")).as("start"), max(col("pos")).as("endp"))
-        .select(col("ldoc_id"), col("start"), col("endp"))
-    }
+    val tokStream = subTokStream(s, d).withColumn("c0", expr(s"gpos DIV $SubC"))
+    val dup = tokStream.select(col("ldoc_id"), col("gpos"), col("tok"),
+      explode(when(pmod(col("gpos"), lit(SubC.toLong)) <= SubL - 2 &&
+          col("c0") > 0, array(col("c0"), col("c0") - 1))
+        .otherwise(array(col("c0")))).as("chunk"))
+    val base = dup.groupBy(col("ldoc_id"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("gpos"), col("tok")))).as("st"))
+      .select(col("ldoc_id"), (col("chunk") * SubC).as("cstart"),
+        transform(col("st"), x => x.getField("tok")).as("ctk"))
+      .select(col("ldoc_id"), col("cstart"),
+        posexplode(transform(shingles(col("ctk"), SubL), g => hash60(g))))
+      .filter(col("pos") < SubC) // starts in the chunk's own span only
+      .select(col("ldoc_id"), (col("cstart") + col("pos")).as("pos"),
+        col("col").as("h"))
+    val hot = base.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val mp = base.join(hot.select("h"), Seq("h"), "left_semi")
+      .select(col("ldoc_id"), col("pos")).distinct()
+    val w = Window.partitionBy(col("ldoc_id")).orderBy(col("pos").asc)
+    mp.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("ldoc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("endp"))
+      .select(col("ldoc_id"), col("start"), col("endp"))
+  }
 
   /** TOP REPEATED SUBSTRINGS — what the dedup summary points at (the
     * Lee et al. workflow reports these: the boilerplate/template
@@ -1623,7 +1634,7 @@ object DedupQueries {
     // the full chunk table, since chunk boundaries are per-doc)
     cdcChunksCkpt(s, d).filter(col("doc_id") < split)
       .select(col("doc_id"), col("chash"))
-      .write.mode("overwrite").parquet(idxDir)
+      .write.mode("overwrite").parquet(s"$idxDir/seed")
     // stage the increment as 4 ascending arrival files (one per batch)
     val span = maxId - split + 1
     val step = math.max(1L, span / 4 + (if (span % 4 == 0) 0L else 1L))
@@ -1648,23 +1659,27 @@ object DedupQueries {
     }
     val srcSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
-    val stream = s.readStream.schema(srcSchema)
+    // cloned session scopes the shuffle override; per-batch b<id>
+    // overwrite subdirs make retried micro-batches idempotent — same
+    // discipline as [[streamIngestDedup]] (ADVICE r11)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       val q = stream.writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           if (!batch.isEmpty) {
             val nc = cdcChunksOf(batch).persist()
             try {
               // index probe by chash alone: every indexed doc_id is
               // strictly smaller than any current-batch doc_id
-              val idxHit = s.read.parquet(idxDir).select(col("chash")).distinct()
+              val idxHit = batch.sparkSession.read.parquet(s"$idxDir/*")
+                .select(col("chash")).distinct()
                 .withColumn("in_idx", lit(1))
               val peers = nc.select(col("doc_id").as("peer_id"), col("chash"))
                 .distinct()
@@ -1684,17 +1699,17 @@ object DedupQueries {
                 .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
                   col("shared_tokens"),
                   (col("n_shared_chunks") === col("n_chunks")).as("is_fully_dup"))
-                .write.mode("append").parquet(outDir)
+                .write.mode("overwrite").parquet(s"$outDir/b$bid")
               // probe done — NOW this batch's chunk hashes join the index
               nc.select(col("doc_id"), col("chash"))
-                .write.mode("append").parquet(idxDir)
+                .write.mode("overwrite").parquet(s"$idxDir/b$bid")
             } finally { nc.unpersist(); () }
           }
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", old)
-    s.read.parquet(outDir).orderBy(col("doc_id").asc)
+    }
+    s.read.parquet(s"$outDir/*").orderBy(col("doc_id").asc)
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"

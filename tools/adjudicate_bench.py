@@ -16,7 +16,12 @@ import json, sys
 
 
 def load(p):
-    return json.load(open(p))["queries"]
+    d = json.load(open(p))
+    if not isinstance(d, dict) or not isinstance(d.get("queries"), dict):
+        sys.exit(f"{p}: not a bench artifact (expected a JSON object with a "
+                 f"'queries' map; got top-level keys "
+                 f"{sorted(d) if isinstance(d, dict) else type(d).__name__})")
+    return d["queries"]
 
 
 def main(prior_p, a_p, b_p, thr=1.5):
@@ -29,8 +34,11 @@ def main(prior_p, a_p, b_p, thr=1.5):
               "(wrong file or a renamed entry scheme?)")
         return
     sp, sa, sb = (sum(d[k] for k in common) for d in (prior, a, b))
+    # same guard as the per-entry ratios: a zeroed/truncated artifact must
+    # print a degenerate ratio, not raise ZeroDivisionError
     print(f"sums over common: prior {sp:.1f}s  runA {sa:.1f}s  runB {sb:.1f}s "
-          f"(A/prior {sa/sp:.3f}, B/prior {sb/sp:.3f}, B/A {sb/sa:.3f})")
+          f"(A/prior {sa/max(sp,1e-9):.3f}, B/prior {sb/max(sp,1e-9):.3f}, "
+          f"B/A {sb/max(sa,1e-9):.3f})")
     fams = {}
     for k in common:
         f = k.split("_")[0]
@@ -62,5 +70,7 @@ def main(prior_p, a_p, b_p, thr=1.5):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 4:
+        sys.exit(__doc__.strip())
     thr = float(sys.argv[4]) if len(sys.argv) > 4 else 1.5
     main(sys.argv[1], sys.argv[2], sys.argv[3], thr)
