@@ -69,5 +69,6 @@ object Caches {
     graft.queries.EngineQueries.releaseCaches()
     graft.queries.TextQueries.releaseCaches()
     graft.queries.AnnQueries.releaseCaches()
+    graft.queries.SourceQueries.releaseCaches()
   }
 }

@@ -652,53 +652,8 @@ object SourceQueries {
     */
   private val ZB = 32 // buckets per dimension (5 bits)
 
-  private def zorderPrune(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val o = Tables.orders(s, d)
-      .select(col("o_custkey"),
-        expr("unix_micros(o_orderdate) DIV 86400000000").as("dayi"))
-    // metadata-scale action: global min/max of both dims
-    val mmr = o.agg(min(col("o_custkey")), max(col("o_custkey")),
-      min(col("dayi")), max(col("dayi"))).collect().head
-    val (minc, maxc, mind, maxd) =
-      (mmr.getLong(0), mmr.getLong(1), mmr.getLong(2), mmr.getLong(3))
-    val (spanC, spanD) = (maxc - minc + 1, maxd - mind + 1)
-    val zExpr = (0 until 5).map { i =>
-      s"((cb DIV ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
-        s" + ((db DIV ${1L << i}) % 2) * ${1L << (2 * i)}"
-    }.mkString(" + ")
-    val b = o
-      .withColumn("cb", expr(s"((o_custkey - $minc) * $ZB) DIV $spanC"))
-      .withColumn("db", expr(s"((dayi - $mind) * $ZB) DIV $spanD"))
-      .withColumn("z", expr(zExpr))
-    def stats(layout: String, fileCol: org.apache.spark.sql.Column) =
-      b.groupBy(fileCol.as("file_id"))
-        .agg(min(col("o_custkey")).as("fminc"), max(col("o_custkey")).as("fmaxc"),
-          min(col("dayi")).as("fmind"), max(col("dayi")).as("fmaxd"),
-          count(lit(1)).as("nrows"))
-        .withColumn("layout", lit(layout))
-    val fs = stats("zorder", expr(s"z DIV $ZB")).unionByName(
-      stats("linear", col("cb")))
-    // predicate constants: middle eighths, same integer arithmetic as SQL
-    val (cLo, cHi) = (minc + 7 * spanC / 16, minc + 9 * spanC / 16)
-    val (dLo, dHi) = (mind + 7 * spanD / 16, mind + 9 * spanD / 16)
-    val preds = Seq(
-      ("p_both", Some(cLo), Some(cHi), dLo, dHi),
-      ("p_date_only", Option.empty[Long], Option.empty[Long], dLo, dHi))
-      .toDF("pred", "clo", "chi", "dlo", "dhi")
-    val surv = (col("clo").isNull ||
-        (col("fmaxc") >= col("clo") && col("fminc") < col("chi"))) &&
-      col("fmaxd") >= col("dlo") && col("fmind") < col("dhi")
-    fs.crossJoin(broadcast(preds))
-      .groupBy(col("layout"), col("pred"))
-      .agg(count(lit(1)).as("n_files"),
-        sum(when(surv, 1L).otherwise(0L)).as("files_read"),
-        sum(when(surv, col("nrows")).otherwise(0L)).as("rows_read"),
-        sum(col("nrows")).as("total_rows"))
-      .withColumn("read_frac",
-        rnd(col("rows_read").cast("double") / col("total_rows"), 6))
-      .orderBy(col("layout").asc, col("pred").asc)
-  }
+  private def zorderPrune(s: SparkSession, d: String): DataFrame =
+    layoutAudit(s, d, Seq("zorder", "linear"))
 
   /** HILBERT-CURVE LAYOUT — the locality-optimal sibling of
     * [[zorderPrune]]: the Morton curve takes long jumps at power-of-two
@@ -756,11 +711,23 @@ object SourceQueries {
     b.withColumn("hd", col("d5"))
   }
 
-  private def hilbertPrune(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def hilbertPrune(s: SparkSession, d: String): DataFrame =
+    layoutAudit(s, d, Seq("hilbert", "zorder", "linear"))
+
+  /** Per-file min/max stats for ALL THREE layouts (linear / zorder /
+    * hilbert) as ONE shared checkpointed fixture (~96 rows = 32 files x 3
+    * layouts): both layout entries aggregate from it, so the bench pays
+    * the bucketize + interleave + stats pass over `orders` ONCE instead
+    * of once per entry (ADVICE r11 — zorderPrune duplicated hilbertPrune
+    * almost verbatim). The four grid constants ride along as literal
+    * columns so the predicate bounds derive from the fixture without a
+    * second metadata scan.
+    */
+  private def layoutStatsBuild(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select(col("o_custkey"),
         expr("unix_micros(o_orderdate) DIV 86400000000").as("dayi"))
+    // metadata-scale action: global min/max of both dims
     val mmr = o.agg(min(col("o_custkey")), max(col("o_custkey")),
       min(col("dayi")), max(col("dayi"))).collect().head
     val (minc, maxc, mind, maxd) =
@@ -780,15 +747,48 @@ object SourceQueries {
           min(col("dayi")).as("fmind"), max(col("dayi")).as("fmaxd"),
           count(lit(1)).as("nrows"))
         .withColumn("layout", lit(layout))
-    val fs = stats("hilbert", expr(s"hd DIV $ZB"))
+    stats("hilbert", expr(s"hd DIV $ZB"))
       .unionByName(stats("zorder", expr(s"z DIV $ZB")))
       .unionByName(stats("linear", col("cb")))
-    val (cLo, cHi) = (minc + 7 * spanC / 16, minc + 9 * spanC / 16)
-    val (dLo, dHi) = (mind + 7 * spanD / 16, mind + 9 * spanD / 16)
-    val preds = Seq(
-      ("p_both", Some(cLo), Some(cHi), dLo, dHi),
-      ("p_date_only", Option.empty[Long], Option.empty[Long], dLo, dHi))
-      .toDF("pred", "clo", "chi", "dlo", "dhi")
+      .withColumn("minc", lit(minc)).withColumn("spanc", lit(spanC))
+      .withColumn("mind", lit(mind)).withColumn("spand", lit(spanD))
+  }
+
+  private val layoutStatsCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+
+  private def layoutStatsCkpt(s: SparkSession, d: String): DataFrame =
+    graft.Caches.cachedCkpt(layoutStatsCache, (s, d))(
+      layoutStatsBuild(s, d).localCheckpoint())
+
+  def releaseCaches(): Unit = layoutStatsCache.synchronized {
+    layoutStatsCache.values.foreach(
+      org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
+    layoutStatsCache.clear()
+  }
+
+  /** The stats-only skipping audit over the shared fixture, restricted to
+    * the entry's layout set: middle-eighth predicate bounds (same integer
+    * arithmetic as the oracle), per-(layout, pred) survival counts.
+    */
+  private def layoutAudit(s: SparkSession, d: String,
+      layouts: Seq[String]): DataFrame = {
+    val fs = layoutStatsCkpt(s, d).filter(col("layout").isin(layouts: _*))
+    // the constants are identical on every fixture row; limit(1) reads
+    // them back without a collect
+    val preds = fs
+      .select(col("minc"), col("spanc"), col("mind"), col("spand")).limit(1)
+      .select(explode(array(
+        struct(lit("p_both").as("pred"),
+          expr("minc + (7 * spanc) DIV 16").as("clo"),
+          expr("minc + (9 * spanc) DIV 16").as("chi"),
+          expr("mind + (7 * spand) DIV 16").as("dlo"),
+          expr("mind + (9 * spand) DIV 16").as("dhi")),
+        struct(lit("p_date_only").as("pred"),
+          lit(null).cast("long").as("clo"), lit(null).cast("long").as("chi"),
+          expr("mind + (7 * spand) DIV 16").as("dlo"),
+          expr("mind + (9 * spand) DIV 16").as("dhi")))).as("p"))
+      .select(col("p.*"))
     val surv = (col("clo").isNull ||
         (col("fmaxc") >= col("clo") && col("fminc") < col("chi"))) &&
       col("fmaxd") >= col("dlo") && col("fmind") < col("dhi")
@@ -913,64 +913,69 @@ object SourceQueries {
         s"SELECT *, ${es.mkString(", ")} FROM ($inner)"
     }
 
+  /** ONE oracle template for the layout-audit entries, parameterized by
+    * the (layout, file-id expr) set — the SQL twin of [[layoutAudit]],
+    * so the two entries' oracles cannot drift (ADVICE r11).
+    */
+  private def layoutAuditOracleSql(layouts: Seq[(String, String)]): String = {
+    val fsSql = layouts.map { case (l, fid) =>
+      s"""SELECT '$l' AS layout, $fid AS file_id,
+         |         min(o_custkey) AS fminc, max(o_custkey) AS fmaxc,
+         |         min(dayi) AS fmind, max(dayi) AS fmaxd, count(*) AS nrows
+         |  FROM hb GROUP BY 1, 2""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH mm AS (
+       |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+       |         min(epoch_us(o_orderdate) // 86400000000) AS mind,
+       |         max(epoch_us(o_orderdate) // 86400000000) AS maxd
+       |  FROM orders),
+       |zb AS (
+       |  SELECT o_custkey, dayi, cb, db, $zExprSql AS z FROM (
+       |    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dayi,
+       |           ((o_custkey - minc) * 32) // (maxc - minc + 1) AS cb,
+       |           ((epoch_us(o_orderdate) // 86400000000 - mind) * 32)
+       |             // (maxd - mind + 1) AS db
+       |    FROM orders, mm)),
+       |hb AS ($hilbertRoundsSql),
+       |fs AS (
+       |  $fsSql),
+       |preds AS (
+       |  SELECT 'p_both' AS pred,
+       |         minc + 7 * (maxc - minc + 1) // 16 AS clo,
+       |         minc + 9 * (maxc - minc + 1) // 16 AS chi,
+       |         mind + 7 * (maxd - mind + 1) // 16 AS dlo,
+       |         mind + 9 * (maxd - mind + 1) // 16 AS dhi
+       |  FROM mm
+       |  UNION ALL
+       |  SELECT 'p_date_only', NULL, NULL,
+       |         mind + 7 * (maxd - mind + 1) // 16,
+       |         mind + 9 * (maxd - mind + 1) // 16
+       |  FROM mm),
+       |j AS (
+       |  SELECT f.layout, p.pred, f.nrows,
+       |         CASE WHEN (p.clo IS NULL OR
+       |                    (f.fmaxc >= p.clo AND f.fminc < p.chi))
+       |               AND f.fmaxd >= p.dlo AND f.fmind < p.dhi
+       |              THEN 1 ELSE 0 END AS surv
+       |  FROM fs f CROSS JOIN preds p)
+       |SELECT layout, pred,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(SUM(surv) AS BIGINT) AS files_read,
+       |       CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS BIGINT)
+       |         AS rows_read,
+       |       CAST(SUM(nrows) AS BIGINT) AS total_rows,
+       |       ${rndSql("CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS DOUBLE) / SUM(nrows)", 6)}
+       |         AS read_frac
+       |FROM j
+       |GROUP BY layout, pred
+       |ORDER BY layout ASC, pred ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // hilbert vs zorder vs linear skipping: same bucket/interleave
     // arithmetic as s_zorder_prune plus the unrolled Hilbert recurrence
-    "s_hilbert_prune" ->
-      s"""WITH mm AS (
-         |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
-         |         min(epoch_us(o_orderdate) // 86400000000) AS mind,
-         |         max(epoch_us(o_orderdate) // 86400000000) AS maxd
-         |  FROM orders),
-         |zb AS (
-         |  SELECT o_custkey, dayi, cb, db, $zExprSql AS z FROM (
-         |    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dayi,
-         |           ((o_custkey - minc) * 32) // (maxc - minc + 1) AS cb,
-         |           ((epoch_us(o_orderdate) // 86400000000 - mind) * 32)
-         |             // (maxd - mind + 1) AS db
-         |    FROM orders, mm)),
-         |hb AS ($hilbertRoundsSql),
-         |fs AS (
-         |  SELECT 'hilbert' AS layout, d5 // 32 AS file_id,
-         |         min(o_custkey) AS fminc, max(o_custkey) AS fmaxc,
-         |         min(dayi) AS fmind, max(dayi) AS fmaxd, count(*) AS nrows
-         |  FROM hb GROUP BY 1, 2
-         |  UNION ALL
-         |  SELECT 'zorder', z // 32, min(o_custkey), max(o_custkey),
-         |         min(dayi), max(dayi), count(*) FROM hb GROUP BY 1, 2
-         |  UNION ALL
-         |  SELECT 'linear', cb, min(o_custkey), max(o_custkey),
-         |         min(dayi), max(dayi), count(*) FROM hb GROUP BY 1, 2),
-         |preds AS (
-         |  SELECT 'p_both' AS pred,
-         |         minc + 7 * (maxc - minc + 1) // 16 AS clo,
-         |         minc + 9 * (maxc - minc + 1) // 16 AS chi,
-         |         mind + 7 * (maxd - mind + 1) // 16 AS dlo,
-         |         mind + 9 * (maxd - mind + 1) // 16 AS dhi
-         |  FROM mm
-         |  UNION ALL
-         |  SELECT 'p_date_only', NULL, NULL,
-         |         mind + 7 * (maxd - mind + 1) // 16,
-         |         mind + 9 * (maxd - mind + 1) // 16
-         |  FROM mm),
-         |j AS (
-         |  SELECT f.layout, p.pred, f.nrows,
-         |         CASE WHEN (p.clo IS NULL OR
-         |                    (f.fmaxc >= p.clo AND f.fminc < p.chi))
-         |               AND f.fmaxd >= p.dlo AND f.fmind < p.dhi
-         |              THEN 1 ELSE 0 END AS surv
-         |  FROM fs f CROSS JOIN preds p)
-         |SELECT layout, pred,
-         |       CAST(count(*) AS BIGINT) AS n_files,
-         |       CAST(SUM(surv) AS BIGINT) AS files_read,
-         |       CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS BIGINT)
-         |         AS rows_read,
-         |       CAST(SUM(nrows) AS BIGINT) AS total_rows,
-         |       ${rndSql("CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS DOUBLE) / SUM(nrows)", 6)}
-         |         AS read_frac
-         |FROM j
-         |GROUP BY layout, pred
-         |ORDER BY layout ASC, pred ASC""".stripMargin,
+    "s_hilbert_prune" -> layoutAuditOracleSql(Seq(
+      "hilbert" -> "d5 // 32", "zorder" -> "z // 32", "linear" -> "cb")),
     // bloom skipping: md5 bit positions, per-file filter sets, and the
     // all-positions-present candidate rule replayed bit-identically
     "s_bloom_skipping" ->
@@ -1005,59 +1010,9 @@ object SourceQueries {
          |ORDER BY probe ASC""".stripMargin,
     // z-order skipping: identical integer bucket/interleave arithmetic,
     // per-file min/max stats, and the same stats-only survive predicate
-    "s_zorder_prune" ->
-      s"""WITH mm AS (
-         |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
-         |         min(epoch_us(o_orderdate) // 86400000000) AS mind,
-         |         max(epoch_us(o_orderdate) // 86400000000) AS maxd
-         |  FROM orders),
-         |b AS (
-         |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dayi,
-         |         ((o_custkey - minc) * 32) // (maxc - minc + 1) AS cb,
-         |         ((epoch_us(o_orderdate) // 86400000000 - mind) * 32)
-         |           // (maxd - mind + 1) AS db
-         |  FROM orders, mm),
-         |z AS (SELECT *, $zExprSql AS z FROM b),
-         |fs AS (
-         |  SELECT 'zorder' AS layout, z // 32 AS file_id,
-         |         min(o_custkey) AS fminc, max(o_custkey) AS fmaxc,
-         |         min(dayi) AS fmind, max(dayi) AS fmaxd,
-         |         count(*) AS nrows
-         |  FROM z GROUP BY 1, 2
-         |  UNION ALL
-         |  SELECT 'linear', cb, min(o_custkey), max(o_custkey),
-         |         min(dayi), max(dayi), count(*)
-         |  FROM z GROUP BY 1, 2),
-         |preds AS (
-         |  SELECT 'p_both' AS pred,
-         |         minc + 7 * (maxc - minc + 1) // 16 AS clo,
-         |         minc + 9 * (maxc - minc + 1) // 16 AS chi,
-         |         mind + 7 * (maxd - mind + 1) // 16 AS dlo,
-         |         mind + 9 * (maxd - mind + 1) // 16 AS dhi
-         |  FROM mm
-         |  UNION ALL
-         |  SELECT 'p_date_only', NULL, NULL,
-         |         mind + 7 * (maxd - mind + 1) // 16,
-         |         mind + 9 * (maxd - mind + 1) // 16
-         |  FROM mm),
-         |j AS (
-         |  SELECT f.layout, p.pred, f.nrows,
-         |         CASE WHEN (p.clo IS NULL OR
-         |                    (f.fmaxc >= p.clo AND f.fminc < p.chi))
-         |               AND f.fmaxd >= p.dlo AND f.fmind < p.dhi
-         |              THEN 1 ELSE 0 END AS surv
-         |  FROM fs f CROSS JOIN preds p)
-         |SELECT layout, pred,
-         |       CAST(count(*) AS BIGINT) AS n_files,
-         |       CAST(SUM(surv) AS BIGINT) AS files_read,
-         |       CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS BIGINT)
-         |         AS rows_read,
-         |       CAST(SUM(nrows) AS BIGINT) AS total_rows,
-         |       ${rndSql("CAST(SUM(CASE WHEN surv = 1 THEN nrows ELSE 0 END) AS DOUBLE) / SUM(nrows)", 6)}
-         |         AS read_frac
-         |FROM j
-         |GROUP BY layout, pred
-         |ORDER BY layout ASC, pred ASC""".stripMargin,
+    // (two-layout instantiation of the shared template)
+    "s_zorder_prune" -> layoutAuditOracleSql(Seq(
+      "zorder" -> "z // 32", "linear" -> "cb")),
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
