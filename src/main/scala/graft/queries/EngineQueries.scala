@@ -149,6 +149,36 @@ object EngineQueries {
       filters = Some(SearchFilters(tags = Seq("label0", "label2")))))
   }
 
+  /** EMBED → INGEST → INDEX → SEARCH e2e (VERDICT r11 #2): the FIRST
+    * entry whose vectors are engine-computed rather than read from the
+    * driver's embeddings table — the documents corpus goes through the
+    * deterministic hashed-projection embedder
+    * ([[TextQueries.embedded]]), is bulk-ingested as a 16-dim library,
+    * and is searched with the engine-computed embedding of doc 0 as the
+    * query. The embedder's integer sums are exact in float32, so the
+    * DuckDB oracle replays embed → cosine → top-10 bit-for-bit — the
+    * whole "ingest text, search vectors" pipeline is hash-checked
+    * end-to-end (reference seam: the external embedder it assumes at
+    * `settings.py:29-31`, dim-checked at `services/search.py:23-24`).
+    */
+  private def engineEmbedSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = TextQueries.embedded(Tables.documents(s, d))
+    val arr = array(
+      (0 until TextQueries.EDim).map(j => col(s"e$j").cast("float")): _*)
+    val root = graft.TempDirs.scratch("graft-embed-e2e").toString
+    val eng = new VectorEngine(s, root, fixedClock)
+    val lib = eng.createLibrary("embed-e2e", TextQueries.EDim, IndexConfig("flat"))
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, emb
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(format_string("c%06d", col("doc_id")).as("id"), col("text"),
+        arr.as("embedding")))
+    val q = emb.filter(col("doc_id") === 0).select(arr.as("qv"))
+      .collect().head.getSeq[Float](0).toArray
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
   private def engineLsh(s: SparkSession, d: String): DataFrame = {
     // L=8, H=6: on this near-orthogonal corpus (nearest neighbors at
     // cosine ~0.4) high H makes sign-bucket collisions vanishingly rare;
@@ -1235,6 +1265,7 @@ object EngineQueries {
     "x_engine_ivfsq8_qerror"     -> (engineIvfSq8QError _),
     "x_ivfsq8_recall"            -> (ivfSq8Recall _),
     "x_ivfsq8_ndcg"              -> (ivfSq8Ndcg _),
+    "x_engine_embed_search"      -> (engineEmbedSearch _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -2050,6 +2081,18 @@ object EngineQueries {
        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // x_engine_embed_search: the shared embed CTEs (TextQueries — the
+    // same template as t_embed's oracle) + exact cosine top-10 over the
+    // engine-computed vectors
+    "x_engine_embed_search" ->
+      s"""WITH ${TextQueries.embedCtesSql},
+         |ev AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
+         |       FROM emb GROUP BY doc_id),
+         |q AS (SELECT emb AS qv FROM ev WHERE doc_id = 0)
+         |SELECT CAST(e.doc_id AS INTEGER) AS vec_id,
+         |       ${rndSql("list_cosine_similarity(e.emb, q.qv)", 6)} AS score
+         |FROM ev e, q
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "x_engine_flat" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ${rndSql(cosSql, 6)} AS score

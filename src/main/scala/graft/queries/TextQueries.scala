@@ -670,6 +670,75 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** DETERMINISTIC TEXT EMBEDDER — the engine's first text→vector
+    * operator, closing the last pipeline gap between "ingest text" and
+    * "search vectors" (VERDICT r11 #2; the reference assumes an external
+    * sentence-transformer it never calls — `settings.py:29-31` names the
+    * model, `services/search.py:23-24` only dim-checks its output).
+    * Hashed bag-of-tokens random projection, the fastText / hashing-trick
+    * family with an md5-DERIVED projection matrix: token → md5 bucket
+    * (1024); ONE md5 of "e|<bucket>" yields all [[EDim]]=16 projection
+    * weights (2 hex chars per dim, minus 128 → integers in [-128, 127]);
+    * embedding[j] = Σ over tokens of w(bucket, j). All-integer
+    * arithmetic, so DuckDB replays it bit-for-bit AND the per-doc sums
+    * stay far inside float32's 2^24 exact-integer range — the e2e entry's
+    * float-cast embeddings are exact too.
+    *
+    * 100 TB shape: the hashing trick means there is NO weight table to
+    * train, broadcast, or join — embedding is per-row expression work
+    * folded into the token scan plus one per-doc agg (the qualityClf
+    * scale property). A trained projection swaps the md5 weight
+    * expression for a broadcast row lookup in the same plan.
+    */
+  private[queries] val EDim = 16
+
+  /** (doc_id, e0..e15) integer embeddings for a (doc_id, text) frame —
+    * package-visible: the `x_engine_embed_search` e2e ingests these.
+    * Docs with zero tokens produce no row (nothing to embed).
+    */
+  private[queries] def embedded(df: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 1024
+    val dims = (0 until EDim).map { j =>
+      sum(conv(substring(col("wh"), 2 * j + 1, 2), 16, 10).cast("long")
+        - 128).as(s"e$j")
+    }
+    df.select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        md5(concat(lit("e|"), bucket.cast("string"))).as("wh"))
+      .groupBy(col("doc_id"))
+      .agg(dims.head, dims.tail: _*)
+  }
+
+  private def embed(s: SparkSession, d: String): DataFrame =
+    embedded(docs(s, d))
+      .select(col("doc_id"),
+        posexplode(array((0 until EDim).map(j => col(s"e$j")): _*)))
+      .select(col("doc_id"), col("pos").cast("int").as("dim"),
+        col("col").cast("long").as("val"))
+      .orderBy(col("doc_id").asc, col("dim").asc)
+
+  /** The embedding construction as DuckDB CTEs (`emb` = (doc_id, dim,
+    * val)) — shared by `t_embed`'s oracle and the e2e search oracle in
+    * [[EngineQueries]], so the replay cannot drift between them.
+    */
+  // def, not val: references toksSql, declared later in the object
+  private[queries] def embedCtesSql: String =
+    s"""tk AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |wt AS (
+       |  SELECT doc_id,
+       |         md5('e|' || CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+       |           % 1024 AS VARCHAR)) AS wh
+       |  FROM tk),
+       |dims AS (SELECT unnest(range(0, $EDim)) AS dim),
+       |emb AS (
+       |  SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+       |         CAST(SUM(CAST('0x' || substr(wh, 2 * dim + 1, 2) AS BIGINT)
+       |           - 128) AS BIGINT) AS val
+       |  FROM wt CROSS JOIN dims
+       |  GROUP BY doc_id, dim)""".stripMargin
+
   /** EXACT ROC-AUC of the hashed-linear quality score against the `lang ==
     * 'en'` label — the threshold-free companion to `t_langid_eval`'s
     * per-class precision/recall (every trained filter in a data pipeline
@@ -1057,6 +1126,7 @@ object TextQueries {
     "t_curriculum"     -> (curriculum _),
     "t_pii_scrub"      -> (piiScrub _),
     "t_quality_clf"    -> (qualityClf _),
+    "t_embed"          -> (embed _),
     "t_clf_auc"        -> (clfAuc _),
     "t_clf_calibration" -> (clfCalibration _),
     "t_langid_eval"    -> (langIdEval _),
@@ -1218,6 +1288,12 @@ object TextQueries {
          |            ELSE ((r0_ppm - r1_ppm) * (r0_ppm - r1_ppm)) // (r0_ppm + r1_ppm)
          |       END AS drift
          |FROM r ORDER BY drift DESC, token ASC LIMIT 20""".stripMargin,
+    // t_embed: the md5 bucket + per-dim hex-slice weights replayed
+    // bit-for-bit (all-integer arithmetic, no float anywhere)
+    "t_embed" ->
+      s"""WITH $embedCtesSql
+         |SELECT doc_id, dim, val FROM emb
+         |ORDER BY doc_id ASC, dim ASC""".stripMargin,
     "t_token_stats" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens,
          |       CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct,
