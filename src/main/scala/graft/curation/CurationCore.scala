@@ -62,6 +62,53 @@ object CurationCore {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Content-defined chunking window / boundary modulus: boundaries cut
+    * AFTER a position whose trailing [[CdcW]]-token gram hashes ≡ 0 mod
+    * [[CdcMod]] (expected chunk ≈ CdcMod tokens) — the rsync/FastCDC
+    * family rule; an insertion shifts only the chunk it lands in and
+    * every later boundary re-synchronizes.
+    */
+  val CdcW = 4
+  val CdcMod = 16
+
+  /** CDC chunks of an (idCol, tk: array&lt;string&gt;) token frame — ONE
+    * boundary/grouping implementation shared by the dedup query suite
+    * (`d_cdc_dedup` / `e_stream_cdc_dedup`, over the analysis tokenizer)
+    * and the engine's storage dedup (`VectorEngine.dedupStorage`, over a
+    * RAW single-space split so reassembly is byte-identical). Output:
+    * (idCol, chunk, n_tok, chash[, ctext when withText]) where ctext is
+    * the chunk's tokens space-joined and chash = md5(ctext).
+    *
+    * 100 TB shape: one id-parallel token explode, one id-partitioned
+    * running-sum window (doc-length bounded), one (id, chunk) agg — no
+    * pairwise anything.
+    */
+  def cdcChunksOfTokens(tokFrame: DataFrame, idCol: String,
+      withText: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokFrame.filter(size(col("tk")) > 0)
+    val tp = tk.select(col(idCol), posexplode(col("tk")))
+      .select(col(idCol), col("pos"), col("col").as("tok"))
+    // cut AFTER position p (p >= CdcW-1) when the gram ENDING at p masks
+    val cuts = tk.select(col(idCol),
+        posexplode(transform(shingles(col("tk"), CdcW),
+          g => when(pmod(hash60(g), lit(CdcMod.toLong)) === 0, 1).otherwise(0))))
+      .select(col(idCol), (col("pos") + CdcW - 1).as("pos"),
+        col("col").as("cut"))
+    val wCum = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = tp.join(cuts, Seq(idCol, "pos"), "left_outer")
+      .withColumn("chunk",
+        coalesce(sum(coalesce(col("cut"), lit(0))).over(wCum), lit(0L)))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("ctext"))
+      .withColumn("chash", md5(col("ctext")))
+    if (withText) grouped else grouped.drop("ctext")
+  }
+
   /** CONNECTED COMPONENTS over pair edges by ALTERNATING STAR CONTRACTION
     * (large-star / small-star, Kiveris et al., "Connected Components in
     * MapReduce and Beyond") — shared by the text (minhash) and embedding

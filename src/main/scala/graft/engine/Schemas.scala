@@ -209,6 +209,24 @@ object Schemas {
     StructField("end_seq", LongType, nullable = false),
     StructField("straddles", BooleanType, nullable = false),
   ))
+
+  /** Deduped-storage derived tables (`VectorEngine.dedupStorage`): each
+    * distinct content-defined passage stored ONCE (`cdc_blobs`) plus the
+    * per-chunk ordered recipe that reassembles the original text
+    * byte-for-byte (`cdc_manifest`).
+    */
+  val cdcBlobs: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("chash", StringType, nullable = false),
+    StructField("ctext", StringType, nullable = false),
+  ))
+
+  val cdcManifest: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("chash", StringType, nullable = false),
+  ))
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).

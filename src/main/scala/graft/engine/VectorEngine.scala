@@ -436,6 +436,82 @@ final class VectorEngine(
         t -> store.compact(t, sch)
       }
 
+  /** PHYSICAL LAYOUT OPTIMIZATION — the Delta/Iceberg `OPTIMIZE ... ZORDER
+    * BY` analog over the versioned chunk store: rewrite ONE library's
+    * chunk partition with rows ordered along a space-filling curve over
+    * two numeric chunk columns, range-sliced into `files` parquet files.
+    * Each output file then covers a TIGHT range of BOTH dims, so
+    * parquet's own footer min/max stats — the real-format counterpart of
+    * the `s_zorder_prune`/`s_hilbert_prune` simulation — let the reader
+    * skip whole row groups on a selective 2-d predicate. Proven by scan
+    * metrics (rows emitted by the file scan AFTER row-group skipping),
+    * asserted loudly in `x_engine_optimize_layout` and LayoutSpec the way
+    * `s_partition_prune` REQUIRES its PartitionFilter.
+    *
+    * Results are layout-INVARIANT — same rows, new order/files (the
+    * `x_engine_sq8_compacted` precedent): readers of the old version are
+    * undisturbed and `vacuum` reclaims it later. Reference anchor: the
+    * scan-economy role of the reference's secondary hash indexes
+    * (`repos/chunks.py:9-10` `chunks_by_library`), which on a parquet
+    * lake IS physical layout.
+    *
+    * 100 TB shape: one metadata-scale min/max agg (4 longs to the
+    * driver), one range shuffle on the curve key (the shuffle any sorted
+    * write pays), one partition-selective snapshot write — O(library)
+    * once, amortized over every selective scan after it. `curve`:
+    * "hilbert" (default — continuous curve, tightest per-file boxes),
+    * "zorder" (Morton interleave), or "linear" (row-major; the
+    * single-column-sort baseline the audits compare against).
+    * Returns the new chunks snapshot version.
+    */
+  def optimizeLayout(libId: String, cols: Seq[String],
+      curve: String = "hilbert", files: Int = 16): Long = {
+    getLibrary(libId)
+    if (cols.size != 2)
+      throw new ValidationError(
+        s"optimizeLayout wants exactly 2 layout columns, got ${cols.mkString(", ")}")
+    if (!Set("hilbert", "zorder", "linear").contains(curve))
+      throw new ValidationError(s"unknown curve: $curve")
+    if (files < 1 || files > (1 << 20))
+      throw new ValidationError(s"files out of range: $files")
+    import graft.functions.Curves
+    val g = Curves.Grid
+    val lc = chunks.filter(col("library_id") === libId)
+    val dims = cols.map(c => col(c).cast("long"))
+    // global extents: one metadata-scale agg (4 longs to the driver)
+    val mm = lc.agg(min(dims(0)), max(dims(0)), min(dims(1)), max(dims(1)))
+      .collect().head
+    if (mm.isNullAt(0) || mm.isNullAt(2))
+      // empty library or an all-null dim: nothing to lay out
+      return store.currentVersion("chunks").getOrElse(0L)
+    val (n0, x0) = (mm.getLong(0), mm.getLong(1))
+    val (n1, x1) = (mm.getLong(2), mm.getLong(3))
+    val (s0, s1) = (x0 - n0 + 1, x1 - n1 + 1)
+    // bucketize each dim to [0, Grid) — null dims sort first (bucket 0);
+    // integer DIV arithmetic, the layoutStatsBuild template
+    val keyed = lc
+      .withColumn("cb", coalesce(
+        expr(s"((CAST(${cols(0)} AS BIGINT) - $n0) * $g) DIV $s0"), lit(0L)))
+      .withColumn("db", coalesce(
+        expr(s"((CAST(${cols(1)} AS BIGINT) - $n1) * $g) DIV $s1"), lit(0L)))
+    val withKey = curve match {
+      case "hilbert" => Curves.hilbertOf(keyed).withColumn("ck", col("hd"))
+      case "zorder" =>
+        keyed.withColumn("ck", expr(Curves.zInterleaveExpr("DIV")))
+      case "linear" => keyed.withColumn("ck", col("cb") * g + col("db"))
+    }
+    // range-partition on the curve key (id tie-break keeps the write
+    // deterministic up to sampled boundaries), sort within each file so
+    // row-group stats inside multi-row-group files stay tight too
+    val ordered = withKey
+      .repartitionByRange(files, col("ck"), col("id"))
+      .sortWithinPartitions(col("ck"), col("id"))
+      .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
+    val v = store.writeLibraryPartition("chunks", libId, ordered)
+    maybeVacuum()
+    v
+  }
+
   private def lshPlanes(libId: String): DataFrame =
     store.read("lsh_planes", Schemas.lshPlanes).filter(col("library_id") === libId)
   private def lshBuckets(libId: String): DataFrame =
@@ -892,8 +968,12 @@ final class VectorEngine(
           opt("lang", lit(null).cast("string")).as("lang"),
           lit(null).cast("string").as("mime_type"),
           opt("tags", lit(null).cast("array<string>")).as("tags"),
-          lit(null).cast("int").as("page_number"),
-          lit(null).cast("int").as("token_count"),
+          // numeric metadata rides along when the batch carries it (the
+          // layout entry clusters on token_count); NOT folded into the
+          // minted content-hash id above — its input field set is frozen
+          // (changing it would re-mint every id minted before r13)
+          opt("page_number", lit(null).cast("int")).cast("int").as("page_number"),
+          opt("token_count", lit(null).cast("int")).cast("int").as("token_count"),
           lit(null).cast("string").as("sha256")).as("metadata"),
         lit(t).as("created_at"), lit(t).as("updated_at"), lit(1L).as("version"))
     // minted ids are content hashes: bytewise-identical rows share an id
@@ -1553,6 +1633,42 @@ final class VectorEngine(
     * ivf_centroids (the shared coarse quantizer) — its codes table is the
     * discriminating artifact.
     */
+  /** TEXT-QUERY SEARCH — closes the reference's embedding seam from the
+    * query side: the reference's search endpoint takes a query EMBEDDING
+    * (`api/routers/search.py`, dim-checked at `services/search.py:23-24`)
+    * because it assumes an external embedder; here the query text embeds
+    * ENGINE-side through the same deterministic hashed-projection
+    * embedder the corpus used ([[graft.functions.TextEmbed]]) and reuses
+    * [[search]] unchanged — index-family dispatch, the Q5 post-filter
+    * contract, and the Q7 tie-break all apply as-is. The library must be
+    * [[graft.functions.TextEmbed.EDim]]-dimensional (i.e. ingested with
+    * engine-computed embeddings); integer sums are float32-exact, so the
+    * embedded query is bit-identical to the oracle's replay.
+    *
+    * The only thing collected is the single 16-int query row (the 1-row
+    * query-vector readback precedent) — the embedding itself runs through
+    * the shared expression pipeline, not driver-side string code.
+    */
+  def searchText(libId: String, text: String, k: Int,
+      metric: String = "cosine", filters: Option[SearchFilters] = None,
+      preFilter: Boolean = false): DataFrame = {
+    import graft.functions.TextEmbed
+    val (dim, _, _) = getLibrary(libId)
+    if (dim != TextEmbed.EDim)
+      throw new ValidationError(
+        s"searchText needs a ${TextEmbed.EDim}-dim (engine-embedded) library, got dim $dim")
+    if (text == null || text.isEmpty)
+      throw new ValidationError("empty query text")
+    import spark.implicits._
+    val rows = TextEmbed.embedded(
+      Seq((0L, text)).toDF("qid", "text"), "qid").collect()
+    if (rows.isEmpty)
+      throw new ValidationError("query text has no tokens")
+    val q = (0 until TextEmbed.EDim)
+      .map(j => rows.head.getLong(j + 1).toFloat).toArray
+    search(libId, q, k, metric, filters, preFilter)
+  }
+
   private def effectiveIndexType(libId: String, config: IndexConfig): String =
     if (config.indexType != "auto") config.indexType
     else if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
@@ -2541,6 +2657,84 @@ final class VectorEngine(
         Schemas.curatedSequences)
     else store.read("curated_sequences", Schemas.curatedSequences)
       .filter(col("library_id") === libId)
+
+  /** CDC STORAGE DEDUP — the storage twin of [[curateLibrary]]: curation
+    * closes the dedup SIGNAL into a keep/drop decision; this verb closes
+    * it into the STORE. Each chunk's text is content-defined-chunked by
+    * the ONE shared chunker ([[graft.curation.CurationCore
+    * .cdcChunksOfTokens]] — the same boundary rule `d_cdc_dedup` and the
+    * streaming front door use) and the library's text is rewritten as two
+    * derived tables:
+    *
+    *   - `cdc_blobs(library_id, chash, ctext)` — each distinct passage ONCE
+    *   - `cdc_manifest(library_id, chunk_id, seq, chash)` — the per-chunk
+    *     ordered recipe
+    *
+    * Passages are cut over a RAW single-space split (`split(text, " ")`,
+    * EMPTIES PRESERVED — not the analysis tokenizer, which collapses
+    * whitespace): split-then-join-with-' ' is an exact inverse for ANY
+    * text, so [[dedupedChunkText]] reassembles every chunk
+    * byte-identically (spec-asserted per chunk) while a passage shared by
+    * any number of chunks/documents is stored once. The reference stores
+    * every copy of every chunk (`repos/chunks.py`); at 100 TB the
+    * boilerplate `d_cdc_dedup` measures is exactly the bytes this
+    * removes.
+    *
+    * 100 TB shape: one chunk-parallel token explode + one chunk-bounded
+    * running-sum window + one (chunk, passage) agg (the cdcChunksOf
+    * shape), one distinct-by-chash agg for blobs — no pairwise anything;
+    * two partition-selective snapshot writes. Returns a 1-row stats
+    * frame (n_chunks, n_passages, n_blobs, text_bytes, blob_bytes,
+    * saved_bytes); blob_bytes counts stored passage text — the
+    * (n_passages − n_chunks) single-space joiners are implicit in the
+    * manifest.
+    */
+  def dedupStorage(libId: String): DataFrame = {
+    getLibrary(libId)
+    import graft.curation.CurationCore
+    val base = chunks.filter(col("library_id") === libId)
+      .select(col("id"), col("text"))
+    val pieces = graft.Caches.track(
+      CurationCore.cdcChunksOfTokens(
+        base.select(col("id"), split(col("text"), " ", -1).as("tk")),
+        "id", withText = true).localCheckpoint())
+    store.writeLibraryPartition("cdc_manifest", libId,
+      pieces.select(lit(libId).as("library_id"), col("id").as("chunk_id"),
+        col("chunk").cast("long").as("seq"), col("chash")))
+    store.writeLibraryPartition("cdc_blobs", libId,
+      pieces.select(col("chash"), col("ctext")).dropDuplicates("chash")
+        .select(lit(libId).as("library_id"), col("chash"), col("ctext")))
+    maybeVacuum()
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val tb = base.agg(count(lit(1)).cast("long").as("n_chunks"),
+      z(sum(length(col("text")))).cast("long").as("text_bytes"))
+    val np = pieces.agg(count(lit(1)).cast("long").as("n_passages"))
+    val bb = pieces.dropDuplicates("chash")
+      .agg(count(lit(1)).cast("long").as("n_blobs"),
+        z(sum(length(col("ctext")))).cast("long").as("blob_bytes"))
+    tb.crossJoin(np).crossJoin(bb)
+      .select(col("n_chunks"), col("n_passages"), col("n_blobs"),
+        col("text_bytes"), col("blob_bytes"),
+        (col("text_bytes") - col("blob_bytes")).as("saved_bytes"))
+  }
+
+  /** Reconstructed (chunk_id, text) from the deduped storage: manifest
+    * recipes joined to their blobs, reassembled in seq order with the
+    * single-space joiner the raw split removed — byte-identical to the
+    * primary chunk text (the dedupStorage contract; StorageDedupSpec
+    * asserts it per chunk).
+    */
+  def dedupedChunkText(libId: String): DataFrame = {
+    val m = store.read("cdc_manifest", Schemas.cdcManifest)
+      .filter(col("library_id") === libId)
+    val b = store.read("cdc_blobs", Schemas.cdcBlobs)
+      .filter(col("library_id") === libId)
+    m.join(b, Seq("library_id", "chash"))
+      .groupBy(col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seq"), col("ctext")))),
+        x => x.getField("ctext")), " ").as("text"))
+  }
 
   /** Flat scoring: raw stored vectors (quirk Q1). */
   private def flatScore(libChunks: DataFrame, query: Array[Float],

@@ -95,6 +95,26 @@ object DedupQueries {
   private def bandRowsCkpt(s: SparkSession, d: String): DataFrame =
     cachedCkpt(bandsCache, (s, d))(bandRows(s, d).localCheckpoint())
 
+  /** The persisted-index subdirectories a micro-batch may PROBE: every
+    * committed subdir of `idxDir` EXCEPT the batch's own `b<id>`. A
+    * foreachBatch retry replays AFTER its own index write committed but
+    * BEFORE the streaming checkpoint did (at-least-once window); a
+    * whole-dir glob probe would then read the batch's own rows, every doc
+    * would band/chunk-match itself, and the "byte-identical rewrite"
+    * idempotency guarantee breaks exactly in the window it exists for
+    * (ADVICE r12). Listing-minus-own keeps the probe restricted to
+    * strictly earlier data on first run AND on replay.
+    */
+  private def indexDirsExcept(idxDir: String, own: String): Seq[String] =
+    scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(idxDir))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString != own)
+        .map(_.toString).toSeq
+    }
+
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     bandRowsCkpt(s, d).orderBy(col("doc_id").asc, col("band_id").asc)
 
@@ -286,10 +306,12 @@ object DedupQueries {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        // IDEMPOTENT per-batch writes (ADVICE r11): foreachBatch is
+        // IDEMPOTENT per-batch writes (ADVICE r11/r12): foreachBatch is
         // at-least-once, so a retried micro-batch must not duplicate
         // report or index rows — each batch OVERWRITES its own b<id>
-        // subdirectory and readers glob the parent, making a retry a
+        // subdirectory, and the probe reads the listed subdirs MINUS its
+        // own (a replay after the index write committed must not
+        // band-match every doc against itself), making a retry a
         // byte-identical rewrite instead of an append-twice
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           if (!batch.isEmpty) {
@@ -299,7 +321,10 @@ object DedupQueries {
                 col("band_hash"))
               .persist()
             try {
-              val idx = batch.sparkSession.read.parquet(s"$idxDir/*").select(
+              // probe earlier subdirs ONLY (never the batch's own b<id> —
+              // present iff this is a replay; see indexDirsExcept)
+              val idx = batch.sparkSession.read
+                .parquet(indexDirsExcept(idxDir, s"b$bid"): _*).select(
                 col("doc_id").as("old_id"), col("band_id"),
                 col("band_hash"), col("origin"))
               // one probe join, split by origin: earliest corpus dup vs
@@ -1539,36 +1564,20 @@ object DedupQueries {
     * fully hash-checked (boundary placement, chunk reassembly, and md5s
     * all replayed by DuckDB).
     */
-  private val CdcW = 4    // rolling-fingerprint window (tokens)
-  private val CdcMod = 16 // boundary mask -> expected chunk length
+  private val CdcW = graft.curation.CurationCore.CdcW
+  private val CdcMod = graft.curation.CurationCore.CdcMod
 
   /** (doc_id, chunk, n_tok, chash): CDC chunks of a (doc_id, text)
     * frame — shared by the batch dedup entry and the streaming ingest
     * probe (the chunker must be ONE piece of code or the stream==batch
-    * contract is meaningless).
+    * contract is meaningless). The boundary/grouping machinery now lives
+    * in [[graft.curation.CurationCore.cdcChunksOfTokens]] (r13: the
+    * engine's `dedupStorage` chunks RAW splits through the same code);
+    * this binding applies the suite's analysis tokenizer.
     */
-  private[graft] def cdcChunksOf(df: DataFrame): DataFrame = {
-    val tk = df.select(col("doc_id"), toks.as("tk"))
-      .filter(size(col("tk")) > 0)
-    val tp = tk.select(col("doc_id"), posexplode(col("tk")))
-      .select(col("doc_id"), col("pos"), col("col").as("tok"))
-    // cut AFTER position p (p >= CdcW-1) when the gram ENDING at p masks
-    val cuts = tk.select(col("doc_id"),
-        posexplode(transform(shingles(col("tk"), CdcW),
-          g => when(pmod(hash60(g), lit(CdcMod.toLong)) === 0, 1).otherwise(0))))
-      .select(col("doc_id"), (col("pos") + CdcW - 1).as("pos"),
-        col("col").as("cut"))
-    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    tp.join(cuts, Seq("doc_id", "pos"), "left_outer")
-      .withColumn("chunk",
-        coalesce(sum(coalesce(col("cut"), lit(0))).over(wCum), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk"))
-      .agg(count(lit(1)).as("n_tok"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ")).as("chash"))
-  }
+  private[graft] def cdcChunksOf(df: DataFrame): DataFrame =
+    graft.curation.CurationCore.cdcChunksOfTokens(
+      df.select(col("doc_id"), toks.as("tk")), "doc_id")
 
   /** Corpus CDC chunk table as a checkpointed fixture (the
     * [[bandRowsCkpt]] precedent): `d_cdc_dedup` consumes it three ways
@@ -1677,8 +1686,11 @@ object DedupQueries {
             val nc = cdcChunksOf(batch).persist()
             try {
               // index probe by chash alone: every indexed doc_id is
-              // strictly smaller than any current-batch doc_id
-              val idxHit = batch.sparkSession.read.parquet(s"$idxDir/*")
+              // strictly smaller than any current-batch doc_id — which a
+              // replay would violate through its own committed b<id>
+              // subdir, so the probe lists-minus-own (ADVICE r12)
+              val idxHit = batch.sparkSession.read
+                .parquet(indexDirsExcept(idxDir, s"b$bid"): _*)
                 .select(col("chash")).distinct()
                 .withColumn("in_idx", lit(1))
               val peers = nc.select(col("doc_id").as("peer_id"), col("chash"))
@@ -1815,9 +1827,19 @@ object DedupQueries {
     * `documents` — ONE copy shared by the `d_cdc_dedup` and
     * `e_stream_cdc_dedup` oracles so the chunker replay cannot drift.
     */
-  private lazy val cdcChunksCtesSql =
+  /** The CDC chunk replay as DuckDB CTEs, parameterized by the token
+    * expression and source relation — the SQL twin of
+    * [[graft.curation.CurationCore.cdcChunksOfTokens]], shared by the
+    * `d_cdc_dedup`/`e_stream_cdc_dedup` oracles (analysis tokenizer) and
+    * the `x_engine_dedup_storage` oracle (raw split, with passage text)
+    * so the boundary arithmetic cannot drift between them. Yields a CTE
+    * `chunks(doc_id, chunk, n_tok, chash[, ctext])`.
+    */
+  private[queries] def cdcChunksCtesSqlOf(tokExpr: String, from: String,
+      withText: Boolean = false): String = {
+    val ctext = if (withText) ",\n         string_agg(tok, ' ' ORDER BY pos) AS ctext" else ""
     s"""tkf AS MATERIALIZED (
-       |  SELECT doc_id, tk FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+       |  SELECT doc_id, tk FROM (SELECT doc_id, $tokExpr AS tk FROM $from)
        |  WHERE len(tk) > 0),
        |tp AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
        |         unnest(tk) AS tok FROM tkf),
@@ -1837,8 +1859,11 @@ object DedupQueries {
        |       FROM tp LEFT JOIN cuts c ON c.doc_id = tp.doc_id AND c.pos = tp.pos),
        |chunks AS MATERIALIZED (
        |  SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
-       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash$ctext
        |  FROM tc GROUP BY doc_id, chunk)""".stripMargin
+  }
+
+  private lazy val cdcChunksCtesSql = cdcChunksCtesSqlOf(toksSql, "documents")
 
   private lazy val incrementalSql =
     s"""WITH bands AS ($bandRowsSql),

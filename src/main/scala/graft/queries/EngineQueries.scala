@@ -104,6 +104,7 @@ object EngineQueries {
       fixtureCache.clear()
       baseCache.clear()
       ttCache.clear()
+      textBaseCache.clear()
     }
     selfJoinCache.synchronized {
       selfJoinCache.values.foreach(
@@ -161,22 +162,172 @@ object EngineQueries {
     * end-to-end (reference seam: the external embedder it assumes at
     * `settings.py:29-31`, dim-checked at `services/search.py:23-24`).
     */
-  private def engineEmbedSearch(s: SparkSession, d: String): DataFrame = {
-    val emb = TextQueries.embedded(Tables.documents(s, d))
+  /** ONE documents-ingested 16-dim library per (session, dataset) — the
+    * engine-embedder corpus shared by the embed-e2e, searchText, layout,
+    * and storage-dedup entries (ADVICE r12: engineEmbedSearch rebuilt its
+    * store on every invocation and leaked scratch stores). Every doc the
+    * embedder emits a vector for (>= 1 token) is ingested with
+    * position = doc_id, token_count = analysis token count, and
+    * lang/tags — the numeric + metadata dims the layout and filtered
+    * entries exercise. Searches are read-only against it; mutating
+    * entries hardlink-clone it (the timeTravelFixture discipline).
+    */
+  private val textBaseCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (VectorEngine, String, String)]
+
+  private def textEngineFixture(s: SparkSession,
+      d: String): (VectorEngine, String, String) =
+    fixtureCache.synchronized {
+      textBaseCache.getOrElseUpdate((s, d), {
+        val root = graft.TempDirs.scratch("graft-engine-text").toString
+        val eng = new VectorEngine(s, root, fixedClock)
+        val lib = eng.createLibrary("engine-text", TextQueries.EDim,
+          IndexConfig("flat"))
+        val doc = eng.createDocument(lib)
+        val emb = TextQueries.embedded(Tables.documents(s, d))
+        val arr = array(
+          (0 until TextQueries.EDim).map(j => col(s"e$j").cast("float")): _*)
+        eng.bulkIngest(lib, doc, emb
+          .join(Tables.documents(s, d)
+              .select(col("doc_id"), col("text"), col("lang")),
+            Seq("doc_id"))
+          .select(format_string("c%06d", col("doc_id")).as("id"), col("text"),
+            arr.as("embedding"),
+            col("doc_id").cast("int").as("position"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("int").as("token_count"),
+            col("lang"),
+            array(col("lang")).as("tags")))
+        (eng, root, lib)
+      })
+    }
+
+  /** The engine-computed embedding of doc 0 — the shared query vector of
+    * the embed-e2e entries (1-row readback, the query-vector precedent).
+    */
+  private def textQueryVec(s: SparkSession, d: String): Array[Float] = {
     val arr = array(
       (0 until TextQueries.EDim).map(j => col(s"e$j").cast("float")): _*)
-    val root = graft.TempDirs.scratch("graft-embed-e2e").toString
-    val eng = new VectorEngine(s, root, fixedClock)
-    val lib = eng.createLibrary("embed-e2e", TextQueries.EDim, IndexConfig("flat"))
-    val doc = eng.createDocument(lib)
-    eng.bulkIngest(lib, doc, emb
-      .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
-        Seq("doc_id"))
-      .select(format_string("c%06d", col("doc_id")).as("id"), col("text"),
-        arr.as("embedding")))
-    val q = emb.filter(col("doc_id") === 0).select(arr.as("qv"))
-      .collect().head.getSeq[Float](0).toArray
-    hitsOut(eng.search(lib, q, k = 10))
+    TextQueries.embedded(
+        Tables.documents(s, d).filter(col("doc_id") === 0))
+      .select(arr.as("qv")).collect().head.getSeq[Float](0).toArray
+  }
+
+  private def engineEmbedSearch(s: SparkSession, d: String): DataFrame = {
+    val (eng, _, lib) = textEngineFixture(s, d)
+    hitsOut(eng.search(lib, textQueryVec(s, d), k = 10))
+  }
+
+  /** TEXT-QUERY SEARCH through the engine (VERDICT r12 #4): the query is
+    * a STRING — the first 8 analysis tokens of doc 0, read back as one
+    * row — embedded ENGINE-side by `VectorEngine.searchText` (the shared
+    * hashed-projection embedder) and run through the unchanged search
+    * path. The DuckDB oracle embeds the same token list through the same
+    * CTE templates, so text → vector → hits is hash-checked end to end.
+    */
+  private def searchTextQuery(s: SparkSession, d: String): String =
+    Tables.documents(s, d).filter(col("doc_id") === 0)
+      .select(concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokens(col("text")), 1, 8)))
+      .collect().head.getString(0)
+
+  private def engineSearchText(s: SparkSession, d: String): DataFrame = {
+    val (eng, _, lib) = textEngineFixture(s, d)
+    hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
+  }
+
+  /** searchText + the Q5 post-filter contract: top-20 by the embedded
+    * text query, then tag filter (tags = [lang], so this keeps the
+    * English hits of the top 20 — may return < 20, the reference's
+    * documented filtered-search behavior).
+    */
+  private def engineSearchTextFiltered(s: SparkSession, d: String): DataFrame = {
+    val (eng, _, lib) = textEngineFixture(s, d)
+    hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 20,
+      filters = Some(SearchFilters(tags = Seq("en")))))
+  }
+
+  /** PHYSICAL LAYOUT OPTIMIZATION e2e (VERDICT r11 #1 / r12 #1): clone
+    * the text fixture, run the selective 2-d box query (middle quarter of
+    * position x token_count — the layoutAudit bounds arithmetic) BEFORE
+    * and AFTER `optimizeLayout(hilbert)`, and REQUIRE real parquet
+    * row-group skipping from the scan metrics: the optimized scan must
+    * emit at most HALF the rows the fragmented ingest layout emitted (it
+    * typically emits ~an eighth), with the box predicate pushed to the
+    * scan. The returned rows are layout-INVARIANT and replayed by the
+    * oracle from the raw documents table — so this entry hash-checks
+    * correctness AND fails loudly on a skipping regression, the
+    * s_partition_prune discipline on a REAL layout instead of a
+    * simulated one.
+    */
+  private def engineOptimizeLayout(s: SparkSession, d: String): DataFrame = {
+    val (_, baseRoot, lib) = textEngineFixture(s, d)
+    val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+    // box bounds from store stats: one metadata-scale 4-long agg, the
+    // same integer arithmetic as the oracle (7/16..9/16 would be the
+    // layoutAudit middle eighth; 3/8..5/8 keeps ~30 rows at sf0.01)
+    val mm = eng.chunks.filter(col("library_id") === lib)
+      .agg(min(col("position")), max(col("position")),
+        min(col("metadata.token_count")), max(col("metadata.token_count")))
+      .collect().head
+    val (minp, maxp) = (mm.getInt(0).toLong, mm.getInt(1).toLong)
+    val (mint, maxt) = (mm.getInt(2).toLong, mm.getInt(3).toLong)
+    val (lop, hip) = (minp + 3 * (maxp - minp + 1) / 8,
+      minp + 5 * (maxp - minp + 1) / 8)
+    val (lot, hit) = (mint + 3 * (maxt - mint + 1) / 8,
+      mint + 5 * (maxt - mint + 1) / 8)
+    def box(): DataFrame = eng.chunks
+      .filter(col("library_id") === lib &&
+        col("position") >= lop && col("position") < hip &&
+        col("metadata.token_count") >= lot &&
+        col("metadata.token_count") < hit)
+      .select(expr("CAST(substring(id, 2, 10) AS INT)").as("vec_id"),
+        col("position"), col("metadata.token_count").as("token_count"))
+      .orderBy(col("vec_id").asc)
+    import org.apache.spark.sql.GraftScanBridge
+    // collect() (not count()) drives each probe's OWN QueryExecution, so
+    // the scan metrics land on the plan instance scanStats reads
+    val pre = box()
+    val nPre = pre.collect().length
+    val (_, rowsPre) = GraftScanBridge.scanStats(pre)
+    eng.optimizeLayout(lib, Seq("position", "metadata.token_count"),
+      curve = "hilbert", files = 16)
+    val post = box()
+    val nPost = post.collect().length
+    val (_, rowsPost) = GraftScanBridge.scanStats(post)
+    require(nPost == nPre,
+      s"optimizeLayout changed the box result: $nPre -> $nPost rows")
+    val plan = GraftScanBridge.executedPlanString(post)
+    require(plan.contains("GreaterThanOrEqual(position"),
+      s"box predicate did not reach the parquet scan as a pushed filter:\n$plan")
+    // THE skipping assertion: rows emitted by the scan (post row-group
+    // min/max pruning) must drop at least 2x vs the fragmented layout —
+    // a regression that silently stops skipping fails loudly, not slowly
+    require(rowsPost * 2 <= rowsPre,
+      s"no real row-group skipping: scan emitted $rowsPost rows " +
+        s"(hilbert layout) vs $rowsPre (ingest layout)")
+    box()
+  }
+
+  /** CDC STORAGE DEDUP through the engine (VERDICT r12 #3): clone the
+    * text fixture, content-address every chunk's text into
+    * cdc_blobs/cdc_manifest via `VectorEngine.dedupStorage`, REQUIRE the
+    * reassembled text byte-identical for every chunk (the storage
+    * contract, checked in-entry so a corruption fails loudly), and emit
+    * the 1-row stats frame — replayed by the oracle's raw-split CDC over
+    * the documents table, so passage boundaries, dedup counts, and byte
+    * totals are all hash-checked.
+    */
+  private def engineDedupStorage(s: SparkSession, d: String): DataFrame = {
+    val (_, baseRoot, lib) = textEngineFixture(s, d)
+    val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+    val stats = eng.dedupStorage(lib)
+    val bad = eng.dedupedChunkText(lib).as("r")
+      .join(eng.chunks.filter(col("library_id") === lib)
+        .select(col("id").as("chunk_id"), col("text").as("orig")), "chunk_id")
+      .filter(col("r.text") =!= col("orig")).count()
+    require(bad == 0, s"$bad chunk(s) failed byte-identical reassembly")
+    stats
   }
 
   private def engineLsh(s: SparkSession, d: String): DataFrame = {
@@ -1266,6 +1417,10 @@ object EngineQueries {
     "x_ivfsq8_recall"            -> (ivfSq8Recall _),
     "x_ivfsq8_ndcg"              -> (ivfSq8Ndcg _),
     "x_engine_embed_search"      -> (engineEmbedSearch _),
+    "x_engine_search_text"          -> (engineSearchText _),
+    "x_engine_search_text_filtered" -> (engineSearchTextFiltered _),
+    "x_engine_optimize_layout"      -> (engineOptimizeLayout _),
+    "x_engine_dedup_storage"        -> (engineDedupStorage _),
   )
 
   /** Shared recall@10 oracle tail: `approxSelect` must yield (vec_id)
@@ -1287,6 +1442,12 @@ object EngineQueries {
 
   private val cosSql =
     "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+  // the searchText entries' query token list (doc 0's first 8 analysis
+  // tokens) as SQL — the twin of searchTextQuery's Spark expression
+  private val searchTextQueryTokListSql =
+    "list_slice(list_filter(string_split((SELECT text FROM documents " +
+      "WHERE doc_id = 0), ' '), t -> t <> ''), 1, 8)"
 
   // x_engine_lsh_det replay (shared by the hits entry and the recall
   // metric): planes comp(t,p,j) = float(long(md5("lshdet|t|p|j")[0:15
@@ -2093,6 +2254,75 @@ object EngineQueries {
          |       ${rndSql("list_cosine_similarity(e.emb, q.qv)", 6)} AS score
          |FROM ev e, q
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // x_engine_search_text: the corpus embeds through the shared CTEs;
+    // the QUERY (doc 0's first 8 analysis tokens) embeds through the
+    // shared query-CTE template — text -> vector -> hits replayed end to
+    // end with no vector ever supplied from outside the engines
+    "x_engine_search_text" ->
+      s"""WITH ${TextQueries.embedCtesSql},
+         |ev AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
+         |       FROM emb GROUP BY doc_id),
+         |${TextQueries.embedQueryCtesSql(searchTextQueryTokListSql)}
+         |SELECT CAST(e.doc_id AS INTEGER) AS vec_id,
+         |       ${rndSql("list_cosine_similarity(e.emb, q.qv)", 6)} AS score
+         |FROM ev e, qv q
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the Q5 post-filter contract over the same embedded text query:
+    // top-20 FIRST, lang tag filter AFTER (may return < 20)
+    "x_engine_search_text_filtered" ->
+      s"""WITH ${TextQueries.embedCtesSql},
+         |ev AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
+         |       FROM emb GROUP BY doc_id),
+         |${TextQueries.embedQueryCtesSql(searchTextQueryTokListSql)},
+         |sc AS (
+         |  SELECT CAST(e.doc_id AS INTEGER) AS vec_id, e.doc_id AS did,
+         |         ${rndSql("list_cosine_similarity(e.emb, q.qv)", 6)} AS score
+         |  FROM ev e, qv q
+         |  ORDER BY score DESC, vec_id ASC LIMIT 20)
+         |SELECT sc.vec_id, sc.score
+         |FROM sc JOIN documents d ON d.doc_id = sc.did
+         |WHERE d.lang = 'en'
+         |ORDER BY sc.score DESC, sc.vec_id ASC""".stripMargin,
+    // x_engine_optimize_layout: the box-query result is layout-INVARIANT
+    // (the skipping proof lives in the entry's scan-metric requires);
+    // the oracle replays position = doc_id, token_count = analysis token
+    // count, and the same 3/8..5/8 integer bounds over the ingested
+    // (>= 1 token) docs
+    "x_engine_optimize_layout" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        |  FROM documents),
+        |e AS (SELECT doc_id, n_tok FROM tk WHERE n_tok > 0),
+        |mm AS (SELECT min(doc_id) AS minp, max(doc_id) AS maxp,
+        |              min(n_tok) AS mint, max(n_tok) AS maxt FROM e)
+        |SELECT CAST(doc_id AS INTEGER) AS vec_id,
+        |       CAST(doc_id AS INTEGER) AS position,
+        |       CAST(n_tok AS INTEGER) AS token_count
+        |FROM e, mm
+        |WHERE doc_id >= minp + 3 * (maxp - minp + 1) // 8
+        |  AND doc_id <  minp + 5 * (maxp - minp + 1) // 8
+        |  AND n_tok  >= mint + 3 * (maxt - mint + 1) // 8
+        |  AND n_tok  <  mint + 5 * (maxt - mint + 1) // 8
+        |ORDER BY vec_id ASC""".stripMargin,
+    // x_engine_dedup_storage: raw-split CDC replay (the shared template
+    // with string_split(text, ' ') — empties preserved, so passages are
+    // byte-reconstructible) over the ingested docs; every count and byte
+    // total of the verb's stats row recomputed independently
+    "x_engine_dedup_storage" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0),
+         |${DedupQueries.cdcChunksCtesSqlOf("string_split(text, ' ')", "base",
+             withText = true)},
+         |blobs AS (SELECT DISTINCT chash, ctext FROM chunks)
+         |SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_chunks,
+         |       CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_passages,
+         |       CAST((SELECT count(*) FROM blobs) AS BIGINT) AS n_blobs,
+         |       CAST((SELECT SUM(len(text)) FROM base) AS BIGINT) AS text_bytes,
+         |       CAST((SELECT SUM(len(ctext)) FROM blobs) AS BIGINT) AS blob_bytes,
+         |       CAST((SELECT SUM(len(text)) FROM base)
+         |         - (SELECT SUM(len(ctext)) FROM blobs) AS BIGINT) AS saved_bytes""".stripMargin,
     "x_engine_flat" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ${rndSql(cosSql, 6)} AS score

@@ -650,7 +650,7 @@ object SourceQueries {
     * decision reads ONLY per-file stats (metadata scale, the entire
     * point) — the scan cost it saves multiplies with table size.
     */
-  private val ZB = 32 // buckets per dimension (5 bits)
+  private val ZB = graft.functions.Curves.Grid // buckets per dimension (5 bits)
 
   private def zorderPrune(s: SparkSession, d: String): DataFrame =
     layoutAudit(s, d, Seq("zorder", "linear"))
@@ -669,47 +669,13 @@ object SourceQueries {
     * engines — pure DIV/%/CASE arithmetic, no bit intrinsics, so the
     * DuckDB replay is expression-identical.
     */
-  private case class HRound(s: Long) {
-    // rx = bit s of x, ry = bit s of y; dInc = s^2 * ((3*rx) XOR ry)
-    // spelled as a CASE over rx*2+ry (values 0,1,3,2); rotation (the
-    // classic rot()): when ry = 0 -> reflect with the FULL grid width
-    // (x' = rx = 1 ? N-1-y : y) — N-1-v complements every bit of v, so
-    // the low bits later rounds read are the same as s-1-v would give,
-    // but the value stays in [0, N) where s-1-v would go NEGATIVE for
-    // full-width coordinates and break the DIV/% bit reads (caught by
-    // the bijectivity spec — the oracle alone could NOT catch it, since
-    // it replays the same template)
-    def exprs(x: String, y: String, d: String, divOp: String,
-        xo: String, yo: String, dout: String): Seq[String] = {
-      val nm1 = ZB - 1
-      val rx = s"(($x $divOp $s) % 2)"
-      val ry = s"(($y $divOp $s) % 2)"
-      val term = s"(CASE $rx * 2 + $ry WHEN 0 THEN 0 WHEN 1 THEN 1 " +
-        s"WHEN 2 THEN 3 ELSE 2 END)"
-      Seq(
-        s"$d + ${s * s} * $term AS $dout",
-        s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nm1 - $y " +
-          s"ELSE $y END) ELSE $x END AS $xo",
-        s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $nm1 - $x " +
-          s"ELSE $x END) ELSE $y END AS $yo")
-    }
-  }
-  private val HRounds = Seq(16L, 8L, 4L, 2L, 1L).map(HRound)
-
-  /** Appends `hd` (the order-5 Hilbert index of the `cb`, `db` bucket
-    * columns) via the five unrolled rounds — package-visible so the
-    * bijectivity/continuity spec exercises the REAL transform.
+  /** The rotate-and-reflect recurrence now lives in
+    * [[graft.functions.Curves]] (r13: the engine's `optimizeLayout`
+    * physical rewrite shares it); this forwarder keeps the
+    * bijectivity/continuity spec exercising the REAL transform.
     */
-  private[graft] def hilbertOf(df: DataFrame): DataFrame = {
-    var b = df.withColumn("x0", col("cb")).withColumn("y0", col("db"))
-      .withColumn("d0", lit(0L))
-    HRounds.zipWithIndex.foreach { case (r, i) =>
-      // one selectExpr per round; the SAME template emits the oracle CTEs
-      b = b.selectExpr((b.columns.toSeq ++ r.exprs(s"x$i", s"y$i", s"d$i",
-        "DIV", s"x${i + 1}", s"y${i + 1}", s"d${i + 1}")): _*)
-    }
-    b.withColumn("hd", col("d5"))
-  }
+  private[graft] def hilbertOf(df: DataFrame): DataFrame =
+    graft.functions.Curves.hilbertOf(df)
 
   private def hilbertPrune(s: SparkSession, d: String): DataFrame =
     layoutAudit(s, d, Seq("hilbert", "zorder", "linear"))
@@ -733,10 +699,7 @@ object SourceQueries {
     val (minc, maxc, mind, maxd) =
       (mmr.getLong(0), mmr.getLong(1), mmr.getLong(2), mmr.getLong(3))
     val (spanC, spanD) = (maxc - minc + 1, maxd - mind + 1)
-    val zExpr = (0 until 5).map { i =>
-      s"((cb DIV ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
-        s" + ((db DIV ${1L << i}) % 2) * ${1L << (2 * i)}"
-    }.mkString(" + ")
+    val zExpr = graft.functions.Curves.zInterleaveExpr("DIV")
     val hb = hilbertOf(o
       .withColumn("cb", expr(s"((o_custkey - $minc) * $ZB) DIV $spanC"))
       .withColumn("db", expr(s"((dayi - $mind) * $ZB) DIV $spanD"))
@@ -889,10 +852,7 @@ object SourceQueries {
     "q_bucketed_join"  -> (bucketedJoin _),
   )
 
-  private val zExprSql = (0 until 5).map { i =>
-    s"((cb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
-      s" + ((db // ${1L << i}) % 2) * ${1L << (2 * i)}"
-  }.mkString(" + ")
+  private val zExprSql = graft.functions.Curves.zInterleaveExpr("//")
 
   private def bfPosSql(key: String): String =
     (1 to BfK).map(j =>
@@ -900,18 +860,12 @@ object SourceQueries {
         s"AS BIGINT) % $BfM").mkString("[", ", ", "]")
 
   /** The five Hilbert rounds as nested subselects over `zb`, emitted
-    * from the SAME [[HRound.exprs]] template the Spark plan uses (DuckDB
-    * `//` for Spark `DIV`) — the recurrence cannot drift between
-    * engines.
+    * from the SAME [[graft.functions.Curves.HRound.exprs]] template the
+    * Spark plan uses (DuckDB `//` for Spark `DIV`) — the recurrence
+    * cannot drift between engines.
     */
   private lazy val hilbertRoundsSql: String =
-    HRounds.zipWithIndex.foldLeft(
-      "SELECT *, cb AS x0, db AS y0, CAST(0 AS BIGINT) AS d0 FROM zb") {
-      case (inner, (r, i)) =>
-        val es = r.exprs(s"x$i", s"y$i", s"d$i", "//",
-          s"x${i + 1}", s"y${i + 1}", s"d${i + 1}")
-        s"SELECT *, ${es.mkString(", ")} FROM ($inner)"
-    }
+    graft.functions.Curves.hilbertRoundsSql("zb")
 
   /** ONE oracle template for the layout-audit entries, parameterized by
     * the (layout, file-id expr) set — the SQL twin of [[layoutAudit]],

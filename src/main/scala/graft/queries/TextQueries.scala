@@ -690,25 +690,15 @@ object TextQueries {
     * scale property). A trained projection swaps the md5 weight
     * expression for a broadcast row lookup in the same plan.
     */
-  private[queries] val EDim = 16
+  private[queries] val EDim = graft.functions.TextEmbed.EDim
 
   /** (doc_id, e0..e15) integer embeddings for a (doc_id, text) frame —
-    * package-visible: the `x_engine_embed_search` e2e ingests these.
-    * Docs with zero tokens produce no row (nothing to embed).
+    * the projection now lives in [[graft.functions.TextEmbed]] (r13: the
+    * engine's `searchText` embeds queries through the same code); this
+    * forwarder keeps the suite's call sites unchanged.
     */
-  private[queries] def embedded(df: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
-      .cast("long") % 1024
-    val dims = (0 until EDim).map { j =>
-      sum(conv(substring(col("wh"), 2 * j + 1, 2), 16, 10).cast("long")
-        - 128).as(s"e$j")
-    }
-    df.select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"),
-        md5(concat(lit("e|"), bucket.cast("string"))).as("wh"))
-      .groupBy(col("doc_id"))
-      .agg(dims.head, dims.tail: _*)
-  }
+  private[queries] def embedded(df: DataFrame): DataFrame =
+    graft.functions.TextEmbed.embedded(df, "doc_id")
 
   private def embed(s: SparkSession, d: String): DataFrame =
     embedded(docs(s, d))
@@ -722,22 +712,48 @@ object TextQueries {
     * val)) — shared by `t_embed`'s oracle and the e2e search oracle in
     * [[EngineQueries]], so the replay cannot drift between them.
     */
+  // ONE copy of the bucket→weight-hash formula and of the per-dim sum,
+  // shared by the corpus CTEs and the query-text CTEs below so the two
+  // replays cannot drift
+  private val embedWeightSql: String =
+    """md5('e|' || CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+      |           % 1024 AS VARCHAR))""".stripMargin
+
+  private val embedSumSql: String =
+    """CAST(SUM(CAST('0x' || substr(wh, 2 * dim + 1, 2) AS BIGINT)
+      |           - 128) AS BIGINT)""".stripMargin
+
   // def, not val: references toksSql, declared later in the object
   private[queries] def embedCtesSql: String =
     s"""tk AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
        |wt AS (
        |  SELECT doc_id,
-       |         md5('e|' || CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
-       |           % 1024 AS VARCHAR)) AS wh
+       |         $embedWeightSql AS wh
        |  FROM tk),
        |dims AS (SELECT unnest(range(0, $EDim)) AS dim),
        |emb AS (
        |  SELECT doc_id, CAST(dim AS INTEGER) AS dim,
-       |         CAST(SUM(CAST('0x' || substr(wh, 2 * dim + 1, 2) AS BIGINT)
-       |           - 128) AS BIGINT) AS val
+       |         $embedSumSql AS val
        |  FROM wt CROSS JOIN dims
        |  GROUP BY doc_id, dim)""".stripMargin
+
+  /** Embeds a QUERY token list (any SQL list expression) through the same
+    * weight/sum templates — yields a 1-row CTE `qv(qv DOUBLE[])`. Needs
+    * the `dims` CTE from [[embedCtesSql]] in scope. Shared by the
+    * `x_engine_search_text*` oracles ([[EngineQueries]]).
+    */
+  private[queries] def embedQueryCtesSql(tokListSql: String): String =
+    s"""qtk AS (SELECT unnest($tokListSql) AS tok),
+       |qwt AS (
+       |  SELECT $embedWeightSql AS wh
+       |  FROM qtk),
+       |qe AS (
+       |  SELECT CAST(dim AS INTEGER) AS dim,
+       |         $embedSumSql AS val
+       |  FROM qwt CROSS JOIN dims
+       |  GROUP BY dim),
+       |qv AS (SELECT list(CAST(val AS DOUBLE) ORDER BY dim) AS qv FROM qe)""".stripMargin
 
   /** EXACT ROC-AUC of the hashed-linear quality score against the `lang ==
     * 'en'` label — the threshold-free companion to `t_langid_eval`'s

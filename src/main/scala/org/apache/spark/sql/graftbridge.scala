@@ -71,3 +71,40 @@ object GraftRddBridge {
     }
   }
 }
+
+/** Post-execution file-scan metrics — the evidence the layout-optimization
+  * entries assert on. `FileSourceScanExec` publishes "numOutputRows" as the
+  * rows it EMITTED, i.e. after parquet row-group min/max skipping (the
+  * pushed filter prunes whole row groups before any value is read), so
+  * comparing it against the same query over an unoptimized layout measures
+  * REAL footer-stats skipping, not a simulation. Descends adaptive plans
+  * and materialized query stages (a plain `collect` stops at stage
+  * boundaries), plus subqueries.
+  */
+object GraftScanBridge {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case s: QueryStageExec => scans(s.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other =>
+      other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+  }
+
+  /** (filesListed, rowsEmittedByScan) summed over every file scan in the
+    * executed plan. Call AFTER an action — metrics are zero before
+    * execution.
+    */
+  def scanStats(df: Dataset[Row]): (Long, Long) = {
+    val ss = scans(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan)
+    (ss.map(_.metrics("numFiles").value).sum,
+      ss.map(_.metrics("numOutputRows").value).sum)
+  }
+
+  /** The executed plan's string form (PushedFilters assertions). */
+  def executedPlanString(df: Dataset[Row]): String =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.toString
+}

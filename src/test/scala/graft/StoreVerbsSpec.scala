@@ -1,0 +1,221 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.engine.EngineErrors._
+
+/** Specs for the round-13 store verbs: physical layout optimization
+  * (REAL parquet row-group skipping, asserted from scan metrics),
+  * CDC storage dedup (byte-identical reassembly + measured on-disk
+  * drop), and text-query search (engine-side query embedding).
+  */
+class StoreVerbsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def freshEngine(): VectorEngine = {
+    val dir = graft.TempDirs.scratch("graft-verbs-test").toString
+    new VectorEngine(spark, dir, fixedClock)
+  }
+
+  /** 512 chunks with position = i and token_count = (i * 37) % 512 —
+    * decorrelated dims, so only a 2-d layout can make a 2-d box scan
+    * cheap. No embeddings: layout is about the data table.
+    */
+  private def layoutFixture(): (VectorEngine, String) = {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("layout", 4)
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, spark.range(512)
+      .select(format_string("c%04d", col("id")).as("id"),
+        concat(lit("text "), col("id").cast("string")).as("text"),
+        col("id").cast("int").as("position"),
+        ((col("id") * 37) % 512).cast("int").as("token_count")))
+    (eng, lib)
+  }
+
+  private def box(eng: VectorEngine, lib: String): DataFrame = eng.chunks
+    .filter(col("library_id") === lib &&
+      col("position").between(192, 319) &&
+      col("metadata.token_count").between(192, 319))
+    .select(col("id"), col("position"),
+      col("metadata.token_count").as("token_count"))
+
+  test("optimizeLayout: hilbert rewrite skips row groups on a 2-d box") {
+    val (eng, lib) = layoutFixture()
+    import org.apache.spark.sql.GraftScanBridge
+    val pre = box(eng, lib)
+    val preRows = pre.collect().map(_.getString(0)).sorted
+    val (_, scanPre) = GraftScanBridge.scanStats(pre)
+    val v0 = eng.chunksVersion.get
+    val v1 = eng.optimizeLayout(lib,
+      Seq("position", "metadata.token_count"), "hilbert", files = 16)
+    assert(v1 == v0 + 1)
+    val post = box(eng, lib)
+    val postRows = post.collect().map(_.getString(0)).sorted
+    // layout-invariance: identical result set
+    assert(postRows.toSeq == preRows.toSeq)
+    val (_, scanPost) = GraftScanBridge.scanStats(post)
+    // the ingest layout cannot skip (every file spans both dims), the
+    // hilbert layout must: scan-emitted rows drop at least 2x (observed
+    // far more); predicates reach the scan as pushed filters
+    assert(scanPre >= 512, s"expected the fragmented scan to emit all rows, got $scanPre")
+    assert(scanPost * 2 <= scanPre,
+      s"no real row-group skipping: $scanPost vs $scanPre")
+    val plan = GraftScanBridge.executedPlanString(post)
+    assert(plan.contains("GreaterThanOrEqual(position"),
+      s"position predicate not pushed:\n$plan")
+    // full-table content is byte-equal across the rewrite (time travel
+    // keeps the old version readable)
+    val before = eng.chunksAt(v0).select("id", "text", "position")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    val after = eng.chunks.filter(col("library_id") === lib)
+      .select("id", "text", "position")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("optimizeLayout: zorder and linear curves also rewrite invariantly") {
+    val (eng, lib) = layoutFixture()
+    val all = eng.chunks.filter(col("library_id") === lib).count()
+    eng.optimizeLayout(lib, Seq("position", "metadata.token_count"), "zorder")
+    assert(eng.chunks.filter(col("library_id") === lib).count() == all)
+    eng.optimizeLayout(lib, Seq("position", "metadata.token_count"), "linear")
+    assert(eng.chunks.filter(col("library_id") === lib).count() == all)
+  }
+
+  test("optimizeLayout: validation") {
+    val (eng, lib) = layoutFixture()
+    intercept[ValidationError] { eng.optimizeLayout(lib, Seq("position")) }
+    intercept[ValidationError] {
+      eng.optimizeLayout(lib, Seq("position", "position"), curve = "peano")
+    }
+    intercept[ValidationError] {
+      eng.optimizeLayout(lib, Seq("position", "position"), files = 0)
+    }
+    // empty library: no-op, current version unchanged
+    val lib2 = eng.createLibrary("empty", 4)
+    val v = eng.chunksVersion.get
+    assert(eng.optimizeLayout(lib2, Seq("position", "version")) == v)
+  }
+
+  /** Storage-dedup corpus: 40 docs sharing one long passage, plus
+    * whitespace-hostile texts (double spaces, tabs, newlines, leading /
+    * trailing spaces) that break any tokenize-and-rejoin scheme that
+    * collapses whitespace.
+    */
+  private def storageFixture(): (VectorEngine, String, String) = {
+    val root = graft.TempDirs.scratch("graft-verbs-storage").toString
+    val eng = new VectorEngine(spark, root, fixedClock)
+    val lib = eng.createLibrary("storage", 4)
+    val doc = eng.createDocument(lib)
+    val common = (0 until 400)
+      .map(i => f"w${(i * 7919) % 997}%03d").mkString(" ")
+    val rows = (0 until 40).map { i =>
+      (f"c$i%04d", s"doc $i prefix${i % 7} $common suffix${i % 5} end $i")
+    } ++ Seq(
+      ("w0001", "a  b\n c "),
+      ("w0002", " leading and\ttab"),
+      ("w0003", "x"),
+      ("w0004", "   "))
+    eng.bulkIngest(lib, doc, spark.createDataFrame(rows).toDF("id", "text"))
+    (eng, root, lib)
+  }
+
+  test("dedupStorage: byte-identical reassembly for every chunk") {
+    val (eng, _, lib) = storageFixture()
+    eng.dedupStorage(lib)
+    val rebuilt = eng.dedupedChunkText(lib).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val orig = eng.chunks.filter(col("library_id") === lib)
+      .select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rebuilt.keySet == orig.keySet)
+    orig.foreach { case (id, t) =>
+      assert(rebuilt(id) == t, s"chunk $id not byte-identical")
+    }
+  }
+
+  test("dedupStorage: shared passages stored once, bytes drop on disk") {
+    val (eng, root, lib) = storageFixture()
+    val st = eng.dedupStorage(lib).collect().head
+    val (nChunks, nPassages, nBlobs) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val (textBytes, blobBytes, savedBytes) =
+      (st.getLong(3), st.getLong(4), st.getLong(5))
+    assert(nChunks == 44)
+    assert(nBlobs < nPassages, "the shared passage must dedup")
+    assert(savedBytes > 0 && savedBytes == textBytes - blobBytes)
+    // blobs must drop the dominant share: 40 copies of the common
+    // passage collapse to one, so under a QUARTER of the text survives
+    assert(blobBytes * 4 < textBytes, s"$blobBytes vs $textBytes")
+    // measured ON-DISK drop. The baseline writes one chunk per file —
+    // the 100 TB reality this verb targets: shared passages live in
+    // DIFFERENT files/pages, where page-local compression (snappy
+    // backreferences, parquet dictionaries) cannot reach them, so only
+    // content addressing removes the copies. (A single-page toy file
+    // would let snappy compress the 40 co-located copies and measure
+    // the codec, not the dedup.)
+    def dirBytes(dir: String): Long = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally stream.close()
+    }
+    val plainDir = graft.TempDirs.scratch("graft-storage-plain").toString
+    eng.chunks.filter(col("library_id") === lib).select("id", "text")
+      .repartition(44, col("id"))
+      .write.mode("overwrite").parquet(plainDir)
+    val dedupBytes = dirBytes(s"$root/cdc_blobs") + dirBytes(s"$root/cdc_manifest")
+    val plainBytes = dirBytes(plainDir)
+    assert(dedupBytes < plainBytes,
+      s"deduped tables ($dedupBytes B) must undercut per-file storage ($plainBytes B)")
+  }
+
+  test("searchText embeds the query engine-side and matches vector search") {
+    import graft.functions.TextEmbed
+    val eng = freshEngine()
+    val lib = eng.createLibrary("text-lib", TextEmbed.EDim)
+    val doc = eng.createDocument(lib)
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "lazy dogs sleep all day",
+      "quick foxes and lazy dogs", "an unrelated sentence entirely",
+      "brown bears are not foxes")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val emb = TextEmbed.embedded(df, "doc_id")
+    val arr = array((0 until TextEmbed.EDim).map(j => col(s"e$j").cast("float")): _*)
+    eng.bulkIngest(lib, doc, emb.join(df, "doc_id")
+      .select(format_string("c%02d", col("doc_id")).as("id"),
+        col("text"), arr.as("embedding")))
+    val q = "quick brown foxes"
+    val viaText = eng.searchText(lib, q, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val qv = TextEmbed.embedded(Seq((0L, q)).toDF("doc_id", "text"), "doc_id")
+      .collect().head
+    val qArr = (0 until TextEmbed.EDim).map(j => qv.getLong(j + 1).toFloat).toArray
+    val viaVec = eng.search(lib, qArr, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(viaText.toSeq == viaVec.toSeq)
+    // contract errors: wrong-dim library, empty / token-free text
+    val lib64 = eng.createLibrary("dim64", 64)
+    intercept[ValidationError] { eng.searchText(lib64, q, k = 3) }
+    intercept[ValidationError] { eng.searchText(lib, "", k = 3) }
+    intercept[ValidationError] { eng.searchText(lib, "   ", k = 3) }
+  }
+}
