@@ -134,6 +134,10 @@ object PlanDump {
     "t_langid",                // exploded-gram scan -> per-doc bucket agg -> 5x4096 broadcast profile join -> argmax agg
     "t_bpe_encode",            // learned segmentation broadcast join, per-doc ordered piece fold
     "sql_returned_revenue",    // integer-cents join-agg: zero DECIMAL casts anywhere in the plan
+    // round 13 additions
+    "x_engine_optimize_layout", // box scan over the hilbert-rewritten partition: pushed 2-d filters, row-group skip
+    "x_engine_dedup_storage",   // raw-split CDC window + distinct-chash blob agg, 1-row stats
+    "x_engine_search_text",     // engine-embedded query vector -> flat cosine scan -> TakeOrdered(10)
   )
 
   def main(args: Array[String]): Unit = {
