@@ -411,6 +411,11 @@ final class VectorEngine(
     * fresh snapshot version (content unchanged, readers undisturbed,
     * `vacuum` reclaims the fragmented version later). Returns the new
     * snapshot version, or -1 when no chunk snapshot exists yet.
+    *
+    * Ordering note: the hash repartition DISCARDS any curve clustering a
+    * prior [[optimizeLayout]] established — after compacting, re-run
+    * optimizeLayout (which also collapses small files, so for a
+    * layout-optimized library it SUBSUMES compaction).
     */
   def compactChunks(): Long = store.compact("chunks", Schemas.chunks)
 

@@ -187,6 +187,30 @@ class StoreVerbsSpec extends AnyFunSuite {
       s"deduped tables ($dedupBytes B) must undercut per-file storage ($plainBytes B)")
   }
 
+  test("search results are invariant under optimizeLayout") {
+    import graft.functions.TextEmbed
+    val eng = freshEngine()
+    val lib = eng.createLibrary("layout-search", TextEmbed.EDim)
+    val doc = eng.createDocument(lib)
+    import spark.implicits._
+    val df = (0 until 64)
+      .map(i => (i.toLong, s"doc $i word${i % 9} term${i % 5} body"))
+      .toDF("doc_id", "text")
+    val emb = TextEmbed.embedded(df, "doc_id")
+    val arr = array((0 until TextEmbed.EDim).map(j => col(s"e$j").cast("float")): _*)
+    eng.bulkIngest(lib, doc, emb.join(df, "doc_id")
+      .select(format_string("c%02d", col("doc_id")).as("id"), col("text"),
+        arr.as("embedding"), col("doc_id").cast("int").as("position"),
+        length(col("text")).cast("int").as("token_count")))
+    val q = "word3 term2 body"
+    val before = eng.searchText(lib, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    eng.optimizeLayout(lib, Seq("position", "metadata.token_count"))
+    val after = eng.searchText(lib, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(after == before)
+  }
+
   test("searchText embeds the query engine-side and matches vector search") {
     import graft.functions.TextEmbed
     val eng = freshEngine()
