@@ -134,6 +134,20 @@ final class StateStore(spark: SparkSession, root: String) {
       write(table, collapsed, partitionBy)
     }
 
+  /** Number of data files in the CURRENT snapshot of one library's
+    * partition — the fragmentation telemetry behind
+    * `VectorEngine.optimizeIfFragmented` (a driver-side directory
+    * listing: metadata-scale, zero Spark jobs). 0 when the table or
+    * partition doesn't exist.
+    */
+  def partitionFileCount(table: String, libraryId: String): Int = {
+    val cur = currentVersion(table).getOrElse(return 0)
+    val dir = Paths.get(tableDir(table), s"v$cur", s"library_id=$libraryId")
+    if (!Files.exists(dir)) 0
+    else listDir(dir).count(p => !Files.isDirectory(p) &&
+      p.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** PARTITION-SELECTIVE rewrite: the next snapshot replaces ONLY the
     * given library's partition; every other `library_id=*` directory is
     * HARDLINKED from the current version (immutable files, same

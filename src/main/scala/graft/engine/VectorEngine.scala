@@ -45,6 +45,13 @@ final class VectorEngine(
     autoVacuumKeep: Option[Int] = None) {
 
   private val store = new StateStore(spark, root)
+
+  /** The snapshot-store directory — snapshot files are immutable, so a
+    * hardlink clone of this tree is an independent store (the fixture
+    * discipline the query suite uses for mutating entries).
+    */
+  def storeRoot: String = root
+
   private def now(): Timestamp = clock()
   private def newId(): String = UUID.randomUUID().toString
 
@@ -515,6 +522,68 @@ final class VectorEngine(
     val v = store.writeLibraryPartition("chunks", libId, ordered)
     maybeVacuum()
     v
+  }
+
+  /** INDEX LAYOUT OPTIMIZATION — [[optimizeLayout]]'s inverted-list
+    * sibling: rewrite a library's PROBE-KEYED index tables range-sliced
+    * and sorted by their probe key (`centroid_id` for the IVF-coarse
+    * families; `(table_id, signature)` for LSH buckets), so the literal
+    * pushdown every probe already carries — the `isin` the search path
+    * plants — skips whole parquet files/row-groups instead of scanning
+    * the library's full posting set and filtering. The flat-scan tables
+    * (`pq_codes`, `sq8_codes`) are untouched: every search reads all of
+    * them by design, so there is no key to slice by.
+    *
+    * At 100 TB this is the inverted-LIST locality story: a probe touches
+    * nprobe/K of the postings, and after this rewrite that fraction is
+    * what the scan READS, not just what it returns. Results are
+    * layout-invariant (x_engine_ivfdet_layout hash-checks against the
+    * unoptimized sibling's oracle); the scan-metric drop is asserted in
+    * StoreVerbsSpec and required loudly in the entry. Returns
+    * (table -> new version) per table rewritten.
+    */
+  def optimizeIndexLayout(libId: String, files: Int = 8): Seq[(String, Long)] = {
+    getLibrary(libId)
+    if (files < 1 || files > (1 << 20))
+      throw new ValidationError(s"files out of range: $files")
+    val specs: Seq[(String, org.apache.spark.sql.types.StructType, Seq[Column])] = Seq(
+      ("ivf_postings", Schemas.ivfPostings, Seq(col("centroid_id"))),
+      ("ivfpq_codes", Schemas.ivfpqCodes, Seq(col("centroid_id"))),
+      ("ivfsq8_codes", Schemas.ivfsq8Codes, Seq(col("centroid_id"))),
+      ("lsh_buckets", Schemas.lshBuckets, Seq(col("table_id"), col("signature"))))
+    specs.collect { case (t, sch, keys) if store.exists(t) =>
+      val part = store.read(t, sch).filter(col("library_id") === libId)
+      val ordered = part
+        .repartitionByRange(files, keys :+ col("chunk_id"): _*)
+        .sortWithinPartitions(keys :+ col("chunk_id"): _*)
+        .select(sch.fieldNames.toIndexedSeq.map(col): _*)
+      val v = store.writeLibraryPartition(t, libId, ordered)
+      maybeVacuum()
+      t -> v
+    }
+  }
+
+  /** LAYOUT POLICY — the fragmentation sibling of [[rebuildIfDrifted]] /
+    * [[rebalanceIfSkewed]]: file-count telemetry closed into a verb.
+    * Months of partition-selective ingests leave a library's chunk
+    * partition as many small parquet files (per-file open/footer
+    * overhead, and no curve clustering); when the count exceeds
+    * `maxFiles`, rewrite it with [[optimizeLayout]] — which both
+    * collapses the partition to `files` range-sliced outputs AND
+    * clusters them, so for a layout-managed library this verb subsumes
+    * [[compactChunks]]. The audit is one driver-side directory listing:
+    * metadata-scale, ZERO Spark jobs when under threshold.
+    */
+  def optimizeIfFragmented(libId: String, cols: Seq[String], maxFiles: Int,
+      curve: String = "hilbert", files: Int = 16): LayoutDecision = {
+    getLibrary(libId)
+    if (maxFiles < 1)
+      throw new ValidationError(s"maxFiles out of range: $maxFiles")
+    val n = store.partitionFileCount("chunks", libId)
+    val due = n > maxFiles
+    if (due) optimizeLayout(libId, cols, curve, files)
+    LayoutDecision(n, maxFiles, optimized = due,
+      nFilesAfter = if (due) store.partitionFileCount("chunks", libId) else n)
   }
 
   private def lshPlanes(libId: String): DataFrame =
@@ -3045,6 +3114,15 @@ case class RebalanceDecision(
     nEntries: Long,
     maxSharePpm: Long,
     rebuilt: Boolean)
+
+/** [[VectorEngine.optimizeIfFragmented]] outcome: file count read,
+  * threshold, whether the rewrite ran, and the post-rewrite count.
+  */
+case class LayoutDecision(
+    nFiles: Int,
+    maxFiles: Int,
+    optimized: Boolean,
+    nFilesAfter: Int)
 
 /** Per-library stats snapshot (see [[VectorEngine.libraryStats]]). */
 case class LibraryStats(

@@ -247,6 +247,52 @@ object EngineQueries {
       filters = Some(SearchFilters(tags = Seq("en")))))
   }
 
+  /** searchText over an INDEXED family (the "flat + one indexed family"
+    * contract): the text fixture hardlink-cloned and re-indexed sq8
+    * (CAS + rebuild), then the same embedded text query through the
+    * byte-code candidate scan + exact rerank. sq8 is RNG-free, so the
+    * oracle replays embed → normalize → ranges → encode → decode-approx
+    * L2 cap → rerank over the documents corpus at dim 16 — the SAME
+    * parameterized quantizer template as the 64-dim x_engine_sq8
+    * family, so the two replays cannot drift.
+    */
+  private def engineSearchTextSq8(s: SparkSession, d: String): DataFrame = {
+    val (_, baseRoot, lib) = textEngineFixture(s, d)
+    val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+    eng.updateIndexConfig(lib, IndexConfig("sq8"))
+    hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
+  }
+
+  /** Search over INDEX-LAYOUT-OPTIMIZED postings: the shared ivf_det
+    * fixture hardlink-cloned, its posting table range-sliced + sorted by
+    * `centroid_id` (`VectorEngine.optimizeIndexLayout`), then the
+    * standard query. The oracle is `x_engine_ivf_det`'s replay VERBATIM
+    * (pure layout change — the sq8_compacted precedent), and the entry
+    * REQUIRES the probe's scan economy: the postings scan must emit
+    * STRICTLY fewer rows than the library's posting count (the nprobe
+    * `isin` pushdown skipping sliced files' row groups), with the In
+    * filter visible on the scan — inverted-list locality proven from
+    * metrics, not assumed.
+    */
+  private def engineIvfDetLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftScanBridge
+    val (base, lib, q) = engineFixture(s, d,
+      IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
+    val eng = new VectorEngine(s, linkCloneStore(base.storeRoot), fixedClock)
+    eng.optimizeIndexLayout(lib, files = 8)
+    val total = eng.ivfCellStats(lib)
+      .agg(sum(col("n_members"))).collect().head.getLong(0)
+    val hits = hitsOut(eng.search(lib, q, k = 10))
+    hits.collect()
+    val (_, scanned) = GraftScanBridge.scanStatsFor(hits, "ivf_postings")
+    val plan = GraftScanBridge.executedPlanString(hits)
+    require(plan.contains("In(centroid_id"),
+      s"nprobe pushdown missing from the postings scan:\n$plan")
+    require(scanned < total,
+      s"no row-group skipping on the sliced postings: read $scanned of $total")
+    hits
+  }
+
   /** PHYSICAL LAYOUT OPTIMIZATION e2e (VERDICT r11 #1 / r12 #1): clone
     * the text fixture, run the selective 2-d box query (middle quarter of
     * position x token_count — the layoutAudit bounds arithmetic) BEFORE
@@ -1419,7 +1465,9 @@ object EngineQueries {
     "x_engine_embed_search"      -> (engineEmbedSearch _),
     "x_engine_search_text"          -> (engineSearchText _),
     "x_engine_search_text_filtered" -> (engineSearchTextFiltered _),
+    "x_engine_search_text_sq8"      -> (engineSearchTextSq8 _),
     "x_engine_optimize_layout"      -> (engineOptimizeLayout _),
+    "x_engine_ivfdet_layout"        -> (engineIvfDetLayout _),
     "x_engine_dedup_storage"        -> (engineDedupStorage _),
   )
 
@@ -1720,16 +1768,28 @@ object EngineQueries {
   private def sq8EngineCtesWith(seedPred: String, livePred: String): String =
     sq8CorpusCtesWith(seedPred) + ",\n" + sq8SingleTailWith(livePred)
 
-  private def sq8CorpusCtesWith(seedPred: String): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** Corpus-parameterized sq8 replay head (r13: the text-fixture
+    * searchText entry replays the SAME quantizer over the embedded
+    * documents corpus at dim 16) — `corpusSql` must yield
+    * (vec_id, emb DOUBLE[]). Ranges CTE is `sdims` (the embed CTEs
+    * already own the name `dims`).
+    */
+  private def sq8CorpusCtesOver(corpusSql: String, dim: Int,
+      seedPred: String): String =
+    s"""e AS ($corpusSql),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
       |  SELECT vec_id, emb,
       |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
       |  FROM nr WHERE n > 0),
-      |dims AS (
+      |sdims AS (
       |  SELECT i.i AS pos, min(v.vnormf[i.i + 1]) AS lo, max(v.vnormf[i.i + 1]) AS hi
-      |  FROM vn v, range(64) i(i) WHERE $seedPred GROUP BY i.i)""".stripMargin
+      |  FROM vn v, range($dim) i(i) WHERE $seedPred GROUP BY i.i)""".stripMargin
+
+  private def sq8CorpusCtesWith(seedPred: String): String =
+    sq8CorpusCtesOver(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+      64, seedPred)
 
   // shared clamped encode+decode expression (prefix with the vn alias)
   private def sq8XhSql(v: String): String =
@@ -1738,18 +1798,25 @@ object EngineQueries {
        |                     floor(($v.vnormf[d.pos + 1] - d.lo) / (d.hi - d.lo) * 255.0 + 0.5),
        |                     0.0), 255.0) / 255.0 * (d.hi - d.lo) END""".stripMargin
 
-  private def sq8SingleTailWith(livePred: String): String =
-    s"""qn AS (SELECT vnormf AS qv FROM vn WHERE vec_id = 0),
+  /** Query-parameterized sq8 candidate tail — `qnSql` must yield one row
+    * (qv DOUBLE[]) holding the FLOAT-NORMALIZED query (the
+    * normalizeDriver treatment: double norm, REAL-cast components).
+    */
+  private def sq8SingleTailOver(qnSql: String, livePred: String): String =
+    s"""qn AS ($qnSql),
       |dec AS (
       |  SELECT v.vec_id,
       |         ${sq8XhSql("v")} AS xh,
       |         q.qv[d.pos + 1] AS qx
-      |  FROM vn v, dims d, qn q WHERE $livePred),
+      |  FROM vn v, sdims d, qn q WHERE $livePred),
       |cand AS (
       |  SELECT vec_id,
       |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dist_u
       |  FROM dec GROUP BY vec_id
       |  ORDER BY dist_u ASC, vec_id ASC LIMIT 60)""".stripMargin
+
+  private def sq8SingleTailWith(livePred: String): String =
+    sq8SingleTailOver("SELECT vnormf AS qv FROM vn WHERE vec_id = 0", livePred)
 
   // batched sq8 replay (x_engine_sq8_annjoin): the same corpus part with
   // a 3-query probe — per-(query, vec) decode-L2, per-query rank cap 60,
@@ -1761,7 +1828,7 @@ object EngineQueries {
        |  SELECT q.query_id, v.vec_id,
        |         ${sq8XhSql("v")} AS xh,
        |         q.qv[d.pos + 1] AS qx
-       |  FROM vn v, dims d, qnb q),
+       |  FROM vn v, sdims d, qnb q),
        |cand_b AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -2283,6 +2350,26 @@ object EngineQueries {
          |FROM sc JOIN documents d ON d.doc_id = sc.did
          |WHERE d.lang = 'en'
          |ORDER BY sc.score DESC, sc.vec_id ASC""".stripMargin,
+    // searchText through the sq8 index: the embedded query is
+    // float-normalized exactly as LshIndex.normalizeDriver does (double
+    // norm, REAL-cast components), candidates come from the replayed
+    // 16-dim quantizer (shared parameterized template), and the exact
+    // rerank runs against the RAW embedded query per quirk Q1
+    "x_engine_search_text_sq8" ->
+      s"""WITH ${TextQueries.embedCtesSql},
+         |ev AS (SELECT doc_id AS vec_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
+         |       FROM emb GROUP BY doc_id),
+         |${TextQueries.embedQueryCtesSql(searchTextQueryTokListSql)},
+         |${sq8CorpusCtesOver("SELECT vec_id, emb FROM ev", TextQueries.EDim,
+             "TRUE")},
+         |${sq8SingleTailOver(
+             "SELECT CAST(list_transform(qv, x -> CAST(x / sqrt(" +
+               "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS qv FROM qv",
+             "TRUE")}
+         |SELECT CAST(c.vec_id AS INTEGER) AS vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT qv FROM qv))", 6)} AS score
+         |FROM cand c JOIN vn v USING (vec_id)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // x_engine_optimize_layout: the box-query result is layout-INVARIANT
     // (the skipping proof lives in the entry's scan-metric requires);
     // the oracle replays position = doc_id, token_count = analysis token
@@ -2470,7 +2557,7 @@ object EngineQueries {
          |  SELECT v.vec_id,
          |         ${sq8XhSql("v")} AS xh,
          |         v.vnormf[d.pos + 1] AS qx
-         |  FROM vn v, dims d),
+         |  FROM vn v, sdims d),
          |errs AS (
          |  SELECT vec_id,
          |         CAST(SUM(CAST(floor((xh - qx) * (xh - qx) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS err_u
@@ -2540,6 +2627,12 @@ object EngineQueries {
     // query. Mirrors IvfIndex.seedCentroids / assignToCentroids and the
     // isin-pushdown probe in VectorEngine.search.
     "x_engine_ivf_det" ->
+      s"""WITH $ivfDetCtes
+         |$ivfDetHitsSelect""".stripMargin,
+    // index-layout optimization is a pure LAYOUT change: the sliced
+    // postings must land on exactly the ivf_det sibling's hits, so the
+    // oracle is the same replay verbatim (the sq8_compacted precedent)
+    "x_engine_ivfdet_layout" ->
       s"""WITH $ivfDetCtes
          |$ivfDetHitsSelect""".stripMargin,
     "x_ivfdet_recall" ->

@@ -104,6 +104,18 @@ object GraftScanBridge {
       ss.map(_.metrics("numOutputRows").value).sum)
   }
 
+  /** [[scanStats]] restricted to scans whose root path contains
+    * `pathSubstr` — isolates ONE table's scan inside a multi-scan plan
+    * (e.g. the postings read inside a whole engine search).
+    */
+  def scanStatsFor(df: Dataset[Row], pathSubstr: String): (Long, Long) = {
+    val ss = scans(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(pathSubstr)))
+    (ss.map(_.metrics("numFiles").value).sum,
+      ss.map(_.metrics("numOutputRows").value).sum)
+  }
+
   /** The executed plan's string form (PushedFilters assertions). */
   def executedPlanString(df: Dataset[Row]): String =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.toString

@@ -187,6 +187,66 @@ class StoreVerbsSpec extends AnyFunSuite {
       s"deduped tables ($dedupBytes B) must undercut per-file storage ($plainBytes B)")
   }
 
+  test("optimizeIfFragmented: threshold trips once, then stays quiet") {
+    // AQE coalesces this toy ingest to one file; a real multi-executor
+    // ingest writes many — manufacture that condition in a cloned
+    // session so the fragmentation telemetry has something to read
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val eng = new VectorEngine(ss,
+      graft.TempDirs.scratch("graft-verbs-frag").toString, fixedClock)
+    val lib = eng.createLibrary("frag", 4)
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, ss.range(512)
+      .repartition(8)
+      .select(format_string("c%04d", col("id")).as("id"),
+        concat(lit("text "), col("id").cast("string")).as("text"),
+        col("id").cast("int").as("position"),
+        ((col("id") * 37) % 512).cast("int").as("token_count")))
+    val cols = Seq("position", "metadata.token_count")
+    val before = eng.chunks.filter(col("library_id") === lib).count()
+    // the 4-shuffle-partition ingest left ~4 files: threshold 3 trips
+    val d1 = eng.optimizeIfFragmented(lib, cols, maxFiles = 3, files = 2)
+    assert(d1.nFiles > 3 && d1.optimized && d1.nFilesAfter <= 2,
+      s"unexpected decision: $d1")
+    // under threshold now: no-op, zero version churn
+    val v = eng.chunksVersion.get
+    val d2 = eng.optimizeIfFragmented(lib, cols, maxFiles = 3, files = 2)
+    assert(!d2.optimized && d2.nFiles == d1.nFilesAfter &&
+      eng.chunksVersion.get == v)
+    assert(eng.chunks.filter(col("library_id") === lib).count() == before)
+    intercept[ValidationError] {
+      eng.optimizeIfFragmented(lib, cols, maxFiles = 0)
+    }
+  }
+
+  test("optimizeIndexLayout: probe reads fewer posting rows, hits unchanged") {
+    import org.apache.spark.sql.GraftScanBridge
+    val eng = freshEngine()
+    val lib = eng.createLibrary("idx-layout", 4,
+      IndexConfig("ivf_det", ivfNumCentroids = 8, ivfNprobe = 2))
+    val doc = eng.createDocument(lib)
+    import spark.implicits._
+    val rows = (0 until 256).map { i =>
+      (f"c$i%04d", s"vec $i",
+        Array((i % 5).toFloat + 1f, ((i / 5) % 5).toFloat,
+          ((i / 25) % 5).toFloat, (i % 3).toFloat))
+    }
+    eng.bulkIngest(lib, doc, rows.toDF("id", "text", "embedding"))
+    eng.rebuildIndex(lib)
+    val q = Array(1f, 2f, 0f, 1f)
+    val pre = eng.search(lib, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val versions = eng.optimizeIndexLayout(lib, files = 8)
+    assert(versions.map(_._1).contains("ivf_postings"))
+    val post = eng.search(lib, q, k = 5)
+    val postRows = post.collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(postRows == pre, "index layout must not change hits")
+    val (_, scanned) = GraftScanBridge.scanStatsFor(post, "ivf_postings")
+    assert(scanned > 0 && scanned < 256,
+      s"sliced postings scan should skip non-probed cells: read $scanned of 256")
+  }
+
   test("search results are invariant under optimizeLayout") {
     import graft.functions.TextEmbed
     val eng = freshEngine()
