@@ -499,6 +499,13 @@ final class VectorEngine(
     val (n0, x0) = (mm.getLong(0), mm.getLong(1))
     val (n1, x1) = (mm.getLong(2), mm.getLong(3))
     val (s0, s1) = (x0 - n0 + 1, x1 - n1 + 1)
+    // the bucketizer computes (x - min) * Grid before the DIV: a span
+    // within a factor of Grid of Long.MaxValue would overflow it (no
+    // real column — ids, epochs, counts — gets there, but fail loudly
+    // rather than lay out garbage)
+    if (s0 > Long.MaxValue / g || s1 > Long.MaxValue / g)
+      throw new ValidationError(
+        s"layout column span too wide for the $g-bucket grid: $s0 / $s1")
     // bucketize each dim to [0, Grid) — null dims sort first (bucket 0);
     // integer DIV arithmetic, the layoutStatsBuild template
     val keyed = lc
@@ -2795,8 +2802,14 @@ final class VectorEngine(
   /** Reconstructed (chunk_id, text) from the deduped storage: manifest
     * recipes joined to their blobs, reassembled in seq order with the
     * single-space joiner the raw split removed — byte-identical to the
-    * primary chunk text (the dedupStorage contract; StorageDedupSpec
+    * primary chunk text (the dedupStorage contract; StoreVerbsSpec
     * asserts it per chunk).
+    *
+    * Snapshot contract: the deduped tables reflect the library AS OF the
+    * last [[dedupStorage]] run — chunk mutations after it are visible in
+    * the primary table only, exactly like every other derived table
+    * (indexes between rebuilds, curated_sequences). Re-run dedupStorage
+    * after a mutation batch to refresh.
     */
   def dedupedChunkText(libId: String): DataFrame = {
     val m = store.read("cdc_manifest", Schemas.cdcManifest)

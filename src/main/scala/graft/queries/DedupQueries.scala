@@ -990,6 +990,7 @@ object DedupQueries {
     "d_substring_strip" -> (substringStrip _),
     "d_cdc_dedup"       -> (cdcDedup _),
     "e_stream_cdc_dedup" -> (streamCdcDedup _),
+    "e_stream_dedup_storage" -> (streamDedupStorage _),
   )
 
   /** NORMALIZED exact dedup — the preprocessing real pipelines run
@@ -1724,6 +1725,123 @@ object DedupQueries {
     s.read.parquet(s"$outDir/*").orderBy(col("doc_id").asc)
   }
 
+  /** STREAMING STORAGE DEDUP — `VectorEngine.dedupStorage`'s
+    * content-addressing run AT the ingest front door: the WHOLE corpus
+    * arrives as 4 ascending-doc_id micro-batches; each foreachBatch
+    * (1) chunks its docs with the ONE shared chunker over the RAW
+    * byte-reconstructible split, (2) probes the persisted blob store
+    * (earlier subdirs only — listed-minus-own, the replay-idempotency
+    * discipline) with the BATCH side broadcast, (3) writes its manifest
+    * rows, and (4) writes ONLY the passages whose chash no earlier
+    * arrival produced. First-arrival-wins equals the batch verb's
+    * distinct-by-chash rule (identical md5 ⇒ identical text), so the
+    * final stats row equals the batch replay and the oracle is the SAME
+    * parameterized SQL as `x_engine_dedup_storage`. The entry also
+    * REQUIRES byte-identical reassembly of every document from the
+    * streamed manifest + blobs.
+    *
+    * 100 TB shape: per-batch work is batch-bounded (one chunking pass +
+    * a broadcast-batch probe + two appends); the blob store is never
+    * rescanned, rewritten, or broadcast.
+    */
+  private def streamDedupStorage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val maxId = docs(s, d).agg(max(col("doc_id"))).collect().head.getLong(0)
+    val root = graft.TempDirs.scratch("graft-stream-storage").toString
+    val blobDir = s"$root/blobs"
+    val manDir = s"$root/manifest"
+    val srcDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/arrivals"))
+    // empty seed so batch 0's listed-minus-own probe has a valid (empty)
+    // blob store to read
+    docs(s, d).limit(0)
+      .select(md5(col("text")).as("chash"), col("text").as("ctext"))
+      .write.mode("overwrite").parquet(s"$blobDir/seed")
+    // the WHOLE corpus staged as 4 ascending arrival files
+    val step = math.max(1L, (maxId + 1) / 4 + (if ((maxId + 1) % 4 == 0) 0L else 1L))
+    val t0 = java.nio.file.Files.getLastModifiedTime(srcDir).toMillis
+    (0 until 4).foreach { i =>
+      val lo = i * step
+      val stage = s"$root/stage$i"
+      docs(s, d).filter(col("doc_id") >= lo && col("doc_id") < lo + step)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(stage))) { st =>
+        val found = st.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+        require(found.isPresent, s"no parquet part file under $stage")
+        found.get()
+      }
+      val dst = srcDir.resolve(f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+    }
+    val srcSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    locally {
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (!batch.isEmpty) {
+            val nc = graft.curation.CurationCore.cdcChunksOfTokens(
+              batch.select(col("doc_id"),
+                split(col("text"), " ", -1).as("tk")),
+              "doc_id", withText = true).persist()
+            try {
+              nc.select(col("doc_id"), col("chunk").cast("long").as("seq"),
+                  col("chash"))
+                .write.mode("overwrite").parquet(s"$manDir/m$bid")
+              // batch-distinct passages minus those an EARLIER arrival
+              // already stored: the hit set is computed by broadcasting
+              // the BATCH side (the blob store is never broadcast)
+              val newHashes = nc.select(col("chash"), col("ctext"))
+                .dropDuplicates("chash")
+              val earlier = batch.sparkSession.read
+                .parquet(indexDirsExcept(blobDir, s"b$bid"): _*)
+                .select(col("chash"))
+              val hitHashes = broadcast(newHashes.select(col("chash")))
+                .join(earlier, Seq("chash")).distinct()
+              newHashes
+                .join(broadcast(hitHashes), Seq("chash"), "left_anti")
+                .write.mode("overwrite").parquet(s"$blobDir/b$bid")
+            } finally { nc.unpersist(); () }
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val man = s.read.parquet(s"$manDir/*")
+    val blobs = s.read.parquet(s"$blobDir/*")
+    // the storage contract, required loudly: every document reassembles
+    // byte-identically from the streamed manifest + blob store
+    val rebuilt = man.join(blobs, Seq("chash"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seq"), col("ctext")))),
+        x => x.getField("ctext")), " ").as("rtext"))
+    val bad = rebuilt
+      .join(docs(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("rtext") =!= col("text")).count()
+    require(bad == 0, s"$bad doc(s) failed byte-identical reassembly")
+    docs(s, d).agg(count(lit(1)).cast("long").as("n_chunks"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long").as("text_bytes"))
+      .crossJoin(man.agg(count(lit(1)).cast("long").as("n_passages")))
+      .crossJoin(blobs.agg(count(lit(1)).cast("long").as("n_blobs"),
+        coalesce(sum(length(col("ctext"))), lit(0L)).cast("long").as("blob_bytes")))
+      .select(col("n_chunks"), col("n_passages"), col("n_blobs"),
+        col("text_bytes"), col("blob_bytes"),
+        (col("text_bytes") - col("blob_bytes")).as("saved_bytes"))
+  }
+
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
   // word-8-gram window stream over a bound token-list column `tk`
   private val grams8Sql =
@@ -1864,6 +1982,26 @@ object DedupQueries {
   }
 
   private lazy val cdcChunksCtesSql = cdcChunksCtesSqlOf(toksSql, "documents")
+
+  /** The storage-dedup stats-row replay, parameterized by the base
+    * (doc_id, text) relation — ONE template for `x_engine_dedup_storage`
+    * (base = the engine fixture's ingested docs) and
+    * `e_stream_dedup_storage` (base = the whole documents table), so the
+    * stream == batch contract is enforced by construction: raw-split CDC
+    * (empties preserved), blobs = distinct passages, byte totals.
+    */
+  private[queries] def cdcStorageStatsSql(baseSql: String): String =
+    s"""WITH base AS MATERIALIZED ($baseSql),
+       |${cdcChunksCtesSqlOf("string_split(text, ' ')", "base",
+           withText = true)},
+       |blobs AS (SELECT DISTINCT chash, ctext FROM chunks)
+       |SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_chunks,
+       |       CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_passages,
+       |       CAST((SELECT count(*) FROM blobs) AS BIGINT) AS n_blobs,
+       |       CAST((SELECT coalesce(SUM(len(text)), 0) FROM base) AS BIGINT) AS text_bytes,
+       |       CAST((SELECT coalesce(SUM(len(ctext)), 0) FROM blobs) AS BIGINT) AS blob_bytes,
+       |       CAST((SELECT coalesce(SUM(len(text)), 0) FROM base)
+       |         - (SELECT coalesce(SUM(len(ctext)), 0) FROM blobs) AS BIGINT) AS saved_bytes""".stripMargin
 
   private lazy val incrementalSql =
     s"""WITH bands AS ($bandRowsSql),
@@ -2290,6 +2428,12 @@ object DedupQueries {
     // streamed CDC ingest report == the batch rule "chunk shared iff its
     // chash was first produced by a strictly smaller doc_id" (ascending
     // arrival order makes index + peer probes exactly that predicate)
+    // streaming storage dedup: first-arrival-wins equals the batch
+    // distinct-by-chash rule, so the final stats row replays with the
+    // SAME parameterized template as x_engine_dedup_storage, base = the
+    // whole documents table
+    "e_stream_dedup_storage" ->
+      cdcStorageStatsSql("SELECT doc_id, text FROM documents"),
     "e_stream_cdc_dedup" ->
       s"""WITH $cdcChunksCtesSql,
          |sp AS (SELECT max(doc_id) - max(doc_id) // 5 AS s FROM documents),

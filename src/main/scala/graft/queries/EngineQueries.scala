@@ -2392,24 +2392,14 @@ object EngineQueries {
         |  AND n_tok  >= mint + 3 * (maxt - mint + 1) // 8
         |  AND n_tok  <  mint + 5 * (maxt - mint + 1) // 8
         |ORDER BY vec_id ASC""".stripMargin,
-    // x_engine_dedup_storage: raw-split CDC replay (the shared template
-    // with string_split(text, ' ') — empties preserved, so passages are
-    // byte-reconstructible) over the ingested docs; every count and byte
-    // total of the verb's stats row recomputed independently
-    "x_engine_dedup_storage" ->
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0),
-         |${DedupQueries.cdcChunksCtesSqlOf("string_split(text, ' ')", "base",
-             withText = true)},
-         |blobs AS (SELECT DISTINCT chash, ctext FROM chunks)
-         |SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_chunks,
-         |       CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_passages,
-         |       CAST((SELECT count(*) FROM blobs) AS BIGINT) AS n_blobs,
-         |       CAST((SELECT SUM(len(text)) FROM base) AS BIGINT) AS text_bytes,
-         |       CAST((SELECT SUM(len(ctext)) FROM blobs) AS BIGINT) AS blob_bytes,
-         |       CAST((SELECT SUM(len(text)) FROM base)
-         |         - (SELECT SUM(len(ctext)) FROM blobs) AS BIGINT) AS saved_bytes""".stripMargin,
+    // x_engine_dedup_storage: raw-split CDC replay (the shared
+    // parameterized template — also behind e_stream_dedup_storage, so
+    // the batch and streaming front doors cannot drift) over the
+    // fixture's ingested (>= 1 analysis token) docs; every count and
+    // byte total of the verb's stats row recomputed independently
+    "x_engine_dedup_storage" -> DedupQueries.cdcStorageStatsSql(
+      """SELECT doc_id, text FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0""".stripMargin),
     "x_engine_flat" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ${rndSql(cosSql, 6)} AS score
