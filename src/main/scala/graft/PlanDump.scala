@@ -138,6 +138,8 @@ object PlanDump {
     "x_engine_optimize_layout", // box scan over the hilbert-rewritten partition: pushed 2-d filters, row-group skip
     "x_engine_dedup_storage",   // raw-split CDC window + distinct-chash blob agg, 1-row stats
     "x_engine_search_text",     // engine-embedded query vector -> flat cosine scan -> TakeOrdered(10)
+    "x_engine_nsw_det",         // beam walk: isin-pushed adjacency + posting reads per round, bounded rerank
+    "x_engine_nswdet_annjoin",  // distributed frontier walk: per-round adjacency join + per-query beam window
     "x_engine_ivfdet_layout",   // nprobe isin pushed into the range-sliced postings scan (row-group skip)
   )
 

@@ -57,6 +57,9 @@ object Schemas {
     StructField("ivf_nprobe", IntegerType, nullable = false),
     StructField("pq_subspaces", IntegerType, nullable = false),
     StructField("pq_codewords", IntegerType, nullable = false),
+    StructField("nsw_degree", IntegerType, nullable = false),
+    StructField("nsw_beam", IntegerType, nullable = false),
+    StructField("nsw_rounds", IntegerType, nullable = false),
   ))
 
   val chunks: StructType = StructType(Seq(
@@ -124,6 +127,18 @@ object Schemas {
     StructField("centroid_id", IntegerType, nullable = false),
     StructField("chunk_id", StringType, nullable = false),
     StructField("embedding_norm", ArrayType(FloatType, containsNull = false), nullable = false),
+  ))
+
+  /** NSW graph-ANN: bidirectional adjacency rows (one per directed edge
+    * after the top-M ∪ reverse union). Vectors are NOT duplicated onto
+    * edges — search hydrates them from the shared ivf_postings rows by
+    * chunk_id, so the adjacency table stays two-string-columns thin at
+    * any corpus size.
+    */
+  val nswEdges: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("src_id", StringType, nullable = false),
+    StructField("dst_id", StringType, nullable = false),
   ))
 
   /** PQ: one row per (subspace, codeword) — the content-derived codebook
@@ -275,7 +290,12 @@ case class LibMetadata(
     mimeType: Option[String] = None,
     tags: Seq[String] = Nil)
 
-/** Index configuration with reference defaults. */
+/** Index configuration with reference defaults. The nsw_* parameters
+  * drive the graph-ANN family ("nsw_det"): per-node out-degree of the
+  * k-NN graph, beam width of the search walk, and the fixed number of
+  * expansion rounds (fixed so the walk is SQL-replayable — a
+  * convergence-tested walk would not be).
+  */
 case class IndexConfig(
     indexType: String = "flat",
     lshNumTables: Int = 8,
@@ -283,7 +303,10 @@ case class IndexConfig(
     ivfNumCentroids: Int = 64,
     ivfNprobe: Int = 4,
     pqSubspaces: Int = 8,
-    pqCodewords: Int = 16)
+    pqCodewords: Int = 16,
+    nswDegree: Int = 6,
+    nswBeam: Int = 12,
+    nswRounds: Int = 3)
 
 object EngineErrors {
   class NotFoundError(msg: String) extends RuntimeException(msg)

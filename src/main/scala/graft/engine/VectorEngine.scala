@@ -187,6 +187,33 @@ final class VectorEngine(
       .orderBy(col("table_id").asc)
   }
 
+  /** Degree-distribution audit for the NSW graph family: nodes per
+    * adjacency degree, zero-degree nodes included (a node whose probe
+    * cells held no other member gets no edges and is unreachable by the
+    * walk — the graph's analog of an empty IVF cell). A hub (degree far
+    * above 2x the configured out-degree, from piled-up reverse links)
+    * makes every beam that touches it pay its full adjacency list; a
+    * mass at low degrees means the walk can't navigate and recall decays.
+    * This is the reading an operator thresholds before re-seeding cells
+    * or re-building the graph. One groupBy over the edge table + a left
+    * join from the postings (so node-count provenance matches the walk's
+    * candidate universe); output rows = distinct degrees, corpus-
+    * independent in the balanced case.
+    */
+  def nswDegreeStats(libId: String): DataFrame = {
+    if (!store.exists("nsw_edges"))
+      throw new NotFoundError(s"nsw index for library $libId")
+    val nodes = ivfPostings(libId).select(col("chunk_id").as("src_id"))
+    if (nodes.isEmpty) throw new NotFoundError(s"nsw index for library $libId")
+    val degrees = nswEdges(libId).groupBy(col("src_id"))
+      .agg(count(lit(1)).as("n"))
+    nodes.join(degrees, Seq("src_id"), "left")
+      .select(coalesce(col("n"), lit(0L)).cast("int").as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree").asc)
+  }
+
   /** Codebook-usage audit for the PQ families, per subspace: distinct
     * codewords actually used and the hottest codeword's count. Dead
     * codewords (n_used << K) mean wasted codebook capacity and coarser
@@ -377,6 +404,15 @@ final class VectorEngine(
         lshBuckets(libId).groupBy(col("table_id"), col("signature"))
           .agg(count(lit(1)).as("m"))
           .select(col("table_id").as("grp"), col("m"))
+      case "nsw_det" =>
+        // unit = a node's adjacency list: a reverse-link hub taxes every
+        // beam that touches it with its full edge fan-out; a rebuild
+        // re-seeds cells from the CURRENT corpus and re-links everything
+        // (vs. the frozen-state incremental adds that create the pile-up)
+        if (!store.exists("nsw_edges"))
+          throw new NotFoundError(s"nsw index for library $libId")
+        nswEdges(libId).groupBy(col("src_id"))
+          .agg(count(lit(1)).as("m")).select(lit(0).as("grp"), col("m"))
       case other => throw new ValidationError(
         s"rebalanceIfSkewed: '$other' has no balance-audited index units")
     }
@@ -443,7 +479,8 @@ final class VectorEngine(
       "pq_codes" -> Schemas.pqCodes,
       "ivfpq_codes" -> Schemas.ivfpqCodes,
       "sq8_codes" -> Schemas.sq8Codes,
-      "ivfsq8_codes" -> Schemas.ivfsq8Codes)
+      "ivfsq8_codes" -> Schemas.ivfsq8Codes,
+      "nsw_edges" -> Schemas.nswEdges)
       .collect { case (t, sch) if store.exists(t) =>
         t -> store.compact(t, sch)
       }
@@ -615,6 +652,8 @@ final class VectorEngine(
     store.read("ivfsq8_params", Schemas.ivfsq8Params).filter(col("library_id") === libId)
   private def ivfsq8Codes(libId: String): DataFrame =
     store.read("ivfsq8_codes", Schemas.ivfsq8Codes).filter(col("library_id") === libId)
+  private def nswEdges(libId: String): DataFrame =
+    store.read("nsw_edges", Schemas.nswEdges).filter(col("library_id") === libId)
 
   // ---- library CRUD ---------------------------------------------------
 
@@ -653,7 +692,8 @@ final class VectorEngine(
     (libId, Row(libId, name, embeddingDim,
       Row(config.indexType, config.lshNumTables, config.lshHyperplanesPerTable,
         config.ivfNumCentroids, config.ivfNprobe,
-        config.pqSubspaces, config.pqCodewords),
+        config.pqSubspaces, config.pqCodewords,
+        config.nswDegree, config.nswBeam, config.nswRounds),
       libMetaRow(metadata), t, t, 1L))
   }
 
@@ -691,7 +731,8 @@ final class VectorEngine(
         r.getString(r.fieldIndex("id")) ->
           ((r.getInt(r.fieldIndex("embedding_dim")),
             IndexConfig(c.getString(0), c.getInt(1), c.getInt(2), c.getInt(3),
-              c.getInt(4), c.getInt(5), c.getInt(6)),
+              c.getInt(4), c.getInt(5), c.getInt(6), c.getInt(7), c.getInt(8),
+              c.getInt(9)),
             r.getLong(r.fieldIndex("version"))))
       }.toMap)
     libCache.get.getOrElse(libId, throw new NotFoundError(s"library $libId"))
@@ -1308,7 +1349,10 @@ final class VectorEngine(
           lit(config.ivfNumCentroids).as("ivf_num_centroids"),
           lit(config.ivfNprobe).as("ivf_nprobe"),
           lit(config.pqSubspaces).as("pq_subspaces"),
-          lit(config.pqCodewords).as("pq_codewords"))).otherwise(col("index_config")))
+          lit(config.pqCodewords).as("pq_codewords"),
+          lit(config.nswDegree).as("nsw_degree"),
+          lit(config.nswBeam).as("nsw_beam"),
+          lit(config.nswRounds).as("nsw_rounds"))).otherwise(col("index_config")))
       .withColumn("version",
         when(col("id") === libId, col("version") + 1).otherwise(col("version")))
       .withColumn("updated_at",
@@ -1363,6 +1407,7 @@ final class VectorEngine(
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -1372,6 +1417,25 @@ final class VectorEngine(
           } else IvfIndex.build(libChunks, libId, config.ivfNumCentroids)
         store.writeLibraryPartition("ivf_centroids", libId, centroids)
         store.writeLibraryPartition("ivf_postings", libId, postings)
+        dropLshTables(libId)
+        dropPqTables(libId)
+        dropIvfPqTables(libId)
+        dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
+      case "nsw_det" =>
+        // graph family: seed cells + postings (SHARED relations with the
+        // ivf family — cells block the edge build and seed the walk;
+        // postings hold the vectors edges deliberately don't) plus the
+        // thin adjacency table
+        val cents = IvfIndex.seedCentroids(libChunks, libId,
+          config.ivfNumCentroids)
+        store.writeLibraryPartition("ivf_centroids", libId, cents)
+        store.writeLibraryPartition("ivf_postings", libId,
+          IvfIndex.assignToCentroids(libChunks, cents, libId))
+        store.writeLibraryPartition("nsw_edges", libId,
+          graft.index.NswIndex.buildEdges(libChunks, cents, libId,
+            config.ivfNprobe, config.nswDegree))
         dropLshTables(libId)
         dropPqTables(libId)
         dropIvfPqTables(libId)
@@ -1389,6 +1453,7 @@ final class VectorEngine(
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
       case "ivfpq" | "ivfpq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (centroids, codebooks, codes) = IvfPqIndex.build(libChunks,
@@ -1406,6 +1471,7 @@ final class VectorEngine(
         dropPqCodesOnly(libId)
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
       case "sq8" =>
         val (params, codes) = Sq8Index.build(libChunks, libId, dim)
         store.writeLibraryPartition("sq8_params", libId, params)
@@ -1415,6 +1481,7 @@ final class VectorEngine(
         dropPqTables(libId)
         dropIvfPqTables(libId)
         dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
       case "ivfsq8" =>
         val (centroids, params, codes) = IvfSq8Index.build(libChunks, libId,
           dim, config.ivfNumCentroids)
@@ -1429,6 +1496,7 @@ final class VectorEngine(
         dropPqTables(libId)
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
+        dropNswEdgesOnly(libId)
     }
   }
 
@@ -1508,6 +1576,23 @@ final class VectorEngine(
             .dropDuplicates("chunk_id")
           // deviation from quirk Q3: rerank the FULL nprobe candidate set
           rerank(cands, query, metric)
+        }
+      case "nsw_det" =>
+        if (isZero) return emptyHits()
+        val qn = LshIndex.normalizeDriver(query).get
+        nswWalkIds(libId, config, qn, k) match {
+          case None =>
+            // graph not built yet -> full flat scan (as the other paths)
+            flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+          case Some(ids) =>
+            // preFilter restricts the RESULT candidate set, not the walk:
+            // filtering nodes out of the traversal would break the
+            // graph's navigability (the HNSW filtered-search rule) — a
+            // documented narrowing of the lsh/ivf pre-filter deviation
+            val cands = ivfPostings(libId)
+              .filter(col("chunk_id").isin(ids: _*))
+              .select(col("chunk_id"), col("embedding_norm"))
+            rerank(restrict(cands), query, metric)
         }
       case "pq" | "pq_trained" =>
         if (isZero) return emptyHits()
@@ -1995,6 +2080,25 @@ final class VectorEngine(
             rerankBatch(cands)
         }
 
+      case "nsw_det" =>
+        // the beam walk is inherently per-query-iterative; this Seq API
+        // runs one bounded walk per query (API-sized batches — a
+        // corpus-scale query SET goes through annJoin's frontier-join
+        // walk, which keeps all per-query beams in one distributed frame)
+        if (!store.exists("nsw_edges")) flatBatch()
+        else {
+          val posts = ivfPostings(libId)
+          val walked = qnorms.map { case (qid, qnv) =>
+            nswWalkIds(libId, config, qnv, k).map { ids =>
+              posts.filter(col("chunk_id").isin(ids: _*))
+                .select(lit(qid).as("query_id"), col("chunk_id"),
+                  col("embedding_norm"))
+            }
+          }
+          if (walked.exists(_.isEmpty)) flatBatch() // cells not built yet
+          else rerankBatch(restrict(walked.flatten.reduce(_ unionAll _)))
+        }
+
       case "pq" | "pq_trained" =>
         val cb =
           if (!store.exists("pq_codebooks")) Array.empty[Array[Array[Float]]]
@@ -2252,6 +2356,78 @@ final class VectorEngine(
               .select(col("query_id"), col("chunk_id"), col("embedding_norm"))
               .dropDuplicates("query_id", "chunk_id")
             rerank(cands)
+        }
+
+      case "nsw_det" =>
+        // DISTRIBUTED beam walk: every query's beam lives in one frame —
+        // (query_id, chunk_id, s) — and each fixed round is one
+        // frontier-adjacency join + per-query top-beam window, so a
+        // corpus-scale query set never touches the driver. Rows per
+        // round are bounded by |queries| x beam x degree; per-round
+        // localCheckpoint truncates the iterative lineage (the K-round
+        // loop discipline). Scores/ties mirror the single-query walk
+        // (float-normalized pairs, chunk_id asc), so per-query results
+        // land on the same hits.
+        val cents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        if (cents.isEmpty || !store.exists("nsw_edges")) flatScored()
+        else {
+          val beamW = math.max(config.nswBeam, k)
+          val posts = ivfPostings(libId)
+          val edges = nswEdges(libId)
+          // entry cell per query via the argmax kernel over the
+          // metadata-scale centroid literal (seedCentroids ids are
+          // contiguous 0..K-1 in centroid_id order, the assign contract)
+          val centArr = cents.get.orderBy(col("centroid_id")).collect()
+            .map(_.getSeq[Float](2).map(_.toDouble).toArray)
+          val entry = qn.select(col("query_id"), col("qnorm"),
+            graft.functions.PqExpressions.argmaxDot(
+              transform(col("qnorm"), _.cast("double")), centArr)
+              .as("centroid_id"))
+          val wBeam = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("s").desc, col("chunk_id").asc)
+          def topBeam(v: DataFrame): DataFrame =
+            v.withColumn("rn", row_number().over(wBeam))
+              .filter(col("rn") <= beamW)
+              .select(col("query_id"), col("chunk_id"))
+          var visited = topBeam(
+            posts.join(entry, Seq("centroid_id"))
+              .select(col("query_id"), col("chunk_id"),
+                dotProduct(col("embedding_norm"), col("qnorm")).as("s")))
+            .join(posts.select(col("chunk_id"), col("embedding_norm")),
+              Seq("chunk_id"))
+            .join(qn, Seq("query_id"))
+            .select(col("query_id"), col("chunk_id"),
+              dotProduct(col("embedding_norm"), col("qnorm")).as("s"))
+            .localCheckpoint()
+          var beam = visited.select(col("query_id"), col("chunk_id"))
+          var round = 0
+          while (round < config.nswRounds) {
+            val scoredNbrs = edges
+              .join(beam.withColumnRenamed("chunk_id", "src_id"),
+                Seq("src_id"))
+              .select(col("query_id"), col("dst_id").as("chunk_id"))
+              .distinct()
+              .join(posts.select(col("chunk_id"), col("embedding_norm")),
+                Seq("chunk_id"))
+              .join(qn, Seq("query_id"))
+              .select(col("query_id"), col("chunk_id"),
+                dotProduct(col("embedding_norm"), col("qnorm")).as("s"))
+            // duplicate (query, node) rows carry identical recomputed
+            // scores, so the dedup is deterministic
+            visited = visited.unionAll(scoredNbrs)
+              .dropDuplicates("query_id", "chunk_id")
+              .localCheckpoint()
+            beam = topBeam(visited)
+            round += 1
+          }
+          val cands = restrict(
+            visited.select(col("query_id"), col("chunk_id"))
+              .join(posts.select(col("chunk_id"), col("embedding_norm")),
+                Seq("chunk_id")))
+          rerank(cands)
         }
 
       case "ivfpq" | "ivfpq_trained" =>
@@ -2830,6 +3006,71 @@ final class VectorEngine(
       .select(col("id").as("chunk_id"),
         similarity(metric)(col("embedding"), typedLit(query.toSeq)).as("score"))
 
+  /** Fixed-round NSW beam walk for ONE query. Entry = the beamW best
+    * members of the query's nearest seed cell (driver-side TakeOrdered
+    * over metadata-scale centroid rows, the ivf probe, then one
+    * cell-bounded scan); each round reads ONLY the beam's adjacency rows
+    * + their vectors via pushed `isin` filters — never a corpus scan.
+    * Driver state is k-bounded by construction: the beam is beamW ids,
+    * the visited map at most beamW + rounds * (frontier expansion)
+    * entries. Scores are the stored float-normalized vectors x the
+    * float-normalized query (the same double fold the oracle's
+    * list_dot_product computes) with -0.0 normalized to 0.0 so the
+    * driver-side beam sort matches SQL/Spark ordering; ties break by
+    * chunk_id asc. Returns None when the cells/graph are not built
+    * (callers fall back to the flat scan), Some(visited ids) otherwise.
+    */
+  private def nswWalkIds(libId: String, config: IndexConfig,
+      qn: Array[Float], k: Int): Option[Seq[String]] = {
+    val qlit = typedLit(qn.toSeq)
+    val topCell: Array[Int] =
+      if (!store.exists("ivf_centroids")) Array.empty[Int]
+      else ivfCentroids(libId)
+        .select(col("centroid_id"),
+          dotProduct(col("vector"), qlit).as("cscore"))
+        .orderBy(col("cscore").desc, col("centroid_id").asc)
+        .limit(1)
+        .collect().map(_.getInt(0))
+    if (topCell.isEmpty || !store.exists("nsw_edges")) None
+    else Some {
+      val beamW = math.max(config.nswBeam, k)
+      val posts = ivfPostings(libId)
+      val edges = nswEdges(libId)
+      def norm0(s: Double): Double = if (s == 0.0) 0.0 else s
+      val visited = scala.collection.mutable.HashMap.empty[String, Double]
+      var beam: Seq[String] = posts
+        .filter(col("centroid_id") === topCell.head)
+        .select(col("chunk_id"),
+          dotProduct(col("embedding_norm"), qlit).as("s"))
+        .orderBy(col("s").desc, col("chunk_id").asc)
+        .limit(beamW)
+        .collect().map { r =>
+          val id = r.getString(0)
+          visited(id) = norm0(r.getDouble(1))
+          id
+        }.toIndexedSeq
+      var round = 0
+      while (round < config.nswRounds && beam.nonEmpty) {
+        val scored = edges
+          .filter(col("src_id").isin(beam: _*))
+          .select(col("dst_id").as("chunk_id")).distinct()
+          .join(posts.select(col("chunk_id"), col("embedding_norm")),
+            "chunk_id")
+          .select(col("chunk_id"),
+            dotProduct(col("embedding_norm"), qlit).as("s"))
+          .collect()
+        // re-scored already-visited ids recompute identical values, so
+        // the map update is idempotent (the oracle's UNION dedup)
+        scored.foreach(r => visited(r.getString(0)) = norm0(r.getDouble(1)))
+        beam = visited.toSeq
+          .sortBy { case (id, s) => (-s, id) }
+          .take(beamW).map(_._1)
+        round += 1
+      }
+      visited.keys.toSeq
+    }
+  }
+
   /** LSH/IVF rerank: normalized stored vectors x UNNORMALIZED query
     * (quirk Q1, `lsh.py:115-117`, `ivf.py:122-128`).
     */
@@ -2877,7 +3118,7 @@ final class VectorEngine(
   private def validateConfig(config: IndexConfig): Unit = {
     if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
         "pq", "pq_trained", "ivfpq", "ivfpq_trained", "sq8",
-        "ivfsq8").contains(config.indexType))
+        "ivfsq8", "nsw_det").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -2888,6 +3129,11 @@ final class VectorEngine(
     bound(config.ivfNprobe, 1, 1024, "ivf_nprobe")
     bound(config.pqSubspaces, 1, 64, "pq_subspaces")
     bound(config.pqCodewords, 1, 256, "pq_codewords") // codes fit one byte
+    bound(config.nswDegree, 1, 64, "nsw_degree")
+    bound(config.nswBeam, 1, 1024, "nsw_beam")
+    // fixed-round walks only: each round is a bounded frontier expansion,
+    // so the cap bounds per-query work (and the unrolled oracle's size)
+    bound(config.nswRounds, 1, 16, "nsw_rounds")
   }
 
   /** PQ needs the dim to split evenly into subspaces; checked wherever a
@@ -2944,6 +3190,26 @@ final class VectorEngine(
         }
       }
       if (t != "auto") return
+    }
+    if (t == "nsw_det") {
+      if (store.exists("ivf_centroids")) {
+        val cents = ivfCentroids(libId)
+        if (!cents.isEmpty) {
+          // edge rows first: edgesForNew probes the PRE-BATCH postings
+          // (candidates = the existing corpus only — in-batch pairs are
+          // excluded by the add-after-build contract), and the edge write
+          // MATERIALIZES that probe before the posting append below makes
+          // the batch visible
+          val newEdges = graft.index.NswIndex.edgesForNew(newChunks, cents,
+            ivfPostings(libId), libId, config.ivfNprobe, config.nswDegree)
+          store.writeLibraryPartition("nsw_edges", libId,
+            nswEdges(libId).unionAll(newEdges))
+          store.writeLibraryPartition("ivf_postings", libId,
+            ivfPostings(libId).unionAll(
+              IvfIndex.assignToCentroids(newChunks, cents, libId)))
+        }
+      }
+      return
     }
     if (t == "pq" || t == "pq_trained") {
       if (store.exists("pq_codebooks")) {
@@ -3031,6 +3297,17 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.ivfsq8Codes.fieldNames.toIndexedSeq.map(col): _*))
     }
+    if (store.exists("nsw_edges")) {
+      // an edge dies with EITHER endpoint: a dangling dst would hydrate
+      // nothing (its posting is gone) but would still cost adjacency reads
+      store.writeLibraryPartition("nsw_edges", libId,
+        nswEdges(libId)
+          .join(chunkIds.select(col("chunk_id").as("src_id")),
+            Seq("src_id"), "left_anti")
+          .join(chunkIds.select(col("chunk_id").as("dst_id")),
+            Seq("dst_id"), "left_anti")
+          .select(Schemas.nswEdges.fieldNames.toIndexedSeq.map(col): _*))
+    }
   }
 
   /** Remove one library's derived index state: a partition drop per index
@@ -3043,6 +3320,7 @@ final class VectorEngine(
     dropIvfPqTables(libId)
     dropSq8Tables(libId)
     dropIvfSq8Tables(libId)
+    dropNswEdgesOnly(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -3087,6 +3365,14 @@ final class VectorEngine(
   private def dropPqCodesOnly(libId: String): Unit =
     if (store.exists("pq_codes"))
       store.dropLibraryPartition("pq_codes", libId)
+
+  /** nsw_det SHARES ivf_centroids/ivf_postings with the ivf family (the
+    * dropIvfPostingsOnly note applies) — non-graph rebuilds drop only the
+    * adjacency table it owns.
+    */
+  private def dropNswEdgesOnly(libId: String): Unit =
+    if (store.exists("nsw_edges"))
+      store.dropLibraryPartition("nsw_edges", libId)
 }
 
 object VectorEngine {

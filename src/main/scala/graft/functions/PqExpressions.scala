@@ -355,6 +355,97 @@ object PqExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Top-n centroid ids by (dot desc, centroid_id asc) — the PER-NODE
+    * probe-cell ranking the NSW graph build needs (each node's edge
+    * candidates come from its `nprobe` nearest coarse cells, not just its
+    * assigned one). ArgmaxDot generalized: the same flat-reference-object
+    * loop, plus an n-slot insertion (n = nprobe, single digits) instead of
+    * a single running max. Ties keep the EARLIEST centroid (insertion
+    * displaces only on strict >), so the result order is exactly the
+    * oracle's `ORDER BY dot DESC, centroid_id ASC` window.
+    */
+  case class TopNDotIds(child: Expression, centroids: Array[Array[Double]],
+      n: Int) extends UnaryExpression {
+    require(n >= 1, s"TopNDotIds needs n >= 1, got $n")
+    private val k = centroids.length
+    private val dim = centroids(0).length
+    private val nn = math.min(n, k)
+
+    private lazy val ctFlat: Array[Double] = {
+      val out = new Array[Double](k * dim)
+      var c = 0
+      while (c < k) { System.arraycopy(centroids(c), 0, out, c * dim, dim); c += 1 }
+      out
+    }
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected array<double>, got $dt")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = math.min(arr.numElements(), dim)
+      val ids = new Array[Int](nn)
+      val dots = Array.fill(nn)(Double.NegativeInfinity)
+      var c = 0
+      while (c < k) {
+        val cbase = c * dim
+        var dot = 0.0; var t = 0
+        while (t < len) { dot += arr.getDouble(t) * ctFlat(cbase + t); t += 1 }
+        // insertion by strict >: equal dots keep the earlier centroid
+        var pos = nn
+        while (pos > 0 && dot > dots(pos - 1)) pos -= 1
+        if (pos < nn) {
+          var j = nn - 1
+          while (j > pos) { dots(j) = dots(j - 1); ids(j) = ids(j - 1); j -= 1 }
+          dots(pos) = dot; ids(pos) = c
+        }
+        c += 1
+      }
+      new GenericArrayData(ids)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ctRef = ctx.addReferenceObj("tnCents", ctFlat, "double[]")
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, in => {
+        val len = ctx.freshName("len"); val c = ctx.freshName("c")
+        val t = ctx.freshName("t"); val dot = ctx.freshName("dot")
+        val ids = ctx.freshName("ids"); val dots = ctx.freshName("dots")
+        val pos = ctx.freshName("pos"); val j = ctx.freshName("j")
+        val cbase = ctx.freshName("cbase")
+        s"""
+           |int $len = java.lang.Math.min($in.numElements(), $dim);
+           |int[] $ids = new int[$nn];
+           |double[] $dots = new double[$nn];
+           |java.util.Arrays.fill($dots, Double.NEGATIVE_INFINITY);
+           |for (int $c = 0; $c < $k; $c++) {
+           |  int $cbase = $c * $dim;
+           |  double $dot = 0.0;
+           |  for (int $t = 0; $t < $len; $t++) {
+           |    $dot += $in.getDouble($t) * $ctRef[$cbase + $t];
+           |  }
+           |  int $pos = $nn;
+           |  while ($pos > 0 && $dot > $dots[$pos - 1]) $pos--;
+           |  if ($pos < $nn) {
+           |    for (int $j = $nn - 1; $j > $pos; $j--) {
+           |      $dots[$j] = $dots[$j - 1]; $ids[$j] = $ids[$j - 1];
+           |    }
+           |    $dots[$pos] = $dot; $ids[$pos] = $c;
+           |  }
+           |}
+           |${ev.value} = new $gad($ids);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def pqEncode(vec: Column, codebook: Array[Array[Array[Float]]]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), codebook))
 
@@ -363,4 +454,8 @@ object PqExpressions {
 
   def argmaxDot(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftColumnBridge.column(ArgmaxDot(GraftColumnBridge.expression(vec), centroids))
+
+  def topNDotIds(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    GraftColumnBridge.column(
+      TopNDotIds(GraftColumnBridge.expression(vec), centroids, n))
 }

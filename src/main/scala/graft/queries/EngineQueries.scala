@@ -542,6 +542,61 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** The NSW GRAPH family through the engine (the eighth ANN family —
+    * the graph shape HNSW engines build on): md5-seeded coarse cells
+    * block the k-NN edge build (per-node candidates = its nprobe nearest
+    * cells, never all-pairs), edges = per-node top-M ∪ reverse links,
+    * search = a fixed-round beam walk from the query's nearest cell.
+    * Every step is pure arithmetic, so the DuckDB oracle replays
+    * seeds → cells → candidate pairs → top-M edges → beam rounds →
+    * exact rerank end-to-end and the hits are hash-checked.
+    */
+  private val nswConfig = IndexConfig("nsw_det", ivfNumCentroids = 8,
+    ivfNprobe = 2, nswDegree = 6, nswBeam = 12, nswRounds = 3)
+
+  private def engineNswDet(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, nswConfig)
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** NSW incremental maintenance — the graph through the add/remove
+    * paths: new nodes probe the FROZEN cells and link against the
+    * PRE-BATCH corpus only (plus reverse links), deletes strip every
+    * edge touching a removed node; the oracle replays
+    * build-on-base / delta-links-vs-base / live-endpoint filtering.
+    */
+  private def engineNswDetIncremental(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d, nswConfig, "nswdet")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** Graph-balance audit through the det build: nodes per adjacency
+    * degree, zero-degree (unreachable) nodes included — the NSW sibling
+    * of the cell/bucket/codebook balance audits (a reverse-link hub
+    * makes beams that touch it pay its full adjacency list; mass at low
+    * degree means the walk cannot navigate). Hash-checked via the edge
+    * replay.
+    */
+  private def engineNswDegreeStats(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, nswConfig)
+    eng.nswDegreeStats(lib)
+  }
+
+  /** Batched NSW through annJoin — the DISTRIBUTED frontier-join walk
+    * (every query's beam in one frame, one adjacency join + per-query
+    * top-beam window per round): must land on the per-query walk's
+    * hits for queries vec 0, 1, 2.
+    */
+  private def engineNswDetAnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, nswConfig)
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
+  private def nswDetRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, nswConfig)
+
   /** The PQ index family through the engine: codebook build + encode at
     * rebuild, ADC candidate scan + exact rerank at search — content-
     * derived codebooks make the WHOLE path DuckDB-replayable, so this is
@@ -1405,6 +1460,11 @@ object EngineQueries {
     "x_engine_ivf"           -> (engineIvf _),
     "x_engine_lsh_det"       -> (engineLshDet _),
     "x_engine_ivf_det"       -> (engineIvfDet _),
+    "x_engine_nsw_det"       -> (engineNswDet _),
+    "x_engine_nswdet_incremental" -> (engineNswDetIncremental _),
+    "x_engine_nswdet_degreestats" -> (engineNswDegreeStats _),
+    "x_engine_nswdet_annjoin"     -> (engineNswDetAnnJoin _),
+    "x_nswdet_recall"             -> (nswDetRecall _),
     "x_engine_ivfdet_cellstats" -> (engineIvfDetCellStats _),
     "x_engine_lshdet_bucketstats" -> (engineLshDetBucketStats _),
     "x_engine_pq_codestats" -> (enginePqCodeStats _),
@@ -2046,6 +2106,131 @@ object EngineQueries {
        |WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** NSW graph replay, parameterized like the other det families —
+    * `baseOf(col)` = membership in the corpus AT BUILD TIME (seed cells
+    * come from it; edge CANDIDATES must lie in it — incremental adds
+    * link against the pre-batch corpus only), `liveOf(col)` = membership
+    * NOW (postings + both edge endpoints — deletes strip every touching
+    * edge). TRUE/TRUE is the classic replay. The candidate rule
+    * `v ∈ base, u unrestricted` covers build (u ∈ base) and delta links
+    * (u ∉ base) in ONE window, because the two u-populations are
+    * disjoint. Shapes mirror NswIndex.buildEdges/edgesForNew: per-node
+    * probe cells = crank rn <= nprobe (TopNDotIds), assignment = rn = 1
+    * (argmax), pair scores on the float-cast normalized vectors, top-M
+    * per u by (dot desc, id asc), bidirectional UNION dedup.
+    */
+  private def nswCorpusCtesWith(baseOf: String => String,
+      liveOf: String => String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         list_transform(emb, x -> x / n) AS vnormd,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+      |  FROM nr WHERE n > 0),
+      |seeds AS (
+      |  SELECT vec_id FROM vn WHERE ${baseOf("vec_id")}
+      |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
+      |  LIMIT ${nswConfig.ivfNumCentroids}),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
+      |         v.vnormf AS cvec
+      |  FROM seeds s JOIN vn v USING (vec_id)),
+      |crank AS (
+      |  SELECT v.vec_id, c.centroid_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY list_dot_product(v.vnormd, c.cvec) DESC,
+      |                    c.centroid_id ASC) AS rn
+      |  FROM vn v, cents c),
+      |assign AS (SELECT vec_id, centroid_id FROM crank WHERE rn = 1),
+      |postings AS (SELECT vec_id, centroid_id FROM assign
+      |             WHERE ${liveOf("vec_id")}),
+      |probe AS (SELECT vec_id, centroid_id FROM crank
+      |          WHERE rn <= ${nswConfig.ivfNprobe}),
+      |cand AS (
+      |  SELECT p.vec_id AS u, a.vec_id AS v
+      |  FROM probe p JOIN assign a USING (centroid_id)
+      |  WHERE p.vec_id <> a.vec_id AND ${baseOf("a.vec_id")}),
+      |knn AS (
+      |  SELECT u, v FROM (
+      |    SELECT c.u, c.v,
+      |           row_number() OVER (PARTITION BY c.u
+      |             ORDER BY list_dot_product(vu.vnormf, vv.vnormf) DESC,
+      |                      c.v ASC) AS rn
+      |    FROM cand c JOIN vn vu ON vu.vec_id = c.u
+      |                JOIN vn vv ON vv.vec_id = c.v)
+      |  WHERE rn <= ${nswConfig.nswDegree}),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT u AS src, v AS dst FROM knn
+      |    UNION
+      |    SELECT v AS src, u AS dst FROM knn)
+      |  WHERE ${liveOf("src")} AND ${liveOf("dst")})""".stripMargin
+
+  /** The fixed-round beam walk for query `qid`, CTE names suffixed by
+    * `tag` so the batch oracle can run three walks in one WITH. Mirrors
+    * VectorEngine.nswWalkIds: entry = top-beam of the query's nearest
+    * cell, each round scores the beam's neighbors (UNION dedup — scores
+    * recompute identically) and re-cuts the beam by (s desc, id asc).
+    */
+  private def nswWalkCtesFor(tag: String, qid: Int): String = {
+    val beam = math.max(nswConfig.nswBeam, 10)
+    val head =
+      s"""qn$tag AS (
+        |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+        |  FROM e WHERE vec_id = $qid),
+        |qcell$tag AS (
+        |  SELECT centroid_id FROM cents, qn$tag
+        |  ORDER BY list_dot_product(cvec, qn$tag.v) DESC, centroid_id ASC
+        |  LIMIT 1),
+        |vis0$tag AS (
+        |  SELECT vec_id, s FROM (
+        |    SELECT p.vec_id, list_dot_product(v.vnormf, qn$tag.v) AS s
+        |    FROM postings p JOIN vn v USING (vec_id), qn$tag
+        |    WHERE p.centroid_id = (SELECT centroid_id FROM qcell$tag))
+        |  ORDER BY s DESC, vec_id ASC LIMIT $beam)""".stripMargin
+    val rounds = (1 to nswConfig.nswRounds).map { i =>
+      s"""beam${i - 1}$tag AS (
+        |  SELECT vec_id FROM vis${i - 1}$tag
+        |  ORDER BY s DESC, vec_id ASC LIMIT $beam),
+        |nbr$i$tag AS (
+        |  SELECT DISTINCT ne.dst AS vec_id
+        |  FROM edges ne JOIN beam${i - 1}$tag b ON ne.src = b.vec_id),
+        |vis$i$tag AS (
+        |  SELECT vec_id, s FROM vis${i - 1}$tag
+        |  UNION
+        |  SELECT n.vec_id, list_dot_product(v.vnormf, (SELECT v FROM qn$tag)) AS s
+        |  FROM nbr$i$tag n JOIN vn v USING (vec_id))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private val nswHitsSelect =
+    s"""SELECT vv.vec_id AS vec_id,
+       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Batched walk replay: the shared corpus/edge CTEs once, one
+    * tag-suffixed walk per query, per-query top-10 exact rerank.
+    */
+  private def nswBatchSql: String = {
+    val walks = Seq(0, 1, 2).map(q => nswWalkCtesFor(s"_q$q", q))
+      .mkString(",\n")
+    val branches = Seq(0, 1, 2).map { q =>
+      s"""SELECT CAST($q AS BIGINT) AS query_id, vec_id, score FROM (
+         |  SELECT vv.vec_id AS vec_id,
+         |         ${rndSql(s"list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = $q))", 6)} AS score
+         |  FROM vis${nswConfig.nswRounds}_q$q vv JOIN vn v ON v.vec_id = vv.vec_id
+         |  ORDER BY score DESC, vec_id ASC LIMIT 10)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+       |$walks
+       |SELECT query_id, vec_id, score FROM (
+       |$branches)
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
+  }
+
   // x_engine_ivfpq replay (shared by the hits entry, the recall metric,
   // and the BATCH entry): seed centroids (8 lowest md5, centroid_id in
   // chunk_id order) -> argmax-dot assignment -> FLOAT residuals (REAL
@@ -2628,6 +2813,41 @@ object EngineQueries {
     "x_ivfdet_recall" ->
       s"""WITH $ivfDetCtes,
          |${recallSqlTail(ivfDetHitsSelect)}""".stripMargin,
+    // x_engine_nsw_det: the graph-ANN replay — md5-seed cells, per-node
+    // nprobe-cell candidate blocking, top-M + reverse edges, fixed-round
+    // beam walk from the query's nearest cell, exact cosine rerank vs
+    // the RAW query. Mirrors NswIndex.buildEdges + VectorEngine
+    // .nswWalkIds step for step.
+    "x_engine_nsw_det" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesFor("", 0)}
+         |$nswHitsSelect""".stripMargin,
+    // incremental maintenance replay: seeds/cells frozen from the corpus
+    // AT BUILD TIME, delta nodes link against the pre-batch corpus only,
+    // edges live iff BOTH endpoints survive the deletes — exactly the
+    // add/remove paths' state between rebuilds
+    "x_engine_nswdet_incremental" ->
+      s"""WITH ${nswCorpusCtesWith(
+              c => s"$c < $incrBase",
+              c => s"$c NOT IN (${incrDeleted.mkString(", ")})")},
+         |${nswWalkCtesFor("", 0)}
+         |$nswHitsSelect""".stripMargin,
+    // graph-balance audit replay: adjacency degree per live node with
+    // zero-degree nodes explicit (the empty-cell convention)
+    "x_engine_nswdet_degreestats" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |deg AS (SELECT src, count(*) AS n FROM edges GROUP BY src)
+         |SELECT CAST(COALESCE(d.n, 0) AS INTEGER) AS degree,
+         |       count(*) AS n_nodes
+         |FROM postings p LEFT JOIN deg d ON d.src = p.vec_id
+         |GROUP BY 1 ORDER BY degree ASC""".stripMargin,
+    // the distributed frontier-join walk must land on the per-query
+    // walk's hits: three tag-suffixed walk replays over ONE edge build
+    "x_engine_nswdet_annjoin" -> nswBatchSql,
+    "x_nswdet_recall" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesFor("", 0)},
+         |${recallSqlTail(nswHitsSelect)}""".stripMargin,
     // x_engine_pq: replay of the engine PQ family — float-normalized
     // vectors, md5-seed codebooks (codeword id in chunk_id order), 8x8
     // slices, argmin encode (dist asc, k asc), integer micro-unit ADC

@@ -1,0 +1,196 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+
+/** NSW graph-ANN family specs: deterministic build (edge-set identity
+  * across engines), structural invariants (symmetry, no self-loops,
+  * bounded out-degree before reverses), walk quality vs the exact scan,
+  * incremental add/delete maintenance, batch/single parity, and the
+  * degree audit. The corpus is a fixed-seed cloud with planted clusters
+  * so the exact top-k is stable and the graph is navigable.
+  */
+class NswSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixedClock = () => Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private val Dim = 8
+  private val config = IndexConfig("nsw_det", ivfNumCentroids = 4,
+    ivfNprobe = 2, nswDegree = 4, nswBeam = 8, nswRounds = 3)
+
+  /** 60 vectors in 6 planted directions + seeded jitter — deterministic,
+    * clustered enough that graph hops matter, spread enough that cells
+    * are non-trivial.
+    */
+  private def corpus(): Seq[(String, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    (0 until 60).map { i =>
+      val c = i % 6
+      val base = Array.tabulate(Dim)(j => if (j == c) 1.0f else 0.1f)
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (f"c$i%03d", v)
+    }
+  }
+
+  private def freshBuilt(): (VectorEngine, String, String) = {
+    val dir = graft.TempDirs.scratch("graft-nsw-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("nsw", Dim, config)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, corpus().zipWithIndex.map { case ((id, v), i) =>
+      ChunkIn(text = s"chunk $i", embedding = Some(v), position = i,
+        id = Some(id))
+    })
+    eng.rebuildIndex(lib)
+    (eng, dir, lib)
+  }
+
+  private def edgesOf(dir: String): DataFrame =
+    new StateStore(spark, dir).read("nsw_edges", Schemas.nswEdges)
+
+  test("nsw build: symmetric, self-loop-free, deterministic edge set") {
+    val (_, dir1, _) = freshBuilt()
+    val e1 = edgesOf(dir1)
+    assert(e1.count() > 0)
+    assert(e1.filter(col("src_id") === col("dst_id")).count() == 0)
+    // edges = dir ∪ reverse(dir) is symmetric by construction — assert it
+    // holds in the PERSISTED table (a broken union/distinct would not)
+    val flipped = e1.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
+    assert(e1.select("src_id", "dst_id").exceptAll(flipped).count() == 0)
+    // determinism: a second engine over the same corpus lands on the
+    // identical edge set
+    val (_, dir2, _) = freshBuilt()
+    val e2 = edgesOf(dir2)
+    assert(e1.select("src_id", "dst_id")
+      .exceptAll(e2.select("src_id", "dst_id")).count() == 0)
+    assert(e1.count() == e2.count())
+  }
+
+  test("nsw degree stats: zero-inclusive histogram sums to node count") {
+    val (eng, _, lib) = freshBuilt()
+    val stats = eng.nswDegreeStats(lib).collect()
+    assert(stats.map(_.getLong(1)).sum == 60)
+    // the graph keeps >= degree edges per node in the directed phase and
+    // reverses only add — no node below 1 on this connected corpus
+    assert(stats.forall(_.getInt(0) >= 1))
+    // degree ordering is ascending
+    assert(stats.map(_.getInt(0)).toSeq == stats.map(_.getInt(0)).sorted.toSeq)
+  }
+
+  test("nsw search: finds the exact top-k on the clustered corpus") {
+    val (eng, _, lib) = freshBuilt()
+    val q = corpus()(7)._2 // a member vector: its cluster is the answer
+    val hits = eng.search(lib, q, k = 5).collect()
+    assert(hits.length == 5)
+    val exactIds = corpus().map { case (id, v) =>
+      (id, cos(v, q))
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(hits.map(_.getString(0)).toSeq == exactIds)
+    // scores descend
+    val ss = hits.map(h => h.getDouble(h.fieldIndex("score"))).toSeq
+    assert(ss == ss.sorted.reverse)
+  }
+
+  test("nsw incremental: adds link into the frozen graph, deletes strip edges") {
+    val (eng, dir, lib) = freshBuilt()
+    val doc2 = eng.createDocument(lib)
+    val rnd = new scala.util.Random(7)
+    val newVec = Array.tabulate(Dim)(j =>
+      (if (j == 2) 1.0f else 0.1f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    eng.upsertChunks(lib, doc2, Seq(
+      ChunkIn(text = "new", embedding = Some(newVec), position = 0,
+        id = Some("n0001"))))
+    val e = edgesOf(dir)
+    // the new node got out-edges AND is reachable via reverse links
+    assert(e.filter(col("src_id") === "n0001").count() >= 1)
+    assert(e.filter(col("dst_id") === "n0001").count() >= 1)
+    // searching for the new vector itself must surface it first
+    val top = eng.search(lib, newVec, k = 1).collect().head
+    assert(top.getString(0) == "n0001")
+    // delete: node leaves postings and both edge directions
+    eng.deleteChunks(lib, Seq("n0001"))
+    val e2 = edgesOf(dir)
+    assert(e2.filter(col("src_id") === "n0001" ||
+      col("dst_id") === "n0001").count() == 0)
+    assert(!eng.search(lib, newVec, k = 10).collect()
+      .map(_.getString(0)).contains("n0001"))
+  }
+
+  test("nsw batch paths: searchBatchAnn and annJoin match single search") {
+    import spark.implicits._
+    val (eng, _, lib) = freshBuilt()
+    val queries = Seq(0L -> corpus()(3)._2, 1L -> corpus()(20)._2,
+      2L -> corpus()(41)._2)
+    def hitsOfSingle(q: Array[Float]): Seq[(String, Double)] =
+      eng.search(lib, q, k = 5).collect()
+        .map(h => (h.getString(0), h.getDouble(h.fieldIndex("score")))).toSeq
+    val single = queries.map { case (qid, q) => qid -> hitsOfSingle(q) }.toMap
+
+    val batch = eng.searchBatchAnn(lib, queries, k = 5).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getString(r.fieldIndex("chunk_id")),
+        r.getDouble(r.fieldIndex("score"))))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+    assert(batch == single)
+
+    val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qvec")
+    val joined = eng.annJoin(lib, qDf, k = 5).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getString(r.fieldIndex("chunk_id")),
+        r.getDouble(r.fieldIndex("score"))))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+    assert(joined == single)
+  }
+
+  test("nsw rebalance policy: adjacency-hub share thresholds a rebuild") {
+    val (eng, _, lib) = freshBuilt()
+    // every node's list is a sliver of the 60-node graph: no rebuild
+    val d0 = eng.rebalanceIfSkewed(lib, maxSharePpm = 500000L)
+    assert(d0.family == "nsw_det" && !d0.rebuilt)
+    assert(d0.nUnits == 60 && d0.maxSharePpm > 0)
+    // an absurdly tight threshold must trigger the rebuild path
+    val d1 = eng.rebalanceIfSkewed(lib, maxSharePpm = 1L)
+    assert(d1.rebuilt)
+    // rebuild on the same corpus is deterministic: search still exact
+    val q = corpus()(7)._2
+    assert(eng.search(lib, q, k = 1).collect().head.getString(0) == "c007")
+  }
+
+  test("nsw guards: zero query empty, flat fallback before rebuild") {
+    val dir = graft.TempDirs.scratch("graft-nsw-guard").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("nsw-guard", Dim, config)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, corpus().take(10).zipWithIndex.map {
+      case ((id, v), i) =>
+        ChunkIn(text = s"chunk $i", embedding = Some(v), position = i,
+          id = Some(id))
+    })
+    // no rebuild yet: centroids/edges absent -> flat fallback still answers
+    val q = corpus()(1)._2
+    assert(eng.search(lib, q, k = 3).collect().length == 3)
+    assert(eng.search(lib, Array.fill(Dim)(0f), k = 3).collect().isEmpty)
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+    if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+  }
+}
