@@ -594,12 +594,20 @@ final class VectorEngine(
       ("ivf_postings", Schemas.ivfPostings, Seq(col("centroid_id"))),
       ("ivfpq_codes", Schemas.ivfpqCodes, Seq(col("centroid_id"))),
       ("ivfsq8_codes", Schemas.ivfsq8Codes, Seq(col("centroid_id"))),
-      ("lsh_buckets", Schemas.lshBuckets, Seq(col("table_id"), col("signature"))))
+      ("lsh_buckets", Schemas.lshBuckets, Seq(col("table_id"), col("signature"))),
+      // NSW adjacency: the walk reads edges by src_id `isin` (one beam
+      // per round) and postings by chunk_id `isin` — range-slicing +
+      // sorting by the probe key turns both into row-group skips. The
+      // tie column below must EXIST in the table; nsw_edges has no
+      // chunk_id, so its spec carries its own full key.
+      ("nsw_edges", Schemas.nswEdges, Seq(col("src_id"), col("dst_id"))))
     specs.collect { case (t, sch, keys) if store.exists(t) =>
       val part = store.read(t, sch).filter(col("library_id") === libId)
+      val fullKeys =
+        if (t == "nsw_edges") keys else keys :+ col("chunk_id")
       val ordered = part
-        .repartitionByRange(files, keys :+ col("chunk_id"): _*)
-        .sortWithinPartitions(keys :+ col("chunk_id"): _*)
+        .repartitionByRange(files, fullKeys: _*)
+        .sortWithinPartitions(fullKeys: _*)
         .select(sch.fieldNames.toIndexedSeq.map(col): _*)
       val v = store.writeLibraryPartition(t, libId, ordered)
       maybeVacuum()

@@ -597,6 +597,39 @@ object EngineQueries {
   private def nswDetRecall(s: SparkSession, d: String): DataFrame =
     recallOf(s, d, nswConfig)
 
+  /** Search over a LAYOUT-OPTIMIZED adjacency table: the nsw fixture
+    * hardlink-cloned, its edge table range-sliced + sorted by src_id
+    * (`optimizeIndexLayout`), then the standard walk — the oracle is
+    * `x_engine_nsw_det`'s replay VERBATIM (pure layout change, the
+    * sq8_compacted/ivfdet_layout precedent). The walk's per-round edge
+    * reads are intermediate jobs, so scan economy is asserted on a
+    * self-contained probe the entry controls (the optimizeLayout box()
+    * discipline): one beam-shaped `src_id isin` read over the sliced
+    * table must emit STRICTLY fewer rows than the edge count, with the
+    * In filter pushed to the scan.
+    */
+  private def engineNswDetLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftScanBridge
+    val (base, lib, q) = engineFixture(s, d, nswConfig)
+    val eng = new VectorEngine(s, linkCloneStore(base.storeRoot), fixedClock)
+    eng.optimizeIndexLayout(lib, files = 8)
+    val hits = hitsOut(eng.search(lib, q, k = 10))
+    val hitIds = hits.collect().map(r => f"c${r.getInt(0)}%06d").toIndexedSeq
+    val edges = new graft.engine.StateStore(s, eng.storeRoot)
+      .read("nsw_edges", graft.engine.Schemas.nswEdges)
+      .filter(col("library_id") === lib)
+    val total = edges.count()
+    val probe = edges.filter(col("src_id").isin(hitIds: _*))
+    probe.collect()
+    val (_, scanned) = GraftScanBridge.scanStats(probe)
+    val plan = GraftScanBridge.executedPlanString(probe)
+    require(plan.contains("In(src_id"),
+      s"beam pushdown missing from the adjacency scan:\n$plan")
+    require(scanned < total,
+      s"no row-group skipping on the sliced adjacency: read $scanned of $total")
+    hits
+  }
+
   /** The PQ index family through the engine: codebook build + encode at
     * rebuild, ADC candidate scan + exact rerank at search — content-
     * derived codebooks make the WHOLE path DuckDB-replayable, so this is
@@ -1464,6 +1497,7 @@ object EngineQueries {
     "x_engine_nswdet_incremental" -> (engineNswDetIncremental _),
     "x_engine_nswdet_degreestats" -> (engineNswDegreeStats _),
     "x_engine_nswdet_annjoin"     -> (engineNswDetAnnJoin _),
+    "x_engine_nswdet_layout"      -> (engineNswDetLayout _),
     "x_nswdet_recall"             -> (nswDetRecall _),
     "x_engine_ivfdet_cellstats" -> (engineIvfDetCellStats _),
     "x_engine_lshdet_bucketstats" -> (engineLshDetBucketStats _),
@@ -2844,6 +2878,12 @@ object EngineQueries {
     // the distributed frontier-join walk must land on the per-query
     // walk's hits: three tag-suffixed walk replays over ONE edge build
     "x_engine_nswdet_annjoin" -> nswBatchSql,
+    // adjacency-layout optimization is a pure LAYOUT change: the sliced
+    // walk must land on exactly the nsw_det sibling's hits
+    "x_engine_nswdet_layout" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesFor("", 0)}
+         |$nswHitsSelect""".stripMargin,
     "x_nswdet_recall" ->
       s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
          |${nswWalkCtesFor("", 0)},
