@@ -1227,6 +1227,52 @@ object EngineQueries {
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
   }
 
+  /** STREAMING ANN through the NSW graph — the walk is iterative (not a
+    * single streaming-compatible plan like the ADC families'
+    * annJoinStream), so the stream runs it per micro-batch via
+    * foreachBatch -> `annJoin` (the distributed frontier-join walk),
+    * writing each batch to an overwrite `b<id>` subdir (the r12
+    * at-least-once idempotence discipline). The family is zero-RNG, so
+    * all 25 streamed answers hash-check against the uniform batched
+    * replay.
+    */
+  private def engineStreamAnnNsw(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, nswConfig)
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val qStream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = graft.TempDirs.scratch("graft-stream-nsw").toString
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = qStream.writeStream
+        .option("checkpointLocation",
+          graft.TempDirs.scratch("graft-stream-nsw-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          eng.annJoin(lib, batch, k = 10)
+            .select(col("query_id"), col("chunk_id"), col("score"))
+            .write.mode("overwrite").parquet(s"$out/b$bid")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.read.parquet(s"$out/*")
+      .select(col("query_id"),
+        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
     * first recall metric with a full DuckDB oracle: both the approximate
     * side (the whole ivfpq replay) and the exact side are SQL, so the
@@ -1517,6 +1563,7 @@ object EngineQueries {
     "x_engine_pq_annjoin"    -> (enginePqAnnJoin _),
     "e_stream_ann"           -> (engineStreamAnn _),
     "e_stream_ann_ivfsq8"    -> (engineStreamAnnIvfSq8 _),
+    "e_stream_ann_nsw"       -> (engineStreamAnnNsw _),
     "x_lsh_recall"           -> (lshRecall _),
     "x_ivf_recall"           -> (ivfRecall _),
     "x_ivfpq_recall"         -> (ivfpqRecall _),
@@ -2245,23 +2292,61 @@ object EngineQueries {
        |FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  /** Batched walk replay: the shared corpus/edge CTEs once, one
-    * tag-suffixed walk per query, per-query top-10 exact rerank.
+  /** Batched walk replay, UNIFORM in query_id (no per-query unrolling —
+    * the frontier-join walk's own shape): every CTE carries query_id and
+    * the beam cuts are per-query windows, so ONE template replays the
+    * 3-query annJoin entry and the 25-query streaming entry alike.
     */
-  private def nswBatchSql: String = {
-    val walks = Seq(0, 1, 2).map(q => nswWalkCtesFor(s"_q$q", q))
-      .mkString(",\n")
-    val branches = Seq(0, 1, 2).map { q =>
-      s"""SELECT CAST($q AS BIGINT) AS query_id, vec_id, score FROM (
-         |  SELECT vv.vec_id AS vec_id,
-         |         ${rndSql(s"list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = $q))", 6)} AS score
-         |  FROM vis${nswConfig.nswRounds}_q$q vv JOIN vn v ON v.vec_id = vv.vec_id
-         |  ORDER BY score DESC, vec_id ASC LIMIT 10)""".stripMargin
-    }.mkString("\nUNION ALL\n")
+  private def nswBatchSqlFor(queryPred: String): String = {
+    val beam = math.max(nswConfig.nswBeam, 10)
+    val rounds = (1 to nswConfig.nswRounds).map { i =>
+      s"""beam${i - 1} AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY s DESC, vec_id ASC) AS rn
+        |    FROM vis${i - 1}) WHERE rn <= $beam),
+        |nbr$i AS (
+        |  SELECT DISTINCT b.query_id, ne.dst AS vec_id
+        |  FROM edges ne JOIN beam${i - 1} b ON ne.src = b.vec_id),
+        |vis$i AS (
+        |  SELECT query_id, vec_id, s FROM vis${i - 1}
+        |  UNION
+        |  SELECT n.query_id, n.vec_id, list_dot_product(v.vnormf, q.qv) AS s
+        |  FROM nbr$i n JOIN vn v USING (vec_id)
+        |       JOIN qset q USING (query_id))""".stripMargin
+    }.mkString(",\n")
     s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
-       |$walks
+       |qset AS (
+       |  SELECT vec_id AS query_id, vnormf AS qv, emb AS qraw
+       |  FROM vn WHERE $queryPred),
+       |qcell AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_dot_product(c.cvec, q.qv) DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM qset q, cents c) WHERE rn = 1),
+       |vis0 AS (
+       |  SELECT query_id, vec_id, s FROM (
+       |    SELECT qc.query_id, p.vec_id,
+       |           list_dot_product(v.vnormf, q.qv) AS s,
+       |           row_number() OVER (PARTITION BY qc.query_id
+       |             ORDER BY list_dot_product(v.vnormf, q.qv) DESC,
+       |                      p.vec_id ASC) AS rn
+       |    FROM qcell qc JOIN postings p USING (centroid_id)
+       |         JOIN vn v USING (vec_id)
+       |         JOIN qset q USING (query_id))
+       |  WHERE rn <= $beam),
+       |$rounds
        |SELECT query_id, vec_id, score FROM (
-       |$branches)
+       |  SELECT vv.query_id, vv.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnormf, q.qraw)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY vv.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, q.qraw)", 6)} DESC,
+       |                    vv.vec_id ASC) AS rn
+       |  FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+       |       JOIN qset q USING (query_id))
+       |WHERE rn <= 10
        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
   }
 
@@ -2876,8 +2961,11 @@ object EngineQueries {
          |FROM postings p LEFT JOIN deg d ON d.src = p.vec_id
          |GROUP BY 1 ORDER BY degree ASC""".stripMargin,
     // the distributed frontier-join walk must land on the per-query
-    // walk's hits: three tag-suffixed walk replays over ONE edge build
-    "x_engine_nswdet_annjoin" -> nswBatchSql,
+    // walk's hits: the uniform batched replay at vec 0, 1, 2
+    "x_engine_nswdet_annjoin" -> nswBatchSqlFor("vec_id < 3"),
+    // the streamed micro-batches must land on the identical hits: the
+    // same uniform replay widened to the 25-query stream
+    "e_stream_ann_nsw" -> nswBatchSqlFor("vec_id < 25"),
     // adjacency-layout optimization is a pure LAYOUT change: the sliced
     // walk must land on exactly the nsw_det sibling's hits
     "x_engine_nswdet_layout" ->
