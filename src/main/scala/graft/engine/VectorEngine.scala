@@ -1589,10 +1589,7 @@ final class VectorEngine(
         if (isZero) return emptyHits()
         val qn = LshIndex.normalizeDriver(query).get
         nswWalkIds(libId, config, qn, k) match {
-          case None =>
-            // graph not built yet -> full flat scan (as the other paths)
-            flatScore(applyPre(libChunks, filters, preFilter), query, metric)
-          case Some(ids) =>
+          case Some(ids) if ids.nonEmpty =>
             // preFilter restricts the RESULT candidate set, not the walk:
             // filtering nodes out of the traversal would break the
             // graph's navigability (the HNSW filtered-search rule) — a
@@ -1601,6 +1598,11 @@ final class VectorEngine(
               .filter(col("chunk_id").isin(ids: _*))
               .select(col("chunk_id"), col("embedding_norm"))
             rerank(restrict(cands), query, metric)
+          case _ =>
+            // graph not built yet, OR the walk found nothing (the query's
+            // entry cell was emptied by deletes — no seed to hop from):
+            // full flat scan, as the other families' not-built paths
+            flatScore(applyPre(libChunks, filters, preFilter), query, metric)
         }
       case "pq" | "pq_trained" =>
         if (isZero) return emptyHits()

@@ -171,6 +171,24 @@ class NswSpec extends AnyFunSuite {
     assert(eng.search(lib, q, k = 1).collect().head.getString(0) == "c007")
   }
 
+  test("nsw guards: emptied entry cell falls back to the flat scan") {
+    val (eng, _, lib) = freshBuilt()
+    val doc2 = eng.createDocument(lib)
+    // wipe the built corpus (edges + postings go with it), then add ONE
+    // node against the frozen empty graph
+    eng.deleteChunks(lib, corpus().map(_._1))
+    val v = Array.tabulate(Dim)(j => if (j == 2) 1.0f else 0.05f)
+    eng.upsertChunks(lib, doc2, Seq(
+      ChunkIn(text = "lone", embedding = Some(v), position = 0,
+        id = Some("lone01"))))
+    // the negated query's entry cell is (near-)opposite the node's cell,
+    // so the walk finds nothing and the search must still answer via the
+    // flat fallback instead of returning zero hits
+    val hits = eng.search(lib, v.map(-_), k = 3).collect()
+    assert(hits.length == 1 && hits.head.getString(0) == "lone01")
+    assert(hits.head.getDouble(hits.head.fieldIndex("score")) < 0)
+  }
+
   test("nsw guards: zero query empty, flat fallback before rebuild") {
     val dir = graft.TempDirs.scratch("graft-nsw-guard").toString
     val eng = new VectorEngine(spark, dir, fixedClock)
