@@ -263,6 +263,21 @@ object EngineQueries {
     hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
   }
 
+  /** searchText through the GRAPH family: the text fixture re-indexed
+    * nsw_det (CAS + rebuild — seeds cells, assigns postings, builds the
+    * edge table over the 16-dim embedded documents), then the embedded
+    * text query through the beam walk. The oracle composes the SAME
+    * corpus-parameterized nsw template as the 64-dim entries with the
+    * SAME embed/query CTEs as the other searchText entries — neither
+    * replay can drift from its sibling.
+    */
+  private def engineSearchTextNsw(s: SparkSession, d: String): DataFrame = {
+    val (_, baseRoot, lib) = textEngineFixture(s, d)
+    val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+    eng.updateIndexConfig(lib, nswConfig)
+    hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
+  }
+
   /** Search over INDEX-LAYOUT-OPTIMIZED postings: the shared ivf_det
     * fixture hardlink-cloned, its posting table range-sliced + sorted by
     * `centroid_id` (`VectorEngine.optimizeIndexLayout`), then the
@@ -1607,6 +1622,7 @@ object EngineQueries {
     "x_engine_search_text"          -> (engineSearchText _),
     "x_engine_search_text_filtered" -> (engineSearchTextFiltered _),
     "x_engine_search_text_sq8"      -> (engineSearchTextSq8 _),
+    "x_engine_search_text_nsw"      -> (engineSearchTextNsw _),
     "x_engine_optimize_layout"      -> (engineOptimizeLayout _),
     "x_engine_ivfdet_layout"        -> (engineIvfDetLayout _),
     "x_engine_dedup_storage"        -> (engineDedupStorage _),
@@ -2202,7 +2218,18 @@ object EngineQueries {
     */
   private def nswCorpusCtesWith(baseOf: String => String,
       liveOf: String => String): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    nswCorpusCtesOver(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+      baseOf, liveOf)
+
+  /** The same graph replay over ANY (vec_id, emb DOUBLE[]) corpus — the
+    * corpus-parameterized form (the sq8CorpusCtesOver precedent) the
+    * searchText entry reuses over the embedded documents at dim 16, so
+    * the 64-dim and 16-dim replays share one template and cannot drift.
+    */
+  private def nswCorpusCtesOver(corpusSelect: String,
+      baseOf: String => String, liveOf: String => String): String =
+    s"""e AS ($corpusSelect),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
       |  SELECT vec_id, emb,
@@ -2254,12 +2281,18 @@ object EngineQueries {
     * cell, each round scores the beam's neighbors (UNION dedup — scores
     * recompute identically) and re-cuts the beam by (s desc, id asc).
     */
-  private def nswWalkCtesFor(tag: String, qid: Int): String = {
+  private def nswWalkCtesFor(tag: String, qid: Int): String =
+    nswWalkCtesOver(tag,
+      "SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(" +
+        s"list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v FROM e WHERE vec_id = $qid")
+
+  /** The walk over ANY one-row (v DOUBLE[]) float-normalized query CTE
+    * (the searchText entries feed the embedded query through here).
+    */
+  private def nswWalkCtesOver(tag: String, qnSelect: String): String = {
     val beam = math.max(nswConfig.nswBeam, 10)
     val head =
-      s"""qn$tag AS (
-        |  SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
-        |  FROM e WHERE vec_id = $qid),
+      s"""qn$tag AS ($qnSelect),
         |qcell$tag AS (
         |  SELECT centroid_id FROM cents, qn$tag
         |  ORDER BY list_dot_product(cvec, qn$tag.v) DESC, centroid_id ASC
@@ -2287,8 +2320,11 @@ object EngineQueries {
   }
 
   private val nswHitsSelect =
+    nswHitsSelectOver("(SELECT emb FROM e WHERE vec_id = 0)")
+
+  private def nswHitsSelectOver(rawQuerySql: String): String =
     s"""SELECT vv.vec_id AS vec_id,
-       |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |       ${rndSql(s"list_cosine_similarity(v.vnormf, $rawQuerySql)", 6)} AS score
        |FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
@@ -2674,6 +2710,21 @@ object EngineQueries {
          |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT qv FROM qv))", 6)} AS score
          |FROM cand c JOIN vn v USING (vec_id)
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // searchText through the graph family: the corpus-parameterized nsw
+    // replay over the embedded documents (dim 16), walked from the
+    // float-normalized embedded query, exact rerank vs the RAW embedded
+    // query per quirk Q1
+    "x_engine_search_text_nsw" ->
+      s"""WITH ${TextQueries.embedCtesSql},
+         |ev AS (SELECT doc_id AS vec_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
+         |       FROM emb GROUP BY doc_id),
+         |${TextQueries.embedQueryCtesSql(searchTextQueryTokListSql)},
+         |${nswCorpusCtesOver("SELECT vec_id, emb FROM ev",
+             _ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesOver("",
+             "SELECT CAST(list_transform(qv, x -> CAST(x / sqrt(" +
+               "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS v FROM qv")}
+         |${nswHitsSelectOver("(SELECT qv FROM qv)")}""".stripMargin,
     // x_engine_optimize_layout: the box-query result is layout-INVARIANT
     // (the skipping proof lives in the entry's scan-metric requires);
     // the oracle replays position = doc_id, token_count = analysis token
