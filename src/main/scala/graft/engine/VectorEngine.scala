@@ -1442,8 +1442,8 @@ final class VectorEngine(
         store.writeLibraryPartition("ivf_postings", libId,
           IvfIndex.assignToCentroids(libChunks, cents, libId))
         store.writeLibraryPartition("nsw_edges", libId,
-          graft.index.NswIndex.buildEdges(libChunks, cents, libId,
-            config.ivfNprobe, config.nswDegree))
+          graft.index.NswIndex.buildEdges(libChunks, cents,
+            ivfPostings(libId), libId, config.ivfNprobe, config.nswDegree))
         dropLshTables(libId)
         dropPqTables(libId)
         dropIvfPqTables(libId)

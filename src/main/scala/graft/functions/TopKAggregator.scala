@@ -20,16 +20,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * cut-off logic exists exactly once; input rows are (key, id, score)
   * with the key carried by groupByKey.
   */
-class TopKByScore[I](k: Int)(implicit idOrd: Ordering[I],
+class TopKByScore[K, I](k: Int)(implicit idOrd: Ordering[I],
     seqEnc: Encoder[Seq[(Double, I)]])
-    extends Aggregator[(Long, I, Double), Seq[(Double, I)], Seq[(Double, I)]] {
+    extends Aggregator[(K, I, Double), Seq[(Double, I)], Seq[(Double, I)]] {
 
   private def better(a: (Double, I), b: (Double, I)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && idOrd.lt(a._2, b._2))
 
   override def zero: Seq[(Double, I)] = Vector.empty
 
-  override def reduce(buf: Seq[(Double, I)], in: (Long, I, Double)): Seq[(Double, I)] = {
+  override def reduce(buf: Seq[(Double, I)], in: (K, I, Double)): Seq[(Double, I)] = {
     val x = (in._3, in._2)
     if (buf.length >= k && better(buf.last, x)) buf // below the cut: drop
     else ((buf :+ x).sortWith(better)).take(k)
@@ -48,10 +48,17 @@ object TopKAggregator {
   /** Convenience for Long-id callers, encoders resolved at the call site
     * (`import spark.implicits._`).
     */
-  def topK(k: Int)(implicit seqEnc: Encoder[Seq[(Double, Long)]]): TopKByScore[Long] =
-    new TopKByScore[Long](k)
+  def topK(k: Int)(implicit seqEnc: Encoder[Seq[(Double, Long)]]): TopKByScore[Long, Long] =
+    new TopKByScore[Long, Long](k)
 
   /** String-id variant (engine chunk ids). */
-  def topKStr(k: Int)(implicit seqEnc: Encoder[Seq[(Double, String)]]): TopKByScore[String] =
-    new TopKByScore[String](k)
+  def topKStr(k: Int)(implicit seqEnc: Encoder[Seq[(Double, String)]]): TopKByScore[Long, String] =
+    new TopKByScore[Long, String](k)
+
+  /** String-keyed, string-id variant (per-node graph cuts — the key slot
+    * is unused by the fold; it only has to match the element type).
+    */
+  def topKStrKey(k: Int)(implicit seqEnc: Encoder[Seq[(Double, String)]])
+      : TopKByScore[String, String] =
+    new TopKByScore[String, String](k)
 }

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Schemas
@@ -34,8 +33,9 @@ import graft.functions.VectorFunctions._
   * Scale shape: the adjacency table is (src, dst) strings only — vectors
   * live once in ivf_postings and are hydrated by pushed `isin` id filters.
   * Build shuffles candidate pairs keyed by cell (bounded by cell size x
-  * nprobe per node); the per-node top-degree is one window over those
-  * bounded pairs. Search reads edges/postings with beam-bounded id
+  * nprobe per node); the per-node top-degree is a k-bounded partial
+  * aggregation over those bounded pairs (map-side combine — hot cells
+  * never shuffle their full pair set). Search reads edges/postings with beam-bounded id
   * pushdowns — per-query work never scans the corpus.
   */
 object NswIndex {
@@ -61,15 +61,19 @@ object NswIndex {
     * reverse-edge union.
     */
   def buildEdges(chunksDf: DataFrame, centroidsDf: DataFrame,
-      libraryId: String, nprobe: Int, degree: Int): DataFrame = {
+      postingsDf: DataFrame, libraryId: String, nprobe: Int,
+      degree: Int): DataFrame = {
     val cents = collectCentroids(centroidsDf)
     if (cents.isEmpty) return emptyEdges(chunksDf.sparkSession)
-    val data = normalized(chunksDf)
-    val vside = data.select(
+    // v-side straight from the just-written postings (the rebuild's own
+    // assignment pass — re-deriving argmax cells here would scan the
+    // chunk store a second time for identical values)
+    val vside = postingsDf.select(
       col("chunk_id").as("dst_id"),
-      transform(col("vnorm"), _.cast("float")).as("dvec"),
-      PqExpressions.argmaxDot(col("vnorm"), cents).as("cell"))
-    edgesFrom(probeSide(data, cents, nprobe), vside, libraryId, degree)
+      col("embedding_norm").as("dvec"),
+      col("centroid_id").as("cell"))
+    edgesFrom(probeSide(normalized(chunksDf), cents, nprobe), vside,
+      libraryId, degree)
   }
 
   /** Incremental edges for a NEW batch against the FROZEN graph state:
@@ -105,18 +109,28 @@ object NswIndex {
 
   private def edgesFrom(uside: DataFrame, vside: DataFrame,
       libraryId: String, degree: Int): DataFrame = {
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("pscore").desc, col("dst_id").asc)
+    val spark = uside.sparkSession
+    import spark.implicits._
+    // per-node top-degree via the k-bounded PARTIAL aggregator, not a
+    // window: the window formulation shuffled + sorted every candidate
+    // pair (and the reverse-union below would evaluate it twice — a
+    // measured ~10s on the 5k-doc text corpus); the aggregator's map-side
+    // combine reduces each partition to <= degree rows per node before
+    // the shuffle. Ordering (pscore desc, dst asc) is the same Q7 cut.
+    // localCheckpoint: the union reads `dir` twice — materialize the
+    // <= degree * |nodes| rows once.
+    // (candidate pairs are already distinct: assignment is argmax, so a
+    // dst appears at most once among a node's probe cells)
     val dir = uside.join(vside, "cell")
       .filter(col("src_id") =!= col("dst_id"))
-      // candidate sets can overlap across a node's probe cells only if a
-      // dst were assigned to two cells — assignment is argmax (unique), so
-      // pairs are already distinct
       .select(col("src_id"), col("dst_id"),
         dotProduct(col("svec"), col("dvec")).as("pscore"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= degree)
-      .select(col("src_id"), col("dst_id"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topKStrKey(degree).toColumn)
+      .flatMap { case (src, hits) => hits.map(h => (src, h._2)) }
+      .toDF("src_id", "dst_id")
+      .localCheckpoint()
     dir.unionAll(dir.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
       .distinct()
       .select(lit(libraryId).as("library_id"), col("src_id"), col("dst_id"))

@@ -271,10 +271,20 @@ object EngineQueries {
     * SAME embed/query CTEs as the other searchText entries — neither
     * replay can drift from its sibling.
     */
+  /** The text corpus is denser (5k docs at sf0.1, 16-dim all-positive
+    * hashed embeddings concentrate on a few cells) — K=32 keeps the edge
+    * build's per-node candidate sets cell-bounded instead of letting two
+    * hot cells approach all-pairs (measured 28s -> ~3s at sf0.1). The
+    * SAME config feeds the oracle template, so the replay cannot drift.
+    */
+  // lazy: declared above nswConfig in file order (object vals initialize
+  // in declaration order, so an eager copy would read null)
+  private lazy val nswTextConfig = nswConfig.copy(ivfNumCentroids = 32)
+
   private def engineSearchTextNsw(s: SparkSession, d: String): DataFrame = {
     val (_, baseRoot, lib) = textEngineFixture(s, d)
     val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
-    eng.updateIndexConfig(lib, nswConfig)
+    eng.updateIndexConfig(lib, nswTextConfig)
     hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
   }
 
@@ -1281,7 +1291,9 @@ object EngineQueries {
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", old)
-    s.read.parquet(s"$out/*")
+    // recursiveFileLookup over the real parent dir (a `/*` glob trips
+    // FileStreamSink's metadata probe into a WARN-with-stacktrace)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
       .select(col("query_id"),
         expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
         rnd(col("score"), 6).as("score"))
@@ -2228,7 +2240,8 @@ object EngineQueries {
     * the 64-dim and 16-dim replays share one template and cannot drift.
     */
   private def nswCorpusCtesOver(corpusSelect: String,
-      baseOf: String => String, liveOf: String => String): String =
+      baseOf: String => String, liveOf: String => String,
+      cfg: IndexConfig = nswConfig): String =
     s"""e AS ($corpusSelect),
       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
       |vn AS (
@@ -2239,7 +2252,7 @@ object EngineQueries {
       |seeds AS (
       |  SELECT vec_id FROM vn WHERE ${baseOf("vec_id")}
       |  ORDER BY md5('c' || lpad(CAST(vec_id AS VARCHAR), 6, '0')) ASC
-      |  LIMIT ${nswConfig.ivfNumCentroids}),
+      |  LIMIT ${cfg.ivfNumCentroids}),
       |cents AS (
       |  SELECT row_number() OVER (ORDER BY s.vec_id ASC) - 1 AS centroid_id,
       |         v.vnormf AS cvec
@@ -2254,7 +2267,7 @@ object EngineQueries {
       |postings AS (SELECT vec_id, centroid_id FROM assign
       |             WHERE ${liveOf("vec_id")}),
       |probe AS (SELECT vec_id, centroid_id FROM crank
-      |          WHERE rn <= ${nswConfig.ivfNprobe}),
+      |          WHERE rn <= ${cfg.ivfNprobe}),
       |cand AS (
       |  SELECT p.vec_id AS u, a.vec_id AS v
       |  FROM probe p JOIN assign a USING (centroid_id)
@@ -2267,7 +2280,7 @@ object EngineQueries {
       |                      c.v ASC) AS rn
       |    FROM cand c JOIN vn vu ON vu.vec_id = c.u
       |                JOIN vn vv ON vv.vec_id = c.v)
-      |  WHERE rn <= ${nswConfig.nswDegree}),
+      |  WHERE rn <= ${cfg.nswDegree}),
       |edges AS (
       |  SELECT src, dst FROM (
       |    SELECT u AS src, v AS dst FROM knn
@@ -2289,8 +2302,9 @@ object EngineQueries {
   /** The walk over ANY one-row (v DOUBLE[]) float-normalized query CTE
     * (the searchText entries feed the embedded query through here).
     */
-  private def nswWalkCtesOver(tag: String, qnSelect: String): String = {
-    val beam = math.max(nswConfig.nswBeam, 10)
+  private def nswWalkCtesOver(tag: String, qnSelect: String,
+      cfg: IndexConfig = nswConfig): String = {
+    val beam = math.max(cfg.nswBeam, 10)
     val head =
       s"""qn$tag AS ($qnSelect),
         |qcell$tag AS (
@@ -2303,7 +2317,7 @@ object EngineQueries {
         |    FROM postings p JOIN vn v USING (vec_id), qn$tag
         |    WHERE p.centroid_id = (SELECT centroid_id FROM qcell$tag))
         |  ORDER BY s DESC, vec_id ASC LIMIT $beam)""".stripMargin
-    val rounds = (1 to nswConfig.nswRounds).map { i =>
+    val rounds = (1 to cfg.nswRounds).map { i =>
       s"""beam${i - 1}$tag AS (
         |  SELECT vec_id FROM vis${i - 1}$tag
         |  ORDER BY s DESC, vec_id ASC LIMIT $beam),
@@ -2322,10 +2336,11 @@ object EngineQueries {
   private val nswHitsSelect =
     nswHitsSelectOver("(SELECT emb FROM e WHERE vec_id = 0)")
 
-  private def nswHitsSelectOver(rawQuerySql: String): String =
+  private def nswHitsSelectOver(rawQuerySql: String,
+      cfg: IndexConfig = nswConfig): String =
     s"""SELECT vv.vec_id AS vec_id,
        |       ${rndSql(s"list_cosine_similarity(v.vnormf, $rawQuerySql)", 6)} AS score
-       |FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+       |FROM vis${cfg.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** Batched walk replay, UNIFORM in query_id (no per-query unrolling —
@@ -2720,11 +2735,12 @@ object EngineQueries {
          |       FROM emb GROUP BY doc_id),
          |${TextQueries.embedQueryCtesSql(searchTextQueryTokListSql)},
          |${nswCorpusCtesOver("SELECT vec_id, emb FROM ev",
-             _ => "TRUE", _ => "TRUE")},
+             _ => "TRUE", _ => "TRUE", nswTextConfig)},
          |${nswWalkCtesOver("",
              "SELECT CAST(list_transform(qv, x -> CAST(x / sqrt(" +
-               "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS v FROM qv")}
-         |${nswHitsSelectOver("(SELECT qv FROM qv)")}""".stripMargin,
+               "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS v FROM qv",
+             nswTextConfig)}
+         |${nswHitsSelectOver("(SELECT qv FROM qv)", nswTextConfig)}""".stripMargin,
     // x_engine_optimize_layout: the box-query result is layout-INVARIANT
     // (the skipping proof lives in the entry's scan-metric requires);
     // the oracle replays position = doc_id, token_count = analysis token
