@@ -179,6 +179,20 @@ class EngineFuzzSpec extends AnyFunSuite {
     indexedWalk("sq8", IndexConfig("sq8"), seed0 = 31, tag = "graft-fuzz5")
   }
 
+  /** NSW walk under churn with a FULL-COVERAGE config: one seed cell
+    * (the whole corpus) and a beam wider than the id space put every
+    * live node into beam0, so the graph machinery has no room to drop a
+    * true neighbor — the incremental edge build on upsert, the
+    * src/dst-anti-join removal on delete, and the posting maintenance
+    * must keep `search` exactly equal to the model's quirk-Q1 top-k at
+    * every step (and the periodic batch check runs the per-query walk).
+    */
+  test("150 random verbs against an NSW library: incremental maintenance stays exact (seed 37)") {
+    indexedWalk("nsw", IndexConfig("nsw_det", ivfNumCentroids = 1,
+      ivfNprobe = 1, nswBeam = 64, nswRounds = 1),
+      seed0 = 37, tag = "graft-fuzz-nsw")
+  }
+
   test("150 random verbs against a PQ library: incremental maintenance stays exact (seed 37)") {
     indexedWalk("pq",
       IndexConfig("pq", pqSubspaces = 2, pqCodewords = 64),
