@@ -454,13 +454,11 @@ object EngineQueries {
     * quality metric BASELINE.md commits to measuring alongside latency.
     * Rows-only (seeded-RNG indexes), but deterministic run-to-run.
     */
-  private[queries] def recallOf(s: SparkSession, d: String,
-      config: IndexConfig): DataFrame = {
-    import s.implicits._
-    val (eng, lib, q) = engineFixture(s, d, config)
-    val approx = eng.search(lib, q, k = 10).collect()
-      .map(r => r.getString(0)).toSet
-    val exact = Tables.embeddings(s, d)
+  /** Exact flat top-10 for query vec 0 — the truth side shared by the
+    * recall metrics and the recall curve.
+    */
+  private def exactTop10(s: SparkSession, d: String): Set[String] =
+    Tables.embeddings(s, d)
       .crossJoin(broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))))
       .select(col("vec_id"),
@@ -469,8 +467,40 @@ object EngineQueries {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10).collect()
       .map(r => f"c${r.getLong(0)}%06d").toSet
+
+  private[queries] def recallOf(s: SparkSession, d: String,
+      config: IndexConfig): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = engineFixture(s, d, config)
+    val approx = eng.search(lib, q, k = 10).collect()
+      .map(r => r.getString(0)).toSet
+    val exact = exactTop10(s, d)
     val recall = (approx intersect exact).size.toDouble / exact.size
     Seq((0L, recall, approx.size)).toDF("query_id", "recall_at_10", "n_hits")
+  }
+
+  /** RECALL-vs-BEAM curve for the NSW walk (the ivfpqdet recall-curve
+    * discipline): the SAME graph walked at four beam widths — beam is a
+    * search-time knob, so each point re-uses the identical edge build
+    * via a config-keyed fixture clone — graded against the exact scan.
+    * Both sides replay in SQL, so the measured curve itself is
+    * hash-checked. The reading BASELINE.md records: what widening the
+    * beam buys on the near-orthogonal corpus where graph navigation is
+    * hardest.
+    */
+  private val nswCurveBeams = Seq(10, 16, 32, 64)
+
+  private def nswDetRecallCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = exactTop10(s, d)
+    val rows = nswCurveBeams.map { b =>
+      val (eng, lib, q) = engineFixture(s, d, nswConfig.copy(nswBeam = b))
+      val approx = eng.search(lib, q, k = 10).collect()
+        .map(_.getString(0)).toSet
+      (b, (approx intersect exact).size.toDouble / exact.size, approx.size)
+    }
+    rows.toDF("beam", "recall_at_10", "n_hits")
+      .orderBy(col("beam").asc)
   }
 
   private def lshRecall(s: SparkSession, d: String): DataFrame =
@@ -1572,6 +1602,13 @@ object EngineQueries {
     "x_engine_nswdet_annjoin"     -> (engineNswDetAnnJoin _),
     "x_engine_nswdet_layout"      -> (engineNswDetLayout _),
     "x_nswdet_recall"             -> (nswDetRecall _),
+    "x_nswdet_recall_curve"       -> (nswDetRecallCurve _),
+    "x_nswdet_ndcg"               -> ((s: SparkSession, d: String) =>
+                                        ndcgOf(s, d, nswConfig)),
+    "x_nswdet_mrr"                -> ((s: SparkSession, d: String) =>
+                                        mrrOf(s, d, nswConfig)),
+    "x_nswdet_map"                -> ((s: SparkSession, d: String) =>
+                                        mapOf(s, d, nswConfig)),
     "x_engine_ivfdet_cellstats" -> (engineIvfDetCellStats _),
     "x_engine_lshdet_bucketstats" -> (engineLshDetBucketStats _),
     "x_engine_pq_codestats" -> (enginePqCodeStats _),
@@ -2337,10 +2374,10 @@ object EngineQueries {
     nswHitsSelectOver("(SELECT emb FROM e WHERE vec_id = 0)")
 
   private def nswHitsSelectOver(rawQuerySql: String,
-      cfg: IndexConfig = nswConfig): String =
+      cfg: IndexConfig = nswConfig, tag: String = ""): String =
     s"""SELECT vv.vec_id AS vec_id,
        |       ${rndSql(s"list_cosine_similarity(v.vnormf, $rawQuerySql)", 6)} AS score
-       |FROM vis${cfg.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+       |FROM vis${cfg.nswRounds}$tag vv JOIN vn v ON v.vec_id = vv.vec_id
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** Batched walk replay, UNIFORM in query_id (no per-query unrolling —
@@ -2399,6 +2436,41 @@ object EngineQueries {
        |       JOIN qset q USING (query_id))
        |WHERE rn <= 10
        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
+  }
+
+  /** Recall-curve replay: one corpus/edge build, one walk per beam
+    * width (tag-suffixed CTEs), each graded against the shared exact
+    * top-10 — the whole measured curve hash-checks.
+    */
+  private def nswCurveSql: String = {
+    val qRaw = "(SELECT emb FROM e WHERE vec_id = 0)"
+    val qn = "SELECT CAST(list_transform(emb, x -> CAST(x / sqrt(" +
+      "list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v FROM e WHERE vec_id = 0"
+    val walks = nswCurveBeams.map { b =>
+      nswWalkCtesOver(s"_b$b", qn, nswConfig.copy(nswBeam = b))
+    }.mkString(",\n")
+    val hitCtes = nswCurveBeams.map { b =>
+      s"""hits_b$b AS (
+         |${nswHitsSelectOver(qRaw, nswConfig.copy(nswBeam = b), s"_b$b")})""".stripMargin
+    }.mkString(",\n")
+    val branches = nswCurveBeams.map { b =>
+      s"""SELECT CAST($b AS INTEGER) AS beam,
+         |       CAST((SELECT count(*) FROM hits_b$b JOIN exact USING (vec_id)) AS DOUBLE)
+         |         / (SELECT count(*) FROM exact) AS recall_at_10,
+         |       CAST((SELECT count(*) FROM hits_b$b) AS INTEGER) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+       |$walks,
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e2.vec_id,
+       |           ${rndSql("list_cosine_similarity(e2.emb, (SELECT emb FROM e WHERE vec_id = 0))", 6)} AS score
+       |    FROM e e2)
+       |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+       |$hitCtes
+       |SELECT beam, recall_at_10, n_hits FROM (
+       |$branches)
+       |ORDER BY beam ASC""".stripMargin
   }
 
   // x_engine_ivfpq replay (shared by the hits entry, the recall metric,
@@ -3043,6 +3115,23 @@ object EngineQueries {
       s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
          |${nswWalkCtesFor("", 0)},
          |${recallSqlTail(nswHitsSelect)}""".stripMargin,
+    // the measured recall-vs-beam curve, both sides SQL: one edge build,
+    // four tag-suffixed walks, shared exact truth
+    "x_nswdet_recall_curve" -> nswCurveSql,
+    // graded-relevance / first-hit / precision-profile quality of the
+    // walk, the lshdet/ivfsq8 metric discipline — both sides SQL
+    "x_nswdet_ndcg" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesFor("", 0)},
+         |${ndcgSqlTail(nswHitsSelect)}""".stripMargin,
+    "x_nswdet_mrr" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesFor("", 0)},
+         |${mrrSqlTail(nswHitsSelect)}""".stripMargin,
+    "x_nswdet_map" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${nswWalkCtesFor("", 0)},
+         |${mapSqlTail(nswHitsSelect)}""".stripMargin,
     // x_engine_pq: replay of the engine PQ family — float-normalized
     // vectors, md5-seed codebooks (codeword id in chunk_id order), 8x8
     // slices, argmin encode (dist asc, k asc), integer micro-unit ADC
