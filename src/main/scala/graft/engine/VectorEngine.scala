@@ -1515,9 +1515,14 @@ final class VectorEngine(
     * Post-filter semantics by default (quirk Q5); `preFilter = true` is the
     * documented deviation that filters the candidate pool first.
     */
+  /** `nswBeam` overrides the nsw_det walk's beam width for THIS query —
+    * the hnswlib/faiss efSearch convention (search-time quality/latency
+    * dial; the IndexConfig value is the default). Ignored by the other
+    * families.
+    */
   def search(libId: String, query: Array[Float], k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
-      preFilter: Boolean = false): DataFrame = {
+      preFilter: Boolean = false, nswBeam: Option[Int] = None): DataFrame = {
     val (dim, config, _) = getLibrary(libId)
     if (query.length != dim)
       throw new ValidationError(s"query dim ${query.length} != library dim $dim")
@@ -1588,7 +1593,7 @@ final class VectorEngine(
       case "nsw_det" =>
         if (isZero) return emptyHits()
         val qn = LshIndex.normalizeDriver(query).get
-        nswWalkIds(libId, config, qn, k) match {
+        nswWalkIds(libId, config, qn, k, nswBeam) match {
           case Some(ids) if ids.nonEmpty =>
             // preFilter restricts the RESULT candidate set, not the walk:
             // filtering nodes out of the traversal would break the
@@ -3031,7 +3036,8 @@ final class VectorEngine(
     * (callers fall back to the flat scan), Some(visited ids) otherwise.
     */
   private def nswWalkIds(libId: String, config: IndexConfig,
-      qn: Array[Float], k: Int): Option[Seq[String]] = {
+      qn: Array[Float], k: Int,
+      beamOverride: Option[Int] = None): Option[Seq[String]] = {
     val qlit = typedLit(qn.toSeq)
     val topCell: Array[Int] =
       if (!store.exists("ivf_centroids")) Array.empty[Int]
@@ -3043,7 +3049,7 @@ final class VectorEngine(
         .collect().map(_.getInt(0))
     if (topCell.isEmpty || !store.exists("nsw_edges")) None
     else Some {
-      val beamW = math.max(config.nswBeam, k)
+      val beamW = math.max(beamOverride.getOrElse(config.nswBeam), k)
       val posts = ivfPostings(libId)
       val edges = nswEdges(libId)
       def norm0(s: Double): Double = if (s == 0.0) 0.0 else s

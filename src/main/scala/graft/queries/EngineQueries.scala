@@ -493,9 +493,11 @@ object EngineQueries {
   private def nswDetRecallCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val exact = exactTop10(s, d)
+    // ONE graph (the shared nsw fixture), four query-time beams — beam is
+    // the efSearch-style search knob, so the curve never rebuilds edges
+    val (eng, lib, q) = engineFixture(s, d, nswConfig)
     val rows = nswCurveBeams.map { b =>
-      val (eng, lib, q) = engineFixture(s, d, nswConfig.copy(nswBeam = b))
-      val approx = eng.search(lib, q, k = 10).collect()
+      val approx = eng.search(lib, q, k = 10, nswBeam = Some(b)).collect()
         .map(_.getString(0)).toSet
       (b, (approx intersect exact).size.toDouble / exact.size, approx.size)
     }
