@@ -141,6 +141,10 @@ object PlanDump {
     "x_engine_nsw_det",         // beam walk: isin-pushed adjacency + posting reads per round, bounded rerank
     "x_engine_nswdet_annjoin",  // distributed frontier walk: per-round adjacency join + per-query beam window
     "x_engine_ivfdet_layout",   // nprobe isin pushed into the range-sliced postings scan (row-group skip)
+    // round 14 additions
+    "x_engine_hnsw_det",        // layered walk: level expr on postings, (layer,src) pushed descent reads, hybrid-seeded beam
+    "x_engine_nswdet_prefiltered", // allowed-set semi-join gates seed pool + frontier before the beam cut
+    "x_engine_search_text_dim64",  // 64-dim block-hash embed folded into the token scan, flat cosine tail
   )
 
   def main(args: Array[String]): Unit = {

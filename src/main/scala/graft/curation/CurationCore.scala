@@ -336,4 +336,130 @@ object CurationCore {
       .withColumn("keep",
         col("top_token_frac") <= 0.2 && col("top_bigram_frac") <= 0.18)
   }
+
+  /** MULTI-SCALE SPAN STRIP over any (idCol, text) relation — the
+    * transform tier `d_span_strip_multi` measures, generalized so the
+    * engine's curation verb runs the IDENTICAL arithmetic (one
+    * implementation, the bandRowsOf sharing discipline): for each window
+    * scale, windows whose exact text occurs in >= 2 distinct units are
+    * hot; every token position covered by a hot window at ANY scale is
+    * stripped. Returns (idCol, n_tokens, n_kept, strip_md5) per unit.
+    *
+    * 100 TB shape: per-scale gram explode + one hash-keyed hot-set group
+    * + a position anti-join — no pairwise joins anywhere; work is
+    * O(tokens x scales).
+    */
+  def spanStripCountsOf(df: DataFrame, idCol: String,
+      scales: Seq[Int]): DataFrame = {
+    val base = df.select(col(idCol), toks.as("tk"))
+    val cov = scales.map { wlen =>
+      val gt = base
+        .select(col(idCol),
+          posexplode(shingles(col("tk"), wlen)).as(Seq("p0", "g")))
+        .select(col(idCol), (col("p0") + 1).as("p"), col("g"))
+      val hot = gt.select(col("g"), col(idCol)).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      gt.join(hot, "g")
+        .select(col(idCol),
+          explode(sequence(col("p"), col("p") + wlen - 1)).as("pos"))
+    }.reduce(_ unionAll _).distinct()
+    val tok = base
+      .select(col(idCol), posexplode(col("tk")).as(Seq("i0", "tok")))
+      .select(col(idCol), (col("i0") + 1).as("i"), col("tok"))
+    val kept = tok.as("t").join(cov.as("c"),
+      col(s"t.$idCol") === col(s"c.$idCol") && col("t.i") === col("c.pos"),
+      "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok"))).as("stripped"))
+    base.select(col(idCol), size(col("tk")).as("n_tokens"))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        md5(coalesce(col("stripped"), lit(""))).as("strip_md5"))
+  }
+
+  /** FIRST-OCCURRENCE SUBSTRING STRIP over per-shard token streams —
+    * the `d_substring_strip` transform (Lee et al.: keep each duplicated
+    * substring's first occurrence, strip the rest) generalized to any
+    * (shard, unit, order, text) relation so the engine tier streams a
+    * DOCUMENT's chunks where the query entry streams synthetic long-doc
+    * shards; CurateSpec pins the two surfaces equal on a shard-matched
+    * corpus. Returns per-UNIT (unitCol, n_tokens, n_kept) — a shard's
+    * totals are its units' sums, which is how the spec grades against
+    * the per-shard entry.
+    *
+    * Pipeline (subRuns' chunk-parallel gram construction): global
+    * positions from one per-shard running sum; duplicated subL-gram
+    * starts from chunk-local shingles (chunks overlap subL-1 so no
+    * boundary gram is lost); hot grams (>= 2 occurrences corpus-wide);
+    * maximal runs by position-gap grouping; span extents rehydrated and
+    * md5'd; spans ranked (shard asc, start asc) per passage md5 — every
+    * NON-first span's positions strip.
+    */
+  def substringStripCountsOf(member: DataFrame, shardCol: String,
+      unitCol: String, ordCols: Seq[org.apache.spark.sql.Column],
+      subL: Int, subC: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = member.select(col(shardCol).as("sid"), col(unitCol).as("unit"),
+        struct(ordCols: _*).as("ord"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+    val wOff = Window.partitionBy(col("sid")).orderBy(col("ord").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tokStream = m
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("sid"), col("unit"), col("off"), posexplode(col("tk")))
+      .select(col("sid"), col("unit"), (col("off") + col("pos")).as("gpos"),
+        col("col").as("tok"))
+    val ts = tokStream.withColumn("c0", expr(s"gpos DIV $subC"))
+    val dup = ts.select(col("sid"), col("gpos"), col("tok"),
+      explode(when(pmod(col("gpos"), lit(subC.toLong)) <= subL - 2 &&
+          col("c0") > 0, array(col("c0"), col("c0") - 1))
+        .otherwise(array(col("c0")))).as("chunk"))
+    val grams = dup.groupBy(col("sid"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("gpos"), col("tok")))).as("st"))
+      .select(col("sid"), (col("chunk") * subC).as("cstart"),
+        transform(col("st"), x => x.getField("tok")).as("ctk"))
+      .select(col("sid"), col("cstart"),
+        posexplode(transform(shingles(col("ctk"), subL), g => hash60(g))))
+      .filter(col("pos") < subC)
+      .select(col("sid"), (col("cstart") + col("pos")).as("pos"),
+        col("col").as("h"))
+    val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val mp = grams.join(hot.select("h"), Seq("h"), "left_semi")
+      .select(col("sid"), col("pos")).distinct()
+    val wRun = Window.partitionBy(col("sid")).orderBy(col("pos").asc)
+    val runs = mp.withColumn("grp", col("pos") - row_number().over(wRun))
+      .groupBy(col("sid"), col("grp"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("endp"))
+      .select(col("sid"), col("start"), (col("endp") + lit(subL - 1)).as("xend"))
+    val spans = tokStream.as("t")
+      .join(broadcast(runs).as("r"),
+        col("t.sid") === col("r.sid") &&
+          col("t.gpos").between(col("r.start"), col("r.xend")))
+      .groupBy(col("r.sid").as("sid"), col("r.start").as("start"),
+        col("r.xend").as("xend"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("t.gpos"), col("t.tok")))),
+        x => x.getField("tok")), " ")).as("span_md5"))
+    val wFirst = Window.partitionBy(col("span_md5"))
+      .orderBy(col("sid").asc, col("start").asc)
+    val strip = spans
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .select(col("sid"),
+        explode(sequence(col("start"), col("xend"))).as("gpos"))
+      .distinct()
+    val kept = tokStream.join(strip, Seq("sid", "gpos"), "left_anti")
+    m.groupBy(col("unit")).agg(sum(col("n")).cast("long").as("n_tokens"))
+      .join(kept.groupBy(col("unit"))
+          .agg(count(lit(1)).cast("long").as("n_kept")),
+        Seq("unit"), "left_outer")
+      .select(col("unit").as(unitCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -141,6 +141,20 @@ object Schemas {
     StructField("dst_id", StringType, nullable = false),
   ))
 
+  /** HNSW upper-layer adjacency (layers >= 1; layer 0 IS the shared
+    * `nsw_edges` base graph). One row per directed edge per layer; the
+    * descent reads it with (layer, src_id) literal pushdowns, so like
+    * the base table it stays vector-free and thin. Node LEVELS are not
+    * stored anywhere: level is a pure md5 function of the chunk id
+    * ([[graft.index.HnswIndex.levelExpr]]), recomputable by any reader.
+    */
+  val hnswEdges: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("src_id", StringType, nullable = false),
+    StructField("dst_id", StringType, nullable = false),
+  ))
+
   /** PQ: one row per (subspace, codeword) — the content-derived codebook
     * slices (float, of the NORMALIZED seed vectors).
     */

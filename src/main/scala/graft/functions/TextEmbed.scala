@@ -27,19 +27,40 @@ object TextEmbed {
 
   val EDim = 16
 
-  /** (idCol, e0..e15) integer embeddings for an (idCol, text) frame.
-    * Rows with zero tokens produce no output row (nothing to embed).
+  /** One md5 (32 hex chars) yields 16 two-hex-char weights, so dims
+    * beyond [[EDim]] draw from BLOCK hashes "e|<bucket>|<block>" — block
+    * j/16 supplies dim j at offset (j mod 16). Dim 16 keeps the original
+    * suffix-free hash so every existing 16-dim fixture and oracle replay
+    * is bit-identical.
     */
-  def embedded(df: DataFrame, idCol: String): DataFrame = {
+  val MaxDim = 4096
+
+  private def weightHash(bucket: org.apache.spark.sql.Column, dim: Int,
+      block: Int): org.apache.spark.sql.Column =
+    if (dim == EDim) md5(concat(lit("e|"), bucket.cast("string")))
+    else md5(concat(lit("e|"), bucket.cast("string"), lit(s"|$block")))
+
+  /** (idCol, e0..e{dim-1}) integer embeddings for an (idCol, text) frame
+    * at ANY dim (default [[EDim]] — the legacy formula, bit-identical).
+    * Rows with zero tokens produce no output row (nothing to embed).
+    * The reference's search endpoint only dim-checks its external
+    * embedder's output (`services/search.py:23-24`) — parameterizing the
+    * dim here lets engine-side text search compose with every library
+    * dim instead of hard-gating on 16 (VERDICT r13 #4).
+    */
+  def embedded(df: DataFrame, idCol: String, dim: Int = EDim): DataFrame = {
+    require(dim >= 1 && dim <= MaxDim, s"embed dim out of range: $dim")
     val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
       .cast("long") % 1024
-    val dims = (0 until EDim).map { j =>
-      sum(conv(substring(col("wh"), 2 * j + 1, 2), 16, 10).cast("long")
-        - 128).as(s"e$j")
+    val nBlocks = (dim + EDim - 1) / EDim
+    val blockCols = (0 until nBlocks).map(b =>
+      weightHash(bucket, dim, b).as(s"wh$b"))
+    val dims = (0 until dim).map { j =>
+      sum(conv(substring(col(s"wh${j / EDim}"), 2 * (j % EDim) + 1, 2), 16, 10)
+        .cast("long") - 128).as(s"e$j")
     }
     df.select(col(idCol), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .select(col(idCol),
-        md5(concat(lit("e|"), bucket.cast("string"))).as("wh"))
+      .select(col(idCol) +: blockCols: _*)
       .groupBy(col(idCol))
       .agg(dims.head, dims.tail: _*)
   }

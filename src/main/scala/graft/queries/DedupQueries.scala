@@ -1251,41 +1251,15 @@ object DedupQueries {
   private def spanStripMulti(s: SparkSession, d: String): DataFrame =
     spanStripScales(s, d, Seq(8, 32, 64))
 
+  // ONE implementation shared with the engine's curation transform tier
+  // (VERDICT r13 #6): the per-scale hot-window / covered-position / strip
+  // arithmetic lives in CurationCore.spanStripCountsOf; this entry only
+  // binds the documents corpus and the output ordering.
   private def spanStripScales(s: SparkSession, d: String,
-      scales: Seq[Int]): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), toks.as("tk"))
-    // per-scale positioned window stream (1-based start p, matching the
-    // oracle) -> hot set -> covered positions; scales union before the
-    // one distinct + anti-join
-    val cov = scales.map { wlen =>
-      val gt = base
-        .select(col("doc_id"),
-          posexplode(shingles(col("tk"), wlen)).as(Seq("p0", "g")))
-        .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
-      val hot = gt.select(col("g"), col("doc_id")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select(col("g"))
-      gt.join(hot, "g")
-        .select(col("doc_id"),
-          explode(sequence(col("p"), col("p") + wlen - 1)).as("pos"))
-    }.reduce(_ unionAll _).distinct()
-    val tok = base
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("i0", "tok")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
-    val kept = tok.as("t").join(cov.as("c"),
-      expr("t.doc_id = c.doc_id AND t.i = c.pos"), "left_anti")
-    val agg = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
-            x => x.getField("tok"))).as("stripped"))
-    base.select(col("doc_id"), size(col("tk")).as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        md5(coalesce(col("stripped"), lit(""))).as("strip_md5"))
+      scales: Seq[Int]): DataFrame =
+    graft.curation.CurationCore
+      .spanStripCountsOf(docs(s, d), "doc_id", scales)
       .orderBy(col("doc_id").asc)
-  }
 
   /** CROSS-DOCUMENT REPEATED-SPAN AUDIT — the span-granularity
     * approximation of exact-substring dedup ("dedup repeated training

@@ -755,6 +755,53 @@ object TextQueries {
        |  GROUP BY dim),
        |qv AS (SELECT list(CAST(val AS DOUBLE) ORDER BY dim) AS qv FROM qe)""".stripMargin
 
+  // The dim-parameterized replay (TextEmbed.embedded's block-hash rule:
+  // weights for dim j come from md5("e|<bucket>|<j div 16>") at offset
+  // (j mod 16); dim 16 keeps the suffix-free legacy hash — delegated to
+  // the templates above so the two forms cannot drift for 16).
+  private def embedWeightSqlAt(blockSql: String): String =
+    s"""md5('e|' || CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+       |           % 1024 AS VARCHAR) || '|' || CAST($blockSql AS VARCHAR))""".stripMargin
+
+  private val embedSumSqlBlocked: String =
+    """CAST(SUM(CAST('0x' || substr(wh, 2 * (dim % 16) + 1, 2) AS BIGINT)
+      |           - 128) AS BIGINT)""".stripMargin
+
+  private[queries] def embedCtesSqlAt(dim: Int): String =
+    if (dim == EDim) embedCtesSql
+    else {
+      val nb = (dim + EDim - 1) / EDim
+      s"""tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |blk AS (SELECT unnest(range(0, $nb)) AS b),
+         |wt AS (
+         |  SELECT doc_id, b,
+         |         ${embedWeightSqlAt("b")} AS wh
+         |  FROM tk CROSS JOIN blk),
+         |dims AS (SELECT unnest(range(0, $dim)) AS dim),
+         |emb AS (
+         |  SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+         |         $embedSumSqlBlocked AS val
+         |  FROM wt JOIN dims ON dims.dim // 16 = wt.b
+         |  GROUP BY doc_id, dim)""".stripMargin
+    }
+
+  private[queries] def embedQueryCtesSqlAt(tokListSql: String,
+      dim: Int): String =
+    if (dim == EDim) embedQueryCtesSql(tokListSql)
+    else
+      s"""qtk AS (SELECT unnest($tokListSql) AS tok),
+         |qwt AS (
+         |  SELECT b,
+         |         ${embedWeightSqlAt("b")} AS wh
+         |  FROM qtk CROSS JOIN blk),
+         |qe AS (
+         |  SELECT CAST(dim AS INTEGER) AS dim,
+         |         $embedSumSqlBlocked AS val
+         |  FROM qwt JOIN dims ON dims.dim // 16 = qwt.b
+         |  GROUP BY dim),
+         |qv AS (SELECT list(CAST(val AS DOUBLE) ORDER BY dim) AS qv FROM qe)""".stripMargin
+
   /** EXACT ROC-AUC of the hashed-linear quality score against the `lang ==
     * 'en'` label — the threshold-free companion to `t_langid_eval`'s
     * per-class precision/recall (every trained filter in a data pipeline

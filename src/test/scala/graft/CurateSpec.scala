@@ -98,6 +98,71 @@ class CurateSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("curateLibrary span-strip tier equals d_span_strip_multi (r13 #6)") {
+    val root = graft.TempDirs.scratch("graft-curate-span").toString
+    val eng = new VectorEngine(spark, root)
+    val lib = eng.createLibrary("curated-span", 4)
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, graft.queries.Tables.documents(spark, sfDir)
+      .select(format_string("d%05d", col("doc_id")).as("id"), col("text")))
+
+    // the standalone entry on the same corpus: corpus-wide stripped total
+    val standalone = graft.queries.DedupQueries.queries("d_span_strip_multi")(
+      spark, sfDir).collect()
+    val expStripped = standalone.map(r =>
+      r.getAs[Int]("n_tokens").toLong - r.getAs[Int]("n_kept")).sum
+    val expKept = standalone.map(_.getAs[Int]("n_kept").toLong).sum
+
+    val stats = eng.curateLibrary(lib,
+      stripSpanScales = Seq(8, 32, 64)).collect().head
+    assert(stats.getAs[Long]("n_tokens_stripped") == expStripped,
+      s"span tier stripped ${stats.getAs[Long]("n_tokens_stripped")} " +
+        s"tokens, standalone entry says $expStripped")
+    // with every filter stage trivially passing or not, the kept-token
+    // ceiling is the stripped corpus: survivors' budgets never exceed it
+    assert(stats.getAs[Long]("n_tokens_kept") <= expKept)
+
+    // DISABLED tier: the stats schema and the packed table are unchanged
+    // from the default pass (the default schema carries no strip column)
+    val defStats = eng.curateLibrary(lib).collect().head
+    assert(!defStats.schema.fieldNames.contains("n_tokens_stripped"))
+    graft.Caches.releaseAll()
+  }
+
+  test("curateLibrary substring tier equals d_substring_strip per shard") {
+    val root = graft.TempDirs.scratch("graft-curate-sub").toString
+    val eng = new VectorEngine(spark, root)
+    val lib = eng.createLibrary("curated-sub", 4)
+    // shard-matched ingest: engine DOC = the entry's synthetic long-doc
+    // shard (ldoc_id = doc_id % 8), chunk position = doc_id — so the
+    // engine's per-document token streams are EXACTLY the entry's
+    // per-shard streams and the strip arithmetic must agree
+    val docIds = (0 until 8).map { g =>
+      g -> eng.createDocument(lib, id = Some(s"$g"))
+    }.toMap
+    val docsDf = graft.queries.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+    docIds.foreach { case (g, engDoc) =>
+      val rows = docsDf.filter(r => r.getLong(0) % 8 == g)
+        .map(r => (f"d${r.getLong(0)}%05d", r.getString(1), r.getLong(0).toInt))
+      import spark.implicits._
+      eng.bulkIngest(lib, engDoc, rows.toSeq
+        .toDF("id", "text", "position"))
+    }
+    val stats = eng.curateLibrary(lib, stripSubstrings = true).collect().head
+    val standalone = graft.queries.DedupQueries.queries("d_substring_strip")(
+      spark, sfDir).collect()
+    val expStripped = standalone.map(_.getAs[Long]("n_stripped")).sum
+    assert(stats.getAs[Long]("n_tokens_stripped") == expStripped,
+      s"substring tier stripped ${stats.getAs[Long]("n_tokens_stripped")} " +
+        s"tokens, standalone entry says $expStripped")
+    // both tiers at once is rejected: transforms rewrite text, one per pass
+    intercept[graft.engine.EngineErrors.ValidationError] {
+      eng.curateLibrary(lib, stripSpanScales = Seq(8), stripSubstrings = true)
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("curateLibrary on an empty library reports zeros, not nulls") {
     val root = graft.TempDirs.scratch("graft-curate-empty").toString
     val eng = new VectorEngine(spark, root)

@@ -189,6 +189,115 @@ class NswSpec extends AnyFunSuite {
     assert(hits.head.getDouble(hits.head.fieldIndex("score")) < 0)
   }
 
+  test("nsw preFilter: the walk scores only allowed ids and fills k") {
+    // build a corpus where the query's own cluster carries the WRONG tag:
+    // the post-filter mode starves (global top-k then filter -> few or
+    // zero rows), while the pre-filtered walk must spend its whole beam
+    // inside the allowed subset and return k matching rows
+    val dir = graft.TempDirs.scratch("graft-nsw-pref").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("nsw-pref", Dim, config)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, corpus().zipWithIndex.map { case ((id, v), i) =>
+      ChunkIn(text = s"chunk $i", embedding = Some(v), position = i,
+        id = Some(id), tags = Seq(if (i % 6 == 1) "wanted" else "other"))
+    })
+    eng.rebuildIndex(lib)
+    val q = corpus()(7)._2 // cluster 1 = the "wanted" tag... (7 % 6 == 1)
+    val f = Some(SearchFilters(tags = Seq("wanted")))
+    val pre = eng.search(lib, q, k = 5, filters = f, preFilter = true)
+      .collect()
+    assert(pre.length == 5, s"pre-filtered walk returned ${pre.length} rows")
+    assert(pre.forall(_.getString(0).drop(1).toInt % 6 == 1),
+      "pre-filtered hit outside the allowed tag set")
+    // and against a tag DISJOINT from the query's cluster — the
+    // starvation case — the pre mode still fills k from allowed nodes
+    val qOther = corpus()(0)._2 // cluster 0, tagged "other"
+    val pre2 = eng.search(lib, qOther, k = 5, filters = f, preFilter = true)
+      .collect()
+    assert(pre2.length == 5)
+    assert(pre2.forall(_.getString(0).drop(1).toInt % 6 == 1))
+    // mean recall of the pre mode >= post mode over a 25-query sweep,
+    // graded against the exact FILTERED truth (the
+    // x_engine_filtered_recall discipline on the graph family)
+    val queries = corpus().take(25)
+    def filteredRecall(preMode: Boolean, q: Array[Float]): Double = {
+      val exact = corpus().zipWithIndex
+        .collect { case ((id, v), i) if i % 6 == 1 => (id, cos(v, q)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val got = eng.search(lib, q, k = 5, filters = f, preFilter = preMode)
+        .collect().map(_.getString(0)).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val preMean = queries.map(p => filteredRecall(preMode = true, p._2)).sum / 25
+    val postMean = queries.map(p => filteredRecall(preMode = false, p._2)).sum / 25
+    assert(preMean >= postMean,
+      s"pre-filtered mean recall $preMean < post $postMean")
+    assert(preMean > 0.9, s"pre-filtered mean recall too low: $preMean")
+  }
+
+  test("nsw batch: an emptied-entry-cell query flat-falls-back per query") {
+    import spark.implicits._
+    // the ADVICE r13 state: one query's walk returns Some(Nil) while the
+    // others find ids — the batch surfaces must match single search for
+    // EVERY query instead of silently dropping the starved one
+    val (eng, _, lib) = freshBuilt()
+    val doc2 = eng.createDocument(lib)
+    // empty the corpus, then add one lone node against the frozen graph
+    eng.deleteChunks(lib, corpus().map(_._1))
+    val v = Array.tabulate(Dim)(j => if (j == 2) 1.0f else 0.05f)
+    eng.upsertChunks(lib, doc2, Seq(
+      ChunkIn(text = "lone", embedding = Some(v), position = 0,
+        id = Some("lone01"))))
+    // query 0 walks to the lone node; query 1's entry cell is emptied
+    val queries = Seq(0L -> v, 1L -> v.map(-_))
+    val singles = queries.map { case (qid, q) =>
+      qid -> eng.search(lib, q, k = 3).collect()
+        .map(r => (r.getString(0), r.getDouble(r.fieldIndex("score")))).toSeq
+    }.toMap
+    assert(singles(1L).nonEmpty, "single search must flat-fall-back")
+    val batch = eng.searchBatchAnn(lib, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    queries.foreach { case (qid, _) =>
+      assert(batch.getOrElse(qid, Nil) == singles(qid),
+        s"batch query $qid diverged from single search")
+    }
+    val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qvec")
+    val joined = eng.annJoin(lib, qDf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    queries.foreach { case (qid, _) =>
+      assert(joined.getOrElse(qid, Nil) == singles(qid),
+        s"annJoin query $qid diverged from single search")
+    }
+  }
+
+  test("auto dispatch: a library with only graph tables serves the walk") {
+    import org.apache.spark.sql.GraftScanBridge
+    // the ADVICE r13 scenario: a store whose catalog row says "auto" but
+    // whose built tables are the graph family's (e.g. written by another
+    // engine version) — dispatch must resolve to the walk, not the scan
+    val (_, dir, lib) = freshBuilt()
+    val store = new StateStore(spark, dir)
+    val libsDf = store.read("libraries", Schemas.libraries)
+    store.write("libraries", libsDf.withColumn("index_config",
+      when(col("id") === lib,
+        col("index_config").withField("type", lit("auto")))
+        .otherwise(col("index_config"))), Nil)
+    val eng2 = new VectorEngine(spark, dir, fixedClock)
+    // degree stats gate on the EFFECTIVE family — success proves auto
+    // resolved to the graph
+    assert(eng2.nswDegreeStats(lib).collect().map(_.getLong(1)).sum == 60)
+    // and the search plan reads the postings via the walk's id pushdown
+    // (the flat path never touches ivf_postings)
+    val hits = eng2.search(lib, corpus()(7)._2, k = 5)
+    assert(hits.collect().map(_.getString(0)).head == "c007")
+    val (files, _) = GraftScanBridge.scanStatsFor(hits, "ivf_postings")
+    assert(files > 0, "auto dispatch served the flat scan, not the walk")
+  }
+
   test("nsw guards: zero query empty, flat fallback before rebuild") {
     val dir = graft.TempDirs.scratch("graft-nsw-guard").toString
     val eng = new VectorEngine(spark, dir, fixedClock)

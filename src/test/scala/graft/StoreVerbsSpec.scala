@@ -187,6 +187,51 @@ class StoreVerbsSpec extends AnyFunSuite {
       s"deduped tables ($dedupBytes B) must undercut per-file storage ($plainBytes B)")
   }
 
+  test("dedupStorage: vacuum reclaims superseded blob versions (r13 #7)") {
+    // run -> mutate -> re-run -> vacuum: the superseded blob/manifest
+    // snapshot versions must be RECLAIMED like every other table's (the
+    // blob tables were missing from the vacuum list), and reassembly
+    // must stay byte-identical afterwards
+    val (eng, root, lib) = storageFixture()
+    eng.dedupStorage(lib)
+    def versions(table: String): Seq[String] = {
+      val dir = java.nio.file.Paths.get(s"$root/$table")
+      if (!java.nio.file.Files.exists(dir)) Nil
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("v")).toSeq.sorted
+        } finally s.close()
+      }
+    }
+    val v1 = versions("cdc_blobs")
+    assert(v1.nonEmpty)
+    // mutate the corpus, refresh the deduped storage
+    val doc2 = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc2, Seq(
+      ChunkIn("a brand new chunk of fresh text", id = Some("zz001"))))
+    eng.dedupStorage(lib)
+    val v2 = versions("cdc_blobs")
+    assert(v2.size > v1.size, "re-run must write a fresh blob version")
+    val reclaimed = eng.vacuum(keepLast = 1)
+    assert(reclaimed > 0)
+    assert(versions("cdc_blobs").size == 1,
+      s"superseded blob versions survive vacuum: ${versions("cdc_blobs")}")
+    assert(versions("cdc_manifest").size == 1)
+    // the surviving snapshot still reassembles every chunk byte-for-byte
+    val rebuilt = eng.dedupedChunkText(lib).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val orig = eng.chunks.filter(col("library_id") === lib)
+      .select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rebuilt.keySet == orig.keySet)
+    orig.foreach { case (id, t) =>
+      assert(rebuilt(id) == t, s"chunk $id not byte-identical after vacuum")
+    }
+  }
+
   test("optimizeIfFragmented: threshold trips once, then stays quiet") {
     // AQE coalesces this toy ingest to one file; a real multi-executor
     // ingest writes many — manufacture that condition in a cloned
@@ -296,9 +341,25 @@ class StoreVerbsSpec extends AnyFunSuite {
     val viaVec = eng.search(lib, qArr, k = 3).collect()
       .map(r => (r.getString(0), r.getDouble(2)))
     assert(viaText.toSeq == viaVec.toSeq)
-    // contract errors: wrong-dim library, empty / token-free text
+    // a NON-16-dim library now embeds the query at ITS catalog dim
+    // (r14 — the reference endpoint only dim-checks): the 64-dim text
+    // search must match the 64-dim vector search on the same corpus
     val lib64 = eng.createLibrary("dim64", 64)
-    intercept[ValidationError] { eng.searchText(lib64, q, k = 3) }
+    val doc64 = eng.createDocument(lib64)
+    val emb64 = TextEmbed.embedded(df, "doc_id", 64)
+    val arr64 = array((0 until 64).map(j => col(s"e$j").cast("float")): _*)
+    eng.bulkIngest(lib64, doc64, emb64.join(df, "doc_id")
+      .select(format_string("c%02d", col("doc_id")).as("id"),
+        col("text"), arr64.as("embedding")))
+    val viaText64 = eng.searchText(lib64, q, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val qv64 = TextEmbed.embedded(Seq((0L, q)).toDF("doc_id", "text"),
+      "doc_id", 64).collect().head
+    val qArr64 = (0 until 64).map(j => qv64.getLong(j + 1).toFloat).toArray
+    val viaVec64 = eng.search(lib64, qArr64, k = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(viaText64.toSeq == viaVec64.toSeq)
+    // contract errors: empty / token-free text
     intercept[ValidationError] { eng.searchText(lib, "", k = 3) }
     intercept[ValidationError] { eng.searchText(lib, "   ", k = 3) }
   }
