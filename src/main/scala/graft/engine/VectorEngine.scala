@@ -2506,11 +2506,18 @@ final class VectorEngine(
           // result + its layer-0 neighborhood — the same hybrid pool the
           // single-query walk seeds from, so batch/single parity holds
           val cellSeeds = posts.join(entry, Seq("centroid_id"))
-            .select(col("query_id"), col("chunk_id"))
+            .select(col("query_id"), col("chunk_id"), col("embedding_norm"))
           val seeds =
             if (effType != "hnsw_det") cellSeeds
             else hnswDescentSeeds(libId, config, qn, posts, edges)
-              .fold(cellSeeds)(d => cellSeeds.unionAll(d).distinct())
+              .fold(cellSeeds) { d =>
+                cellSeeds.unionAll(
+                  d.join(posts.select(col("chunk_id"), col("embedding_norm")),
+                    Seq("chunk_id"))
+                    .select(col("query_id"), col("chunk_id"),
+                      col("embedding_norm")))
+                  .dropDuplicates("query_id", "chunk_id")
+              }
           // preFilter gates every id the walk may SCORE — the seed pool
           // and each round's frontier — exactly as the single-query
           // pre-filtered walk does (beamWalkIds), so batch/single parity
@@ -2519,8 +2526,6 @@ final class VectorEngine(
             if (preFilter) restrict(seeds) else seeds
           var visited = topBeam(
             walkSeeds
-              .join(posts.select(col("chunk_id"), col("embedding_norm")),
-                Seq("chunk_id"))
               .join(qn, Seq("query_id"))
               .select(col("query_id"), col("chunk_id"),
                 dotProduct(col("embedding_norm"), col("qnorm")).as("s")))
@@ -3232,7 +3237,7 @@ final class VectorEngine(
     else Some(beamWalkIds(libId, config, qlit,
       math.max(beamOverride.getOrElse(config.nswBeam), k),
       ivfPostings(libId).filter(col("centroid_id") === topCell.head)
-        .select(col("chunk_id")),
+        .select(col("chunk_id"), col("embedding_norm")),
       allowed))
   }
 
@@ -3260,8 +3265,10 @@ final class VectorEngine(
       allowed.fold(ids)(a => ids.join(a, Seq("chunk_id"), "left_semi"))
     def norm0(s: Double): Double = if (s == 0.0) 0.0 else s
     val visited = scala.collection.mutable.HashMap.empty[String, Double]
+    // the pool carries (chunk_id, embedding_norm) so the cell-entry walk
+    // scores its posting rows directly (no id->postings rejoin in the
+    // hot path; the hnsw seed pool pays its one hydration join itself)
     var beam: Seq[String] = restrictW(seedPool)
-      .join(posts.select(col("chunk_id"), col("embedding_norm")), "chunk_id")
       .select(col("chunk_id"),
         dotProduct(col("embedding_norm"), qlit).as("s"))
       .orderBy(col("s").desc, col("chunk_id").asc)
@@ -3375,15 +3382,18 @@ final class VectorEngine(
         .orderBy(col("cscore").desc, col("centroid_id").asc)
         .limit(1)
         .collect().map(_.getInt(0))
-    val cellPool =
-      if (topCell.isEmpty) Seq.empty[String].toDF("chunk_id")
-      else posts.filter(col("centroid_id") === topCell.head)
-        .select(col("chunk_id"))
-    val seedPool = cellPool
-      .unionAll(Seq(cur).toDF("chunk_id"))
+    val descentIds = Seq(cur).toDF("chunk_id")
       .unionAll(nswEdges(libId).filter(col("src_id") === cur)
         .select(col("dst_id").as("chunk_id")))
-      .distinct()
+    val descentPool = posts
+      .join(descentIds.distinct(), Seq("chunk_id"), "left_semi")
+      .select(col("chunk_id"), col("embedding_norm"))
+    val seedPool =
+      (if (topCell.isEmpty) descentPool
+       else posts.filter(col("centroid_id") === topCell.head)
+         .select(col("chunk_id"), col("embedding_norm"))
+         .unionAll(descentPool))
+      .dropDuplicates("chunk_id")
     Some(beamWalkIds(libId, config, qlit,
       math.max(beamOverride.getOrElse(config.nswBeam), k), seedPool,
       allowed))

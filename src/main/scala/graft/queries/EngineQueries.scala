@@ -173,22 +173,27 @@ object EngineQueries {
     * entries hardlink-clone it (the timeTravelFixture discipline).
     */
   private val textBaseCache = scala.collection.mutable.Map
-    .empty[(SparkSession, String, Int), (VectorEngine, String, String)]
+    .empty[(SparkSession, String, Int, Long), (VectorEngine, String, String)]
 
+  /** `maxDocs` bounds the embedded corpus (doc_id < maxDocs) — the
+    * dim-64 fixture ingests a 1k-doc slice: the dim-parameterization
+    * contract needs A corpus, not THE corpus, and an uncached 5k-doc
+    * 64-dim ingest priced ~19s at sf0.1.
+    */
   private def textEngineFixture(s: SparkSession, d: String,
-      dim: Int = TextQueries.EDim): (VectorEngine, String, String) =
+      dim: Int = TextQueries.EDim,
+      maxDocs: Long = Long.MaxValue): (VectorEngine, String, String) =
     fixtureCache.synchronized {
-      textBaseCache.getOrElseUpdate((s, d, dim), {
+      textBaseCache.getOrElseUpdate((s, d, dim, maxDocs), {
         val root = graft.TempDirs.scratch("graft-engine-text").toString
         val eng = new VectorEngine(s, root, fixedClock)
         val lib = eng.createLibrary("engine-text", dim, IndexConfig("flat"))
         val doc = eng.createDocument(lib)
-        val emb = graft.functions.TextEmbed.embedded(
-          Tables.documents(s, d), "doc_id", dim)
+        val corpus = Tables.documents(s, d).filter(col("doc_id") < maxDocs)
+        val emb = graft.functions.TextEmbed.embedded(corpus, "doc_id", dim)
         val arr = array((0 until dim).map(j => col(s"e$j").cast("float")): _*)
         eng.bulkIngest(lib, doc, emb
-          .join(Tables.documents(s, d)
-              .select(col("doc_id"), col("text"), col("lang")),
+          .join(corpus.select(col("doc_id"), col("text"), col("lang")),
             Seq("doc_id"))
           .select(format_string("c%06d", col("doc_id")).as("id"), col("text"),
             arr.as("embedding"),
@@ -245,7 +250,7 @@ object EngineQueries {
     * `services/search.py:23-24` only dim-checks).
     */
   private def engineSearchTextDim64(s: SparkSession, d: String): DataFrame = {
-    val (eng, _, lib) = textEngineFixture(s, d, dim = 64)
+    val (eng, _, lib) = textEngineFixture(s, d, dim = 64, maxDocs = 1000L)
     hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
   }
 
@@ -3042,7 +3047,7 @@ object EngineQueries {
     // the dim-parameterized twin at 64: block-hash weights for corpus AND
     // query through ONE shared template pair, flat search tail verbatim
     "x_engine_search_text_dim64" ->
-      s"""WITH ${TextQueries.embedCtesSqlAt(64)},
+      s"""WITH ${TextQueries.embedCtesSqlAt(64, "doc_id < 1000")},
          |ev AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
          |       FROM emb GROUP BY doc_id),
          |${TextQueries.embedQueryCtesSqlAt(searchTextQueryTokListSql, 64)}

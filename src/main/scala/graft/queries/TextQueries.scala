@@ -767,12 +767,23 @@ object TextQueries {
     """CAST(SUM(CAST('0x' || substr(wh, 2 * (dim % 16) + 1, 2) AS BIGINT)
       |           - 128) AS BIGINT)""".stripMargin
 
-  private[queries] def embedCtesSqlAt(dim: Int): String =
-    if (dim == EDim) embedCtesSql
-    else {
+  /** `corpusPred` bounds the embedded corpus (the dim-64 entry embeds a
+    * 1k-doc slice: the dim-parameterization contract needs A corpus, not
+    * THE corpus, and the uncached 64-dim fixture at 5k docs priced ~19s).
+    */
+  private[queries] def embedCtesSqlAt(dim: Int,
+      corpusPred: String = "TRUE"): String =
+    if (dim == EDim) {
+      // the 16-dim template is the legacy suffix-free hash — a bounded
+      // 16-dim corpus would silently switch weight formulas, so forbid it
+      require(corpusPred == "TRUE",
+        "corpusPred is only for the block-hash (dim != 16) template")
+      embedCtesSql
+    } else {
       val nb = (dim + EDim - 1) / EDim
       s"""tk AS (
-         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |  WHERE $corpusPred),
          |blk AS (SELECT unnest(range(0, $nb)) AS b),
          |wt AS (
          |  SELECT doc_id, b,
