@@ -2006,13 +2006,22 @@ object DedupQueries {
     * ONE copy shared by the `d_pipeline_e2e` and `d_pipeline_full`
     * oracles so the stage arithmetic cannot drift between them.
     */
-  private lazy val pipelineCtesSql =
-    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  private lazy val pipelineCtesSql = pipelineCtesOver("TRUE")
+
+  /** The five-stage pipeline replay over a PREDICATE-bounded documents
+    * corpus (`docs0`) — the engine curate-strip entry composes it over a
+    * 1.5k-doc slice; "TRUE" is the classic full-corpus form the
+    * d_pipeline entries use.
+    */
+  private[queries] def pipelineCtesOver(pred: String): String =
+    s"""docs0 AS (SELECT * FROM documents WHERE $pred),
+       |tk AS (SELECT doc_id, $toksSql AS tk FROM docs0),
        |ex AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS k
-       |    FROM documents) WHERE k),
-       |bands AS ($bandRowsSql),
+       |    FROM docs0) WHERE k),
+       |bands AS (SELECT * FROM ($bandRowsSql)
+       |           WHERE doc_id IN (SELECT doc_id FROM docs0)),
        |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -2021,7 +2030,7 @@ object DedupQueries {
        |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
        |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
        |reach(v, l) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM docs0
        |  UNION
        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
        |cl AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v = min(l)),
@@ -2031,7 +2040,7 @@ object DedupQueries {
        |  SELECT DISTINCT t.doc_id FROM g t JOIN bench b USING (g)
        |  WHERE t.doc_id >= 20),
        |clean AS (
-       |  SELECT doc_id FROM documents
+       |  SELECT doc_id FROM docs0
        |  WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM contam)),
        |tokc AS (
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
@@ -2053,9 +2062,59 @@ object DedupQueries {
        |    SELECT d.doc_id,
        |           ${rndSql("coalesce(CAST(t.max_tok AS DOUBLE) / t.n_tokens, 0.0)", 6)} AS f1,
        |           ${rndSql("coalesce(CAST(b.max_bg AS DOUBLE) / b.n_bigrams, 0.0)", 6)} AS f2
-       |    FROM documents d LEFT JOIN tokc t USING (doc_id)
+       |    FROM docs0 d LEFT JOIN tokc t USING (doc_id)
        |         LEFT JOIN bgc b USING (doc_id))
        |  WHERE f1 <= 0.2 AND f2 <= 0.18)""".stripMargin
+
+  /** The multi-scale span-strip replay (tks → cov → kept → agg) over a
+    * predicate-bounded corpus — ONE template shared by the
+    * d_span_strip_multi oracle ("TRUE") and the engine curate-strip
+    * composition (mirrors CurationCore.spanStripCountsOf).
+    */
+  private[queries] def spanStripCtesOver(pred: String): String =
+    s"""tks AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE $pred),
+         |gt8 AS (
+         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 7), ' ') AS g
+         |  FROM (SELECT doc_id, tk,
+         |               unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS p
+         |        FROM tks)),
+         |hot8 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt8)
+         |         GROUP BY g HAVING count(*) >= 2),
+         |gt32 AS (
+         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 31), ' ') AS g
+         |  FROM (SELECT doc_id, tk,
+         |               unnest(generate_series(1, greatest(len(tk) - 31, 0))) AS p
+         |        FROM tks)),
+         |hot32 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt32)
+         |          GROUP BY g HAVING count(*) >= 2),
+         |gt64 AS (
+         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 63), ' ') AS g
+         |  FROM (SELECT doc_id, tk,
+         |               unnest(generate_series(1, greatest(len(tk) - 63, 0))) AS p
+         |        FROM tks)),
+         |hot64 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt64)
+         |          GROUP BY g HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT gt8.doc_id, unnest(generate_series(gt8.p, gt8.p + 7)) AS pos
+         |    FROM gt8 JOIN hot8 USING (g)
+         |    UNION ALL
+         |    SELECT gt32.doc_id, unnest(generate_series(gt32.p, gt32.p + 31)) AS pos
+         |    FROM gt32 JOIN hot32 USING (g)
+         |    UNION ALL
+         |    SELECT gt64.doc_id, unnest(generate_series(gt64.p, gt64.p + 63)) AS pos
+         |    FROM gt64 JOIN hot64 USING (g))),
+         |tok AS (
+         |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+         |  FROM tks),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.tk[t.i] AS tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.i
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(list(tok ORDER BY i ASC), ' ') AS stripped
+         |  FROM kept GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d_ngram_novelty" ->
@@ -2748,49 +2807,7 @@ object DedupQueries {
     // each build their own hot set; coverage is the DISTINCT union of all
     // scales' covered positions, and the reassembly tail is identical
     "d_span_strip_multi" ->
-      s"""WITH tks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |gt8 AS (
-         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 7), ' ') AS g
-         |  FROM (SELECT doc_id, tk,
-         |               unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS p
-         |        FROM tks)),
-         |hot8 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt8)
-         |         GROUP BY g HAVING count(*) >= 2),
-         |gt32 AS (
-         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 31), ' ') AS g
-         |  FROM (SELECT doc_id, tk,
-         |               unnest(generate_series(1, greatest(len(tk) - 31, 0))) AS p
-         |        FROM tks)),
-         |hot32 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt32)
-         |          GROUP BY g HAVING count(*) >= 2),
-         |gt64 AS (
-         |  SELECT doc_id, p, array_to_string(list_slice(tk, p, p + 63), ' ') AS g
-         |  FROM (SELECT doc_id, tk,
-         |               unnest(generate_series(1, greatest(len(tk) - 63, 0))) AS p
-         |        FROM tks)),
-         |hot64 AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gt64)
-         |          GROUP BY g HAVING count(*) >= 2),
-         |cov AS (
-         |  SELECT DISTINCT doc_id, pos FROM (
-         |    SELECT gt8.doc_id, unnest(generate_series(gt8.p, gt8.p + 7)) AS pos
-         |    FROM gt8 JOIN hot8 USING (g)
-         |    UNION ALL
-         |    SELECT gt32.doc_id, unnest(generate_series(gt32.p, gt32.p + 31)) AS pos
-         |    FROM gt32 JOIN hot32 USING (g)
-         |    UNION ALL
-         |    SELECT gt64.doc_id, unnest(generate_series(gt64.p, gt64.p + 63)) AS pos
-         |    FROM gt64 JOIN hot64 USING (g))),
-         |tok AS (
-         |  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
-         |  FROM tks),
-         |kept AS (
-         |  SELECT t.doc_id, t.i, t.tk[t.i] AS tok
-         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.i
-         |  WHERE c.doc_id IS NULL),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_kept,
-         |         array_to_string(list(tok ORDER BY i ASC), ' ') AS stripped
-         |  FROM kept GROUP BY doc_id)
+      s"""WITH ${spanStripCtesOver("TRUE")}
          |SELECT d.doc_id,
          |       CAST(len(t.tk) AS INTEGER) AS n_tokens,
          |       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,

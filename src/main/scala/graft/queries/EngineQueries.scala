@@ -774,6 +774,28 @@ object EngineQueries {
       .orderBy(col("beam").asc)
   }
 
+  /** The CURATION TRANSFORM TIER through the engine, hash-checked
+    * (VERDICT r13 #6 beyond the spec pin): a 1.5k-doc library curated
+    * with the span-strip tier enabled — five filter stages + the
+    * multi-scale strip rewriting every chunk's token budget — and the
+    * whole 9-column stats row (stage counts, post-strip kept tokens,
+    * sequence count, corpus-wide stripped total) replayed by composing
+    * the d_pipeline_e2e template with the d_span_strip_multi template
+    * over the same bounded corpus. CurateSpec separately pins the engine
+    * tiers bit-equal to the standalone entries on the full corpus.
+    */
+  private def engineCurateStrip(s: SparkSession, d: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft-engine-curate").toString
+    val eng = new VectorEngine(s, root, fixedClock)
+    val lib = eng.createLibrary("curate-strip", 4)
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, Tables.documents(s, d)
+      .filter(col("doc_id") < 1500)
+      .select(format_string("d%05d", col("doc_id")).as("id"), col("text")))
+    val benchIds = (0 until 20).map(i => f"d$i%05d")
+    eng.curateLibrary(lib, benchIds, stripSpanScales = Seq(8, 32, 64))
+  }
+
   /** The PQ index family through the engine: codebook build + encode at
     * rebuild, ADC candidate scan + exact rerank at search — content-
     * derived codebooks make the WHOLE path DuckDB-replayable, so this is
@@ -1690,6 +1712,7 @@ object EngineQueries {
     "x_engine_hnsw_det"      -> (engineHnswDet _),
     "x_engine_hnswdet_incremental" -> (engineHnswDetIncremental _),
     "x_hnswdet_recall_curve" -> (hnswVsNswRecallCurve _),
+    "x_engine_curate_strip"  -> (engineCurateStrip _),
     "x_engine_nswdet_incremental" -> (engineNswDetIncremental _),
     "x_engine_nswdet_degreestats" -> (engineNswDegreeStats _),
     "x_engine_nswdet_annjoin"     -> (engineNswDetAnnJoin _),
@@ -3411,6 +3434,40 @@ object EngineQueries {
     // sides SQL: one corpus, one hierarchy, one descent, four beams per
     // family, shared exact truth — the whole comparison hash-checks
     "x_hnswdet_recall_curve" -> hnswCurveSql,
+    // the engine curation verb WITH the span-strip tier: the pipeline
+    // template (stage flags) composed with the span-strip template
+    // (post-strip per-doc kept counts) over the same 1.5k-doc slice —
+    // the 9-column stats row incl. n_tokens_stripped hash-checks
+    "x_engine_curate_strip" ->
+      s"""WITH RECURSIVE ${DedupQueries.pipelineCtesOver("doc_id < 1500")},
+         |${DedupQueries.spanStripCtesOver("doc_id < 1500")},
+         |keptc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+         |          FROM kept GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(t2.tk) AS BIGINT) AS raw_tok,
+         |         CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tok,
+         |         CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+         |         CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_cluster,
+         |         CASE WHEN cn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_clean,
+         |         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_quality
+         |  FROM docs0 d
+         |  JOIN tk t2 ON t2.doc_id = d.doc_id
+         |  LEFT JOIN keptc k ON k.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN clean cn ON cn.doc_id = d.doc_id
+         |  LEFT JOIN qual q ON q.doc_id = d.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(SUM(f_exact) AS BIGINT) AS n_exact,
+         |       CAST(SUM(f_cluster) AS BIGINT) AS n_cluster,
+         |       CAST(SUM(f_clean) AS BIGINT) AS n_clean,
+         |       CAST(SUM(f_quality) AS BIGINT) AS n_quality,
+         |       CAST(SUM(f_exact*f_cluster*f_clean*f_quality) AS BIGINT) AS n_survivors,
+         |       CAST(SUM(f_exact*f_cluster*f_clean*f_quality*n_tok) AS BIGINT) AS n_tokens_kept,
+         |       CAST((SUM(f_exact*f_cluster*f_clean*f_quality*n_tok) + 511) // 512 AS BIGINT) AS n_sequences,
+         |       CAST(SUM(raw_tok - n_tok) AS BIGINT) AS n_tokens_stripped
+         |FROM flags""".stripMargin,
     // incremental maintenance replay: seeds/cells frozen from the corpus
     // AT BUILD TIME, delta nodes link against the pre-batch corpus only,
     // edges live iff BOTH endpoints survive the deletes — exactly the
