@@ -751,6 +751,18 @@ object EngineQueries {
     hitsOut(eng.search(lib, q, k = 10))
   }
 
+  /** Batched HNSW through annJoin — the distributed frontier walk entered
+    * through the DISTRIBUTED descent (every query's greedy cursor in one
+    * frame; the max-level entry node is query-independent): must land on
+    * the per-query layered walk's hits for queries vec 0, 1, 2.
+    */
+  private def engineHnswDetAnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, hnswConfig)
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** The judge-facing claim behind the hierarchy, measured and
     * hash-checked: recall@10 of the hnsw walk vs the flat nsw walk at
     * EQUAL query-time beam, one row per beam width, both families
@@ -1713,6 +1725,7 @@ object EngineQueries {
     "x_engine_hnswdet_incremental" -> (engineHnswDetIncremental _),
     "x_hnswdet_recall_curve" -> (hnswVsNswRecallCurve _),
     "x_engine_curate_strip"  -> (engineCurateStrip _),
+    "x_engine_hnswdet_annjoin" -> (engineHnswDetAnnJoin _),
     "x_engine_nswdet_incremental" -> (engineNswDetIncremental _),
     "x_engine_nswdet_degreestats" -> (engineNswDegreeStats _),
     "x_engine_nswdet_annjoin"     -> (engineNswDetAnnJoin _),
@@ -2521,9 +2534,8 @@ object EngineQueries {
     * the beam cuts are per-query windows, so ONE template replays the
     * 3-query annJoin entry and the 25-query streaming entry alike.
     */
-  private def nswBatchSqlFor(queryPred: String): String = {
-    val beam = math.max(nswConfig.nswBeam, 10)
-    val rounds = (1 to nswConfig.nswRounds).map { i =>
+  private def nswBatchRoundsSql(beam: Int): String =
+    (1 to nswConfig.nswRounds).map { i =>
       s"""beam${i - 1} AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
@@ -2539,8 +2551,9 @@ object EngineQueries {
         |  FROM nbr$i n JOIN vn v USING (vec_id)
         |       JOIN qset q USING (query_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
-       |qset AS (
+
+  private def nswBatchHead(queryPred: String): String =
+    s"""qset AS (
        |  SELECT vec_id AS query_id, vnormf AS qv, emb AS qraw
        |  FROM vn WHERE $queryPred),
        |qcell AS (
@@ -2549,7 +2562,24 @@ object EngineQueries {
        |           row_number() OVER (PARTITION BY q.query_id
        |             ORDER BY list_dot_product(c.cvec, q.qv) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM qset q, cents c) WHERE rn = 1),
+       |    FROM qset q, cents c) WHERE rn = 1)""".stripMargin
+
+  private val nswBatchTail: String =
+    s"""SELECT query_id, vec_id, score FROM (
+       |  SELECT vv.query_id, vv.vec_id,
+       |         ${rndSql("list_cosine_similarity(v.vnormf, q.qraw)", 6)} AS score,
+       |         row_number() OVER (PARTITION BY vv.query_id
+       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, q.qraw)", 6)} DESC,
+       |                    vv.vec_id ASC) AS rn
+       |  FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+       |       JOIN qset q USING (query_id))
+       |WHERE rn <= 10
+       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
+
+  private def nswBatchSqlFor(queryPred: String): String = {
+    val beam = math.max(nswConfig.nswBeam, 10)
+    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+       |${nswBatchHead(queryPred)},
        |vis0 AS (
        |  SELECT query_id, vec_id, s FROM (
        |    SELECT qc.query_id, p.vec_id,
@@ -2561,17 +2591,74 @@ object EngineQueries {
        |         JOIN vn v USING (vec_id)
        |         JOIN qset q USING (query_id))
        |  WHERE rn <= $beam),
-       |$rounds
-       |SELECT query_id, vec_id, score FROM (
-       |  SELECT vv.query_id, vv.vec_id,
-       |         ${rndSql("list_cosine_similarity(v.vnormf, q.qraw)", 6)} AS score,
-       |         row_number() OVER (PARTITION BY vv.query_id
-       |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, q.qraw)", 6)} DESC,
-       |                    vv.vec_id ASC) AS rn
-       |  FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
-       |       JOIN qset q USING (query_id))
-       |WHERE rn <= 10
-       |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
+       |${nswBatchRoundsSql(beam)}
+       |$nswBatchTail""".stripMargin
+  }
+
+  /** The hnsw BATCH replay: the same uniform batched walk entered through
+    * the DISTRIBUTED descent — one query-independent max-level entry
+    * node, a per-(layer, round) top-1 cursor CTE chain keyed by
+    * query_id, and vis0 cut from the HYBRID pool (entry cell ∪ descent
+    * cursor ∪ its layer-0 neighborhood). Mirrors VectorEngine.annJoin's
+    * hnsw branch + hnswDescentSeeds step for step.
+    */
+  private def hnswBatchSqlFor(queryPred: String): String = {
+    val beam = math.max(nswConfig.nswBeam, 10)
+    var prev = "bcur6_0"
+    val steps = (for (l <- 6 to 1 by -1; r <- 1 to nswConfig.nswRounds) yield {
+      val name = s"bcur${l}_$r"
+      val cte =
+        s"""$name AS MATERIALIZED (
+           |  SELECT query_id, vec_id, s FROM (
+           |    SELECT query_id, vec_id, s,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY s DESC, vec_id ASC) AS rn
+           |    FROM (
+           |      SELECT query_id, vec_id, s FROM $prev
+           |      UNION
+           |      SELECT c.query_id, he.dst AS vec_id,
+           |             list_dot_product(v.vnormf, q.qv) AS s
+           |      FROM hedges he JOIN $prev c
+           |             ON he.layer = $l AND he.src = c.vec_id
+           |           JOIN vn v ON v.vec_id = he.dst
+           |           JOIN postings p ON p.vec_id = he.dst
+           |           JOIN qset q ON q.query_id = c.query_id))
+           |  WHERE rn = 1)""".stripMargin
+      prev = name
+      cte
+    }).mkString(",\n")
+    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+       |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+       |${nswBatchHead(queryPred)},
+       |hent AS MATERIALIZED (
+       |  SELECT p.vec_id FROM postings p JOIN lvl l2 ON l2.vec_id = p.vec_id
+       |  ORDER BY l2.lvl DESC, p.vec_id ASC LIMIT 1),
+       |bcur6_0 AS MATERIALIZED (
+       |  SELECT q.query_id, v.vec_id, list_dot_product(v.vnormf, q.qv) AS s
+       |  FROM qset q, hent h JOIN vn v ON v.vec_id = h.vec_id),
+       |$steps,
+       |seedpool AS (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT qc.query_id, p.vec_id
+       |    FROM qcell qc JOIN postings p USING (centroid_id)
+       |    UNION
+       |    SELECT query_id, vec_id FROM $prev
+       |    UNION
+       |    SELECT c.query_id, ne.dst AS vec_id
+       |    FROM edges ne JOIN $prev c ON ne.src = c.vec_id
+       |         JOIN postings p ON p.vec_id = ne.dst)),
+       |vis0 AS (
+       |  SELECT query_id, vec_id, s FROM (
+       |    SELECT sp.query_id, sp.vec_id,
+       |           list_dot_product(v.vnormf, q.qv) AS s,
+       |           row_number() OVER (PARTITION BY sp.query_id
+       |             ORDER BY list_dot_product(v.vnormf, q.qv) DESC,
+       |                      sp.vec_id ASC) AS rn
+       |    FROM seedpool sp JOIN vn v ON v.vec_id = sp.vec_id
+       |         JOIN qset q ON q.query_id = sp.query_id)
+       |  WHERE rn <= $beam),
+       |${nswBatchRoundsSql(beam)}
+       |$nswBatchTail""".stripMargin
   }
 
   // ---- hnsw_det (layered NSW) replay -----------------------------------
@@ -3430,6 +3517,10 @@ object EngineQueries {
          |${hnswDescentCtes("", nswQnSelect(0))},
          |${hnswSeedWalkCtes("", "")}
          |$nswHitsSelect""".stripMargin,
+    // the distributed descent + frontier-join walk must land on the
+    // per-query layered walk's hits: the uniform batched replay with the
+    // 18-step cursor chain at vec 0, 1, 2
+    "x_engine_hnswdet_annjoin" -> hnswBatchSqlFor("vec_id < 3"),
     // the measured hnsw-vs-nsw recall comparison at equal beam, both
     // sides SQL: one corpus, one hierarchy, one descent, four beams per
     // family, shared exact truth — the whole comparison hash-checks
