@@ -145,6 +145,9 @@ object PlanDump {
     "x_engine_hnsw_det",        // layered walk: level expr on postings, (layer,src) pushed descent reads, hybrid-seeded beam
     "x_engine_nswdet_prefiltered", // allowed-set semi-join gates seed pool + frontier before the beam cut
     "x_engine_search_text_dim64",  // 64-dim block-hash embed folded into the token scan, flat cosine tail
+    // round 15 additions
+    "x_engine_hnswdet_prefiltered", // ungated descent entry + allowed-gated hybrid pool/frontier beam
+    "x_engine_hnswdet_layerstats",  // two metadata-scale aggs: level census x layer spine + per-layer edge counts
   )
 
   def main(args: Array[String]): Unit = {

@@ -256,6 +256,57 @@ object Schemas {
     StructField("seq", LongType, nullable = false),
     StructField("chash", StringType, nullable = false),
   ))
+
+  /** CENTRAL STORE-TABLE REGISTRY (ADVICE r14): the single place a state
+    * table is declared, from which the maintenance verbs DERIVE their
+    * table sets — `vacuum` retains every registered table,
+    * `compactIndexes` compacts the row-appended derived tables
+    * (`compactable`), and `optimizeIndexLayout` range-slices the
+    * probe-keyed ones (`layoutKeys` non-empty, in probe-pushdown order).
+    * The r13 defect this kills: three hand-maintained lists that each
+    * had to remember every new table separately (nsw_edges/cdc_* missed
+    * vacuum for two rounds).
+    *
+    * `layoutTieKey` = true appends the row id (`chunk_id`) to the layout
+    * sort so the rewrite is deterministic; the edge tables carry their
+    * own full key instead (they have no chunk_id column).
+    */
+  final case class TableDef(
+      name: String,
+      schema: StructType,
+      compactable: Boolean = false,
+      layoutKeys: Seq[String] = Nil,
+      layoutTieKey: Boolean = false)
+
+  val storeTables: Seq[TableDef] = Seq(
+    TableDef("libraries", libraries),
+    TableDef("documents", documents),
+    TableDef("chunks", chunks),
+    TableDef("lsh_planes", lshPlanes),
+    TableDef("lsh_buckets", lshBuckets, compactable = true,
+      layoutKeys = Seq("table_id", "signature"), layoutTieKey = true),
+    TableDef("ivf_centroids", ivfCentroids),
+    TableDef("ivf_postings", ivfPostings, compactable = true,
+      layoutKeys = Seq("centroid_id"), layoutTieKey = true),
+    TableDef("pq_codebooks", pqCodebooks),
+    TableDef("pq_codes", pqCodes, compactable = true),
+    TableDef("ivfpq_codes", ivfpqCodes, compactable = true,
+      layoutKeys = Seq("centroid_id"), layoutTieKey = true),
+    TableDef("sq8_params", sq8Params),
+    TableDef("sq8_codes", sq8Codes, compactable = true),
+    TableDef("ivfsq8_params", ivfsq8Params),
+    TableDef("ivfsq8_codes", ivfsq8Codes, compactable = true,
+      layoutKeys = Seq("centroid_id"), layoutTieKey = true),
+    // NSW adjacency: the walk reads edges by src_id `isin` (one beam per
+    // round); the hnsw descent reads (layer, src_id) literals — layer
+    // leads its key. No chunk_id column, so the full key is carried here.
+    TableDef("nsw_edges", nswEdges, compactable = true,
+      layoutKeys = Seq("src_id", "dst_id")),
+    TableDef("hnsw_edges", hnswEdges, compactable = true,
+      layoutKeys = Seq("layer", "src_id", "dst_id")),
+    TableDef("curated_sequences", curatedSequences),
+    TableDef("cdc_blobs", cdcBlobs),
+    TableDef("cdc_manifest", cdcManifest))
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).

@@ -66,7 +66,27 @@ final class VectorEngine(
   // delete/move, so requireDocInLibrary usually costs zero Spark jobs.
   private var libCache: Option[Map[String, (Int, IndexConfig, Long)]] = None
   private val docLibCache = scala.collection.mutable.Map.empty[String, String]
-  private def invalidateLibs(): Unit = libCache = None
+  private def invalidateLibs(): Unit = { libCache = None; indexMetaCache.clear() }
+
+  // Per-library INDEX-RESOLUTION cache (ADVICE r14): `auto` dispatch used
+  // to re-probe up to 8 tables (a store.exists + an isEmpty Spark action
+  // each) on EVERY search/annJoin/searchBatchAnn call, and the hnsw walk
+  // re-collected its layer list + max-level entry node per query. Both
+  // change only when the library's index state changes, so they live here
+  // keyed by libId and are dropped wherever that state mutates: catalog
+  // writes (invalidateLibs), rebuildIndex, incremental add/remove
+  // maintenance, and index-table drops. Values: the resolved effective
+  // family, and the hnsw (layers desc, entry node id) metadata.
+  private val indexMetaCache =
+    scala.collection.mutable.Map.empty[String, IndexMeta]
+  private case class IndexMeta(
+    var effType: Option[String] = None,
+    var hnswLayers: Option[Seq[Int]] = None,
+    var hnswEntry: Option[Option[(String, Array[Float])]] = None)
+  private def indexMeta(libId: String): IndexMeta =
+    indexMetaCache.getOrElseUpdate(libId, IndexMeta())
+  private def invalidateIndexMeta(libId: String): Unit =
+    indexMetaCache.remove(libId)
 
   // ---- state accessors -----------------------------------------------
 
@@ -123,16 +143,11 @@ final class VectorEngine(
     * Returns the number of snapshot directories removed.
     */
   def vacuum(keepLast: Int = 1): Int =
-    Seq("libraries", "documents", "chunks", "lsh_planes", "lsh_buckets",
-      "ivf_centroids", "ivf_postings", "pq_codebooks", "pq_codes",
-      "ivfpq_codes", "sq8_params", "sq8_codes", "ivfsq8_params",
-      "ivfsq8_codes", "curated_sequences",
-      // graph adjacency + CDC storage tables joined the store after the
-      // original list — every dedupStorage re-run writes fresh
-      // blob/manifest versions, so missing them here meant superseded
-      // blob snapshots were never reclaimed (VERDICT r13 #7)
-      "nsw_edges", "hnsw_edges", "cdc_blobs", "cdc_manifest")
-      .map(store.vacuum(_, keepLast)).sum
+    // EVERY registered store table — derived from the one central
+    // registry (ADVICE r14: the hand-maintained list here went stale
+    // twice; a table registered in [[Schemas.storeTables]] is retained,
+    // compacted, and laid out without touching this verb again)
+    Schemas.storeTables.map(t => store.vacuum(t.name, keepLast)).sum
 
   /** Auto-retention hook: when `autoVacuumKeep = Some(n)` every mutating
     * verb trims snapshot history to the newest n versions on its way out
@@ -222,6 +237,49 @@ final class VectorEngine(
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree").asc)
+  }
+
+  /** HIERARCHY-BALANCE audit for the HNSW family (VERDICT r14 missing
+    * #3): per layer 0..[[graft.index.HnswIndex.MaxLevel]], the member
+    * count (live nodes whose md5 level >= layer — levels are never
+    * stored, any reader recomputes them) and the stored directed edge
+    * count (layer 0 = the base `nsw_edges` graph the walk spends its
+    * beam on; upper layers = the descent's `hnsw_edges`). The healthy
+    * shape is geometric 16x member decay with edges tracking members x
+    * degree; a layer whose edge count collapses relative to its member
+    * count is a disconnected hierarchy (the planted-cluster pathology
+    * HnswSpec measures at 0.49 recall) and the rebuild signal for the
+    * policy loop, exactly as cell/bucket/codebook/degree stats are for
+    * the other families. Two metadata-scale aggs (<= 7 rows each) + the
+    * base edge count; output is always MaxLevel+1 rows.
+    */
+  def hnswLayerStats(libId: String): DataFrame = {
+    val (_, config, _) = getLibrary(libId)
+    if (!store.exists("nsw_edges") ||
+        effectiveIndexType(libId, config) != "hnsw_det")
+      throw new NotFoundError(s"hnsw index for library $libId")
+    val posts = ivfPostings(libId)
+    if (posts.isEmpty) throw new NotFoundError(s"hnsw index for library $libId")
+    import graft.index.HnswIndex
+    val lvls = posts
+      .select(HnswIndex.levelExpr(col("chunk_id")).as("lvl"))
+      .groupBy(col("lvl")).agg(count(lit(1)).as("n"))
+    val layers = spark.range(0, HnswIndex.MaxLevel + 1)
+      .select(col("id").cast("int").as("layer"))
+    val members = layers.join(lvls, col("lvl") >= col("layer"), "left")
+      .groupBy(col("layer"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_members"))
+    val upperEdges =
+      if (!store.exists("hnsw_edges"))
+        spark.emptyDataFrame.select(lit(0).as("layer"), lit(0L).as("ne"))
+      else hnswEdges(libId).groupBy(col("layer"))
+        .agg(count(lit(1)).as("ne"))
+    val baseEdges = nswEdges(libId)
+      .agg(count(lit(1)).as("ne")).select(lit(0).as("layer"), col("ne"))
+    members.join(baseEdges.unionAll(upperEdges), Seq("layer"), "left")
+      .select(col("layer"), col("n_members"),
+        coalesce(col("ne"), lit(0L)).as("n_edges"))
+      .orderBy(col("layer").asc)
   }
 
   /** Codebook-usage audit for the PQ families, per subspace: distinct
@@ -486,16 +544,10 @@ final class VectorEngine(
     * Returns (table -> new version) for each table compacted.
     */
   def compactIndexes(): Seq[(String, Long)] =
-    Seq("lsh_buckets" -> Schemas.lshBuckets,
-      "ivf_postings" -> Schemas.ivfPostings,
-      "pq_codes" -> Schemas.pqCodes,
-      "ivfpq_codes" -> Schemas.ivfpqCodes,
-      "sq8_codes" -> Schemas.sq8Codes,
-      "ivfsq8_codes" -> Schemas.ivfsq8Codes,
-      "nsw_edges" -> Schemas.nswEdges,
-      "hnsw_edges" -> Schemas.hnswEdges)
-      .collect { case (t, sch) if store.exists(t) =>
-        t -> store.compact(t, sch)
+    // the row-appended derived tables, from the central registry
+    Schemas.storeTables
+      .collect { case d if d.compactable && store.exists(d.name) =>
+        d.name -> store.compact(d.name, d.schema)
       }
 
   /** PHYSICAL LAYOUT OPTIMIZATION — the Delta/Iceberg `OPTIMIZE ... ZORDER
@@ -603,33 +655,25 @@ final class VectorEngine(
     getLibrary(libId)
     if (files < 1 || files > (1 << 20))
       throw new ValidationError(s"files out of range: $files")
-    val specs: Seq[(String, org.apache.spark.sql.types.StructType, Seq[Column])] = Seq(
-      ("ivf_postings", Schemas.ivfPostings, Seq(col("centroid_id"))),
-      ("ivfpq_codes", Schemas.ivfpqCodes, Seq(col("centroid_id"))),
-      ("ivfsq8_codes", Schemas.ivfsq8Codes, Seq(col("centroid_id"))),
-      ("lsh_buckets", Schemas.lshBuckets, Seq(col("table_id"), col("signature"))),
-      // NSW adjacency: the walk reads edges by src_id `isin` (one beam
-      // per round) and postings by chunk_id `isin` — range-slicing +
-      // sorting by the probe key turns both into row-group skips. The
-      // tie column below must EXIST in the table; the edge tables have
-      // no chunk_id, so their specs carry their own full keys. The hnsw
-      // descent reads (layer, src_id) literals — layer leads its key.
-      ("nsw_edges", Schemas.nswEdges, Seq(col("src_id"), col("dst_id"))),
-      ("hnsw_edges", Schemas.hnswEdges,
-        Seq(col("layer"), col("src_id"), col("dst_id"))))
-    specs.collect { case (t, sch, keys) if store.exists(t) =>
-      val part = store.read(t, sch).filter(col("library_id") === libId)
-      val fullKeys =
-        if (t == "nsw_edges" || t == "hnsw_edges") keys
-        else keys :+ col("chunk_id")
-      val ordered = part
-        .repartitionByRange(files, fullKeys: _*)
-        .sortWithinPartitions(fullKeys: _*)
-        .select(sch.fieldNames.toIndexedSeq.map(col): _*)
-      val v = store.writeLibraryPartition(t, libId, ordered)
-      maybeVacuum()
-      t -> v
-    }
+    // the probe-keyed tables, from the central registry: range-slicing +
+    // sorting by the probe key turns the search paths' literal pushdowns
+    // (`centroid_id`/`src_id` isin, `(table_id, signature)` equi) into
+    // row-group skips. `layoutTieKey` appends chunk_id so the rewrite is
+    // deterministic; the edge tables carry their own full keys instead.
+    Schemas.storeTables
+      .collect { case d if d.layoutKeys.nonEmpty && store.exists(d.name) =>
+        val part = store.read(d.name, d.schema)
+          .filter(col("library_id") === libId)
+        val fullKeys = (d.layoutKeys ++
+          (if (d.layoutTieKey) Seq("chunk_id") else Nil)).map(col)
+        val ordered = part
+          .repartitionByRange(files, fullKeys: _*)
+          .sortWithinPartitions(fullKeys: _*)
+          .select(d.schema.fieldNames.toIndexedSeq.map(col): _*)
+        val v = store.writeLibraryPartition(d.name, libId, ordered)
+        maybeVacuum()
+        d.name -> v
+      }
   }
 
   /** LAYOUT POLICY — the fragmentation sibling of [[rebuildIfDrifted]] /
@@ -1543,6 +1587,7 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropNswEdgesOnly(libId)
     }
+    invalidateIndexMeta(libId)
   }
 
   // ---- search (the flagship path, §3.1) ------------------------------
@@ -1909,7 +1954,19 @@ final class VectorEngine(
     */
   private def effectiveIndexType(libId: String, config: IndexConfig): String =
     if (config.indexType != "auto") config.indexType
-    else if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
+    else {
+      // resolved once per (library, index state): the probes are up to 8
+      // driver jobs, and a serving loop calls this per query (ADVICE r14)
+      val m = indexMeta(libId)
+      m.effType.getOrElse {
+        val t = probeIndexType(libId)
+        m.effType = Some(t)
+        t
+      }
+    }
+
+  private def probeIndexType(libId: String): String =
+    if (store.exists("lsh_planes") && !lshPlanes(libId).isEmpty) "lsh"
     else if (store.exists("hnsw_edges") && !hnswEdges(libId).isEmpty) "hnsw_det"
     else if (store.exists("nsw_edges") && !nswEdges(libId).isEmpty) "nsw_det"
     else if (store.exists("ivfpq_codes") && !ivfpqCodes(libId).isEmpty) "ivfpq"
@@ -2695,8 +2752,12 @@ final class VectorEngine(
           // scan shape (every code row is M table lookups per query)
           val qrs = qn.select(col("query_id"),
             IvfPqIndex.adcDtabExpr(col("qnorm"), cb).as("dtab"))
+          // explicit build-side hint: the query frame is always the small
+          // side, and without the hint a stats-less query plan (LogicalRDD
+          // defaults) would fall to a CartesianProduct over the full codes
+          // table (VERDICT r14 #2)
           val dists = restrict(pqCodes(libId))
-            .crossJoin(qrs)
+            .crossJoin(broadcast(qrs))
             .select(col("query_id"), col("chunk_id"),
               IvfPqIndex.adcDistExpr(cb.length, cb(0).length).as("dist_u"))
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
@@ -2715,8 +2776,9 @@ final class VectorEngine(
           // arithmetic as the single-query scan with the query side read
           // from the qnorm column; the codes x queries cross is the
           // inherent flat-scan shape (every code row scores every query)
+          // broadcast the query frame explicitly, as the pq branch above
           val dists = restrict(sq8Codes(libId))
-            .crossJoin(qn)
+            .crossJoin(broadcast(qn))
             .select(col("query_id"), col("chunk_id"),
               Sq8Index.distExpr(p,
                 i => element_at(col("qnorm"), i + 1).cast("double")).as("dist_u"))
@@ -3105,6 +3167,36 @@ final class VectorEngine(
     flagged.agg(count(lit(1)).cast("long").as("n_total"), aggs: _*)
   }
 
+  /** MULTI-PASS CURATION DRIVER (VERDICT r14 #7): the transform tiers
+    * REWRITE token budgets, so [[curateLibrary]] deliberately takes at
+    * most one per pass — the full strip ladder ("span-strip, THEN
+    * substring-strip") was two manual verb calls with no combined
+    * accounting. This composes them: each pass runs the whole curation
+    * DAG with its own tier/stage config, the packed `curated_sequences`
+    * table is snapshot-VERSIONED per pass (pass N's packing remains
+    * time-travel readable after pass N+1 supersedes it — the store's
+    * normal snapshot discipline), and the returned frame carries one
+    * stats row PER PASS tagged with `pass_id` and the sequences-table
+    * version that pass wrote. Bit-equal to running the verbs manually
+    * in sequence (CurateSpec pins the trajectory); stats columns a pass
+    * does not produce (e.g. `n_tokens_stripped` on a tier-less pass)
+    * read null in its row.
+    */
+  def curatePasses(libId: String, passes: Seq[CuratePass]): DataFrame = {
+    if (passes.isEmpty)
+      throw new ValidationError("curatePasses needs at least one pass")
+    val rows = passes.zipWithIndex.map { case (p, i) =>
+      val stats = curateLibrary(libId, p.benchChunkIds, p.packBudget,
+        p.mixture, p.dsirTarget, p.stripSpanScales, p.stripSubstrings)
+      stats
+        .withColumn("pass_id", lit(i.toLong))
+        .withColumn("sequences_version",
+          lit(store.currentVersion("curated_sequences").getOrElse(0L)))
+    }
+    rows.reduce(_.unionByName(_, allowMissingColumns = true))
+      .orderBy(col("pass_id").asc)
+  }
+
   /** The curated-sequences derived table for a library (empty schema'd
     * frame when `curateLibrary` has not run).
     */
@@ -3322,6 +3414,54 @@ final class VectorEngine(
     * the oracle's fixed-round unroll. Per-query driver state: one
     * (id, score) pair.
     */
+  /** The global max-level entry node (id + stored normalized vector),
+    * memoized per library: top-1 by (md5 level desc, chunk_id asc) over
+    * the live postings — one column-pruned TakeOrdered on first use,
+    * zero jobs after. None when the postings are empty.
+    */
+  private def hnswEntryNode(libId: String,
+      posts: DataFrame): Option[(String, Array[Float])] = {
+    val m = indexMeta(libId)
+    m.hnswEntry.getOrElse {
+      val rows = posts
+        .select(col("chunk_id"), col("embedding_norm"),
+          graft.index.HnswIndex.levelExpr(col("chunk_id")).as("lvl"))
+        .orderBy(col("lvl").desc, col("chunk_id").asc)
+        .limit(1).collect()
+      val e = rows.headOption.map(r =>
+        (r.getString(0), r.getSeq[Float](1).toArray))
+      m.hnswEntry = Some(e)
+      e
+    }
+  }
+
+  /** The library's present upper layers, descending — memoized (one thin
+    * distinct agg on first use; changes only with corpus churn).
+    */
+  private def hnswLayerList(libId: String): Seq[Int] = {
+    val m = indexMeta(libId)
+    m.hnswLayers.getOrElse {
+      val ls: Seq[Int] =
+        if (!store.exists("hnsw_edges")) Nil
+        else hnswEdges(libId).select(col("layer")).distinct()
+          .collect().map(_.getInt(0)).sorted(Ordering[Int].reverse).toIndexedSeq
+      m.hnswLayers = Some(ls)
+      ls
+    }
+  }
+
+  /** Driver-side twin of [[dotProduct]] (VecDot): the same sequential
+    * double accumulation in index order, so a cached-vector score is
+    * bit-identical to the expression's.
+    */
+  private def dotDriver(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
   private def hnswWalkIds(libId: String, config: IndexConfig,
       qn: Array[Float], k: Int,
       beamOverride: Option[Int] = None,
@@ -3330,25 +3470,23 @@ final class VectorEngine(
       return None
     val qlit = typedLit(qn.toSeq)
     val posts = ivfPostings(libId)
-    val entry = posts
-      .select(col("chunk_id"),
-        dotProduct(col("embedding_norm"), qlit).as("s"),
-        graft.index.HnswIndex.levelExpr(col("chunk_id")).as("lvl"))
-      .orderBy(col("lvl").desc, col("chunk_id").asc)
-      .limit(1).collect()
-    if (entry.isEmpty) return None
+    // entry node + layer list are query-independent and change only with
+    // corpus churn — memoized per library (ADVICE r14: a serving search
+    // pays only the descent rounds), invalidated with the index caches.
+    // The cached (id, stored norm) pair lets the initial greedy score be
+    // the same sequential double fold VecDot computes, zero Spark jobs.
+    val entryOpt = hnswEntryNode(libId, posts)
+    if (entryOpt.isEmpty) return None
     def norm0(s: Double): Double = if (s == 0.0) 0.0 else s
-    var cur = entry.head.getString(0)
-    var curS = norm0(entry.head.getDouble(1))
+    val (entId, entNorm) = entryOpt.get
+    var cur = entId
+    var curS = norm0(dotDriver(entNorm, qn))
     // layers actually present for this library (one thin-column agg over
     // the upper-layer table; empty when the corpus is too small for a
     // hierarchy — then the walk is just the seeded base walk). Looping
     // only present layers equals looping MaxLevel..1: a layer where cur
     // is not a member has no (layer, src=cur) rows and cannot move it.
-    val layers: Seq[Int] =
-      if (!store.exists("hnsw_edges")) Nil
-      else hnswEdges(libId).select(col("layer")).distinct()
-        .collect().map(_.getInt(0)).sorted(Ordering[Int].reverse).toIndexedSeq
+    val layers: Seq[Int] = hnswLayerList(libId)
     for (l <- layers) {
       var round = 0
       var moved = true
@@ -3410,17 +3548,10 @@ final class VectorEngine(
     */
   private def hnswDescentSeeds(libId: String, config: IndexConfig,
       qn: DataFrame, posts: DataFrame, edges: DataFrame): Option[DataFrame] = {
-    val entryNode = posts
-      .select(col("chunk_id"),
-        graft.index.HnswIndex.levelExpr(col("chunk_id")).as("lvl"))
-      .orderBy(col("lvl").desc, col("chunk_id").asc)
-      .limit(1).collect()
-    if (entryNode.isEmpty) return None
-    val ent = entryNode.head.getString(0)
-    val layers: Seq[Int] =
-      if (!store.exists("hnsw_edges")) Nil
-      else hnswEdges(libId).select(col("layer")).distinct()
-        .collect().map(_.getInt(0)).sorted(Ordering[Int].reverse).toIndexedSeq
+    val entryOpt = hnswEntryNode(libId, posts)
+    if (entryOpt.isEmpty) return None
+    val ent = entryOpt.get._1
+    val layers: Seq[Int] = hnswLayerList(libId)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("chunk_id").asc)
@@ -3430,21 +3561,39 @@ final class VectorEngine(
       .select(col("query_id"), col("chunk_id"),
         dotProduct(col("embedding_norm"), col("qnorm")).as("s"))
       .localCheckpoint()
-    for (l <- layers; _ <- 1 to config.nswRounds) {
-      val nbrs = hnswEdges(libId).filter(col("layer") === l)
-        .join(cur.select(col("query_id"), col("chunk_id").as("src_id")),
-          Seq("src_id"))
-        .select(col("query_id"), col("dst_id").as("chunk_id"))
-        .join(posts.select(col("chunk_id"), col("embedding_norm")),
-          Seq("chunk_id"))
-        .join(qn, Seq("query_id"))
-        .select(col("query_id"), col("chunk_id"),
-          dotProduct(col("embedding_norm"), col("qnorm")).as("s"))
-      cur = cur.unionAll(nbrs)
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("chunk_id"), col("s"))
-        .localCheckpoint()
+    for (l <- layers) {
+      // EARLY EXIT per layer (VERDICT r14 #3): a round in which no
+      // cursor moved is a fixed point for every query (each top-1 over
+      // {cur} ∪ neighbors re-scores identically next round), so stopping
+      // the layer is result-identical to the fixed-round unroll — the
+      // same argument as the single-query walk's `moved` stop. Greedy
+      // descent on a 16x-decimated layer typically converges in 2-3
+      // hops; the probe is one id-only anti-join over the per-query
+      // cursor frames (|queries| rows, both sides localCheckpointed).
+      var round = 0
+      var moved = true
+      while (round < config.nswRounds && moved) {
+        val nbrs = hnswEdges(libId).filter(col("layer") === l)
+          .join(cur.select(col("query_id"), col("chunk_id").as("src_id")),
+            Seq("src_id"))
+          .select(col("query_id"), col("dst_id").as("chunk_id"))
+          .join(posts.select(col("chunk_id"), col("embedding_norm")),
+            Seq("chunk_id"))
+          .join(qn, Seq("query_id"))
+          .select(col("query_id"), col("chunk_id"),
+            dotProduct(col("embedding_norm"), col("qnorm")).as("s"))
+        val next = cur.unionAll(nbrs)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("chunk_id"), col("s"))
+          .localCheckpoint()
+        moved = !next
+          .join(cur.select(col("query_id"), col("chunk_id")),
+            Seq("query_id", "chunk_id"), "left_anti")
+          .isEmpty
+        cur = next
+        round += 1
+      }
     }
     Some(cur.select(col("query_id"), col("chunk_id"))
       .unionAll(edges
@@ -3544,6 +3693,9 @@ final class VectorEngine(
     * (no re-cluster between rebuilds), flat needs nothing.
     */
   private def addToIndexes(libId: String, newChunks: DataFrame): Unit = {
+    // index-state mutation: the cached family resolution / hnsw walk
+    // metadata may be about to change (e.g. the first add after a wipe)
+    invalidateIndexMeta(libId)
     val (_, config, _) = getLibrary(libId)
     val t = config.indexType
     // "auto" maintains whichever family rebuildIndex built for THIS
@@ -3657,6 +3809,7 @@ final class VectorEngine(
     * partition only (U3) — other libraries' index rows are linked forward.
     */
   private def removeFromIndexes(libId: String, chunkIds: DataFrame): Unit = {
+    invalidateIndexMeta(libId) // deletes can empty a table / shift the entry node
     if (store.exists("lsh_buckets")) {
       store.writeLibraryPartition("lsh_buckets", libId,
         lshBuckets(libId)
@@ -3720,6 +3873,7 @@ final class VectorEngine(
     * table (hardlink-forward, no Spark job, no other library touched).
     */
   private def dropIndexTables(libId: String): Unit = {
+    invalidateIndexMeta(libId)
     dropLshTables(libId)
     dropIvfTables(libId)
     dropPqTables(libId)
@@ -3859,6 +4013,19 @@ case class LibraryStats(
     hasPqIndex: Boolean = false,
     hasIvfPqIndex: Boolean = false,
     hasIvfSq8Index: Boolean = false)
+
+/** One [[VectorEngine.curatePasses]] pass — the [[VectorEngine
+  * .curateLibrary]] parameter set as a value, so a strip LADDER
+  * (span-strip pass, then substring-strip pass) is one declared
+  * sequence instead of two manual calls.
+  */
+case class CuratePass(
+    benchChunkIds: Seq[String] = Nil,
+    packBudget: Int = 512,
+    mixture: Boolean = false,
+    dsirTarget: Option[String] = None,
+    stripSpanScales: Seq[Int] = Nil,
+    stripSubstrings: Boolean = false)
 
 /** Chunk ingest record (the engine's ChunkIn DTO analog, `api/dto.py`). */
 case class ChunkIn(

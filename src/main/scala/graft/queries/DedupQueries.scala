@@ -2116,6 +2116,61 @@ object DedupQueries {
          |         array_to_string(list(tok ORDER BY i ASC), ' ') AS stripped
          |  FROM kept GROUP BY doc_id)""".stripMargin
 
+  /** The first-occurrence substring strip replayed over ONE concatenated
+    * doc_id-ordered token stream, yielding per-doc kept counts `kc2` —
+    * the SQL mirror of [[graft.curation.CurationCore
+    * .substringStripCountsOf]] when the shard is a single DOCUMENT whose
+    * units are its chunks in (position, id) order, which is exactly the
+    * engine curate fixture's shape (one document, ids in doc_id order).
+    * Same hash60 hot rule / run grouping / span md5 / rank-by-start
+    * pipeline as the `d_substring_strip` oracle, with the per-shard
+    * CTEs collapsed to the one stream.
+    */
+  private[queries] def substringStripStreamCtes(pred: String): String =
+    s"""sdoc AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE $pred),
+       |soff AS (
+       |  SELECT doc_id, tk,
+       |         COALESCE(SUM(len(tk)) OVER (ORDER BY doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM sdoc),
+       |stp AS MATERIALIZED (
+       |  SELECT doc_id, off + generate_subscripts(tk, 1) - 1 AS gpos,
+       |         unnest(tk) AS tok
+       |  FROM soff),
+       |sall AS MATERIALIZED (
+       |  SELECT list(tok ORDER BY gpos ASC) AS tk FROM stp),
+       |sbase AS MATERIALIZED (
+       |  SELECT generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+       |  FROM (SELECT list_transform(range(1, len(tk) - ${SubL - 2}),
+       |          i -> CAST('0x' || substr(md5(array_to_string(
+       |            list_slice(tk, i, i + ${SubL - 1}), ' ')), 1, 15) AS BIGINT)) AS hs
+       |        FROM sall WHERE len(tk) >= $SubL)),
+       |shot AS (SELECT h FROM sbase GROUP BY h HAVING count(*) >= 2),
+       |smp AS (SELECT DISTINCT pos FROM sbase JOIN shot USING (h)),
+       |sruns AS (
+       |  SELECT min(pos) AS start, max(pos) AS endp
+       |  FROM (SELECT pos, pos - row_number() OVER (ORDER BY pos ASC) AS grp
+       |        FROM smp)
+       |  GROUP BY grp),
+       |sspans AS MATERIALIZED (
+       |  SELECT r.start, r.endp + ${SubL - 1} AS xend,
+       |         md5(array_to_string(list_slice(a.tk, CAST(r.start + 1 AS INT),
+       |           CAST(r.endp + $SubL AS INT)), ' ')) AS span_md5
+       |  FROM sruns r, sall a),
+       |sstrip AS (
+       |  SELECT DISTINCT gpos FROM (
+       |    SELECT unnest(range(start, xend + 1)) AS gpos
+       |    FROM (SELECT start, xend,
+       |            row_number() OVER (PARTITION BY span_md5
+       |              ORDER BY start ASC) AS rn
+       |          FROM sspans)
+       |    WHERE rn > 1)),
+       |skept AS (SELECT t.doc_id FROM stp t LEFT JOIN sstrip s
+       |            ON s.gpos = t.gpos
+       |          WHERE s.gpos IS NULL),
+       |kc2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept2
+       |        FROM skept GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_ngram_novelty" ->
       s"""WITH g AS (

@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{ChunkIn, IndexConfig, SearchFilters, VectorEngine}
+import graft.engine.{ChunkIn, CuratePass, IndexConfig, SearchFilters, VectorEngine}
 import graft.queries.Det.{rnd, rndSql}
 
 /** End-to-end engine-path queries: the full reference lifecycle (create
@@ -786,6 +786,85 @@ object EngineQueries {
       .orderBy(col("beam").asc)
   }
 
+  /** PRE-FILTERED HNSW search (VERDICT r14 missing #1 — the
+    * `x_engine_nswdet_prefiltered` discipline on the LAYERED family):
+    * the allowed set gates every id the base walk may SCORE — the
+    * HYBRID seed pool (entry cell ∪ descent result ∪ its neighborhood)
+    * and each round's frontier, before the beam cut — while the greedy
+    * DESCENT itself stays ungated: it only locates a navigation entry
+    * point, whose gated neighborhood then competes with the gated cell
+    * pool, so a filter that excludes the entry neighborhood falls back
+    * on the cell seeds instead of stranding the walk (HnswSpec pins the
+    * disjoint-cluster case). The oracle replays the same descent + the
+    * walk template with the allowed-set membership in its candPred
+    * hook. Reference anchor: `services/search.py:37-46`.
+    */
+  private def engineHnswDetPrefiltered(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, hnswConfig)
+    hitsOut(eng.search(lib, q, k = 10,
+      filters = Some(SearchFilters(tags = Seq("label0", "label2"))),
+      preFilter = true))
+  }
+
+  /** HIERARCHY-BALANCE audit (VERDICT r14 missing #3): per layer
+    * 0..MaxLevel, live members (md5 level >= layer — recomputed, never
+    * stored) and stored directed edges (layer 0 = the base graph). The
+    * telemetry row the policy loop reads for the hnsw family, as
+    * cell/bucket/code/degree stats are for the others; the healthy
+    * shape is geometric 16x member decay. Fully SQL-replayable: the
+    * oracle recomputes levels from the same md5 rule and counts the
+    * replayed per-layer edge builds.
+    */
+  private def engineHnswLayerStats(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, hnswConfig)
+    eng.hnswLayerStats(lib)
+  }
+
+  /** STREAMING ANN through the HNSW family (VERDICT r14 missing #2):
+    * the same 25-query stream as `e_stream_ann_nsw`, each micro-batch
+    * answered by `annJoin`'s layered branch (distributed descent +
+    * frontier-join walk) via foreachBatch — the graph walks are
+    * iterative, so the front door is the per-batch overwrite-subdir
+    * protocol, not a single streaming plan. Zero-RNG family: all 25
+    * streamed answers hash-check against the batched replay.
+    */
+  private def engineStreamAnnHnsw(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, hnswConfig)
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val qStream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = graft.TempDirs.scratch("graft-stream-hnsw").toString
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = qStream.writeStream
+        .option("checkpointLocation",
+          graft.TempDirs.scratch("graft-stream-hnsw-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          eng.annJoin(lib, batch, k = 10)
+            .select(col("query_id"), col("chunk_id"), col("score"))
+            .write.mode("overwrite").parquet(s"$out/b$bid")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .select(col("query_id"),
+        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** The CURATION TRANSFORM TIER through the engine, hash-checked
     * (VERDICT r13 #6 beyond the spec pin): a 1.5k-doc library curated
     * with the span-strip tier enabled — five filter stages + the
@@ -806,6 +885,36 @@ object EngineQueries {
       .select(format_string("d%05d", col("doc_id")).as("id"), col("text")))
     val benchIds = (0 until 20).map(i => f"d$i%05d")
     eng.curateLibrary(lib, benchIds, stripSpanScales = Seq(8, 32, 64))
+  }
+
+  /** THE FULL STRIP LADDER through `curatePasses` (VERDICT r14 #7):
+    * pass 0 = the span-strip tier, pass 1 = the substring-strip tier,
+    * composed by the one multi-pass driver — each pass runs the whole
+    * five-stage curation DAG with its tier, writes its own
+    * `curated_sequences` snapshot VERSION (v1, v2 — time-travel keeps
+    * pass 0's packing readable), and contributes one stats row tagged
+    * (pass_id, sequences_version). The oracle replays BOTH passes over
+    * the same 1.5k-doc slice: the span row is the `x_engine_curate_strip`
+    * composition verbatim; the substring row re-derives per-doc kept
+    * counts from the first-occurrence strip over the single
+    * concatenated doc-ordered token stream (the fixture is one document
+    * whose chunks are the docs in id order — exactly
+    * `CurationCore.substringStripCountsOf`'s shard shape). CurateSpec
+    * separately pins `curatePasses` bit-equal to the manual
+    * two-call sequence.
+    */
+  private def engineCuratePasses(s: SparkSession, d: String): DataFrame = {
+    val root = graft.TempDirs.scratch("graft-engine-curate-passes").toString
+    val eng = new VectorEngine(s, root, fixedClock)
+    val lib = eng.createLibrary("curate-passes", 4)
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, Tables.documents(s, d)
+      .filter(col("doc_id") < 1500)
+      .select(format_string("d%05d", col("doc_id")).as("id"), col("text")))
+    val benchIds = (0 until 20).map(i => f"d$i%05d")
+    eng.curatePasses(lib, Seq(
+      CuratePass(benchChunkIds = benchIds, stripSpanScales = Seq(8, 32, 64)),
+      CuratePass(benchChunkIds = benchIds, stripSubstrings = true)))
   }
 
   /** The PQ index family through the engine: codebook build + encode at
@@ -1723,8 +1832,18 @@ object EngineQueries {
     "x_engine_nswdet_prefiltered" -> (engineNswDetPrefiltered _),
     "x_engine_hnsw_det"      -> (engineHnswDet _),
     "x_engine_hnswdet_incremental" -> (engineHnswDetIncremental _),
+    "x_engine_hnswdet_prefiltered" -> (engineHnswDetPrefiltered _),
+    "x_engine_hnswdet_layerstats"  -> (engineHnswLayerStats _),
+    "x_hnswdet_ndcg"         -> ((s: SparkSession, d: String) =>
+                                   ndcgOf(s, d, hnswConfig)),
+    "x_hnswdet_mrr"          -> ((s: SparkSession, d: String) =>
+                                   mrrOf(s, d, hnswConfig)),
+    "x_hnswdet_map"          -> ((s: SparkSession, d: String) =>
+                                   mapOf(s, d, hnswConfig)),
+    "e_stream_ann_hnsw"      -> (engineStreamAnnHnsw _),
     "x_hnswdet_recall_curve" -> (hnswVsNswRecallCurve _),
     "x_engine_curate_strip"  -> (engineCurateStrip _),
+    "x_engine_curate_passes" -> (engineCuratePasses _),
     "x_engine_hnswdet_annjoin" -> (engineHnswDetAnnJoin _),
     "x_engine_nswdet_incremental" -> (engineNswDetIncremental _),
     "x_engine_nswdet_degreestats" -> (engineNswDegreeStats _),
@@ -2866,6 +2985,35 @@ object EngineQueries {
        |ORDER BY beam ASC""".stripMargin
   }
 
+  /** Hierarchy-balance replay (`x_engine_hnswdet_layerstats`): one row
+    * per layer 0..MaxLevel — members = live postings with md5 level >=
+    * layer (recomputed from the same string rule), edges = the replayed
+    * per-layer directed edge builds (layer 0 = the base `edges` CTE).
+    */
+  private def hnswLayerStatsSql: String = {
+    val lyr = (0 to graft.index.HnswIndex.MaxLevel)
+      .map(l => s"SELECT $l AS layer").mkString("\n  UNION ALL\n  ")
+    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+       |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+       |lyr AS (
+       |  $lyr),
+       |mem AS (
+       |  SELECT y.layer, CAST(count(m.vec_id) AS BIGINT) AS n_members
+       |  FROM lyr y LEFT JOIN (
+       |    SELECT p.vec_id, l.lvl FROM postings p JOIN lvl l USING (vec_id)) m
+       |    ON m.lvl >= y.layer
+       |  GROUP BY y.layer),
+       |ec AS (
+       |  SELECT 0 AS layer, CAST(count(*) AS BIGINT) AS n_edges FROM edges
+       |  UNION ALL
+       |  SELECT layer, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM hedges GROUP BY layer)
+       |SELECT CAST(y.layer AS INTEGER) AS layer, m.n_members,
+       |       CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges
+       |FROM lyr y JOIN mem m USING (layer) LEFT JOIN ec e USING (layer)
+       |ORDER BY layer ASC""".stripMargin
+  }
+
   // x_engine_ivfpq replay (shared by the hits entry, the recall metric,
   // and the BATCH entry): seed centroids (8 lowest md5, centroid_id in
   // chunk_id order) -> argmax-dot assignment -> FLOAT residuals (REAL
@@ -3521,6 +3669,45 @@ object EngineQueries {
     // per-query layered walk's hits: the uniform batched replay with the
     // 18-step cursor chain at vec 0, 1, 2
     "x_engine_hnswdet_annjoin" -> hnswBatchSqlFor("vec_id < 3"),
+    // pre-filtered LAYERED walk: the ungated descent locates the entry
+    // point, then the hybrid-seeded base walk replays with the
+    // allowed-set membership in its candPred hook — seed pool and every
+    // round's frontier gated before the beam cut (the
+    // x_engine_nswdet_prefiltered discipline on the hnsw family)
+    "x_engine_hnswdet_prefiltered" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswDescentCtes("", nswQnSelect(0))},
+         |${hnswSeedWalkCtes("", "", nswConfig,
+              v => s"$v IN $lshDetAllowedSql")}
+         |$nswHitsSelect""".stripMargin,
+    // hierarchy-balance replay: levels from the same md5 rule, members
+    // per layer from the live postings, edges per layer from the
+    // replayed builds (layer 0 = the base graph)
+    "x_engine_hnswdet_layerstats" -> hnswLayerStatsSql,
+    // graded-relevance / first-hit / precision-profile metrics of the
+    // LAYERED walk — the nsw metric discipline, both sides SQL
+    "x_hnswdet_ndcg" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswDescentCtes("", nswQnSelect(0))},
+         |${hnswSeedWalkCtes("", "")},
+         |${ndcgSqlTail(nswHitsSelect)}""".stripMargin,
+    "x_hnswdet_mrr" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswDescentCtes("", nswQnSelect(0))},
+         |${hnswSeedWalkCtes("", "")},
+         |${mrrSqlTail(nswHitsSelect)}""".stripMargin,
+    "x_hnswdet_map" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswDescentCtes("", nswQnSelect(0))},
+         |${hnswSeedWalkCtes("", "")},
+         |${mapSqlTail(nswHitsSelect)}""".stripMargin,
+    // the streamed micro-batches through the layered family must land on
+    // the identical hits: the batched hnsw replay widened to 25 queries
+    "e_stream_ann_hnsw" -> hnswBatchSqlFor("vec_id < 25"),
     // the measured hnsw-vs-nsw recall comparison at equal beam, both
     // sides SQL: one corpus, one hierarchy, one descent, four beams per
     // family, shared exact truth — the whole comparison hash-checks
@@ -3559,6 +3746,52 @@ object EngineQueries {
          |       CAST((SUM(f_exact*f_cluster*f_clean*f_quality*n_tok) + 511) // 512 AS BIGINT) AS n_sequences,
          |       CAST(SUM(raw_tok - n_tok) AS BIGINT) AS n_tokens_stripped
          |FROM flags""".stripMargin,
+    // the full strip LADDER through curatePasses: ONE flags frame
+    // carrying BOTH tiers' per-doc kept counts (span from the shared
+    // spanStrip template, substring from the single-stream replay), one
+    // stats row per pass — pass 0 = span (curated_sequences v1), pass 1
+    // = substring (v2); the five stage flags are pass-invariant
+    "x_engine_curate_passes" -> {
+      def statsRow(passId: Int, ver: Int, tok: String): String =
+        s"""SELECT CAST($passId AS BIGINT) AS pass_id,
+           |       CAST($ver AS BIGINT) AS sequences_version,
+           |       CAST(count(*) AS BIGINT) AS n_total,
+           |       CAST(SUM(f_exact) AS BIGINT) AS n_exact,
+           |       CAST(SUM(f_cluster) AS BIGINT) AS n_cluster,
+           |       CAST(SUM(f_clean) AS BIGINT) AS n_clean,
+           |       CAST(SUM(f_quality) AS BIGINT) AS n_quality,
+           |       CAST(SUM(f_exact*f_cluster*f_clean*f_quality) AS BIGINT) AS n_survivors,
+           |       CAST(SUM(f_exact*f_cluster*f_clean*f_quality*$tok) AS BIGINT) AS n_tokens_kept,
+           |       CAST((SUM(f_exact*f_cluster*f_clean*f_quality*$tok) + 511) // 512 AS BIGINT) AS n_sequences,
+           |       CAST(SUM(raw_tok - $tok) AS BIGINT) AS n_tokens_stripped
+           |FROM flags""".stripMargin
+      s"""WITH RECURSIVE ${DedupQueries.pipelineCtesOver("doc_id < 1500")},
+         |${DedupQueries.spanStripCtesOver("doc_id < 1500")},
+         |${DedupQueries.substringStripStreamCtes("doc_id < 1500")},
+         |keptc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+         |          FROM kept GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(t2.tk) AS BIGINT) AS raw_tok,
+         |         CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS tok_span,
+         |         CAST(COALESCE(k2.n_kept2, 0) AS BIGINT) AS tok_sub,
+         |         CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+         |         CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_cluster,
+         |         CASE WHEN cn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_clean,
+         |         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_quality
+         |  FROM docs0 d
+         |  JOIN tk t2 ON t2.doc_id = d.doc_id
+         |  LEFT JOIN keptc k ON k.doc_id = d.doc_id
+         |  LEFT JOIN kc2 k2 ON k2.doc_id = d.doc_id
+         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN clean cn ON cn.doc_id = d.doc_id
+         |  LEFT JOIN qual q ON q.doc_id = d.doc_id)
+         |${statsRow(0, 1, "tok_span")}
+         |UNION ALL
+         |${statsRow(1, 2, "tok_sub")}
+         |ORDER BY pass_id ASC""".stripMargin
+    },
     // incremental maintenance replay: seeds/cells frozen from the corpus
     // AT BUILD TIME, delta nodes link against the pre-batch corpus only,
     // edges live iff BOTH endpoints survive the deletes — exactly the

@@ -120,3 +120,31 @@ object GraftScanBridge {
   def executedPlanString(df: Dataset[Row]): String =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan.toString
 }
+
+/** Monotone count of jobs STARTED on a context since this bridge first
+  * observed it: one lazily-registered SparkListener per context, with
+  * the read synchronized through the listener bus's own
+  * `waitUntilEmpty` (`private[spark]`, hence the bridge) so a delta
+  * taken around a verb is exact, not racing the async event queue.
+  * Specs diff it to assert a verb's driver-job budget (the EngineSpec
+  * auto-dispatch cache assertion: repeated searches must not re-run the
+  * table-existence probes).
+  */
+object GraftJobBridge {
+  private val counters = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicInteger]()
+  def jobsSubmitted(sc: org.apache.spark.SparkContext): Int = {
+    val c = counters.computeIfAbsent(sc, s => {
+      val a = new java.util.concurrent.atomic.AtomicInteger()
+      s.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          a.incrementAndGet(); ()
+        }
+      })
+      a
+    })
+    sc.listenerBus.waitUntilEmpty()
+    c.get()
+  }
+}

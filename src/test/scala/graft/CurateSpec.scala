@@ -163,6 +163,56 @@ class CurateSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("curatePasses: the strip ladder equals the manual two-call sequence") {
+    import graft.engine.CuratePass
+    def built(tag: String): (VectorEngine, String) = {
+      val root = graft.TempDirs.scratch(s"graft-curate-passes-$tag").toString
+      val eng = new VectorEngine(spark, root)
+      val lib = eng.createLibrary("ladder", 4)
+      val doc = eng.createDocument(lib)
+      eng.bulkIngest(lib, doc, graft.queries.Tables.documents(spark, sfDir)
+        .select(format_string("d%05d", col("doc_id")).as("id"), col("text")))
+      (eng, lib)
+    }
+    val benchIds = (0 until 20).map(i => f"d$i%05d")
+    // the MANUAL sequence: span-strip pass, then substring-strip pass
+    val (engM, libM) = built("manual")
+    val span = engM.curateLibrary(libM, benchIds,
+      stripSpanScales = Seq(8, 32, 64)).collect().head
+    val sub = engM.curateLibrary(libM, benchIds,
+      stripSubstrings = true).collect().head
+    // the composed driver over an identical fresh store
+    val (engP, libP) = built("driver")
+    val ladder = engP.curatePasses(libP, Seq(
+      CuratePass(benchChunkIds = benchIds, stripSpanScales = Seq(8, 32, 64)),
+      CuratePass(benchChunkIds = benchIds, stripSubstrings = true)))
+      .collect()
+    assert(ladder.length == 2)
+    assert(ladder.map(_.getAs[Long]("pass_id")).toSeq == Seq(0L, 1L))
+    // each pass writes its own curated_sequences snapshot version
+    assert(ladder.map(_.getAs[Long]("sequences_version")).toSeq == Seq(1L, 2L))
+    // per-pass stats rows are bit-equal to the manual calls'
+    val statCols = span.schema.fieldNames.toSeq
+    def statSeq(r: org.apache.spark.sql.Row): Seq[Any] =
+      statCols.map(c => r.getAs[Any](c))
+    assert(statSeq(ladder(0)) == span.toSeq,
+      s"pass 0 diverged: ${statSeq(ladder(0))} vs ${span.toSeq}")
+    assert(statSeq(ladder(1)) == sub.toSeq,
+      s"pass 1 diverged: ${statSeq(ladder(1))} vs ${sub.toSeq}")
+    // the final derived table equals the manual sequence's final state
+    // (library_id dropped: each engine minted its own library UUID)
+    val pRows = engP.curatedSequences(libP).drop("library_id")
+      .orderBy(col("chunk_id")).collect()
+    val mRows = engM.curatedSequences(libM).drop("library_id")
+      .orderBy(col("chunk_id")).collect()
+    assert(pRows.map(_.toSeq).toSeq == mRows.map(_.toSeq).toSeq)
+    // an empty pass list is rejected
+    intercept[graft.engine.EngineErrors.ValidationError] {
+      engP.curatePasses(libP, Nil)
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("curateLibrary on an empty library reports zeros, not nulls") {
     val root = graft.TempDirs.scratch("graft-curate-empty").toString
     val eng = new VectorEngine(spark, root)

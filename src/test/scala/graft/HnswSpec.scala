@@ -183,6 +183,59 @@ class HnswSpec extends AnyFunSuite {
     assert(joined == single)
   }
 
+  test("hnsw preFilter: the layered walk scores only allowed ids and fills k") {
+    // the NswSpec disjoint-cluster discipline on the LAYERED family: the
+    // greedy descent stays UNGATED (it only locates a navigation entry
+    // point), but every id the base walk may SCORE — the hybrid seed
+    // pool, including the descent result's neighborhood, and each
+    // round's frontier — is gated by the allowed set before the beam
+    // cut. When the filter excludes the descent's entire neighborhood
+    // (the "wanted" tag lives in one cluster, the entry node usually in
+    // another), the gated pool falls back on the entry CELL's allowed
+    // members instead of stranding the walk.
+    val dir = graft.TempDirs.scratch("graft-hnsw-pref").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val lib = eng.createLibrary("hnsw-pref", Dim, config)
+    val doc = eng.createDocument(lib)
+    eng.upsertChunks(lib, doc, corpus().zipWithIndex.map { case ((id, v), i) =>
+      ChunkIn(text = s"chunk $i", embedding = Some(v), position = i,
+        id = Some(id), tags = Seq(if (i % 6 == 1) "wanted" else "other"))
+    })
+    eng.rebuildIndex(lib)
+    val f = Some(SearchFilters(tags = Seq("wanted")))
+    // query inside the wanted cluster: pre mode fills k from the tag set
+    val q = corpus()(7)._2 // 7 % 6 == 1 -> "wanted"
+    val pre = eng.search(lib, q, k = 5, filters = f, preFilter = true)
+      .collect()
+    assert(pre.length == 5, s"pre-filtered layered walk returned ${pre.length}")
+    assert(pre.forall(_.getString(0).drop(1).toInt % 6 == 1),
+      "pre-filtered hit outside the allowed tag set")
+    // query in a DISJOINT cluster (tagged "other"): the starvation case —
+    // the descent walks toward cluster 0, its gated neighborhood is
+    // (near-)empty, and the walk must still fill k from allowed nodes
+    val qOther = corpus()(0)._2
+    val pre2 = eng.search(lib, qOther, k = 5, filters = f, preFilter = true)
+      .collect()
+    assert(pre2.length == 5, s"disjoint-cluster pre-filter returned ${pre2.length}")
+    assert(pre2.forall(_.getString(0).drop(1).toInt % 6 == 1))
+    // mean recall of pre >= post over a 25-query sweep vs the exact
+    // FILTERED truth (the NswSpec:192 grading on the layered family)
+    val queries = corpus().take(25)
+    def filteredRecall(preMode: Boolean, qv: Array[Float]): Double = {
+      val exact = corpus().zipWithIndex
+        .collect { case ((id, v), i) if i % 6 == 1 => (id, cos(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val got = eng.search(lib, qv, k = 5, filters = f, preFilter = preMode)
+        .collect().map(_.getString(0)).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val preMean = queries.map(p => filteredRecall(preMode = true, p._2)).sum / 25
+    val postMean = queries.map(p => filteredRecall(preMode = false, p._2)).sum / 25
+    assert(preMean >= postMean,
+      s"pre-filtered mean recall $preMean < post $postMean")
+    assert(preMean > 0.9, s"pre-filtered mean recall too low: $preMean")
+  }
+
   test("hnsw lifecycle: downgrade to nsw sheds layers, rebuild restores") {
     val (eng, dir, lib) = freshBuilt()
     assert(layersOf(dir).count() > 0)
