@@ -502,6 +502,52 @@ final class VectorEngine(
     RebalanceDecision(family, nUnits, nEntries, sharePpm, rebuilt = due)
   }
 
+  /** HIERARCHY POLICY — the layer-thinness sibling of
+    * [[rebalanceIfSkewed]], closing the [[hnswLayerStats]] telemetry
+    * into a verb (the cell/bucket/degree stats all feed one; the layer
+    * census now does too). Incremental adds link a new node against the
+    * PRE-BATCH layer members only, so a batch that comes to dominate an
+    * upper layer leaves it under-linked relative to the full
+    * cell-blocked build — and a thin layer is how the greedy descent
+    * strands (the HnswSpec planted pathology: 0.49 vs 0.99 recall on a
+    * disconnected layer 1). Audit: for each upper layer with >= 2
+    * members, directed-edges-per-member in exact ppm (a connected
+    * symmetric layer needs >= 2(m-1) directed rows, so ~2,000,000 ppm is
+    * the spanning bound); when the worst layer falls below
+    * `minEdgesPerMemberPpm`, [[rebuildIndex]] re-seeds cells from the
+    * CURRENT corpus and re-links every layer. One run of
+    * [[hnswLayerStats]] (two metadata-scale aggs) + at most one rebuild.
+    */
+  def relinkIfHierarchyThin(libId: String,
+      minEdgesPerMemberPpm: Long): HierarchyDecision = {
+    if (minEdgesPerMemberPpm < 0)
+      throw new ValidationError(
+        s"minEdgesPerMemberPpm out of range: $minEdgesPerMemberPpm")
+    val (_, config, _) = getLibrary(libId)
+    val family = effectiveIndexType(libId, config)
+    if (family != "hnsw_det")
+      throw new ValidationError(
+        s"relinkIfHierarchyThin audits the hnsw hierarchy; library is '$family'")
+    // upper layers only (the base layer is rebalanceIfSkewed's unit),
+    // restricted to layers that hold >= 2 members AND >= 1 edge: a tiny
+    // top layer whose members' probe cells never meet has zero edges by
+    // construction, and the deterministic re-link would recreate exactly
+    // that — rebuilding on it would loop fruitlessly (it is a
+    // cell-count/config signal, the rebalance verb's domain, and stays
+    // visible in the hnswLayerStats telemetry)
+    val rows = hnswLayerStats(libId).collect()
+      .filter(r => r.getInt(0) >= 1 && r.getLong(1) >= 2 && r.getLong(2) >= 1)
+    val ratios = rows.map(r =>
+      (r.getInt(0), 1000000L * r.getLong(2) / r.getLong(1)))
+    val (thinnest, worstPpm) =
+      if (ratios.isEmpty) (-1, -1L)
+      else ratios.minBy { case (l, ppm) => (ppm, l) }
+    val due = ratios.nonEmpty && worstPpm < minEdgesPerMemberPpm
+    if (due) rebuildIndex(libId)
+    HierarchyDecision(family, ratios.length.toLong, thinnest, worstPpm,
+      rebuilt = due)
+  }
+
   /** Shared PQ decode-error fold: Σ_d floor((cb[m][codes[m]][j] -
     * truth(d))^2 * 1e6 + 0.5) as exact BIGINT micro-units, with the
     * per-(m,j) codeword→component lookup a K-length plan literal.
@@ -3990,6 +4036,18 @@ case class RebalanceDecision(
     nUnits: Long,
     nEntries: Long,
     maxSharePpm: Long,
+    rebuilt: Boolean)
+
+/** [[VectorEngine.relinkIfHierarchyThin]] outcome: audited upper-layer
+  * count, the thinnest layer and its directed-edges-per-member ratio in
+  * exact ppm (-1 / -1 when no upper layer can hold an edge), and whether
+  * the thinness threshold triggered the re-link rebuild.
+  */
+case class HierarchyDecision(
+    family: String,
+    nLayers: Long,
+    thinnestLayer: Int,
+    minEdgesPerMemberPpm: Long,
     rebuilt: Boolean)
 
 /** [[VectorEngine.optimizeIfFragmented]] outcome: file count read,

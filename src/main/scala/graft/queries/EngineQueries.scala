@@ -786,6 +786,78 @@ object EngineQueries {
       .orderBy(col("beam").asc)
   }
 
+  /** Search over a LAYOUT-OPTIMIZED hierarchy: the hnsw fixture
+    * hardlink-cloned, its edge tables range-sliced + sorted by their
+    * probe keys (`(layer, src_id)` for `hnsw_edges` — the literal pair
+    * every descent read carries), then the standard layered walk — the
+    * oracle is `x_engine_hnsw_det`'s replay VERBATIM (pure layout
+    * change, the nswdet_layout precedent). Scan economy is asserted on
+    * a self-contained descent-shaped probe: one (layer, src isin) read
+    * over the sliced hierarchy must emit strictly fewer rows than the
+    * table holds, with BOTH filters pushed to the scan.
+    */
+  private def engineHnswDetLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftScanBridge
+    val (base, lib, q) = engineFixture(s, d, hnswConfig)
+    val eng = new VectorEngine(s, linkCloneStore(base.storeRoot), fixedClock)
+    eng.optimizeIndexLayout(lib, files = 8)
+    val hits = hitsOut(eng.search(lib, q, k = 10))
+    val st = new graft.engine.StateStore(s, eng.storeRoot)
+    def hedges = st.read("hnsw_edges", graft.engine.Schemas.hnswEdges)
+      .filter(col("library_id") === lib)
+    val total = hedges.count()
+    val srcs = hedges.filter(col("layer") === 1)
+      .select(col("src_id")).orderBy(col("src_id").asc).limit(2)
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(srcs.nonEmpty, "layer 1 missing from the hnsw fixture")
+    val probe = hedges.filter(col("layer") === 1 &&
+      col("src_id").isin(srcs: _*))
+    probe.collect()
+    val (_, scanned) = GraftScanBridge.scanStats(probe)
+    val plan = GraftScanBridge.executedPlanString(probe)
+    // a 1-element isin compiles to EqualTo, larger sets to In — both are
+    // the pushed literal probe the descent plants
+    require(plan.contains("EqualTo(layer,1)") &&
+        (plan.contains("In(src_id") || plan.contains("EqualTo(src_id")),
+      s"descent pushdown missing from the sliced hierarchy scan:\n$plan")
+    require(scanned < total,
+      s"no skipping on the sliced hierarchy: read $scanned of $total")
+    hits
+  }
+
+  /** Pre-vs-post FILTERED recall of the LAYERED walk, hash-checked — the
+    * single-query graph-family sibling of `x_engine_filtered_recall`:
+    * post mode = the standard hnsw top-10 THEN the tag filter (quirk
+    * Q5), pre mode = the candPred-gated walk (the documented
+    * deviation), both graded against the exact FILTERED top-10. Both
+    * walks share ONE descent in the oracle (it is filter-independent by
+    * design — only scoring is gated), so the measured pre-vs-post gap
+    * itself is oracle-checked.
+    */
+  private def hnswFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (eng, lib, q) = engineFixture(s, d, hnswConfig)
+    val f = Some(SearchFilters(tags = Seq("label0", "label2")))
+    def ids(pre: Boolean): Set[Long] =
+      eng.search(lib, q, k = 10, filters = f, preFilter = pre).collect()
+        .map(_.getString(0).substring(1).toLong).toSet
+    val post = ids(pre = false)
+    val preIds = ids(pre = true)
+    val truth: Set[Long] = Tables.embeddings(s, d)
+      .filter(col("label").isin(0, 2))
+      .crossJoin(broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))))
+      .select(col("vec_id"),
+        rnd(graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    Seq((0L, post.size,
+      rnd6d((post intersect truth).size.toDouble / 10.0),
+      rnd6d((preIds intersect truth).size.toDouble / 10.0)))
+      .toDF("query_id", "n_post", "recall_post", "recall_pre")
+  }
+
   /** PRE-FILTERED HNSW search (VERDICT r14 missing #1 — the
     * `x_engine_nswdet_prefiltered` discipline on the LAYERED family):
     * the allowed set gates every id the base walk may SCORE — the
@@ -1834,6 +1906,8 @@ object EngineQueries {
     "x_engine_hnswdet_incremental" -> (engineHnswDetIncremental _),
     "x_engine_hnswdet_prefiltered" -> (engineHnswDetPrefiltered _),
     "x_engine_hnswdet_layerstats"  -> (engineHnswLayerStats _),
+    "x_engine_hnswdet_layout"      -> (engineHnswDetLayout _),
+    "x_hnswdet_filtered_recall"    -> (hnswFilteredRecall _),
     "x_hnswdet_ndcg"         -> ((s: SparkSession, d: String) =>
                                    ndcgOf(s, d, hnswConfig)),
     "x_hnswdet_mrr"          -> ((s: SparkSession, d: String) =>
@@ -3014,6 +3088,38 @@ object EngineQueries {
        |ORDER BY layer ASC""".stripMargin
   }
 
+  /** Pre-vs-post filtered-recall replay (`x_hnswdet_filtered_recall`):
+    * one corpus + hierarchy + descent, two tag-suffixed walks (ungated
+    * "_post" vs candPred-gated "_pre"), post-mode top-10 filtered AFTER
+    * the cut (quirk Q5), both graded against the exact filtered top-10.
+    */
+  private def hnswFilteredRecallSql: String = {
+    val qRaw = "(SELECT emb FROM e WHERE vec_id = 0)"
+    s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+       |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+       |${hnswDescentCtes("", nswQnSelect(0))},
+       |${hnswSeedWalkCtes("_post", "")},
+       |${hnswSeedWalkCtes("_pre", "", nswConfig,
+            v => s"$v IN $lshDetAllowedSql")},
+       |post_hits AS (
+       |  SELECT vec_id FROM (
+       |${nswHitsSelectOver(qRaw, nswConfig, "_post")})
+       |  WHERE vec_id IN $lshDetAllowedSql),
+       |pre_hits AS (
+       |  SELECT vec_id FROM (
+       |${nswHitsSelectOver(qRaw, nswConfig, "_pre")})),
+       |truth AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |           ${rndSql(s"list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qRaw)", 6)} AS score
+       |    FROM embeddings WHERE label IN (0, 2))
+       |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+       |SELECT CAST(0 AS BIGINT) AS query_id,
+       |       CAST((SELECT count(*) FROM post_hits) AS INTEGER) AS n_post,
+       |       ${rndSql("(SELECT count(*) FROM post_hits JOIN truth USING (vec_id)) / 10.0", 6)} AS recall_post,
+       |       ${rndSql("(SELECT count(*) FROM pre_hits JOIN truth USING (vec_id)) / 10.0", 6)} AS recall_pre""".stripMargin
+  }
+
   // x_engine_ivfpq replay (shared by the hits entry, the recall metric,
   // and the BATCH entry): seed centroids (8 lowest md5, centroid_id in
   // chunk_id order) -> argmax-dot assignment -> FLOAT residuals (REAL
@@ -3685,6 +3791,19 @@ object EngineQueries {
     // per layer from the live postings, edges per layer from the
     // replayed builds (layer 0 = the base graph)
     "x_engine_hnswdet_layerstats" -> hnswLayerStatsSql,
+    // hierarchy-layout optimization is a pure LAYOUT change: the sliced
+    // descent + walk must land on exactly the hnsw_det sibling's hits
+    "x_engine_hnswdet_layout" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswDescentCtes("", nswQnSelect(0))},
+         |${hnswSeedWalkCtes("", "")}
+         |$nswHitsSelect""".stripMargin,
+    // pre-vs-post filtered recall of the LAYERED walk: one shared
+    // descent, an ungated walk post-filtered by tag vs a candPred-gated
+    // walk, both graded against the exact FILTERED top-10 — the measured
+    // gap itself hash-checks
+    "x_hnswdet_filtered_recall" -> hnswFilteredRecallSql,
     // graded-relevance / first-hit / precision-profile metrics of the
     // LAYERED walk — the nsw metric discipline, both sides SQL
     "x_hnswdet_ndcg" ->

@@ -193,6 +193,20 @@ class EngineFuzzSpec extends AnyFunSuite {
       seed0 = 37, tag = "graft-fuzz-nsw")
   }
 
+  /** The LAYERED walk under churn: 150 random mutations against an hnsw
+    * library exercise the per-layer delta links / every-layer strips AND
+    * the r15 per-library index caches (entry node, layer list, family
+    * resolution) — every mutation must invalidate them, or a search
+    * after a delete would descend from a dead entry node. Beam 64 over
+    * the 30-id space makes the walk exhaustive, so search must equal
+    * the model's Q1 top-k exactly at every step.
+    */
+  test("150 random verbs against an HNSW library: incremental maintenance stays exact (seed 41)") {
+    indexedWalk("hnsw", IndexConfig("hnsw_det", ivfNumCentroids = 1,
+      ivfNprobe = 1, nswBeam = 64, nswRounds = 1),
+      seed0 = 41, tag = "graft-fuzz-hnsw")
+  }
+
   test("150 random verbs against a PQ library: incremental maintenance stays exact (seed 37)") {
     indexedWalk("pq",
       IndexConfig("pq", pqSubspaces = 2, pqCodewords = 64),

@@ -236,6 +236,53 @@ class HnswSpec extends AnyFunSuite {
     assert(preMean > 0.9, s"pre-filtered mean recall too low: $preMean")
   }
 
+  test("relinkIfHierarchyThin: layer thinness thresholds a re-link rebuild") {
+    import graft.index.HnswIndex
+    val (eng, _, lib) = freshBuilt()
+    // healthy full build: audit reads a positive ratio, no rebuild at a
+    // permissive threshold
+    val d0 = eng.relinkIfHierarchyThin(lib, minEdgesPerMemberPpm = 1L)
+    assert(d0.family == "hnsw_det" && !d0.rebuilt)
+    assert(d0.nLayers >= 1 && d0.thinnestLayer >= 1)
+    assert(d0.minEdgesPerMemberPpm > 0)
+    // grow layer 1 with a batch of upper-level nodes: incremental adds
+    // link only against PRE-BATCH members (new-new links missing), so
+    // the full re-link can only restore or improve the ratio
+    val doc2 = eng.createDocument(lib)
+    val ups = (0 until 20000).map(i => f"u$i%05d")
+      .filter(HnswIndex.levelOf(_) >= 1).take(6)
+    val rnd = new scala.util.Random(11)
+    eng.upsertChunks(lib, doc2, ups.zipWithIndex.map { case (id, i) =>
+      val base = Array.tabulate(Dim)(j => if (j == i % 6) 1.0f else 0.1f)
+      ChunkIn(text = s"up $i",
+        embedding = Some(base.map(_ + (rnd.nextFloat() - 0.5f) * 0.2f)),
+        position = 200 + i, id = Some(id))
+    })
+    val thin = eng.relinkIfHierarchyThin(lib, 1L)
+    assert(!thin.rebuilt && thin.minEdgesPerMemberPpm > 0)
+    // an unreachable threshold forces the re-link rebuild; the audit
+    // after it reads a healthy ratio (above the ~2e6 ppm spanning
+    // bound — the full build links new-new pairs the incremental adds
+    // could not) and the library still serves exactly. The absolute
+    // ratio may sit slightly above OR below the incremental state's:
+    // piled-up reverse links can exceed the full build's top-M cut,
+    // which is exactly why the audit thresholds a floor, not a delta.
+    val forced = eng.relinkIfHierarchyThin(lib, 100000000L)
+    assert(forced.rebuilt)
+    val after = eng.relinkIfHierarchyThin(lib, 1L)
+    assert(!after.rebuilt)
+    assert(after.minEdgesPerMemberPpm > 2000000L,
+      s"re-linked hierarchy below the spanning bound: " +
+        s"${after.minEdgesPerMemberPpm}")
+    assert(eng.search(lib, corpus()(7)._2, k = 1).collect()
+      .head.getString(0) == "c007")
+    // the verb is hnsw-only: a flat library is rejected
+    val flatLib = eng.createLibrary("flat", Dim)
+    intercept[graft.engine.EngineErrors.ValidationError] {
+      eng.relinkIfHierarchyThin(flatLib, 1L)
+    }
+  }
+
   test("hnsw lifecycle: downgrade to nsw sheds layers, rebuild restores") {
     val (eng, dir, lib) = freshBuilt()
     assert(layersOf(dir).count() > 0)
