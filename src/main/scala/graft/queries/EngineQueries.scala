@@ -306,6 +306,23 @@ object EngineQueries {
     hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
   }
 
+  /** searchText through the LAYERED graph family — the last family
+    * without a text-front-door sibling: the shared text fixture cloned
+    * and rebuilt as `hnsw_det` (the doc-ingested chunk ids share the
+    * embeddings fixture's c%06d format, so the md5-level hierarchy
+    * replays with the SAME lvl template), searched with the
+    * engine-embedded query through descent + hybrid-seeded walk + exact
+    * rerank vs the RAW embedded query (quirk Q1).
+    */
+  private lazy val hnswTextConfig = nswTextConfig.copy(indexType = "hnsw_det")
+
+  private def engineSearchTextHnsw(s: SparkSession, d: String): DataFrame = {
+    val (_, baseRoot, lib) = textEngineFixture(s, d)
+    val eng = new VectorEngine(s, linkCloneStore(baseRoot), fixedClock)
+    eng.updateIndexConfig(lib, hnswTextConfig)
+    hitsOut(eng.searchText(lib, searchTextQuery(s, d), k = 10))
+  }
+
   /** Search over INDEX-LAYOUT-OPTIMIZED postings: the shared ivf_det
     * fixture hardlink-cloned, its posting table range-sliced + sorted by
     * `centroid_id` (`VectorEngine.optimizeIndexLayout`), then the
@@ -1994,6 +2011,7 @@ object EngineQueries {
     "x_engine_search_text_filtered" -> (engineSearchTextFiltered _),
     "x_engine_search_text_sq8"      -> (engineSearchTextSq8 _),
     "x_engine_search_text_nsw"      -> (engineSearchTextNsw _),
+    "x_engine_search_text_hnsw"     -> (engineSearchTextHnsw _),
     "x_engine_search_text_dim64"    -> (engineSearchTextDim64 _),
     "x_engine_optimize_layout"      -> (engineOptimizeLayout _),
     "x_engine_ivfdet_layout"        -> (engineIvfDetLayout _),
@@ -3470,6 +3488,24 @@ object EngineQueries {
              "SELECT CAST(list_transform(qv, x -> CAST(x / sqrt(" +
                "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS v FROM qv",
              nswTextConfig)}
+         |${nswHitsSelectOver("(SELECT qv FROM qv)", nswTextConfig)}""".stripMargin,
+    // searchText through the LAYERED family: the same corpus-
+    // parameterized replay plus the md5-level hierarchy (the text
+    // fixture shares the c%06d id format, so lvl/hcand/hedge templates
+    // apply verbatim), entered through the unrolled descent
+    "x_engine_search_text_hnsw" ->
+      s"""WITH ${TextQueries.embedCtesSql},
+         |ev AS (SELECT doc_id AS vec_id, list(CAST(val AS DOUBLE) ORDER BY dim) AS emb
+         |       FROM emb GROUP BY doc_id),
+         |${TextQueries.embedQueryCtesSql(searchTextQueryTokListSql)},
+         |${nswCorpusCtesOver("SELECT vec_id, emb FROM ev",
+             _ => "TRUE", _ => "TRUE", nswTextConfig)},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE", nswTextConfig)},
+         |${hnswDescentCtes("",
+             "SELECT CAST(list_transform(qv, x -> CAST(x / sqrt(" +
+               "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS v FROM qv",
+             nswTextConfig)},
+         |${hnswSeedWalkCtes("", "", nswTextConfig)}
          |${nswHitsSelectOver("(SELECT qv FROM qv)", nswTextConfig)}""".stripMargin,
     // x_engine_optimize_layout: the box-query result is layout-INVARIANT
     // (the skipping proof lives in the entry's scan-metric requires);
