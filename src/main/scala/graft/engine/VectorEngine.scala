@@ -1942,6 +1942,234 @@ final class VectorEngine(
       .orderBy(col("rrf").desc, col("chunk_id").asc)
   }
 
+  /** RANGE (radius) SEARCH — every chunk whose similarity to the query
+    * is at least `minScore` (all three metrics are higher-is-better:
+    * cosine, 1/(1+d) euclidean, dot), capped at `limit` rows by
+    * (score desc, chunk_id asc). The faiss `range_search` surface the
+    * reference's fixed-k endpoint (`services/search.py:18-75`) cannot
+    * express.
+    *
+    * Always EXACT, whatever index family the library declares: a score
+    * threshold composes with none of the families' top-k candidate
+    * generation (an ANN walk/probe may miss an above-threshold row the
+    * caller was promised), and the exact answer is ONE corpus pass —
+    * scan, score inside whole-stage codegen, `Filter(score >=
+    * minScore)`, then a TakeOrderedAndProject bounded by `limit`. No
+    * shuffle, no index read; at 100 TB this is the same plan as flat
+    * search with a cheaper tail. Scoring uses the RAW stored vectors
+    * (quirk Q1's flat path). Filters follow the Q5 post-filter contract
+    * (may return fewer than the matched rows); `preFilter = true`
+    * pushes them into the scan, as `search`.
+    */
+  def rangeSearch(libId: String, query: Array[Float], minScore: Double,
+      metric: String = "cosine", filters: Option[SearchFilters] = None,
+      preFilter: Boolean = false, limit: Int = 1000): DataFrame = {
+    val (dim, _, _) = getLibrary(libId)
+    if (query.length != dim)
+      throw new ValidationError(s"query dim ${query.length} != library dim $dim")
+    if (limit <= 0 || limit > 10000)
+      throw new ValidationError(s"limit out of range: $limit")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val topk = flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col("chunk_id").asc) // Q7 tie-breaker
+      .limit(limit)
+    // <= limit rows — broadcast hydration, as `search` (J1 semantics)
+    val hydrated = broadcast(topk)
+      .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+    applyPost(hydrated, filters)
+      .select(col("chunk_id"), col("document_id"), col("score"),
+        col("text"), col("position"), col("metadata"),
+        col("created_at"), col("updated_at"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+  }
+
+  /** RECOMMEND — seed-based retrieval: "more like these, less like
+    * those", the positive/negative-examples surface vector stores pair
+    * with kNN. Two strategies:
+    *
+    *  - `"centroid"` (default): the Rocchio pseudo-query (Rocchio 1971,
+    *    with beta = gamma = 1 and no original query) — q[j] =
+    *    avg(positives)[j] - avg(negatives)[j], averaged in DOUBLE and
+    *    rounded once to float32 — then delegated to [[search]]
+    *    UNCHANGED, so it runs through whatever index family the library
+    *    resolved (flat scan, LSH probes, IVF cells, a graph walk...).
+    *    Oversampled by |seeds| so dropping the seed chunks still fills
+    *    k: the global top-k non-seed hits all sit inside the top
+    *    (k + |seeds|).
+    *  - `"margin"`: score(c) = max over positives sim(c, p) - max over
+    *    negatives sim(c, n) (0 when no negatives) — a multi-vector
+    *    score no single pseudo-query can express, so it is EXACT by
+    *    construction: one corpus pass with the <= 64 seed vectors as
+    *    plan literals, every max inside whole-stage codegen, then the
+    *    k-bounded tail. At 100 TB: flat-search cost times nothing — the
+    *    seeds ride along as constants.
+    *
+    * Seed chunks are excluded from the results in both strategies. Seed
+    * vectors are read back driver-side (<= 64 rows — the 1-row
+    * query-vector readback precedent, bounded by validation). Scoring
+    * uses raw stored vectors (quirk Q1 flat / rerank contracts apply
+    * through `search` for centroid). Filters: Q5 post-filter contract,
+    * `preFilter` as `search`.
+    */
+  def recommend(libId: String, positiveIds: Seq[String],
+      negativeIds: Seq[String] = Nil, k: Int = 10,
+      metric: String = "cosine", strategy: String = "centroid",
+      filters: Option[SearchFilters] = None,
+      preFilter: Boolean = false): DataFrame = {
+    val (dim, _, _) = getLibrary(libId)
+    if (positiveIds.isEmpty)
+      throw new ValidationError("recommend needs at least one positive example")
+    if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
+    val seeds = positiveIds ++ negativeIds
+    if (seeds.distinct.length != seeds.length)
+      throw new ValidationError("recommend: duplicate seed id")
+    if (seeds.length > 64)
+      throw new ValidationError(s"recommend: at most 64 seed examples, got ${seeds.length}")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val seedVecs: Map[String, Array[Float]] = libChunks
+      .filter(col("id").isin(seeds: _*) && col("embedding").isNotNull)
+      .select(col("id"), col("embedding"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    val missing = seeds.filterNot(seedVecs.contains)
+    if (missing.nonEmpty)
+      throw new NotFoundError(
+        s"recommend: no embedded chunk for ${missing.sorted.mkString(", ")}")
+    seedVecs.values.find(_.length != dim).foreach(v =>
+      throw new ValidationError(s"recommend: seed dim ${v.length} != library dim $dim"))
+
+    strategy match {
+      case "centroid" =>
+        // per-component double average in SEED-LIST ORDER (the oracle
+        // replays the same left-fold), one rounding to float32 at the end
+        val q = Array.tabulate(dim) { j =>
+          val p = positiveIds.map(seedVecs(_)(j).toDouble).sum / positiveIds.length
+          val n =
+            if (negativeIds.isEmpty) 0.0
+            else negativeIds.map(seedVecs(_)(j).toDouble).sum / negativeIds.length
+          (p - n).toFloat
+        }
+        val kk = math.min(1000, k + seeds.length)
+        search(libId, q, kk, metric, filters, preFilter)
+          .filter(!col("chunk_id").isin(seeds: _*))
+          .orderBy(col("score").desc, col("chunk_id").asc)
+          .limit(k)
+      case "margin" =>
+        def maxSim(ids: Seq[String]): Column = {
+          val sims = ids.map(id =>
+            similarity(metric)(col("embedding"), typedLit(seedVecs(id).toSeq)))
+          if (sims.length == 1) sims.head else greatest(sims: _*)
+        }
+        val negMax = if (negativeIds.isEmpty) lit(0.0) else maxSim(negativeIds)
+        val scored = applyPre(libChunks, filters, preFilter)
+          .filter(col("embedding").isNotNull && !col("id").isin(seeds: _*))
+          .select(col("id").as("chunk_id"),
+            (maxSim(positiveIds) - negMax).as("score"))
+        val topk = scored
+          .orderBy(col("score").desc, col("chunk_id").asc)
+          .limit(k)
+        val hydrated = broadcast(topk)
+          .join(libChunks.withColumnRenamed("id", "chunk_id"), "chunk_id")
+        applyPost(hydrated, filters)
+          .select(col("chunk_id"), col("document_id"), col("score"),
+            col("text"), col("position"), col("metadata"),
+            col("created_at"), col("updated_at"))
+          .orderBy(col("score").desc, col("chunk_id").asc)
+      case other =>
+        throw new ValidationError(s"recommend: unknown strategy: $other")
+    }
+  }
+
+  /** GROUPED SEARCH — the top `groups` groups by their BEST hit, each
+    * with its top `perGroup` hits: "best g documents, m chunks each" /
+    * "best g authors" — the diversity surface a flat top-k cannot
+    * express (one strong group swallows the whole result list).
+    *
+    * `groupBy` is one of `document_id`, `author`, `lang` (metadata
+    * fields), or `tag` (the chunk's FIRST tag); rows with a null group
+    * key are excluded. Filters apply to the CANDIDATE rows, BEFORE
+    * grouping — the Q5 post-filter contract would let a filtered-out
+    * hit consume a group slot and leave a hole, so grouping semantics
+    * need the filter first (documented deviation, like `preFilter`).
+    *
+    * Scoring is EXACT over the raw stored vectors (quirk Q1's flat
+    * path): grouped top-k composes badly with ANN candidate generation
+    * — a family's oversample bounds hits, not groups, so a small group
+    * with above-cut members can vanish entirely. The exact plan is the
+    * scale-right one anyway: one scored corpus pass, then the k-bounded
+    * PARTIAL aggregator per group (map side reduces every partition to
+    * <= perGroup rows per key BEFORE the one shuffle — never a
+    * corpus-wide window sort), then ONE TakeOrdered over one row per
+    * group (each row carrying its <= perGroup hits), then a bounded
+    * explode + broadcast hydration. Driver state: zero; shuffled rows:
+    * <= perGroup x |groups present|.
+    *
+    * Returns (group_key, group_rank, best_score, hit_rank, chunk_id,
+    * document_id, score, text) ordered by (group_rank, hit_rank) —
+    * group_rank by (best_score desc, group_key asc), hit_rank by the Q7
+    * (score desc, chunk_id asc) contract within the group.
+    */
+  def searchGrouped(libId: String, query: Array[Float], groups: Int,
+      perGroup: Int, groupBy: String = "document_id",
+      metric: String = "cosine",
+      filters: Option[SearchFilters] = None): DataFrame = {
+    import spark.implicits._
+    val (dim, _, _) = getLibrary(libId)
+    if (query.length != dim)
+      throw new ValidationError(s"query dim ${query.length} != library dim $dim")
+    if (groups <= 0 || groups > 1000)
+      throw new ValidationError(s"groups out of range: $groups")
+    if (perGroup <= 0 || perGroup > 100)
+      throw new ValidationError(s"perGroup out of range: $perGroup")
+    similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
+    val grpCol = groupBy match {
+      case "document_id" => col("document_id")
+      case "author"      => col("metadata.author")
+      case "lang"        => col("metadata.lang")
+      // try_: a tagless chunk (null OR empty array) must group as null
+      // (excluded below), not throw under ANSI out-of-bounds semantics
+      case "tag"         => try_element_at(col("metadata.tags"), lit(1))
+      case other =>
+        throw new ValidationError(s"searchGrouped: unknown groupBy: $other")
+    }
+    val libChunks = chunks.filter(col("library_id") === libId)
+    val scored = applyPost(
+        libChunks.withColumnRenamed("id", "chunk_id"), filters)
+      .filter(col("embedding").isNotNull && grpCol.isNotNull)
+      .select(grpCol.as("group_key"), col("chunk_id"),
+        similarity(metric)(col("embedding"), typedLit(query.toSeq)).as("score"))
+    // one row per group, hits already cut to perGroup and sorted
+    // (score desc, id asc) by the aggregator; head = the group's best
+    val winners = scored.as[(String, String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topKStrKey(perGroup).toColumn)
+      .map { case (g, hits) => (g, hits.head._1, hits) }
+      .toDF("group_key", "best_score", "hits")
+      .orderBy(col("best_score").desc, col("group_key").asc)
+      .limit(groups)
+    // group_rank over the <= groups winner rows — a single tiny
+    // partition on purpose (the hybridSearch rank-frame discipline)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.queries.WindowUtil.onePartition(col("group_key")))
+      .orderBy(col("best_score").desc, col("group_key").asc)
+    val flat = winners
+      .withColumn("group_rank", row_number().over(wG))
+      .select(col("group_key"), col("group_rank"), col("best_score"),
+        posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("group_key"), col("group_rank"), col("best_score"),
+        (col("pos") + 1).as("hit_rank"),
+        col("hit._2").as("chunk_id"), col("hit._1").as("score"))
+    broadcast(flat)
+      .join(libChunks.withColumnRenamed("id", "chunk_id")
+        .select(col("chunk_id"), col("document_id"), col("text")), "chunk_id")
+      .select(col("group_key"), col("group_rank"), col("best_score"),
+        col("hit_rank"), col("chunk_id"), col("document_id"),
+        col("score"), col("text"))
+      .orderBy(col("group_rank").asc, col("hit_rank").asc)
+  }
+
   /** The index family `search`/`searchBatchAnn` dispatch on for this
     * library. "auto" searches whatever rebuildIndex resolved and built:
     * LSH when it has planes, IVFPQ when it has a codes table, IVF when it

@@ -150,6 +150,58 @@ object EngineQueries {
       filters = Some(SearchFilters(tags = Seq("label0", "label2")))))
   }
 
+  /** RANGE SEARCH through the engine (the faiss `range_search` surface):
+    * every chunk with cosine >= 0.2 against the shared query, capped at
+    * 50 by (score desc, id asc). At sf0.01 ~29 rows qualify (the cap is
+    * slack — the threshold is what's checked); at sf0.1 ~108 qualify
+    * (the cap binds — the bounded-result contract is what's checked).
+    * 0.2 sits >= 3.8e-4 from the nearest score at both SFs, so the
+    * threshold cut is never a last-ulp coin flip.
+    */
+  private def engineRangeSearch(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("flat"))
+    hitsOut(eng.rangeSearch(lib, q, minScore = 0.2, limit = 50))
+  }
+
+  /** RECOMMEND through the engine, centroid (Rocchio) strategy: the
+    * pseudo-query avg(vec 0, vec 1) - vec 2 averaged in double, rounded
+    * once to float32, delegated to the unchanged `search` path; the
+    * three seed chunks are excluded from the hits. The oracle rebuilds
+    * the identical float32 pseudo-query element-by-element.
+    */
+  private def engineRecommend(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("flat"))
+    hitsOut(eng.recommend(lib, Seq("c000000", "c000001"),
+      Seq("c000002"), k = 10))
+  }
+
+  /** RECOMMEND, margin strategy: score = max(cos to vec 0, cos to
+    * vec 1) - cos to vec 2 — the multi-vector score computed in one
+    * exact corpus pass with the seeds as plan literals.
+    */
+  private def engineRecommendMargin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("flat"))
+    hitsOut(eng.recommend(lib, Seq("c000000", "c000001"),
+      Seq("c000002"), k = 10, strategy = "margin"))
+  }
+
+  /** GROUPED SEARCH through the engine: top-5 label groups (group key =
+    * the chunk's first tag) by their best hit, top-3 hits each — the
+    * k-bounded per-group partial aggregation + one TakeOrdered over one
+    * row per group, replayed by the oracle's window formulation.
+    */
+  private def engineGroupSearch(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, IndexConfig("flat"))
+    eng.searchGrouped(lib, q, groups = 5, perGroup = 3, groupBy = "tag")
+      .select(col("group_key"),
+        col("group_rank").cast("int").as("group_rank"),
+        rnd(col("best_score"), 6).as("best_score"),
+        col("hit_rank").cast("int").as("hit_rank"),
+        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("group_rank").asc, col("hit_rank").asc)
+  }
+
   /** EMBED → INGEST → INDEX → SEARCH e2e (VERDICT r11 #2): the FIRST
     * entry whose vectors are engine-computed rather than read from the
     * driver's embeddings table — the documents corpus goes through the
@@ -1912,6 +1964,10 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_engine_flat"          -> (engineFlat _),
     "x_engine_flat_filtered" -> (engineFlatFiltered _),
+    "x_engine_range_search"  -> (engineRangeSearch _),
+    "x_engine_recommend"     -> (engineRecommend _),
+    "x_engine_recommend_margin" -> (engineRecommendMargin _),
+    "x_engine_group_search"  -> (engineGroupSearch _),
     "x_engine_annjoin_filtered" -> (engineAnnJoinFiltered _),
     "x_engine_lsh"           -> (engineLsh _),
     "x_engine_ivf"           -> (engineIvf _),
@@ -3550,6 +3606,82 @@ object EngineQueries {
          |  ORDER BY score DESC, vec_id ASC LIMIT 20)
          |SELECT vec_id, score FROM topk WHERE label IN (0, 2)
          |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    // x_engine_range_search: threshold on the RAW double score, cap by
+    // (raw desc, id asc) — the verb's cut — then the entry's rounding +
+    // re-sort (rounded desc, id asc), exactly hitsOut's tail
+    "x_engine_range_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id, $cosSql AS raw FROM embeddings e, q),
+         |topk AS (SELECT * FROM scored WHERE raw >= 0.2
+         |         ORDER BY raw DESC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, ${rndSql("raw", 6)} AS score FROM topk
+         |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    // x_engine_recommend: the Rocchio pseudo-query rebuilt element-wise —
+    // per component j: ((x0 + x1) / 2 - x2) in DOUBLE (the verb's
+    // seed-list-order left fold), rounded ONCE to float32 (REAL), then
+    // widened back to double for the same cosine the flat oracle uses;
+    // seeds excluded, top-10 by raw, rounded + re-sorted as hitsOut
+    "x_engine_recommend" ->
+      s"""WITH sd AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |qc AS (
+         |  SELECT j, CAST(CAST(
+         |      (MAX(CASE WHEN vec_id = 0 THEN x END)
+         |       + MAX(CASE WHEN vec_id = 1 THEN x END)) / 2.0
+         |      - MAX(CASE WHEN vec_id = 2 THEN x END) AS REAL) AS DOUBLE) AS qj
+         |  FROM sd GROUP BY j),
+         |q AS (SELECT list(qj ORDER BY j) AS qv FROM qc),
+         |scored AS (
+         |  SELECT e.vec_id, $cosSql AS raw
+         |  FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2)),
+         |topk AS (SELECT * FROM scored ORDER BY raw DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, ${rndSql("raw", 6)} AS score FROM topk
+         |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    // x_engine_recommend_margin: score = GREATEST(cos to vec 0, cos to
+    // vec 1) - cos to vec 2, all on raw stored vectors in double — the
+    // verb's codegen expression verbatim; seeds excluded pre-ranking
+    "x_engine_recommend_margin" ->
+      s"""WITH s0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+         |s1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+         |s2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    GREATEST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s0.v),
+         |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s1.v))
+         |    - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s2.v) AS raw
+         |  FROM embeddings e, s0, s1, s2
+         |  WHERE e.vec_id NOT IN (0, 1, 2)),
+         |topk AS (SELECT * FROM scored ORDER BY raw DESC, vec_id ASC LIMIT 10)
+         |SELECT vec_id, ${rndSql("raw", 6)} AS score FROM topk
+         |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    // x_engine_group_search: the window formulation of the verb's
+    // k-bounded partial-agg + TakeOrdered plan — per-group hit ranks by
+    // (raw desc, id asc), group ranks by (best raw desc, key asc),
+    // top-5 groups x top-3 hits; group key = the ingest's first tag
+    "x_engine_group_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT 'label' || CAST(e.label AS VARCHAR) AS group_key, e.vec_id,
+         |         $cosSql AS raw
+         |  FROM embeddings e, q),
+         |hitr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY group_key
+         |    ORDER BY raw DESC, vec_id ASC) AS hr FROM scored),
+         |best AS (SELECT group_key, raw AS best FROM hitr WHERE hr = 1),
+         |topg AS (
+         |  SELECT group_key, best,
+         |         row_number() OVER (ORDER BY best DESC, group_key ASC) AS gr
+         |  FROM best),
+         |sel AS (SELECT * FROM topg WHERE gr <= 5)
+         |SELECT s.group_key, CAST(s.gr AS INTEGER) AS group_rank,
+         |       ${rndSql("s.best", 6)} AS best_score,
+         |       CAST(h.hr AS INTEGER) AS hit_rank, h.vec_id,
+         |       ${rndSql("h.raw", 6)} AS score
+         |FROM sel s JOIN hitr h USING (group_key)
+         |WHERE h.hr <= 3
+         |ORDER BY group_rank ASC, hit_rank ASC""".stripMargin,
     "x_engine_annjoin_filtered" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < 3),

@@ -1523,4 +1523,140 @@ class EngineSpec extends AnyFunSuite {
     assert(j4 > j5, s"post-mutation search should re-probe once: $j4 vs $j5")
     assert(j5 == j2, s"re-cached search job count drifted: $j5 vs $j2")
   }
+
+  /** Three axis clusters + one author/tag split — the shared fixture of
+    * the rangeSearch / recommend / searchGrouped specs.
+    */
+  private def retrievalFixture(): (VectorEngine, String) = {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("retrieval", 3)
+    val doc = eng.createDocument(lib)
+    def v(x: Float, y: Float, z: Float) = Some(Array(x, y, z))
+    eng.upsertChunks(lib, doc, Seq(
+      ChunkIn("x0", v(1f, 0f, 0f), 0, Some("x0"), author = Some("ann"),
+        tags = Seq("gx")),
+      ChunkIn("x1", v(0.9f, 0.1f, 0f), 1, Some("x1"), author = Some("ann"),
+        tags = Seq("gx")),
+      ChunkIn("x2", v(0.8f, 0.2f, 0f), 2, Some("x2"), author = Some("bob"),
+        tags = Seq("gx")),
+      ChunkIn("y0", v(0f, 1f, 0f), 3, Some("y0"), author = Some("bob"),
+        tags = Seq("gy")),
+      ChunkIn("y1", v(0.1f, 0.9f, 0f), 4, Some("y1"), author = Some("bob"),
+        tags = Seq("gy")),
+      ChunkIn("z0", v(0f, 0f, 1f), 5, Some("z0"), author = Some("cat"),
+        tags = Seq("gz")),
+      ChunkIn("ntag", v(0.7f, 0.3f, 0f), 6, Some("ntag"),
+        author = Some("cat")))) // no tags: excluded from tag grouping
+    (eng, lib)
+  }
+
+  test("rangeSearch: threshold + cap + Q5 filters; exact whatever the index") {
+    val (eng, lib) = retrievalFixture()
+    val q = Array(1f, 0f, 0f)
+    // manual raw cosines against q: x0=1, x1~.994, x2~.970, ntag~.919,
+    // y1~.110, y0=0, z0=0
+    val all = eng.rangeSearch(lib, q, minScore = 0.5).collect()
+    assert(all.map(_.getString(0)).toSeq == Seq("x0", "x1", "x2", "ntag"))
+    assert(all.forall(_.getDouble(2) >= 0.5))
+    // cap binds by (score desc, id asc)
+    val capped = eng.rangeSearch(lib, q, minScore = 0.5, limit = 2)
+    assert(capped.collect().map(_.getString(0)).toSeq == Seq("x0", "x1"))
+    // post-filter contract: threshold hits minus non-matching authors
+    val filtered = eng.rangeSearch(lib, q, minScore = 0.5,
+      filters = Some(SearchFilters(author = Some("ann"))))
+    assert(filtered.collect().map(_.getString(0)).toSeq == Seq("x0", "x1"))
+    // exact on an indexed library too: same rows after an LSH rebuild
+    eng.updateIndexConfig(lib, IndexConfig("lsh", lshNumTables = 2,
+      lshHyperplanesPerTable = 4))
+    val indexed = eng.rangeSearch(lib, q, minScore = 0.5).collect()
+    assert(indexed.map(_.getString(0)).toSeq == Seq("x0", "x1", "x2", "ntag"))
+    intercept[ValidationError](eng.rangeSearch(lib, q, 0.5, limit = 0))
+    intercept[ValidationError](eng.rangeSearch(lib, Array(1f), 0.5))
+  }
+
+  test("recommend centroid: Rocchio pseudo-query via the index path, seeds excluded") {
+    val (eng, lib) = retrievalFixture()
+    // positives in the x cluster, negative in y: the pseudo-query points
+    // at x minus y, so remaining x members lead and y members trail
+    val hits = eng.recommend(lib, Seq("x0", "x1"), Seq("y0"), k = 4).collect()
+    val ids = hits.map(_.getString(0)).toSeq
+    assert(!ids.exists(Set("x0", "x1", "y0")), s"seed leaked into $ids")
+    assert(ids.take(2) == Seq("x2", "ntag"), s"x cluster should lead: $ids")
+    // equals a plain search with the hand-built float32 pseudo-query,
+    // minus the seeds — the delegation contract
+    val manual = Array.tabulate(3) { j =>
+      val p = (hits0(eng, lib, "x0")(j).toDouble + hits0(eng, lib, "x1")(j)) / 2
+      (p - hits0(eng, lib, "y0")(j).toDouble).toFloat
+    }
+    val direct = eng.search(lib, manual, k = 7).collect()
+      .filterNot(r => Set("x0", "x1", "y0")(r.getString(0))).take(4)
+    assert(direct.map(_.getString(0)).toSeq == ids)
+    // delegation runs the library's index family: same rows through LSH
+    eng.updateIndexConfig(lib, IndexConfig("lsh_det", lshNumTables = 4,
+      lshHyperplanesPerTable = 2))
+    val viaLsh = eng.recommend(lib, Seq("x0", "x1"), Seq("y0"), k = 2)
+    assert(viaLsh.collect().map(_.getString(0)).nonEmpty)
+    intercept[ValidationError](eng.recommend(lib, Nil, Nil, k = 3))
+    intercept[ValidationError](eng.recommend(lib, Seq("x0", "x0"), Nil, k = 3))
+    intercept[ValidationError](
+      eng.recommend(lib, Seq("x0"), Nil, k = 3, strategy = "nope"))
+    intercept[NotFoundError](eng.recommend(lib, Seq("ghost"), Nil, k = 3))
+  }
+
+  test("recommend margin: max-sim margin score, no-negative degenerates to max-pos") {
+    val (eng, lib) = retrievalFixture()
+    val hits = eng.recommend(lib, Seq("x0", "x1"), Seq("y0"), k = 4,
+      strategy = "margin").collect()
+    val ids = hits.map(_.getString(0)).toSeq
+    assert(!ids.exists(Set("x0", "x1", "y0")), s"seed leaked into $ids")
+    // margin of x2 = max(cos x0, cos x1) - cos(y0) — verify the leader's
+    // score against the hand formula
+    val x2 = hits0(eng, lib, "x2")
+    val expected = math.max(cos(x2, hits0(eng, lib, "x0")),
+      cos(x2, hits0(eng, lib, "x1"))) - cos(x2, hits0(eng, lib, "y0"))
+    assert(ids.head == "x2")
+    assert(math.abs(hits.head.getDouble(2) - expected) < 1e-9)
+    // y cluster is pushed below the x cluster by the negative
+    assert(ids.indexOf("y1") > ids.indexOf("ntag"))
+    // no negatives: score is simply the best positive similarity
+    val pos = eng.recommend(lib, Seq("x0"), Nil, k = 1,
+      strategy = "margin").collect().head
+    assert(pos.getString(0) == "x1")
+    assert(math.abs(pos.getDouble(2) -
+      cos(hits0(eng, lib, "x1"), hits0(eng, lib, "x0"))) < 1e-9)
+  }
+
+  test("searchGrouped: per-group cap, best-hit group ranks, null keys excluded") {
+    val (eng, lib) = retrievalFixture()
+    val q = Array(1f, 0f, 0f)
+    val rows = eng.searchGrouped(lib, q, groups = 2, perGroup = 2,
+      groupBy = "tag").collect()
+    // gx best = 1.0 (x0) -> rank 1 with [x0, x1]; gy best ~0.110 (y1) ->
+    // rank 2 with [y1, y0]; gz (0.0) cut by groups = 2; ntag has NO tag
+    // and must not appear anywhere
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(3),
+      r.getString(4))).toSeq == Seq(
+      ("gx", 1, 1, "x0"), ("gx", 1, 2, "x1"),
+      ("gy", 2, 1, "y1"), ("gy", 2, 2, "y0")))
+    // best_score column carries the group's top raw score
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-9)
+    // author grouping + filter-BEFORE-grouping: dropping bob removes x2
+    // from ann's competitors and bob's group entirely
+    val byAuthor = eng.searchGrouped(lib, q, groups = 3, perGroup = 1,
+      groupBy = "author",
+      filters = Some(SearchFilters(author = Some("ann"))))
+    assert(byAuthor.collect().map(r =>
+      (r.getString(0), r.getString(4))).toSeq == Seq(("ann", "x0")))
+    intercept[ValidationError](
+      eng.searchGrouped(lib, q, groups = 2, perGroup = 2, groupBy = "nope"))
+    intercept[ValidationError](
+      eng.searchGrouped(lib, q, groups = 0, perGroup = 2))
+  }
+
+  /** Read one chunk's stored embedding back (test helper, 1-row). */
+  private def hits0(eng: VectorEngine, lib: String, id: String): Array[Float] = {
+    import org.apache.spark.sql.functions.col
+    eng.chunks.filter(col("library_id") === lib && col("id") === id)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+  }
 }
