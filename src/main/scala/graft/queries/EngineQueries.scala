@@ -185,6 +185,27 @@ object EngineQueries {
       Seq("c000002"), k = 10, strategy = "margin"))
   }
 
+  /** RECOMMEND delegated through the GRAPH families — the centroid
+    * strategy's contract is that the pseudo-query runs the library's
+    * index path UNCHANGED, so the oracle replays the full nsw/hnsw walk
+    * templates with the Rocchio query CTE plugged into their qnSelect
+    * hook. k = 9: the oversampled delegate asks k + |seeds| = 12, which
+    * is exactly the fixture's beam width (the walk templates' cut is
+    * max(nswBeam=12, 10) — a k above 9 would widen the engine beam past
+    * the replay's).
+    */
+  private def engineRecommendNsw(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, nswConfig)
+    hitsOut(eng.recommend(lib, Seq("c000000", "c000001"),
+      Seq("c000002"), k = 9))
+  }
+
+  private def engineRecommendHnsw(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, hnswConfig)
+    hitsOut(eng.recommend(lib, Seq("c000000", "c000001"),
+      Seq("c000002"), k = 9))
+  }
+
   /** GROUPED SEARCH through the engine: top-5 label groups (group key =
     * the chunk's first tag) by their best hit, top-3 hits each — the
     * k-bounded per-group partial aggregation + one TakeOrdered over one
@@ -1967,6 +1988,8 @@ object EngineQueries {
     "x_engine_range_search"  -> (engineRangeSearch _),
     "x_engine_recommend"     -> (engineRecommend _),
     "x_engine_recommend_margin" -> (engineRecommendMargin _),
+    "x_engine_recommend_nsw"  -> (engineRecommendNsw _),
+    "x_engine_recommend_hnsw" -> (engineRecommendHnsw _),
     "x_engine_group_search"  -> (engineGroupSearch _),
     "x_engine_annjoin_filtered" -> (engineAnnJoinFiltered _),
     "x_engine_lsh"           -> (engineLsh _),
@@ -2093,6 +2116,33 @@ object EngineQueries {
 
   private val cosSql =
     "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+  /** The recommend entries' SHARED Rocchio pseudo-query (seeds: vec 0/1
+    * positive, vec 2 negative): per component j, ((x0 + x1) / 2 - x2) in
+    * DOUBLE — the verb's seed-list-order left fold — rounded ONCE to
+    * float32 (REAL) and widened back, exactly
+    * `VectorEngine.recommend`'s centroid strategy. One definition so the
+    * flat entry and the graph-walk replays cannot drift.
+    */
+  private val rocchioQvCtes =
+    """rsd AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      |rqc AS (
+      |  SELECT j, CAST(CAST(
+      |      (MAX(CASE WHEN vec_id = 0 THEN x END)
+      |       + MAX(CASE WHEN vec_id = 1 THEN x END)) / 2.0
+      |      - MAX(CASE WHEN vec_id = 2 THEN x END) AS REAL) AS DOUBLE) AS qj
+      |  FROM rsd GROUP BY j),
+      |rq AS (SELECT list(qj ORDER BY j) AS qv FROM rqc)""".stripMargin
+
+  // normalizeDriver replayed on the Rocchio query: double norm over the
+  // float32 components, each x/n rounded to float32 — the walk
+  // templates' qnSelect hook for the recommend-through-graph entries
+  private val rocchioQnSelect =
+    "SELECT CAST(list_transform(qv, x -> CAST(x / sqrt(" +
+      "list_dot_product(qv, qv)) AS REAL)) AS DOUBLE[]) AS v FROM rq"
 
   // the searchText entries' query token list (doc 0's first 8 analysis
   // tokens) as SQL — the twin of searchTextQuery's Spark expression
@@ -3622,17 +3672,8 @@ object EngineQueries {
     // widened back to double for the same cosine the flat oracle uses;
     // seeds excluded, top-10 by raw, rounded + re-sorted as hitsOut
     "x_engine_recommend" ->
-      s"""WITH sd AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-         |         CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
-         |qc AS (
-         |  SELECT j, CAST(CAST(
-         |      (MAX(CASE WHEN vec_id = 0 THEN x END)
-         |       + MAX(CASE WHEN vec_id = 1 THEN x END)) / 2.0
-         |      - MAX(CASE WHEN vec_id = 2 THEN x END) AS REAL) AS DOUBLE) AS qj
-         |  FROM sd GROUP BY j),
-         |q AS (SELECT list(qj ORDER BY j) AS qv FROM qc),
+      s"""WITH $rocchioQvCtes,
+         |q AS (SELECT qv FROM rq),
          |scored AS (
          |  SELECT e.vec_id, $cosSql AS raw
          |  FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2)),
@@ -3915,6 +3956,33 @@ object EngineQueries {
          |${nswWalkCtesOver("", nswQnSelect(0), nswConfig,
               v => s"$v IN $lshDetAllowedSql")}
          |$nswHitsSelect""".stripMargin,
+    // recommend through the nsw walk: the Rocchio pseudo-query CTE feeds
+    // the SAME walk template through its qnSelect hook (normalized for
+    // the walk, RAW for the exact rerank — quirk Q1), then the seed
+    // exclusion + k = 9 tail (top-12 visited minus <= 3 seeds covers the
+    // non-seed top-9, the delegation oversample argument)
+    "x_engine_recommend_nsw" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |$rocchioQvCtes,
+         |${nswWalkCtesOver("", rocchioQnSelect)}
+         |SELECT vv.vec_id AS vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT qv FROM rq))", 6)} AS score
+         |FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+         |WHERE vv.vec_id NOT IN (0, 1, 2)
+         |ORDER BY score DESC, vec_id ASC LIMIT 9""".stripMargin,
+    // recommend through the LAYERED walk: same Rocchio CTEs, the descent
+    // + hybrid-seeded base walk templates with the normalized pseudo-query
+    "x_engine_recommend_hnsw" ->
+      s"""WITH ${nswCorpusCtesWith(_ => "TRUE", _ => "TRUE")},
+         |${hnswLayerCtesWith(_ => "TRUE", _ => "TRUE")},
+         |$rocchioQvCtes,
+         |${hnswDescentCtes("", rocchioQnSelect)},
+         |${hnswSeedWalkCtes("", "")}
+         |SELECT vv.vec_id AS vec_id,
+         |       ${rndSql("list_cosine_similarity(v.vnormf, (SELECT qv FROM rq))", 6)} AS score
+         |FROM vis${nswConfig.nswRounds} vv JOIN vn v ON v.vec_id = vv.vec_id
+         |WHERE vv.vec_id NOT IN (0, 1, 2)
+         |ORDER BY score DESC, vec_id ASC LIMIT 9""".stripMargin,
     // x_engine_hnsw_det: the LAYERED graph replay — md5-geometric node
     // levels, per-layer cell-blocked edge builds, greedy descent from the
     // max-level node (6 layers x rounds unrolled), hybrid-seeded base
