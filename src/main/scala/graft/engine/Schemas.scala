@@ -95,6 +95,18 @@ object Schemas {
     StructField("version", LongType, nullable = false),
   ))
 
+  /** Library aliases (blue-green serving): a stable public name
+    * re-pointable atomically between library versions. Catalog-scale —
+    * one row per alias; an alias may only target a REAL library id
+    * (never another alias), enforced at create/switch.
+    */
+  val aliases: StructType = StructType(Seq(
+    StructField("alias", StringType, nullable = false),
+    StructField("library_id", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false),
+  ))
+
   // Derived (index) tables — SURVEY §1.1 "Index (derived)" row.
 
   /** LSH: one row per (table, hyperplane) — the seeded random hyperplanes,
@@ -306,7 +318,8 @@ object Schemas {
       layoutKeys = Seq("layer", "src_id", "dst_id")),
     TableDef("curated_sequences", curatedSequences),
     TableDef("cdc_blobs", cdcBlobs),
-    TableDef("cdc_manifest", cdcManifest))
+    TableDef("cdc_manifest", cdcManifest),
+    TableDef("aliases", aliases))
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).

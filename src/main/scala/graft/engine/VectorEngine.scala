@@ -806,6 +806,10 @@ final class VectorEngine(
     if (!libId.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"))
       throw new ValidationError(
         s"library id must match [A-Za-z0-9][A-Za-z0-9._-]{0,127}: '$libId'")
+    // an alias with this name would SHADOW the new library on every
+    // serving verb (resolveLibrary prefers the alias) — reject upfront
+    if (aliasMap.contains(libId))
+      throw new ConflictError(s"library id collides with an alias: $libId")
     requirePqDivisible(config, embeddingDim)
     val t = now()
     (libId, Row(libId, name, embeddingDim,
@@ -878,7 +882,92 @@ final class VectorEngine(
     store.dropLibraryPartition("chunks", libId)
     docLibCache.filterInPlace((_, l) => l != libId)
     dropIndexTables(libId)
+    // aliases pointing at the deleted library go with it — a dangling
+    // alias would resolve to NotFound forever with no way to observe why
+    if (aliasMap.values.exists(_ == libId)) {
+      store.write("aliases", listAliases.filter(col("library_id") =!= libId),
+        partitionBy = Nil)
+      invalidateAliases()
+    }
     maybeVacuum()
+  }
+
+  // ---- aliases (blue-green serving) ------------------------------------
+
+  /** The alias catalog: (alias, library_id, created_at, updated_at). */
+  def listAliases: DataFrame = store.read("aliases", Schemas.aliases)
+
+  private var aliasCache: Option[Map[String, String]] = None
+  private def invalidateAliases(): Unit = aliasCache = None
+
+  private def aliasMap: Map[String, String] = {
+    if (aliasCache.isEmpty)
+      aliasCache = Some(
+        if (!store.exists("aliases")) Map.empty
+        else listAliases.collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap)
+    aliasCache.get
+  }
+
+  /** Resolve a public name to a concrete library id: identity for a real
+    * id, one cached map lookup for an alias — ZERO Spark jobs on the
+    * serving path (the `exists` guard is a filesystem stat; the map
+    * collects once per alias mutation). The search-serving verbs resolve
+    * at entry, so a reindex is shipped by `switchAlias` alone: build the
+    * new library, swap the alias, delete the old — readers never see a
+    * half-built index. Mutating verbs take concrete ids only (an alias
+    * there would make "delete via yesterday's name" a footgun).
+    */
+  def resolveLibrary(idOrAlias: String): String =
+    aliasMap.getOrElse(idOrAlias, idOrAlias)
+
+  /** Create `alias` -> `libId`. The target must be an EXISTING library id
+    * — never another alias (getLibrary does not resolve, so chains are
+    * structurally impossible). The name must not collide with any library
+    * id or existing alias; re-pointing is `switchAlias`, the explicit
+    * verb, not a silent upsert.
+    */
+  def createAlias(alias: String, libId: String): Unit = {
+    if (!alias.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"))
+      throw new ValidationError(
+        s"alias must match [A-Za-z0-9][A-Za-z0-9._-]{0,127}: '$alias'")
+    getLibrary(libId) // target must exist and be concrete
+    if (libCache.exists(_.contains(alias)))
+      throw new ConflictError(s"alias collides with a library id: $alias")
+    if (aliasMap.contains(alias))
+      throw new ConflictError(s"alias already exists: $alias")
+    writeAlias(alias, libId, created = now())
+  }
+
+  /** Atomically re-point an existing alias at another library — the
+    * blue-green cutover. One catalog-scale snapshot write; in-flight
+    * readers of the old target keep their snapshot (immutable storage),
+    * new queries resolve to the new target.
+    */
+  def switchAlias(alias: String, newLibId: String): Unit = {
+    getLibrary(newLibId)
+    if (!aliasMap.contains(alias)) throw new NotFoundError(s"alias $alias")
+    val created = listAliases.filter(col("alias") === alias)
+      .select(col("created_at")).collect().head.getTimestamp(0)
+    writeAlias(alias, newLibId, created)
+  }
+
+  def deleteAlias(alias: String): Unit = {
+    if (!aliasMap.contains(alias)) throw new NotFoundError(s"alias $alias")
+    store.write("aliases", listAliases.filter(col("alias") =!= alias),
+      partitionBy = Nil)
+    invalidateAliases()
+  }
+
+  private def writeAlias(alias: String, libId: String,
+      created: Timestamp): Unit = {
+    val row = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(alias, libId, created, now())), 1), Schemas.aliases)
+    store.write("aliases",
+      listAliases.filter(col("alias") =!= alias).unionAll(row),
+      partitionBy = Nil)
+    invalidateAliases()
   }
 
   // ---- document CRUD --------------------------------------------------
@@ -1648,9 +1737,10 @@ final class VectorEngine(
     * dial; the IndexConfig value is the default). Ignored by the other
     * families.
     */
-  def search(libId: String, query: Array[Float], k: Int,
+  def search(libIdOrAlias: String, query: Array[Float], k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
       preFilter: Boolean = false, nswBeam: Option[Int] = None): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, config, _) = getLibrary(libId)
     if (query.length != dim)
       throw new ValidationError(s"query dim ${query.length} != library dim $dim")
@@ -1900,9 +1990,10 @@ final class VectorEngine(
     * Returns (chunk_id, rank_lex, rank_vec, rrf, text) top-k by
     * (rrf desc, chunk_id asc).
     */
-  def hybridSearch(libId: String, query: Array[Float], terms: Seq[String],
+  def hybridSearch(libIdOrAlias: String, query: Array[Float], terms: Seq[String],
       k: Int, metric: String = "cosine"): DataFrame = {
     import graft.retrieval.RetrievalCore
+    val libId = resolveLibrary(libIdOrAlias)
     getLibrary(libId)
     if (terms.isEmpty)
       throw new ValidationError("hybridSearch needs at least one query term")
@@ -1961,9 +2052,10 @@ final class VectorEngine(
     * (may return fewer than the matched rows); `preFilter = true`
     * pushes them into the scan, as `search`.
     */
-  def rangeSearch(libId: String, query: Array[Float], minScore: Double,
+  def rangeSearch(libIdOrAlias: String, query: Array[Float], minScore: Double,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
       preFilter: Boolean = false, limit: Int = 1000): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, _, _) = getLibrary(libId)
     if (query.length != dim)
       throw new ValidationError(s"query dim ${query.length} != library dim $dim")
@@ -2013,11 +2105,12 @@ final class VectorEngine(
     * through `search` for centroid). Filters: Q5 post-filter contract,
     * `preFilter` as `search`.
     */
-  def recommend(libId: String, positiveIds: Seq[String],
+  def recommend(libIdOrAlias: String, positiveIds: Seq[String],
       negativeIds: Seq[String] = Nil, k: Int = 10,
       metric: String = "cosine", strategy: String = "centroid",
       filters: Option[SearchFilters] = None,
       preFilter: Boolean = false): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, _, _) = getLibrary(libId)
     if (positiveIds.isEmpty)
       throw new ValidationError("recommend needs at least one positive example")
@@ -2111,11 +2204,12 @@ final class VectorEngine(
     * group_rank by (best_score desc, group_key asc), hit_rank by the Q7
     * (score desc, chunk_id asc) contract within the group.
     */
-  def searchGrouped(libId: String, query: Array[Float], groups: Int,
+  def searchGrouped(libIdOrAlias: String, query: Array[Float], groups: Int,
       perGroup: Int, groupBy: String = "document_id",
       metric: String = "cosine",
       filters: Option[SearchFilters] = None): DataFrame = {
     import spark.implicits._
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, _, _) = getLibrary(libId)
     if (query.length != dim)
       throw new ValidationError(s"query dim ${query.length} != library dim $dim")
@@ -2195,10 +2289,11 @@ final class VectorEngine(
     * query-vector readback precedent) — the embedding itself runs through
     * the shared expression pipeline, not driver-side string code.
     */
-  def searchText(libId: String, text: String, k: Int,
+  def searchText(libIdOrAlias: String, text: String, k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
       preFilter: Boolean = false): DataFrame = {
     import graft.functions.TextEmbed
+    val libId = resolveLibrary(libIdOrAlias)
     // the embedder dim comes from the LIBRARY's catalog row (VERDICT r13
     // #4) — the reference's endpoint only dim-checks its embedder's
     // output (`services/search.py:23-24`), so text search composes with
@@ -2261,8 +2356,9 @@ final class VectorEngine(
     * buckets; loop `search` for those), which is also the reference's only
     * metric-exact path.
     */
-  def searchBatch(libId: String, queries: Seq[(Long, Array[Float])], k: Int,
+  def searchBatch(libIdOrAlias: String, queries: Seq[(Long, Array[Float])], k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, _, _) = getLibrary(libId)
     queries.foreach { case (qid, q) =>
       if (q.length != dim)
@@ -2338,9 +2434,10 @@ final class VectorEngine(
     * `search` returns empty for them, quirk Q4) and all-zero scores on
     * flat.
     */
-  def searchBatchAnn(libId: String, queries: Seq[(Long, Array[Float])], k: Int,
+  def searchBatchAnn(libIdOrAlias: String, queries: Seq[(Long, Array[Float])], k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
       preFilter: Boolean = false): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, config, _) = getLibrary(libId)
     queries.foreach { case (qid, q) =>
       if (q.length != dim)
@@ -2704,9 +2801,10 @@ final class VectorEngine(
     * per quirk Q5; `preFilter = true` restricts candidate generation
     * first, as in `search`.
     */
-  def annJoin(libId: String, queries: DataFrame, k: Int,
+  def annJoin(libIdOrAlias: String, queries: DataFrame, k: Int,
       metric: String = "cosine", filters: Option[SearchFilters] = None,
       preFilter: Boolean = false): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, config, _) = getLibrary(libId)
     if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
     similarity(metric)(lit(0), lit(0)) // validate metric name eagerly
@@ -3150,8 +3248,9 @@ final class VectorEngine(
     * eagerly validated). Returns (query_id, hits: array<struct<score,
     * chunk_id>>) — run with Update output mode; explode after the sink.
     */
-  def annJoinStream(libId: String, queries: DataFrame, k: Int,
+  def annJoinStream(libIdOrAlias: String, queries: DataFrame, k: Int,
       metric: String = "cosine"): DataFrame = {
+    val libId = resolveLibrary(libIdOrAlias)
     val (dim, config, _) = getLibrary(libId)
     if (k <= 0 || k > 1000) throw new ValidationError(s"k out of range: $k")
     similarity(metric)(lit(0), lit(0)) // validate metric name eagerly

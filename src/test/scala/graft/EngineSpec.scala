@@ -1653,6 +1653,45 @@ class EngineSpec extends AnyFunSuite {
       eng.searchGrouped(lib, q, groups = 0, perGroup = 2))
   }
 
+  test("aliases: blue-green cutover through the serving verbs") {
+    val eng = freshEngine()
+    val q = Array(1f, 0f, 0f)
+    def mkLib(name: String, chunkId: String): String = {
+      val lib = eng.createLibrary(name, 3)
+      val doc = eng.createDocument(lib)
+      eng.upsertChunks(lib, doc, Seq(ChunkIn(name,
+        Some(Array(1f, 0f, 0f)), 0, Some(chunkId))))
+      lib
+    }
+    val blue = mkLib("blue", "a0")
+    val green = mkLib("green", "b0")
+    eng.createAlias("prod", blue)
+    // serving verbs resolve the alias
+    assert(eng.search("prod", q, 1).collect().head.getString(0) == "a0")
+    assert(eng.rangeSearch("prod", q, 0.5).collect().head.getString(0) == "a0")
+    assert(eng.searchBatch("prod", Seq((0L, q)), 1)
+      .collect().head.getString(1) == "a0")
+    assert(eng.recommend("prod", Seq("a0"), k = 1).collect().isEmpty) // only the seed exists
+    // atomic cutover: same public name now serves the green library
+    eng.switchAlias("prod", green)
+    assert(eng.search("prod", q, 1).collect().head.getString(0) == "b0")
+    // name-space discipline
+    intercept[ConflictError](eng.createAlias("prod", blue))       // taken
+    intercept[ConflictError](eng.createAlias(green, blue))        // = library id
+    intercept[NotFoundError](eng.createAlias("x", "ghost"))       // no target
+    intercept[NotFoundError](eng.createAlias("chain", "prod"))    // alias->alias
+    intercept[NotFoundError](eng.switchAlias("nope", blue))
+    intercept[ConflictError](eng.createLibrary("l", 3, id = Some("prod")))
+    intercept[ValidationError](eng.createAlias("bad/name", blue))
+    // mutations take concrete ids only: the alias name is NOT resolved
+    intercept[NotFoundError](eng.deleteLibrary("prod"))
+    // deleting the target library removes its aliases with it
+    eng.deleteLibrary(green)
+    assert(eng.listAliases.count() == 0)
+    intercept[NotFoundError](eng.search("prod", q, 1))
+    intercept[NotFoundError](eng.deleteAlias("prod"))
+  }
+
   /** Read one chunk's stored embedding back (test helper, 1-row). */
   private def hits0(eng: VectorEngine, lib: String, id: String): Array[Float] = {
     import org.apache.spark.sql.functions.col
