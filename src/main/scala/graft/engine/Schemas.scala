@@ -320,6 +320,11 @@ object Schemas {
     TableDef("cdc_blobs", cdcBlobs),
     TableDef("cdc_manifest", cdcManifest),
     TableDef("aliases", aliases))
+
+  /** Catalog-scale tables NOT partitioned by library_id — excluded from
+    * per-library partition operations (export/import, partition drops).
+    */
+  val globalTables: Set[String] = Set("libraries", "aliases")
 }
 
 /** Search-time metadata filters (reference `services/search.py:40-62`).

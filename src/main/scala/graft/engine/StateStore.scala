@@ -176,6 +176,13 @@ final class StateStore(spark: SparkSession, root: String) {
     repoint(table, next)
   }
 
+  /** Whether the current snapshot has a partition for this library — a
+    * filesystem stat, zero Spark jobs (the export verb's table guard).
+    */
+  def hasLibraryPartition(table: String, libraryId: String): Boolean =
+    currentVersion(table).exists(v =>
+      Files.exists(Paths.get(tableDir(table), s"v$v", s"library_id=$libraryId")))
+
   /** PARTITION DROP: the next snapshot is the current one minus the given
     * library's partition — every surviving partition is hardlinked, so
     * deleting a library from an N-library table costs ZERO Spark jobs and

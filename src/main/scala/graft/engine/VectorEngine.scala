@@ -970,6 +970,105 @@ final class VectorEngine(
     invalidateAliases()
   }
 
+  // ---- export / import (backup, restore, migration) ---------------------
+
+  /** Export one library's CURRENT state as a self-contained directory:
+    * `manifest/` (its catalog row) plus one parquet dir per registered
+    * store table holding rows for this library — table membership comes
+    * from the central registry, so a new store table is exported without
+    * touching this verb (the vacuum-list lesson). Each table is one
+    * partition-pruned scan; tables with no partition for the library are
+    * skipped by a filesystem stat, zero Spark jobs. Aliases are serving
+    * config, not data — they are not exported. Returns the table names
+    * written.
+    */
+  def exportLibrary(libId: String, destDir: String): Seq[String] = {
+    getLibrary(libId) // NotFound check (concrete id — no alias resolution)
+    val dest = java.nio.file.Paths.get(destDir)
+    if (java.nio.file.Files.exists(dest) &&
+        java.nio.file.Files.list(dest).findFirst().isPresent)
+      throw new ValidationError(s"export destination not empty: $destDir")
+    java.nio.file.Files.createDirectories(dest)
+    libraries.filter(col("id") === libId).coalesce(1)
+      .write.parquet(dest.resolve("manifest").toString)
+    Schemas.storeTables
+      .filter(t => !Schemas.globalTables(t.name))
+      .filter(t => store.hasLibraryPartition(t.name, libId))
+      .map { t =>
+        store.read(t.name, t.schema)
+          .filter(col("library_id") === libId)
+          .drop("library_id")
+          .write.parquet(dest.resolve(t.name).toString)
+        t.name
+      }
+  }
+
+  /** Import an exported library directory as a NEW library (restore /
+    * cross-store migration). `id` defaults to the exported id — the
+    * restore path; pass a fresh one when migrating into a store whose id
+    * space already holds the exported id. Cloning BESIDE the live
+    * original in the same store is rejected by design: document ids are
+    * globally unique (the C4 contract), and the clone would home every
+    * imported doc id twice.
+    * The catalog row keeps the exported name/dim/config/metadata with
+    * fresh timestamps and version 1; every exported table lands as one
+    * partition-selective write under the new id. Imported DOCUMENT ids
+    * must not be homed in another library (the C4 global-uniqueness
+    * contract) — checked against the live catalog before anything is
+    * written. Returns the library id.
+    */
+  def importLibrary(srcDir: String, id: Option[String] = None): String = {
+    val src = java.nio.file.Paths.get(srcDir)
+    if (!java.nio.file.Files.exists(src.resolve("manifest")))
+      throw new ValidationError(s"no manifest at $srcDir")
+    val m = spark.read.schema(Schemas.libraries)
+      .parquet(src.resolve("manifest").toString).collect()
+    if (m.length != 1)
+      throw new ValidationError(
+        s"manifest must hold exactly one library row, got ${m.length}")
+    val row = m.head
+    val newId = id.getOrElse(row.getString(0))
+    if (!newId.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"))
+      throw new ValidationError(
+        s"library id must match [A-Za-z0-9][A-Za-z0-9._-]{0,127}: '$newId'")
+    if (scala.util.Try(getLibrary(newId)).isSuccess)
+      throw new ConflictError(s"library already exists: $newId")
+    if (aliasMap.contains(newId))
+      throw new ConflictError(s"library id collides with an alias: $newId")
+    val docsDir = src.resolve("documents")
+    if (java.nio.file.Files.exists(docsDir)) {
+      val impDocs = spark.read
+        .schema(dropLibraryCol(Schemas.documents))
+        .parquet(docsDir.toString).select(col("id"))
+      val clash = documents.join(impDocs, Seq("id"), "left_semi")
+        .filter(col("library_id") =!= newId).limit(1).collect()
+      if (clash.nonEmpty)
+        throw new ConflictError(
+          s"imported document id already homed elsewhere: ${clash.head.getString(clash.head.fieldIndex("id"))}")
+    }
+    val t = now()
+    val newRow = Row(newId, row.get(1), row.get(2), row.get(3), row.get(4),
+      t, t, 1L)
+    store.write("libraries", libraries.unionAll(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(newRow), 1), Schemas.libraries)),
+      partitionBy = Nil)
+    invalidateLibs()
+    Schemas.storeTables
+      .filter(t => !Schemas.globalTables(t.name))
+      .foreach { td =>
+        val dir = src.resolve(td.name)
+        if (java.nio.file.Files.exists(dir))
+          store.writeLibraryPartition(td.name, newId,
+            spark.read.schema(dropLibraryCol(td.schema)).parquet(dir.toString))
+      }
+    invalidateIndexMeta(newId)
+    newId
+  }
+
+  private def dropLibraryCol(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.filterNot(_.name == "library_id"))
+
   // ---- document CRUD --------------------------------------------------
 
   def createDocument(libId: String, id: Option[String] = None,

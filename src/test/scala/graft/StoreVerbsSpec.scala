@@ -363,4 +363,61 @@ class StoreVerbsSpec extends AnyFunSuite {
     intercept[ValidationError] { eng.searchText(lib, "", k = 3) }
     intercept[ValidationError] { eng.searchText(lib, "   ", k = 3) }
   }
+
+  test("exportLibrary/importLibrary: delete-restore and cross-store migration") {
+    val eng = freshEngine()
+    val lib = eng.createLibrary("backup-me", 4,
+      IndexConfig("lsh_det", lshNumTables = 4, lshHyperplanesPerTable = 4))
+    val doc = eng.createDocument(lib)
+    eng.bulkIngest(lib, doc, spark.range(64)
+      .select(format_string("c%04d", col("id")).as("id"),
+        concat(lit("text "), col("id").cast("string")).as("text"),
+        array(cos(col("id")).cast("float"), sin(col("id")).cast("float"),
+          cos(col("id") * 2).cast("float"), sin(col("id") * 2).cast("float"))
+          .as("embedding")))
+    eng.rebuildIndex(lib)
+    val q = Array(1f, 0f, 1f, 0f)
+    val before = eng.search(lib, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(before.nonEmpty)
+
+    val dump = graft.TempDirs.scratch("graft-export").toString + "/lib1"
+    val exported = eng.exportLibrary(lib, dump)
+    // the derived index tables rode along via the registry
+    assert(Set("chunks", "documents", "lsh_planes", "lsh_buckets")
+      .subsetOf(exported.toSet))
+
+    // clone-beside-live-original violates doc-id uniqueness -> rejected
+    intercept[ConflictError] { eng.importLibrary(dump, Some("clone1")) }
+    // restore path: delete, import under the exported id, identical hits
+    eng.deleteLibrary(lib)
+    intercept[NotFoundError] { eng.getLibrary(lib) }
+    assert(eng.importLibrary(dump) == lib)
+    val restored = eng.search(lib, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(restored == before, s"restore drifted: $restored vs $before")
+
+    // cross-store migration: a second engine on a fresh root
+    val eng2 = freshEngine()
+    assert(eng2.importLibrary(dump) == lib)
+    val migrated = eng2.search(lib, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(migrated == before)
+    // importing over an existing id conflicts — and a fresh id does NOT
+    // rescue it here, because the live import already homes the doc ids
+    intercept[ConflictError] { eng2.importLibrary(dump) }
+    intercept[ConflictError] { eng2.importLibrary(dump, Some("copy2")) }
+    // the fresh-id escape is for an id squatted by a DIFFERENT library
+    val eng3 = freshEngine()
+    eng3.createLibrary("squatter", 4, id = Some(lib))
+    intercept[ConflictError] { eng3.importLibrary(dump) }
+    val lib3 = eng3.importLibrary(dump, Some("migrated1"))
+    assert(eng3.search(lib3, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq == before)
+    // validations
+    intercept[ValidationError] { eng.exportLibrary(lib, dump) } // not empty
+    intercept[ValidationError] {
+      eng.importLibrary(graft.TempDirs.scratch("graft-empty").toString)
+    }
+  }
 }
