@@ -203,6 +203,17 @@ object Schemas {
     StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
   ))
 
+  /** BQ (binary quantization): one row per encoded chunk — ceil(dim/64)
+    * packed sign-bit words of the L2-normalized vector (1 bit/dim, the
+    * family's entire state: no params/codebook table, encode is
+    * stateless).
+    */
+  val bqCodes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
+  ))
+
   /** IVF+PQ: one row per encoded chunk — its inverted list (centroid_id,
     * the probe pushdown key) plus M one-byte RESIDUAL codes. Deliberately
     * NO stored vector: this is the byte-compressed scan table; the exact
@@ -306,6 +317,7 @@ object Schemas {
       layoutKeys = Seq("centroid_id"), layoutTieKey = true),
     TableDef("sq8_params", sq8Params),
     TableDef("sq8_codes", sq8Codes, compactable = true),
+    TableDef("bq_codes", bqCodes, compactable = true),
     TableDef("ivfsq8_params", ivfsq8Params),
     TableDef("ivfsq8_codes", ivfsq8Codes, compactable = true,
       layoutKeys = Seq("centroid_id"), layoutTieKey = true),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.EngineErrors._
 import graft.functions.VectorFunctions._
-import graft.index.{IvfIndex, IvfPqIndex, IvfSq8Index, LshIndex, PqIndex, Sq8Index}
+import graft.index.{BqIndex, IvfIndex, IvfPqIndex, IvfSq8Index, LshIndex, PqIndex, Sq8Index}
 
 /** The engine facade: the reference's service-layer verbs
   * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
@@ -761,6 +761,9 @@ final class VectorEngine(
     store.read("sq8_params", Schemas.sq8Params).filter(col("library_id") === libId)
   private def sq8Codes(libId: String): DataFrame =
     store.read("sq8_codes", Schemas.sq8Codes).filter(col("library_id") === libId)
+
+  private def bqCodes(libId: String): DataFrame =
+    store.read("bq_codes", Schemas.bqCodes).filter(col("library_id") === libId)
   private def ivfpqCodes(libId: String): DataFrame =
     store.read("ivfpq_codes", Schemas.ivfpqCodes).filter(col("library_id") === libId)
   private def ivfsq8Params(libId: String): DataFrame =
@@ -1723,6 +1726,7 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropBqTables(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -1738,6 +1742,7 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropBqTables(libId)
       case "nsw_det" | "hnsw_det" =>
         // graph family: seed cells + postings (SHARED relations with the
         // ivf family — cells block the edge build and seed the walk;
@@ -1764,6 +1769,7 @@ final class VectorEngine(
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
+        dropBqTables(libId)
       case "pq" | "pq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
@@ -1777,6 +1783,7 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropBqTables(libId)
       case "ivfpq" | "ivfpq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (centroids, codebooks, codes) = IvfPqIndex.build(libChunks,
@@ -1795,6 +1802,18 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropBqTables(libId)
+      case "bq" =>
+        // stateless sign-bit packing: no params table, one map-side pass
+        store.writeLibraryPartition("bq_codes", libId,
+          BqIndex.build(libChunks, libId, dim))
+        dropLshTables(libId)
+        dropIvfTables(libId)
+        dropPqTables(libId)
+        dropIvfPqTables(libId)
+        dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
       case "sq8" =>
         val (params, codes) = Sq8Index.build(libChunks, libId, dim)
         store.writeLibraryPartition("sq8_params", libId, params)
@@ -1805,6 +1824,7 @@ final class VectorEngine(
         dropIvfPqTables(libId)
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropBqTables(libId)
       case "ivfsq8" =>
         val (centroids, params, codes) = IvfSq8Index.build(libChunks, libId,
           dim, config.ivfNumCentroids)
@@ -1820,6 +1840,7 @@ final class VectorEngine(
         dropIvfPqTables(libId)
         dropSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropBqTables(libId)
     }
     invalidateIndexMeta(libId)
   }
@@ -1951,6 +1972,28 @@ final class VectorEngine(
           val qn = LshIndex.normalizeDriver(query).get
           val cands = PqIndex.candidates(restrict(pqCodes(libId)), cb, qn, k)
           rerank(cands, query, metric)
+        }
+      case "bq" =>
+        if (isZero) return emptyHits()
+        val codesDf = if (store.exists("bq_codes")) bqCodes(libId) else null
+        if (codesDf == null || codesDf.isEmpty)
+          // codes not built yet -> full flat scan (as the other paths)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          // packed-word scan: xor+popcount hamming in integer units
+          // against the driver-packed query code, cap 6k, then hydrate
+          // ONLY the capped candidates and exact-rerank (quirk Q1)
+          val qn = LshIndex.normalizeDriver(query).get
+          val cands = BqIndex.candidates(restrict(codesDf),
+            BqIndex.encodeQuery(qn), k)
+          val hydrated = broadcast(cands)
+            .join(libChunks.filter(col("embedding").isNotNull)
+                .select(col("id").as("chunk_id"), col("embedding")),
+              "chunk_id")
+            .select(col("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated, query, metric)
         }
       case "sq8" =>
         if (isZero) return emptyHits()
@@ -2441,6 +2484,7 @@ final class VectorEngine(
     else if (store.exists("ivfsq8_codes") && !ivfsq8Codes(libId).isEmpty) "ivfsq8"
     else if (store.exists("pq_codes") && !pqCodes(libId).isEmpty) "pq"
     else if (store.exists("sq8_codes") && !sq8Codes(libId).isEmpty) "sq8"
+    else if (store.exists("bq_codes") && !bqCodes(libId).isEmpty) "bq"
     else if (store.exists("ivf_centroids") && !ivfCentroids(libId).isEmpty) "ivf"
     else "flat"
 
@@ -2744,6 +2788,29 @@ final class VectorEngine(
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
           val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
           rerankBatch(norms.join(broadcast(capped), Seq("chunk_id")))
+        }
+
+      case "bq" =>
+        val bqDf = if (store.exists("bq_codes")) bqCodes(libId) else null
+        if (bqDf == null || bqDf.isEmpty) flatBatch()
+        else {
+          // driver-packed query codes (|queries| x ceil(dim/64) longs) as
+          // a broadcast table; xor+popcount hamming per (query, code) row
+          val qcDf = qnorms.map { case (qid, qnv) =>
+            (qid, BqIndex.encodeQuery(qnv).toSeq)
+          }.toDF("query_id", "qcode")
+          val dists = restrict(bqDf)
+            .crossJoin(broadcast(qcDf))
+            .select(col("query_id"), col("chunk_id"),
+              BqIndex.hammingExpr(BqIndex.words(dim),
+                w => element_at(col("qcode"), w + 1)).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), BqIndex.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(broadcast(capped), Seq("chunk_id"))
+          rerankBatch(hydrated)
         }
 
       case "sq8" =>
@@ -3234,6 +3301,30 @@ final class VectorEngine(
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
           val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
           rerank(norms.join(capped, Seq("chunk_id")))
+        }
+
+      case "bq" =>
+        val bqDf = if (store.exists("bq_codes")) bqCodes(libId) else null
+        if (bqDf == null || bqDf.isEmpty) flatScored()
+        else {
+          // query codes packed EXECUTOR-side from the qnorm column (the
+          // encode arithmetic verbatim — nothing query-dependent touches
+          // the driver), then xor+popcount hamming against the packed
+          // scan; broadcast the query frame explicitly, as the pq branch
+          val qc = qn.select(col("query_id"),
+            array(BqIndex.packExprs(dim,
+              i => element_at(col("qnorm"), i + 1)): _*).as("qcode"))
+          val dists = restrict(bqDf)
+            .crossJoin(broadcast(qc))
+            .select(col("query_id"), col("chunk_id"),
+              BqIndex.hammingExpr(BqIndex.words(dim),
+                w => element_at(col("qcode"), w + 1)).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"), BqIndex.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated.join(capped, Seq("chunk_id")))
         }
 
       case "sq8" =>
@@ -4121,7 +4212,7 @@ final class VectorEngine(
   private def validateConfig(config: IndexConfig): Unit = {
     if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
         "pq", "pq_trained", "ivfpq", "ivfpq_trained", "sq8",
-        "ivfsq8", "nsw_det", "hnsw_det").contains(config.indexType))
+        "ivfsq8", "nsw_det", "hnsw_det", "bq").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -4263,6 +4354,15 @@ final class VectorEngine(
         }
       }
     }
+    if (t == "bq") {
+      // stateless encode: nothing frozen to respect, so incremental
+      // maintenance IS the rebuild (bit-identical codes either way)
+      if (store.exists("bq_codes") && !bqCodes(libId).isEmpty) {
+        val (dim, _, _) = getLibrary(libId)
+        store.writeLibraryPartition("bq_codes", libId,
+          bqCodes(libId).unionAll(BqIndex.encode(newChunks, libId, dim)))
+      }
+    }
     if (t == "ivfsq8") {
       if (store.exists("ivf_centroids") && store.exists("ivfsq8_params")) {
         val cents = ivfCentroids(libId)
@@ -4318,6 +4418,12 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.ivfsq8Codes.fieldNames.toIndexedSeq.map(col): _*))
     }
+    if (store.exists("bq_codes")) {
+      store.writeLibraryPartition("bq_codes", libId,
+        bqCodes(libId)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.bqCodes.fieldNames.toIndexedSeq.map(col): _*))
+    }
     if (store.exists("nsw_edges")) {
       // an edge dies with EITHER endpoint: a dangling dst would hydrate
       // nothing (its posting is gone) but would still cost adjacency reads
@@ -4353,6 +4459,7 @@ final class VectorEngine(
     dropSq8Tables(libId)
     dropIvfSq8Tables(libId)
     dropNswEdgesOnly(libId)
+    dropBqTables(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -4378,6 +4485,10 @@ final class VectorEngine(
     Seq("sq8_params", "sq8_codes").foreach { t =>
       if (store.exists(t)) store.dropLibraryPartition(t, libId)
     }
+
+  private def dropBqTables(libId: String): Unit =
+    if (store.exists("bq_codes"))
+      store.dropLibraryPartition("bq_codes", libId)
 
   private def dropIvfSq8Tables(libId: String): Unit =
     Seq("ivfsq8_params", "ivfsq8_codes").foreach { t =>

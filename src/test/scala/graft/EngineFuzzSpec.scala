@@ -207,6 +207,14 @@ class EngineFuzzSpec extends AnyFunSuite {
       seed0 = 41, tag = "graft-fuzz-hnsw")
   }
 
+  /** Binary quantization under churn: cap 60 over the 30-id space makes
+    * the hamming candidate stage full-coverage, so the stateless encode
+    * + exact rerank must equal the model's Q1 top-k at every step.
+    */
+  test("150 random verbs against a BQ library: incremental maintenance stays exact (seed 43)") {
+    indexedWalk("bq", IndexConfig("bq"), seed0 = 43, tag = "graft-fuzz-bq")
+  }
+
   test("150 random verbs against a PQ library: incremental maintenance stays exact (seed 37)") {
     indexedWalk("pq",
       IndexConfig("pq", pqSubspaces = 2, pqCodewords = 64),

@@ -1653,6 +1653,55 @@ class EngineSpec extends AnyFunSuite {
       eng.searchGrouped(lib, q, groups = 0, perGroup = 2))
   }
 
+  test("BQ index: packing parity (bit 63 + multi-word), exact search, incremental == rebuild") {
+    val dir = graft.TempDirs.scratch("graft-bq-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val dim = 65 // exercises bit 63 AND the second packed word
+    val lib = eng.createLibrary("bq", dim, IndexConfig("bq"))
+    val doc = eng.createDocument(lib)
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f)
+    val base = (0 until 16).map(i => f"b$i%03d" -> vec())
+    eng.upsertChunks(lib, doc, base.map { case (id, v) =>
+      ChunkIn(id, Some(v), id = Some(id)) })
+    eng.rebuildIndex(lib)
+    val store2 = new StateStore(spark, dir)
+    def codes: Map[String, Vector[Long]] =
+      store2.read("bq_codes", Schemas.bqCodes).collect()
+        .map(r => r.getString(1) -> r.getSeq[Long](2).toVector).toMap
+    // packing parity: the expression-packed stored codes equal the
+    // driver packer on the normalized vector — 2 words at dim 65, sign
+    // bit 63 included (the two's-complement corner both engines share)
+    base.foreach { case (id, v) =>
+      val expect = graft.index.BqIndex.encodeQuery(
+        graft.index.LshIndex.normalizeDriver(v).get).toVector
+      assert(expect.length == 2)
+      assert(codes(id) == expect, s"packing diverged for $id")
+    }
+    // full-coverage exactness: cap 6k >= corpus, so hamming ordering
+    // cannot lose a true neighbor and the exact rerank equals the
+    // Q1 ranking (cosine is scale-invariant, so plain cosine ranks it)
+    val q = vec()
+    val got = eng.search(lib, q, k = 5).collect().map(_.getString(0)).toSeq
+    val expected = base.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got == expected)
+    // stateless encode: incremental add/delete lands on the IDENTICAL
+    // codes a fresh rebuild produces — bit-for-bit
+    val delta = (16 until 24).map(i => f"b$i%03d" -> vec())
+    eng.upsertChunks(lib, doc, delta.map { case (id, v) =>
+      ChunkIn(id, Some(v), id = Some(id)) })
+    eng.deleteChunk(lib, "b003")
+    eng.deleteChunk(lib, "b017")
+    val incremental = codes
+    eng.rebuildIndex(lib)
+    assert(codes == incremental, "incremental drifted from rebuild")
+    assert(!incremental.contains("b003") && incremental.contains("b016"))
+    // family swap drops the codes partition
+    eng.updateIndexConfig(lib, IndexConfig("flat"))
+    assert(store2.read("bq_codes", Schemas.bqCodes).count() == 0)
+  }
+
   test("aliases: blue-green cutover through the serving verbs") {
     val eng = freshEngine()
     val q = Array(1f, 0f, 0f)
