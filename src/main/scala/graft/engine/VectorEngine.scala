@@ -165,6 +165,33 @@ final class VectorEngine(
     * exact micro-units. ONE codes-to-chunks equi-join + one aggregate;
     * output is a single row whatever the corpus size.
     */
+  /** BQ INDEX-BALANCE AUDIT: per-dimension population count of the
+    * stored sign bits — the binary family's discrimination readout. A
+    * dimension whose bit is (nearly) always 0 or always 1 contributes
+    * nothing to any hamming distance, so a skewed population means the
+    * effective code length is shorter than dim and recall degrades; the
+    * operator reading is the count of dims with n_set near 0 or near
+    * n_codes (healthy embeddings hover near n_codes/2). One bounded
+    * explode (dim bits/row) + one keyed agg — the sq8 qerror discipline:
+    * the oracle recomputes every bit from the corpus, so a single stale
+    * or corrupted code row fails the hash.
+    */
+  def bqBitStats(libId: String): DataFrame = {
+    val (dim, _, _) = getLibrary(libId)
+    if (!store.exists("bq_codes") || bqCodes(libId).isEmpty)
+      throw new NotFoundError(s"bq index for library $libId")
+    val bits = array((0 until dim).map { i =>
+      shiftright(element_at(col("codes"), i / 64 + 1), i % 64)
+        .bitwiseAND(lit(1L)).cast("int")
+    }: _*)
+    bqCodes(libId)
+      .select(posexplode(bits).as(Seq("pos", "b")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_codes"), sum(col("b")).cast("long").as("n_set"))
+      .select(col("pos").cast("int").as("pos"), col("n_codes"), col("n_set"))
+      .orderBy(col("pos").asc)
+  }
+
   /** INDEX-BALANCE audit for the IVF families: members per coarse cell,
     * empty cells included — a hot cell makes every probe touching it pay
     * its full posting list (the candidate bound is nprobe/K of the

@@ -627,6 +627,24 @@ object EngineQueries {
   private def sq8EngNdcg(s: SparkSession, d: String): DataFrame =
     ndcgOf(s, d, IndexConfig("sq8"))
 
+  /** BQ quality gradings: what 1 bit/dim costs on the fixture corpus,
+    * both sides SQL-replayed so the measured numbers are hash-checked.
+    */
+  private def bqEngRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(s, d, IndexConfig("bq"))
+
+  private def bqEngNdcg(s: SparkSession, d: String): DataFrame =
+    ndcgOf(s, d, IndexConfig("bq"))
+
+  /** The BQ bit-balance audit as an entry: per-dim population counts of
+    * the STORED codes vs the oracle recomputing every sign bit from the
+    * corpus — one stale code row moves some dimension's count.
+    */
+  private def engineBqBitStats(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("bq"))
+    eng.bqBitStats(lib)
+  }
+
   /** The sq8 INDEX HEALTH AUDIT as an entry: the engine verb's
     * reconstruction-error readout over the fixture's stored codes,
     * hash-checked against the oracle recomputing every code from the
@@ -2066,6 +2084,9 @@ object EngineQueries {
     "x_engine_bq"            -> (engineBq _),
     "x_engine_bq_incremental" -> (engineBqIncremental _),
     "x_engine_bq_annjoin"    -> (engineBqAnnJoin _),
+    "x_bqeng_recall"         -> (bqEngRecall _),
+    "x_bqeng_ndcg"           -> (bqEngNdcg _),
+    "x_engine_bq_bitstats"   -> (engineBqBitStats _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
@@ -3911,6 +3932,25 @@ object EngineQueries {
          |${bqCandCte("vec_id = 0")}
          |$sq8HitsSelect""".stripMargin,
     "x_engine_bq_annjoin" -> bqBatchSql,
+    // bq quality gradings: the approx side is the family replay above,
+    // the exact side the flat cosine ranking — the measured cost of
+    // 1 bit/dim is itself hash-checked
+    "x_bqeng_recall" ->
+      s"""WITH ${bqCorpusCtesWith("TRUE")},
+         |${bqCandCte("vec_id = 0")},
+         |${recallSqlTail(sq8HitsSelect)}""".stripMargin,
+    "x_bqeng_ndcg" ->
+      s"""WITH ${bqCorpusCtesWith("TRUE")},
+         |${bqCandCte("vec_id = 0")},
+         |${ndcgSqlTail(sq8HitsSelect)}""".stripMargin,
+    // the bit-balance audit recomputes EVERY sign bit from the corpus —
+    // engine reads stored codes, so one stale row moves some count
+    "x_engine_bq_bitstats" ->
+      s"""WITH ${bqCorpusCtesWith("TRUE")}
+         |SELECT CAST(i AS INTEGER) AS pos,
+         |       CAST(count(*) AS BIGINT) AS n_codes,
+         |       CAST(SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+         |FROM bbits GROUP BY i ORDER BY pos ASC""".stripMargin,
     "x_engine_ivfsq8" ->
       s"""WITH ${ivfsq8CtesWith("TRUE", "TRUE")}
          |$ivfsq8HitsSelect""".stripMargin,
