@@ -1775,6 +1775,49 @@ object EngineQueries {
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
   }
 
+  /** Streaming ANN through the BQ family: the same foreachBatch front
+    * door as the nsw/hnsw siblings — 25 streamed queries answered
+    * per-micro-batch by `annJoin` over the packed-code scan (query codes
+    * packed executor-side per batch), hash-checked by the batched replay
+    * widened to 25.
+    */
+  private def engineStreamAnnBq(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, IndexConfig("bq"))
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val qStream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = graft.TempDirs.scratch("graft-stream-bq").toString
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = qStream.writeStream
+        .option("checkpointLocation",
+          graft.TempDirs.scratch("graft-stream-bq-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          eng.annJoin(lib, batch, k = 10)
+            .select(col("query_id"), col("chunk_id"), col("score"))
+            .write.mode("overwrite").parquet(s"$out/b$bid")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .select(col("query_id"),
+        expr("CAST(substring(chunk_id, 2, 10) AS INT)").as("vec_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** Recall@10 of the DETERMINISTIC IVFPQ config vs the exact scan — the
     * first recall metric with a full DuckDB oracle: both the approximate
     * side (the whole ivfpq replay) and the exact side are SQL, so the
@@ -2087,6 +2130,7 @@ object EngineQueries {
     "x_bqeng_recall"         -> (bqEngRecall _),
     "x_bqeng_ndcg"           -> (bqEngNdcg _),
     "x_engine_bq_bitstats"   -> (engineBqBitStats _),
+    "e_stream_ann_bq"        -> (engineStreamAnnBq _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
@@ -2603,9 +2647,9 @@ object EngineQueries {
       |  GROUP BY c.vec_id
       |  ORDER BY dist ASC, vec_id ASC LIMIT 60)""".stripMargin
 
-  private val bqBatchSql =
+  private def bqBatchSqlFor(queryPred: String): String =
     s"""WITH ${bqCorpusCtesWith("TRUE")},
-       |qc AS (SELECT vec_id AS query_id, w, word FROM bcodes WHERE vec_id < 3),
+       |qc AS (SELECT vec_id AS query_id, w, word FROM bcodes WHERE $queryPred),
        |cand_b AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -3931,7 +3975,11 @@ object EngineQueries {
               s"vec_id NOT IN (${incrDeleted.mkString(", ")})")},
          |${bqCandCte("vec_id = 0")}
          |$sq8HitsSelect""".stripMargin,
-    "x_engine_bq_annjoin" -> bqBatchSql,
+    "x_engine_bq_annjoin" -> bqBatchSqlFor("vec_id < 3"),
+    // streaming ANN through the bq family: per-micro-batch annJoin over
+    // the packed-code scan, hash-checked by the batched replay widened
+    // to the 25 streamed queries
+    "e_stream_ann_bq" -> bqBatchSqlFor("vec_id < 25"),
     // bq quality gradings: the approx side is the family replay above,
     // the exact side the flat cosine ranking — the measured cost of
     // 1 bit/dim is itself hash-checked
