@@ -149,6 +149,7 @@ object PlanDump {
     "x_engine_hnswdet_prefiltered", // ungated descent entry + allowed-gated hybrid pool/frontier beam
     "x_engine_hnswdet_layerstats",  // two metadata-scale aggs: level census x layer spine + per-layer edge counts
     "x_engine_bq",                  // packed-word scan: xor+popcount hamming, cap, bounded exact rerank
+    "x_engine_ivfbq",               // centroid-isin-pruned packed scan: cell pushdown, hamming, bounded rerank
     "x_engine_bq_annjoin",          // executor-packed query codes x codes scan, per-query partial-agg cap
     "x_engine_range_search",        // scored scan -> threshold Filter -> TakeOrderedAndProject (no shuffle)
     "x_engine_recommend_margin",    // <=64 seed literals: greatest-of-cosines margin inside one codegen span

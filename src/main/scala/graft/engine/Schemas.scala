@@ -214,6 +214,17 @@ object Schemas {
     StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
   ))
 
+  /** IVF+BQ: the packed sign-bit code ON its inverted-list row — the
+    * centroid_id is the probe pushdown key (and the layout key), so a
+    * search scans nprobe/K of the packed corpus with no join.
+    */
+  val ivfbqCodes: StructType = StructType(Seq(
+    StructField("library_id", StringType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
+  ))
+
   /** IVF+PQ: one row per encoded chunk — its inverted list (centroid_id,
     * the probe pushdown key) plus M one-byte RESIDUAL codes. Deliberately
     * NO stored vector: this is the byte-compressed scan table; the exact
@@ -318,6 +329,8 @@ object Schemas {
     TableDef("sq8_params", sq8Params),
     TableDef("sq8_codes", sq8Codes, compactable = true),
     TableDef("bq_codes", bqCodes, compactable = true),
+    TableDef("ivfbq_codes", ivfbqCodes, compactable = true,
+      layoutKeys = Seq("centroid_id"), layoutTieKey = true),
     TableDef("ivfsq8_params", ivfsq8Params),
     TableDef("ivfsq8_codes", ivfsq8Codes, compactable = true,
       layoutKeys = Seq("centroid_id"), layoutTieKey = true),

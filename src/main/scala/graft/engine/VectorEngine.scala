@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.EngineErrors._
 import graft.functions.VectorFunctions._
-import graft.index.{BqIndex, IvfIndex, IvfPqIndex, IvfSq8Index, LshIndex, PqIndex, Sq8Index}
+import graft.index.{BqIndex, IvfBqIndex, IvfIndex, IvfPqIndex, IvfSq8Index, LshIndex, PqIndex, Sq8Index}
 
 /** The engine facade: the reference's service-layer verbs
   * (`/root/reference/src/vector_db_api/services/{library,document,chunk,search}.py`) re-expressed as
@@ -791,6 +791,10 @@ final class VectorEngine(
 
   private def bqCodes(libId: String): DataFrame =
     store.read("bq_codes", Schemas.bqCodes).filter(col("library_id") === libId)
+
+  private def ivfbqCodes(libId: String): DataFrame =
+    store.read("ivfbq_codes", Schemas.ivfbqCodes)
+      .filter(col("library_id") === libId)
   private def ivfpqCodes(libId: String): DataFrame =
     store.read("ivfpq_codes", Schemas.ivfpqCodes).filter(col("library_id") === libId)
   private def ivfsq8Params(libId: String): DataFrame =
@@ -1754,6 +1758,7 @@ final class VectorEngine(
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
       case "ivf" | "ivf_det" =>
         val (centroids, postings) =
           if (config.indexType == "ivf_det") {
@@ -1770,6 +1775,7 @@ final class VectorEngine(
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
       case "nsw_det" | "hnsw_det" =>
         // graph family: seed cells + postings (SHARED relations with the
         // ivf family — cells block the edge build and seed the walk;
@@ -1797,6 +1803,7 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
       case "pq" | "pq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (codebooks, codes) = PqIndex.build(libChunks, libId, dim,
@@ -1811,6 +1818,7 @@ final class VectorEngine(
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
       case "ivfpq" | "ivfpq_trained" =>
         requirePqDivisible(config, dim) // defense in depth; verbs pre-check
         val (centroids, codebooks, codes) = IvfPqIndex.build(libChunks,
@@ -1830,6 +1838,7 @@ final class VectorEngine(
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
       case "bq" =>
         // stateless sign-bit packing: no params table, one map-side pass
         store.writeLibraryPartition("bq_codes", libId,
@@ -1841,6 +1850,24 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
+        dropIvfBqCodesOnly(libId)
+      case "ivfbq" =>
+        // cell-pruned binary codes: md5-seeded deterministic coarse
+        // cells (the shared ivf_centroids relation) + the packed code ON
+        // its inverted-list row — scan pruning by centroid_id literal
+        val cents = IvfIndex.seedCentroids(libChunks, libId,
+          config.ivfNumCentroids)
+        store.writeLibraryPartition("ivf_centroids", libId, cents)
+        store.writeLibraryPartition("ivfbq_codes", libId,
+          IvfBqIndex.build(libChunks, cents, libId, dim))
+        dropLshTables(libId)
+        dropIvfPostingsOnly(libId)
+        dropPqTables(libId)
+        dropIvfPqTables(libId)
+        dropSq8Tables(libId)
+        dropIvfSq8Tables(libId)
+        dropNswEdgesOnly(libId)
+        dropBqTables(libId)
       case "sq8" =>
         val (params, codes) = Sq8Index.build(libChunks, libId, dim)
         store.writeLibraryPartition("sq8_params", libId, params)
@@ -1852,6 +1879,7 @@ final class VectorEngine(
         dropIvfSq8Tables(libId)
         dropNswEdgesOnly(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
       case "ivfsq8" =>
         val (centroids, params, codes) = IvfSq8Index.build(libChunks, libId,
           dim, config.ivfNumCentroids)
@@ -1868,6 +1896,7 @@ final class VectorEngine(
         dropSq8Tables(libId)
         dropNswEdgesOnly(libId)
         dropBqTables(libId)
+        dropIvfBqCodesOnly(libId)
     }
     invalidateIndexMeta(libId)
   }
@@ -1999,6 +2028,40 @@ final class VectorEngine(
           val qn = LshIndex.normalizeDriver(query).get
           val cands = PqIndex.candidates(restrict(pqCodes(libId)), cb, qn, k)
           rerank(cands, query, metric)
+        }
+      case "ivfbq" =>
+        if (isZero) return emptyHits()
+        val qn = LshIndex.normalizeDriver(query).get
+        // top-nprobe cells resolved driver-side (one TakeOrdered over
+        // metadata-scale centroid rows — the ivf probe), pushed as a
+        // literal isin into the packed-code scan: candidates touch
+        // nprobe/K of the inverted lists, no join on the probe path
+        val topIds =
+          if (!store.exists("ivf_centroids")) Array.empty[Int]
+          else ivfCentroids(libId)
+            .select(col("centroid_id"),
+              dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
+            .orderBy(col("cscore").desc, col("centroid_id").asc)
+            .limit(math.max(1, config.ivfNprobe))
+            .collect().map(_.getInt(0))
+        val ibqDf = if (store.exists("ivfbq_codes")) ivfbqCodes(libId) else null
+        if (topIds.isEmpty || ibqDf == null || ibqDf.isEmpty)
+          // not built yet -> full flat scan (as the other paths)
+          flatScore(applyPre(libChunks, filters, preFilter), query, metric)
+        else {
+          val cands = BqIndex.candidates(
+            restrict(ibqDf
+              .filter(col("centroid_id")
+                .isin(topIds.toIndexedSeq.map(Int.box): _*))),
+            BqIndex.encodeQuery(qn), k)
+          val hydrated = broadcast(cands)
+            .join(libChunks.filter(col("embedding").isNotNull)
+                .select(col("id").as("chunk_id"), col("embedding")),
+              "chunk_id")
+            .select(col("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated, query, metric)
         }
       case "bq" =>
         if (isZero) return emptyHits()
@@ -2509,6 +2572,7 @@ final class VectorEngine(
     else if (store.exists("nsw_edges") && !nswEdges(libId).isEmpty) "nsw_det"
     else if (store.exists("ivfpq_codes") && !ivfpqCodes(libId).isEmpty) "ivfpq"
     else if (store.exists("ivfsq8_codes") && !ivfsq8Codes(libId).isEmpty) "ivfsq8"
+    else if (store.exists("ivfbq_codes") && !ivfbqCodes(libId).isEmpty) "ivfbq"
     else if (store.exists("pq_codes") && !pqCodes(libId).isEmpty) "pq"
     else if (store.exists("sq8_codes") && !sq8Codes(libId).isEmpty) "sq8"
     else if (store.exists("bq_codes") && !bqCodes(libId).isEmpty) "bq"
@@ -2815,6 +2879,39 @@ final class VectorEngine(
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
           val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
           rerankBatch(norms.join(broadcast(capped), Seq("chunk_id")))
+        }
+
+      case "ivfbq" =>
+        val ibqCents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val ibqDf = if (store.exists("ivfbq_codes")) ivfbqCodes(libId) else null
+        if (ibqCents.isEmpty || ibqDf == null || ibqDf.isEmpty) flatBatch()
+        else {
+          // cell-pruned batch hamming: the union of probed cells prunes
+          // the packed scan via a literal isin, pair membership and the
+          // driver-packed query codes join as broadcast tables
+          val pairs = probePairs(ibqCents.get, math.max(1, config.ivfNprobe))
+          val cids = pairs.map(_._2).distinct.toIndexedSeq
+          val qcDf = qnorms.map { case (qid, qnv) =>
+            (qid, BqIndex.encodeQuery(qnv).toSeq)
+          }.toDF("query_id", "qcode")
+          val pairsDf = pairs.toIndexedSeq.toDF("query_id", "centroid_id")
+          val dists = restrict(ibqDf)
+            .filter(col("centroid_id").isin(cids.map(Int.box): _*))
+            .join(broadcast(pairsDf), Seq("centroid_id"))
+            .join(broadcast(qcDf), Seq("query_id"))
+            .select(col("query_id"), col("chunk_id"),
+              BqIndex.hammingExpr(BqIndex.words(dim),
+                w => element_at(col("qcode"), w + 1)).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"),
+            IvfBqIndex.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+            .join(broadcast(capped), Seq("chunk_id"))
+          rerankBatch(hydrated)
         }
 
       case "bq" =>
@@ -3328,6 +3425,34 @@ final class VectorEngine(
           val capped = capPerQuery(dists, -col("dist_u"), PqIndex.Oversample * k)
           val norms = pqCodes(libId).select(col("chunk_id"), col("embedding_norm"))
           rerank(norms.join(capped, Seq("chunk_id")))
+        }
+
+      case "ivfbq" =>
+        val ibqCents =
+          if (!store.exists("ivf_centroids")) None
+          else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val ibqDf = if (store.exists("ivfbq_codes")) ivfbqCodes(libId) else null
+        if (ibqCents.isEmpty || ibqDf == null || ibqDf.isEmpty) flatScored()
+        else {
+          // executor-packed query codes joined onto the (query, cell)
+          // probe pairs — the inverted-list equi-join does the pruning;
+          // nothing query-dependent touches the driver
+          val qc = qn.select(col("query_id"),
+            array(BqIndex.packExprs(dim,
+              i => element_at(col("qnorm"), i + 1)): _*).as("qcode"))
+          val pairsQc = probePairs(ibqCents.get).join(qc, Seq("query_id"))
+          val dists = restrict(ibqDf)
+            .join(broadcast(pairsQc), Seq("centroid_id"))
+            .select(col("query_id"), col("chunk_id"),
+              BqIndex.hammingExpr(BqIndex.words(dim),
+                w => element_at(col("qcode"), w + 1)).as("dist_u"))
+          val capped = capPerQuery(dists, -col("dist_u"),
+            IvfBqIndex.Oversample * k)
+          val hydrated = libChunks.filter(col("embedding").isNotNull)
+            .select(col("id").as("chunk_id"),
+              transform(l2Normalize(col("embedding")), _.cast("float"))
+                .as("embedding_norm"))
+          rerank(hydrated.join(capped, Seq("chunk_id")))
         }
 
       case "bq" =>
@@ -4239,7 +4364,7 @@ final class VectorEngine(
   private def validateConfig(config: IndexConfig): Unit = {
     if (!Set("flat", "lsh", "ivf", "auto", "lsh_det", "ivf_det",
         "pq", "pq_trained", "ivfpq", "ivfpq_trained", "sq8",
-        "ivfsq8", "nsw_det", "hnsw_det", "bq").contains(config.indexType))
+        "ivfsq8", "nsw_det", "hnsw_det", "bq", "ivfbq").contains(config.indexType))
       throw new ValidationError(s"unknown index type: ${config.indexType}")
     def bound(v: Int, lo: Int, hi: Int, name: String): Unit =
       if (v < lo || v > hi)
@@ -4390,6 +4515,19 @@ final class VectorEngine(
           bqCodes(libId).unionAll(BqIndex.encode(newChunks, libId, dim)))
       }
     }
+    if (t == "ivfbq") {
+      // assign to the FROZEN build-time cells (the family contract),
+      // stateless packing on the new rows
+      if (store.exists("ivf_centroids") && store.exists("ivfbq_codes")) {
+        val cents = ivfCentroids(libId)
+        if (!cents.isEmpty && !ivfbqCodes(libId).isEmpty) {
+          val (dim, _, _) = getLibrary(libId)
+          store.writeLibraryPartition("ivfbq_codes", libId,
+            ivfbqCodes(libId).unionAll(
+              IvfBqIndex.build(newChunks, cents, libId, dim)))
+        }
+      }
+    }
     if (t == "ivfsq8") {
       if (store.exists("ivf_centroids") && store.exists("ivfsq8_params")) {
         val cents = ivfCentroids(libId)
@@ -4451,6 +4589,12 @@ final class VectorEngine(
           .join(chunkIds, Seq("chunk_id"), "left_anti")
           .select(Schemas.bqCodes.fieldNames.toIndexedSeq.map(col): _*))
     }
+    if (store.exists("ivfbq_codes")) {
+      store.writeLibraryPartition("ivfbq_codes", libId,
+        ivfbqCodes(libId)
+          .join(chunkIds, Seq("chunk_id"), "left_anti")
+          .select(Schemas.ivfbqCodes.fieldNames.toIndexedSeq.map(col): _*))
+    }
     if (store.exists("nsw_edges")) {
       // an edge dies with EITHER endpoint: a dangling dst would hydrate
       // nothing (its posting is gone) but would still cost adjacency reads
@@ -4487,6 +4631,7 @@ final class VectorEngine(
     dropIvfSq8Tables(libId)
     dropNswEdgesOnly(libId)
     dropBqTables(libId)
+    dropIvfBqCodesOnly(libId)
   }
 
   private def dropLshTables(libId: String): Unit =
@@ -4516,6 +4661,10 @@ final class VectorEngine(
   private def dropBqTables(libId: String): Unit =
     if (store.exists("bq_codes"))
       store.dropLibraryPartition("bq_codes", libId)
+
+  private def dropIvfBqCodesOnly(libId: String): Unit =
+    if (store.exists("ivfbq_codes"))
+      store.dropLibraryPartition("ivfbq_codes", libId)
 
   private def dropIvfSq8Tables(libId: String): Unit =
     Seq("ivfsq8_params", "ivfsq8_codes").foreach { t =>

@@ -1496,6 +1496,36 @@ object EngineQueries {
     batchHitsOut(eng.annJoin(lib, qDf, k = 10))
   }
 
+  /** IVF+BQ — the ELEVENTH family: cell-pruned binary codes (the FAISS
+    * IndexBinaryIVF model). md5-seeded deterministic coarse cells, the
+    * packed code ON its inverted-list row, a literal centroid isin
+    * pruning the scan to nprobe/K, hamming + exact rerank. Fully
+    * deterministic, so the whole build + probe + search replays.
+    */
+  private val ivfbqConfig =
+    IndexConfig("ivfbq", ivfNumCentroids = 8, ivfNprobe = 2)
+
+  private def engineIvfBq(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = engineFixture(s, d, ivfbqConfig)
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  /** IVF+BQ incremental: new rows assign to the FROZEN build-time cells
+    * (the family contract) with the stateless packing; deletes
+    * anti-join the codes rows.
+    */
+  private def engineIvfBqIncremental(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, q) = incrEngine(s, d, ivfbqConfig, "ivfbq")
+    hitsOut(eng.search(lib, q, k = 10))
+  }
+
+  private def engineIvfBqAnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (eng, lib, _) = engineFixture(s, d, ivfbqConfig)
+    val qDf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    batchHitsOut(eng.annJoin(lib, qDf, k = 10))
+  }
+
   /** IVF-family incremental maintenance — the third family through the
     * add/remove paths: new chunks assign to the FROZEN base-seeded
     * centroids (no re-cluster between rebuilds, the reference's own IVF
@@ -2131,6 +2161,9 @@ object EngineQueries {
     "x_bqeng_ndcg"           -> (bqEngNdcg _),
     "x_engine_bq_bitstats"   -> (engineBqBitStats _),
     "e_stream_ann_bq"        -> (engineStreamAnnBq _),
+    "x_engine_ivfbq"         -> (engineIvfBq _),
+    "x_engine_ivfbq_incremental" -> (engineIvfBqIncremental _),
+    "x_engine_ivfbq_annjoin" -> (engineIvfBqAnnJoin _),
     "x_engine_pq"            -> (enginePq _),
     "x_engine_pq_trained"    -> (enginePqTrained _),
     "x_engine_ivfpq"         -> (engineIvfPq _),
@@ -2621,14 +2654,13 @@ object EngineQueries {
     * corpus for the incremental replay (encode is stateless, so
     * incremental == plain build over the live rows).
     */
-  private def bqCorpusCtesWith(livePred: String): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
-      |vn AS (
-      |  SELECT vec_id, emb,
-      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
-      |  FROM nr WHERE n > 0),
-      |bbits AS (
+  /** The packing CTEs alone (bbits + bcodes) over an in-scope
+    * `vn(vec_id, vnormf)` — shared by the flat-bq corpus template and
+    * the ivfbq replay (which takes vn from the ivfDet template), so the
+    * bit rule exists once.
+    */
+  private def bqPackCtes(livePred: String): String =
+    s"""bbits AS (
       |  SELECT vec_id, generate_subscripts(vnormf, 1) - 1 AS i, unnest(vnormf) AS x
       |  FROM vn WHERE $livePred),
       |bcodes AS (
@@ -2638,14 +2670,32 @@ object EngineQueries {
       |                       ELSE CAST(1 AS BIGINT) << (i % 64) END) AS BIGINT) AS word
       |  FROM bbits GROUP BY vec_id, i // 64)""".stripMargin
 
-  private def bqCandCte(queryPred: String): String =
+  private def bqCorpusCtesWith(livePred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM e),
+      |vn AS (
+      |  SELECT vec_id, emb,
+      |         CAST(list_transform(emb, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS vnormf
+      |  FROM nr WHERE n > 0),
+      |${bqPackCtes(livePred)}""".stripMargin
+
+  /** Hamming candidate CTEs: `cellRestrict` is the ivfbq hook — raw SQL
+    * (a postings join + top_c membership) inserted before the GROUP BY,
+    * empty for the flat-bq family.
+    */
+  private def bqCandCte(queryPred: String, cellRestrict: String = ""): String =
     s"""bqq AS (SELECT w, word FROM bcodes WHERE $queryPred),
       |cand AS (
-      |  SELECT c.vec_id,
+      |  SELECT c.vec_id AS vec_id,
       |         CAST(SUM(bit_count(xor(c.word, bqq.word))) AS BIGINT) AS dist
-      |  FROM bcodes c JOIN bqq USING (w)
+      |  FROM bcodes c JOIN bqq USING (w)$cellRestrict
       |  GROUP BY c.vec_id
-      |  ORDER BY dist ASC, vec_id ASC LIMIT 60)""".stripMargin
+      |  ORDER BY dist ASC, c.vec_id ASC LIMIT 60)""".stripMargin
+
+  private val ivfbqCellRestrict =
+    """
+      |       JOIN postings p ON p.vec_id = c.vec_id
+      |  WHERE p.centroid_id IN (SELECT centroid_id FROM top_c)""".stripMargin
 
   private def bqBatchSqlFor(queryPred: String): String =
     s"""WITH ${bqCorpusCtesWith("TRUE")},
@@ -3976,6 +4026,66 @@ object EngineQueries {
          |${bqCandCte("vec_id = 0")}
          |$sq8HitsSelect""".stripMargin,
     "x_engine_bq_annjoin" -> bqBatchSqlFor("vec_id < 3"),
+    // x_engine_ivfbq: the cell-pruned binary replay — md5-seed cells +
+    // argmax assignment (the ivfDet template verbatim), the SAME packing
+    // CTEs as flat bq over the template's vn, candidates restricted to
+    // the query's top-nprobe cells via the postings membership
+    "x_engine_ivfbq" ->
+      s"""WITH ${ivfDetCtesWith("TRUE", "TRUE")},
+         |${bqPackCtes("TRUE")},
+         |${bqCandCte("vec_id = 0", ivfbqCellRestrict)}
+         |$sq8HitsSelect""".stripMargin,
+    // ivfbq incremental: cells seeded from the BASE corpus (frozen), the
+    // stateless packing + live postings membership do the rest
+    "x_engine_ivfbq_incremental" ->
+      s"""WITH ${ivfDetCtesWith(
+              s"vec_id < $incrBase",
+              s"vec_id NOT IN (${incrDeleted.mkString(", ")})")},
+         |${bqPackCtes("TRUE")},
+         |${bqCandCte("vec_id = 0", ivfbqCellRestrict)}
+         |$sq8HitsSelect""".stripMargin,
+    // ivfbq batch: per-query top-nprobe cells + cell-restricted hamming,
+    // per-query cap 60, exact rerank — the uniform batched replay
+    "x_engine_ivfbq_annjoin" ->
+      s"""WITH ${ivfDetCtesWith("TRUE", "TRUE")},
+         |${bqPackCtes("TRUE")},
+         |qcb AS (SELECT vec_id AS query_id, w, word FROM bcodes WHERE vec_id < 3),
+         |qnb AS (
+         |  SELECT vec_id AS query_id,
+         |         CAST(list_transform(emb, x -> CAST(x / sqrt(list_dot_product(emb, emb)) AS REAL)) AS DOUBLE[]) AS v
+         |  FROM e WHERE vec_id < 3),
+         |topcb AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_dot_product(c.cvec, q.v) DESC,
+         |                      c.centroid_id ASC) AS rn
+         |    FROM cents c, qnb q) WHERE rn <= 2),
+         |cand_b AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY dist ASC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT qc.query_id, c.vec_id,
+         |             CAST(SUM(bit_count(xor(c.word, qc.word))) AS BIGINT) AS dist
+         |      FROM bcodes c
+         |           JOIN qcb qc USING (w)
+         |           JOIN postings p ON p.vec_id = c.vec_id
+         |           JOIN topcb t ON t.query_id = qc.query_id
+         |                       AND t.centroid_id = p.centroid_id
+         |      GROUP BY qc.query_id, c.vec_id))
+         |  WHERE rn <= 60)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} AS score,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |           ORDER BY ${rndSql("list_cosine_similarity(v.vnormf, rq.emb)", 6)} DESC,
+         |                    c.vec_id ASC) AS rn
+         |  FROM cand_b c JOIN vn v USING (vec_id)
+         |       JOIN e rq ON rq.vec_id = c.query_id)
+         |WHERE rn <= 10
+         |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
     // streaming ANN through the bq family: per-micro-batch annJoin over
     // the packed-code scan, hash-checked by the batched replay widened
     // to the 25 streamed queries

@@ -215,6 +215,16 @@ class EngineFuzzSpec extends AnyFunSuite {
     indexedWalk("bq", IndexConfig("bq"), seed0 = 43, tag = "graft-fuzz-bq")
   }
 
+  /** Cell-pruned binary codes under churn with the FULL-COVERAGE config
+    * (one cell, nprobe 1 — the nsw discipline): frozen-cell incremental
+    * assignment + stateless packing + deletes must keep search equal to
+    * the model's Q1 top-k at every step.
+    */
+  test("150 random verbs against an IVF+BQ library: incremental maintenance stays exact (seed 47)") {
+    indexedWalk("ivfbq", IndexConfig("ivfbq", ivfNumCentroids = 1,
+      ivfNprobe = 1), seed0 = 47, tag = "graft-fuzz-ivfbq")
+  }
+
   test("150 random verbs against a PQ library: incremental maintenance stays exact (seed 37)") {
     indexedWalk("pq",
       IndexConfig("pq", pqSubspaces = 2, pqCodewords = 64),

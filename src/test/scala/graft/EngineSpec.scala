@@ -1702,6 +1702,63 @@ class EngineSpec extends AnyFunSuite {
     assert(store2.read("bq_codes", Schemas.bqCodes).count() == 0)
   }
 
+  test("IVF+BQ index: packing parity, full-coverage exactness, frozen-cell incremental") {
+    val dir = graft.TempDirs.scratch("graft-ivfbq-test").toString
+    val eng = new VectorEngine(spark, dir, fixedClock)
+    val dim = 4
+    // nprobe == numCentroids: every cell probed -> candidate stage is
+    // full-coverage and the exact rerank must equal the Q1 ranking
+    val lib = eng.createLibrary("ivfbq", dim,
+      IndexConfig("ivfbq", ivfNumCentroids = 2, ivfNprobe = 2))
+    val doc = eng.createDocument(lib)
+    val rnd = new scala.util.Random(17)
+    def vec() = Array.fill(dim)((rnd.nextInt(19) - 9) / 3.0f)
+    val base = (0 until 14).map(i => f"v$i%03d" -> vec())
+    eng.upsertChunks(lib, doc, base.map { case (id, v) =>
+      ChunkIn(id, Some(v), id = Some(id)) })
+    eng.rebuildIndex(lib)
+    val store2 = new StateStore(spark, dir)
+    def codes: Map[String, (Int, Vector[Long])] =
+      store2.read("ivfbq_codes", Schemas.ivfbqCodes).collect()
+        .map(r => r.getString(2) -> (r.getInt(1), r.getSeq[Long](3).toVector))
+        .toMap
+    // the packed word is cell-INDEPENDENT (no residual): it equals the
+    // flat bq packer on the normalized vector, whatever the cell
+    base.foreach { case (id, v) =>
+      val expect = graft.index.BqIndex.encodeQuery(
+        graft.index.LshIndex.normalizeDriver(v).get).toVector
+      assert(codes(id)._2 == expect, s"packing diverged for $id")
+    }
+    assert(codes.values.map(_._1).toSet.subsetOf(Set(0, 1)))
+    val q = vec()
+    val got = eng.search(lib, q, k = 5).collect().map(_.getString(0)).toSeq
+    val expected = base.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got == expected)
+    // incremental: new rows assign to the FROZEN cells (cell-id set
+    // cannot grow) with the same stateless packing; deletes anti-join
+    val cellsBefore = codes.values.map(_._1).toSet
+    eng.upsertChunks(lib, doc, (14 until 20).map { i =>
+      val v = vec(); ChunkIn(f"v$i%03d", Some(v), id = Some(f"v$i%03d"))
+    })
+    eng.deleteChunk(lib, "v002")
+    val after = codes
+    assert(!after.contains("v002") && after.contains("v016"))
+    assert(after.values.map(_._1).toSet.subsetOf(cellsBefore))
+    val got2 = eng.search(lib, q, k = 5).collect().map(_.getString(0)).toSeq
+    // recompute expected over the LIVE corpus read back from the store
+    import org.apache.spark.sql.functions.col
+    val live = eng.chunks.filter(col("library_id") === lib)
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+    val expected2 = live.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    assert(got2 == expected2)
+    // family swap drops the codes partition (centroids go with dropIvf)
+    eng.updateIndexConfig(lib, IndexConfig("flat"))
+    assert(store2.read("ivfbq_codes", Schemas.ivfbqCodes).count() == 0)
+  }
+
   test("aliases: blue-green cutover through the serving verbs") {
     val eng = freshEngine()
     val q = Array(1f, 0f, 0f)
