@@ -138,7 +138,8 @@ object CurationCore {
     * spec'd against a driver-side union-find on seeded random graphs.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      idCol: String, maxRounds: Int = 50): DataFrame = {
+      idCol: String, maxRounds: Int = 50,
+      localFinishCap: Long = 1L << 18): DataFrame = {
     import GraftRddBridge.unpersistLocalCheckpoint
     // localCheckpoint materializes the DATA but copies the checkpointed
     // plan's ESTIMATED statistics onto the LogicalRDD — in an iterative
@@ -160,6 +161,74 @@ object CurationCore {
       .localCheckpoint()
     var cur = freshPlan(curCkpt)
     var nCur = cur.count()
+
+    // BOUNDED LOCAL FINISH (optimization r15, guide §1.2/§5): every
+    // contraction round costs a fixed number of global barriers (4-6
+    // exchanges + a checkpoint + a convergence action) whatever the edge
+    // count — on a contracted (or small) dup graph those fixed costs ARE
+    // the runtime. Once the canonical edge set fits a hard cap (2^18
+    // edges ~ a few MB on the driver, the same bounded-driver-state
+    // budget as the k-bounded collects elsewhere), finish with a
+    // driver-side min-root union-find: identical labels (min reachable
+    // id) by construction — CurateSpec differentially pins both paths
+    // against the same oracle — and the distributed rounds still carry
+    // all graphs above the cap, so the 100 TB shape is unchanged. The
+    // cap is on EDGES AFTER distinct, i.e. the dup-graph size, never
+    // the corpus. `localFinishCap = 0` forces the all-rounds path
+    // (specs exercise both).
+    def finishLocally(edgesDf: DataFrame): DataFrame = {
+      val spark = nodes.sparkSession
+      val dt = edgesDf.schema.fields(0).dataType
+      val ord: Ordering[Any] = (dt match {
+        case org.apache.spark.sql.types.LongType =>
+          Ordering.by((x: Any) => x.asInstanceOf[Long])
+        case org.apache.spark.sql.types.IntegerType =>
+          Ordering.by((x: Any) => x.asInstanceOf[Int])
+        case org.apache.spark.sql.types.ShortType =>
+          Ordering.by((x: Any) => x.asInstanceOf[Short])
+        case org.apache.spark.sql.types.StringType =>
+          Ordering.by((x: Any) => x.asInstanceOf[String])
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents local finish: unsupported id type $other")
+      })
+      val edges = edgesDf.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      val members = scala.collection.mutable.HashSet.empty[Any]
+      edges.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        members += a; members += b
+        val (ra, rb) = (find(a), find(b))
+        // min-id root: the union-find invariant that makes the local
+        // labels bit-equal to the star-contraction fixpoint
+        if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, dt, nullable = true),
+        org.apache.spark.sql.types.StructField("label", dt, nullable = true)))
+      val rows = members.toSeq.map(m =>
+        org.apache.spark.sql.Row(m, find(m)))
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      nodes.select(col(idCol))
+        .join(broadcast(labels), Seq(idCol), "left_outer")
+        .select(col(idCol),
+          coalesce(col("label"), col(idCol)).as("cluster_id"))
+    }
+    if (localFinishCap > 0 && nCur <= localFinishCap) {
+      val out = finishLocally(cur)
+      unpersistLocalCheckpoint(curCkpt)
+      return out
+    }
+
     var changed = nCur > 0L
     var rounds = 0
     while (changed && rounds < maxRounds) {
@@ -212,6 +281,13 @@ object CurationCore {
       cur = freshPlan(next)
       nCur = nNext
       rounds += 1
+      // contraction brought the edge set under the bounded-driver cap:
+      // skip the remaining rounds and finish locally (same labels)
+      if (changed && localFinishCap > 0 && nCur <= localFinishCap) {
+        val out = finishLocally(cur)
+        unpersistLocalCheckpoint(curCkpt)
+        return out
+      }
     }
     // an unconverged edge set is WRONG (labels would not be component
     // minima) — failing loudly beats silently emitting bad cluster ids.

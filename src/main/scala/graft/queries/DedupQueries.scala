@@ -139,8 +139,10 @@ object DedupQueries {
     * without an engine -> queries dependency.
     */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      idCol: String, maxRounds: Int = 50): DataFrame =
-    graft.curation.CurationCore.connectedComponents(nodes, pairs, idCol, maxRounds)
+      idCol: String, maxRounds: Int = 50,
+      localFinishCap: Long = 1L << 18): DataFrame =
+    graft.curation.CurationCore.connectedComponents(nodes, pairs, idCol,
+      maxRounds, localFinishCap)
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     candidatePairs(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)

@@ -264,11 +264,18 @@ class CurateSpec extends AnyFunSuite {
     cases.foreach { case (label, n, edges) =>
       val nodes = (0L until n.toLong).toDF("id")
       val pairs = edges.toDF("id_a", "id_b")
-      val got = graft.curation.CurationCore
-        .connectedComponents(nodes, pairs, "id")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // BOTH paths must match the oracle: the bounded driver-side finish
+      // (default cap — these graphs are under it) and the distributed
+      // star-contraction rounds (cap 0 disables the local finish)
       val want = unionFind(n, edges)
-      assert(got == want, s"$label: cluster labels diverge from union-find")
+      Seq("local" -> (1L << 18), "distributed" -> 0L).foreach {
+        case (path, cap) =>
+          val got = graft.curation.CurationCore
+            .connectedComponents(nodes, pairs, "id", localFinishCap = cap)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == want,
+            s"$label ($path): cluster labels diverge from union-find")
+      }
     }
     graft.Caches.releaseAll()
   }

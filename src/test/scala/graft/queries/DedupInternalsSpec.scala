@@ -24,13 +24,17 @@ class DedupInternalsSpec extends AnyFunSuite {
     // rounds (+1 to observe no change)
     val nodes = (0L to 5L).toDF("doc_id")
     val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = DedupQueries.connectedComponents(nodes, pairs, "doc_id")
+    // localFinishCap = 0 forces the distributed star-contraction rounds
+    // (the default cap would finish this 5-edge graph on the driver)
+    val labels = DedupQueries.connectedComponents(nodes, pairs, "doc_id",
+        localFinishCap = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((0L to 5L).forall(labels(_) == 0L))
     // a 2-round cap exits with labels still changing: an unconverged
     // labeling is WRONG, so the guard must throw, not return it
     val e = intercept[IllegalStateException] {
-      DedupQueries.connectedComponents(nodes, pairs, "doc_id", maxRounds = 2)
+      DedupQueries.connectedComponents(nodes, pairs, "doc_id", maxRounds = 2,
+        localFinishCap = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
