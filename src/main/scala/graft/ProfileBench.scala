@@ -26,12 +26,18 @@ object ProfileBench {
       .config("spark.ui.enabled", "false")
     // optional per-job attribution: SPARK_GRAFT_EVENTLOG=/dir enables the
     // event log, whose JobStart events carry the call site of every job
-    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(builder) { dir =>
+    val withLog = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(builder) { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       builder.config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", dir)
         .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.rolling.enabled", "false")
+    }
+    // A/B config experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").fold(withLog) { kvs =>
+      kvs.split(';').filter(_.contains('=')).foldLeft(withLog) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -176,6 +176,49 @@ final class StateStore(spark: SparkSession, root: String) {
     repoint(table, next)
   }
 
+  /** PARTITION-SELECTIVE APPEND (optimization r15): the next snapshot is
+    * the current one with `deltaRows` ADDED to the given library's
+    * partition — every existing file (including that partition's own) is
+    * HARDLINKED forward and only the delta is written, so an append-shaped
+    * mutation (index add after build, streaming ingest batch) costs
+    * O(delta), not O(partition). This is the difference between an LSM-ish
+    * append and a full-partition rewrite at 100 TB; [[compact]] remains
+    * the periodic collapse of the accumulated small delta files, exactly
+    * the Iceberg/Delta `rewrite_data_files` discipline (guide §6).
+    * Readers are never disturbed (same repoint protocol); vacuum stays
+    * correct (deleting an old version removes its links, never inodes
+    * still referenced by newer versions). `deltaRows` must contain ONLY
+    * rows of `libraryId`, exactly like [[writeLibraryPartition]].
+    */
+  def appendLibraryPartition(table: String, libraryId: String,
+      deltaRows: DataFrame): Long = {
+    val cur = currentVersion(table)
+    val next = cur.getOrElse(0L) + 1
+    val nextDir = Paths.get(tableDir(table), s"v$next")
+    Files.createDirectories(nextDir)
+    cur.foreach { v =>
+      val curDir = Paths.get(tableDir(table), s"v$v")
+      listDir(curDir).foreach { sub =>
+        val name = sub.getFileName.toString
+        if (Files.isDirectory(sub) && name.startsWith("library_id=")) {
+          val dst = nextDir.resolve(name)
+          Files.createDirectories(dst)
+          listDir(sub).foreach { f =>
+            // skip zero-byte commit markers: the delta write commits its
+            // own _SUCCESS, and overwriting a hardlinked marker in place
+            // would touch the shared inode
+            if (!Files.isDirectory(f) &&
+                f.getFileName.toString != "_SUCCESS")
+              Files.createLink(dst.resolve(f.getFileName.toString), f)
+          }
+        }
+      }
+    }
+    deltaRows.drop("library_id").write.mode("append")
+      .parquet(nextDir.resolve(s"library_id=$libraryId").toString)
+    repoint(table, next)
+  }
+
   /** Whether the current snapshot has a partition for this library — a
     * filesystem stat, zero Spark jobs (the export verb's table guard).
     */

@@ -1347,14 +1347,19 @@ final class VectorEngine(
     }
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), Schemas.chunks)
-    // partition-selective rewrite: only THIS library's partition is
-    // rewritten, every other library's files are hardlinked forward —
-    // O(this library) per mutation, not O(table). (Chunk ids are UUIDs or
-    // content hashes, so a same-id row in a DIFFERENT library is not a
-    // case the engine arbitrates — ids are replaced within the library.)
-    store.writeLibraryPartition("chunks", libId,
-      current.filter(col("library_id") === libId && !col("id").isin(ids: _*))
-        .unionAll(newDf))
+    // partition-selective: only THIS library's partition changes, every
+    // other library's files are hardlinked forward — O(this library) per
+    // mutation, not O(table). (Chunk ids are UUIDs or content hashes, so
+    // a same-id row in a DIFFERENT library is not a case the engine
+    // arbitrates — ids are replaced within the library.) When the batch
+    // replaces nothing, the rows are APPENDED as a delta instead of
+    // rewriting the partition (optimization r15 — O(batch)).
+    if (existing.isEmpty)
+      store.appendLibraryPartition("chunks", libId, newDf)
+    else
+      store.writeLibraryPartition("chunks", libId,
+        current.filter(col("library_id") === libId && !col("id").isin(ids: _*))
+          .unionAll(newDf))
     // doc version bump (one per bulk op, chunk.py:110-112)
     store.writeLibraryPartition("documents", libId,
       documents.filter(col("library_id") === libId)
@@ -1371,7 +1376,9 @@ final class VectorEngine(
     // Q2 is LSH-only: reference IVFIndex.update (ivf.py:51-75) re-assigns
     // updated vectors; only LSHIndex inherits the no-op update (base.py:6)
     val q2 = quirkCompat && config.indexType == "lsh"
-    if (!q2) removeFromIndexes(libId, replacedIds)
+    // no replaced ids => the anti-join removes would be no-op full
+    // rewrites of every index table; skip them (optimization r15)
+    if (!q2 && existing.nonEmpty) removeFromIndexes(libId, replacedIds)
     addToIndexes(libId,
       chunks.filter(col("id").isin(ids: _*))
         .filter(if (q2) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
@@ -1451,14 +1458,25 @@ final class VectorEngine(
     // and legitimately collapse; caller-supplied dup ids are rejected below
     val normalized =
       if (cols.contains("id")) normalized0 else normalized0.dropDuplicates("id")
-    // single validation pass over the batch (one job, one aggregate)
-    val bad = normalized.agg(
+    val current = chunks.filter(col("library_id") === libId)
+    // preserve created_at/version continuity for replaced ids
+    val prior = current.select(col("id"),
+      col("created_at").as("created0"), col("version").as("version0"))
+    val joined = normalized.join(prior, Seq("id"), "left")
+    // single validation pass over the batch (one job, one aggregate) —
+    // also counts REPLACED ids in the same action (optimization r15): a
+    // pure-append batch (the streaming/ingest common case) then skips the
+    // per-index-table remove rewrites and appends the chunk delta instead
+    // of rewriting the partition
+    val bad = joined.agg(
       sum(when(col("embedding").isNotNull &&
         size(col("embedding")) =!= dim, 1).otherwise(0)).as("bad_dim"),
       sum(when(col("text").isNull || col("text") === "", 1).otherwise(0))
         .as("bad_text"),
       count(lit(1)).as("n_rows"),
-      countDistinct(col("id")).as("n_ids")).collect().head
+      countDistinct(col("id")).as("n_ids"),
+      sum(when(col("version0").isNotNull, 1L).otherwise(0L)).as("n_prior"))
+      .collect().head
     if (bad.getLong(0) > 0)
       throw new ValidationError(s"${bad.getLong(0)} row(s) with embedding dim != $dim")
     if (bad.getLong(1) > 0)
@@ -1466,19 +1484,21 @@ final class VectorEngine(
     if (bad.getLong(3) != bad.getLong(2))
       throw new ValidationError(
         s"duplicate ids in bulk batch: ${bad.getLong(2)} rows, ${bad.getLong(3)} distinct ids")
-    val current = chunks.filter(col("library_id") === libId)
-    // preserve created_at/version continuity for replaced ids
-    val prior = current.select(col("id"),
-      col("created_at").as("created0"), col("version").as("version0"))
-    val merged = normalized.join(prior, Seq("id"), "left")
+    val nPrior = if (bad.isNullAt(4)) 0L else bad.getLong(4)
+    val merged = joined
       .withColumn("created_at", coalesce(col("created0"), col("created_at")))
       .withColumn("version", coalesce(col("version0") + 1, col("version")))
       .drop("created0", "version0")
       .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
     val incomingIds = normalized.select(col("id"))
-    // partition-selective: rewrite this library's partition, link the rest
-    store.writeLibraryPartition("chunks", libId,
-      current.join(incomingIds, Seq("id"), "left_anti").unionAll(merged))
+    // partition-selective: append the delta when nothing is replaced
+    // (O(batch)); rewrite this library's partition otherwise — other
+    // libraries' files are linked forward either way
+    if (nPrior == 0L)
+      store.appendLibraryPartition("chunks", libId, merged)
+    else
+      store.writeLibraryPartition("chunks", libId,
+        current.join(incomingIds, Seq("id"), "left_anti").unionAll(merged))
     store.writeLibraryPartition("documents", libId,
       documents.filter(col("library_id") === libId)
         .withColumn("version",
@@ -1489,7 +1509,9 @@ final class VectorEngine(
     // path is create-or-replace, and replaced LSH rows stay stale under Q2
     // (so the add below must also skip them, or buckets double up)
     val q2 = quirkCompat && config.indexType == "lsh"
-    if (!q2)
+    // nothing replaced => nothing to remove: skip the per-index-table
+    // anti-join rewrites entirely (they would be full no-op rewrites)
+    if (!q2 && nPrior > 0L)
       removeFromIndexes(libId, incomingIds.withColumnRenamed("id", "chunk_id"))
     val toAdd = chunks.filter(col("library_id") === libId)
       .join(incomingIds, Seq("id"), "left_semi")
@@ -4422,8 +4444,7 @@ final class VectorEngine(
         val planesDf = lshPlanes(libId)
         if (!planesDf.isEmpty) {
           val add = LshIndex.buildBuckets(newChunks, planesDf, libId)
-          store.writeLibraryPartition("lsh_buckets", libId,
-            lshBuckets(libId).unionAll(add))
+          store.appendLibraryPartition("lsh_buckets", libId, add)
           return
         }
       }
@@ -4434,8 +4455,7 @@ final class VectorEngine(
         val cents = ivfCentroids(libId)
         if (!cents.isEmpty) { // auto-resolved-flat libraries have no centroids
           val add = IvfIndex.assignToCentroids(newChunks, cents, libId)
-          store.writeLibraryPartition("ivf_postings", libId,
-            ivfPostings(libId).unionAll(add))
+          store.appendLibraryPartition("ivf_postings", libId, add)
         }
       }
       if (t != "auto") return
@@ -4451,8 +4471,7 @@ final class VectorEngine(
           // the batch visible
           val newEdges = graft.index.NswIndex.edgesForNew(newChunks, cents,
             ivfPostings(libId), libId, config.ivfNprobe, config.nswDegree)
-          store.writeLibraryPartition("nsw_edges", libId,
-            nswEdges(libId).unionAll(newEdges))
+          store.appendLibraryPartition("nsw_edges", libId, newEdges)
           if (t == "hnsw_det") {
             // per-layer delta links against the frozen hierarchy, same
             // pre-batch discipline (and the same write-before-append
@@ -4460,16 +4479,10 @@ final class VectorEngine(
             val newLayers = graft.index.HnswIndex.layersForNew(newChunks,
               cents, ivfPostings(libId), libId, config.ivfNprobe,
               config.nswDegree)
-            val prior =
-              if (store.exists("hnsw_edges")) hnswEdges(libId)
-              else spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], Schemas.hnswEdges)
-            store.writeLibraryPartition("hnsw_edges", libId,
-              prior.unionAll(newLayers))
+            store.appendLibraryPartition("hnsw_edges", libId, newLayers)
           }
-          store.writeLibraryPartition("ivf_postings", libId,
-            ivfPostings(libId).unionAll(
-              IvfIndex.assignToCentroids(newChunks, cents, libId)))
+          store.appendLibraryPartition("ivf_postings", libId,
+            IvfIndex.assignToCentroids(newChunks, cents, libId))
         }
       }
       return
@@ -4479,8 +4492,7 @@ final class VectorEngine(
         val cbDf = pqCodebooks(libId)
         if (!cbDf.isEmpty) { // encode against EXISTING codebooks (no retrain)
           val add = PqIndex.encode(newChunks, cbDf, libId)
-          store.writeLibraryPartition("pq_codes", libId,
-            pqCodes(libId).unionAll(add))
+          store.appendLibraryPartition("pq_codes", libId, add)
         }
       }
     }
@@ -4491,8 +4503,7 @@ final class VectorEngine(
         if (!cents.isEmpty && !cbDf.isEmpty) {
           // assign + residual-encode against EXISTING cells/codebooks
           val add = IvfPqIndex.encode(newChunks, cents, cbDf, libId)
-          store.writeLibraryPartition("ivfpq_codes", libId,
-            ivfpqCodes(libId).unionAll(add))
+          store.appendLibraryPartition("ivfpq_codes", libId, add)
         }
       }
     }
@@ -4501,8 +4512,7 @@ final class VectorEngine(
         val pDf = sq8Params(libId)
         if (!pDf.isEmpty) { // encode against FROZEN ranges (clamped)
           val add = Sq8Index.encode(newChunks, pDf, libId)
-          store.writeLibraryPartition("sq8_codes", libId,
-            sq8Codes(libId).unionAll(add))
+          store.appendLibraryPartition("sq8_codes", libId, add)
         }
       }
     }
@@ -4511,8 +4521,8 @@ final class VectorEngine(
       // maintenance IS the rebuild (bit-identical codes either way)
       if (store.exists("bq_codes") && !bqCodes(libId).isEmpty) {
         val (dim, _, _) = getLibrary(libId)
-        store.writeLibraryPartition("bq_codes", libId,
-          bqCodes(libId).unionAll(BqIndex.encode(newChunks, libId, dim)))
+        store.appendLibraryPartition("bq_codes", libId,
+          BqIndex.encode(newChunks, libId, dim))
       }
     }
     if (t == "ivfbq") {
@@ -4522,9 +4532,8 @@ final class VectorEngine(
         val cents = ivfCentroids(libId)
         if (!cents.isEmpty && !ivfbqCodes(libId).isEmpty) {
           val (dim, _, _) = getLibrary(libId)
-          store.writeLibraryPartition("ivfbq_codes", libId,
-            ivfbqCodes(libId).unionAll(
-              IvfBqIndex.build(newChunks, cents, libId, dim)))
+          store.appendLibraryPartition("ivfbq_codes", libId,
+            IvfBqIndex.build(newChunks, cents, libId, dim))
         }
       }
     }
@@ -4535,8 +4544,7 @@ final class VectorEngine(
         if (!cents.isEmpty && !pDf.isEmpty) {
           // assign to FROZEN cells, clamp-encode against FROZEN ranges
           val add = IvfSq8Index.encode(newChunks, cents, pDf, libId)
-          store.writeLibraryPartition("ivfsq8_codes", libId,
-            ivfsq8Codes(libId).unionAll(add))
+          store.appendLibraryPartition("ivfsq8_codes", libId, add)
         }
       }
     }
