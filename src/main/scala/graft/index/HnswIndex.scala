@@ -74,20 +74,44 @@ object HnswIndex {
       degree: Int): DataFrame = {
     val spark = chunksDf.sparkSession
     // one tiny per-level census (<= MaxLevel+1 rows) decides which layers
-    // can hold an edge at all
+    // can hold an edge at all; cumulative counts are monotone in l, so
+    // the eligible set {l : counts(l) >= 2} is a prefix 1..lstar
     val counts = cumulativeLevelCounts(
       postingsDf.select(levelExpr(col("chunk_id")).as("lvl")))
-    val parts = (1 to MaxLevel).filter(l => counts(l) >= 2).map { l =>
-      NswIndex.buildEdges(
-        chunksDf.filter(levelExpr(col("id")) >= l),
-        centroidsDf,
-        postingsDf.filter(levelExpr(col("chunk_id")) >= l),
-        libraryId, nprobe, degree)
-        .select(col("library_id"), lit(l).as("layer"),
-          col("src_id"), col("dst_id"))
-    }
-    if (parts.isEmpty) emptyLayers(spark) else parts.reduce(_ unionAll _)
+    val lstar = (1 to MaxLevel).takeWhile(l => counts(l) >= 2)
+      .lastOption.getOrElse(0)
+    val cents = NswIndex.collectCentroids(centroidsDf)
+    if (lstar == 0 || cents.isEmpty) emptyLayers(spark)
+    else
+      // ONE join + ONE top-degree aggregation for the whole hierarchy
+      // (optimization r15, NswIndex.edgesFromLayered): per-layer results
+      // bit-identical to the old per-layer buildEdges pipelines
+      NswIndex.edgesFromLayered(
+        layeredProbe(chunksDf.select(col("id"), col("embedding")),
+          cents, nprobe, lstar),
+        layeredTargets(postingsDf, lstar),
+        libraryId, degree)
   }
+
+  /** u-side rows for every (node, layer 1..min(level, lstar), probe cell)
+    * — [[NswIndex.probeSide]] with the layer replication folded in.
+    */
+  private def layeredProbe(chunksDf: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int, lstar: Int): DataFrame =
+    NswIndex.probeSide(NswIndex.normalized(chunksDf), cents, nprobe)
+      .withColumn("maxl", least(lit(lstar), levelExpr(col("src_id"))))
+      .filter(col("maxl") >= 1)
+      .select(col("src_id"), col("svec"), col("cell"),
+        explode(sequence(lit(1), col("maxl"))).as("layer"))
+
+  /** v-side rows for every (posting, layer 1..min(level, lstar)). */
+  private def layeredTargets(postingsDf: DataFrame, lstar: Int): DataFrame =
+    postingsDf.select(col("chunk_id").as("dst_id"),
+        col("embedding_norm").as("dvec"), col("centroid_id").as("cell"))
+      .withColumn("maxl", least(lit(lstar), levelExpr(col("dst_id"))))
+      .filter(col("maxl") >= 1)
+      .select(col("dst_id"), col("dvec"), col("cell"),
+        explode(sequence(lit(1), col("maxl"))).as("layer"))
 
   /** Incremental upper-layer edges for a NEW batch against the FROZEN
     * hierarchy: per layer l, the new batch's level>=l members link
@@ -99,18 +123,22 @@ object HnswIndex {
       basePostings: DataFrame, libraryId: String, nprobe: Int,
       degree: Int): DataFrame = {
     val spark = newChunks.sparkSession
+    // {l : newCounts(l) >= 1} is a prefix 1..lstar (cumulative counts)
     val newCounts = cumulativeLevelCounts(
       newChunks.select(levelExpr(col("id")).as("lvl")))
-    val parts = (1 to MaxLevel).filter(l => newCounts(l) >= 1).map { l =>
-      NswIndex.edgesForNew(
-        newChunks.filter(levelExpr(col("id")) >= l),
-        centroidsDf,
-        basePostings.filter(levelExpr(col("chunk_id")) >= l),
-        libraryId, nprobe, degree)
-        .select(col("library_id"), lit(l).as("layer"),
-          col("src_id"), col("dst_id"))
-    }
-    if (parts.isEmpty) emptyLayers(spark) else parts.reduce(_ unionAll _)
+    val lstar = (1 to MaxLevel).takeWhile(l => newCounts(l) >= 1)
+      .lastOption.getOrElse(0)
+    val cents = NswIndex.collectCentroids(centroidsDf)
+    if (lstar == 0 || cents.isEmpty) emptyLayers(spark)
+    else
+      // same single-pass shape as buildLayers: new members probe the
+      // PRE-BATCH layer members only (the add-after-build contract),
+      // layer by layer, in one join + one bounded aggregation
+      NswIndex.edgesFromLayered(
+        layeredProbe(newChunks.select(col("id"), col("embedding")),
+          cents, nprobe, lstar),
+        layeredTargets(basePostings, lstar),
+        libraryId, degree)
   }
 
   /** nodes-with-level-at-least-l counts, index 0..MaxLevel (one small agg

@@ -43,12 +43,12 @@ object NswIndex {
   /** Normalized non-zero vectors: (chunk_id, vnorm: array<double>) —
     * IvfIndex's normalization contract (zero vectors excluded, quirk Q4).
     */
-  private def normalized(chunksDf: DataFrame): DataFrame =
+  private[index] def normalized(chunksDf: DataFrame): DataFrame =
     chunksDf.filter(col("embedding").isNotNull)
       .select(col("id").as("chunk_id"), l2Normalize(col("embedding")).as("vnorm"))
       .filter(col("vnorm").isNotNull)
 
-  private def collectCentroids(centroidsDf: DataFrame): Array[Array[Double]] =
+  private[index] def collectCentroids(centroidsDf: DataFrame): Array[Array[Double]] =
     centroidsDf.orderBy(col("centroid_id"))
       .collect()
       .map(r => r.getSeq[Float](2).map(_.toDouble).toArray)
@@ -100,7 +100,7 @@ object NswIndex {
     * embedding_norm representation, so build and incremental score
     * identically).
     */
-  private def probeSide(data: DataFrame, cents: Array[Array[Double]],
+  private[index] def probeSide(data: DataFrame, cents: Array[Array[Double]],
       nprobe: Int): DataFrame =
     data.select(
       col("chunk_id").as("src_id"),
@@ -134,6 +134,48 @@ object NswIndex {
     dir.unionAll(dir.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
       .distinct()
       .select(lit(libraryId).as("library_id"), col("src_id"), col("dst_id"))
+  }
+
+  /** SINGLE-PASS MULTI-LAYER edge build (optimization r15): the hnsw
+    * hierarchy used to run one [[edgesFrom]] pipeline PER layer — each
+    * with its own cell join, top-degree aggregation, localCheckpoint and
+    * distinct (4-6 fixed global steps per layer, whatever the layer
+    * size). Rows here instead carry a `layer` column, the join is keyed
+    * (layer, cell) and the bounded aggregation by (layer, src) — ONE
+    * join + ONE aggregation + ONE distinct for the whole hierarchy.
+    * Per-layer results are bit-identical to the per-layer pipelines: a
+    * (layer, cell) join row exists iff the same row existed in layer l's
+    * restricted join, and the (pscore desc, dst asc) top-degree cut is
+    * taken per (layer, src) exactly as it was per src within one layer.
+    * The aggregator key packs layer and src as "l|src" ('|' never occurs
+    * in chunk ids minted by the engine contract's id charset).
+    */
+  private[index] def edgesFromLayered(uside: DataFrame, vside: DataFrame,
+      libraryId: String, degree: Int): DataFrame = {
+    val spark = uside.sparkSession
+    import spark.implicits._
+    val dir = uside.join(vside, Seq("layer", "cell"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(
+        concat(col("layer").cast("string"), lit("|"), col("src_id")).as("lsrc"),
+        col("dst_id"),
+        dotProduct(col("svec"), col("dvec")).as("pscore"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopKAggregator.topKStrKey(degree).toColumn)
+      .flatMap { case (lsrc, hits) =>
+        val i = lsrc.indexOf('|')
+        val layer = lsrc.substring(0, i).toInt
+        val src = lsrc.substring(i + 1)
+        hits.map(h => (layer, src, h._2))
+      }
+      .toDF("layer", "src_id", "dst_id")
+      .localCheckpoint()
+    dir.unionAll(dir.select(col("layer"), col("dst_id").as("src_id"),
+        col("src_id").as("dst_id")))
+      .distinct()
+      .select(lit(libraryId).as("library_id"), col("layer"),
+        col("src_id"), col("dst_id"))
   }
 
   private def emptyEdges(spark: SparkSession): DataFrame =
