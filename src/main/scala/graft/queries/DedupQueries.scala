@@ -825,8 +825,14 @@ object DedupQueries {
     val tok = docs(s, d).select(col("doc_id"),
       explode(array_distinct(transform(shingles(toks, 3), tk => hash60(tk))))
         .as("h"))
-    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val sets = tok.join(freq, Seq("h"))
+    // global rarity as a WINDOW count over h instead of a (tok x freq)
+    // self-join (optimization r15): the join planned a BroadcastExchange
+    // of the EXPLODED token table (its post-Generate size is invisible to
+    // the estimator — measured 8.1s building that broadcast at sf0.1, and
+    // a scale hazard at any corpus size); the window needs one tok-scale
+    // shuffle by h and no broadcast, with identical f values
+    val wH = Window.partitionBy(col("h"))
+    val sets = tok.withColumn("f", count(lit(1)).over(wH))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"),
@@ -1040,6 +1046,45 @@ object DedupQueries {
         explode(array_distinct(transform(shingles(tokens(col("text")), 3),
           x => hash60(x)))).as("g"))
       .localCheckpoint()
+    // BOUNDED LOCAL GREEDY (optimization r15, the CC local-finish
+    // discipline): each distributed round pays a covered-set distinct, an
+    // anti-join, an aggregation and an argmax collect — ~5 fixed global
+    // steps x K rounds. When the gram table fits a hard cap, collect the
+    // per-doc gram sets once and run the identical greedy argmax on the
+    // driver (gain desc, doc_id asc — same tie cut, same excluded
+    // zero-gain docs). Larger corpora keep the distributed rounds.
+    if (grams.count() <= (1L << 22)) {
+      val perDoc = grams.groupBy(col("doc_id"))
+        .agg(collect_list(col("g")).as("gs")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val covered = new java.util.HashSet[java.lang.Long]()
+      val outL = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var tot = 0L
+      for (r <- 1 to K) {
+        var bestId = 0L; var bestGain = -1L
+        perDoc.foreach { case (id, gs) =>
+          var gain = 0L
+          var i = 0
+          while (i < gs.length) {
+            if (!covered.contains(gs(i))) gain += 1
+            i += 1
+          }
+          // strictly-greater keeps the first (lowest) doc_id on ties,
+          // and gain >= 1 mirrors the aggregation dropping covered docs
+          if (gain >= 1 && gain > bestGain) { bestId = id; bestGain = gain }
+        }
+        require(bestGain >= 1, "greedy cover: no uncovered grams left")
+        perDoc.find(_._1 == bestId).get._2.foreach(g => covered.add(g))
+        tot += bestGain
+        outL += ((r, bestId, bestGain, tot))
+      }
+      import s.implicits._
+      return outL.toSeq.toDF("rank", "doc_id", "marginal_gain", "covered_total")
+        .select(col("rank").cast("int").as("rank"), col("doc_id"),
+          col("marginal_gain"), col("covered_total"))
+        .orderBy(col("rank").asc)
+    }
     var selIds = Seq.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     var totalCovered = 0L
@@ -1125,12 +1170,45 @@ object DedupQueries {
     */
   private def pageRank(s: SparkSession, d: String): DataFrame = {
     val pairs = candidatePairs(s, d)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodeIds = docs(s, d).select(col("doc_id")).collect().map(_.getLong(0))
+    val n = nodeIds.length.toLong
+    val jump = (15L * PrMass) / (100L * n)
+    // BOUNDED LOCAL SUPERSTEPS (optimization r15, the CC local-finish
+    // discipline): the dup-candidate graph is the already-bounded band
+    // output; under a hard cap the 10 integer supersteps run on the
+    // driver with the identical floor arithmetic — the 10-round lazily
+    // chained join plan (and its one giant execution) disappears.
+    // Larger graphs keep the distributed rounds below.
+    val pairRows = pairs.select(col("doc_a"), col("doc_b"))
+    if (n <= (1L << 20)) {
+      val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = es ++ es.map(t => (t._2, t._1)) // bidirected
+      val odeg = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (a, _) => odeg.update(a, odeg.getOrElse(a, 0L) + 1) }
+      var rank = nodeIds.map(id => id -> PrMass / n).toMap
+      for (_ <- 1 to PrSteps) {
+        val con = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (src, dst) =>
+          val c = (rank(src) * 85L) / (odeg(src) * 100L)
+          con.update(dst, con.getOrElse(dst, 0L) + c)
+        }
+        rank = nodeIds.map(id => id -> (jump + con.getOrElse(id, 0L))).toMap
+      }
+      val top = nodeIds.map(id => (id, rank(id)))
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      return s.createDataFrame(
+        s.sparkContext.parallelize(
+          top.toSeq.map { case (id, r) => org.apache.spark.sql.Row(id, r) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val edges = pairRows.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairRows.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).cast("long").as("odeg"))
     val nodes = docs(s, d).select(col("doc_id"))
-    val n = nodes.count()
-    val jump = (15L * PrMass) / (100L * n)
     var rank = nodes.select(col("doc_id"), lit(PrMass / n).as("r"))
     for (_ <- 1 to PrSteps) {
       val contrib = edges.join(rank, edges("src") === rank("doc_id"))

@@ -311,6 +311,48 @@ object RelationalQueries {
     val K = 3
     val R = 8
     val e = coPurchaseEdges(s, d).localCheckpoint() // consumed every round
+    // BOUNDED LOCAL PEELING (optimization r15, the CC local-finish
+    // discipline): each distributed round costs two semi-joins, a degree
+    // aggregate, an anti-join, a checkpoint and a count — fixed global
+    // barriers whatever the subgraph size. Under a hard edge cap the
+    // peel loop runs on the driver with IDENTICAL per-round semantics
+    // (same early exit at the fixpoint, same per-occurrence degree
+    // counts); larger graphs keep the distributed rounds.
+    if (e.count() <= (1L << 22)) {
+      val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var aliveSet = scala.collection.immutable.TreeSet.empty[Long] ++
+        edges.flatMap(t => Seq(t._1, t._2))
+      val peel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      var lastCount = aliveSet.size.toLong
+      var converged = false
+      for (r <- 1 to R if !converged) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (a, b) =>
+          if (aliveSet.contains(a) && aliveSet.contains(b)) {
+            deg.update(a, deg.getOrElse(a, 0L) + 1)
+            deg.update(b, deg.getOrElse(b, 0L) + 1)
+          }
+        }
+        val kept = aliveSet.filter(p => deg.getOrElse(p, 0L) >= K)
+        (aliveSet -- kept).foreach(p => peel += ((p, r)))
+        aliveSet = kept
+        val c = aliveSet.size.toLong
+        converged = c == lastCount
+        lastCount = c
+      }
+      val rows = (peel.toSeq ++ aliveSet.toSeq.map(p => (p, 0)))
+        .map { case (p, r) => org.apache.spark.sql.Row(p, r, r == 0) }
+      return s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("p_partkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("peel_round",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("in_core",
+              org.apache.spark.sql.types.BooleanType))))
+        .orderBy(col("p_partkey").asc)
+    }
     var alive = e.select(col("pa").as("p"))
       .unionAll(e.select(col("pb").as("p"))).distinct()
       .localCheckpoint()

@@ -1066,8 +1066,47 @@ object TextQueries {
         // pure scheduling overhead locally, while a 10M-word corpus
         // still gets a distributed loop — the constant-driver-state
         // rule applied to partition COUNT.
+        val nWords = wfCkpt.count()
+        // BOUNDED LOCAL TRAINING (optimization r15, the connected-
+        // components local-finish discipline): the 64-round loop costs a
+        // fixed argmax job per round plus periodic checkpoints — ~80
+        // driver round-trips — whatever the vocab size. When the vocab
+        // fits a hard cap (2^17 distinct words, a few MB of driver
+        // state), collect (w, freq) once and run the identical greedy
+        // fold in Scala: PipelineOpsSpec already pins the driver replay
+        // bit-equal to the distributed loop, and the spec now exercises
+        // both paths. Corpora above the cap still run the distributed
+        // rounds — the 100 TB shape is unchanged.
+        if (nWords <= TextQueries.BpeLocalVocabCap) {
+          val words = wfCkpt.collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          GraftRddBridge.unpersistLocalCheckpoint(wfCkpt)
+          val (merges, finalSyms) = bpeTrainLocal(words)
+          val rows = words.zip(finalSyms).map { case ((w, f), syms) =>
+            org.apache.spark.sql.Row(w, f, syms.toSeq)
+          }
+          val vocabDf = s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("w",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("freq",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("syms",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)))))
+          return bpeCache.synchronized {
+            bpeCache.get((s, d)) match {
+              case Some(winner) => winner
+              case None =>
+                val st = (merges, vocabDf)
+                bpeCache.put((s, d), st)
+                st
+            }
+          }
+        }
         val parts = math.max(1L,
-          math.min(32L, wfCkpt.count() / 100000L)).toInt
+          math.min(32L, nWords / 100000L)).toInt
         var vocabCkpt = wfCkpt.coalesce(parts)
           .select(col("w"), col("freq"),
             expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
@@ -1142,6 +1181,100 @@ object TextQueries {
           }
         }
     }
+
+  /** Vocab cap under which BPE training runs on the driver (a few MB of
+    * (word, freq) state); larger corpora take the distributed loop.
+    */
+  private[queries] val BpeLocalVocabCap = 1L << 17
+
+  /** Driver-side twin of the distributed 64-round loop — bit-equal by
+    * construction: code-point symbol split ([[expr]] `substring(w,i,1)`
+    * semantics), per-occurrence pair counts weighted by word freq,
+    * argmax by (cnt desc, a asc, b asc) under UTF-8 binary order
+    * (Spark's StringType ordering), left-to-right greedy merge fold.
+    * Returns the merge rows and each word's final symbol stream aligned
+    * with the input order.
+    */
+  private def bpeTrainLocal(words: Array[(String, Long)])
+      : (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
+    def cps(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    def u8cmp(x: String, y: String): Int = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+    val syms = words.map { case (w, _) => cps(w) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= BpeK && !dry) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val ss = syms(wi); val f = words(wi)._2
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (cnt.isEmpty) dry = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.foreach { kv =>
+          val better =
+            if (best == null) true
+            else {
+              val c = java.lang.Long.compare(kv._2, best._2)
+              if (c != 0) c > 0
+              else {
+                val ca = u8cmp(kv._1._1, best._1._1)
+                if (ca != 0) ca < 0 else u8cmp(kv._1._2, best._1._2) < 0
+              }
+            }
+          if (better) best = kv
+        }
+        val ((a, b), c) = best
+        merges += ((r, a, b, c))
+        val ab = a + b
+        wi = 0
+        while (wi < syms.length) {
+          val ss = syms(wi)
+          if (ss.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            out += ss(0)
+            var i = 1
+            while (i < ss.length) {
+              if (out.last == a && ss(i) == b) out(out.length - 1) = ab
+              else out += ss(i)
+              i += 1
+            }
+            syms(wi) = out.toArray
+          }
+          wi += 1
+        }
+        r += 1
+      }
+    }
+    (merges.toSeq, syms)
+  }
 
   private def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
