@@ -1459,10 +1459,20 @@ final class VectorEngine(
     val normalized =
       if (cols.contains("id")) normalized0 else normalized0.dropDuplicates("id")
     val current = chunks.filter(col("library_id") === libId)
-    // preserve created_at/version continuity for replaced ids
+    // preserve created_at/version continuity for replaced ids. A library
+    // with NO chunk partition yet (a filesystem stat, zero jobs) skips
+    // the prior join entirely — the first-ingest plan then carries no
+    // join/sort at all (optimization r15; it was a sort-merge join
+    // against a provably empty side inside both the validation aggregate
+    // and the snapshot write)
+    val hasPartition = store.hasLibraryPartition("chunks", libId)
     val prior = current.select(col("id"),
       col("created_at").as("created0"), col("version").as("version0"))
-    val joined = normalized.join(prior, Seq("id"), "left")
+    val joined =
+      if (hasPartition) normalized.join(prior, Seq("id"), "left")
+      else normalized
+        .withColumn("created0", lit(null).cast("timestamp"))
+        .withColumn("version0", lit(null).cast("long"))
     // single validation pass over the batch (one job, one aggregate) —
     // also counts REPLACED ids in the same action (optimization r15): a
     // pure-append batch (the streaming/ingest common case) then skips the

@@ -38,7 +38,12 @@ class StoreVerbsSpec extends AnyFunSuite {
     val eng = freshEngine()
     val lib = eng.createLibrary("layout", 4)
     val doc = eng.createDocument(lib)
+    // md5-scrambled arrival order: the pure-append ingest now preserves
+    // input order, so an ordered range would land pre-clustered on
+    // `position` and the "fragmented base layout" premise below would
+    // silently hold no fragmentation at all
     eng.bulkIngest(lib, doc, spark.range(512)
+      .orderBy(md5(col("id").cast("string")))
       .select(format_string("c%04d", col("id")).as("id"),
         concat(lit("text "), col("id").cast("string")).as("text"),
         col("id").cast("int").as("position"),
