@@ -156,9 +156,34 @@ object PlanDump {
     "x_engine_group_search",        // per-group k-bounded partial agg -> one-row-per-group TakeOrdered -> bounded explode
   )
 
+  /** Per-query dump mode (optimization rounds): SPARK_GRAFT_PLAN_QUERIES
+    * is a comma-separated entry list and SPARK_GRAFT_PLAN_SUFFIX the file
+    * suffix; each query's `explain(formatted)` goes to
+    * `<outDir>/<name>_<suffix>.txt` (the `plans/rNN` evidence layout).
+    */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("docs/PLANS_r1.md")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    sys.env.get("SPARK_GRAFT_PLAN_QUERIES").foreach { qs =>
+      val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "after")
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      Files.createDirectories(Paths.get(out))
+      qs.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        Files.writeString(Paths.get(out, s"${name}_$suffix.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        println(s"wrote $out/${name}_$suffix.txt")
+      }
+      spark.stop()
+      return
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
