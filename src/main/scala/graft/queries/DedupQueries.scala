@@ -82,9 +82,25 @@ object DedupQueries {
     * the same path simply rebuilds (and re-reads the CURRENT data, so a
     * dataset swapped in-place at the same path is also picked up).
     */
+  /** Shared distinct word-3-gram hash rows (doc_id, g) — the projection
+    * `d_prefix_join`/`d_banding_recall`, `d_ngram_novelty` and
+    * `d_greedy_cover` each rebuilt independently (a full corpus
+    * tokenize + shingle + md5 pass per entry, ~2s each at sf0.1).
+    * Materialized once per (session, dataset) under the bands/pairs
+    * fixture-cache discipline (optimization r15).
+    */
+  private val gramCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def gramRows(s: SparkSession, d: String): DataFrame =
+    cachedCkpt(gramCache, (s, d))(
+      docs(s, d).select(col("doc_id"),
+        explode(array_distinct(transform(shingles(toks, 3),
+          x => hash60(x)))).as("g"))
+        .localCheckpoint())
+
   def releaseCaches(): Unit =
     Seq(bandsCache, pairsCache, prefixCache, subRunsCache,
-        cdcChunksCache).foreach { c =>
+        cdcChunksCache, gramCache).foreach { c =>
       c.synchronized {
         c.values.foreach(
           org.apache.spark.sql.GraftRddBridge.unpersistLocalCheckpoint)
@@ -762,10 +778,7 @@ object DedupQueries {
     * all keyed on the gram hash; exact ppm integers.
     */
   private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val g = docs(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(shingles(toks, 3), x => hash60(x))))
-          .as("g"))
+    val g = gramRows(s, d)
     // first occurrence as a per-gram window, NOT a min-agg + join-back:
     // one shingle pass and ONE gram-keyed shuffle (the join formulation
     // recomputed the whole explode on both sides — measured 9.5s -> this)
@@ -822,9 +835,7 @@ object DedupQueries {
     cachedCkpt(prefixCache, (s, d))(prefixJoinCore(s, d).localCheckpoint())
 
   private def prefixJoinCore(s: SparkSession, d: String): DataFrame = {
-    val tok = docs(s, d).select(col("doc_id"),
-      explode(array_distinct(transform(shingles(toks, 3), tk => hash60(tk))))
-        .as("h"))
+    val tok = gramRows(s, d).withColumnRenamed("g", "h")
     // global rarity as a WINDOW count over h instead of a (tok x freq)
     // self-join (optimization r15): the join planned a BroadcastExchange
     // of the EXPLODED token table (its post-Generate size is invisible to
@@ -1042,10 +1053,7 @@ object DedupQueries {
   private def greedyCover(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.{tokens, shingles, hash60}
     val K = 10
-    val grams = docs(s, d).select(col("doc_id"),
-        explode(array_distinct(transform(shingles(tokens(col("text")), 3),
-          x => hash60(x)))).as("g"))
-      .localCheckpoint()
+    val grams = gramRows(s, d)
     // BOUNDED LOCAL GREEDY (optimization r15, the CC local-finish
     // discipline): each distributed round pays a covered-set distinct, an
     // anti-join, an aggregation and an argmax collect — ~5 fixed global
