@@ -147,8 +147,9 @@ object NswIndex {
     * (layer, cell) join row exists iff the same row existed in layer l's
     * restricted join, and the (pscore desc, dst asc) top-degree cut is
     * taken per (layer, src) exactly as it was per src within one layer.
-    * The aggregator key packs layer and src as "l|src" ('|' never occurs
-    * in chunk ids minted by the engine contract's id charset).
+    * The aggregator key packs layer and src as "l|src"; the layer prefix
+    * is all digits, so splitting at the FIRST '|' recovers (layer, src)
+    * even when a caller-supplied src id itself contains '|'.
     */
   private[index] def edgesFromLayered(uside: DataFrame, vside: DataFrame,
       libraryId: String, degree: Int): DataFrame = {
