@@ -27,15 +27,21 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => SparkEntry.onlySelected(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-entry visibility (round-16 measurement fix, additions only):
+      // one SMALL json line per query as it finishes, so per-query
+      // timings are scrapeable from stdout without risking the total
+      // line's parse (each line is well under any capture window).
+      println(s"""{"metric":"query","query":"$name","value":${s3(sec)},"unit":"sec"}""")
+      name -> sec
     }
-    def s3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is marked on stdout too, so a scraper cannot mistake a
     // SPARK_GRAFT_ONLY slice for a full-suite total
@@ -58,18 +64,19 @@ object Bench {
         s"/root/repo/docs/bench_full_$round.json"
       } else "/root/repo/target/bench_scratch.json"
     }
-    // The stdout line must FIT the driver's capture window: at 172 entries
-    // the full per-query map overflowed it (BENCH_r07 "parsed": null), so
-    // the full-suite line carries only the parsed total + the artifact
-    // path holding the per-query map; small subset runs (<= 40 entries)
-    // still inline their map for at-a-glance iteration.
-    val qs =
-      if (results.size <= 40)
-        ""","queries":""" + results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
-          .mkString("{", ",", "}")
-      else ""
-    val line =
+    // Round-16 measurement fix (additions only): the driver contract asks
+    // for a "queries" map in the metric line, and PERF_r15 shows the
+    // driver never got per-query data from the short line. Emit BOTH: a
+    // full line carrying the complete per-query map, and the proven-to-
+    // parse short line printed LAST (so a bounded tail-capture window
+    // still finds a complete, parseable total exactly as in r09-r15).
+    val qs = ""","queries":""" + results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"artifact":"$outPath"$qs,"sf":"$sfDir"$subsetMark}"""
+    val line =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"artifact":"$outPath","sf":"$sfDir"$subsetMark}"""
+    println(fullLine)
     println(line)
     // The driver's scraper json-parses stdout lines, so the metric line
     // must survive whatever trails it: print it once here (humans reading
@@ -79,6 +86,7 @@ object Bench {
     // build.sbt additionally forks the run with StdoutOutput so no sbt
     // `[info] ` prefix wraps either copy (the r7/r8 "parsed": null cause).
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(fullLine)
       System.out.println(line)
       System.out.flush()
     }))

@@ -1178,8 +1178,10 @@ object DedupQueries {
     */
   private def pageRank(s: SparkSession, d: String): DataFrame = {
     val pairs = candidatePairs(s, d)
-    val nodeIds = docs(s, d).select(col("doc_id")).collect().map(_.getLong(0))
-    val n = nodeIds.length.toLong
+    // The cap check is a distributed count — node ids are only ever
+    // collected INSIDE the capped branch, so an over-cap corpus never
+    // pulls corpus-scale data onto the driver.
+    val n = docs(s, d).select(col("doc_id")).count()
     val jump = (15L * PrMass) / (100L * n)
     // BOUNDED LOCAL SUPERSTEPS (optimization r15, the CC local-finish
     // discipline): the dup-candidate graph is the already-bounded band
@@ -1189,6 +1191,7 @@ object DedupQueries {
     // Larger graphs keep the distributed rounds below.
     val pairRows = pairs.select(col("doc_a"), col("doc_b"))
     if (n <= (1L << 20)) {
+      val nodeIds = docs(s, d).select(col("doc_id")).collect().map(_.getLong(0))
       val es = pairRows.collect().map(r => (r.getLong(0), r.getLong(1)))
       val edges = es ++ es.map(t => (t._2, t._1)) // bidirected
       val odeg = scala.collection.mutable.HashMap.empty[Long, Long]
