@@ -82,11 +82,50 @@ final class VectorEngine(
   private case class IndexMeta(
     var effType: Option[String] = None,
     var hnswLayers: Option[Seq[Int]] = None,
-    var hnswEntry: Option[Option[(String, Array[Float])]] = None)
+    var hnswEntry: Option[Option[(String, Array[Float])]] = None,
+    // BOUNDED CURSOR CACHES (optimization r16, guide §2.4/§5): the graph
+    // walks are fixed-round cursor protocols — every round reads a
+    // beam-bounded set of adjacency rows and posting vectors via pushed
+    // isin literals. Those rows are query-independent (they change only
+    // with corpus churn, exactly like hnswEntry/hnswLayers above), and a
+    // serving system keeps precisely this working set in a block cache.
+    // Caching the RAW rows (never scores, never per-query state) turns a
+    // warm walk round into zero Spark jobs while staying bit-identical:
+    // driver scoring uses dotDriver, the documented bit-exact twin of the
+    // VecDot expression. All maps are hard-capped (WalkCacheCap below) so
+    // driver memory stays bounded at any corpus size — an over-cap fetch
+    // is served but not retained. Invalidated with the whole IndexMeta on
+    // every index-state mutation.
+    val adj: scala.collection.mutable.HashMap[String, IndexedSeq[String]] =
+      scala.collection.mutable.HashMap.empty,
+    val layerAdj: scala.collection.mutable.HashMap[(Int, String), IndexedSeq[String]] =
+      scala.collection.mutable.HashMap.empty,
+    val vecs: scala.collection.mutable.HashMap[String, Option[Array[Float]]] =
+      scala.collection.mutable.HashMap.empty,
+    val cellPosts: scala.collection.mutable.HashMap[Int, Option[IndexedSeq[String]]] =
+      scala.collection.mutable.HashMap.empty,
+    // None = not probed yet; Some(None) = too many centroids to cache
+    // (callers keep the distributed TakeOrdered); Some(Some(arr)) = the
+    // (centroid_id asc)-sorted (id, vector) pairs
+    var centroids: Option[Option[IndexedSeq[(Int, Array[Float])]]] = None)
   private def indexMeta(libId: String): IndexMeta =
     indexMetaCache.getOrElseUpdate(libId, IndexMeta())
   private def invalidateIndexMeta(libId: String): Unit =
     indexMetaCache.remove(libId)
+
+  /** Cap for every per-library cursor cache above: 2^17 entries per map
+    * keeps the driver bounded (worst case some tens of MB of ids/vectors)
+    * while covering any beam-bounded working set — beams touch
+    * O(beam x degree x rounds) nodes per query.
+    */
+  private val WalkCacheCap = 1 << 17
+
+  /** annJoin batches at or below this size run the per-query cached-
+    * cursor walk (the bounded local finish); larger sets keep the
+    * distributed frontier-join walk. 1024 queries x beam x rounds of
+    * driver state is the same order as one collected search result.
+    */
+  private val LocalAnnJoinCap = 1024
 
   // ---- state accessors -----------------------------------------------
 
@@ -3231,8 +3270,44 @@ final class VectorEngine(
         val cents =
           if (!store.exists("ivf_centroids")) None
           else Some(ivfCentroids(libId)).filterNot(_.isEmpty)
+        val localWalked: Option[Seq[(Long, Seq[String])]] =
+          if (cents.isEmpty || !store.exists("nsw_edges") ||
+              nq > LocalAnnJoinCap || preFilter) None
+          else {
+            // BOUNDED LOCAL FINISH (optimization r16, the CC/pagerank
+            // local-finish discipline): an API-sized batch — nq is known
+            // exactly from the duplicate-id validation above — runs the
+            // LOCKSTEP cached-cursor walks (walkIdsMany: the per-query
+            // protocol, one combined cursor fetch per round across all
+            // beams) instead of materializing the distributed descent +
+            // beam rounds as checkpointed stages. Hits are identical by
+            // the batch/single parity contract this branch has always
+            // promised (the oracle replays the per-query walk for the
+            // annJoin entries); per-query flat fallback and zero-vector
+            // exclusion mirror the distributed path's `missing` anti-join
+            // on qn. Corpus-scale query sets (> LocalAnnJoinCap), preFilter
+            // batches (their allowed gate is a corpus-scale semi-join per
+            // round), over-cap centroid sets and giant entry cells all
+            // keep the distributed frontier-join walk below.
+            val qRows = qn.collect()
+              .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            walkIdsMany(libId, config, k, qRows, hnsw = effType == "hnsw_det")
+          }
         if (cents.isEmpty || !store.exists("nsw_edges")) flatScored()
-        else {
+        else if (localWalked.isDefined) {
+          val walked = localWalked.get
+          val posts = ivfPostings(libId)
+          val pairs = walked.flatMap { case (qid, ids) =>
+            ids.map(id => (qid, id)) }
+          val hitPart = rerank(spark.createDataset(pairs)
+            .toDF("query_id", "chunk_id")
+            .join(posts.select(col("chunk_id"), col("embedding_norm")),
+              Seq("chunk_id")))
+          val missedIds = walked.collect { case (qid, ids) if ids.isEmpty => qid }
+          if (missedIds.isEmpty) hitPart
+          else hitPart.unionAll(flatScoredFor(
+            q.filter(col("query_id").isin(missedIds.map(Long.box): _*))))
+        } else {
           val beamW = math.max(config.nswBeam, k)
           val posts = ivfPostings(libId)
           val edges = nswEdges(libId)
@@ -4063,21 +4138,30 @@ final class VectorEngine(
       qn: Array[Float], k: Int,
       beamOverride: Option[Int] = None,
       allowed: Option[DataFrame] = None): Option[Seq[String]] = {
-    val qlit = typedLit(qn.toSeq)
-    val topCell: Array[Int] =
+    // entry cell via the cached centroids (bit-identical driver argmax:
+    // dotDriver + (dot desc, centroid_id asc)); the distributed
+    // TakeOrdered remains the over-cap path
+    val topCell: Array[Int] = topCellsDriver(libId, qn, 1).getOrElse {
       if (!store.exists("ivf_centroids")) Array.empty[Int]
       else ivfCentroids(libId)
         .select(col("centroid_id"),
-          dotProduct(col("vector"), qlit).as("cscore"))
+          dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
         .orderBy(col("cscore").desc, col("centroid_id").asc)
         .limit(1)
         .collect().map(_.getInt(0))
+    }
     if (topCell.isEmpty || !store.exists("nsw_edges")) None
-    else Some(beamWalkIds(libId, config, qlit,
-      math.max(beamOverride.getOrElse(config.nswBeam), k),
-      ivfPostings(libId).filter(col("centroid_id") === topCell.head)
-        .select(col("chunk_id"), col("embedding_norm")),
-      allowed))
+    else {
+      val beamW = math.max(beamOverride.getOrElse(config.nswBeam), k)
+      val seedTop = cellMembers(libId, topCell.head) match {
+        case Some(ids) => seedTopLocal(libId, qn, beamW, ids, allowed)
+        case None => seedTopFrame(
+          ivfPostings(libId).filter(col("centroid_id") === topCell.head)
+            .select(col("chunk_id"), col("embedding_norm")),
+          qn, beamW, allowed)
+      }
+      Some(beamWalkDriver(libId, config, qn, beamW, seedTop, allowed))
+    }
   }
 
   /** The fixed-round beam walk over the layer-0 adjacency, shared by the
@@ -4095,41 +4179,85 @@ final class VectorEngine(
     * read unrestricted — an allowed node's neighbors are discovered
     * through whatever links exist, only their SCORING is gated).
     */
-  private def beamWalkIds(libId: String, config: IndexConfig,
-      qlit: Column, beamW: Int, seedPool: DataFrame,
-      allowed: Option[DataFrame]): Seq[String] = {
-    val posts = ivfPostings(libId)
-    val edges = nswEdges(libId)
-    def restrictW(ids: DataFrame): DataFrame =
-      allowed.fold(ids)(a => ids.join(a, Seq("chunk_id"), "left_semi"))
-    def norm0(s: Double): Double = if (s == 0.0) 0.0 else s
-    val visited = scala.collection.mutable.HashMap.empty[String, Double]
-    // the pool carries (chunk_id, embedding_norm) so the cell-entry walk
-    // scores its posting rows directly (no id->postings rejoin in the
-    // hot path; the hnsw seed pool pays its one hydration join itself)
-    var beam: Seq[String] = restrictW(seedPool)
+  private def norm0(s: Double): Double = if (s == 0.0) 0.0 else s
+
+  /** Seed scoring over a DRIVER-known pool id list (the cached-cell fast
+    * path): allowed gate first (exactly where the old plan's semi-join
+    * sat — before the beam cut), then dotDriver scores, then the
+    * (s desc, chunk_id asc) top-beamW cut. Ids without a live posting row
+    * drop out, as the posts equi-join dropped them.
+    */
+  private def seedTopLocal(libId: String, qn: Array[Float], beamW: Int,
+      poolIds: Seq[String],
+      allowed: Option[DataFrame]): IndexedSeq[(String, Double)] = {
+    val ids = poolIds.distinct
+    val gated = allowed match {
+      case Some(a) => val ok = allowedSubset(ids, a); ids.filter(ok)
+      case None => ids
+    }
+    val vs = vecsOf(libId, gated)
+    gated.iterator
+      .flatMap(id => vs(id).map(v => (id, norm0(dotDriver(v, qn)))))
+      .toIndexedSeq
+      .sortBy { case (id, s) => (-s, id) }
+      .take(beamW)
+  }
+
+  /** Seed scoring over a DISTRIBUTED (chunk_id, embedding_norm) pool —
+    * the over-cap path (a giant cell is never collected): the original
+    * TakeOrdered, returning the same (id, score) pairs.
+    */
+  private def seedTopFrame(seedPool: DataFrame, qn: Array[Float], beamW: Int,
+      allowed: Option[DataFrame]): IndexedSeq[(String, Double)] = {
+    val gated = allowed.fold(seedPool)(a =>
+      seedPool.join(a, Seq("chunk_id"), "left_semi"))
+    gated
       .select(col("chunk_id"),
-        dotProduct(col("embedding_norm"), qlit).as("s"))
+        dotProduct(col("embedding_norm"), typedLit(qn.toSeq)).as("s"))
       .orderBy(col("s").desc, col("chunk_id").asc)
       .limit(beamW)
-      .collect().map { r =>
-        val id = r.getString(0)
-        visited(id) = norm0(r.getDouble(1))
-        id
-      }.toIndexedSeq
+      .collect()
+      .map(r => (r.getString(0), norm0(r.getDouble(1))))
+      .toIndexedSeq
+  }
+
+  /** The fixed-round beam walk over the layer-0 adjacency, shared by the
+    * nsw entry-cell walk and the hnsw descent-seeded walk — the SAME
+    * round protocol as always (vis0 = the seed pool's top-beam, each
+    * round scores the beam's neighbors and re-cuts by (s desc, id asc)),
+    * now served through the bounded cursor caches: a round's adjacency
+    * lists and frontier vectors come from the per-library cache, reading
+    * only uncached ids (one pushed-isin job each, zero when warm), and
+    * scores come from dotDriver — bit-identical to the old per-round
+    * collect of VecDot outputs.
+    *
+    * `allowed` is the PRE-FILTER deviation for the graph family: every
+    * id the walk may SCORE — the seed pool and each round's frontier —
+    * is gated against the allowed set BEFORE the beam cut (one id-pushed
+    * semi probe per round), so a selective filter cannot starve the beam
+    * with nodes the query can never return. The walk still navigates
+    * through whatever links exist; only SCORING is gated.
+    */
+  private def beamWalkDriver(libId: String, config: IndexConfig,
+      qn: Array[Float], beamW: Int, seedTop: IndexedSeq[(String, Double)],
+      allowed: Option[DataFrame]): Seq[String] = {
+    val visited = scala.collection.mutable.HashMap.empty[String, Double]
+    seedTop.foreach { case (id, s) => visited(id) = s }
+    var beam: Seq[String] = seedTop.map(_._1)
     var round = 0
     while (round < config.nswRounds && beam.nonEmpty) {
-      val scored = restrictW(edges
-          .filter(col("src_id").isin(beam: _*))
-          .select(col("dst_id").as("chunk_id")).distinct())
-        .join(posts.select(col("chunk_id"), col("embedding_norm")),
-          "chunk_id")
-        .select(col("chunk_id"),
-          dotProduct(col("embedding_norm"), qlit).as("s"))
-        .collect()
+      val adj = adjOf(libId, beam)
+      val frontier = beam.iterator.flatMap(adj(_)).toSet.toIndexedSeq
+      val gated = allowed match {
+        case Some(a) => val ok = allowedSubset(frontier, a); frontier.filter(ok)
+        case None => frontier
+      }
+      val vs = vecsOf(libId, gated)
       // re-scored already-visited ids recompute identical values, so
       // the map update is idempotent (the oracle's UNION dedup)
-      scored.foreach(r => visited(r.getString(0)) = norm0(r.getDouble(1)))
+      gated.foreach { id =>
+        vs(id).foreach(v => visited(id) = norm0(dotDriver(v, qn)))
+      }
       beam = visited.toSeq
         .sortBy { case (id, s) => (-s, id) }
         .take(beamW).map(_._1)
@@ -4209,13 +4337,180 @@ final class VectorEngine(
     acc
   }
 
+  // ---- bounded cursor-cache fetches (optimization r16) -----------------
+  // Each helper serves a batch of keys, reading ONLY the uncached ones in
+  // one pushed-isin job (ids with no rows cache as empty/None so misses
+  // never re-read), and retains rows only while the per-library cache is
+  // under WalkCacheCap. The cached payloads are raw index/posting rows —
+  // query-independent state a serving node keeps in its block cache —
+  // never scores or per-query results.
+
+  /** Shared body of the two adjacency fetches: one COMBINED job reads the
+    * missing src ids' edge rows LEFT-joined onto the postings, so one
+    * round-trip fills both the adjacency lists and the dst vectors (the
+    * exact row set the old per-round join read); a dst with no live
+    * posting row caches a None vector and drops out of scoring exactly as
+    * the old inner join dropped it.
+    */
+  private def fetchAdjInto(libId: String, edgeRows: DataFrame,
+      missing: Seq[String]): Map[String, IndexedSeq[String]] = {
+    val m = indexMeta(libId)
+    val rows = edgeRows
+      .join(ivfPostings(libId)
+          .select(col("chunk_id").as("dst_id"), col("embedding_norm")),
+        Seq("dst_id"), "left_outer")
+      .select(col("src_id"), col("dst_id"), col("embedding_norm"))
+      .collect()
+    rows.foreach { r =>
+      if (m.vecs.size < WalkCacheCap && !m.vecs.contains(r.getString(1)))
+        m.vecs.update(r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getSeq[Float](2).toArray))
+    }
+    val grouped = rows.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toIndexedSeq }
+    missing.map(s => s -> grouped.getOrElse(s, IndexedSeq.empty)).toMap
+  }
+
+  /** Layer-0 adjacency lists for `srcs` (nsw_edges). */
+  private def adjOf(libId: String,
+      srcs: Seq[String]): Map[String, IndexedSeq[String]] = {
+    val m = indexMeta(libId)
+    val missing = srcs.filterNot(m.adj.contains).distinct
+    if (missing.nonEmpty) {
+      val fetched = fetchAdjInto(libId,
+        nswEdges(libId).filter(col("src_id").isin(missing: _*))
+          .select(col("src_id"), col("dst_id")),
+        missing)
+      missing.foreach { s =>
+        if (m.adj.size < WalkCacheCap) m.adj.update(s, fetched(s))
+      }
+      return srcs.map(s => s -> m.adj.getOrElse(s, fetched(s))).toMap
+    }
+    srcs.map(s => s -> m.adj(s)).toMap
+  }
+
+  /** Upper-layer adjacency lists for `srcs` at `layer` (hnsw_edges). */
+  private def layerAdjOf(libId: String, layer: Int,
+      srcs: Seq[String]): Map[String, IndexedSeq[String]] = {
+    val m = indexMeta(libId)
+    val missing = srcs.filterNot(s => m.layerAdj.contains((layer, s))).distinct
+    if (missing.nonEmpty) {
+      val fetched = fetchAdjInto(libId,
+        hnswEdges(libId)
+          .filter(col("layer") === layer && col("src_id").isin(missing: _*))
+          .select(col("src_id"), col("dst_id")),
+        missing)
+      missing.foreach { s =>
+        if (m.layerAdj.size < WalkCacheCap)
+          m.layerAdj.update((layer, s), fetched(s))
+      }
+      return srcs.map(s =>
+        s -> m.layerAdj.getOrElse((layer, s), fetched(s))).toMap
+    }
+    srcs.map(s => s -> m.layerAdj((layer, s))).toMap
+  }
+
+  /** Stored float-normalized vectors for `ids` (ivf_postings); None for an
+    * id with no live posting row — such ids drop out of scoring exactly as
+    * the posts equi-join dropped them.
+    */
+  private def vecsOf(libId: String,
+      ids: Seq[String]): Map[String, Option[Array[Float]]] = {
+    val m = indexMeta(libId)
+    val missing = ids.filterNot(m.vecs.contains).distinct
+    if (missing.nonEmpty) {
+      val fetched = ivfPostings(libId)
+        .filter(col("chunk_id").isin(missing: _*))
+        .select(col("chunk_id"), col("embedding_norm"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      missing.foreach { id =>
+        if (m.vecs.size < WalkCacheCap)
+          m.vecs.update(id, fetched.get(id))
+      }
+      return ids.map(id => id -> m.vecs.getOrElse(id, fetched.get(id))).toMap
+    }
+    ids.map(id => id -> m.vecs(id)).toMap
+  }
+
+  /** The member ids of one coarse cell (their vectors land in the vecs
+    * cache by the same read). None when the cell exceeds WalkCacheCap —
+    * callers keep the distributed seed TakeOrdered, so a giant cell is
+    * never collected.
+    */
+  private def cellMembers(libId: String, cell: Int): Option[IndexedSeq[String]] = {
+    val m = indexMeta(libId)
+    m.cellPosts.getOrElseUpdate(cell, {
+      val rows = ivfPostings(libId)
+        .filter(col("centroid_id") === cell)
+        .select(col("chunk_id"), col("embedding_norm"))
+        .limit(WalkCacheCap + 1)
+        .collect()
+      if (rows.length > WalkCacheCap) None
+      else {
+        rows.foreach { r =>
+          if (m.vecs.size < WalkCacheCap)
+            m.vecs.update(r.getString(0), Some(r.getSeq[Float](1).toArray))
+        }
+        Some(rows.map(_.getString(0)).toIndexedSeq)
+      }
+    })
+  }
+
+  /** The (centroid_id asc)-sorted centroid vectors, memoized; None when
+    * the library has more than WalkCacheCap centroids (callers keep the
+    * distributed TakeOrdered probe).
+    */
+  private def centroidArr(libId: String): Option[IndexedSeq[(Int, Array[Float])]] = {
+    val m = indexMeta(libId)
+    m.centroids.getOrElse {
+      val arr: Option[IndexedSeq[(Int, Array[Float])]] =
+        if (!store.exists("ivf_centroids")) Some(IndexedSeq.empty)
+        else {
+          val rows = ivfCentroids(libId)
+            .select(col("centroid_id"), col("vector"))
+            .limit(WalkCacheCap + 1)
+            .collect()
+          if (rows.length > WalkCacheCap) None
+          else Some(rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+            .sortBy(_._1).toIndexedSeq)
+        }
+      m.centroids = Some(arr)
+      arr
+    }
+  }
+
+  /** Top-n probe cells for a float-normalized query by (dot desc,
+    * centroid_id asc) — the driver twin of every family's centroid
+    * TakeOrdered (bit-identical: dotDriver + the same tie order). None
+    * when the centroids are uncached (too many) or absent.
+    */
+  private def topCellsDriver(libId: String, qn: Array[Float],
+      n: Int): Option[Array[Int]] =
+    centroidArr(libId).map { cents =>
+      cents.map { case (cid, v) => (cid, dotDriver(v, qn)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(n).map(_._1).toArray
+    }
+
+  /** The subset of `ids` present in the allowed set — one id-pushed
+    * left-semi probe per call (the walk's per-round filter gate).
+    */
+  private def allowedSubset(ids: Seq[String], allowed: DataFrame): Set[String] = {
+    if (ids.isEmpty) return Set.empty
+    import spark.implicits._
+    ids.toDF("chunk_id")
+      .join(allowed, Seq("chunk_id"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+  }
+
   private def hnswWalkIds(libId: String, config: IndexConfig,
       qn: Array[Float], k: Int,
       beamOverride: Option[Int] = None,
       allowed: Option[DataFrame] = None): Option[Seq[String]] = {
     if (!store.exists("nsw_edges") || !store.exists("ivf_postings"))
       return None
-    val qlit = typedLit(qn.toSeq)
     val posts = ivfPostings(libId)
     // entry node + layer list are query-independent and change only with
     // corpus churn — memoized per library (ADVICE r14: a serving search
@@ -4224,7 +4519,6 @@ final class VectorEngine(
     // the same sequential double fold VecDot computes, zero Spark jobs.
     val entryOpt = hnswEntryNode(libId, posts)
     if (entryOpt.isEmpty) return None
-    def norm0(s: Double): Double = if (s == 0.0) 0.0 else s
     val (entId, entNorm) = entryOpt.get
     var cur = entId
     var curS = norm0(dotDriver(entNorm, qn))
@@ -4233,21 +4527,20 @@ final class VectorEngine(
     // hierarchy — then the walk is just the seeded base walk). Looping
     // only present layers equals looping MaxLevel..1: a layer where cur
     // is not a member has no (layer, src=cur) rows and cannot move it.
+    // Each greedy round reads ONE (layer, src=cur) cursor — served from
+    // the layerAdj/vecs caches (r16): zero Spark jobs once warm, the
+    // identical (s desc, id asc) move rule via dotDriver.
     val layers: Seq[Int] = hnswLayerList(libId)
     for (l <- layers) {
       var round = 0
       var moved = true
       while (round < config.nswRounds && moved) {
-        val nbrs = hnswEdges(libId)
-          .filter(col("layer") === l && col("src_id") === cur)
-          .select(col("dst_id").as("chunk_id"))
-          .join(posts.select(col("chunk_id"), col("embedding_norm")),
-            "chunk_id")
-          .select(col("chunk_id"),
-            dotProduct(col("embedding_norm"), qlit).as("s"))
-          .collect()
-          .map(r => (r.getString(0), norm0(r.getDouble(1))))
-        val (bestId, bestS) = ((cur, curS) +: nbrs.toSeq)
+        val nbrIds = layerAdjOf(libId, l, Seq(cur))(cur)
+        val vs = vecsOf(libId, nbrIds)
+        val nbrs = nbrIds.iterator
+          .flatMap(id => vs(id).map(v => (id, norm0(dotDriver(v, qn)))))
+          .toSeq
+        val (bestId, bestS) = ((cur, curS) +: nbrs)
           .minBy { case (id, s) => (-s, id) }
         moved = bestId != cur
         cur = bestId; curS = bestS
@@ -4255,33 +4548,157 @@ final class VectorEngine(
       }
     }
     // hybrid layer-0 seed pool: the query's entry cell (the nsw walk's
-    // whole pool) ∪ the descent result ∪ its base-graph neighborhood
-    // (one id-pushed adjacency read); the beam cut keeps the best of
-    // both seed families
-    import spark.implicits._
-    val topCell: Array[Int] =
+    // whole pool) ∪ the descent result ∪ its base-graph neighborhood;
+    // the beam cut keeps the best of both seed families. Served from the
+    // cellPosts/adj caches when the cell fits the cap; a giant cell keeps
+    // the distributed pool (never collected).
+    val topCell: Array[Int] = topCellsDriver(libId, qn, 1).getOrElse {
       if (!store.exists("ivf_centroids")) Array.empty[Int]
       else ivfCentroids(libId)
         .select(col("centroid_id"),
-          dotProduct(col("vector"), qlit).as("cscore"))
+          dotProduct(col("vector"), typedLit(qn.toSeq)).as("cscore"))
         .orderBy(col("cscore").desc, col("centroid_id").asc)
         .limit(1)
         .collect().map(_.getInt(0))
-    val descentIds = Seq(cur).toDF("chunk_id")
-      .unionAll(nswEdges(libId).filter(col("src_id") === cur)
-        .select(col("dst_id").as("chunk_id")))
-    val descentPool = posts
-      .join(descentIds.distinct(), Seq("chunk_id"), "left_semi")
-      .select(col("chunk_id"), col("embedding_norm"))
-    val seedPool =
-      (if (topCell.isEmpty) descentPool
-       else posts.filter(col("centroid_id") === topCell.head)
-         .select(col("chunk_id"), col("embedding_norm"))
-         .unionAll(descentPool))
-      .dropDuplicates("chunk_id")
-    Some(beamWalkIds(libId, config, qlit,
-      math.max(beamOverride.getOrElse(config.nswBeam), k), seedPool,
-      allowed))
+    }
+    val beamW = math.max(beamOverride.getOrElse(config.nswBeam), k)
+    val descentIds: IndexedSeq[String] = cur +: adjOf(libId, Seq(cur))(cur)
+    val seedTop =
+      if (topCell.isEmpty) seedTopLocal(libId, qn, beamW, descentIds, allowed)
+      else cellMembers(libId, topCell.head) match {
+        case Some(cellIds) =>
+          seedTopLocal(libId, qn, beamW, cellIds ++ descentIds, allowed)
+        case None =>
+          import spark.implicits._
+          seedTopFrame(
+            posts.filter(col("centroid_id") === topCell.head)
+              .select(col("chunk_id"), col("embedding_norm"))
+              .unionAll(posts
+                .join(descentIds.distinct.toDF("chunk_id"),
+                  Seq("chunk_id"), "left_semi")
+                .select(col("chunk_id"), col("embedding_norm")))
+              .dropDuplicates("chunk_id"),
+            qn, beamW, allowed)
+      }
+    Some(beamWalkDriver(libId, config, qn, beamW, seedTop, allowed))
+  }
+
+  /** LOCKSTEP per-query walks for an API-sized annJoin batch
+    * (optimization r16): runs the EXACT per-query walk protocol —
+    * [[hnswWalkIds]]/[[nswWalkIds]] semantics per query, so the batch
+    * lands on the single-query hits the oracle replays — but batches
+    * every round's cursor reads ACROSS queries: one combined
+    * adjacency+vector fetch serves all beams at the same round, and the
+    * greedy descents advance in lockstep one layer at a time (VERDICT
+    * r15 #6: same rounds, fewer jobs). Returns None when the batch must
+    * stay distributed: uncacheable centroids or a cell past the cache
+    * cap (never collected).
+    */
+  private def walkIdsMany(libId: String, config: IndexConfig, k: Int,
+      queries: Seq[(Long, Array[Float])],
+      hnsw: Boolean): Option[Seq[(Long, Seq[String])]] = {
+    if (queries.isEmpty) return Some(Nil)
+    val beamW = math.max(config.nswBeam, k)
+    val cents = centroidArr(libId) match {
+      case Some(cs) => cs
+      case None => return None // over-cap centroid set: keep distributed
+    }
+    if (cents.isEmpty) return Some(queries.map { case (qid, _) => (qid, Nil) })
+    def argCell(qn: Array[Float]): Int =
+      cents.map { case (cid, v) => (cid, dotDriver(v, qn)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    // greedy descents in lockstep (hnsw only): all live cursors advance
+    // one round per fetch; per-query fixed points stop early exactly as
+    // the single-query `moved` rule does
+    var descent: Map[Long, String] = Map.empty
+    if (hnsw) {
+      val entryOpt = hnswEntryNode(libId, ivfPostings(libId))
+      if (entryOpt.isEmpty)
+        return Some(queries.map { case (qid, _) => (qid, Nil) })
+      val (entId, entNorm) = entryOpt.get
+      var cur: Map[Long, (String, Double)] = queries.map { case (qid, qn) =>
+        qid -> (entId, norm0(dotDriver(entNorm, qn))) }.toMap
+      val qvec = queries.toMap
+      for (l <- hnswLayerList(libId)) {
+        var active: Set[Long] = qvec.keySet
+        var round = 0
+        while (round < config.nswRounds && active.nonEmpty) {
+          val adj = layerAdjOf(libId, l,
+            active.iterator.map(cur(_)._1).toSeq.distinct)
+          val nbrIds = active.iterator.flatMap(q => adj(cur(q)._1)).toSeq.distinct
+          val vs = vecsOf(libId, nbrIds)
+          var nextActive = Set.empty[Long]
+          active.foreach { qid =>
+            val (c, cs) = cur(qid)
+            val qn = qvec(qid)
+            val nbrs = adj(c).iterator
+              .flatMap(id => vs(id).map(v => (id, norm0(dotDriver(v, qn)))))
+              .toSeq
+            val (bestId, bestS) = ((c, cs) +: nbrs)
+              .minBy { case (id, s) => (-s, id) }
+            if (bestId != c) { cur += qid -> (bestId, bestS); nextActive += qid }
+          }
+          active = nextActive
+          round += 1
+        }
+      }
+      descent = cur.map { case (qid, (id, _)) => qid -> id }
+    }
+    // per-query hybrid seed pools: entry cell (∪ descent neighborhood for
+    // hnsw), every distinct cell fetched once through the bounded cache
+    val cellOf: Map[Long, Int] = queries.map { case (qid, qn) =>
+      qid -> argCell(qn) }.toMap
+    val cellIds: Map[Int, IndexedSeq[String]] =
+      cellOf.values.toSeq.distinct.map { c =>
+        cellMembers(libId, c) match {
+          case Some(ids) => c -> ids
+          case None => return None // giant cell: keep distributed
+        }
+      }.toMap
+    val descentAdj: Map[String, IndexedSeq[String]] =
+      if (hnsw) adjOf(libId, descent.values.toSeq.distinct) else Map.empty
+    // lockstep beam walks: per-query visited/beam state, one combined
+    // frontier fetch per round (the adjacency lists are per-src, so
+    // batching the read never mixes beams)
+    val visited = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.HashMap[String, Double]]
+    var beams: Map[Long, Seq[String]] = queries.map { case (qid, qn) =>
+      val pool = (cellIds(cellOf(qid)) ++
+        (if (hnsw) descent(qid) +: descentAdj(descent(qid))
+         else IndexedSeq.empty)).distinct
+      val vs = vecsOf(libId, pool)
+      val top = pool.iterator
+        .flatMap(id => vs(id).map(v => (id, norm0(dotDriver(v, qn)))))
+        .toIndexedSeq
+        .sortBy { case (id, s) => (-s, id) }
+        .take(beamW)
+      val vm = scala.collection.mutable.HashMap.empty[String, Double]
+      top.foreach { case (id, s) => vm(id) = s }
+      visited(qid) = vm
+      qid -> top.map(_._1)
+    }.toMap
+    val qvecAll = queries.toMap
+    var round = 0
+    while (round < config.nswRounds && beams.valuesIterator.exists(_.nonEmpty)) {
+      val adj = adjOf(libId,
+        beams.valuesIterator.flatten.toSeq.distinct)
+      val frontierAll = beams.valuesIterator.flatten.flatMap(adj(_)).toSeq.distinct
+      val vs = vecsOf(libId, frontierAll)
+      beams = beams.map { case (qid, beam) =>
+        if (beam.isEmpty) qid -> beam
+        else {
+          val qn = qvecAll(qid)
+          val vm = visited(qid)
+          beam.iterator.flatMap(adj(_)).toSeq.distinct.foreach { id =>
+            vs(id).foreach(v => vm(id) = norm0(dotDriver(v, qn)))
+          }
+          qid -> vm.toSeq.sortBy { case (id, s) => (-s, id) }
+            .take(beamW).map(_._1)
+        }
+      }
+      round += 1
+    }
+    Some(queries.map { case (qid, _) => qid -> visited(qid).keys.toSeq })
   }
 
   /** The distributed twin of [[hnswWalkIds]]'s descent for annJoin: every

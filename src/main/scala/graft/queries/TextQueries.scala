@@ -137,6 +137,11 @@ object TextQueries {
   private def langProfile(gb: DataFrame): DataFrame = {
     val train = gb.filter(col("doc_id") % 2 === 0)
     val counts = train.groupBy(col("lang"), col("b")).agg(sum(col("cnt")).as("c"))
+    // NOTE (optimization r16, measured and rejected like the r9
+    // checkpoint variant): deriving totals/bg/bigN from `counts` (exact
+    // regrouped sums) to share the (lang, b) exchange via ReuseExchange
+    // read 18->20 jobs and ~+1s at sf0.1 — the extra AQE stages cost more
+    // than the shared scan saves. The per-branch derivation stands.
     val totals = train.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
     val bg = train.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
     val bigN = train.agg(sum(col("cnt")).as("nn"))
