@@ -1418,9 +1418,12 @@ final class VectorEngine(
     // no replaced ids => the anti-join removes would be no-op full
     // rewrites of every index table; skip them (optimization r15)
     if (!q2 && existing.nonEmpty) removeFromIndexes(libId, replacedIds)
+    // the rows to index are exactly the batch as written (newDf) — no
+    // need to re-read the new snapshot through an isin filter
+    // (optimization r16, same argument as bulkIngest's merged)
     addToIndexes(libId,
-      chunks.filter(col("id").isin(ids: _*))
-        .filter(if (q2) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
+      newDf.filter(
+        if (q2) !col("id").isin(existing.keys.toSeq: _*) else lit(true)))
     maybeVacuum()
     ids
   }
@@ -1562,10 +1565,15 @@ final class VectorEngine(
     // anti-join rewrites entirely (they would be full no-op rewrites)
     if (!q2 && nPrior > 0L)
       removeFromIndexes(libId, incomingIds.withColumnRenamed("id", "chunk_id"))
-    val toAdd = chunks.filter(col("library_id") === libId)
-      .join(incomingIds, Seq("id"), "left_semi")
+    // the rows to index are exactly `merged` — the batch as written
+    // (every incoming id lands in the snapshot with merged's values), so
+    // the index add consumes it directly instead of re-reading the new
+    // snapshot and semi-joining it against a re-evaluated incoming plan
+    // (optimization r16: one fewer scan + exchange inside every index-add
+    // plan, identical rows by construction)
     addToIndexes(libId,
-      if (q2) toAdd.join(prior.select("id"), Seq("id"), "left_anti") else toAdd)
+      if (q2) merged.join(prior.select("id"), Seq("id"), "left_anti")
+      else merged)
     maybeVacuum()
   }
 

@@ -425,4 +425,31 @@ class StoreVerbsSpec extends AnyFunSuite {
       eng.importLibrary(graft.TempDirs.scratch("graft-empty").toString)
     }
   }
+
+  test("appendLibraryPartition: auto-compact bounds the delta-file count") {
+    import spark.implicits._
+    val root = graft.TempDirs.scratch("graft-verbs-compact").toString
+    val store = new StateStore(spark, root)
+    val n = 60 // past the 48-file threshold, so compaction must trip
+    (0 until n).foreach { i =>
+      val delta = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("libA", s"s$i", s"d$i")), 1),
+        Schemas.nswEdges)
+      store.appendLibraryPartition("nsw_edges", "libA", delta)
+    }
+    // exactly one version bump per append: the compaction arm folds into
+    // the SAME mutation version, never its own (time travel / snapshot
+    // CDC arithmetic must observe identical history either way)
+    assert(store.currentVersion("nsw_edges").contains(n.toLong))
+    // the per-partition file count stays bounded by the threshold instead
+    // of growing one file per append
+    val files = store.partitionFileCount("nsw_edges", "libA")
+    assert(files <= 48, s"unbounded delta files after $n appends: $files")
+    // no row lost or duplicated across the append/compact interleaving
+    val rows = store.read("nsw_edges", Schemas.nswEdges)
+    assert(rows.count() == n)
+    assert(rows.select(col("src_id")).as[String].collect().sorted.toSeq ==
+      (0 until n).map(i => s"s$i").sorted)
+  }
 }
