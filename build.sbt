@@ -36,3 +36,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Parallel unit suites (optimization r16, VERDICT r15 item 3): the suites
+// are independent (every engine test writes its own scratch root; suites
+// sharing a JVM share one local[4] SparkSession via getOrCreate), but a
+// single forked JVM ran all of them SEQUENTIALLY — a ~38-minute critical
+// path that no longer fit the harness budget. Group the suites into a
+// handful of forked JVMs balanced by measured r15 durations and let sbt
+// run the groups concurrently: identical tests and per-JVM session
+// config, wall time ~ the slowest group. 6 groups x local[4] task
+// threads fit the 32-core host; heap stays the same per JVM.
+val testGroupOf: String => String = {
+  case s if s.contains("EngineFuzzIndexedA") => "fuzz-compressed"
+  case s if s.contains("EngineFuzzIndexedB") => "fuzz-graph"
+  case s if s.contains("EngineFuzzIndexedC") => "fuzz-binary"
+  case s if s.contains("EngineFuzz")         => "fuzz-crud"
+  case s if s.contains("EngineSpec")         => "engine"
+  case s if s.contains("HnswSpec") || s.contains("NswSpec") ||
+             s.contains("CurateSpec")        => "graph-curate"
+  case _                                     => "rest"
+}
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  (Test / definedTests).value.groupBy(t => testGroupOf(t.name)).map {
+    case (g, ts) => Tests.Group(g, ts, Tests.SubProcess(opts))
+  }.toSeq
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(16),
+)
