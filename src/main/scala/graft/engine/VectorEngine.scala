@@ -107,7 +107,16 @@ final class VectorEngine(
     // None = not probed yet; Some(None) = too many centroids to cache
     // (callers keep the distributed TakeOrdered); Some(Some(arr)) = the
     // (centroid_id asc)-sorted (id, vector) pairs
-    var centroids: Option[Option[IndexedSeq[(Int, Array[Float])]]] = None)
+    var centroids: Option[Option[IndexedSeq[(Int, Array[Float])]]] = None,
+    // Whole-table warm-load markers (optimization r16): None = not
+    // attempted, Some(true) = the WHOLE table is cached (a map miss is
+    // definitively "no rows"), Some(false) = table over WalkCacheCap,
+    // per-cursor fetches only. A serving node pages the whole index
+    // block into its block cache once instead of one cursor read per
+    // walk round; the cap keeps that exact discipline bounded.
+    var adjWarm: Option[Boolean] = None,
+    var layerAdjWarm: Option[Boolean] = None,
+    var vecsWarm: Option[Boolean] = None)
   private def indexMeta(libId: String): IndexMeta =
     indexMetaCache.getOrElseUpdate(libId, IndexMeta())
   private def invalidateIndexMeta(libId: String): Unit =
@@ -4446,11 +4455,65 @@ final class VectorEngine(
     missing.map(s => s -> grouped.getOrElse(s, IndexedSeq.empty)).toMap
   }
 
+  /** One-job whole-table warm load of the layer-0 adjacency: when the
+    * edge table fits WalkCacheCap rows, cache EVERY adjacency list so a
+    * map miss becomes a definitive "no edges" and every later walk round
+    * costs zero jobs. Over-cap tables mark themselves and keep the
+    * per-cursor fetches.
+    */
+  private def warmAdj(libId: String): Boolean = {
+    val m = indexMeta(libId)
+    m.adjWarm.getOrElse {
+      val rows = nswEdges(libId).select(col("src_id"), col("dst_id"))
+        .limit(WalkCacheCap + 1).collect()
+      val ok = rows.length <= WalkCacheCap
+      if (ok) rows.groupBy(_.getString(0)).foreach { case (s, rs) =>
+        m.adj.update(s, rs.map(_.getString(1)).toIndexedSeq)
+      }
+      m.adjWarm = Some(ok); ok
+    }
+  }
+
+  /** Whole-hierarchy twin of [[warmAdj]] for hnsw_edges (all layers in
+    * the one load — the hierarchy is geometrically smaller than layer 0).
+    */
+  private def warmLayerAdj(libId: String): Boolean = {
+    val m = indexMeta(libId)
+    m.layerAdjWarm.getOrElse {
+      val rows = hnswEdges(libId)
+        .select(col("layer"), col("src_id"), col("dst_id"))
+        .limit(WalkCacheCap + 1).collect()
+      val ok = rows.length <= WalkCacheCap
+      if (ok) rows.groupBy(r => (r.getInt(0), r.getString(1)))
+        .foreach { case (k, rs) =>
+          m.layerAdj.update(k, rs.map(_.getString(2)).toIndexedSeq)
+        }
+      m.layerAdjWarm = Some(ok); ok
+    }
+  }
+
+  /** Whole-table warm load of the posting vectors (same cap discipline). */
+  private def warmVecs(libId: String): Boolean = {
+    val m = indexMeta(libId)
+    m.vecsWarm.getOrElse {
+      val rows = ivfPostings(libId)
+        .select(col("chunk_id"), col("embedding_norm"))
+        .limit(WalkCacheCap + 1).collect()
+      val ok = rows.length <= WalkCacheCap
+      if (ok) rows.foreach { r =>
+        m.vecs.update(r.getString(0), Some(r.getSeq[Float](1).toArray))
+      }
+      m.vecsWarm = Some(ok); ok
+    }
+  }
+
   /** Layer-0 adjacency lists for `srcs` (nsw_edges). */
   private def adjOf(libId: String,
       srcs: Seq[String]): Map[String, IndexedSeq[String]] = {
     val m = indexMeta(libId)
-    val missing = srcs.filterNot(m.adj.contains).distinct
+    var missing = srcs.filterNot(m.adj.contains).distinct
+    if (missing.nonEmpty && warmAdj(libId))
+      missing = Nil // whole table cached: a residual miss has no edges
     if (missing.nonEmpty) {
       val fetched = fetchAdjInto(libId,
         nswEdges(libId).filter(col("src_id").isin(missing: _*))
@@ -4461,14 +4524,16 @@ final class VectorEngine(
       }
       return srcs.map(s => s -> m.adj.getOrElse(s, fetched(s))).toMap
     }
-    srcs.map(s => s -> m.adj(s)).toMap
+    srcs.map(s => s -> m.adj.getOrElse(s, IndexedSeq.empty)).toMap
   }
 
   /** Upper-layer adjacency lists for `srcs` at `layer` (hnsw_edges). */
   private def layerAdjOf(libId: String, layer: Int,
       srcs: Seq[String]): Map[String, IndexedSeq[String]] = {
     val m = indexMeta(libId)
-    val missing = srcs.filterNot(s => m.layerAdj.contains((layer, s))).distinct
+    var missing = srcs.filterNot(s => m.layerAdj.contains((layer, s))).distinct
+    if (missing.nonEmpty && warmLayerAdj(libId))
+      missing = Nil // whole hierarchy cached
     if (missing.nonEmpty) {
       val fetched = fetchAdjInto(libId,
         hnswEdges(libId)
@@ -4482,7 +4547,7 @@ final class VectorEngine(
       return srcs.map(s =>
         s -> m.layerAdj.getOrElse((layer, s), fetched(s))).toMap
     }
-    srcs.map(s => s -> m.layerAdj((layer, s))).toMap
+    srcs.map(s => s -> m.layerAdj.getOrElse((layer, s), IndexedSeq.empty)).toMap
   }
 
   /** Stored float-normalized vectors for `ids` (ivf_postings); None for an
@@ -4492,7 +4557,9 @@ final class VectorEngine(
   private def vecsOf(libId: String,
       ids: Seq[String]): Map[String, Option[Array[Float]]] = {
     val m = indexMeta(libId)
-    val missing = ids.filterNot(m.vecs.contains).distinct
+    var missing = ids.filterNot(m.vecs.contains).distinct
+    if (missing.nonEmpty && warmVecs(libId))
+      missing = Nil // whole table cached: a residual miss has no posting
     if (missing.nonEmpty) {
       val fetched = ivfPostings(libId)
         .filter(col("chunk_id").isin(missing: _*))
@@ -4506,7 +4573,7 @@ final class VectorEngine(
       }
       return ids.map(id => id -> m.vecs.getOrElse(id, fetched.get(id))).toMap
     }
-    ids.map(id => id -> m.vecs(id)).toMap
+    ids.map(id => id -> m.vecs.getOrElse(id, None)).toMap
   }
 
   /** The member ids of one coarse cell (their vectors land in the vecs

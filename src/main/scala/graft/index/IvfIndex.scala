@@ -229,20 +229,41 @@ object IvfIndex {
     * centroid_id is assigned in chunk_id order (deterministic).
     */
   def seedCentroids(chunksDf: DataFrame, libraryId: String,
-      numCentroids: Int): DataFrame = {
-    val spark = chunksDf.sparkSession
-    val seeds = normalized(chunksDf)
+      numCentroids: Int): DataFrame =
+    seedCentroidsFromRows(chunksDf.sparkSession,
+      lowestMd5Normalized(chunksDf, numCentroids), libraryId, numCentroids)
+
+  /** The m lowest-md5(chunk_id) normalized rows, h-ascending — the shared
+    * content-derived prefix that BOTH the seed-centroid init and the PQ
+    * codebook sample draw from (md5 of distinct ids is collision-free in
+    * practice and the order is total, so the k-prefix of the m-row
+    * collect IS the k-row collect). One TakeOrdered serves every
+    * consumer instead of one normalized corpus scan each
+    * (optimization r16).
+    */
+  def lowestMd5Normalized(chunksDf: DataFrame,
+      m: Int): Array[(String, Array[Double])] =
+    normalized(chunksDf)
       .withColumn("h", md5(col("chunk_id")))
       .orderBy(col("h").asc)
-      .limit(numCentroids)
+      .limit(m)
       .select(col("chunk_id"), col("vnorm"))
       .collect()
-      .sortBy(_.getString(0))
-    val rows = seeds.zipWithIndex.map { case (r, i) =>
-      Row(libraryId, i, r.getSeq[Double](1).map(_.toFloat))
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+
+  /** [[seedCentroids]] from a pre-collected lowest-md5 prefix — values
+    * bit-identical to the direct scan (same rows, same chunk_id-order
+    * centroid ids, same double->float cast).
+    */
+  def seedCentroidsFromRows(spark: SparkSession,
+      rows: Array[(String, Array[Double])], libraryId: String,
+      numCentroids: Int): DataFrame = {
+    val seeds = rows.take(numCentroids).sortBy(_._1)
+    val out = seeds.zipWithIndex.map { case ((_, v), i) =>
+      Row(libraryId, i, v.map(_.toFloat).toSeq)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), Schemas.ivfCentroids)
+      spark.sparkContext.parallelize(out.toSeq, 1), Schemas.ivfCentroids)
   }
 
   /** Assign new vectors to EXISTING centroids (incremental add between

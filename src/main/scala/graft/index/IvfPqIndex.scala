@@ -69,24 +69,33 @@ object IvfPqIndex {
       trained: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val spark = chunksDf.sparkSession
     val subDim = dim / subspaces
+    val sampleCap = if (trained) IvfIndex.trainCap(codewords) else codewords
+    // ONE md5-ordered TakeOrdered serves BOTH the seed centroids and the
+    // untrained codebook sample (optimization r16): the seed set is the
+    // numCentroids-prefix and the sample the sampleCap-prefix of the same
+    // total h-ascending order, so values are bit-identical to the two
+    // separate normalized scans this used to run.
+    val seedRows: Array[(String, Array[Double])] =
+      if (trained) Array.empty
+      else IvfIndex.lowestMd5Normalized(chunksDf,
+        math.max(numCentroids, sampleCap))
     val (centroidsDf, assignments) =
       if (trained) IvfIndex.build(chunksDf, libraryId, numCentroids)
       else {
-        val cents = IvfIndex.seedCentroids(chunksDf, libraryId, numCentroids)
+        val cents = IvfIndex.seedCentroidsFromRows(spark, seedRows,
+          libraryId, numCentroids)
         (cents, IvfIndex.assignToCentroids(chunksDf, cents, libraryId))
       }
     val res = residuals(assignments, centroidsDf)
-    val sampleCap = if (trained) IvfIndex.trainCap(codewords) else codewords
     // md5-ordered bounded sample: the first k rows ARE the k-lowest-md5
     // seeds (the content-derived init convention shared by IVF and PQ).
     // Untrained mode replays the assignment + float subtraction DRIVER-side
     // over just the sampled rows (bit-identical: the stored float centroids
     // are exactly what assignToCentroids collects, and dot/subtract repeat
-    // the executor arithmetic) — the sample costs one normalized-scan
-    // TakeOrdered instead of a second full pass through the assignment
-    // join. Trained mode keeps the res-based sample: its assignments come
-    // from Lloyd's DOUBLE centroids, which the float centroid table cannot
-    // replay exactly.
+    // the executor arithmetic) — the sample rows come from the SHARED
+    // seed collect above, zero extra corpus passes. Trained mode keeps
+    // the res-based sample: its assignments come from Lloyd's DOUBLE
+    // centroids, which the float centroid table cannot replay exactly.
     val sample: Array[(String, Array[Float])] =
       if (trained)
         res.withColumn("h", md5(col("chunk_id")))
@@ -99,15 +108,8 @@ object IvfPqIndex {
           .map(_.getSeq[Float](2).toArray)
         val centsD = centsF.map(_.map(_.toDouble))
         if (centsF.isEmpty) Array.empty
-        else chunksDf.filter(col("embedding").isNotNull)
-          .select(col("id").as("chunk_id"),
-            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("vnorm"))
-          .filter(col("vnorm").isNotNull)
-          .withColumn("h", md5(col("chunk_id")))
-          .orderBy(col("h").asc).limit(sampleCap)
-          .select(col("chunk_id"), col("vnorm")).collect()
-          .map { r =>
-            val vn = r.getSeq[Double](1).toArray
+        else seedRows.take(sampleCap)
+          .map { case (id, vn) =>
             var best = 0; var bestDot = Double.NegativeInfinity
             var c = 0
             while (c < centsD.length) {
@@ -119,8 +121,7 @@ object IvfPqIndex {
             }
             val cf = centsF(best)
             val vnf = vn.map(_.toFloat)
-            (r.getString(0),
-              Array.tabulate(vnf.length)(i => vnf(i) - cf(i)))
+            (id, Array.tabulate(vnf.length)(i => vnf(i) - cf(i)))
           }
       }
     if (sample.isEmpty)
