@@ -1546,23 +1546,29 @@ final class VectorEngine(
       throw new ValidationError(
         s"duplicate ids in bulk batch: ${bad.getLong(2)} rows, ${bad.getLong(3)} distinct ids")
     val nPrior = if (bad.isNullAt(4)) 0L else bad.getLong(4)
-    // ONE evaluation of the normalize + prior-join plan (optimization
-    // r16): the snapshot write, the remove anti-join, and every
-    // index-add action below consume this batch — without the
-    // checkpoint each action re-ran the whole ingest plan (for a
-    // text-embedding ingest that is the expensive part), once per
-    // index table. Batch-bounded by the verb contract, so the
-    // materialized footprint is O(batch) at any corpus size.
-    val merged = joined
+    val merged0 = joined
       .withColumn("created_at", coalesce(col("created0"), col("created_at")))
       .withColumn("version", coalesce(col("version0") + 1, col("version")))
       .drop("created0", "version0")
       .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
-      .localCheckpoint()
-    // identical id set to normalized.select(id) — merged only rewrites
-    // created_at/version — but served from the checkpoint, so the
-    // remove/replace paths stop re-evaluating the incoming plan too
-    val incomingIds = merged.select(col("id"))
+    // ONE evaluation of the normalize + prior-join plan when the batch
+    // is MULTI-consumed (optimization r16): the graph families' index
+    // add reads it three times (base edges, layer edges, postings), and
+    // the replace path reads it in the rewrite + remove + add — without
+    // the checkpoint each action re-ran the whole ingest plan (for a
+    // text-embedding ingest that is the expensive part). A single-
+    // consumer batch (flat library, first ingest before any index
+    // exists) skips the materialization: the lone write evaluates the
+    // lazy plan once, exactly as before. Batch-bounded by the verb
+    // contract, so the checkpoint footprint is O(batch) at any scale.
+    val graphReuse = (config.indexType == "nsw_det" ||
+      config.indexType == "hnsw_det") && store.exists("ivf_centroids")
+    val ckpt = nPrior > 0L || graphReuse
+    val merged = if (ckpt) merged0.localCheckpoint() else merged0
+    // identical id set either way (merged only rewrites
+    // created_at/version); served from the checkpoint when one exists
+    val incomingIds =
+      if (ckpt) merged.select(col("id")) else normalized.select(col("id"))
     // partition-selective: append the delta when nothing is replaced
     // (O(batch)); rewrite this library's partition otherwise — other
     // libraries' files are linked forward either way
