@@ -3873,12 +3873,9 @@ final class VectorEngine(
       (if (mixture) Seq("f_mixture") else Nil) ++
       dsirTarget.map(_ => "f_dsir").toSeq
 
-  /** One row per library chunk: (id, f_exact, f_cluster, ... ) with 1 for
-    * a kept id and null otherwise — the foldLeft of left-outer keep joins
-    * that [[curateLibraryImpl]] previously rebuilt per pass.
-    */
-  private def curateKeepFlags(libId: String, benchChunkIds: Seq[String],
-      mixture: Boolean, dsirTarget: Option[String]): DataFrame = {
+  /** The named keep frames (id lists) for one stage config. */
+  private def curateStages(libId: String, benchChunkIds: Seq[String],
+      mixture: Boolean, dsirTarget: Option[String]): Seq[(String, DataFrame)] = {
     import graft.curation.CurationCore
     import graft.functions.TextFunctions.{tokens, shingles}
     val base = chunks.filter(col("library_id") === libId)
@@ -3920,11 +3917,20 @@ final class VectorEngine(
        else Nil) ++
       dsirTarget.map(t => "f_dsir" -> CurationCore.dsirScoresOf(baseSrc, "id", t)
         .filter(col("s9") > 0).select("id")).toSeq
-    stages.foldLeft(base.select(col("id"))) {
-      case (acc, (name, keep)) =>
-        acc.join(keep.withColumn(name, lit(1)), Seq("id"), "left_outer")
-    }
+    stages
   }
+
+  /** One row per library chunk: (id, f_exact, f_cluster, ... ) with 1 for
+    * a kept id and null otherwise — the flag frame [[curatePasses]]
+    * checkpoints once per stage config and shares across passes.
+    */
+  private def curateKeepFlags(libId: String, benchChunkIds: Seq[String],
+      mixture: Boolean, dsirTarget: Option[String]): DataFrame =
+    curateStages(libId, benchChunkIds, mixture, dsirTarget)
+      .foldLeft(chunks.filter(col("library_id") === libId).select(col("id"))) {
+        case (acc, (name, keep)) =>
+          acc.join(keep.withColumn(name, lit(1)), Seq("id"), "left_outer")
+      }
 
   private def curateLibraryImpl(libId: String, benchChunkIds: Seq[String],
       packBudget: Int, mixture: Boolean,
@@ -3987,14 +3993,17 @@ final class VectorEngine(
           coalesce(col("kept_tok"), col("raw_tok")).as("n_tok"))
     }
     // keep-flag columns: shared across passes when the caller precomputed
-    // them (curatePasses — the stages are text-only, identical per pass),
-    // rebuilt inline otherwise. Joining flags onto tokBase by id is the
-    // same rows as the old tokBase-rooted foldLeft: both frames carry
-    // exactly the library's chunk ids once.
-    val keepFlags = sharedFlags.getOrElse(
-      curateKeepFlags(libId, benchChunkIds, mixture, dsirTarget))
-    val flagged = graft.Caches.track(
-      tokBase.join(keepFlags, Seq("id"), "left_outer").localCheckpoint())
+    // them (curatePasses — the stages are text-only, identical per pass;
+    // joining the flag frame onto tokBase by id lands the same rows as
+    // the direct fold, both frames carrying each chunk id exactly once);
+    // a standalone call keeps the original tokBase-rooted foldLeft —
+    // no extra join.
+    val flagged = graft.Caches.track(sharedFlags.fold(
+      curateStages(libId, benchChunkIds, mixture, dsirTarget)
+        .foldLeft(tokBase) { case (acc, (name, keep)) =>
+          acc.join(keep.withColumn(name, lit(1)), Seq("id"), "left_outer")
+        })(f => tokBase.join(f, Seq("id"), "left_outer"))
+      .localCheckpoint())
     val surv = stageNames.map(n => coalesce(col(n), lit(0)))
       .reduce(_ * _)
 
